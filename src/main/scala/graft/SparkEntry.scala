@@ -1,13 +1,738 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.functions.GraftFunctions._
+import graft.ops.{Dedup, Knn, TextAnalysis}
+
+/** Driver contract — queries + DuckDB oracle SQL (SURVEY.md §2b inventory).
+  *
+  * Conventions that keep the Spark result and the DuckDB oracle hash-equal:
+  *  - identical output column names on both sides (driver sorts by name);
+  *  - double sums go through an exact DECIMAL cast on both sides, then back
+  *    to double, so accumulation order can't flip a ULP;
+  *  - divisions happen on the already-exact doubles on both sides;
+  *  - timestamp-valued outputs are cast to DATE or formatted strings
+  *    (parquet timestamp-zone semantics differ between writers);
+  *  - every ORDER BY under a LIMIT carries a unique tiebreak key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** One registered query: Spark side + optional DuckDB oracle SQL. */
+  private final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+  private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+
+  private def dec(c: Column, scale: Int = 2): Column =
+    c.cast(DecimalType(28, scale)).cast("double")
+  private def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  // ---------------------------------------------------------------- flagship
+
+  /** Flagship: the reference's full RAG topology on sf0.001 —
+    * documents → non-empty filter (O3) → uuid (O2) → stub embedding (O4) →
+    * vector docs (O5) → exact knn top-10 for a probe query. */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val provider = graft.embed.StubEmbeddingProvider("titan-v2")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text"),
+        lit("2024-01-01T12:00:00.000Z").as("created_at"),
+        concat(lit("doc-"), col("doc_id")).as("_id"))
+    val filtered = graft.pipeline.RagPipeline.filterNonEmpty(docs)
+    val embedded = graft.pipeline.RagPipeline.embed(filtered, provider)
+    val vectorDocs = graft.pipeline.RagPipeline.toVectorDocs(embedded)
+    val queryVec = provider.embed("spark query engine").embedding
+    Knn.topK(vectorDocs, "passage_embedding", "_id", queryVec, 10, "cosine")
+      .select(col("_id"), col("text"), round(col("score"), 6).as("score"))
+  }
+
+  // ------------------------------------------------------- query definitions
+
+  private def all: Seq[Q] = relational ++ vector ++ llmOps
+
+  private def relational: Seq[Q] = Seq(
+
+    q("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          (decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (decSum(col("l_discount"), 6) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    q("q_proj_filter",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice * 1.1 AS DECIMAL(28,2)) AS DOUBLE) AS adj_price,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','F')
+        |  AND o_totalprice BETWEEN 1000 AND 5000
+        |  AND o_orderpriority LIKE '1-%'
+        |  AND NOT (o_custkey IS NULL)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice").between(1000, 5000) &&
+          col("o_orderpriority").like("1-%") &&
+          !col("o_custkey").isNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec(col("o_totalprice") * 1.1).as("adj_price"),
+          col("o_orderpriority"))
+    },
+
+    q("q_string_fns",
+      """SELECT c_custkey,
+        |  length(c_name) AS name_len,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  trim(concat(' ', c_name, ' ')) AS name_trim,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  concat(c_mktsegment, '-', CAST(c_custkey AS VARCHAR)) AS seg_key,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        length(col("c_name")).as("name_len"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        trim(concat(lit(" "), col("c_name"), lit(" "))).as("name_trim"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat(col("c_mktsegment"), lit("-"), col("c_custkey").cast("string")).as("seg_key"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        when(col("c_name").like("%1%"), 1).otherwise(0).as("has_one"))
+    },
+
+    q("q_date_fns",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(day(o_orderdate) AS BIGINT) AS o_day,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"),
+          month(col("o_orderdate")).cast("bigint").as("o_month"),
+          dayofmonth(col("o_orderdate")).cast("bigint").as("o_day"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate")).cast("bigint").as("days_to_y2k"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"))
+    },
+
+    q("q_math_fns",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_disc,
+        |  CAST(round(l_extendedprice, 1) AS DOUBLE) AS price_r1,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  sqrt(l_extendedprice) AS price_sqrt,
+        |  pow(l_quantity, 2) AS qty_sq,
+        |  l_orderkey % 7 AS key_mod,
+        |  CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign
+        |FROM lineitem WHERE l_orderkey % 25 = 0""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 25 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_disc"),
+          round(col("l_extendedprice"), 1).as("price_r1"),
+          floor(col("l_quantity")).as("qty_floor"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          sqrt(col("l_extendedprice")).as("price_sqrt"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          (col("l_orderkey") % 7).as("key_mod"),
+          signum(col("l_discount") - 0.05).cast("bigint").as("disc_sign"))
+    },
+
+    q("q_json_fns",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("bigint").as("k_val"),
+          col("user_id"))
+        .groupBy("k_val")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+
+    q("q_conditional",
+      """SELECT event_id,
+        |  CASE WHEN value > 50 THEN 'high' WHEN value > 10 THEN 'mid' ELSE 'low' END AS band,
+        |  coalesce(nullif(event_type, 'error'), 'ERR') AS type_clean,
+        |  CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS purchase_value
+        |FROM events WHERE event_id % 7 = 0""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 7 === 0)
+        .select(
+          col("event_id"),
+          when(col("value") > 50, "high").when(col("value") > 10, "mid")
+            .otherwise("low").as("band"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("type_clean"),
+          when(col("event_type") === "purchase", col("value")).otherwise(0.0)
+            .as("purchase_value"))
+    },
+
+    q("q_cast_matrix",
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST('123.5' AS DOUBLE) AS lit_double,
+        |  CAST(o_orderstatus = 'O' AS INT) AS is_open
+        |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderkey").cast("string").cast("bigint").as("key_roundtrip"),
+          floor(col("o_totalprice")).as("price_int"),
+          col("o_orderdate").cast("date").as("order_date"),
+          lit("123.5").cast("double").as("lit_double"),
+          (col("o_orderstatus") === "O").cast("int").as("is_open"))
+    },
+
+    // ------------------------------------------------------------------ joins
+
+    q("q_join_broadcast",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("revenue"))
+    },
+
+    q("q_join_smj",
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+    },
+
+    q("q_join_left",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(28,2))), 0) AS DOUBLE) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(decSum(col("o_totalprice")), lit(0.0)).as("spend"))
+    },
+
+    q("q_join_semi_anti",
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)) AS without_orders""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("with_orders"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("without_orders"))
+      withOrders.crossJoin(withoutOrders)
+    },
+
+    q("q_join_range",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
+    },
+
+    q("q_join_theta",
+      """SELECT s_suppkey, count(*) AS n_richer_customers
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+        |GROUP BY s_suppkey""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .join(Tables.customer(s, d),
+          col("s_nationkey") === col("c_nationkey") &&
+            col("c_acctbal") > col("s_acctbal"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_richer_customers"))
+    },
+
+    q("q_join_cross",
+      """SELECT r.r_name, n.n_name
+        |FROM region r CROSS JOIN nation n""".stripMargin) { (s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.nation(s, d).select("n_name"))
+    },
+
+    q("q_join_full",
+      """SELECT n_nationkey, n_name, grp_cust
+        |FROM nation FULL JOIN (
+        |  SELECT c_nationkey, count(*) AS grp_cust FROM customer GROUP BY c_nationkey
+        |) c ON n_nationkey = c_nationkey""".stripMargin) { (s, d) =>
+      val custPerNation = Tables.customer(s, d)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("grp_cust"))
+      Tables.nation(s, d)
+        .join(custPerNation, col("n_nationkey") === col("c_nationkey"), "full")
+        .select(col("n_nationkey"), col("n_name"), col("grp_cust"))
+    },
+
+    // ------------------------------------------------------------- aggregates
+
+    q("q_agg_distinct",
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n"))
+    },
+
+    q("q_agg_global",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty,
+        |  CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+        |  CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        decSum(col("l_quantity")).as("total_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    },
+
+    q("q_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+    },
+
+    q("q_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    q("q_collect",
+      """SELECT c_nationkey, list_sort(list(c_mktsegment)) AS segs,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS seg_set
+        |FROM customer WHERE c_custkey <= 100 GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).filter(col("c_custkey") <= 100)
+        .groupBy("c_nationkey")
+        .agg(sort_array(collect_list(col("c_mktsegment"))).as("segs"),
+          sort_array(collect_set(col("c_mktsegment"))).as("seg_set"))
+    },
+
+    // ---------------------------------------------------------------- windows
+
+    q("q_window_rank",
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk, quartile FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER w AS rn,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rn") <= 3)
+    },
+
+    q("q_window_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(lag(o_orderdate) OVER w AS DATE) AS prev_date,
+        |  CAST(lead(o_orderdate) OVER w AS DATE) AS next_date,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date").as("prev_date"),
+          lead(col("o_orderdate"), 1).over(w).cast("date").as("next_date"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("bigint").as("gap_days"))
+    },
+
+    q("q_window_frames",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  CAST(count(*)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last3
+        |FROM orders WHERE o_custkey <= 50""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(28, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spend"),
+          count(lit(1))
+            .over(w.rowsBetween(-2, Window.currentRow)).as("n_last3"))
+    },
+
+    q("q_topk_per_group",
+      """SELECT user_id, event_id, CAST(value AS DOUBLE) AS value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        |  FROM events
+        |) WHERE rn <= 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+        .drop("rn")
+    },
+
+    // ------------------------------------------------------ sort/limit/setops
+
+    q("q_sort_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    },
+
+    q("q_union",
+      """SELECT k, src FROM (
+        |  SELECT c_custkey AS k, 'c' AS src FROM customer WHERE c_custkey <= 30
+        |  UNION ALL
+        |  SELECT s_suppkey AS k, 's' AS src FROM supplier WHERE s_suppkey <= 30
+        |)""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_custkey") <= 30)
+        .select(col("c_custkey").as("k"), lit("c").as("src"))
+      val sup = Tables.supplier(s, d).filter(col("s_suppkey") <= 30)
+        .select(col("s_suppkey").as("k"), lit("s").as("src"))
+      c.unionByName(sup)
+    },
+
+    q("q_union_distinct",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+    },
+
+    q("q_intersect_except",
+      """SELECT 'both' AS tag, nk FROM (
+        |  SELECT DISTINCT c_nationkey AS nk FROM customer
+        |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nk FROM (
+        |  SELECT DISTINCT c_nationkey AS nk FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+      c.intersect(sup).select(lit("both").as("tag"), col("nk"))
+        .unionByName(c.except(sup).select(lit("cust_only").as("tag"), col("nk")))
+    },
+
+    q("q_distinct_rows",
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority").dropDuplicates()
+    })
+
+  // ------------------------------------------------------------ vector / knn
+
+  private def vector: Seq[Q] = Seq(
+
+    q("q_knn_cosine",
+      """WITH probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS sim
+        |FROM embeddings, probe
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          round(cosine_sim(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+
+    q("q_knn_l2",
+      """WITH probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+        |SELECT vec_id, label,
+        |  round(list_distance(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS dist
+        |FROM embeddings, probe
+        |ORDER BY dist, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          round(l2_dist(col("embedding"), col("qv")), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(20)
+    },
+
+    q("q_vector_stats",
+      """SELECT label, count(*) AS n,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(avg(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS self_sim
+        |FROM embeddings GROUP BY label, len(embedding)""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(col("label"), size(col("embedding")).as("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(cosine_sim(col("embedding"), col("embedding"))), 6).as("self_sim"))
+        .select(col("label"), col("n"), col("dim"), col("self_sim"))
+    },
+
+    q("q_array_fns",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  embedding[1:4] AS head4,
+        |  list_sort(embedding[1:4]) AS head4_sorted,
+        |  round(list_aggregate(embedding::DOUBLE[], 'sum'), 5) AS vec_sum,
+        |  CAST(list_contains(embedding, embedding[1]) AS INT) AS has_first
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          slice(col("embedding"), 1, 4).as("head4"),
+          sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
+          round(aggregate(col("embedding").cast("array<double>"), lit(0.0), _ + _), 5).as("vec_sum"),
+          array_contains(col("embedding"), element_at(col("embedding"), 1))
+            .cast("int").as("has_first"))
+    },
+
+    q("q_explode",
+      """SELECT vec_id,
+        |  CAST(generate_subscripts(embedding[1:8], 1) - 1 AS INT) AS pos,
+        |  unnest(embedding[1:8]) AS val
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
+        .withColumnRenamed("pos", "pos")
+        .withColumnRenamed("col", "val")
+    })
+
+  // ------------------------------------------------- LLM-pipeline operators
+
+  private def llmOps: Seq[Q] = Seq(
+
+    q("q_text_stats",
+      """SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS INT) AS token_count,
+        |  CAST(length(text) AS INT) AS char_count,
+        |  n_chars
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("token_count"),
+          length(col("text")).as("char_count"),
+          col("n_chars"))
+    },
+
+    q("q_dedup_exact",
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(array_to_string(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''), ' ')) AS content_key
+        |  FROM documents)
+        |SELECT count(*) AS n_total,
+        |  count(DISTINCT content_key) AS n_distinct,
+        |  count(*) - count(DISTINCT content_key) AS n_dups
+        |FROM keyed""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(md5(concat_ws(" ", Dedup.tokens(col("text")))).as("content_key"))
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("content_key")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("content_key"))).as("n_dups"))
+    },
+
+    q("q_ngram_jaccard",
+      """WITH tok AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |ex AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |sizes AS (SELECT doc_id, len(toks) AS n FROM tok)
+        |SELECT id_a, id_b,
+        |  round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE shared / (sa.n + sb.n - shared) >= 0.8""".stripMargin) { (s, d) =>
+      Dedup.jaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 100), "text", "doc_id",
+          shingleN = 1, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    q("q_embedding_neardup",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9""".stripMargin) { (s, d) =>
+      Dedup.embeddingNearDupsExact(Tables.embeddings(s, d), "embedding", "vec_id", 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    },
+
+    q("q_lang_quality",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','zu'], t))) AS de_hits,
+        |    len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t))) AS en_hits,
+        |    len(list_filter(toks, t -> list_contains(['el','la','los','y','de'], t))) AS es_hits,
+        |    len(list_filter(toks, t -> list_contains(['le','la','et','les','de'], t))) AS fr_hits
+        |  FROM scored)
+        |SELECT doc_id, lang,
+        |  CAST(de_hits AS INT) AS de_hits, CAST(en_hits AS INT) AS en_hits,
+        |  CAST(es_hits AS INT) AS es_hits, CAST(fr_hits AS INT) AS fr_hits
+        |FROM hits""".stripMargin) { (s, d) =>
+      val toks = Dedup.tokens(col("text"))
+      def hits(words: Seq[String]): Column =
+        size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        hits(TextAnalysis.stopwords("de")).as("de_hits"),
+        hits(TextAnalysis.stopwords("en")).as("en_hits"),
+        hits(TextAnalysis.stopwords("es")).as("es_hits"),
+        hits(TextAnalysis.stopwords("fr")).as("fr_hits"))
+    }) ++ Seq(
+
+    // no-oracle entries (nondeterministic or non-SQL-expressible → driver
+    // records rows-only checks; correctness covered by ScalaTest instead)
+
+    qNoOracle("q_uuid_enrich") { (s, d) =>
+      graft.pipeline.RagPipeline.enrich(
+        Tables.documents(s, d)
+          .select(col("text"), lit("2024-01-01T00:00:00.000Z").as("created_at"),
+            lit(null).cast("string").as("_corrupt_record")))
+    },
+
+    qNoOracle("q_minhash_neardup") { (s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.5, shingleN = 3, numHashes = 64, bands = 16)
+    },
+
+    qNoOracle("q_simhash_neardup") { (s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id", maxHamming = 10)
+    },
+
+    qNoOracle("q_fingerprint") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fnv64(col("text")).as("content_hash"),
+          winnow_fingerprint(col("text"), 8, 4).as("fingerprints"))
+    },
+
+    qNoOracle("q_lsh_knn") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probeVec = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Knn.lshBucketed(e, "embedding", "vec_id", probeVec, 10, dim = 64)
+    },
+
+    qNoOracle("q_rag_pipeline") { (s, d) =>
+      val raw = Tables.documents(s, d).select(
+        to_json(struct(col("text"),
+          lit("2024-01-01T12:00:00.000Z").as("created_at"))).as("value"))
+      graft.pipeline.RagPipeline.batch(raw, graft.embed.StubEmbeddingProvider("titan-v2"))
+    })
+
+  // ------------------------------------------------------------------ export
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(x => x.name -> x.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(x => x.oracle.map(x.name -> _)).toMap
 }

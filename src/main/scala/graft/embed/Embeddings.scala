@@ -1,0 +1,104 @@
+package graft.embed
+
+import java.security.MessageDigest
+import java.util.concurrent.{Executors, Semaphore, TimeUnit}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** Pluggable embedding backend — the Spark-side contract of the reference's
+  * async Bedrock operator (reference
+  * `operators/asyncIO/BedRockEmbeddingModelAsyncCustomMessage.java:26-118`).
+  *
+  * Model-id resolution and dimensions follow the reference exactly:
+  * `titan-v1` → `amazon.titan-embed-text-v1` (1536 dims), `titan-v2` →
+  * `amazon.titan-embed-text-v2:0` (1024 dims) (reference
+  * `…BedRockEmbeddingModelAsyncCustomMessage.java:80-85`,
+  * `index-creation-function/lambda_function.py:58-61`).
+  */
+trait EmbeddingProvider extends Serializable {
+  def dim: Int
+  /** Embed one text. Called from executor threads; must be thread-safe. */
+  def embed(text: String): EmbeddingResult
+}
+
+final case class EmbeddingResult(embedding: Array[Float], inputTextTokenCount: Int)
+
+object EmbeddingModels {
+  /** Reference model alias → (full model id, dimension). */
+  val registry: Map[String, (String, Int)] = Map(
+    "titan-v1" -> ("amazon.titan-embed-text-v1", 1536),
+    "titan-v2" -> ("amazon.titan-embed-text-v2:0", 1024))
+
+  def dimOf(alias: String): Int =
+    registry.getOrElse(alias,
+      throw new IllegalArgumentException(s"unknown embedding model: $alias"))._2
+}
+
+/** Deterministic stand-in for the Bedrock call (FIXTURES.md A3 contract):
+  * `embedding[i] = f(seed=42, sha2(text), i)` as floats in [-0.25, 0.25),
+  * `inputTextTokenCount = size(split(text, '\\s+'))`. Identical text →
+  * identical vector on every executor/run, which is what makes the pipeline
+  * testable without network egress.
+  */
+final case class StubEmbeddingProvider(modelAlias: String = "titan-v1", seed: Long = 42L)
+    extends EmbeddingProvider {
+  override val dim: Int = EmbeddingModels.dimOf(modelAlias)
+
+  override def embed(text: String): EmbeddingResult = {
+    val sha = MessageDigest.getInstance("SHA-256")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Fold the digest into a 64-bit base state, then splitmix per dimension.
+    var base = seed
+    var i = 0
+    while (i < sha.length) { base = base * 0x100000001b3L + (sha(i) & 0xffL); i += 1 }
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) {
+      val h = graft.functions.TextHashing.splitmix64(base + i)
+      // top 24 bits → uniform [0,1) → shift to [-0.25, 0.25)
+      out(i) = (((h >>> 40).toDouble / (1 << 24).toDouble) * 0.5 - 0.25).toFloat
+      i += 1
+    }
+    val tokens = text.trim.split("\\s+").count(_.nonEmpty)
+    EmbeddingResult(out, tokens)
+  }
+}
+
+/** Bounded-concurrency batch embedding — Spark's analogue of Flink's
+  * `AsyncDataStream.unorderedWait(…, capacity = 1000)` (reference
+  * `DataStreamJob.java:148-154`).
+  *
+  * Spark has no per-record async operator; within each partition we submit
+  * texts to a shared per-JVM pool, capped by a semaphore of `maxInFlight`
+  * permits (the reference's capacity 1000). Partitions complete unordered
+  * relative to each other — the same unorderedness the reference opts into.
+  * For remote providers this overlaps network latency across the partition;
+  * for the local stub it degrades gracefully to a tight loop.
+  */
+object EmbeddingStage {
+  private val poolSize = math.min(Runtime.getRuntime.availableProcessors() * 2, 64)
+  // One pool + semaphore per executor JVM, shared across partitions/tasks.
+  lazy val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+    Executors.newFixedThreadPool(poolSize, r => {
+      val t = new Thread(r, "graft-embed"); t.setDaemon(true); t
+    }))
+
+  def embedIterator(
+      texts: Iterator[String],
+      provider: EmbeddingProvider,
+      maxInFlight: Int = 1000,
+      batchSize: Int = 256,
+      timeout: Duration = 15000.millis): Iterator[EmbeddingResult] = {
+    val permits = new Semaphore(maxInFlight)
+    texts.grouped(batchSize).flatMap { batch =>
+      val futures = batch.map { t =>
+        permits.acquire()
+        Future {
+          try provider.embed(t)
+          finally permits.release()
+        }(ec)
+      }
+      futures.map(f => Await.result(f, timeout))
+    }
+  }
+}

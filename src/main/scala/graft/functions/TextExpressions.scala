@@ -1,0 +1,262 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic text-hashing primitives for dedup / fingerprinting.
+  *
+  * All hashes are seed-free FNV-1a / splitmix64 arithmetic so the same text
+  * hashes identically on every executor, every run, every partition — a hard
+  * requirement for content-hash dedup replacing the reference's
+  * nondeterministic uuid identity (reference
+  * `operators/map/CustomMessageToJSONObject.java:25`, SURVEY §2a O2).
+  */
+object TextHashing {
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  def fnv64(s: UTF8String): Long = fnv64(s.getBytes)
+  def fnv64(s: String): Long = fnv64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Pairwise-independent-ish hash family: h_i(x) = a_i*x + b_i (mod 2^64),
+    * a_i odd. Seeds derived from splitmix64 so the family is stable. */
+  def hashA(i: Int): Long = splitmix64(0x5eed0000L + i) | 1L
+  def hashB(i: Int): Long = splitmix64(0xb5eed000L + i)
+}
+
+/** fnv64(string) → long. Codegen'd: the hot inner loop of every
+  * content-hash dedup at scale. */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fnv64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fnv64 requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = TextHashing.fnv64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h ^= ($bytes[$i] & 0xffL); $h *= 0x100000001b3L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(array<string> tokens) → long.
+  *
+  * Classic Charikar simhash: each token votes its fnv64 bit pattern; the
+  * result bit j is 1 iff the weighted vote is positive. Near-duplicate
+  * documents land within small Hamming distance. Null/empty input arrays
+  * hash to 0.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = TextHashing.fnv64(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val bytes = ctx.freshName("bytes"); val bi = ctx.freshName("bi")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    byte[] $bytes = $a.getUTF8String($i).getBytes();
+         |    long $h = 0xcbf29ce484222325L;
+         |    for (int $bi = 0; $bi < $bytes.length; $bi++) {
+         |      $h ^= ($bytes[$bi] & 0xffL); $h *= 0x100000001b3L;
+         |    }
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      $votes[$j] += (($h >>> $j) & 1L) == 1L ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_sig(array<string> tokens, k) → array<long> of k minima.
+  *
+  * Signature[i] = min over tokens of (a_i * fnv64(token) + b_i), the
+  * standard MinHash estimator of Jaccard similarity between token sets.
+  * Empty input → signature of Long.MaxValue entries (never collides with a
+  * real signature band). `k` is a plan-time constant, not a child
+  * expression, so codegen can embed the seed arrays as references.
+  */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 1024, s"minhash k out of range: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got ${t.catalogString}")
+  }
+
+  private lazy val as: Array[Long] = Array.tabulate(k)(TextHashing.hashA)
+  private lazy val bs: Array[Long] = Array.tabulate(k)(TextHashing.hashB)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val x = TextHashing.fnv64(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = as(j) * x + bs(j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val asRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      val sig = ctx.freshName("sig"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val x = ctx.freshName("x")
+      val h = ctx.freshName("h"); val bytes = ctx.freshName("bytes")
+      val bi = ctx.freshName("bi")
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    byte[] $bytes = $a.getUTF8String($i).getBytes();
+         |    long $x = 0xcbf29ce484222325L;
+         |    for (int $bi = 0; $bi < $bytes.length; $bi++) {
+         |      $x ^= ($bytes[$bi] & 0xffL); $x *= 0x100000001b3L;
+         |    }
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $h = $asRef[$j] * $x + $bsRef[$j];
+         |      if ($h < $sig[$j]) $sig[$j] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** winnow_fingerprint(string, ngram, window) → sorted array<long>.
+  *
+  * Winnowing (Schleimer et al., SIGMOD 2003): rolling FNV over character
+  * n-grams, keep the minimum hash of every `window` consecutive n-grams,
+  * emit the distinct selected hashes sorted. Robust document fingerprint
+  * for plagiarism-style containment detection. Interpreted eval only
+  * (CodegenFallback): runs rarely relative to fnv64/minhash and the JVM
+  * loop is already allocation-light.
+  */
+case class WinnowFingerprint(child: Expression, ngram: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(ngram > 0 && window > 0, "ngram and window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_fingerprint requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val nGrams = bytes.length - ngram + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Long])
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < ngram) { h ^= (bytes(i + j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    val selected = scala.collection.mutable.SortedSet.empty[Long]
+    val nWindows = math.max(1, nGrams - window + 1)
+    i = 0
+    while (i < nWindows) {
+      var min = Long.MaxValue
+      var j = i
+      val end = math.min(i + window, nGrams)
+      while (j < end) { if (hashes(j) < min) min = hashes(j); j += 1 }
+      selected += min
+      i += 1
+    }
+    new GenericArrayData(selected.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality / language analysis for training-data curation.
+  *
+  * Everything here is built-in `functions._` composition (whole-stage
+  * codegen'd, no UDFs) so a 100 TB corpus pass stays a single scan with all
+  * predicates pushed down. The reference declared-but-never-used a
+  * Comprehend dependency for this capability (SURVEY §2a, pom.xml:72-74);
+  * these are the engine-side equivalents.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count — the stub for the reference's
+    * `inputTextTokenCount` (FIXTURES A3). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => t =!= ""))
+
+  /** Crude BPE-ish subword count: words + digit runs + punctuation runs
+    * counted separately (regex segmentation, no vocabulary). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")) +
+      size(filter(split(text, "[\\p{L}\\p{N}\\s]+"), t => t =!= ""))
+
+  def avgWordLen(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) / size(toks))
+  }
+
+  /** Fraction of non-space characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s+", ""))
+    val punct = length(regexp_replace(regexp_replace(text, "\\s+", ""), "[\\p{L}\\p{N}]", ""))
+    when(nonSpace === 0, lit(0.0)).otherwise(punct.cast("double") / nonSpace)
+  }
+
+  /** Tiny per-language stopword marker lists (deterministic heuristic,
+    * expressible identically in the SQL oracle). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "de"),
+    "es" -> Seq("el", "la", "los", "y", "de"))
+
+  /** Count of tokens that appear in `words`. */
+  def markerHits(text: Column, words: Seq[String]): Column = {
+    val toks = Dedup.tokens(text)
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+  }
+
+  /** N-gram/stopword language id: pick the language whose markers hit most
+    * tokens; ties and zero hits → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(markerHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: rewards reasonable length, a healthy
+    * stopword ratio, low punctuation density. Deterministic arithmetic —
+    * identical formula in the DuckDB oracle. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val allMarkers = stopwords.values.flatten.toSeq.distinct
+    val stopScore = least(markerHits(text, allMarkers).cast("double") * 8.0 /
+      greatest(nTok, lit(1.0)), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
+  }
+
+  /** One-pass per-document stats projection. */
+  def documentStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("token_count", tokenCount(col(textCol)))
+      .withColumn("char_count", length(col(textCol)))
+      .withColumn("avg_word_len", avgWordLen(col(textCol)))
+      .withColumn("punct_ratio", punctRatio(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+}

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.embed.{EmbeddingProvider, EmbeddingStage, StubEmbeddingProvider}
+
+/** The reference topology, rebuilt Spark-first (SURVEY §2a S1→O5):
+  *
+  * {{{
+  * source → parse JSON (O1) → enrich +uuid (O2) → filter non-empty text (O3)
+  *        → bounded-concurrency embedding (O4) → vector table (O5)
+  * }}}
+  *
+  * Differences from the reference, all deliberate and documented:
+  *  - Malformed JSON goes to a dead-letter channel instead of crashing the
+  *    job (reference Jackson parse throws,
+  *    `operators/map/CustomMessageMapFunction.java:21-26`).
+  *  - Embedding failures would surface as task retries, not a null poison
+  *    pill NPE-ing the sink (reference
+  *    `…BedRockEmbeddingModelAsyncCustomMessage.java:109-117`).
+  *  - `_id` is kept in the vector table; the reference drops it
+  *    (`DataStreamJob.java:191` commented out) and relies on the store to
+  *    mint ids, which duplicates documents on replay.
+  */
+object RagPipeline {
+
+  /** O1 — parse the wire format (`{"text":…, "created_at":…}`) with a
+    * PERMISSIVE corrupt-record channel. Input: a DataFrame with a string
+    * `value` column (Kafka-shaped). Output columns:
+    * text, created_at, _corrupt_record. */
+  def parseWire(raw: DataFrame): DataFrame = {
+    raw.select(
+        from_json(col("value"), Schemas.wireWithCorrupt,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record"))
+          .as("m"))
+      .select(col("m.text"), col("m.created_at"), col("m._corrupt_record"))
+  }
+
+  /** Rows `parseWire` could not parse — the dead-letter channel. */
+  def deadLetters(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+
+  /** O2 — enrich with a per-record uuid-v4 `_id` (same nondeterminism as the
+    * reference; content-hash dedup is the replay-safe alternative, see
+    * [[graft.ops.Dedup]]). */
+  def enrich(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt_record").isNull)
+      .select(col("text"), col("created_at"))
+      .withColumn("_id", expr("uuid()"))
+
+  /** O3 — reference semantics exactly: only the empty string is dropped
+    * (`DataStreamJob.java:146` uses `isEmpty`; whitespace-only text passes).
+    * Nulls (missing `text` field) are also dropped here instead of NPE-ing. */
+  def filterNonEmpty(df: DataFrame): DataFrame =
+    df.filter(col("text").isNotNull && col("text") =!= "")
+
+  /** O4 — embedding via bounded-concurrency mapPartitions (the Spark
+    * analogue of `AsyncDataStream.unorderedWait(…, 1000)`). Typed
+    * Dataset in/out so Tungsten handles the row format. */
+  def embed(df: DataFrame, provider: EmbeddingProvider,
+            maxInFlight: Int = 1000): Dataset[EmbeddedRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("text"), col("created_at"), col("_id"))
+      .as[EnrichedMessage]
+      .mapPartitions { it =>
+        val (texts, metas) = it.duplicate
+        val results = EmbeddingStage.embedIterator(texts.map(_.text), provider, maxInFlight)
+        metas.zip(results).map { case (m, r) =>
+          EmbeddedRecord(m.text, m.created_at, m._id, r.embedding, r.inputTextTokenCount)
+        }
+      }
+  }
+
+  /** O5 — shape into the sink document (FIXTURES A4): `passage_embedding`,
+    * `date` (parsed ISO-8601), `text`, plus kept `_id`. */
+  def toVectorDocs(embedded: Dataset[EmbeddedRecord]): DataFrame =
+    embedded.select(
+      col("embedding").as("passage_embedding"),
+      to_timestamp(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss.SSSX").as("date"),
+      col("text"),
+      col("_id"))
+
+  /** Full batch topology from a raw `value: string` DataFrame. */
+  def batch(raw: DataFrame, provider: EmbeddingProvider = StubEmbeddingProvider()): DataFrame =
+    toVectorDocs(embed(filterNonEmpty(enrich(parseWire(raw))), provider))
+
+  /** Streaming topology: JSON-lines file source → same stages →
+    * `foreachBatch` parquet vector-table sink (micro-batch is Spark's native
+    * analogue of the reference's 1 ms bulk flush). Caller owns
+    * `query.awaitTermination`/`processAllAvailable`. */
+  def streaming(
+      spark: SparkSession,
+      sourceDir: String,
+      outDir: String,
+      checkpointDir: String,
+      provider: EmbeddingProvider = StubEmbeddingProvider()) = {
+    val raw = spark.readStream.schema(Schemas.wire).option("mode", "PERMISSIVE")
+      .json(sourceDir)
+      .select(to_json(struct(col("text"), col("created_at"))).as("value"))
+    val docs = batchStages(raw, provider)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batchDf: DataFrame, _: Long) =>
+        graft.sink.VectorTable.append(batchDf, outDir)
+      }
+      .start()
+  }
+
+  private def batchStages(raw: DataFrame, provider: EmbeddingProvider): DataFrame =
+    toVectorDocs(embed(filterNonEmpty(enrich(parseWire(raw))), provider))
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.GraftFunctions._
+
+class TextExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fnv64 is deterministic and matches the Scala reference impl") {
+    val texts = Seq("hello world", "", "Hello World", "héllo wörld é")
+    val got = texts.toDF("t").select(fnv64($"t")).as[Long].collect()
+    val exp = texts.map(TextHashing.fnv64)
+    assert(got.toSeq == exp)
+  }
+
+  test("fnv64 property: Column result equals direct hash on random strings") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(50)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq.fill(10)(List.fill(rnd.nextInt(20))(rnd.nextPrintableChar()).mkString)
+    val got = samples.toDF("t").select($"t", fnv64($"t")).as[(String, Long)].collect()
+    got.foreach { case (s, h) => assert(h == TextHashing.fnv64(s)) }
+  }
+
+  test("simhash of near-identical token sets is near in Hamming distance") {
+    val base = (1 to 60).map(i => s"token$i")
+    val near = base.drop(1) :+ "tokenX"       // 2 tokens differ
+    val far = (1 to 60).map(i => s"other$i")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "toks")
+    val rows = df.select($"id", simhash64($"toks").as("h")).orderBy("id")
+      .as[(Long, Long)].collect().map(_._2)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(rows(0), rows(1)) <= 12, s"near sets too far: ${ham(rows(0), rows(1))}")
+    assert(ham(rows(0), rows(2)) >= 15, s"far sets too close: ${ham(rows(0), rows(2))}")
+  }
+
+  test("minhash signature estimates Jaccard similarity") {
+    val a = (1 to 100).map(i => s"sh$i")
+    val b = (26 to 125).map(i => s"sh$i")    // |A∩B|=75, |A∪B|=125 → J=0.6
+    val df = Seq((1L, a), (2L, b)).toDF("id", "toks")
+    val sigs = df.select(minhash_sig($"toks", 256)).collect()
+      .map(_.getSeq[Long](0))
+    val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
+    val est = agree.toDouble / 256
+    assert(math.abs(est - 0.6) < 0.12, s"estimate $est too far from 0.6")
+  }
+
+  test("minhash codegen equals interpreted") {
+    val df = Seq((1L, Seq("a", "b", "c"))).toDF("id", "toks")
+    val viaColumn = df.select(minhash_sig($"toks", 16)).head().getSeq[Long](0)
+    val expr = MinHashSignature(
+      org.apache.spark.sql.GraftBridge.toExpression($"toks"), 16)
+    // interpreted path directly
+    val direct = expr.nullSafeEval(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Seq("a", "b", "c").map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(viaColumn.toSeq == direct.toSeq)
+  }
+
+  test("winnow fingerprint: containment detected, disjoint texts differ") {
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    val containing = "PREFIX " + doc + " SUFFIX"
+    val other = "completely unrelated content with different characters entirely"
+    val df = Seq((1L, doc), (2L, containing), (3L, other)).toDF("id", "t")
+    val fps = df.select($"id", winnow_fingerprint($"t", 8, 4).as("fp")).orderBy("id")
+      .collect().map(_.getSeq[Long](1).toSet)
+    val overlap = fps(0).intersect(fps(1)).size.toDouble / fps(0).size
+    assert(overlap > 0.7, s"contained doc should share most fingerprints: $overlap")
+    assert(fps(0).intersect(fps(2)).isEmpty)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupKnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    Seq(
+      (1L, base),
+      (2L, base),                                        // exact dup of 1
+      (3L, base.replace("kappa", "lambda")),             // near dup of 1
+      (4L, "totally different words nothing shared here at all whatsoever"),
+      (5L, "Alpha  Beta gamma delta epsilon zeta eta theta iota kappa " * 3) // case/space dup
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds normalized duplicates, keeps smallest id") {
+    val groups = Dedup.exact(corpus, "text", "doc_id").collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("n_dups") === 3)        // 1, 2, 5 normalize equal
+    assert(groups(0).getAs[Long]("keeper_id") === 1L)
+    val kept = Dedup.exactDedup(corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("minhash near-dups find the planted near-duplicate pair") {
+    // 32 bands × 2 rows: P(candidate) = 1-(1-J²)^32 ≈ 1 at J ≥ 0.5
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      threshold = 0.5, shingleN = 3, numHashes = 64, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must surface")
+    assert(pairs.contains((1L, 3L)), "near dup must surface")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("simhash near-dups agree") {
+    val pairs = Dedup.simhashNearDups(corpus, "text", "doc_id", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccardPairs matches brute-force jaccard") {
+    val pairs = Dedup.jaccardPairs(corpus, "text", "doc_id", shingleN = 1, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val docs = corpus.collect().map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    for { a <- docs.keys; b <- docs.keys if a < b } {
+      val inter = docs(a).intersect(docs(b)).size
+      val uni = docs(a).union(docs(b)).size
+      val exp = inter.toDouble / uni
+      if (inter > 0) assert(math.abs(pairs((a, b)) - exp) < 1e-12)
+      else assert(!pairs.contains((a, b)))
+    }
+  }
+
+  test("knn topK matches brute force on real embeddings") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val probe = e.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0).toArray
+    val got = Knn.topK(e, "embedding", "vec_id", probe, 5, "cosine")
+      .select("vec_id").as[Long].collect().toSeq
+    // brute force via collect
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val exp = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), cos(r.getSeq[Float](1), probe.toSeq)))
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    assert(got === exp)
+  }
+
+  test("lsh knn finds the planted nearly-identical vector") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val probe = e.filter($"vec_id" === 11).select("embedding").head().getSeq[Float](0).toArray
+    val got = Knn.lshBucketed(e, "embedding", "vec_id", probe, 3, dim = 64)
+      .select("vec_id").as[Long].collect()
+    assert(got.contains(11L), "the probe's own vector must be retrieved")
+  }
+
+  test("knnJoin returns k neighbors per query") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val nn = Knn.knnJoin(queries, "q_id", "q_vec", e, "vec_id", "embedding", 4)
+    val counts = nn.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 4))
+    // self is always the nearest neighbor at rank 1
+    val rank1 = nn.filter($"rn" === 1).select("q_id", "vec_id").as[(Long, Long)].collect()
+    rank1.foreach { case (q, v) => assert(q == v) }
+  }
+
+  test("embedding near-dup exact vs lsh variants agree on high threshold") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf).limit(120)
+    val exact = Dedup.embeddingNearDupsExact(e, "embedding", "vec_id", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDups(e, "embedding", "vec_id", 64, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "lsh candidates that verify must be true pairs")
+  }
+
+  test("text analysis stats are sane on documents") {
+    val d = graft.Tables.documents(spark, TestSpark.sf)
+    val stats = TextAnalysis.documentStats(d, "text")
+    val row = stats.filter($"doc_id" === 0).head()
+    assert(row.getAs[Int]("token_count") > 0)
+    assert(row.getAs[Double]("quality") >= 0.0 && row.getAs[Double]("quality") <= 1.0)
+    val langAcc = stats.filter($"lang" === $"lang_pred").count().toDouble / stats.count()
+    assert(langAcc > 0.3, s"language-id heuristic accuracy too low: $langAcc")
+  }
+}
