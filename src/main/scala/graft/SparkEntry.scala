@@ -58,7 +58,7 @@ object SparkEntry {
 
   // ------------------------------------------------------- query definitions
 
-  private def all: Seq[Q] = relational ++ vector ++ llmOps
+  private def all: Seq[Q] = relational ++ relational2 ++ vector ++ llmOps
 
   private def relational: Seq[Q] = Seq(
 
@@ -520,6 +520,166 @@ object SparkEntry {
       Tables.orders(s, d).select("o_orderstatus", "o_orderpriority").dropDuplicates()
     })
 
+  private def relational2: Seq[Q] = Seq(
+
+    q("q_map_fns",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(len(json_keys(props::JSON)) AS INT) AS n_keys,
+        |  array_to_string(json_keys(props::JSON), ',') AS keys_csv
+        |FROM events WHERE event_id % 13 = 0""".stripMargin) { (s, d) =>
+      val m = from_json(col("props"), MapType(StringType, LongType))
+      Tables.events(s, d)
+        .filter(col("event_id") % 13 === 0)
+        .select(col("event_id"),
+          element_at(m, "k").as("k_val"),
+          size(m).as("n_keys"),
+          array_join(map_keys(m), ",").as("keys_csv"))
+    },
+
+    q("q_json_roundtrip",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  concat('{"k":', json_extract_string(props, '$.k'), '}') AS rebuilt
+        |FROM events WHERE event_id % 17 = 0""".stripMargin) { (s, d) =>
+      val m = from_json(col("props"), MapType(StringType, LongType))
+      Tables.events(s, d)
+        .filter(col("event_id") % 17 === 0)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          to_json(m).as("rebuilt"))
+    },
+
+    q("q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
+    q("q_setops_all",
+      """SELECT 'ia' AS tag, nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY nk
+        |UNION ALL
+        |SELECT 'ea' AS tag, nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY nk""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.intersectAll(su).groupBy("nk").agg(count(lit(1)).as("n"))
+        .select(lit("ia").as("tag"), col("nk"), col("n"))
+        .unionByName(
+          c.exceptAll(su).groupBy("nk").agg(count(lit(1)).as("n"))
+            .select(lit("ea").as("tag"), col("nk"), col("n")))
+    },
+
+    q("q_iso_parse",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+        |  CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ'),
+        |    '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS parsed_epoch,
+        |  CAST(hour(o_orderdate) AS BIGINT) AS h
+        |FROM orders WHERE o_orderkey % 17 = 0""".stripMargin) { (s, d) =>
+      val iso = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"),
+          iso.as("iso"),
+          unix_timestamp(to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("parsed_epoch"),
+          hour(col("o_orderdate")).cast("bigint").as("h"))
+    },
+
+    q("q_dedup_keep_first",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    },
+
+    q("q_above_avg",
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT avg(o_totalprice) FROM orders i
+        |  WHERE i.o_orderstatus = o.o_orderstatus)""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val avgs = o.groupBy(col("o_orderstatus").as("st"))
+        .agg(avg(col("o_totalprice")).as("st_avg"))
+      o.join(broadcast(avgs), col("o_orderstatus") === col("st"))
+        .filter(col("o_totalprice") > lit(2) * col("st_avg"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    q("q_time_bucket",
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP),
+        |    '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-02'
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+        .groupBy(
+          date_format(window(col("ts"), "5 minutes").getField("start"),
+            "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+    },
+
+    q("q_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP))
+        |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val marked = Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L,
+            1).otherwise(0).as("is_new"))
+      val sess = marked.select(col("user_id"), col("ts"), col("value"),
+        sum(col("is_new"))
+          .over(Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("session_id"))
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          decSum(col("value")).as("session_value"))
+    },
+
+    qNoOracle("q_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    })
+
   // ------------------------------------------------------------ vector / knn
 
   private def vector: Seq[Q] = Seq(
@@ -595,6 +755,41 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
         .withColumnRenamed("pos", "pos")
         .withColumnRenamed("col", "val")
+    },
+
+    q("q_centroid",
+      """WITH ex AS (
+        |  SELECT label,
+        |    generate_subscripts(embedding, 1) AS idx,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, idx, avg(v) AS m FROM ex GROUP BY label, idx)
+        |SELECT label,
+        |  list_transform(list(m ORDER BY idx), x -> round(x, 4) + 0) AS centroid
+        |FROM dims GROUP BY label""".stripMargin) { (s, d) =>
+      val centroid = udaf(graft.functions.CentroidAggregator)
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        // + 0 normalizes IEEE negative zero (DuckDB keeps -0.0, Spark doesn't)
+        .agg(transform(centroid(col("embedding")), x => round(x, 4) + lit(0)).as("centroid"))
+    },
+
+    q("q_knn_join",
+      """SELECT q_id, vec_id, rn FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id,
+        |    row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                      q.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q
+        |) WHERE rn <= 4""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Knn.knnJoin(queries, "q_id", "q_vec", e, "vec_id", "embedding", 4)
+        .select(col("q_id"), col("vec_id"), col("rn"))
     })
 
   // ------------------------------------------------- LLM-pipeline operators
@@ -687,6 +882,55 @@ object SparkEntry {
         hits(TextAnalysis.stopwords("en")).as("en_hits"),
         hits(TextAnalysis.stopwords("es")).as("es_hits"),
         hits(TextAnalysis.stopwords("fr")).as("fr_hits"))
+    },
+
+    q("q_lang_pred",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, t -> list_contains(['der','die','das','und','zu'], t))) AS de_h,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','of','to'], t))) AS en_h,
+        |    len(list_filter(tk, t -> list_contains(['el','la','los','y','de'], t))) AS es_h,
+        |    len(list_filter(tk, t -> list_contains(['le','la','et','les','de'], t))) AS fr_h
+        |  FROM toks)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+        |       WHEN fr_h = greatest(de_h, en_h, es_h, fr_h) THEN 'fr'
+        |       WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
+        |       WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM hits""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    q("q_quality_score",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t <> '')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '' AND list_contains(
+        |        ['the','a','and','of','to','der','die','das','und','zu',
+        |         'le','la','et','les','de','el','los','y'], t))) AS DOUBLE) AS hits,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+        |    length(regexp_replace(regexp_replace(text, '\s+', '', 'g'),
+        |      '[\p{L}\p{N}]', '', 'g')) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(least(n_tok / 64.0, 1.0) * 0.4
+        |    + least(hits * 8.0 / greatest(n_tok, 1.0), 1.0) * 0.3
+        |    + greatest(1.0 - (CASE WHEN n_nonspace = 0 THEN 0.0
+        |        ELSE CAST(n_punct AS DOUBLE) / n_nonspace END) * 4.0, 0.0) * 0.3,
+        |  6) AS quality
+        |FROM base""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
     }) ++ Seq(
 
     // no-oracle entries (nondeterministic or non-SQL-expressible → driver
