@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators (SURVEY §2b streaming rows).
+  *
+  * Every transform here is a plain `DataFrame => DataFrame` over the
+  * `events` schema, so the *same code* runs batch and streaming — the
+  * Spark-diff test harness relies on that: identical input through
+  * `MemoryStream`/file-source must equal the batch run.
+  *
+  * The reference topology is processing-time only (its sole watermark
+  * call is `noWatermarks()`, reference MSK `DataStreamJob.java:163`);
+  * watermarks, windows and keyed state below are the north-star
+  * extensions, all built on Structured Streaming primitives that shard
+  * state by key across executors (scale: state store per partition, no
+  * driver-side state).
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window aggregation. */
+  def tumblingAgg(df: DataFrame, tsCol: String, width: String): DataFrame =
+    df.groupBy(window(col(tsCol), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding event-time window aggregation. */
+  def slidingAgg(df: DataFrame, tsCol: String, width: String, slide: String): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+
+  /** Session windows: events within `gap` of each other merge per key. */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("user_id"), col("n"), col("total"))
+
+  /** Content-hash streaming dedup — the replay-safe fix for the
+    * reference's uuid-identity duplicate leak (SURVEY §2a O2/O5):
+    * identical `text` within the watermark horizon is emitted once. */
+  def contentDedup(df: DataFrame, textCol: String, tsCol: String,
+                   watermark: String): DataFrame =
+    df.withColumn("content_hash",
+        graft.functions.GraftFunctions.fnv64(lower(trim(col(textCol)))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, event_type: String, value: Double)
+  final case class UserCount(user_id: Long, n: Long, total: Double)
+
+  /** Running per-user counters via explicit keyed state
+    * (`flatMapGroupsWithState`) — emits the updated running count for
+    * each key touched in the micro-batch. State is one small record per
+    * key, sharded by groupBy key across the cluster. */
+  def runningUserCounters(ds: Dataset[EventRow]): Dataset[UserCount] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserCount, UserCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, events: Iterator[EventRow], state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(userId, 0L, 0.0))
+          var n = prev.n; var total = prev.total
+          events.foreach { e => n += 1; total += e.value }
+          val next = UserCount(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,183 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.streaming.StreamingOps.EventRow
+
+/** Spark-diff harness (SURVEY §5.3): the same input through a stream must
+  * equal the batch run of the same transform. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** events from sf0.001, ordered by ts, split into 3 replay chunks. */
+  private lazy val allEvents: Seq[EventRow] =
+    graft.Tables.events(spark, TestSpark.sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow].collect().sortBy(_.ts.getTime).toSeq
+
+  private def chunks: Seq[Seq[EventRow]] = {
+    val n = allEvents.length
+    Seq(allEvents.take(n / 3), allEvents.slice(n / 3, 2 * n / 3), allEvents.drop(2 * n / 3))
+  }
+
+  private def sentinel(offsetDays: Int = 365): EventRow =
+    EventRow(-1L, new java.sql.Timestamp(
+      allEvents.last.ts.getTime + offsetDays * 86400000L), -1L, "sentinel", 0.0)
+
+  private var sinkId = 0
+  private def nextSink(): String = { sinkId += 1; s"stream_sink_$sinkId" }
+
+  /** Run a streaming transform over the chunks, return the sink table. */
+  private def runStream(
+      transform: DataFrame => DataFrame,
+      mode: String,
+      extraFinal: Seq[EventRow] = Seq.empty): DataFrame = {
+    val ms = MemoryStream[EventRow](spark)
+    val out = nextSink()
+    val q = transform(ms.toDF()).writeStream
+      .format("memory").queryName(out).outputMode(mode).start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      if (extraFinal.nonEmpty) { ms.addData(extraFinal); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(out)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("tumbling window agg: streaming (complete) equals batch") {
+    val t: DataFrame => DataFrame = StreamingOps.tumblingAgg(_, "ts", "1 hour")
+    val streamed = runStream(t, "complete")
+    val batch = t(allEvents.toDF())
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("sliding window agg: streaming (complete) equals batch") {
+    val t: DataFrame => DataFrame = StreamingOps.slidingAgg(_, "ts", "2 hours", "1 hour")
+    val streamed = runStream(t, "complete")
+    assert(canon(streamed) == canon(t(allEvents.toDF())))
+  }
+
+  test("session window agg (append + watermark) equals batch") {
+    val t: DataFrame => DataFrame =
+      df => StreamingOps.sessionAgg(df.withWatermark("ts", "0 seconds"), "ts", "30 minutes")
+    val streamed = runStream(t, "append", extraFinal = Seq(sentinel()))
+      .filter($"user_id" =!= -1L)
+    val batch = StreamingOps.sessionAgg(allEvents.toDF(), "ts", "30 minutes")
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("watermark drops late data in append mode") {
+    val t: DataFrame => DataFrame =
+      df => df.withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("w_start"), $"n")
+    val ms = MemoryStream[EventRow](spark)
+    val out = nextSink()
+    val q = t(ms.toDF()).writeStream
+      .format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData(chunks.flatten)
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel()))          // advance watermark → close all real windows
+      q.processAllAvailable()
+      val lateEvent = allEvents.head.copy(event_id = -99L)  // far behind watermark
+      ms.addData(Seq(lateEvent))
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel(400)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(out).filter($"n" > 0)
+    val batchNoLate = t(allEvents.toDF()).filter($"w_start" <= sentinel().ts)
+    // late event must NOT create or update a window: streamed == batch without it
+    val s = canon(streamed.filter($"w_start" < new java.sql.Timestamp(
+      allEvents.last.ts.getTime + 86400000L)))
+    val b = canon(batchNoLate.filter($"w_start" < new java.sql.Timestamp(
+      allEvents.last.ts.getTime + 86400000L)))
+    assert(s == b)
+  }
+
+  test("streaming content dedup emits each duplicated text once") {
+    val docs = Seq(
+      ("one fish", "2024-01-01 10:00:00"),
+      ("two fish", "2024-01-01 10:01:00"),
+      ("one fish", "2024-01-01 10:02:00"),   // dup, across stream chunks
+      ("ONE fish  ", "2024-01-01 10:03:00")) // dup after normalization (trim+lower)
+      .map { case (t, ts) => (t, java.sql.Timestamp.valueOf(ts)) }
+    val ms = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val out = nextSink()
+    val q = StreamingOps.contentDedup(
+        ms.toDF().toDF("text", "ts"), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData(docs.take(2)); q.processAllAvailable()
+      ms.addData(docs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val texts = spark.table(out).select("text").as[String].collect().toSeq
+    // both dup forms collapse onto the first "one fish" → 2 unique contents
+    assert(texts.sorted == Seq("one fish", "two fish"), s"got $texts")
+  }
+
+  test("flatMapGroupsWithState running counters converge to batch totals") {
+    val ms = MemoryStream[EventRow](spark)
+    val out = nextSink()
+    val q = StreamingOps.runningUserCounters(ms.toDS())
+      .writeStream.format("memory").queryName(out).outputMode("update").start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val finalCounts = spark.table(out)
+      .groupBy("user_id").agg(max("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val batchCounts = allEvents.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(finalCounts == batchCounts)
+  }
+
+  test("stream-static join: streaming equals batch") {
+    val dim = allEvents.map(_.user_id).distinct.sorted
+      .map(u => (u, if (u % 2 == 0) "even" else "odd")).toDF("user_id", "bucket")
+    val t: DataFrame => DataFrame =
+      df => df.join(dim, Seq("user_id"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val streamed = runStream(t, "complete")
+    assert(canon(streamed) == canon(t(allEvents.toDF())))
+  }
+
+  test("RAG pipeline streaming file-source equals batch, incl. incremental files") {
+    val srcDir = Files.createTempDirectory("graft_wire").toFile.getAbsolutePath
+    val outDir = Files.createTempDirectory("graft_vec").toFile.getAbsolutePath + "/table"
+    val ckDir = Files.createTempDirectory("graft_ck").toFile.getAbsolutePath
+    val docs = graft.Tables.documents(spark, TestSpark.sf).limit(40)
+      .select($"text", lit("2024-01-01T12:00:00.000Z").as("created_at"))
+    val lines = docs.toJSON.collect()
+    Files.write(java.nio.file.Paths.get(s"$srcDir/wave1.json"),
+      lines.take(20).mkString("\n").getBytes)
+    val query = graft.pipeline.RagPipeline.streaming(spark, srcDir, outDir, ckDir,
+      graft.embed.StubEmbeddingProvider("titan-v2"))
+    try {
+      query.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(s"$srcDir/wave2.json"),
+        lines.drop(20).mkString("\n").getBytes)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(outDir)
+    assert(streamed.count() === 40)
+    // embeddings must equal the batch pipeline's (deterministic stub)
+    val batch = graft.pipeline.RagPipeline.batch(
+      docs.select(to_json(struct($"text", $"created_at")).as("value")),
+      graft.embed.StubEmbeddingProvider("titan-v2"))
+    val sEmb = streamed.select($"text", $"passage_embedding").as[(String, Seq[Float])]
+      .collect().toMap
+    val bEmb = batch.select($"text", $"passage_embedding").as[(String, Seq[Float])]
+      .collect().toMap
+    assert(sEmb.keySet == bEmb.keySet)
+    sEmb.foreach { case (k, v) => assert(v == bEmb(k)) }
+  }
+}
