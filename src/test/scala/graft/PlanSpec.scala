@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: the optimizations we rely on for 100 TB scale must
+  * actually appear in the plan — a regression here is a performance bug
+  * even when results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = plan("q_proj_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("In(o_orderstatus"), p)
+    // only the 5 needed columns are read, not the whole orders schema
+    assert(p.contains("o_orderkey") && !p.contains("o_orderdate"), p)
+  }
+
+  test("small dimension join is broadcast") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("large join is sort-merge (no broadcast of the fact side)") {
+    val p = plan("q_join_smj")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("semi/anti joins plan as such") {
+    val p = plan("q_join_semi_anti")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val knn = plan("q_knn_cosine")
+    assert(knn.contains("TakeOrderedAndProject"), knn)
+  }
+
+  test("aggregation is partial+final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("custom vector expressions stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_knn_cosine")(spark, TestSpark.sf)
+    df.collect()   // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage;
+    // cosine_sim must sit inside one (no interpreted fallback in the plan)
+    assert("""\*\(\d+\) Project \[.*cosine_sim""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("exact dedup aggregates hashes, not document bodies, across the shuffle") {
+    val df = graft.ops.Dedup.exactDedup(
+      Tables.documents(spark, TestSpark.sf), "text", "doc_id")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftSemi"), p)      // bodies rejoin via semi join
+    assert(p.contains("fnv64"), p)
+  }
+}
