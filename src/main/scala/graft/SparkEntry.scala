@@ -873,15 +873,18 @@ object SparkEntry {
         |  CAST(de_hits AS INT) AS de_hits, CAST(en_hits AS INT) AS en_hits,
         |  CAST(es_hits AS INT) AS es_hits, CAST(fr_hits AS INT) AS fr_hits
         |FROM hits""".stripMargin) { (s, d) =>
-      val toks = Dedup.tokens(col("text"))
+      // tokenize ONCE into a real column: lambda exprs are exempt from
+      // subexpression elimination, so inlining would re-split 4× per row
       def hits(words: Seq[String]): Column =
-        size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
-      Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        hits(TextAnalysis.stopwords("de")).as("de_hits"),
-        hits(TextAnalysis.stopwords("en")).as("en_hits"),
-        hits(TextAnalysis.stopwords("es")).as("es_hits"),
-        hits(TextAnalysis.stopwords("fr")).as("fr_hits"))
+        TextAnalysis.markerHitsFromTokens(col("_toks"), words)
+      Tables.documents(s, d)
+        .withColumn("_toks", Dedup.tokens(col("text")))
+        .select(
+          col("doc_id"), col("lang"),
+          hits(TextAnalysis.stopwords("de")).as("de_hits"),
+          hits(TextAnalysis.stopwords("en")).as("en_hits"),
+          hits(TextAnalysis.stopwords("es")).as("es_hits"),
+          hits(TextAnalysis.stopwords("fr")).as("fr_hits"))
     },
 
     q("q_lang_pred",
@@ -904,8 +907,9 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_pred
         |FROM hits""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        .withColumn("_toks", Dedup.tokens(col("text")))
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.langId(col("text")).as("lang_pred"))
+          TextAnalysis.langIdFromTokens(col("_toks")).as("lang_pred"))
     },
 
     q("q_quality_score",

@@ -19,6 +19,8 @@ object GraftFunctions {
   def fnv64(c: Column): Column                = col(Fnv64(e(c)))
   def simhash64(tokens: Column): Column       = col(SimHash64(e(tokens)))
   def minhash_sig(tokens: Column, k: Int): Column = col(MinHashSignature(e(tokens), k))
+  def minhash_bands(tokens: Column, k: Int, bands: Int): Column =
+    col(MinHashBands(e(tokens), k, bands))
   def winnow_fingerprint(text: Column, ngram: Int, window: Int): Column =
     col(WinnowFingerprint(e(text), ngram, window))
 
@@ -43,6 +45,9 @@ object GraftFunctions {
       xs => SimHash64(xs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       xs => MinHashSignature(xs(0), intArg(xs(1), "minhash k")), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      xs => MinHashBands(xs(0), intArg(xs(1), "minhash k"), intArg(xs(2), "bands")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       xs => WinnowFingerprint(xs(0), intArg(xs(1), "ngram"), intArg(xs(2), "window")),
       "scala_udf")

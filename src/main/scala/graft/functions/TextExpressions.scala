@@ -210,6 +210,98 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** minhash_bands(array<string> tokens, k, bands) → array<long> of `bands`
+  * LSH band hashes: the k-minima MinHash signature (same seeds as
+  * [[MinHashSignature]]) split into `bands` rows-per-band groups, each
+  * FNV-folded to one 64-bit bucket key. One expression instead of
+  * sig → slice → aggregate SQL plumbing: wrapping JVM arithmetic (ANSI-mode
+  * SQL multiply would overflow-throw) and no intermediate arrays.
+  */
+case class MinHashBands(child: Expression, k: Int, bands: Int) extends UnaryExpression {
+  require(k > 0 && k <= 1024, s"minhash k out of range: $k")
+  require(bands > 0 && k % bands == 0, s"bands ($bands) must divide k ($k)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_bands requires array<string>, got ${t.catalogString}")
+  }
+
+  private lazy val as: Array[Long] = Array.tabulate(k)(TextHashing.hashA)
+  private lazy val bs: Array[Long] = Array.tabulate(k)(TextHashing.hashB)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val x = TextHashing.fnv64(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = as(j) * x + bs(j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0xcbf29ce484222325L
+      var j = 0
+      while (j < r) { acc = (acc ^ sig(b * r + j)) * 0x100000001b3L; j += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val asRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      val sig = ctx.freshName("sig"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val x = ctx.freshName("x")
+      val h = ctx.freshName("h"); val bytes = ctx.freshName("bytes")
+      val bi = ctx.freshName("bi"); val out = ctx.freshName("out")
+      val b = ctx.freshName("b"); val acc = ctx.freshName("acc")
+      val r = k / bands
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    byte[] $bytes = $a.getUTF8String($i).getBytes();
+         |    long $x = 0xcbf29ce484222325L;
+         |    for (int $bi = 0; $bi < $bytes.length; $bi++) {
+         |      $x ^= ($bytes[$bi] & 0xffL); $x *= 0x100000001b3L;
+         |    }
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $h = $asRef[$j] * $x + $bsRef[$j];
+         |      if ($h < $sig[$j]) $sig[$j] = $h;
+         |    }
+         |  }
+         |}
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $acc = 0xcbf29ce484222325L;
+         |  for (int $j = 0; $j < $r; $j++) {
+         |    $acc = ($acc ^ $sig[$b * $r + $j]) * 0x100000001b3L;
+         |  }
+         |  $out[$b] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** winnow_fingerprint(string, ngram, window) → sorted array<long>.
   *
   * Winnowing (Schleimer et al., SIGMOD 2003): rolling FNV over character

@@ -66,28 +66,46 @@ object Dedup {
 
   /** (id, band_idx, band_hash) tuples: LSH bucket keys. numHashes minhash
     * values split into `bands` bands of numHashes/bands rows each; a band's
-    * hash is fnv-combined. Docs agreeing on any band are candidates. */
+    * hash is FNV-folded inside the [[graft.functions.MinHashBands]]
+    * expression (single codegen'd pass, no intermediate signature array in
+    * the plan). Docs agreeing on any band are candidates. */
   def minhashBands(df: DataFrame, textCol: String, idCol: String,
-                   shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sig = minhash_sig(shingles(col(textCol), shingleN), numHashes)
-    df.select(col(idCol), sig.as("_sig"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => fnv64(to_json(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+                   shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame =
+    df.select(col(idCol),
+        posexplode(minhash_bands(shingles(col(textCol), shingleN), numHashes, bands)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-  }
+
+  /** Expand each bucket row's sorted element array into ordered (a < b)
+    * pairs WITHOUT materializing the n² pair array in one value: explode
+    * elements with their index, then pair each with its strict successors.
+    * Output columns `_a`, `_b` (same type as the array elements). */
+  private def bucketPairs(buckets: DataFrame, elemsCol: String): DataFrame =
+    buckets
+      .filter(size(col(elemsCol)) > 1)
+      .select(col(elemsCol), posexplode(col(elemsCol)))
+      .select(col("col").as("_a"),
+        explode(slice(col(elemsCol), col("pos") + 2, size(col(elemsCol)))).as("_b"))
+
+  /** Group a banded (bucket-key, …) frame into per-bucket sorted element
+    * arrays. One shuffle, signatures computed ONCE (a band self-join would
+    * recompute the whole signature projection on both sides — the rename
+    * breaks exchange reuse). `maxBucket` caps pathological buckets (n²
+    * pair blowup): sorted ids, keep-first truncation — buckets that large
+    * are near-certain exact duplicates, which [[exactDedup]] handles in
+    * O(n); run it first on raw web corpora. */
+  private def bucketed(banded: DataFrame, elem: Column, maxBucket: Int): DataFrame =
+    banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(slice(sort_array(collect_set(elem)), 1, maxBucket).as("_elems"))
 
   /** Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val b1 = minhashBands(df, textCol, idCol, shingleN, numHashes, bands)
-    val b2 = b1.select(col("band_idx"), col("band_hash"), col(idCol).as("_id_b"))
-    b1.join(b2, Seq("band_idx", "band_hash"))
-      .filter(col(idCol) < col("_id_b"))
-      .select(col(idCol).as("id_a"), col("_id_b").as("id_b"))
+                        shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                        maxBucket: Int = 4096): DataFrame = {
+    val banded = minhashBands(df, textCol, idCol, shingleN, numHashes, bands)
+    bucketPairs(bucketed(banded, col(idCol), maxBucket), "_elems")
+      .select(col("_a").as("id_a"), col("_b").as("id_b"))
       .distinct()
   }
 
@@ -119,16 +137,17 @@ object Dedup {
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), simhash64(tokens(col(textCol))).as("_sh"))
-    val chunked = sh.select(col(idCol), col("_sh"), posexplode(
+    val banded = sh.select(col(idCol), col("_sh"), posexplode(
       array(Seq.tabulate(4)(i =>
         shiftrightunsigned(col("_sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    val other = chunked.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("_id_b"), col("_sh").as("_sh_b"))
-    chunked.join(other, Seq("chunk_idx", "chunk"))
-      .filter(col(idCol) < col("_id_b"))
-      .select(col(idCol).as("id_a"), col("_id_b").as("id_b"),
-        bit_count(col("_sh").bitwiseXOR(col("_sh_b"))).as("hamming"))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    // bucket elements carry (id, simhash) so verification needs no join back
+    bucketPairs(bucketed(banded, struct(col(idCol), col("_sh")), maxBucket = 65536),
+        "_elems")
+      .select(col("_a").getField(idCol).as("id_a"),
+        col("_b").getField(idCol).as("id_b"),
+        bit_count(col("_a").getField("_sh")
+          .bitwiseXOR(col("_b").getField("_sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -154,20 +173,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-dups, exact within LSH candidate buckets. */
+  /** Embedding-cosine near-dups, exact within LSH candidate buckets.
+    * Buckets hold ids only (vectors are wide — shuffling them through the
+    * band exchange would dominate); candidate pairs are deduplicated FIRST,
+    * then the two vectors join back per surviving pair. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         dim: Int, threshold: Double,
-                        bands: Int = 8, bitsPerBand: Int = 12): DataFrame = {
+                        bands: Int = 8, bitsPerBand: Int = 12,
+                        maxBucket: Int = 4096): DataFrame = {
     val sig = Knn.hyperplaneSignature(col(vecCol), dim, bands, bitsPerBand)
-    val banded = df.select(col(idCol), col(vecCol), posexplode(sig))
+    val banded = df.select(col(idCol), posexplode(sig))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    val other = banded.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("_id_b"), col(vecCol).as("_v_b"))
-    banded.join(other, Seq("band_idx", "band_hash"))
-      .filter(col(idCol) < col("_id_b"))
-      .select(col(idCol).as("id_a"), col("_id_b").as("id_b"),
-        graft.functions.GraftFunctions.cosine_sim(col(vecCol), col("_v_b")).as("cosine"))
+    val pairs = bucketPairs(bucketed(banded, col(idCol), maxBucket), "_elems")
+      .select(col("_a").as("id_a"), col("_b").as("id_b"))
       .distinct()
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_v_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.cosine_sim(col("_v_a"), col("_v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

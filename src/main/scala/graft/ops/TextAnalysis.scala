@@ -45,21 +45,31 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "de"),
     "es" -> Seq("el", "la", "los", "y", "de"))
 
-  /** Count of tokens that appear in `words`. */
-  def markerHits(text: Column, words: Seq[String]): Column = {
-    val toks = Dedup.tokens(text)
+  /** Count of tokens (pre-tokenized array) that appear in `words`. */
+  def markerHitsFromTokens(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
-  }
 
-  /** N-gram/stopword language id: pick the language whose markers hit most
-    * tokens; ties and zero hits → "und" (undetermined). */
-  def langId(text: Column): Column = {
+  /** Count of tokens that appear in `words`. Tokenizes internally — when
+    * scoring several marker lists over the same text, tokenize ONCE into a
+    * real column and use [[markerHitsFromTokens]]: lambda expressions are
+    * excluded from Spark's subexpression elimination, so N inline calls
+    * re-run the regex split N times per row. */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    markerHitsFromTokens(Dedup.tokens(text), words)
+
+  /** [[langId]] over an already-tokenized column — the form to use in a
+    * query (tokenize once in a prior projection; see [[markerHits]] note). */
+  def langIdFromTokens(toks: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(markerHits(text, words).as("hits"), lit(lang).as("lang"))
+      struct(markerHitsFromTokens(toks, words).as("hits"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** N-gram/stopword language id: pick the language whose markers hit most
+    * tokens; ties and zero hits → "und" (undetermined). */
+  def langId(text: Column): Column = langIdFromTokens(Dedup.tokens(text))
 
   /** Composite quality score in [0,1]: rewards reasonable length, a healthy
     * stopword ratio, low punctuation density. Deterministic arithmetic —
