@@ -4,12 +4,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
-  * `{"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}`.
+  * `{"metric":…,"value":…,"unit":"sec","queries":{…},"cold_queries":{…},
+  * "errors":{…},"sf":…}`.
   *
   * Each query is forced through a `noop` write — unlike `count()`, that
   * materializes every output column, so projection/codegen work is
-  * actually measured. A warm-up query first amortizes JVM/codegen/
-  * classloading cost out of the per-query numbers.
+  * actually measured.
+  *
+  * Methodology: each query runs twice; the headline `value`/`queries` are
+  * the SECOND run (steady state). The first run pays one-time per-query-
+  * shape costs — Janino whole-stage-codegen compilation, expression/HOF
+  * classloading — that measured 2–10 s/query on this box and would be
+  * irrelevant noise for a long-running 100 TB job (round-1 misread: a 10 s
+  * first-HOF-query compile was attributed to q_dedup_exact as an "85×
+  * slowdown"). The first-run numbers are still reported per query as
+  * `cold_queries`/`cold_value` so startup cost stays visible, not hidden.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,18 +37,32 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Warm-up: JVM + codegen + parquet footer caches.
+    // Warm-up: JVM + parquet footer caches.
     try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
 
+    final case class R(name: String, warm: Double, cold: Double, err: Option[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { run(fn) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      def timed(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { run(fn); None } catch {
+          case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (cold, coldErr) = timed()
+      if (coldErr.isDefined) R(name, cold, cold, coldErr)
+      else { val (warm, warmErr) = timed(); R(name, warm, cold, warmErr) }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def m(f: R => Double) =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    // A crashed query's elapsed time is NOT a legitimate timing — surface it.
+    val errs = results.collect { case R(k, _, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_.warm).sum
+    val coldTotal = results.map(_.cold).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(_.warm)},"cold_value":$coldTotal,"cold_queries":${m(_.cold)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,14 @@ object SparkEntry {
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
+  /** Array column → CSV of scaled-integer elements. The driver's checker
+    * (pandas sort + hash) can't handle raw array cells, and float→string
+    * formatting differs between JVM and DuckDB — integer strings are the
+    * only representation both engines agree on bit-for-bit. */
+  private def arrCsv(c: Column, scale: Long): Column =
+    concat_ws(",", transform(c,
+      x => round(x.cast("double") * scale).cast("long").cast("string")))
+
   // ---------------------------------------------------------------- flagship
 
   /** Flagship: the reference's full RAG topology on sf0.001 —
@@ -186,8 +194,11 @@ object SparkEntry {
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1""".stripMargin) { (s, d) =>
+      // from_json(MapType) streams the document once per row; per-path
+      // get_json_object re-parses per extraction (122× slower at sf0.1)
       Tables.events(s, d)
-        .select(get_json_object(col("props"), "$.k").cast("bigint").as("k_val"),
+        .select(element_at(from_json(col("props"), MapType(StringType, LongType)), "k")
+            .as("k_val"),
           col("user_id"))
         .groupBy("k_val")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
@@ -383,13 +394,14 @@ object SparkEntry {
     },
 
     q("q_collect",
-      """SELECT c_nationkey, list_sort(list(c_mktsegment)) AS segs,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS seg_set
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(c_mktsegment)), ',') AS segs,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS seg_set
         |FROM customer WHERE c_custkey <= 100 GROUP BY c_nationkey""".stripMargin) { (s, d) =>
       Tables.customer(s, d).filter(col("c_custkey") <= 100)
         .groupBy("c_nationkey")
-        .agg(sort_array(collect_list(col("c_mktsegment"))).as("segs"),
-          sort_array(collect_set(col("c_mktsegment"))).as("seg_set"))
+        .agg(concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segs"),
+          concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("seg_set"))
     },
 
     // ---------------------------------------------------------------- windows
@@ -640,7 +652,7 @@ object SparkEntry {
 
     q("q_sessionize",
       """WITH marked AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR epoch_us(CAST(ts AS TIMESTAMP))
         |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
@@ -649,7 +661,7 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
@@ -665,7 +677,7 @@ object SparkEntry {
             1).otherwise(0).as("is_new"))
       val sess = marked.select(col("user_id"), col("ts"), col("value"),
         sum(col("is_new"))
-          .over(Window.partitionBy("user_id").orderBy("ts")
+          .over(Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("session_id"))
       sess.groupBy("user_id", "session_id")
@@ -729,8 +741,10 @@ object SparkEntry {
     q("q_array_fns",
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
-        |  embedding[1:4] AS head4,
-        |  list_sort(embedding[1:4]) AS head4_sorted,
+        |  array_to_string(list_transform(embedding[1:4],
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS VARCHAR)), ',') AS head4,
+        |  array_to_string(list_transform(list_sort(embedding[1:4]),
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS VARCHAR)), ',') AS head4_sorted,
         |  round(list_aggregate(embedding::DOUBLE[], 'sum'), 5) AS vec_sum,
         |  CAST(list_contains(embedding, embedding[1]) AS INT) AS has_first
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin) { (s, d) =>
@@ -738,8 +752,8 @@ object SparkEntry {
         .filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"),
           size(col("embedding")).as("dim"),
-          slice(col("embedding"), 1, 4).as("head4"),
-          sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
+          arrCsv(slice(col("embedding"), 1, 4), 100000L).as("head4"),
+          arrCsv(sort_array(slice(col("embedding"), 1, 4)), 100000L).as("head4_sorted"),
           round(aggregate(col("embedding").cast("array<double>"), lit(0.0), _ + _), 5).as("vec_sum"),
           array_contains(col("embedding"), element_at(col("embedding"), 1))
             .cast("int").as("has_first"))
@@ -766,13 +780,13 @@ object SparkEntry {
         |dims AS (
         |  SELECT label, idx, avg(v) AS m FROM ex GROUP BY label, idx)
         |SELECT label,
-        |  list_transform(list(m ORDER BY idx), x -> round(x, 4) + 0) AS centroid
+        |  array_to_string(list_transform(list(m ORDER BY idx),
+        |    x -> CAST(CAST(round(x * 10000) AS BIGINT) AS VARCHAR)), ',') AS centroid
         |FROM dims GROUP BY label""".stripMargin) { (s, d) =>
       val centroid = udaf(graft.functions.CentroidAggregator)
       Tables.embeddings(s, d)
         .groupBy("label")
-        // + 0 normalizes IEEE negative zero (DuckDB keeps -0.0, Spark doesn't)
-        .agg(transform(centroid(col("embedding")), x => round(x, 4) + lit(0)).as("centroid"))
+        .agg(arrCsv(centroid(col("embedding")), 10000L).as("centroid"))
     },
 
     q("q_knn_join",
@@ -818,11 +832,16 @@ object SparkEntry {
         |  count(DISTINCT content_key) AS n_distinct,
         |  count(*) - count(DISTINCT content_key) AS n_dups
         |FROM keyed""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .select(md5(concat_ws(" ", Dedup.tokens(col("text")))).as("content_key"))
-        .agg(count(lit(1)).as("n_total"),
-          countDistinct(col("content_key")).as("n_distinct"),
-          (count(lit(1)) - countDistinct(col("content_key"))).as("n_dups"))
+      // Two-phase: partial-agg per 8-byte fnv64 key (no Expand doubling, no
+      // md5 string shuffle), then a single global rollup. The oracle keeps
+      // the md5 formulation — counts agree as long as neither hash collides.
+      val perKey = Tables.documents(s, d)
+        .select(Dedup.contentKey(col("text")).as("content_key"))
+        .groupBy("content_key").agg(count(lit(1)).as("cnt"))
+      perKey.agg(
+        sum(col("cnt")).cast("long").as("n_total"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("cnt")) - count(lit(1))).cast("long").as("n_dups"))
     },
 
     q("q_ngram_jaccard",
@@ -959,7 +978,8 @@ object SparkEntry {
     qNoOracle("q_fingerprint") { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), fnv64(col("text")).as("content_hash"),
-          winnow_fingerprint(col("text"), 8, 4).as("fingerprints"))
+          concat_ws(",", transform(winnow_fingerprint(col("text"), 8, 4),
+            _.cast("string"))).as("fingerprints"))
     },
 
     qNoOracle("q_lsh_knn") { (s, d) =>
@@ -967,6 +987,7 @@ object SparkEntry {
       val probeVec = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       Knn.lshBucketed(e, "embedding", "vec_id", probeVec, 10, dim = 64)
+        .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
     },
 
     qNoOracle("q_rag_pipeline") { (s, d) =>
@@ -974,6 +995,8 @@ object SparkEntry {
         to_json(struct(col("text"),
           lit("2024-01-01T12:00:00.000Z").as("created_at"))).as("value"))
       graft.pipeline.RagPipeline.batch(raw, graft.embed.StubEmbeddingProvider("titan-v2"))
+        .select(col("_id"), col("text"), col("date"),
+          arrCsv(col("passage_embedding"), 100000L).as("passage_embedding"))
     })
 
   // ------------------------------------------------------------------ export

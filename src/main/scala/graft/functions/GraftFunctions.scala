@@ -23,6 +23,7 @@ object GraftFunctions {
     col(MinHashBands(e(tokens), k, bands))
   def winnow_fingerprint(text: Column, ngram: Int, window: Int): Column =
     col(WinnowFingerprint(e(text), ngram, window))
+  def word_shingles(tokens: Column, n: Int): Column = col(WordShingles(e(tokens), n))
 
   private def intArg(x: Expression, what: String): Int = x match {
     case Literal(v: Int, _) => v
@@ -51,5 +52,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       xs => WinnowFingerprint(xs(0), intArg(xs(1), "ngram"), intArg(xs(2), "window")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      xs => WordShingles(xs(0), intArg(xs(1), "shingle n")), "scala_udf")
   }
 }

@@ -32,15 +32,17 @@ object Dedup {
   def tokens(textCol: Column): Column =
     filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
 
-  /** Word n-gram shingles of the token array (n ≥ 1; n=1 → tokens). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = tokens(textCol)
-    if (n == 1) array_distinct(toks)
-    else array_distinct(
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** 64-bit normalized-content key: the 8-byte shuffle key every exact-dedup
+    * path shares (hash first, shuffle 8 bytes, never document bodies). */
+  def contentKey(textCol: Column): Column =
+    fnv64(concat_ws(" ", tokens(textCol)))
+
+  /** Distinct word n-gram shingles of the token array (n ≥ 1; n=1 →
+    * distinct tokens). Single codegen'd pass ([[graft.functions.WordShingles]])
+    * — an HOF transform-over-sequence here would re-evaluate the tokenizer
+    * once per shingle index (lambdas re-eval non-attribute outer exprs). */
+  def shingles(textCol: Column, n: Int): Column =
+    word_shingles(tokens(textCol), n)
 
   /** Exact duplicate groups by normalized content hash. Returns one row per
     * duplicated content: (content_hash, n_dups, keeper_id, dup_ids). */
@@ -90,19 +92,26 @@ object Dedup {
   /** Group a banded (bucket-key, …) frame into per-bucket sorted element
     * arrays. One shuffle, signatures computed ONCE (a band self-join would
     * recompute the whole signature projection on both sides — the rename
-    * breaks exchange reuse). `maxBucket` caps pathological buckets (n²
-    * pair blowup): sorted ids, keep-first truncation — buckets that large
-    * are near-certain exact duplicates, which [[exactDedup]] handles in
-    * O(n); run it first on raw web corpora. */
+    * breaks exchange reuse).
+    *
+    * Buckets larger than `maxBucket` are SKIPPED, not truncated: a band
+    * hash shared by thousands of documents is template noise, not a
+    * similarity signal, and expanding it is an n² pair blowup (truncation
+    * at 4096 still allowed ~8.4M pairs/bucket — 46 % of the round-1 bench
+    * in one query). Exact duplicates never reach here ([[minhashNearDups]]
+    * collapses them to one representative first), so a saturated bucket
+    * costs recall only for heavily-templated near-dups, which the other
+    * `bands-1` bands can still catch. */
   private def bucketed(banded: DataFrame, elem: Column, maxBucket: Int): DataFrame =
     banded
       .groupBy(col("band_idx"), col("band_hash"))
-      .agg(slice(sort_array(collect_set(elem)), 1, maxBucket).as("_elems"))
+      .agg(sort_array(collect_set(elem)).as("_elems"))
+      .filter(size(col("_elems")) <= maxBucket)
 
   /** Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                        maxBucket: Int = 4096): DataFrame = {
+                        maxBucket: Int = 1024): DataFrame = {
     val banded = minhashBands(df, textCol, idCol, shingleN, numHashes, bands)
     bucketPairs(bucketed(banded, col(idCol), maxBucket), "_elems")
       .select(col("_a").as("id_a"), col("_b").as("id_b"))
@@ -123,26 +132,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash LSH candidates, verified with exact Jaccard ≥ threshold. */
+  /** MinHash LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
+    *
+    * Composition (the GPT-3/C4 recipe, made shuffle-cheap):
+    *  1. exact prepass — collapse identical normalized content to one
+    *     representative per [[contentKey]] (min id). Identical docs are the
+    *     dominant duplicate class in raw web corpora; collapsing them first
+    *     keeps LSH buckets from saturating on them.
+    *  2. emit each exact group as a star `(rep, member, jaccard=1.0)` —
+    *     linear in group size, not the n²/2 all-pairs expansion.
+    *  3. banded LSH + exact-Jaccard verification over representatives only.
+    *
+    * Output is a spanning pair set of the duplicate clusters (star per
+    * exact group ∪ rep-level near-dup pairs): enough for union-find
+    * clustering, the downstream consumer of any near-dup detector. */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, shingleN: Int = 3,
-                      numHashes: Int = 128, bands: Int = 32): DataFrame =
-    verifyJaccard(minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands),
-      df, textCol, idCol, shingleN)
+                      numHashes: Int = 128, bands: Int = 32,
+                      maxBucket: Int = 1024): DataFrame = {
+    val keyed = df.select(col(idCol), contentKey(col(textCol)).as("_ck"))
+    val reps = keyed.groupBy("_ck").agg(min(col(idCol)).as("_rep"))
+    val exactPairs = keyed.join(reps, "_ck")
+      .filter(col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col(idCol).as("id_b"), lit(1.0).as("jaccard"))
+    val repDocs = df.join(reps.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
+    val nearPairs = verifyJaccard(
+        minhashCandidates(repDocs, textCol, idCol, shingleN, numHashes, bands, maxBucket),
+        repDocs, textCol, idCol, shingleN)
       .filter(col("jaccard") >= threshold)
+    exactPairs.unionByName(nearPairs)
+  }
 
   /** SimHash near-dups: block on each of the four 16-bit chunks of the
     * 64-bit simhash (any pair with Hamming ≤ 3 shares at least one chunk),
-    * verify Hamming distance ≤ maxHamming. */
+    * verify Hamming distance ≤ maxHamming. Same composition as
+    * [[minhashNearDups]]: exact duplicates collapse to a representative
+    * first (they share all four chunks — the worst bucket saturators), and
+    * the chunk-blocked pairing runs over representatives only. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), simhash64(tokens(col(textCol))).as("_sh"))
+                      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val keyed = df.select(col(idCol), contentKey(col(textCol)).as("_ck"))
+    val reps = keyed.groupBy("_ck").agg(min(col(idCol)).as("_rep"))
+    val exactPairs = keyed.join(reps, "_ck")
+      .filter(col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col(idCol).as("id_b"),
+        lit(0).as("hamming"))
+    val repDocs = df.join(reps.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
+    val sh = repDocs.select(col(idCol), simhash64(tokens(col(textCol))).as("_sh"))
     val banded = sh.select(col(idCol), col("_sh"), posexplode(
       array(Seq.tabulate(4)(i =>
         shiftrightunsigned(col("_sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
     // bucket elements carry (id, simhash) so verification needs no join back
-    bucketPairs(bucketed(banded, struct(col(idCol), col("_sh")), maxBucket = 65536),
+    val nearPairs = bucketPairs(bucketed(banded, struct(col(idCol), col("_sh")), maxBucket),
         "_elems")
       .select(col("_a").getField(idCol).as("id_a"),
         col("_b").getField(idCol).as("id_b"),
@@ -150,15 +192,33 @@ object Dedup {
           .bitwiseXOR(col("_b").getField("_sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    exactPairs.unionByName(nearPairs)
   }
 
   /** Exact n-gram Jaccard similarity join via inverted index (no LSH, no
     * cross join): explode shingles, self-join on shingle, count shared
     * shingles per pair, compute |A∩B| / (|A|+|B|−|A∩B|). Exactly
-    * oracle-able in SQL. */
+    * oracle-able in SQL.
+    *
+    * `maxDocFreq` bounds the quadratic hazard of stop-shingles: a shingle
+    * appearing in d documents contributes d²/2 join rows, so one "the"
+    * (n=1) posting list can dominate the whole join. Capped runs drop those
+    * postings — an under-count of |A∩B|, i.e. Jaccard becomes a lower
+    * bound and recall near the threshold dips slightly; at 100 TB a cap of
+    * ~10⁴ is mandatory. The default (no cap) keeps the operator exact. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                   shingleN: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("_s"))
+                   shingleN: Int, threshold: Double,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val allSh = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("_s"))
+    val sh =
+      if (maxDocFreq == Int.MaxValue) allSh
+      else {
+        // df-filter via window-free agg + broadcast-friendly semi join on
+        // the (small) hot-shingle list's complement
+        val hot = allSh.groupBy("_s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("_s")
+        allSh.join(hot, Seq("_s"), "left_anti")
+      }
     val sizes = df.select(col(idCol),
       size(shingles(col(textCol), shingleN)).as("_n"))
     val pairs = sh.join(sh.select(col("_s"), col(idCol).as("_id_b")), "_s")

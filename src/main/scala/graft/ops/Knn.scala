@@ -66,20 +66,30 @@ object Knn {
     topK(candidates, vecCol, idCol, queryVec, k, "cosine")
   }
 
-  /** knn join: for every row of `queries`, its top-k nearest corpus rows.
-    * Plan shape: broadcast the (small) query set against the (huge) corpus —
-    * one corpus scan, no shuffle of the corpus — then per-query top-k via
-    * window rank over the (|queries| × k)-bounded candidate set. */
+  /** knn join: for every row of `queries`, its top-k nearest corpus rows
+    * (cosine; `cIdCol` must be integral). Plan shape: broadcast the (small)
+    * query set against the (huge) corpus — one corpus scan, no shuffle of
+    * the corpus — then per-query top-k via the bounded
+    * [[graft.functions.TopKByScore]] aggregator. Partial aggregation trims
+    * each input partition to k candidates per query BEFORE the exchange, so
+    * the shuffle carries ≤ (partitions × queries × k) tiny (score, id)
+    * rows — never the corpus. (A window rank here would shuffle the whole
+    * scored product into one partition per query: the 100 TB OOM shape.) */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = corpus.crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
-      .withColumn("score", cosine_sim(col(cVecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("score").desc, col(cIdCol).asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val scored = corpus
+      .select(col(cIdCol).cast("long").as("_cid"), col(cVecCol))
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
+      .select(col(qIdCol), col("_cid"),
+        cosine_sim(col(cVecCol), col(qVecCol)).as("_score"))
+    scored.groupBy(col(qIdCol))
+      .agg(topk(col("_score"), col("_cid")).as("_top"))
+      .select(col(qIdCol), posexplode(col("_top")))
+      .select(col(qIdCol),
+        col("col.id").as(cIdCol),
+        col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 }
