@@ -66,7 +66,7 @@ object SparkEntry {
 
   // ------------------------------------------------------- query definitions
 
-  private def all: Seq[Q] = relational ++ relational2 ++ vector ++ llmOps
+  private def all: Seq[Q] = relational ++ relational2 ++ nested ++ vector ++ llmOps
 
   private def relational: Seq[Q] = Seq(
 
@@ -692,6 +692,75 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"))
     })
 
+  // -------------------------------------------------------- nested structs
+
+  /** Nested-type coverage (reference `pojo/TweetPojo.java:6-13` proves the
+    * intended capability: struct-in-struct, List<String>, array-of-struct).
+    * The oracles compute content-equivalent flat results — the driver
+    * compares values, not plans. */
+  private def nested: Seq[Q] = Seq(
+
+    q("q_struct_explode",
+      """SELECT o_custkey,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey) AS INT) AS n_orders,
+        |  o_orderkey AS okey,
+        |  CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders WHERE o_custkey <= 100""".stripMargin) { (s, d) =>
+      // array<struct> built per customer, then exploded back with dot-path
+      // field access — round-trips the nested container through an agg
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .groupBy("o_custkey")
+        .agg(collect_list(struct(col("o_orderkey").as("okey"),
+          col("o_totalprice").as("price"))).as("os"))
+        .select(col("o_custkey"), size(col("os")).as("n_orders"),
+          explode(col("os")).as("o"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("o.okey").as("okey"), col("o.price").cast("double").as("price"))
+    },
+
+    q("q_nested_from_json",
+      """SELECT event_id, user_id AS uid, event_type AS utype,
+        |  unnest(['t' || CAST(event_id % 3 AS VARCHAR),
+        |          't' || CAST(event_id % 5 AS VARCHAR)]) AS tag
+        |FROM events WHERE event_id % 11 = 0""".stripMargin) { (s, d) =>
+      // struct-in-struct + array<string> through a to_json/from_json round
+      // trip (the TweetPojo wire shape), then dot-path projection + explode
+      val nestedSchema = StructType(Seq(
+        StructField("user", StructType(Seq(
+          StructField("id", LongType), StructField("type", StringType)))),
+        StructField("tags", ArrayType(StringType))))
+      Tables.events(s, d)
+        .filter(col("event_id") % 11 === 0)
+        .select(col("event_id"), to_json(struct(
+          struct(col("user_id").as("id"), col("event_type").as("type")).as("user"),
+          array(concat(lit("t"), col("event_id") % 3),
+            concat(lit("t"), col("event_id") % 5)).as("tags"))).as("j"))
+        .select(col("event_id"), from_json(col("j"), nestedSchema).as("m"))
+        .select(col("event_id"), col("m.user.id").as("uid"),
+          col("m.user.type").as("utype"), explode(col("m.tags")).as("tag"))
+    },
+
+    q("q_struct_array_hof",
+      """SELECT l_orderkey, CAST(count(*) AS INT) AS n_items,
+        |  CAST(count(*) FILTER (WHERE floor(l_quantity) > 25) AS INT) AS n_big,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_orderkey""".stripMargin) { (s, d) =>
+      // higher-order filter/aggregate over an array<struct> column (integral
+      // qty so the fold is order-independent — collect_list order is not
+      // deterministic)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 1000)
+        .groupBy("l_orderkey")
+        .agg(collect_list(struct(col("l_linenumber").as("ln"),
+          floor(col("l_quantity")).as("qty"))).as("items"))
+        .select(col("l_orderkey"),
+          size(col("items")).as("n_items"),
+          size(filter(col("items"), s => s.getField("qty") > 25)).as("n_big"),
+          aggregate(col("items"), lit(0L), (acc, s) => acc + s.getField("qty"))
+            .as("total_qty"))
+    })
+
   // ------------------------------------------------------------ vector / knn
 
   private def vector: Seq[Q] = Seq(
@@ -995,8 +1064,12 @@ object SparkEntry {
         to_json(struct(col("text"),
           lit("2024-01-01T12:00:00.000Z").as("created_at"))).as("value"))
       graft.pipeline.RagPipeline.batch(raw, graft.embed.StubEmbeddingProvider("titan-v2"))
+        // driver rows-check glue: dim + a 4-dim prefix prove the embedding
+        // shape without CSV-encoding 1024 floats × 5000 rows in the bench's
+        // timed region (full-vector determinism is PipelineSpec's job)
         .select(col("_id"), col("text"), col("date"),
-          arrCsv(col("passage_embedding"), 100000L).as("passage_embedding"))
+          size(col("passage_embedding")).as("dim"),
+          arrCsv(slice(col("passage_embedding"), 1, 4), 100000L).as("embedding_head"))
     })
 
   // ------------------------------------------------------------------ export

@@ -23,6 +23,18 @@ trait EmbeddingProvider extends Serializable {
 
 final case class EmbeddingResult(embedding: Array[Float], inputTextTokenCount: Int)
 
+/** Bounded exponential-backoff retry for external providers. A remote
+  * embedding API fails transiently as a matter of course; without an
+  * explicit policy every failure becomes either a whole-task retry (re-runs
+  * the partition's successful calls too) or, as in the reference, a null
+  * poison pill crashing the sink. */
+final case class RetryPolicy(
+    maxAttempts: Int = 3,
+    initialBackoffMs: Long = 100,
+    backoffMultiplier: Double = 2.0) {
+  require(maxAttempts >= 1, "maxAttempts must be >= 1")
+}
+
 object EmbeddingModels {
   /** Reference model alias → (full model id, dimension). */
   val registry: Map[String, (String, Int)] = Map(
@@ -95,6 +107,51 @@ object EmbeddingStage {
         permits.acquire()
         Future {
           try provider.embed(t)
+          finally permits.release()
+        }(ec)
+      }
+      futures.map(f => Await.result(f, timeout))
+    }
+  }
+
+  /** One embed call under a [[RetryPolicy]]: retries transient failures with
+    * exponential backoff, then converts a final failure into a Left(error)
+    * instead of throwing — the record routes to the dead-letter channel and
+    * the task (and the partition's successful calls) survives. */
+  def embedWithRetry(text: String, provider: EmbeddingProvider,
+                     policy: RetryPolicy): Either[String, EmbeddingResult] = {
+    var attempt = 1
+    var backoff = policy.initialBackoffMs
+    while (true) {
+      try return Right(provider.embed(text))
+      catch {
+        case e: Throwable if attempt < policy.maxAttempts =>
+          attempt += 1
+          Thread.sleep(backoff)
+          backoff = (backoff * policy.backoffMultiplier).toLong
+        case e: Throwable =>
+          return Left(
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage)} (after $attempt attempts)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[embedIterator]] with per-record retry + error capture. Same bounded
+    * concurrency; the output is an Either per input in order. */
+  def embedIteratorSafe(
+      texts: Iterator[String],
+      provider: EmbeddingProvider,
+      policy: RetryPolicy = RetryPolicy(),
+      maxInFlight: Int = 1000,
+      batchSize: Int = 256,
+      timeout: Duration = 15000.millis): Iterator[Either[String, EmbeddingResult]] = {
+    val permits = new Semaphore(maxInFlight)
+    texts.grouped(batchSize).flatMap { batch =>
+      val futures = batch.map { t =>
+        permits.acquire()
+        Future {
+          try embedWithRetry(t, provider, policy)
           finally permits.release()
         }(ec)
       }

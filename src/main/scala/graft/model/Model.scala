@@ -28,6 +28,19 @@ final case class EmbeddedRecord(
     embedding: Array[Float],
     inputTextTokenCount: Int)
 
+/** Embedding attempt with its outcome: exactly one of `embedding` /
+  * `embed_error` is non-null. The error column is the dead-letter channel
+  * for the embedding stage — the reference instead returns a null poison
+  * pill that NPEs the sink (reference
+  * `operators/asyncIO/BedRockEmbeddingModelAsyncCustomMessage.java:109-117`). */
+final case class EmbeddedAttempt(
+    text: String,
+    created_at: String,
+    _id: String,
+    embedding: Array[Float],
+    inputTextTokenCount: Int,
+    embed_error: String)
+
 /** What lands in the vector table (reference sink doc + our kept `_id`). */
 final case class VectorDoc(
     passage_embedding: Array[Float],

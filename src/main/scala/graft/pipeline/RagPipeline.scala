@@ -74,6 +74,49 @@ object RagPipeline {
       }
   }
 
+  /** O4 with dead letters — [[embed]] plus bounded retry and per-record
+    * error capture. Output: [[graft.model.EmbeddedAttempt]] rows where
+    * exactly one of `embedding`/`embed_error` is non-null. Split with
+    * [[embedSuccesses]] / [[embedDeadLetters]]. The reference's async
+    * operator emits a null poison pill on failure and the sink NPEs
+    * (`…BedRockEmbeddingModelAsyncCustomMessage.java:109-117`); here a
+    * failing record costs one dead-letter row, never the job. */
+  def embedSafe(df: DataFrame, provider: EmbeddingProvider,
+                policy: graft.embed.RetryPolicy = graft.embed.RetryPolicy(),
+                maxInFlight: Int = 1000): Dataset[EmbeddedAttempt] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("text"), col("created_at"), col("_id"))
+      .as[EnrichedMessage]
+      .mapPartitions { it =>
+        val (texts, metas) = it.duplicate
+        val results = EmbeddingStage.embedIteratorSafe(
+          texts.map(_.text), provider, policy, maxInFlight)
+        metas.zip(results).map {
+          case (m, Right(r)) =>
+            EmbeddedAttempt(m.text, m.created_at, m._id, r.embedding,
+              r.inputTextTokenCount, null)
+          case (m, Left(err)) =>
+            EmbeddedAttempt(m.text, m.created_at, m._id, null, 0, err)
+        }
+      }
+  }
+
+  /** Successful attempts, shaped like [[embed]]'s output. */
+  def embedSuccesses(attempts: Dataset[EmbeddedAttempt]): Dataset[EmbeddedRecord] = {
+    val spark = attempts.sparkSession
+    import spark.implicits._
+    attempts.filter(_.embed_error == null)
+      .map(a => EmbeddedRecord(a.text, a.created_at, a._id, a.embedding,
+        a.inputTextTokenCount))
+  }
+
+  /** Failed attempts → the embedding dead-letter channel:
+    * `(_id, text, embed_error)`. */
+  def embedDeadLetters(attempts: Dataset[EmbeddedAttempt]): DataFrame =
+    attempts.filter(col("embed_error").isNotNull)
+      .select(col("_id"), col("text"), col("embed_error"))
+
   /** O5 — shape into the sink document (FIXTURES A4): `passage_embedding`,
     * `date` (parsed ISO-8601), `text`, plus kept `_id`. */
   def toVectorDocs(embedded: Dataset[EmbeddedRecord]): DataFrame =
@@ -111,4 +154,67 @@ object RagPipeline {
 
   private def batchStages(raw: DataFrame, provider: EmbeddingProvider): DataFrame =
     toVectorDocs(embed(filterNonEmpty(enrich(parseWire(raw))), provider))
+
+  // ------------------------------------------------------------ Kafka source
+
+  /** Options for the Structured Streaming Kafka reader — the reference's MSK
+    * ingress (`…/DataStreamJob.java:127-136`: bootstrap servers + topic +
+    * earliest offsets; SASL/IAM properties :118-122 pass through verbatim).
+    * Pure builder, unit-testable without a broker. */
+  def kafkaOptions(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      extra: Map[String, String] = Map.empty): Map[String, String] = {
+    require(bootstrapServers.nonEmpty, "bootstrapServers must be non-empty")
+    require(topic.nonEmpty, "topic must be non-empty")
+    // user-supplied security/tuning options must not silently override the
+    // three structural keys
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets)
+    extra.filterNot { case (k, _) => base.contains(k) } ++ base
+  }
+
+  /** S1/S2 — Kafka source stream, reduced to the same `value: string` wire
+    * shape every downstream stage consumes ([[parseWire]] onward). The
+    * `kafka.` -prefixed entries in `extra` (e.g.
+    * `kafka.security.protocol=SASL_SSL`, SASL JAAS/IAM settings) pass
+    * through to the consumer exactly as the reference forwards its MSK
+    * properties. Needs the spark-sql-kafka connector on the classpath at
+    * start; construction itself is lazy. */
+  def streamingKafkaSource(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      extra: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .options(kafkaOptions(bootstrapServers, topic, startingOffsets, extra))
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** Full streaming topology from Kafka: same stages as [[streaming]], with
+    * the idempotent per-batch vector-table sink (exactly-once effect under
+    * at-least-once replay — the duplicate-on-replay bug the reference ships,
+    * `DataStreamJob.java:191`). */
+  def streamingKafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      outDir: String,
+      checkpointDir: String,
+      startingOffsets: String = "earliest",
+      extra: Map[String, String] = Map.empty,
+      provider: EmbeddingProvider = StubEmbeddingProvider()) = {
+    val raw = streamingKafkaSource(spark, bootstrapServers, topic, startingOffsets, extra)
+    batchStages(raw, provider).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        graft.sink.VectorTable.appendIdempotent(batchDf, outDir, batchId)
+      }
+      .start()
+  }
 }

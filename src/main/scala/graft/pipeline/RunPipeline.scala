@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import graft.embed.{EmbeddingModels, RetryPolicy, StubEmbeddingProvider}
+
+/** Runtime configuration for the pipeline runner — the Spark analogue of the
+  * reference's application-properties loading
+  * (`…/DataStreamJob.java:90-103` reads `KinesisConsumerConfig` /
+  * `MSKConnectionConfig` property groups at startup) and of its
+  * start/poll/stop lifecycle lambda (`startFlinkApplication/index.py:28-44`).
+  *
+  * Keys (k=v args, later wins; `@/path/file.properties` loads a Java
+  * properties file in place):
+  *
+  *  - `mode`            batch | streaming | streaming-kafka
+  *  - `source.path`     input dir/file (batch + streaming modes)
+  *  - `kafka.bootstrap` bootstrap servers (streaming-kafka)
+  *  - `kafka.topic`     topic (streaming-kafka)
+  *  - `kafka.startingOffsets` earliest (default) | latest | json
+  *  - `kafka.option.*`  passed through to the consumer (SASL etc.)
+  *  - `sink.dir`        vector-table output dir
+  *  - `checkpoint.dir`  streaming checkpoint location
+  *  - `model`           titan-v1 (default) | titan-v2 — reference registry
+  *  - `embed.maxInFlight`  bounded concurrency (default 1000, the
+  *                      reference's `unorderedWait` capacity)
+  *  - `embed.maxAttempts`  retry attempts before dead-letter (default 3)
+  *  - `deadletter.dir`  where embed dead-letters land (batch mode)
+  *  - `timeout.s`       streaming: stop gracefully after N seconds (0 = run
+  *                      until external termination)
+  */
+final case class PipelineConfig(settings: Map[String, String]) {
+  def get(key: String): Option[String] = settings.get(key)
+  def apply(key: String): String = settings.getOrElse(key,
+    throw new IllegalArgumentException(s"missing required config key: $key"))
+  def getOrElse(key: String, default: String): String = settings.getOrElse(key, default)
+
+  def mode: String = getOrElse("mode", "batch")
+  def modelAlias: String = getOrElse("model", "titan-v1")
+  def maxInFlight: Int = getOrElse("embed.maxInFlight", "1000").toInt
+  def retryPolicy: RetryPolicy =
+    RetryPolicy(maxAttempts = getOrElse("embed.maxAttempts", "3").toInt)
+  def kafkaExtra: Map[String, String] =
+    settings.collect { case (k, v) if k.startsWith("kafka.option.") =>
+      k.stripPrefix("kafka.option.") -> v }
+
+  def validated: PipelineConfig = {
+    require(Set("batch", "streaming", "streaming-kafka")(mode), s"unknown mode: $mode")
+    EmbeddingModels.dimOf(modelAlias) // throws on unknown model
+    mode match {
+      case "batch" | "streaming" => apply("source.path")
+      case "streaming-kafka"     => apply("kafka.bootstrap"); apply("kafka.topic")
+    }
+    apply("sink.dir")
+    if (mode != "batch") apply("checkpoint.dir")
+    this
+  }
+}
+
+object PipelineConfig {
+  /** `k=v` args in order (later wins); `@file` loads a properties file. */
+  def parse(args: Seq[String]): PipelineConfig =
+    PipelineConfig(args.foldLeft(Map.empty[String, String]) { (acc, arg) =>
+      if (arg.startsWith("@")) acc ++ loadProperties(arg.drop(1))
+      else arg.split("=", 2) match {
+        case Array(k, v) => acc + (k.trim -> v.trim)
+        case _ => throw new IllegalArgumentException(s"expected k=v or @file, got: $arg")
+      }
+    })
+
+  private def loadProperties(path: String): Map[String, String] = {
+    val p = new java.util.Properties()
+    val in = new java.io.FileInputStream(path)
+    try p.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    p.asScala.toMap
+  }
+}
+
+/** Config-driven pipeline runner: `runMain graft.pipeline.RunPipeline
+  * mode=batch source.path=… sink.dir=…` (or `@app.properties`). */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    val conf = PipelineConfig.parse(args.toSeq).validated
+    val spark = SparkSession.builder()
+      .appName("graft-rag-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, conf) finally spark.stop()
+  }
+
+  /** Separated from `main` so tests can drive it with their own session. */
+  def run(spark: SparkSession, conf: PipelineConfig): Unit = {
+    val provider = StubEmbeddingProvider(conf.modelAlias)
+    conf.mode match {
+      case "batch" =>
+        val raw = spark.read.text(conf("source.path")).toDF("value")
+        val attempts = RagPipeline.embedSafe(
+          RagPipeline.filterNonEmpty(RagPipeline.enrich(RagPipeline.parseWire(raw))),
+          provider, conf.retryPolicy, conf.maxInFlight)
+        conf.get("deadletter.dir").foreach { dl =>
+          RagPipeline.embedDeadLetters(attempts).write.mode("append").parquet(dl)
+        }
+        graft.sink.VectorTable.append(
+          RagPipeline.toVectorDocs(RagPipeline.embedSuccesses(attempts)),
+          conf("sink.dir"))
+
+      case "streaming" =>
+        val q = RagPipeline.streaming(spark, conf("source.path"), conf("sink.dir"),
+          conf("checkpoint.dir"), provider)
+        awaitWithTimeout(q, conf)
+
+      case "streaming-kafka" =>
+        val q = RagPipeline.streamingKafka(spark, conf("kafka.bootstrap"),
+          conf("kafka.topic"), conf("sink.dir"), conf("checkpoint.dir"),
+          conf.getOrElse("kafka.startingOffsets", "earliest"),
+          conf.kafkaExtra, provider)
+        awaitWithTimeout(q, conf)
+    }
+  }
+
+  private def awaitWithTimeout(q: org.apache.spark.sql.streaming.StreamingQuery,
+                               conf: PipelineConfig): Unit = {
+    val timeoutS = conf.getOrElse("timeout.s", "0").toLong
+    if (timeoutS > 0) { q.awaitTermination(timeoutS * 1000); q.stop() }
+    else q.awaitTermination()
+  }
+}

@@ -20,6 +20,31 @@ object VectorTable {
       .partitionBy("date_day")
       .parquet(dir)
 
+  /** Idempotent micro-batch write: each batch lands in its own
+    * `batch=<id>` partition with OVERWRITE semantics, so an at-least-once
+    * replay of batch N rewrites `batch=N` instead of appending duplicates —
+    * the standard foreachBatch exactly-once-effect pattern, and the fix for
+    * the reference's duplicate-on-replay sink (`DataStreamJob.java:191`
+    * drops `_id`, so its store mints a fresh doc id per replayed record). */
+  def appendIdempotent(docs: DataFrame, dir: String, batchId: Long): Unit =
+    docs.withColumn("date_day", to_date(col("date")))
+      .write.mode("overwrite")
+      .partitionBy("date_day")
+      .parquet(s"$dir/batch=$batchId")
+
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Read an [[appendIdempotent]]-written table. `basePath` keeps the
+    * `batch` partition column out of the schema. */
+  def readBatched(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(s"$dir/batch=*")
+      .drop("batch")
+
+  /** Belt-and-braces replay cleanup for `_id`-keyed tables written with
+    * plain [[append]]: keep one row per `_id` (arbitrary-but-deterministic
+    * min by date then text hash). One hash shuffle on `_id` — at 100 TB this
+    * is the compaction job, not a read-path tax. */
+  def dedupeById(docs: DataFrame, idCol: String = "_id"): DataFrame =
+    docs.dropDuplicates(idCol)
 }

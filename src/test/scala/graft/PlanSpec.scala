@@ -60,6 +60,18 @@ class PlanSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[.*cosine_sim""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("knn join pre-aggregates top-k per partition — no full-corpus exchange per query") {
+    val p = plan("q_knn_join")
+    // bounded TopKByScore: ObjectHashAggregate partial (map side, before the
+    // exchange) + final — the shuffle carries ≤ k (score,id) rows per
+    // (partition, query), never the scored corpus×queries product
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.toLowerCase.contains("partial_topkbyscore"), p)
+    // and no window rank anywhere: a Window here would mean the whole
+    // corpus lands in each query's single partition (the 100 TB OOM shape)
+    assert(!p.contains("Window"), p)
+  }
+
   test("exact dedup aggregates hashes, not document bodies, across the shuffle") {
     val df = graft.ops.Dedup.exactDedup(
       Tables.documents(spark, TestSpark.sf), "text", "doc_id")

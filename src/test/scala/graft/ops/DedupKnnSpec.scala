@@ -106,6 +106,38 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "lsh candidates that verify must be true pairs")
   }
 
+  test("approx_count_distinct is within HLL tolerance of exact") {
+    val li = graft.Tables.lineitem(spark, TestSpark.sf)
+    val row = li.agg(
+      approx_count_distinct($"l_partkey").as("approx"),
+      countDistinct($"l_partkey").as("exact")).head()
+    val (approx, exact) = (row.getLong(0), row.getLong(1))
+    // Spark's default HLL++ rsd is 0.05; 3σ bound with margin
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr < 0.15, s"approx=$approx exact=$exact relErr=$relErr")
+  }
+
+  test("lsh knn recall on planted near-duplicate neighbors") {
+    // the synthetic embeddings are mutually near-orthogonal (zero pairs with
+    // cosine ≥ 0.8 at any sf), so recall@k of moderate-similarity neighbors
+    // is NOT what hyperplane LSH promises — near-duplicate retrieval is.
+    // Plant noisy copies (cosine ≈ 0.999) and require they are retrieved.
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val originals = e.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().take(10)
+    val planted = originals.map { case (id, v) =>
+      (id + 1000000L, v.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 7 == 0) 0.003f else -0.002f) }, "planted")
+    }.toSeq.toDF("vec_id", "embedding", "label")
+    val corpus = e.select($"vec_id", $"embedding", lit("orig").as("label"))
+      .unionByName(planted)
+    val hits = originals.count { case (id, v) =>
+      Knn.lshBucketed(corpus, "embedding", "vec_id", v.toArray, 3, dim = 64)
+        .select("vec_id").as[Long].collect().toSet.contains(id + 1000000L)
+    }
+    assert(hits >= 8, s"planted near-dup recall: $hits/10")
+  }
+
   test("text analysis stats are sane on documents") {
     val d = graft.Tables.documents(spark, TestSpark.sf)
     val stats = TextAnalysis.documentStats(d, "text")

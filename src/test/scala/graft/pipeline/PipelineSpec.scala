@@ -5,6 +5,25 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.embed.{EmbeddingModels, StubEmbeddingProvider}
 
+object PipelineSpec {
+  /** Fails every text containing "poison"; texts containing "flaky" fail
+    * twice then succeed (per-JVM attempt counter — single-JVM test only).
+    * Top-level object: a spec-nested one would drag the non-serializable
+    * suite into the task closure. */
+  object FlakyProvider extends graft.embed.EmbeddingProvider {
+    override val dim: Int = 8
+    private val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    override def embed(text: String): graft.embed.EmbeddingResult = {
+      if (text.contains("poison")) throw new RuntimeException("provider 500: permanent")
+      if (text.contains("flaky")) {
+        val n = attempts.merge(text, 1, (a, b) => a + b)
+        if (n <= 2) throw new RuntimeException(s"provider 503: transient (attempt $n)")
+      }
+      graft.embed.EmbeddingResult(Array.fill(dim)(0.5f), 1)
+    }
+  }
+}
+
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -74,5 +93,85 @@ class PipelineSpec extends AnyFunSuite {
     val rows = out.collect()
     assert(rows.length === 10)
     assert(out.columns.toSeq === Seq("_id", "text", "score"))
+  }
+
+  test("embedSafe: failures dead-letter, transients retry, successes embed, job survives") {
+    import PipelineSpec.FlakyProvider
+    val enriched = Seq(
+      ("good text", "2024-01-01T00:00:00.000Z", "id-good"),
+      ("poison pill", "2024-01-01T00:00:00.000Z", "id-poison"),
+      ("flaky once", "2024-01-01T00:00:00.000Z", "id-flaky"))
+      .toDF("text", "created_at", "_id")
+    val attempts = RagPipeline.embedSafe(enriched, FlakyProvider,
+      graft.embed.RetryPolicy(maxAttempts = 3, initialBackoffMs = 1))
+    val dead = RagPipeline.embedDeadLetters(attempts).collect()
+    assert(dead.length === 1)
+    assert(dead(0).getAs[String]("_id") === "id-poison")
+    assert(dead(0).getAs[String]("embed_error").contains("provider 500"))
+    assert(dead(0).getAs[String]("embed_error").contains("after 3 attempts"))
+    val ok = RagPipeline.embedSuccesses(attempts).collect()
+    assert(ok.map(_._id).toSet === Set("id-good", "id-flaky"))
+    assert(ok.forall(_.embedding.length === 8))
+  }
+
+  test("kafka options builder: structural keys protected, SASL passthrough") {
+    val opts = RagPipeline.kafkaOptions(
+      "b-1.msk:9098,b-2.msk:9098", "rag-events", "latest",
+      Map(
+        "kafka.security.protocol" -> "SASL_SSL",
+        "kafka.sasl.mechanism" -> "AWS_MSK_IAM",
+        "maxOffsetsPerTrigger" -> "10000",
+        "subscribe" -> "evil-override"))  // must NOT win
+    assert(opts("kafka.bootstrap.servers") === "b-1.msk:9098,b-2.msk:9098")
+    assert(opts("subscribe") === "rag-events")
+    assert(opts("startingOffsets") === "latest")
+    assert(opts("kafka.security.protocol") === "SASL_SSL")
+    assert(opts("kafka.sasl.mechanism") === "AWS_MSK_IAM")
+    assert(opts("maxOffsetsPerTrigger") === "10000")
+    intercept[IllegalArgumentException](RagPipeline.kafkaOptions("", "t"))
+    // wire-parse stage reuse: the kafka value column feeds parseWire as-is.
+    // Integration against a live broker is excused — no broker (and no
+    // spark-sql-kafka connector jar) exists in this sandbox.
+    val parsed = RagPipeline.parseWire(wireLines.toDF("value"))
+    assert(parsed.columns.contains("text"))
+  }
+
+  test("idempotent sink: replaying a batch does not duplicate rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt").toString
+    val docs = RagPipeline.batch(wireLines.toDF("value"), StubEmbeddingProvider("titan-v2"))
+    graft.sink.VectorTable.appendIdempotent(docs, dir, batchId = 0)
+    graft.sink.VectorTable.appendIdempotent(docs, dir, batchId = 1)
+    val n = graft.sink.VectorTable.readBatched(spark, dir).count()
+    // at-least-once replay of batch 1: same data, same batch id → overwrite
+    graft.sink.VectorTable.appendIdempotent(docs, dir, batchId = 1)
+    assert(graft.sink.VectorTable.readBatched(spark, dir).count() === n)
+  }
+
+  test("dedupeById keeps one row per _id") {
+    val dup = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("_id", "v")
+    assert(graft.sink.VectorTable.dedupeById(dup).count() === 2)
+  }
+
+  test("config runner: parse, validate, batch end-to-end with dead letters") {
+    intercept[IllegalArgumentException](
+      PipelineConfig.parse(Seq("mode=warp")).validated)
+    intercept[IllegalArgumentException](
+      PipelineConfig.parse(Seq("mode=batch", "sink.dir=/x")).validated)
+    val src = java.nio.file.Files.createTempDirectory("graft-src")
+    java.nio.file.Files.write(src.resolve("in.jsonl"),
+      wireLines.mkString("\n").getBytes("UTF-8"))
+    val sink = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
+    val dl = java.nio.file.Files.createTempDirectory("graft-dl").toString + "/dead"
+    val conf = PipelineConfig.parse(Seq(
+      "mode=batch", s"source.path=$src", s"sink.dir=$sink",
+      s"deadletter.dir=$dl", "model=titan-v2", "embed.maxAttempts=2")).validated
+    assert(conf.modelAlias === "titan-v2")
+    assert(conf.retryPolicy.maxAttempts === 2)
+    RunPipeline.run(spark, conf)
+    val out = graft.sink.VectorTable.read(spark, sink)
+    assert(out.count() === 4)   // the 4 embeddable fixture lines
+    assert(out.columns.contains("passage_embedding"))
+    // stub provider never fails → dead-letter table exists and is empty
+    assert(spark.read.parquet(dl).count() === 0)
   }
 }
