@@ -1,0 +1,143 @@
+package graft.multimodal
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** REAL media codecs with zero external dependencies: the JDK ships image
+  * (PNG/JPEG/BMP/GIF via `javax.imageio`) and WAV-PCM (`javax.sound.sampled`)
+  * codecs, so decode / resize / feature-extract over those formats is a
+  * genuine pixel/sample path, not a stub. Video stays stubbed in
+  * [[Multimodal]] — the JDK has no H.264 decoder, and this container has no
+  * codec libraries (documented, not hidden).
+  *
+  * All functions are pure byte→value transforms, callable from executor
+  * tasks with no per-call setup; [[Multimodal]] wraps them batch-shaped.
+  */
+object ImageCodec {
+
+  /** Decode PNG/JPEG/BMP/GIF bytes. Throws on undecodable payloads — callers
+    * route that to a dead-letter channel, mirroring the embed stage. */
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException(s"undecodable image payload (${bytes.length} bytes)")
+    img
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Bilinear resize via Graphics2D (headless-safe). */
+  def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
+  }
+
+  /** Normalized luminance histogram — a real, deterministic fixed-width
+    * image feature (the classic pre-deep-learning descriptor). */
+  def luminanceHistogram(img: BufferedImage, bins: Int): Array[Float] = {
+    require(bins > 0, "bins must be positive")
+    val hist = new Array[Int](bins)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        hist(math.min(bins - 1, (lum / 256.0 * bins).toInt)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = math.max(1, img.getWidth * img.getHeight).toFloat
+    hist.map(_ / total)
+  }
+}
+
+object AudioCodec {
+
+  /** Decoded mono PCM: samples normalized to [-1, 1] + the sample rate. */
+  final case class Pcm(samples: Array[Float], sampleRate: Int)
+
+  /** Decode a WAV payload (PCM 8/16-bit, any channel count — channels are
+    * averaged to mono). Throws on non-WAV/unsupported encodings. */
+  def decodeWav(bytes: Array[Byte]): Pcm = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED,
+        s"unsupported WAV encoding: ${fmt.getEncoding}")
+      val data = in.readAllBytes()
+      val channels = fmt.getChannels
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      require(bytesPerSample == 1 || bytesPerSample == 2,
+        s"unsupported sample size: ${fmt.getSampleSizeInBits} bits")
+      val frameBytes = bytesPerSample * channels
+      val nFrames = data.length / frameBytes
+      val out = new Array[Float](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0f
+        var c = 0
+        while (c < channels) {
+          val off = f * frameBytes + c * bytesPerSample
+          val v =
+            if (bytesPerSample == 1) {
+              if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+                ((data(off) & 0xff) - 128) / 128.0f
+              else data(off) / 128.0f
+            } else {
+              val lo = if (fmt.isBigEndian) data(off + 1) else data(off)
+              val hi = if (fmt.isBigEndian) data(off) else data(off + 1)
+              (((hi << 8) | (lo & 0xff)).toShort) / 32768.0f
+            }
+          acc += v
+          c += 1
+        }
+        out(f) = acc / channels
+        f += 1
+      }
+      Pcm(out, fmt.getSampleRate.toInt)
+    } finally in.close()
+  }
+
+  /** Fixed-width audio descriptor: per-window RMS energy (`windows` values)
+    * + global zero-crossing rate as the last element. */
+  def features(pcm: Pcm, windows: Int): Array[Float] = {
+    require(windows > 0, "windows must be positive")
+    val n = pcm.samples.length
+    val out = new Array[Float](windows + 1)
+    if (n == 0) return out
+    var w = 0
+    while (w < windows) {
+      val from = (w.toLong * n / windows).toInt
+      val until = math.max(from + 1, ((w + 1).toLong * n / windows).toInt)
+      var sumSq = 0.0
+      var i = from
+      while (i < math.min(until, n)) { sumSq += pcm.samples(i) * pcm.samples(i); i += 1 }
+      out(w) = math.sqrt(sumSq / math.max(1, math.min(until, n) - from)).toFloat
+      w += 1
+    }
+    var crossings = 0
+    var i = 1
+    while (i < n) {
+      if ((pcm.samples(i - 1) >= 0) != (pcm.samples(i) >= 0)) crossings += 1
+      i += 1
+    }
+    out(windows) = crossings.toFloat / math.max(1, n - 1)
+    out
+  }
+}

@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * plus a typed metadata struct, with decode / feature-extract / resize /
   * frame-sample stages as batch-shaped `mapPartitions` transforms.
   *
-  * The decode kernels are DETERMINISTIC STUBS — this container ships no
-  * image/audio codecs — but everything Spark-side is real and tested:
-  * schema, encoders, partition-preserving batch iteration (the Scala
-  * analogue of `mapInPandas` arrow-batch shape), and the metadata
-  * contract. Swapping a stub for a JNI/codec call changes one function.
+  * Image (PNG/JPEG/BMP/GIF) and WAV-PCM audio stages are REAL pixel/sample
+  * paths over the JDK's built-in codecs ([[ImageCodec]], [[AudioCodec]] —
+  * no external dependencies): [[decodeImages]], [[resizeImages]],
+  * [[imageFeatures]], [[audioFeatures]]. Video decode remains a
+  * DETERMINISTIC STUB ([[sampleFrames]]) — the JDK has no H.264 codec and
+  * this container ships none; the generic [[extractFeatures]] likewise
+  * stays a payload-hash stub usable for any media type. Undecodable
+  * payloads route to a dead-letter channel ([[decodeImages]]' `_err`),
+  * mirroring the embedding stage's contract.
   *
   * Scale design: payloads stay opaque binary all the way through —
   * never parsed by Catalyst, never shuffled unless an op explicitly
@@ -89,6 +93,83 @@ object Multimodal {
             r.payload, math.max(1, math.min(r.payload.length, w * h / 1024 + 16)))
           r.copy(payload = scaled, meta = r.meta.copy(width = w, height = h))
         }
+      })
+    }
+  }
+
+  final case class MediaDecodeResult(media_id: Long, payload: Array[Byte],
+                                     meta: MediaMeta, _err: String)
+
+  /** REAL image decode (JDK ImageIO): verifies the payload decodes and
+    * rewrites metadata from the actual pixels. Non-image rows pass through;
+    * undecodable images become dead-letter rows (`_err` non-null) instead
+    * of failing the task. */
+  def decodeImages(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaDecodeResult] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        if (r.meta.media_type != "image")
+          MediaDecodeResult(r.media_id, r.payload, r.meta, null)
+        else try {
+          val img = ImageCodec.decode(r.payload)
+          MediaDecodeResult(r.media_id, r.payload,
+            r.meta.copy(width = img.getWidth, height = img.getHeight), null)
+        } catch {
+          case e: Exception =>
+            MediaDecodeResult(r.media_id, r.payload, r.meta,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+        }
+      })
+    }
+  }
+
+  /** REAL image resize: decode → bilinear scale → PNG re-encode, metadata
+    * true to the new pixels. Non-image rows pass through unchanged. */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int,
+                   batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        if (r.meta.media_type != "image") r
+        else {
+          val scaled = ImageCodec.resize(ImageCodec.decode(r.payload), w, h)
+          r.copy(payload = ImageCodec.encodePng(scaled),
+            meta = r.meta.copy(width = w, height = h, codec = "png"))
+        }
+      })
+    }
+  }
+
+  /** REAL image features: normalized luminance histogram over the decoded
+    * pixels (fixed width `bins`). Only image rows are emitted. */
+  def imageFeatures(media: Dataset[MediaRecord], bins: Int = 64,
+                    batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.meta.media_type == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        MediaFeatures(r.media_id,
+          ImageCodec.luminanceHistogram(ImageCodec.decode(r.payload), bins), r.meta)
+      })
+    }
+  }
+
+  /** REAL audio features: WAV-PCM decode → per-window RMS energy + global
+    * zero-crossing rate (fixed width `windows + 1`), metadata corrected
+    * from the actual stream. Only audio rows are emitted. */
+  def audioFeatures(media: Dataset[MediaRecord], windows: Int = 31,
+                    batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.meta.media_type == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val pcm = AudioCodec.decodeWav(r.payload)
+        val durMs = if (pcm.sampleRate == 0) 0L
+          else pcm.samples.length.toLong * 1000 / pcm.sampleRate
+        MediaFeatures(r.media_id, AudioCodec.features(pcm, windows),
+          r.meta.copy(sample_rate = pcm.sampleRate, duration_ms = durMs))
       })
     }
   }

@@ -51,6 +51,87 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx.toSeq === Seq(0, 1, 2, 3))
   }
 
+  // ---- real-codec path: payloads generated with the same JDK codecs ----
+
+  private def pngPayload(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, graft.functions.TextHashing.splitmix64(seed.toLong * 31 + y * w + x).toInt & 0xffffff)
+    ImageCodec.encodePng(img)
+  }
+
+  private def wavPayload(nSamples: Int, sampleRate: Int, freq: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val samples = Array.tabulate(nSamples)(i =>
+      (math.sin(2 * math.Pi * freq * i / sampleRate) * 20000).toShort)
+    val bytes = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt, nSamples)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private lazy val realMedia = {
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, pngPayload(32, 16, 1),
+        Multimodal.MediaMeta("image", 0, 0, 0, 0L, "png")),
+      Multimodal.MediaRecord(2L, pngPayload(8, 8, 2),
+        Multimodal.MediaMeta("image", 0, 0, 0, 0L, "png")),
+      Multimodal.MediaRecord(3L, "not an image".getBytes,
+        Multimodal.MediaMeta("image", 0, 0, 0, 0L, "png")),
+      Multimodal.MediaRecord(4L, wavPayload(16000, 16000, 440.0),
+        Multimodal.MediaMeta("audio", 0, 0, 0, 0L, "wav")))
+    spark.createDataset(rows)
+  }
+
+  test("real image decode: true dimensions, undecodable rows dead-letter") {
+    val decoded = Multimodal.decodeImages(realMedia).collect().map(r => r.media_id -> r).toMap
+    assert(decoded(1L)._err == null)
+    assert(decoded(1L).meta.width === 32 && decoded(1L).meta.height === 16)
+    assert(decoded(2L).meta.width === 8 && decoded(2L).meta.height === 8)
+    assert(decoded(3L)._err != null, "garbage bytes must dead-letter, not crash")
+    assert(decoded(4L)._err == null, "audio passes through")
+  }
+
+  test("real image resize: output re-decodes at the requested size") {
+    val ok = realMedia.filter(_.media_id != 3L)
+    val resized = Multimodal.resizeImages(ok, 10, 6).collect().map(r => r.media_id -> r).toMap
+    val img1 = ImageCodec.decode(resized(1L).payload)
+    assert(img1.getWidth === 10 && img1.getHeight === 6)
+    assert(resized(1L).meta.width === 10 && resized(1L).meta.codec === "png")
+    assert(resized(4L).meta.media_type === "audio")   // untouched
+  }
+
+  test("real image features: histogram is a distribution over luminance bins") {
+    val feats = Multimodal.imageFeatures(realMedia.filter(_.media_id != 3L), bins = 16)
+      .collect().map(r => r.media_id -> r.features).toMap
+    assert(feats.keySet === Set(1L, 2L))
+    feats.values.foreach { h =>
+      assert(h.length === 16)
+      assert(math.abs(h.map(_.toDouble).sum - 1.0) < 1e-5, "histogram must sum to 1")
+      assert(h.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+
+  test("real audio features: WAV round-trip recovers rate, RMS of a sine is ~A/sqrt(2)") {
+    val feats = Multimodal.audioFeatures(realMedia, windows = 8)
+      .collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.meta.sample_rate === 16000)
+    assert(f.meta.duration_ms === 1000L)
+    assert(f.features.length === 9)
+    val expectedRms = 20000.0 / 32768.0 / math.sqrt(2)
+    f.features.take(8).foreach(v => assert(math.abs(v - expectedRms) < 0.02, s"rms $v"))
+    // 440 Hz over 1 s → ~880 crossings / 16000 samples
+    assert(math.abs(f.features(8) - 880.0 / 15999) < 0.01)
+  }
+
   test("features join back to relational side without shuffling payloads") {
     val feats = Multimodal.extractFeatures(media, dim = 16)
     val joined = feats.toDF().join(
