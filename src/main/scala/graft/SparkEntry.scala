@@ -699,6 +699,40 @@ object SparkEntry {
           decSum(col("value")).as("session_value"))
     },
 
+    q("q_pivot",
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    },
+
+    q("q_percentile",
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |  round(max(o_totalprice), 2) AS p_max
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      // exact percentile with linear interpolation — same estimator
+      // (quantile type 7) as DuckDB's quantile_cont
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+          round(max(col("o_totalprice")), 2).as("p_max"))
+    },
+
     qNoOracle("q_approx_distinct") { (s, d) =>
       Tables.lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -1062,6 +1096,18 @@ object SparkEntry {
         .select(col("doc_id"), fnv64(col("text")).as("content_hash"),
           concat_ws(",", transform(winnow_fingerprint(col("text"), 8, 4),
             _.cast("string"))).as("fingerprints"))
+    },
+
+    qNoOracle("q_ivf_knn") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val sample = e.select("embedding").limit(256).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val centroids = Knn.trainCentroids(sample, nCells = 16)
+      val probeVec = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Knn.ivfSearch(Knn.ivfAssign(e, "embedding", centroids),
+          "embedding", "vec_id", centroids, probeVec, 10, nProbe = 4)
+        .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
     },
 
     qNoOracle("q_lsh_knn") { (s, d) =>

@@ -66,6 +66,86 @@ object Knn {
     topK(candidates, vecCol, idCol, queryVec, k, "cosine")
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic Lloyd k-means over a driver-side sample — the coarse
+    * quantizer of an IVF index. The sample is bounded (caller controls it);
+    * training a coarse quantizer on a sample is the standard recipe (FAISS
+    * IVF does exactly this), so the driver-side loop is not a scale hazard:
+    * nCells × dim floats is all that ships back to executors. */
+  def trainCentroids(samples: Array[Array[Float]], nCells: Int,
+                     iterations: Int = 10, seed: Long = 42L): Array[Array[Float]] = {
+    require(samples.nonEmpty, "need a non-empty sample")
+    val k = math.min(nCells, samples.length)
+    val dim = samples.head.length
+    // deterministic init: distinct sample indices from splitmix64
+    val chosen = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var s = seed
+    while (chosen.size < k) {
+      s = graft.functions.TextHashing.splitmix64(s)
+      chosen += java.lang.Math.floorMod(s, samples.length.toLong).toInt
+    }
+    var centroids = chosen.toArray.map(i => samples(i).clone())
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      samples.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val ct = centroids(c)
+      while (i < v.length) { val x = v(i) - ct(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign each corpus row to its nearest centroid cell (`_cell` column).
+    * The argmin is expressed as codegen'd l2 distances against literal
+    * centroids — no UDF in the scan path. At 100 TB the result is written
+    * out partitioned/bucketed by `_cell` so probes prune at the source. */
+  def ivfAssign(corpus: DataFrame, vecCol: String,
+                centroids: Array[Array[Float]]): DataFrame = {
+    val dists = array(centroids.map(c => l2_dist(col(vecCol), typedLit(c))): _*)
+    corpus.withColumn("_cell",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
+  /** IVF probe: exact top-k restricted to the `nProbe` cells whose
+    * centroids are nearest the query. Scans only ~nProbe/nCells of the
+    * corpus (a partition-pruned scan once assigned data is laid out by
+    * cell). Recall is tunable via nProbe, exact when nProbe = nCells. */
+  def ivfSearch(assigned: DataFrame, vecCol: String, idCol: String,
+                centroids: Array[Array[Float]], queryVec: Array[Float],
+                k: Int, nProbe: Int): DataFrame = {
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < queryVec.length) { val x = queryVec(j) - c(j); d += x * x; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(math.max(1, nProbe)).map(_._1)
+    topK(assigned.filter(col("_cell").isin(probeCells.map(Integer.valueOf): _*)),
+      vecCol, idCol, queryVec, k, "cosine").drop("_cell")
+  }
+
   /** knn join: for every row of `queries`, its top-k nearest corpus rows
     * (cosine; `cIdCol` must be integral). Plan shape: broadcast the (small)
     * query set against the (huge) corpus — one corpus scan, no shuffle of

@@ -132,7 +132,10 @@ object RagPipeline {
 
   /** Streaming topology: JSON-lines file source → same stages →
     * `foreachBatch` parquet vector-table sink (micro-batch is Spark's native
-    * analogue of the reference's 1 ms bulk flush). Caller owns
+    * analogue of the reference's 1 ms bulk flush), idempotent per batch id
+    * so checkpoint replay cannot duplicate documents (the reference's
+    * at-least-once sink does, `DataStreamJob.java:191`). Read the result
+    * with [[graft.sink.VectorTable.readBatched]]. Caller owns
     * `query.awaitTermination`/`processAllAvailable`. */
   def streaming(
       spark: SparkSession,
@@ -146,8 +149,8 @@ object RagPipeline {
     val docs = batchStages(raw, provider)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batchDf: DataFrame, _: Long) =>
-        graft.sink.VectorTable.append(batchDf, outDir)
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        graft.sink.VectorTable.appendIdempotent(batchDf, outDir, batchId)
       }
       .start()
   }

@@ -138,6 +138,46 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(hits >= 8, s"planted near-dup recall: $hits/10")
   }
 
+  test("ivf: probe-cell scan finds the exact neighbors, scans a corpus fraction") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val sample = e.select("embedding").limit(256).collect().map(_.getSeq[Float](0).toArray)
+    val centroids = Knn.trainCentroids(sample, nCells = 8, iterations = 5)
+    assert(centroids.length === 8)
+    val assigned = Knn.ivfAssign(e, "embedding", centroids).cache()
+    // every row lands in a valid cell
+    val cells = assigned.select("_cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+    val probe = e.filter($"vec_id" === 5).select("embedding").head().getSeq[Float](0).toArray
+    // nProbe = nCells → identical to exact search
+    val full = Knn.ivfSearch(assigned, "embedding", "vec_id", centroids, probe, 5, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.topK(e, "embedding", "vec_id", probe, 5, "cosine")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full === exact)
+    // nProbe = 2 → must at least find the probe's own vector, scanning less
+    val narrow = Knn.ivfSearch(assigned, "embedding", "vec_id", centroids, probe, 5, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(narrow.contains(5L))
+    assigned.unpersist()
+  }
+
+  test("salted join and salted count match their unsalted equivalents on skewed data") {
+    // planted skew: one hot key with 2000 rows, 50 cold keys
+    val big = spark.range(0, 2050).select(
+      when($"id" < 2000, lit(7L)).otherwise($"id" - 1949).as("k"),
+      ($"id" * 3).as("payload"))
+    val small = Seq((7L, "hot"), (13L, "cold"), (51L, "cold2")).toDF("k", "tag")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.select(sum($"payload")).head().getLong(0) ===
+      plain.select(sum($"payload")).head().getLong(0))
+    val counts = Skew.saltedCount(big, "k", salt = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(counts(7L) === 2000L)
+    assert(counts(51L) === 1L)
+  }
+
   test("text analysis stats are sane on documents") {
     val d = graft.Tables.documents(spark, TestSpark.sf)
     val stats = TextAnalysis.documentStats(d, "text")

@@ -167,7 +167,7 @@ class StreamingSpec extends AnyFunSuite {
         lines.drop(20).mkString("\n").getBytes)
       query.processAllAvailable()
     } finally query.stop()
-    val streamed = spark.read.parquet(outDir)
+    val streamed = graft.sink.VectorTable.readBatched(spark, outDir)
     assert(streamed.count() === 40)
     // embeddings must equal the batch pipeline's (deterministic stub)
     val batch = graft.pipeline.RagPipeline.batch(
