@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Spark-native integration point: register graft's custom expressions with
+  * any session via the standard extensions mechanism —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) …
+  * }}}
+  *
+  * after which `SELECT cosine_sim(a, b)`, `fnv64(text)`,
+  * `minhash_bands(tokens, 64, 16)` … work in plain SQL with no per-session
+  * `registerAll` call. This is the library-grade path (cluster-wide config,
+  * works for pure-SQL users); [[graft.functions.GraftFunctions.registerAll]]
+  * is the programmatic equivalent — both draw from the same
+  * [[GraftExtensions.functions]] list so they can never drift apart.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}
+
+object GraftExtensions {
+  import graft.functions._
+
+  private def intArg(x: Expression, what: String): Int = x match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def f(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder)
+
+  /** The single source of truth for graft's SQL function surface. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    f("cosine_sim", "cosine_sim(a, b) — cosine similarity of float vectors") {
+      xs => CosineSimilarity(xs(0), xs(1)) },
+    f("l2_dist", "l2_dist(a, b) — euclidean distance of float vectors") {
+      xs => L2Distance(xs(0), xs(1)) },
+    f("dot_product", "dot_product(a, b)") {
+      xs => DotProduct(xs(0), xs(1)) },
+    f("fnv64", "fnv64(s) — 64-bit FNV-1a content hash") {
+      xs => Fnv64(xs(0)) },
+    f("simhash64", "simhash64(tokens) — Charikar simhash") {
+      xs => SimHash64(xs(0)) },
+    f("minhash_sig", "minhash_sig(tokens, k)") {
+      xs => MinHashSignature(xs(0), intArg(xs(1), "minhash k")) },
+    f("minhash_bands", "minhash_bands(tokens, k, bands)") {
+      xs => MinHashBands(xs(0), intArg(xs(1), "minhash k"), intArg(xs(2), "bands")) },
+    f("winnow_fingerprint", "winnow_fingerprint(text, ngram, window)") {
+      xs => WinnowFingerprint(xs(0), intArg(xs(1), "ngram"), intArg(xs(2), "window")) },
+    f("word_shingles", "word_shingles(tokens, n) — distinct word n-grams") {
+      xs => WordShingles(xs(0), intArg(xs(1), "shingle n")) })
+}

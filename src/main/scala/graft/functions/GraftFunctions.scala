@@ -25,34 +25,12 @@ object GraftFunctions {
     col(WinnowFingerprint(e(text), ngram, window))
   def word_shingles(tokens: Column, n: Int): Column = col(WordShingles(e(tokens), n))
 
-  private def intArg(x: Expression, what: String): Int = x match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
-  }
-
-  /** Idempotent per-session SQL registration. */
+  /** Idempotent per-session SQL registration — same builder list the
+    * [[graft.GraftExtensions]] session extension injects. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim",
-      xs => CosineSimilarity(xs(0), xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("l2_dist",
-      xs => L2Distance(xs(0), xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product",
-      xs => DotProduct(xs(0), xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("fnv64",
-      xs => Fnv64(xs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      xs => SimHash64(xs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      xs => MinHashSignature(xs(0), intArg(xs(1), "minhash k")), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_bands",
-      xs => MinHashBands(xs(0), intArg(xs(1), "minhash k"), intArg(xs(2), "bands")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("winnow_fingerprint",
-      xs => WinnowFingerprint(xs(0), intArg(xs(1), "ngram"), intArg(xs(2), "window")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles",
-      xs => WordShingles(xs(0), intArg(xs(1), "shingle n")), "scala_udf")
+    graft.GraftExtensions.functions.foreach { case (id, _, builder) =>
+      reg.createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
+    }
   }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("extension injection accepts the full function list") {
+    // a fresh SparkSessionExtensions must accept every injected tuple
+    // (session-creation-order makes an end-to-end --conf test flaky in a
+    // shared-context suite; SQL execution of the same builders is below)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    assert(GraftExtensions.functions.map(_._1.funcName).toSet === Set(
+      "cosine_sim", "l2_dist", "dot_product", "fnv64", "simhash64",
+      "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles"))
+  }
+
+  test("every registered SQL function is runnable on a fresh session registry") {
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.registerAll(s)
+    val r = s.sql(
+      """SELECT round(cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS c,
+        |  l2_dist(array(0.0F, 3.0F), array(4.0F, 0.0F)) AS d,
+        |  dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS p,
+        |  fnv64('abc') AS h,
+        |  simhash64(array('a','b')) AS sh,
+        |  size(minhash_sig(array('a','b'), 16)) AS ms,
+        |  size(minhash_bands(array('a','b'), 16, 4)) AS mb,
+        |  size(winnow_fingerprint('abcdefgh', 3, 2)) AS wf,
+        |  size(word_shingles(array('a','b','c'), 2)) AS n2
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 11.0)
+    assert(r.getLong(3) === graft.functions.TextHashing.fnv64("abc"))
+    assert(r.getInt(5) === 16)
+    assert(r.getInt(6) === 4)
+    assert(r.getInt(7) >= 1)
+    assert(r.getInt(8) === 2)
+  }
+}
