@@ -158,6 +158,37 @@ object RagPipeline {
   private def batchStages(raw: DataFrame, provider: EmbeddingProvider): DataFrame =
     toVectorDocs(embed(filterNonEmpty(enrich(parseWire(raw))), provider))
 
+  /** [[streaming]] with the dead-letter-capturing embed stage: per micro
+    * batch, successes land in the idempotent vector table and embed
+    * failures in `deadLetterDir/batch=<id>` (same overwrite idempotence).
+    * The attempts Dataset is cached for the two writes so each document is
+    * embedded exactly once per batch. */
+  def streamingSafe(
+      spark: SparkSession,
+      sourceDir: String,
+      outDir: String,
+      deadLetterDir: String,
+      checkpointDir: String,
+      provider: EmbeddingProvider = StubEmbeddingProvider(),
+      policy: graft.embed.RetryPolicy = graft.embed.RetryPolicy()) = {
+    val raw = spark.readStream.schema(Schemas.wire).option("mode", "PERMISSIVE")
+      .json(sourceDir)
+      .select(to_json(struct(col("text"), col("created_at"))).as("value"))
+    val enriched = filterNonEmpty(enrich(parseWire(raw)))
+    enriched.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        val attempts = embedSafe(batchDf, provider, policy).cache()
+        try {
+          graft.sink.VectorTable.appendIdempotent(
+            toVectorDocs(embedSuccesses(attempts)), outDir, batchId)
+          embedDeadLetters(attempts)
+            .write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
+        } finally attempts.unpersist()
+      }
+      .start()
+  }
+
   // ------------------------------------------------------------ Kafka source
 
   /** Options for the Structured Streaming Kafka reader — the reference's MSK

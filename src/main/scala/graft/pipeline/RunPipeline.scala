@@ -24,7 +24,8 @@ import graft.embed.{EmbeddingModels, RetryPolicy, StubEmbeddingProvider}
   *  - `embed.maxInFlight`  bounded concurrency (default 1000, the
   *                      reference's `unorderedWait` capacity)
   *  - `embed.maxAttempts`  retry attempts before dead-letter (default 3)
-  *  - `deadletter.dir`  where embed dead-letters land (batch mode)
+  *  - `deadletter.dir`  where embed dead-letters land (batch + streaming;
+  *                      streaming uses the per-batch idempotent layout)
   *  - `timeout.s`       streaming: stop gracefully after N seconds (0 = run
   *                      until external termination)
   */
@@ -105,8 +106,12 @@ object RunPipeline {
           conf("sink.dir"))
 
       case "streaming" =>
-        val q = RagPipeline.streaming(spark, conf("source.path"), conf("sink.dir"),
-          conf("checkpoint.dir"), provider)
+        val q = conf.get("deadletter.dir") match {
+          case Some(dl) => RagPipeline.streamingSafe(spark, conf("source.path"),
+            conf("sink.dir"), dl, conf("checkpoint.dir"), provider, conf.retryPolicy)
+          case None => RagPipeline.streaming(spark, conf("source.path"),
+            conf("sink.dir"), conf("checkpoint.dir"), provider)
+        }
         awaitWithTimeout(q, conf)
 
       case "streaming-kafka" =>

@@ -72,6 +72,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("vector table time-bounded reads prune date_day partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt-prune").toString
+    val docs = Tables.documents(spark, TestSpark.sf).limit(20)
+      .select(org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(0.1f)).as("passage_embedding"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 0,
+          org.apache.spark.sql.functions.lit("2024-01-01 00:00:00"))
+          .otherwise(org.apache.spark.sql.functions.lit("2024-01-02 00:00:00"))
+          .cast("timestamp").as("date"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("doc_id").cast("string").as("_id"))
+    graft.sink.VectorTable.append(docs, dir)
+    val q = graft.sink.VectorTable.read(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("date_day") === "2024-01-01")
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the date_day predicate must land in PartitionFilters (source pruning),
+    // not a post-scan Filter — at 100 TB this is the difference between
+    // reading one day and reading the table
+    assert(p.contains("PartitionFilters: [isnotnull(date_day"), p)
+    assert(q.count() === 10)
+  }
+
   test("exact dedup aggregates hashes, not document bodies, across the shuffle") {
     val df = graft.ops.Dedup.exactDedup(
       Tables.documents(spark, TestSpark.sf), "text", "doc_id")

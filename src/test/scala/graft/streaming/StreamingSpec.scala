@@ -150,6 +150,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(t(allEvents.toDF())))
   }
 
+  test("streamingSafe: embed failures dead-letter per batch, successes flow on") {
+    val srcDir = Files.createTempDirectory("graft_wire_dl").toFile.getAbsolutePath
+    val outDir = Files.createTempDirectory("graft_vec_dl").toFile.getAbsolutePath + "/table"
+    val dlDir = Files.createTempDirectory("graft_dl").toFile.getAbsolutePath + "/dead"
+    val ckDir = Files.createTempDirectory("graft_ck_dl").toFile.getAbsolutePath
+    val lines = Seq(
+      """{"text": "good document one", "created_at": "2024-01-01T00:00:00.000Z"}""",
+      """{"text": "a poison document", "created_at": "2024-01-01T00:00:01.000Z"}""",
+      """{"text": "good document two", "created_at": "2024-01-01T00:00:02.000Z"}""")
+    Files.write(java.nio.file.Paths.get(s"$srcDir/w.json"), lines.mkString("\n").getBytes)
+    val query = graft.pipeline.RagPipeline.streamingSafe(spark, srcDir, outDir, dlDir,
+      ckDir, graft.pipeline.PipelineSpec.FlakyProvider,
+      graft.embed.RetryPolicy(maxAttempts = 2, initialBackoffMs = 1))
+    try query.processAllAvailable() finally query.stop()
+    val ok = graft.sink.VectorTable.readBatched(spark, outDir)
+    assert(ok.count() === 2)
+    val dead = spark.read.option("basePath", dlDir).parquet(s"$dlDir/batch=*")
+    assert(dead.count() === 1)
+    assert(dead.select("embed_error").as[String].head().contains("provider 500"))
+  }
+
   test("RAG pipeline streaming file-source equals batch, incl. incremental files") {
     val srcDir = Files.createTempDirectory("graft_wire").toFile.getAbsolutePath
     val outDir = Files.createTempDirectory("graft_vec").toFile.getAbsolutePath + "/table"
