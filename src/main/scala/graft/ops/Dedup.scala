@@ -256,6 +256,62 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Connected components over a near-dup pair set (id_a, id_b) →
+    * (id, cluster_id) with cluster_id = the minimum id reachable through
+    * any chain of pairs. Iterative min-label propagation: each round is one
+    * hash join + one aggregation, converging in O(component diameter)
+    * rounds — no driver-side graph, no union-find state, so it runs at any
+    * scale (the log-round large-star/small-star variant only pays off on
+    * adversarially deep graphs; near-dup clusters in real corpora are
+    * near-cliques with tiny diameter, 3–5 rounds typical). Rounds are
+    * bounded by `maxIter` with a convergence check per round. Only ids that
+    * appear in `pairs` are emitted. */
+  def clusterLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges
+      .groupBy("src")
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("m"), col("src")).as("cluster_id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node takes the min of its own label and its neighbours' labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src")
+        .agg(min(col("cluster_id")).as("n_min"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The "dedup the corpus" end-to-end action for near-dup pairs: keep one
+    * representative (minimum id) per connected cluster plus every unpaired
+    * document. Compose with any pair producer:
+    * `dedupByPairs(docs, "doc_id", minhashNearDups(docs, …))`. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = clusterLabels(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs cosine ≥ threshold (the oracle-able exact variant;
     * O(n²) — bounded corpora only, LSH variant is the scale path). */
   def embeddingNearDupsExact(df: DataFrame, vecCol: String, idCol: String,

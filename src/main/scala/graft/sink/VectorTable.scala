@@ -47,4 +47,19 @@ object VectorTable {
     * is the compaction job, not a read-path tax. */
   def dedupeById(docs: DataFrame, idCol: String = "_id"): DataFrame =
     docs.dropDuplicates(idCol)
+
+  /** Compaction: fold an [[appendIdempotent]]-written table (one tiny
+    * `batch=<id>` dir per micro-batch — thousands of small files after a
+    * day of streaming) into the plain `date_day`-partitioned layout of
+    * [[append]]/[[read]]. The operational companion of the idempotent
+    * sink: streams write small-and-replay-safe, a periodic compaction job
+    * rewrites cold batches into scan-efficient daily partitions. Reads the
+    * batched table once, dedupes `_id` (paranoia against concurrent
+    * replay), writes `outDir` partitioned by day. */
+  def compact(spark: SparkSession, batchedDir: String, outDir: String): Unit =
+    dedupeById(readBatched(spark, batchedDir))
+      .withColumn("date_day", to_date(col("date")))
+      .write.mode("overwrite")
+      .partitionBy("date_day")
+      .parquet(outDir)
 }

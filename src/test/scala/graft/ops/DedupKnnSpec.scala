@@ -138,6 +138,27 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(hits >= 8, s"planted near-dup recall: $hits/10")
   }
 
+  test("cluster labels: chains collapse to component min, dedupByPairs keeps reps") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; 99 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterLabels(pairs).as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 10L, 99L))
+  }
+
+  test("end-to-end near-dup corpus dedup: minhash pairs → clusters → keepers") {
+    val kept = Dedup.dedupByPairs(corpus, "doc_id",
+        Dedup.minhashNearDups(corpus, "text", "doc_id",
+          threshold = 0.5, shingleN = 3, numHashes = 64, bands = 32))
+      .select("doc_id").as[Long].collect().toSet
+    // 1,2,5 are exact dups and 3 is a near dup of 1 → one representative (1);
+    // 4 is unrelated and survives
+    assert(kept === Set(1L, 4L))
+  }
+
   test("ivf: probe-cell scan finds the exact neighbors, scans a corpus fraction") {
     val e = graft.Tables.embeddings(spark, TestSpark.sf)
     val sample = e.select("embedding").limit(256).collect().map(_.getSeq[Float](0).toArray)

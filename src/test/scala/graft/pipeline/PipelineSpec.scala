@@ -147,6 +147,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.sink.VectorTable.readBatched(spark, dir).count() === n)
   }
 
+  test("compaction folds batch dirs into the daily layout, content preserved") {
+    val batched = java.nio.file.Files.createTempDirectory("graft-vt-b").toString
+    val compacted = java.nio.file.Files.createTempDirectory("graft-vt-c").toString + "/t"
+    val docs = RagPipeline.batch(wireLines.toDF("value"), StubEmbeddingProvider("titan-v2"))
+    graft.sink.VectorTable.appendIdempotent(docs.limit(2), batched, 0)
+    graft.sink.VectorTable.appendIdempotent(docs, batched, 1)
+    graft.sink.VectorTable.compact(spark, batched, compacted)
+    val out = graft.sink.VectorTable.read(spark, compacted)
+    // batch 0 re-executed a subset of batch 1's plan — Spark's uuid() seed is
+    // fixed at analysis time, so those rows carry the same _ids and
+    // compaction's dedupeById folds the replayed subset: 4 rows, not 6
+    assert(out.count() === 4)
+    assert(out.columns.contains("date_day"))        // daily partition layout
+    assert(!out.columns.contains("batch"))          // batch dirs folded away
+    val texts = out.select("text").as[String].collect().toSet
+    assert(texts === Set("Hello World", "   ", "no date", "extra"))
+  }
+
   test("dedupeById keeps one row per _id") {
     val dup = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("_id", "v")
     assert(graft.sink.VectorTable.dedupeById(dup).count() === 2)
