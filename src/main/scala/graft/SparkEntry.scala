@@ -983,6 +983,38 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    q("q_dedup_clusters",
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |ex AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |sizes AS (SELECT doc_id, len(toks) AS n FROM tok),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, d) =>
+      // same deterministic pair producer as q_ngram_jaccard, then the
+      // min-label-propagation connected components — the oracle recomputes
+      // the closure with a recursive CTE
+      Dedup.clusterLabels(Dedup.jaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "text", "doc_id",
+        shingleN = 1, threshold = 0.8))
+    },
+
     q("q_embedding_neardup",
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
