@@ -60,5 +60,13 @@ object GraftExtensions {
     f("winnow_fingerprint", "winnow_fingerprint(text, ngram, window)") {
       xs => WinnowFingerprint(xs(0), intArg(xs(1), "ngram"), intArg(xs(2), "window")) },
     f("word_shingles", "word_shingles(tokens, n) — distinct word n-grams") {
-      xs => WordShingles(xs(0), intArg(xs(1), "shingle n")) })
+      xs => WordShingles(xs(0), intArg(xs(1), "shingle n")) },
+    f("unicode_norm", "unicode_norm(s, 'NFC'|'NFD'|'NFKC'|'NFKD')") {
+      xs => UnicodeNormalize(xs(0), xs(1) match {
+        case Literal(v, _) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"normalization form must be a string literal, got $other")
+      }) },
+    f("strip_accents", "strip_accents(s) — remove combining marks") {
+      xs => StripAccents(xs(0)) })
 }

@@ -939,6 +939,40 @@ object SparkEntry {
           col("n_chars"))
     },
 
+    q("q_bpe_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS INT) AS bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '\p{L}+')) AS INT) AS word_runs,
+        |  CAST(len(regexp_extract_all(text, '\p{N}+')) AS INT) AS digit_runs
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin) { (s, d) =>
+      // GPT-2-style pre-tokenizer shape: letter runs | digit runs | single
+      // punctuation — the "BPE-ish" token estimate for budgeting/pricing
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
+            .cast("int").as("bpe_tokens"),
+          regexp_count(col("text"), lit("\\p{L}+")).cast("int").as("word_runs"),
+          regexp_count(col("text"), lit("\\p{N}+")).cast("int").as("digit_runs"))
+    },
+
+    q("q_text_normalize",
+      """SELECT doc_id,
+        |  CAST(length(nfc_normalize(text)) AS INT) AS nfc_len,
+        |  substring(strip_accents(lower(text)), 1, 40) AS folded_prefix,
+        |  CAST(length(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS INT) AS masked_len
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          length(unicode_norm(col("text"), "NFC")).cast("int").as("nfc_len"),
+          substring(strip_accents(lower(col("text"))), 1, 40).as("folded_prefix"),
+          length(regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"))
+            .cast("int").as("masked_len"))
+    },
+
     q("q_dedup_exact",
       """WITH keyed AS (
         |  SELECT doc_id, md5(array_to_string(

@@ -366,6 +366,74 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** unicode_norm(string, form) → string normalized to NFC/NFD/NFKC/NFKD
+  * (java.text.Normalizer). Training corpora mix normalization forms from
+  * different scrapers; content-hash dedup is meaningless until equivalent
+  * strings are byte-equal. */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+  private val normForm = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unicode_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"unicode_norm requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, normForm))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($s.toString(),
+         |    java.text.Normalizer.Form.${normForm.name()}));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** strip_accents(string) → string with combining marks removed
+  * (NFD-decompose, drop Mn/Me/Mc marks, NFC-recompose): 'café' → 'cafe'.
+  * Matches DuckDB's `strip_accents` for Latin-script text. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "strip_accents"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"strip_accents requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(StripAccents.strip(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.StripAccents.strip($s.toString()));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object StripAccents {
+  def strip(s: String): String = {
+    val decomposed = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val c = decomposed.charAt(i)
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK && t != Character.ENCLOSING_MARK &&
+        t != Character.COMBINING_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC)
+  }
+}
+
 /** winnow_fingerprint(string, ngram, window) → sorted array<long>.
   *
   * Winnowing (Schleimer et al., SIGMOD 2003): rolling FNV over character

@@ -13,7 +13,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions()(ext)
     assert(GraftExtensions.functions.map(_._1.funcName).toSet === Set(
       "cosine_sim", "l2_dist", "dot_product", "fnv64", "simhash64",
-      "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles"))
+      "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles",
+      "unicode_norm", "strip_accents"))
   }
 
   test("every registered SQL function is runnable on a fresh session registry") {

@@ -60,6 +60,28 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(viaColumn.toSeq == direct.toSeq)
   }
 
+  test("unicode normalization: NFC composes, NFD decomposes, idempotent") {
+    val composed = "caf\u00e9"                 // é as one codepoint
+    val decomposed = "cafe\u0301"              // e + combining acute
+    val df = Seq((composed, decomposed)).toDF("c", "d")
+    val r = df.select(
+      unicode_norm($"d", "NFC").as("nfc"),
+      unicode_norm($"c", "NFD").as("nfd"),
+      unicode_norm(unicode_norm($"d", "NFC"), "NFC").as("nfc2")).head()
+    assert(r.getString(0) === composed)
+    assert(r.getString(1) === decomposed)
+    assert(r.getString(2) === composed)
+    // the dedup motivation: equivalent strings content-hash equal after norm
+    val h = df.select(fnv64(unicode_norm($"c", "NFC")), fnv64(unicode_norm($"d", "NFC"))).head()
+    assert(h.getLong(0) === h.getLong(1))
+  }
+
+  test("strip_accents folds Latin diacritics, leaves base letters") {
+    val df = Seq(("Café crème, naïve piñata — ÀÉÎÕÜ ß")).toDF("t")
+    assert(df.select(strip_accents($"t")).head().getString(0) ===
+      "Cafe creme, naive pinata — AEIOU ß")
+  }
+
   test("winnow fingerprint: containment detected, disjoint texts differ") {
     val doc = "the quick brown fox jumps over the lazy dog again and again"
     val containing = "PREFIX " + doc + " SUFFIX"
