@@ -37,8 +37,14 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Warm-up: JVM + parquet footer caches.
-    try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => }
+    // Warm-up: JVM + shuffle machinery + parquet reader init, via a query
+    // shape NOT in the measured set — warming with q1_agg itself would make
+    // its reported cold_queries entry silently warm.
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_name").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
 
     final case class R(name: String, warm: Double, cold: Double, err: Option[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -63,8 +69,19 @@ object Bench {
     def m(f: R => Double) =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     // A crashed query's elapsed time is NOT a legitimate timing — surface it.
+    // Full JSON string escaping: AnalysisException messages routinely carry
+    // newlines, which would break the one-JSON-line driver contract.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val errs = results.collect { case R(k, _, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = results.map(_.warm).sum
     val coldTotal = results.map(_.cold).sum

@@ -117,7 +117,14 @@ object EmbeddingStage {
   /** One embed call under a [[RetryPolicy]]: retries transient failures with
     * exponential backoff, then converts a final failure into a Left(error)
     * instead of throwing — the record routes to the dead-letter channel and
-    * the task (and the partition's successful calls) survives. */
+    * the task (and the partition's successful calls) survives.
+    *
+    * Only `NonFatal` throwables are retried/dead-lettered: a VM error
+    * (OutOfMemoryError etc.) is an infra failure that must kill the task so
+    * Spark retries it on a healthy executor — recording it as a per-record
+    * data error would permanently dead-letter a good document. An interrupt
+    * during backoff (task kill) likewise propagates after restoring the
+    * interrupt flag. */
   def embedWithRetry(text: String, provider: EmbeddingProvider,
                      policy: RetryPolicy): Either[String, EmbeddingResult] = {
     var attempt = 1
@@ -125,11 +132,16 @@ object EmbeddingStage {
     while (true) {
       try return Right(provider.embed(text))
       catch {
-        case e: Throwable if attempt < policy.maxAttempts =>
+        case scala.util.control.NonFatal(_) if attempt < policy.maxAttempts =>
           attempt += 1
-          Thread.sleep(backoff)
+          try Thread.sleep(backoff)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw ie
+          }
           backoff = (backoff * policy.backoffMultiplier).toLong
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           return Left(
             s"${e.getClass.getName}: ${String.valueOf(e.getMessage)} (after $attempt attempts)")
       }
@@ -137,8 +149,25 @@ object EmbeddingStage {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Worst-case wall-clock of one [[embedWithRetry]] call: every attempt
+    * may take up to `perAttempt`, plus the full backoff series. */
+  private[embed] def retryBudget(perAttempt: Duration, policy: RetryPolicy): Duration = {
+    var backoffTotal = 0L
+    var b = policy.initialBackoffMs
+    var i = 1
+    while (i < policy.maxAttempts) {
+      backoffTotal += b
+      b = (b * policy.backoffMultiplier).toLong
+      i += 1
+    }
+    perAttempt * policy.maxAttempts.toLong + backoffTotal.millis
+  }
+
   /** [[embedIterator]] with per-record retry + error capture. Same bounded
-    * concurrency; the output is an Either per input in order. */
+    * concurrency; the output is an Either per input in order. The await
+    * budget scales with the retry policy (attempts × per-attempt timeout +
+    * backoff), and a blown budget becomes a Left — a stuck provider call
+    * costs one dead-letter row, not the task. */
   def embedIteratorSafe(
       texts: Iterator[String],
       provider: EmbeddingProvider,
@@ -147,6 +176,7 @@ object EmbeddingStage {
       batchSize: Int = 256,
       timeout: Duration = 15000.millis): Iterator[Either[String, EmbeddingResult]] = {
     val permits = new Semaphore(maxInFlight)
+    val budget = retryBudget(timeout, policy)
     texts.grouped(batchSize).flatMap { batch =>
       val futures = batch.map { t =>
         permits.acquire()
@@ -155,7 +185,13 @@ object EmbeddingStage {
           finally permits.release()
         }(ec)
       }
-      futures.map(f => Await.result(f, timeout))
+      futures.map { f =>
+        try Await.result(f, budget)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            Left(s"embed timed out after $budget (incl. ${policy.maxAttempts} attempts)")
+        }
+      }
     }
   }
 }

@@ -146,21 +146,34 @@ object Dedup {
     * Output is a spanning pair set of the duplicate clusters (star per
     * exact group ∪ rep-level near-dup pairs): enough for union-find
     * clustering, the downstream consumer of any near-dup detector. */
+  /** Exact-duplicate collapse shared by every near-dup path: group rows by
+    * `key`, pick the min-id representative per group, and return
+    * (star pairs `(rep → member)` for the non-representatives, the
+    * representative-only rows of `df`). The star is linear in group size —
+    * never the n²/2 all-pairs expansion — and collapsing BEFORE any LSH
+    * banding is what keeps identical content (the dominant duplicate class
+    * in raw corpora) from saturating every bucket it touches. */
+  private def collapseExact(df: DataFrame, idCol: String, key: Column)
+      : (DataFrame, DataFrame) = {
+    val keyed = df.select(col(idCol), key.as("_ck"))
+    val reps = keyed.groupBy("_ck").agg(min(col(idCol)).as("_rep"))
+    val starPairs = keyed.join(reps, "_ck")
+      .filter(col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col(idCol).as("id_b"))
+    val repRows = df.join(reps.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
+    (starPairs, repRows)
+  }
+
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, shingleN: Int = 3,
                       numHashes: Int = 128, bands: Int = 32,
                       maxBucket: Int = 1024): DataFrame = {
-    val keyed = df.select(col(idCol), contentKey(col(textCol)).as("_ck"))
-    val reps = keyed.groupBy("_ck").agg(min(col(idCol)).as("_rep"))
-    val exactPairs = keyed.join(reps, "_ck")
-      .filter(col(idCol) =!= col("_rep"))
-      .select(col("_rep").as("id_a"), col(idCol).as("id_b"), lit(1.0).as("jaccard"))
-    val repDocs = df.join(reps.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
+    val (starPairs, repDocs) = collapseExact(df, idCol, contentKey(col(textCol)))
     val nearPairs = verifyJaccard(
         minhashCandidates(repDocs, textCol, idCol, shingleN, numHashes, bands, maxBucket),
         repDocs, textCol, idCol, shingleN)
       .filter(col("jaccard") >= threshold)
-    exactPairs.unionByName(nearPairs)
+    starPairs.withColumn("jaccard", lit(1.0)).unionByName(nearPairs)
   }
 
   /** SimHash near-dups: block on each of the four 16-bit chunks of the
@@ -171,13 +184,7 @@ object Dedup {
     * the chunk-blocked pairing runs over representatives only. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    val keyed = df.select(col(idCol), contentKey(col(textCol)).as("_ck"))
-    val reps = keyed.groupBy("_ck").agg(min(col(idCol)).as("_rep"))
-    val exactPairs = keyed.join(reps, "_ck")
-      .filter(col(idCol) =!= col("_rep"))
-      .select(col("_rep").as("id_a"), col(idCol).as("id_b"),
-        lit(0).as("hamming"))
-    val repDocs = df.join(reps.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
+    val (starPairs, repDocs) = collapseExact(df, idCol, contentKey(col(textCol)))
     val sh = repDocs.select(col(idCol), simhash64(tokens(col(textCol))).as("_sh"))
     val banded = sh.select(col(idCol), col("_sh"), posexplode(
       array(Seq.tabulate(4)(i =>
@@ -192,7 +199,7 @@ object Dedup {
           .bitwiseXOR(col("_b").getField("_sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    exactPairs.unionByName(nearPairs)
+    starPairs.withColumn("hamming", lit(0)).unionByName(nearPairs)
   }
 
   /** Exact n-gram Jaccard similarity join via inverted index (no LSH, no
@@ -236,24 +243,30 @@ object Dedup {
   /** Embedding-cosine near-dups, exact within LSH candidate buckets.
     * Buckets hold ids only (vectors are wide — shuffling them through the
     * band exchange would dominate); candidate pairs are deduplicated FIRST,
-    * then the two vectors join back per surviving pair. */
+    * then the two vectors join back per surviving pair. Same
+    * [[collapseExact]] prepass as the text paths, keyed on the vector value
+    * itself: a group of byte-identical embeddings shares EVERY band hash,
+    * so without the collapse it would saturate (and, under the skip policy,
+    * silence) every bucket it touches. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         dim: Int, threshold: Double,
                         bands: Int = 8, bitsPerBand: Int = 12,
                         maxBucket: Int = 4096): DataFrame = {
+    val (starPairs, repRows) = collapseExact(df, idCol, xxhash64(col(vecCol)))
     val sig = Knn.hyperplaneSignature(col(vecCol), dim, bands, bitsPerBand)
-    val banded = df.select(col(idCol), posexplode(sig))
+    val banded = repRows.select(col(idCol), posexplode(sig))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
     val pairs = bucketPairs(bucketed(banded, col(idCol), maxBucket), "_elems")
       .select(col("_a").as("id_a"), col("_b").as("id_b"))
       .distinct()
-    val vecs = df.select(col(idCol), col(vecCol))
-    pairs
+    val vecs = repRows.select(col(idCol), col(vecCol))
+    val nearPairs = pairs
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_v_a")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.GraftFunctions.cosine_sim(col("_v_a"), col("_v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    starPairs.withColumn("cosine", lit(1.0)).unionByName(nearPairs)
   }
 
   /** Connected components over a near-dup pair set (id_a, id_b) →

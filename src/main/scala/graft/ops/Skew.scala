@@ -34,10 +34,11 @@ object Skew {
     b.join(s, Seq(key, "_salt")).drop("_salt")
   }
 
-  /** Salted two-phase aggregation: count/sum-like partial aggs per
-    * (key, salt), then final agg per key. Breaks a hot groupBy key across
-    * `salt` reducers; only works for algebraic aggregates, which is why the
-    * caller passes the partial and final expressions explicitly. */
+  /** Salted two-phase count: partial counts per (key, salt), then a final
+    * sum per key — breaks a hot groupBy key across `salt` reducers. The
+    * same shape generalizes to any algebraic aggregate (sum/min/max/avg as
+    * sum+count); count is provided because it is the one that shows up in
+    * every skewed-corpus audit. */
   def saltedCount(df: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
     df.withColumn("_salt",

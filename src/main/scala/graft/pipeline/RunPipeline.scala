@@ -95,15 +95,21 @@ object RunPipeline {
     conf.mode match {
       case "batch" =>
         val raw = spark.read.text(conf("source.path")).toDF("value")
+        // cached: the dead-letter write and the sink write must read ONE
+        // embedding pass — an uncached plan would re-embed every document
+        // (double provider cost) and let a flaky record land in both
+        // outputs or neither
         val attempts = RagPipeline.embedSafe(
           RagPipeline.filterNonEmpty(RagPipeline.enrich(RagPipeline.parseWire(raw))),
-          provider, conf.retryPolicy, conf.maxInFlight)
-        conf.get("deadletter.dir").foreach { dl =>
-          RagPipeline.embedDeadLetters(attempts).write.mode("append").parquet(dl)
-        }
-        graft.sink.VectorTable.append(
-          RagPipeline.toVectorDocs(RagPipeline.embedSuccesses(attempts)),
-          conf("sink.dir"))
+          provider, conf.retryPolicy, conf.maxInFlight).cache()
+        try {
+          conf.get("deadletter.dir").foreach { dl =>
+            RagPipeline.embedDeadLetters(attempts).write.mode("append").parquet(dl)
+          }
+          graft.sink.VectorTable.append(
+            RagPipeline.toVectorDocs(RagPipeline.embedSuccesses(attempts)),
+            conf("sink.dir"))
+        } finally attempts.unpersist()
 
       case "streaming" =>
         val q = conf.get("deadletter.dir") match {

@@ -42,11 +42,20 @@ object VectorTable {
       .drop("batch")
 
   /** Belt-and-braces replay cleanup for `_id`-keyed tables written with
-    * plain [[append]]: keep one row per `_id` (arbitrary-but-deterministic
-    * min by date then text hash). One hash shuffle on `_id` — at 100 TB this
-    * is the compaction job, not a read-path tax. */
-  def dedupeById(docs: DataFrame, idCol: String = "_id"): DataFrame =
-    docs.dropDuplicates(idCol)
+    * plain [[append]]: keep one row per `_id`, chosen DETERMINISTICALLY
+    * (min row-content hash wins) so two compaction runs over the same input
+    * produce byte-identical output even when a replayed batch carried
+    * divergent content for an id — `dropDuplicates` would keep whichever
+    * row a scan met first. One hash shuffle on `_id` with map-side partial
+    * `min_by` — at 100 TB this is the compaction job, not a read-path tax. */
+  def dedupeById(docs: DataFrame, idCol: String = "_id"): DataFrame = {
+    val others = docs.columns.filterNot(_ == idCol)
+    val rowStruct = struct(others.map(col): _*)
+    docs.groupBy(col(idCol))
+      .agg(min_by(rowStruct, xxhash64(rowStruct)).as("_row"))
+      .select(docs.columns.map(c =>
+        if (c == idCol) col(c) else col(s"_row.`$c`").as(c)): _*)
+  }
 
   /** Compaction: fold an [[appendIdempotent]]-written table (one tiny
     * `batch=<id>` dir per micro-batch — thousands of small files after a
