@@ -357,6 +357,24 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("grp_cust"))
     },
 
+    q("q_promo_revenue",
+      """SELECT p_type, p_brand, count(*) AS n_lines,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size BETWEEN 5 AND 20
+        |GROUP BY p_type, p_brand""".stripMargin) { (s, d) =>
+      // TPC-H Q14-shaped: fact ⋈ filtered dimension (broadcast), revenue per
+      // part type/brand — exercises the one table no other query touches
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_size").between(5, 20))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          decSum(col("l_quantity")).as("qty"))
+    },
+
     // ------------------------------------------------------------- aggregates
 
     q("q_agg_distinct",
