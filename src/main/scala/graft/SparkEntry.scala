@@ -63,7 +63,9 @@ object SparkEntry {
     * documents → non-empty filter (O3) → uuid (O2) → stub embedding (O4) →
     * vector docs (O5) → exact knn top-10 for a probe query. */
   def entry(spark: SparkSession): DataFrame = {
-    val sfDir = "/root/testdata/sf0.001"
+    // driver smoke-checks this at sf0.001; overridable for other layouts
+    // (full config-driven runs live in graft.pipeline.RunPipeline)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001")
     val provider = graft.embed.StubEmbeddingProvider("titan-v2")
     val docs = Tables.documents(spark, sfDir)
       .select(col("text"),
