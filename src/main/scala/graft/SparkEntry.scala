@@ -499,6 +499,26 @@ object SparkEntry {
             .over(w.rowsBetween(-2, Window.currentRow)).as("n_last3"))
     },
 
+    q("q_window_range",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS spend_30d
+        |FROM orders WHERE o_custkey <= 40""".stripMargin) { (s, d) =>
+      // RANGE frame over a day-number ordering: every order sums the
+      // customer's trailing-30-day spend — value-based frames, not row
+      // counts, so same-day orders share one frame deterministically
+      val dayNum = datediff(col("o_orderdate").cast("date"),
+        lit("1990-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy(dayNum)
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d).filter(col("o_custkey") <= 40)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).over(w)
+            .cast("double") / 100).as("spend_30d"))
+    },
+
     q("q_topk_per_group",
       """SELECT user_id, event_id, CAST(value AS DOUBLE) AS value FROM (
         |  SELECT user_id, event_id, value,
