@@ -927,6 +927,22 @@ object SparkEntry {
         .withColumnRenamed("col", "val")
     },
 
+    q("q_explode_outer",
+      """SELECT e.vec_id, u.v AS val
+        |FROM embeddings e
+        |LEFT JOIN LATERAL (
+        |  SELECT unnest(CASE WHEN e.vec_id % 2 = 0 THEN e.embedding[1:3]
+        |                     ELSE [] END) AS v) u ON true
+        |WHERE e.vec_id < 20""".stripMargin) { (s, d) =>
+      // explode_outer: generator that PRESERVES rows whose array is empty
+      // (null output) — plain explode drops them
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          explode_outer(when(col("vec_id") % 2 === 0, slice(col("embedding"), 1, 3))
+            .otherwise(array().cast("array<float>"))).as("val"))
+    },
+
     q("q_centroid",
       """WITH ex AS (
         |  SELECT label,
@@ -1202,6 +1218,16 @@ object SparkEntry {
         .select(col("doc_id"), fnv64(col("text")).as("content_hash"),
           concat_ws(",", transform(winnow_fingerprint(col("text"), 8, 4),
             _.cast("string"))).as("fingerprints"))
+    },
+
+    qNoOracle("q_stratified_sample") { (s, d) =>
+      // class-balanced curation: per-language sampling fractions with a
+      // fixed seed (deterministic per Spark version — rows-only check here,
+      // proportions asserted in DedupKnnSpec)
+      Tables.documents(s, d)
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.1), seed = 42L)
+        .select("doc_id", "lang")
     },
 
     qNoOracle("q_ivf_knn") { (s, d) =>

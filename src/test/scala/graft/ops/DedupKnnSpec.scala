@@ -199,6 +199,23 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(counts(51L) === 1L)
   }
 
+  test("stratified sample: deterministic under a seed, proportions within tolerance") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val fractions = Map("en" -> 0.5, "de" -> 0.2)
+    val s1 = docs.stat.sampleBy("lang", fractions, 42L).select("doc_id").as[Long].collect().toSet
+    val s2 = docs.stat.sampleBy("lang", fractions, 42L).select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2, "same seed must reproduce the same sample")
+    val perLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, frac) <- fractions if perLang.getOrElse(lang, 0L) >= 20) {
+      val got = sampled.getOrElse(lang, 0L).toDouble / perLang(lang)
+      assert(math.abs(got - frac) < 0.25, s"$lang: sampled fraction $got vs $frac")
+    }
+    assert(!sampled.keySet.exists(l => !fractions.contains(l)),
+      "languages with no fraction must not be sampled")
+  }
+
   test("text analysis stats are sane on documents") {
     val d = graft.Tables.documents(spark, TestSpark.sf)
     val stats = TextAnalysis.documentStats(d, "text")
