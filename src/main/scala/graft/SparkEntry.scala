@@ -711,10 +711,12 @@ object SparkEntry {
         |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events WHERE user_id < 20
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
         |sessions AS (
         |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    sum(is_new) OVER (PARTITION BY user_id
+        |                      ORDER BY CAST(ts AS TIMESTAMP), event_id
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
