@@ -11,8 +11,9 @@ import org.apache.spark.sql.SparkSession
   * materializes every output column, so projection/codegen work is
   * actually measured.
   *
-  * Methodology: each query runs three times; the headline `value`/`queries`
-  * are the MIN of the two post-cold runs (steady state, load-noise damped).
+  * Methodology: each query runs four times; the headline `value`/`queries`
+  * are the MIN of the three post-cold runs (steady state, load-noise damped;
+  * the DuckDB baseline uses the same min-of-3 discipline).
   * The first run pays one-time per-query-shape costs — Janino whole-stage-codegen compilation, expression/HOF
   * classloading — that measured 2–10 s/query on this box and would be
   * irrelevant noise for a long-running 100 TB job (round-1 misread: a 10 s
@@ -29,7 +30,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Coalesce post-shuffle partitions toward the 64 MB advisory target
+      // rather than holding partition count at the parallelism floor: at
+      // sf0.1 tiny shuffle stages collapse to few tasks (32 near-empty tasks
+      // of scheduling overhead per stage otherwise), and at 100 TB the same
+      // setting yields full-sized ~64 MB partitions — the Spark-recommended
+      // production configuration, not a bench-only hack.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      // …but never below a small floor: a compute-heavy aggregation over a
+      // few hot keys (exact percentile's per-group buffers) must not
+      // serialize onto one core just because its shuffle BYTES are small
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITIONS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,11 +74,13 @@ object Bench {
       val (cold, coldErr) = timed()
       if (coldErr.isDefined) R(name, cold, cold, coldErr)
       else {
-        // min of two steady-state runs — damps same-box load noise, which at
-        // sf0.1 is the same order as the measurement
+        // min of three steady-state runs — damps same-box load noise, which
+        // at sf0.1 is the same order as the measurement. The DuckDB baseline
+        // is captured with the identical min-of-3 discipline (BASELINE.md).
         val (w1, e1) = timed()
         val (w2, e2) = timed()
-        R(name, math.min(w1, w2), cold, e1.orElse(e2))
+        val (w3, e3) = timed()
+        R(name, math.min(w1, math.min(w2, w3)), cold, e1.orElse(e2).orElse(e3))
       }
     }
     def m(f: R => Double) =
@@ -85,7 +102,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_.warm).sum
     val coldTotal = results.map(_.cold).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(_.warm)},"cold_value":$coldTotal,"cold_queries":${m(_.cold)},"errors":$errs,"sf":"$sfDir"}""")
+    // Warm headline fields go LAST on the line: the driver archives the log
+    // TAIL, and round 2's artifact kept only the leading cold map — the warm
+    // total the target races was cut off. Tail-truncation now loses cold
+    // detail first, never the headline.
+    val oracleNames = SparkEntry.oracleSql.keySet
+    val oracleTotal = results.filter(r => oracleNames(r.name)).map(_.warm).sum
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"cold_value":$coldTotal,"cold_queries":${m(_.cold)},"oracle_value":$oracleTotal,"queries":${m(_.warm)},"value":$total}"""
+    // self-contained artifact: also write the full JSON next to the log tail
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
+    println(line)
     spark.stop()
   }
 }

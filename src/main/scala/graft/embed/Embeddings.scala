@@ -90,10 +90,13 @@ final case class StubEmbeddingProvider(modelAlias: String = "titan-v1", seed: Lo
 object EmbeddingStage {
   private val poolSize = math.min(Runtime.getRuntime.availableProcessors() * 2, 64)
   // One pool + semaphore per executor JVM, shared across partitions/tasks.
-  lazy val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+  // Kept as an ExecutorService (not just an ExecutionContext) so a
+  // timed-out call can be cancel(true)-interrupted — see embedIteratorSafe.
+  lazy val pool: java.util.concurrent.ExecutorService =
     Executors.newFixedThreadPool(poolSize, r => {
       val t = new Thread(r, "graft-embed"); t.setDaemon(true); t
-    }))
+    })
+  lazy val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
 
   def embedIterator(
       texts: Iterator[String],
@@ -167,7 +170,15 @@ object EmbeddingStage {
     * concurrency; the output is an Either per input in order. The await
     * budget scales with the retry policy (attempts × per-attempt timeout +
     * backoff), and a blown budget becomes a Left — a stuck provider call
-    * costs one dead-letter row, not the task. */
+    * costs one dead-letter row, not the task.
+    *
+    * A timed-out call is `cancel(true)`-interrupted so an interrupt-honoring
+    * provider (any socket read, [[HttpEmbeddingProvider]]'s per-request
+    * timeout) unblocks and releases its permit. For a provider that ignores
+    * interrupts the permit does leak — so permit acquisition itself is
+    * bounded: when every permit is held by hung calls, subsequent records
+    * fail fast into the dead-letter channel instead of deadlocking the
+    * task. */
   def embedIteratorSafe(
       texts: Iterator[String],
       provider: EmbeddingProvider,
@@ -178,19 +189,29 @@ object EmbeddingStage {
     val permits = new Semaphore(maxInFlight)
     val budget = retryBudget(timeout, policy)
     texts.grouped(batchSize).flatMap { batch =>
-      val futures = batch.map { t =>
-        permits.acquire()
-        Future {
-          try embedWithRetry(t, provider, policy)
-          finally permits.release()
-        }(ec)
-      }
-      futures.map { f =>
-        try Await.result(f, budget)
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            Left(s"embed timed out after $budget (incl. ${policy.maxAttempts} attempts)")
+      val submitted: Seq[Either[String, java.util.concurrent.Future[Either[String, EmbeddingResult]]]] =
+        batch.map { t =>
+          if (!permits.tryAcquire(budget.toMillis, TimeUnit.MILLISECONDS))
+            Left(s"embedding pool exhausted: all $maxInFlight permits held " +
+              s"beyond $budget — provider is hung and ignoring interrupts")
+          else
+            Right(pool.submit(new java.util.concurrent.Callable[Either[String, EmbeddingResult]] {
+              override def call(): Either[String, EmbeddingResult] =
+                try embedWithRetry(t, provider, policy)
+                finally permits.release()
+            }))
         }
+      submitted.map {
+        case Left(err) => Left(err)
+        case Right(jf) =>
+          try jf.get(budget.toMillis, TimeUnit.MILLISECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              jf.cancel(true) // interrupt so the permit frees when the call unblocks
+              Left(s"embed timed out after $budget (incl. ${policy.maxAttempts} attempts)")
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause // only fatal/interrupt escapes embedWithRetry
+          }
       }
     }
   }

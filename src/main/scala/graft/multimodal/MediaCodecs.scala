@@ -5,11 +5,13 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 /** REAL media codecs with zero external dependencies: the JDK ships image
-  * (PNG/JPEG/BMP/GIF via `javax.imageio`) and WAV-PCM (`javax.sound.sampled`)
-  * codecs, so decode / resize / feature-extract over those formats is a
-  * genuine pixel/sample path, not a stub. Video stays stubbed in
-  * [[Multimodal]] — the JDK has no H.264 decoder, and this container has no
-  * codec libraries (documented, not hidden).
+  * (PNG/JPEG/BMP/GIF via `javax.imageio`), multi-frame containers (animated
+  * GIF via the same reader's image sequence API — [[VideoCodec]]), and
+  * WAV-PCM (`javax.sound.sampled`), so decode / resize / feature-extract /
+  * frame-sample over those formats is a genuine pixel/sample path, not a
+  * stub. H.264-family codecs remain undecodable in a pure JDK (documented,
+  * not hidden): [[Multimodal.sampleFrames]] degrades those payloads to
+  * deterministic byte-slice pseudo-frames.
   *
   * All functions are pure byte→value transforms, callable from executor
   * tasks with no per-call setup; [[Multimodal]] wraps them batch-shaped.
@@ -139,5 +141,53 @@ object AudioCodec {
     }
     out(windows) = crossings.toFloat / math.max(1, n - 1)
     out
+  }
+}
+
+/** Multi-frame container codec: the JDK's ImageIO readers expose an image
+  * SEQUENCE per input (`getNumImages`/`read(i)`), which for animated GIF —
+  * the one multi-frame format the JDK ships a decoder for — yields real
+  * per-frame pixels. MJPEG-in-anything and H.264 need external codecs this
+  * container doesn't have; callers treat an empty/failed decode as the
+  * degraded path. */
+object VideoCodec {
+
+  /** Decode every frame of a multi-frame container (animated GIF). GIF
+    * delta frames are returned as stored (possibly smaller than the canvas,
+    * per the frame's dirty rectangle) — correct for sampling/feature use;
+    * full-canvas composition is a presentation concern. Throws if no
+    * ImageIO reader claims the payload. */
+  def decodeFrames(bytes: Array[Byte]): IndexedSeq[BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException(s"undecodable video payload (${bytes.length} bytes)")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try (0 until reader.getNumImages(true)).map(reader.read)
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Encode frames as an animated GIF (test-fixture writer: the JDK GIF
+    * writer supports `writeToSequence`). */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val out = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
   }
 }

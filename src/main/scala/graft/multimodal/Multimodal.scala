@@ -174,17 +174,36 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling: emits `n` deterministic byte-slices per video
-    * (a generator/explode shape: one input row → n output rows). */
+  /** REAL frame sampling for JDK-decodable multi-frame containers (animated
+    * GIF via [[VideoCodec.decodeFrames]]): `n` frames sampled evenly across
+    * the sequence, re-encoded as PNG. A generator/explode shape: one input
+    * row → n output rows.
+    *
+    * Degraded path (documented, not hidden): H.264-family payloads have no
+    * pure-JDK decoder, so undecodable videos fall back to the deterministic
+    * byte-slice pseudo-frames — the Spark-side plumbing (schema,
+    * partitioning, batch shape) is identical either way, and swapping in a
+    * real codec library touches only the decode call. */
   def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[MediaFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.meta.media_type == "video").flatMap { r =>
-      val len = r.payload.length
-      (0 until n).map { i =>
-        val from = if (n <= 1) 0 else (i.toLong * len / n).toInt
-        val until = math.min(len, from + math.max(1, len / n))
-        MediaFrame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      val decoded =
+        try VideoCodec.decodeFrames(r.payload)
+        catch { case scala.util.control.NonFatal(_) => IndexedSeq.empty }
+      if (decoded.nonEmpty) {
+        val k = math.min(n, decoded.length)
+        (0 until k).map { i =>
+          val idx = if (k <= 1) 0 else (i.toLong * (decoded.length - 1) / (k - 1)).toInt
+          MediaFrame(r.media_id, i, ImageCodec.encodePng(decoded(idx)))
+        }
+      } else {
+        val len = r.payload.length
+        (0 until n).map { i =>
+          val from = if (n <= 1) 0 else (i.toLong * len / n).toInt
+          val until = math.min(len, from + math.max(1, len / n))
+          MediaFrame(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
       }
     }
   }

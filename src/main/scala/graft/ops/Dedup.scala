@@ -280,6 +280,7 @@ object Dedup {
     * bounded by `maxIter` with a convergence check per round. Only ids that
     * appear in `pairs` are emitted. */
   def clusterLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     // localCheckpoint (not persist) on every iteration output: an iterative
     // DataFrame's logical plan otherwise GROWS each round, and
     // analysis/optimization/codegen time grows with it — the loop spent 25 s
@@ -293,31 +294,38 @@ object Dedup {
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("m"), col("src")).as("cluster_id"))
       .localCheckpoint()
+    // Each round: the current labels double as SHORTCUT EDGES (id ↔
+    // cluster_id — both endpoints are in the same component by
+    // construction, so components are preserved), unioned with the real
+    // edges into ONE join against the label table, then one min-aggregation.
+    // The label edge (id → cluster_id) delivers labels[labels[id]] — pointer
+    // jumping, rounds ≈ log(diameter) — and its reverse delivers members'
+    // labels to the representative, all in the same join that propagates
+    // neighbour labels: 1 join + 1 aggregation per round.
+    // Convergence check: labels only ever DECREASE, so Σ cluster_id
+    // strictly decreases on any change — an unchanged sum is convergence.
+    // That is a scan-only aggregate of the just-checkpointed output (no
+    // join against the previous round, no extra shuffle). DECIMAL(38) sum:
+    // 64-bit id sums would wrap at corpus scale.
+    var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min over: own label, neighbours' labels, and the label's own label
-      // (pointer jumping — halves chain lengths, so rounds ≈ log(diameter))
-      val neighborMin = edges
+      val labelEdges = labels.select(col("id").as("src"), col("cluster_id").as("dst"))
+        .unionByName(labels.select(col("cluster_id").as("src"), col("id").as("dst")))
+      val fromGraph = edges.unionByName(labelEdges)
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy("src")
-        .agg(min(col("cluster_id")).as("n_min"))
-        .withColumnRenamed("src", "id")
-      val next = labels.withColumnRenamed("cluster_id", "_prev")
-        .join(neighborMin, Seq("id"), "left")
-        .join(labels.select(col("id").as("_pid"), col("cluster_id").as("_plabel")),
-          col("_prev") === col("_pid"), "left")
-        .select(col("id"), col("_prev"),
-          least(col("_prev"),
-            coalesce(col("n_min"), col("_prev")),
-            coalesce(col("_plabel"), col("_prev"))).as("cluster_id"))
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.unionByName(fromGraph)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      val changed = next
-        .agg(coalesce(sum(when(col("cluster_id") =!= col("_prev"), 1L)
-          .otherwise(0L)), lit(0L)))
-        .head().getLong(0)
-      labels = next.select("id", "cluster_id")
-      converged = changed == 0
+      val newSum = next
+        .agg(coalesce(sum(col("cluster_id").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+      labels = next
+      converged = prevSum.exists(_.compareTo(newSum) == 0)
+      prevSum = Some(newSum)
       iter += 1
     }
     labels

@@ -53,11 +53,17 @@ object Knn {
   def lshBucketed(corpus: DataFrame, vecCol: String, idCol: String,
                   queryVec: Array[Float], k: Int, dim: Int,
                   bands: Int = 8, bitsPerBand: Int = 12): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val qDf = Seq(Tuple1(queryVec)).toDF("qv")
-      .select(hyperplaneSignature(col("qv"), dim, bands, bitsPerBand).as("qsig"))
-    val qsig = qDf.head().getSeq[Long](0)
+    // The query's band signature is a pure function of the literal query
+    // vector: evaluate the expression on the driver instead of launching a
+    // one-row Spark job for it (the job-submit floor was ~0.2 s — pure
+    // overhead the probe path doesn't need).
+    val qsig = graft.functions.HyperplaneLsh(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          queryVec, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        dim, bands, bitsPerBand)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
     val sig = hyperplaneSignature(col(vecCol), dim, bands, bitsPerBand)
     val matchesAnyBand = (0 until bands)
       .map(b => element_at(col("_sig"), b + 1) === lit(qsig(b)))

@@ -142,6 +142,18 @@ object RagPipeline {
       sourceDir: String,
       outDir: String,
       checkpointDir: String,
+      provider: EmbeddingProvider = StubEmbeddingProvider()) =
+    streamingTo(spark, sourceDir, graft.sink.ParquetVectorSink(outDir),
+      checkpointDir, provider)
+
+  /** [[streaming]] against any [[graft.sink.VectorSink]] — the pluggable-O5
+    * seam: the topology is identical whether documents land in the parquet
+    * table, driver memory, or an OpenSearch-shaped connector. */
+  def streamingTo(
+      spark: SparkSession,
+      sourceDir: String,
+      sink: graft.sink.VectorSink,
+      checkpointDir: String,
       provider: EmbeddingProvider = StubEmbeddingProvider()) = {
     val raw = spark.readStream.schema(Schemas.wire).option("mode", "PERMISSIVE")
       .json(sourceDir)
@@ -150,7 +162,7 @@ object RagPipeline {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
-        graft.sink.VectorTable.appendIdempotent(batchDf, outDir, batchId)
+        sink.appendIdempotent(batchDf, batchId)
       }
       .start()
   }
@@ -170,6 +182,18 @@ object RagPipeline {
       deadLetterDir: String,
       checkpointDir: String,
       provider: EmbeddingProvider = StubEmbeddingProvider(),
+      policy: graft.embed.RetryPolicy = graft.embed.RetryPolicy()) =
+    streamingSafeTo(spark, sourceDir, graft.sink.ParquetVectorSink(outDir),
+      deadLetterDir, checkpointDir, provider, policy)
+
+  /** [[streamingSafe]] against any [[graft.sink.VectorSink]]. */
+  def streamingSafeTo(
+      spark: SparkSession,
+      sourceDir: String,
+      sink: graft.sink.VectorSink,
+      deadLetterDir: String,
+      checkpointDir: String,
+      provider: EmbeddingProvider = StubEmbeddingProvider(),
       policy: graft.embed.RetryPolicy = graft.embed.RetryPolicy()) = {
     val raw = spark.readStream.schema(Schemas.wire).option("mode", "PERMISSIVE")
       .json(sourceDir)
@@ -180,8 +204,7 @@ object RagPipeline {
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
         val attempts = embedSafe(batchDf, provider, policy).cache()
         try {
-          graft.sink.VectorTable.appendIdempotent(
-            toVectorDocs(embedSuccesses(attempts)), outDir, batchId)
+          sink.appendIdempotent(toVectorDocs(embedSuccesses(attempts)), batchId)
           embedDeadLetters(attempts)
             .write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
         } finally attempts.unpersist()
@@ -243,11 +266,12 @@ object RagPipeline {
       startingOffsets: String = "earliest",
       extra: Map[String, String] = Map.empty,
       provider: EmbeddingProvider = StubEmbeddingProvider()) = {
+    val sink = graft.sink.ParquetVectorSink(outDir)
     val raw = streamingKafkaSource(spark, bootstrapServers, topic, startingOffsets, extra)
     batchStages(raw, provider).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
-        graft.sink.VectorTable.appendIdempotent(batchDf, outDir, batchId)
+        sink.appendIdempotent(batchDf, batchId)
       }
       .start()
   }

@@ -18,9 +18,15 @@ import graft.embed.{EmbeddingModels, RetryPolicy, StubEmbeddingProvider}
   *  - `kafka.topic`     topic (streaming-kafka)
   *  - `kafka.startingOffsets` earliest (default) | latest | json
   *  - `kafka.option.*`  passed through to the consumer (SASL etc.)
-  *  - `sink.dir`        vector-table output dir
+  *  - `sink.kind`       parquet (default) | memory — [[graft.sink.VectorSink]]
+  *                      implementation; `memory` treats `sink.dir` as the
+  *                      in-memory table name (test/demo backend)
+  *  - `sink.dir`        vector-table output dir (parquet) or table name (memory)
   *  - `checkpoint.dir`  streaming checkpoint location
   *  - `model`           titan-v1 (default) | titan-v2 — reference registry
+  *  - `embed.endpoint`  HTTP embedding endpoint URL → uses
+  *                      [[graft.embed.HttpEmbeddingProvider]]; absent → the
+  *                      deterministic stub (no-egress default)
   *  - `embed.maxInFlight`  bounded concurrency (default 1000, the
   *                      reference's `unorderedWait` capacity)
   *  - `embed.maxAttempts`  retry attempts before dead-letter (default 3)
@@ -37,6 +43,7 @@ final case class PipelineConfig(settings: Map[String, String]) {
 
   def mode: String = getOrElse("mode", "batch")
   def modelAlias: String = getOrElse("model", "titan-v1")
+  def sinkKind: String = getOrElse("sink.kind", "parquet")
   def maxInFlight: Int = getOrElse("embed.maxInFlight", "1000").toInt
   def retryPolicy: RetryPolicy =
     RetryPolicy(maxAttempts = getOrElse("embed.maxAttempts", "3").toInt)
@@ -46,6 +53,7 @@ final case class PipelineConfig(settings: Map[String, String]) {
 
   def validated: PipelineConfig = {
     require(Set("batch", "streaming", "streaming-kafka")(mode), s"unknown mode: $mode")
+    require(Set("parquet", "memory")(sinkKind), s"unknown sink.kind: $sinkKind")
     EmbeddingModels.dimOf(modelAlias) // throws on unknown model
     mode match {
       case "batch" | "streaming" => apply("source.path")
@@ -91,7 +99,16 @@ object RunPipeline {
 
   /** Separated from `main` so tests can drive it with their own session. */
   def run(spark: SparkSession, conf: PipelineConfig): Unit = {
-    val provider = StubEmbeddingProvider(conf.modelAlias)
+    // no-egress default is the deterministic stub; an explicit endpoint
+    // opts into the real process-boundary HTTP provider
+    val provider: graft.embed.EmbeddingProvider = conf.get("embed.endpoint") match {
+      case Some(url) => graft.embed.HttpEmbeddingProvider(url, conf.modelAlias)
+      case None      => StubEmbeddingProvider(conf.modelAlias)
+    }
+    val sink: graft.sink.VectorSink = conf.sinkKind match {
+      case "memory" => graft.sink.MemoryVectorSink(conf("sink.dir"))
+      case _        => graft.sink.ParquetVectorSink(conf("sink.dir"))
+    }
     conf.mode match {
       case "batch" =>
         val raw = spark.read.text(conf("source.path")).toDF("value")
@@ -104,19 +121,25 @@ object RunPipeline {
           provider, conf.retryPolicy, conf.maxInFlight).cache()
         try {
           conf.get("deadletter.dir").foreach { dl =>
-            RagPipeline.embedDeadLetters(attempts).write.mode("append").parquet(dl)
+            // run-scoped OVERWRITE mirrors the streaming batch=<id> layout:
+            // re-running the same batch job replaces its dead-letters
+            // instead of appending duplicates (the run key is the source
+            // path, which identifies the batch input)
+            val runId = java.lang.Long.toHexString(
+              graft.functions.TextHashing.fnv64(conf("source.path")))
+            RagPipeline.embedDeadLetters(attempts)
+              .write.mode("overwrite").parquet(s"$dl/run=$runId")
           }
-          graft.sink.VectorTable.append(
-            RagPipeline.toVectorDocs(RagPipeline.embedSuccesses(attempts)),
-            conf("sink.dir"))
+          sink.append(
+            RagPipeline.toVectorDocs(RagPipeline.embedSuccesses(attempts)))
         } finally attempts.unpersist()
 
       case "streaming" =>
         val q = conf.get("deadletter.dir") match {
-          case Some(dl) => RagPipeline.streamingSafe(spark, conf("source.path"),
-            conf("sink.dir"), dl, conf("checkpoint.dir"), provider, conf.retryPolicy)
-          case None => RagPipeline.streaming(spark, conf("source.path"),
-            conf("sink.dir"), conf("checkpoint.dir"), provider)
+          case Some(dl) => RagPipeline.streamingSafeTo(spark, conf("source.path"),
+            sink, dl, conf("checkpoint.dir"), provider, conf.retryPolicy)
+          case None => RagPipeline.streamingTo(spark, conf("source.path"),
+            sink, conf("checkpoint.dir"), provider)
         }
         awaitWithTimeout(q, conf)
 

@@ -132,6 +132,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f.features(8) - 880.0 / 15999) < 0.01)
   }
 
+  test("real video frames: animated GIF decodes to per-frame pixels, sampled evenly") {
+    // 9-frame animated GIF, frame f filled with a distinct gray level
+    val gifFrames = (0 until 9).map { f =>
+      val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = 20 + f * 25
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    val gif = VideoCodec.encodeGif(gifFrames)
+    assert(VideoCodec.decodeFrames(gif).length === 9)
+    val ds = Seq(Multimodal.MediaRecord(77L, gif,
+      Multimodal.MediaMeta("video", 8, 6, 0, 900L, "gif"))).toDS()
+    val frames = Multimodal.sampleFrames(ds, 3).collect().sortBy(_.frame_idx)
+    assert(frames.length === 3)
+    // sampled evenly: frames 0, 4, 8 → gray levels 20, 120, 220
+    val grays = frames.map { fr =>
+      val img = ImageCodec.decode(fr.frame)
+      img.getRGB(4, 3) & 0xff
+    }
+    // GIF palette quantization can shift levels slightly
+    assert(grays.zip(Seq(20, 120, 220)).forall { case (g, e) => math.abs(g - e) <= 8 },
+      s"sampled gray levels: ${grays.toSeq}")
+  }
+
   test("features join back to relational side without shuffling payloads") {
     val feats = Multimodal.extractFeatures(media, dim = 16)
     val joined = feats.toDF().join(

@@ -106,6 +106,31 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "lsh candidates that verify must be true pairs")
   }
 
+  test("registered LSH embedding near-dup ≡ exact O(n²) cross-check, pairs planted") {
+    // q_embedding_neardup's oracle is the exact all-pairs SQL, so the LSH
+    // variant must EQUAL the exact variant — not just under-approximate it.
+    // The natural corpus has no pairs ≥ 0.9; plant noisy copies (cosine
+    // ≈ 0.999, the near-duplicate class LSH exists for) and a byte-identical
+    // copy (the collapseExact star path), then require set equality under
+    // the registered parameters (bands = 16, bitsPerBand = 12).
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val originals = e.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().take(12)
+    val planted = originals.take(10).map { case (id, v) =>
+      (id + 1000000L, v.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 7 == 0) 0.003f else -0.002f) })
+    } ++ originals.slice(10, 12).map { case (id, v) => (id + 2000000L, v) }
+    val corpus = e.select($"vec_id", $"embedding")
+      .unionByName(planted.toSeq.toDF("vec_id", "embedding"))
+    val exact = Dedup.embeddingNearDupsExact(corpus, "embedding", "vec_id", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDups(corpus, "embedding", "vec_id",
+        dim = 64, threshold = 0.9, bands = 16, bitsPerBand = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 12, s"planting failed: only ${exact.size} true pairs")
+    assert(lsh === exact, "registered LSH variant must match the exact oracle")
+  }
+
   test("approx_count_distinct is within HLL tolerance of exact") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf)
     val row = li.agg(
@@ -197,6 +222,22 @@ class DedupKnnSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(counts(7L) === 2000L)
     assert(counts(51L) === 1L)
+  }
+
+  test("salting spreads BYTE-IDENTICAL hot rows, the degenerate skew case") {
+    // one default record repeated 4000× — a content-only salt would give
+    // every copy the same salt and keep the hot key on a single reducer
+    val big = spark.range(0, 4000).select(lit(7L).as("k"), lit("default").as("payload"))
+    val small = Seq((7L, "hot")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8)
+    assert(salted.count() === 4000L)
+    val counts = Skew.saltedCount(big, "k", salt = 8).as[(Long, Long)].collect().toMap
+    assert(counts(7L) === 4000L)
+    // observe the spread directly with the same salt construction
+    val spread = big.select(pmod(xxhash64(
+        $"k", $"payload", monotonically_increasing_id()), lit(8L)).as("s"))
+      .select(countDistinct($"s")).head().getLong(0)
+    assert(spread >= 6, s"identical rows spread over only $spread of 8 salts")
   }
 
   test("stratified sample: deterministic under a seed, proportions within tolerance") {

@@ -192,4 +192,69 @@ class PipelineSpec extends AnyFunSuite {
     // stub provider never fails → dead-letter table exists and is empty
     assert(spark.read.parquet(dl).count() === 0)
   }
+
+  test("sink.kind=memory drives a second VectorSink implementation end-to-end") {
+    val src = java.nio.file.Files.createTempDirectory("graft-src-m")
+    java.nio.file.Files.write(src.resolve("in.jsonl"),
+      wireLines.mkString("\n").getBytes("UTF-8"))
+    val table = "pipelinespec-mem-1"
+    graft.sink.MemoryVectorSink.clear(table)
+    val conf = PipelineConfig.parse(Seq(
+      "mode=batch", s"source.path=$src", "sink.kind=memory",
+      s"sink.dir=$table", "model=titan-v2")).validated
+    RunPipeline.run(spark, conf)
+    val rows = graft.sink.MemoryVectorSink.read(table)
+    assert(rows.size === 4)
+    assert(rows.head.schema.fieldNames.contains("passage_embedding"))
+    // the idempotent write contract on the same backend: replay replaces
+    val s2 = graft.sink.MemoryVectorSink("pipelinespec-mem-2")
+    val docs = RagPipeline.batch(wireLines.toDF("value"), StubEmbeddingProvider("titan-v2"))
+    s2.appendIdempotent(docs, 7L)
+    s2.appendIdempotent(docs, 7L) // replayed micro-batch
+    assert(graft.sink.MemoryVectorSink.read("pipelinespec-mem-2").size === 4)
+    graft.sink.MemoryVectorSink.clear(table)
+    graft.sink.MemoryVectorSink.clear("pipelinespec-mem-2")
+  }
+
+  test("batch dead-letters are run-scoped idempotent: rerun replaces, never appends") {
+    // a permanently failing endpoint for texts starting with "dead": the
+    // only way to mint real embed dead-letters through the config runner
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val stub = StubEmbeddingProvider("titan-v2")
+    server.createContext("/embed", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val text = req.split("\"inputText\"\\s*:\\s*\"")(1).takeWhile(_ != '"')
+      val (code, payload) =
+        if (text.startsWith("dead")) (500, """{"message": "permanent"}""")
+        else {
+          val r = stub.embed(text)
+          (200, s"""{"embedding": [${r.embedding.mkString(", ")}], "inputTextTokenCount": ${r.inputTextTokenCount}}""")
+        }
+      val bytes = payload.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val src = java.nio.file.Files.createTempDirectory("graft-src-dl")
+      java.nio.file.Files.write(src.resolve("in.jsonl"), Seq(
+        """{"text": "good doc", "created_at": "2024-01-01T12:00:00.000Z"}""",
+        """{"text": "dead doc", "created_at": "2024-01-01T12:00:01.000Z"}""")
+        .mkString("\n").getBytes("UTF-8"))
+      val sink = java.nio.file.Files.createTempDirectory("graft-sink-dl").toString + "/out"
+      val dl = java.nio.file.Files.createTempDirectory("graft-dl-dl").toString + "/dead"
+      val conf = PipelineConfig.parse(Seq(
+        "mode=batch", s"source.path=$src", s"sink.dir=$sink",
+        s"deadletter.dir=$dl", "model=titan-v2", "embed.maxAttempts=2",
+        s"embed.endpoint=http://127.0.0.1:${server.getAddress.getPort}/embed")).validated
+      RunPipeline.run(spark, conf)
+      RunPipeline.run(spark, conf) // same batch re-run (operator retry)
+      val dead = spark.read.parquet(dl)
+      assert(dead.count() === 1, "rerun must replace the run's dead-letters")
+      assert(dead.select("embed_error").as[String].head().contains("HTTP 500"))
+    } finally server.stop(0)
+  }
 }

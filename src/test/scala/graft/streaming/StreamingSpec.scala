@@ -201,4 +201,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(sEmb.keySet == bEmb.keySet)
     sEmb.foreach { case (k, v) => assert(v == bEmb(k)) }
   }
+
+  test("rate source: the built-in load generator feeds the same transforms") {
+    // rate-micro-batch: deterministic rowsPerBatch (unlike wall-clock
+    // `rate`), so one triggered batch yields exactly 20 (timestamp, value)
+    // rows — the §2b rate-source row, exercised rather than just declared
+    val out = nextSink()
+    val q = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", 20)
+      .load()
+      .groupBy().agg(count(lit(1)).as("n"), min($"value").as("lo"), max($"value").as("hi"))
+      .writeStream.format("memory").queryName(out).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val row = spark.table(out).head()
+    assert(row.getLong(0) === 20L)
+    assert(row.getLong(1) === 0L && row.getLong(2) === 19L)
+  }
 }
