@@ -787,6 +787,40 @@ object SparkEntry {
           decSum(col("value")).as("session_value"))
     },
 
+    // As-of join (the temporal-alignment operator Spark lacks): every click
+    // matched to the user's most recent purchase at-or-before it. The
+    // oracle is DuckDB's NATIVE ASOF JOIN — an independent implementation
+    // of the same semantics — while the Spark side runs the merge
+    // formulation in ops.AsOf (one shuffle + sort + running window; no
+    // range-join pair explosion). Purchases are deduped per (user, ts)
+    // first: duplicate-time as-of is ill-defined in both engines.
+    q("q_asof_join",
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT c.user_id, c.click_id,
+        |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        |  p.purchase_id,
+        |  strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+        |FROM clicks c ASOF JOIN purch p
+        |  ON c.user_id = p.user_id AND c.cts >= p.pts""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.ops.AsOf.asofJoin(clicks, purchases, "user_id", "ts")
+        .select(col("user_id"), col("click_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+          col("purchase_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+    },
+
     q("q_pivot",
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

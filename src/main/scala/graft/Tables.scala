@@ -15,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** One resolved relation per (session, path): `spark.read.parquet` lists
+    * files and reads footers for schema inference on EVERY call, which a
+    * deployment does once at catalog registration, not once per query.
+    * Caching the DataFrame (its logical relation — never materialized data)
+    * removes that repeated driver-side I/O; filters/column pruning still
+    * plan per query against the shared relation. Keyed by session so a
+    * stopped session's relations are not reused by a new one. */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    relationCache.computeIfAbsent((spark, s"$sfDir/$table.parquet"),
+      k => k._1.read.parquet(k._2))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -285,15 +285,16 @@ object Dedup {
     // DataFrame's logical plan otherwise GROWS each round, and
     // analysis/optimization/codegen time grows with it — the loop spent 25 s
     // on a 1108-pair graph before lineage truncation, 2 s after
+    // lazy checkpoints: round 1's single job materializes both
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges
       .groupBy("src")
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("m"), col("src")).as("cluster_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Each round: the current labels double as SHORTCUT EDGES (id ↔
     // cluster_id — both endpoints are in the same component by
     // construction, so components are preserved), unioned with the real
@@ -316,9 +317,12 @@ object Dedup {
       val fromGraph = edges.unionByName(labelEdges)
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("cluster_id"))
+      // LAZY checkpoint: the convergence-sum action below materializes the
+      // round AND truncates lineage in ONE job — an eager localCheckpoint
+      // plus a separate sum was two cluster round-trips per round
       val next = labels.unionByName(fromGraph)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val newSum = next
         .agg(coalesce(sum(col("cluster_id").cast(DecimalType(38, 0))),
           lit(0).cast(DecimalType(38, 0))))

@@ -109,6 +109,9 @@ object RunPipeline {
       case "memory" => graft.sink.MemoryVectorSink(conf("sink.dir"))
       case _        => graft.sink.ParquetVectorSink(conf("sink.dir"))
     }
+    // explicit DDL stage, reference index-creation-lambda parity: the
+    // table exists with its schema before any data flows
+    sink.bootstrap()
     conf.mode match {
       case "batch" =>
         val raw = spark.read.text(conf("source.path")).toDF("value")

@@ -17,6 +17,11 @@ import org.apache.spark.sql.{DataFrame, Row}
 trait VectorSink extends Serializable {
   def append(docs: DataFrame): Unit
   def appendIdempotent(docs: DataFrame, batchId: Long): Unit
+  /** Idempotent create-if-absent, called once at job start — the seam the
+    * reference fills with its index-creation lambda
+    * (`index-creation-function/lambda_function.py:35-49`). Default no-op
+    * for stores that need no DDL. */
+  def bootstrap(): Unit = ()
 }
 
 /** The default implementation: the `date_day`-partitioned parquet table of
@@ -26,6 +31,8 @@ final case class ParquetVectorSink(dir: String) extends VectorSink {
     VectorTable.append(docs, dir)
   override def appendIdempotent(docs: DataFrame, batchId: Long): Unit =
     VectorTable.appendIdempotent(docs, dir, batchId)
+  override def bootstrap(): Unit =
+    VectorTable.bootstrap(dir)
 }
 
 /** Driver-memory implementation: proves the sink seam is real (a second

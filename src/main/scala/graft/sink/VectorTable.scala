@@ -14,6 +14,47 @@ import org.apache.spark.sql.functions._
   * "5 shards" static layout maps to dynamic partitioning here.
   */
 object VectorTable {
+
+  /** The canonical vector-document schema (FIXTURES A4 / reference index
+    * mapping `index-creation-function/lambda_function.py:69-96`). */
+  val schema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("passage_embedding", ArrayType(FloatType)),
+      StructField("date", TimestampType),
+      StructField("text", StringType),
+      StructField("_id", StringType)))
+  }
+
+  /** Idempotent create-if-absent — the engine-side analogue of the
+    * reference's index-bootstrap lambda
+    * (`index-creation-function/lambda_function.py:35-49`: HEAD the index,
+    * PUT mapping only when missing). Creates the table directory and a
+    * `_schema.json` sidecar so consumers starting BEFORE the first batch
+    * ([[readOrEmpty]]) can resolve the document schema. Safe to call on
+    * every job start; never touches data files. */
+  def bootstrap(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val sidecar = new java.io.File(d, "_schema.json")
+    if (!sidecar.exists())
+      java.nio.file.Files.writeString(sidecar.toPath, schema.json)
+  }
+
+  /** [[read]], but an empty bootstrapped table (no parquet files yet)
+    * yields a 0-row DataFrame with the canonical schema instead of
+    * failing schema inference. */
+  def readOrEmpty(spark: SparkSession, dir: String): DataFrame = {
+    def hasParquet(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
+        kids.exists(k => k.isDirectory && hasParquet(k))
+    }
+    if (hasParquet(new java.io.File(dir))) read(spark, dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   def append(docs: DataFrame, dir: String): Unit =
     docs.withColumn("date_day", to_date(col("date")))
       .write.mode("append")

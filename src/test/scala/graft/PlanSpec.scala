@@ -104,4 +104,64 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)      // bodies rejoin via semi join
     assert(p.contains("fnv64"), p)
   }
+
+  test("embedding near-dup plans as banded LSH — no nested-loop product anywhere") {
+    val p = plan("q_embedding_neardup")
+    // the O(n²) exact variant planned a BroadcastNestedLoopJoin over the
+    // `a.id < b.id` theta product; the registered LSH variant must not
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate pairing comes from the band-hash bucket aggregation
+    assert(p.contains("hyperplane_lsh"), p)
+  }
+
+  test("bucketed tables join with ZERO exchange — the recurring-join co-location layout") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    graft.ops.Bucketing.writeBucketed(orders, "bkt_orders", "o_orderkey", 8)
+    graft.ops.Bucketing.writeBucketed(lineitem, "bkt_lineitem", "o_orderkey", 8)
+    // at test sf the small side fits the broadcast threshold, which bypasses
+    // bucketing entirely; at the layout's real scale both sides are big —
+    // force the SMJ path the layout exists for
+    val threshBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.ops.Bucketing.colocatedJoin(
+        spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p)   // co-located: no shuffle either side
+      assert(p.contains("SelectedBucketsCount"), p)
+      // and it computes the right thing
+      val expected = orders.join(lineitem, "o_orderkey").count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshBefore)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
+
+  test("as-of join is join-free: one shuffle + sort + running window, no pair expansion") {
+    val clicks = Tables.events(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = Tables.events(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id").as("purchase_id"))
+    val p = graft.ops.AsOf.asofJoin(clicks, purchases, "user_id", "ts")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the merge formulation contains NO join operator at all — a range
+    // theta-join here would expand every qualifying (click, purchase) pair
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
 }

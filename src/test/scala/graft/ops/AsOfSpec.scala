@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("as-of semantics: latest at-or-before, exact-tie matches, no-prior drops") {
+    val left = Seq(
+      (1L, 10L, "l-a"),   // after r@5  → matches 5
+      (1L, 20L, "l-b"),   // after r@20 → exact tie matches 20
+      (1L, 3L, "l-c"),    // before any right row → dropped
+      (2L, 50L, "l-d"),   // key 2: after r@49 → matches 49
+      (3L, 9L, "l-e")     // key 3 has no right rows at all → dropped
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 5L, "r5"), (1L, 20L, "r20"), (1L, 25L, "r25"),
+      (2L, 49L, "r49")
+    ).toDF("k", "t", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "t")
+      .select($"lv", $"asof_t", $"rv").as[(String, Long, String)]
+      .collect().toSet
+    assert(out === Set(
+      ("l-a", 5L, "r5"),
+      ("l-b", 20L, "r20"),
+      ("l-d", 49L, "r49")))
+  }
+
+  test("as-of join equals the brute-force rank formulation on real events") {
+    val ev = graft.Tables.events(spark, TestSpark.sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("purchase_id"))
+
+    val merge = AsOf.asofJoin(clicks, purchases, "user_id", "ts")
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+
+    // independent formulation: range theta-join + keep the max-time match
+    // (the pair-expanding plan the operator exists to avoid — fine at test sf)
+    val w = Window.partitionBy($"click_id").orderBy($"pts".desc)
+    val brute = clicks
+      .join(purchases
+          .select($"user_id".as("pu"), $"ts".as("pts"), $"purchase_id"),
+        $"user_id" === $"pu" && $"pts" <= $"ts")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+
+    assert(merge === brute)
+    assert(merge.nonEmpty)
+  }
+}

@@ -170,6 +170,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.sink.VectorTable.dedupeById(dup).count() === 2)
   }
 
+  test("sink bootstrap: create-if-absent is idempotent, empty table readable pre-first-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString + "/vt"
+    val sink = graft.sink.ParquetVectorSink(dir)
+    sink.bootstrap()
+    sink.bootstrap() // idempotent
+    val empty = graft.sink.VectorTable.readOrEmpty(spark, dir)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq ===
+      Seq("passage_embedding", "date", "text", "_id"))
+    // once data lands, readOrEmpty is just read (sidecar doesn't interfere)
+    val docs = RagPipeline.batch(wireLines.toDF("value"), StubEmbeddingProvider("titan-v2"))
+    sink.append(docs)
+    assert(graft.sink.VectorTable.readOrEmpty(spark, dir).count() === 4)
+  }
+
   test("config runner: parse, validate, batch end-to-end with dead letters") {
     intercept[IllegalArgumentException](
       PipelineConfig.parse(Seq("mode=warp")).validated)
