@@ -719,6 +719,71 @@ object SparkEntry {
         .drop("rn")
     },
 
+    // TPC-H Q3 shape (shipping-priority): selective dimension filter
+    // broadcast against two fact tables, fixed-point revenue agg, top-10.
+    // The scale plan: customer(BUILDING) broadcasts, orders⋈lineitem is the
+    // one big SMJ, TakeOrderedAndProject caps the result exchange at 10 rows.
+    q("q_tpch_q3",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-06-15'
+        |  AND l_shipdate > TIMESTAMP '1997-06-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-06-15").cast("timestamp"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") > lit("1997-06-15").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("odate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape (local-supplier volume): six-table join where only the
+    // customer⋈orders⋈lineitem chain is big — supplier/nation/region
+    // broadcast — plus the extra c_nationkey = s_nationkey locality
+    // predicate that makes the join graph cyclic.
+    q("q_tpch_q5",
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin) { (s, d) =>
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+    },
+
     q("q_above_avg",
       """SELECT o_orderkey, o_totalprice FROM orders o
         |WHERE o_totalprice > 2 * (

@@ -49,6 +49,33 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** Stream–stream interval join: each left event matched to right events
+    * of the same user within `[left.ts − lookback, left.ts]`. The time-range
+    * predicate + both-side watermarks are what make this runnable as a
+    * STREAMING join: they bound the state store to the lookback+watermark
+    * horizon per key (without them Spark would have to buffer both streams
+    * forever). State is sharded by the join key across executors — the
+    * 100 TB shape is many small per-key buffers, no global state.
+    *
+    * Same code runs batch (where the predicates are just a theta join), so
+    * the Spark-diff harness can equality-check streamed vs batch output. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, lookback: String,
+                   watermark: String): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(tsCol, watermark) else left)
+      .select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = (if (right.isStreaming) right.withWatermark(tsCol, watermark) else right)
+      .select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+        col("event_id").as("r_event_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("l_key").as(keyCol), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
                             user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n: Long, total: Double)

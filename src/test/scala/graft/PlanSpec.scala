@@ -105,6 +105,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("fnv64"), p)
   }
 
+  test("TPC-H shapes: dims broadcast (by hint), facts sort-merge, top-k bounded") {
+    // at test sf EVERY table clears the auto-broadcast threshold; disable it
+    // so the plan shows the scale shape — the EXPLICIT broadcast() hints on
+    // the dimension sides must still win, the unhinted fact chain must not
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q3 = plan("q_tpch_q3")
+      assert(q3.contains("BroadcastHashJoin"), q3)      // BUILDING customers (hint)
+      assert(q3.contains("SortMergeJoin"), q3)          // orders ⋈ lineitem
+      assert(q3.contains("TakeOrderedAndProject"), q3)  // top-10, no global sort
+      assert(q3.contains("PushedFilters"), q3)          // date filters reach the scans
+      val q5 = plan("q_tpch_q5")
+      assert(q5.contains("BroadcastHashJoin"), q5)      // supplier/nation/region (hint)
+      assert(q5.contains("SortMergeJoin"), q5)          // customer/orders/lineitem chain
+      assert(!q5.contains("CartesianProduct"), q5)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("embedding near-dup plans as banded LSH — no nested-loop product anywhere") {
     val p = plan("q_embedding_neardup")
     // the O(n²) exact variant planned a BroadcastNestedLoopJoin over the

@@ -30,6 +30,31 @@ class AsOfSpec extends AnyFunSuite {
       ("l-d", 49L, "r49")))
   }
 
+  test("as-of join equals an in-memory reference on seeded random data") {
+    val rnd = new scala.util.Random(13)
+    // small key/time domains force heavy collisions: exact ties, multiple
+    // left rows per time, keys with no right rows at all
+    val left = Seq.fill(400)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, rnd.nextLong()))
+    val right0 = Seq.fill(120)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, rnd.nextLong()))
+    // unique (key, time) on the right — the operator's precondition
+    val right = right0.groupBy(t => (t._1, t._2)).values.map(_.maxBy(_._3)).toSeq
+    val got = AsOf.asofJoin(
+        left.toDF("k", "t", "lv"), right.toDF("k", "t", "rv"), "k", "t")
+      .select($"k", $"t", $"lv", $"asof_t", $"rv")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val byKey = right.groupBy(_._1)
+    val expected = left.flatMap { case (k, t, lv) =>
+      byKey.getOrElse(k, Seq.empty).filter(_._2 <= t) match {
+        case Seq() => None
+        case ms =>
+          val m = ms.maxBy(_._2)
+          Some((k, t, lv, m._2, m._3))
+      }
+    }.toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("as-of join equals the brute-force rank formulation on real events") {
     val ev = graft.Tables.events(spark, TestSpark.sf)
     val clicks = ev.filter($"event_type" === "click")

@@ -202,6 +202,41 @@ class StreamingSpec extends AnyFunSuite {
     sEmb.foreach { case (k, v) => assert(v == bEmb(k)) }
   }
 
+  test("stream-stream interval join equals batch (state bounded by watermark)") {
+    val clicks = allEvents.filter(_.event_type == "click")
+    val purchases = allEvents.filter(_.event_type == "purchase")
+    val cMs = MemoryStream[EventRow](spark)
+    val pMs = MemoryStream[EventRow](spark)
+    val out = nextSink()
+    val joined = StreamingOps.intervalJoin(
+      cMs.toDF(), pMs.toDF(), "user_id", "ts",
+      lookback = "30 minutes", watermark = "2 hours")
+    val q = joined.writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    try {
+      // both streams replayed in event-time order, three chunks each —
+      // cross-chunk matches exercise the state store (a purchase buffered
+      // in chunk 1 must match a click arriving in chunk 2)
+      def third[T](xs: Seq[T], i: Int): Seq[T] = {
+        val n = xs.length
+        xs.slice(i * n / 3, (i + 1) * n / 3)
+      }
+      (0 until 3).foreach { i =>
+        cMs.addData(third(clicks, i))
+        pMs.addData(third(purchases, i))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table(out)
+      .select("user_id", "l_event_id", "r_event_id")
+    val batch = StreamingOps.intervalJoin(
+        clicks.toDF(), purchases.toDF(), "user_id", "ts",
+        lookback = "30 minutes", watermark = "2 hours")
+      .select("user_id", "l_event_id", "r_event_id")
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0, "interval join found no pairs — test data too sparse")
+  }
+
   test("rate source: the built-in load generator feeds the same transforms") {
     // rate-micro-batch: deterministic rowsPerBatch (unlike wall-clock
     // `rate`), so one triggered batch yields exactly 20 (timestamp, value)
