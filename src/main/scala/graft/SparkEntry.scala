@@ -1510,6 +1510,82 @@ object SparkEntry {
       Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id", maxHamming = 10)
     },
 
+    // The CAPSTONE training-data query: end-to-end corpus curation —
+    // quality-filter → exact dedup → near-dup dedup (banded MinHash LSH →
+    // Jaccard verify → connected components → keep cluster representatives).
+    // Every stage is individually oracled elsewhere; this composes them into
+    // the one pipeline a 100 TB pretraining corpus actually runs, and the
+    // oracle recomputes the whole composition independently in SQL
+    // (quality formula + normalized-text collapse + exact rep-level Jaccard
+    // + recursive-CTE closure + anti-join). The MATERIALIZED hints are for
+    // FAIRNESS to the baseline: DuckDB's default CTE inlining re-evaluates
+    // the shared stages (90 s at sf0.1); materialized it runs ~9 s — the
+    // baseline must race the reasonable formulation, not a degenerate one.
+    q("q_corpus_curate",
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '' AND list_contains(
+        |        ['the','a','and','of','to','der','die','das','und','zu',
+        |         'le','la','et','les','de','el','los','y'], t))) AS DOUBLE) AS hits,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+        |    length(regexp_replace(regexp_replace(text, '\s+', '', 'g'),
+        |      '[\p{L}\p{N}]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id,
+        |    round(least(n_tok / 64.0, 1.0) * 0.4
+        |      + least(hits * 8.0 / greatest(n_tok, 1.0), 1.0) * 0.3
+        |      + greatest(1.0 - (CASE WHEN n_nonspace = 0 THEN 0.0
+        |          ELSE CAST(n_punct AS DOUBLE) / n_nonspace END) * 4.0, 0.0) * 0.3,
+        |    6) AS q
+        |  FROM base),
+        |good AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN quality ON quality.doc_id = d.doc_id WHERE quality.q >= 0.6),
+        |keyed AS (
+        |  SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''), ' ') AS norm
+        |  FROM good),
+        |grp AS MATERIALIZED (SELECT norm, min(doc_id) AS rep FROM keyed GROUP BY norm),
+        |star AS (
+        |  SELECT g.rep AS id_a, k.doc_id AS id_b
+        |  FROM keyed k JOIN grp g ON k.norm = g.norm WHERE k.doc_id <> g.rep),
+        |tok AS (SELECT rep AS doc_id, string_split(norm, ' ') AS toks FROM grp),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        |  FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT id_a, id_b
+        |  FROM inter
+        |  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+        |  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+        |  WHERE shared / (sa.n + sb.n - shared) >= 0.5),
+        |pairs AS (SELECT id_a, id_b FROM star UNION SELECT id_a, id_b FROM near),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |labels AS MATERIALIZED (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id FROM good
+        |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)""".stripMargin) { (s, d) =>
+      val good = Tables.documents(s, d)
+        .filter(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.6)
+      val pairs = Dedup.minhashNearDups(good, "text", "doc_id",
+        threshold = 0.5, shingleN = 3, numHashes = 48, bands = 24)
+      Dedup.dedupByPairs(good, "doc_id", pairs).select(col("doc_id"))
+    },
+
     qNoOracle("q_fingerprint") { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), fnv64(col("text")).as("content_hash"),

@@ -142,6 +142,47 @@ object AudioCodec {
     out(windows) = crossings.toFloat / math.max(1, n - 1)
     out
   }
+
+  /** Frequency-domain descriptor: normalized magnitude at `bins` evenly
+    * spaced frequencies in (0, Nyquist], plus the spectral centroid in Hz
+    * as the last element. Direct DFT per bin — O(n·bins), deterministic,
+    * dependency-free; an FFT is an optimization, not a semantic change,
+    * and at feature-extraction bin counts the direct form is plenty. */
+  def spectralFeatures(pcm: Pcm, bins: Int): Array[Float] = {
+    require(bins > 0, "bins must be positive")
+    val n = pcm.samples.length
+    val out = new Array[Float](bins + 1)
+    if (n == 0 || pcm.sampleRate == 0) return out
+    val nyquist = pcm.sampleRate / 2.0
+    val mags = new Array[Double](bins)
+    var b = 0
+    while (b < bins) {
+      val f = (b + 1).toDouble / bins * nyquist
+      val w = 2.0 * math.Pi * f / pcm.sampleRate
+      var re = 0.0
+      var im = 0.0
+      var i = 0
+      while (i < n) {
+        re += pcm.samples(i) * math.cos(w * i)
+        im -= pcm.samples(i) * math.sin(w * i)
+        i += 1
+      }
+      mags(b) = math.sqrt(re * re + im * im) / n
+      b += 1
+    }
+    val total = mags.sum
+    if (total > 0) {
+      var centroid = 0.0
+      b = 0
+      while (b < bins) {
+        out(b) = (mags(b) / total).toFloat
+        centroid += ((b + 1).toDouble / bins * nyquist) * (mags(b) / total)
+        b += 1
+      }
+      out(bins) = centroid.toFloat
+    }
+    out
+  }
 }
 
 /** Multi-frame container codec: the JDK's ImageIO readers expose an image

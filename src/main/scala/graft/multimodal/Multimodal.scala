@@ -174,6 +174,24 @@ object Multimodal {
     }
   }
 
+  /** REAL frequency-domain audio features: per-band spectrum + spectral
+    * centroid over the decoded PCM (fixed width `bins + 1`). Only audio
+    * rows are emitted. */
+  def audioSpectralFeatures(media: Dataset[MediaRecord], bins: Int = 32,
+                            batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.meta.media_type == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val pcm = AudioCodec.decodeWav(r.payload)
+        val durMs = if (pcm.sampleRate == 0) 0L
+          else pcm.samples.length.toLong * 1000 / pcm.sampleRate
+        MediaFeatures(r.media_id, AudioCodec.spectralFeatures(pcm, bins),
+          r.meta.copy(sample_rate = pcm.sampleRate, duration_ms = durMs))
+      })
+    }
+  }
+
   /** REAL frame sampling for JDK-decodable multi-frame containers (animated
     * GIF via [[VideoCodec.decodeFrames]]): `n` frames sampled evenly across
     * the sequence, re-encoded as PNG. A generator/explode shape: one input

@@ -132,6 +132,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f.features(8) - 880.0 / 15999) < 0.01)
   }
 
+  test("real spectral features: a pure sine concentrates in its band, centroid ≈ f0") {
+    // 500 Hz sine at 16 kHz → Nyquist 8 kHz; 16 bands of 500 Hz put the
+    // tone EXACTLY at band 0's center frequency — no leakage ambiguity
+    val wav = wavPayload(16000, 16000, 500.0)
+    val pcm = AudioCodec.decodeWav(wav)
+    val feats = AudioCodec.spectralFeatures(pcm, bins = 16)
+    assert(feats.length === 17)
+    assert(feats(0) > 0.9, s"band 0 (500 Hz) holds ${feats(0)} of the mass")
+    assert(math.abs(feats(16) - 500.0) < 25.0, s"centroid ${feats(16)} Hz")
+    // dataset-level wrapper: only audio rows, fixed width
+    val ds = Seq(Multimodal.MediaRecord(5L, wav,
+      Multimodal.MediaMeta("audio", 0, 0, 16000, 1000L, "wav"))).toDS()
+    val row = Multimodal.audioSpectralFeatures(ds, bins = 16).collect().head
+    assert(row.features.toSeq == feats.toSeq)
+  }
+
   test("real video frames: animated GIF decodes to per-frame pixels, sampled evenly") {
     // 9-frame animated GIF, frame f filled with a distinct gray level
     val gifFrames = (0 until 9).map { f =>

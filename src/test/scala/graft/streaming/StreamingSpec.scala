@@ -237,6 +237,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0, "interval join found no pairs — test data too sparse")
   }
 
+  test("checkpoint recovery: stop mid-stream, restart, exactly-once effect end-to-end") {
+    // the operational contract a replayable pipeline must honor: kill the
+    // query between micro-batches, start a NEW query from the same
+    // checkpoint, and the sink must hold each document exactly once —
+    // source offsets come back from the checkpoint, replayed batches land
+    // via the idempotent batch=<id> overwrite
+    val srcDir = Files.createTempDirectory("graft-rec-src").toString
+    val outDir = Files.createTempDirectory("graft-rec-out").toString + "/vt"
+    val ckDir = Files.createTempDirectory("graft-rec-ck").toString
+    def wireLine(i: Int) =
+      s"""{"text": "recovery doc $i", "created_at": "2024-01-01T12:00:00.000Z"}"""
+    def startQuery() = graft.pipeline.RagPipeline.streaming(
+      spark, srcDir, outDir, ckDir, graft.embed.StubEmbeddingProvider("titan-v2"))
+
+    Files.writeString(java.nio.file.Path.of(srcDir, "a.jsonl"),
+      (0 until 15).map(wireLine).mkString("\n"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()  // batch 0 committed, then "crash"
+
+    Files.writeString(java.nio.file.Path.of(srcDir, "b.jsonl"),
+      (15 until 25).map(wireLine).mkString("\n"))
+    val q2 = startQuery()                            // recovers from checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = graft.sink.VectorTable.readBatched(spark, outDir)
+    assert(out.count() === 25, "restart must neither lose nor duplicate documents")
+    val texts = out.select("text").as[String].collect().sorted
+    assert(texts.distinct.length === 25)
+  }
+
   test("rate source: the built-in load generator feeds the same transforms") {
     // rate-micro-batch: deterministic rowsPerBatch (unlike wall-clock
     // `rate`), so one triggered batch yields exactly 20 (timestamp, value)
