@@ -45,13 +45,18 @@ object SparkEntry {
     * Overflow safety: a single LONG sum of scale-6 values wraps SILENTLY
     * (non-ANSI) once a group's scaled sum exceeds 2^63 ≈ 9.2e18 — for
     * TPC-H-q1-shaped groups that is roughly sf ≥ 100. So the scaled value
-    * is split per row into floor(x/2^30) and x mod 2^30 (exact for all
+    * is split per row into floor(x/2^18) and x mod 2^18 (exact for all
     * signs: arithmetic shift + unsigned low bits), each summed in LONG —
     * per-row work stays codegen'd long arithmetic — and reassembled as
-    * Σ = 2^30·Σhi + Σlo in DECIMAL(38,0), once per GROUP. The bound moves
-    * to |Σ| < 2^93: out of reach of any real grouping (scale-6 TPC-H q1
-    * would need sf ~10⁸). DECIMAL(38)→double uses the same round-half-even
-    * as DuckDB's exact HUGEINT sum→double, so oracle hashes still match. */
+    * Σ = 2^18·Σhi + Σlo in DECIMAL(38,0), once per GROUP. The binding
+    * bound is on the COMPONENT sums, not the reassembled value: Σlo wraps
+    * at 2^63/2^18 = 2^45 rows per group, Σhi (per-row |hi| ≈ scaled/2^18 ≈
+    * 2^17 for ~1e10-scaled money) at a similar ~2^45 — so exact to ~3.5e13
+    * rows in ONE group, i.e. TPC-H q1 at sf ~10⁷. (The earlier split at
+    * 2^30 bound Σlo at only 2^33 rows ≈ sf 5700 — the shift point must
+    * balance the two component bounds.) DECIMAL(38)→double uses the same
+    * round-half-even as DuckDB's exact HUGEINT sum→double, so oracle
+    * hashes still match. */
   private def decSum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)
     val scaled = round(c * f).cast("long")
@@ -60,9 +65,9 @@ object SparkEntry {
       // group of ~10^5-valued money — unreachable; skip the split's extra agg
       sum(scaled).cast("double") / f
     } else {
-      val hi = sum(shiftright(scaled, 30))
-      val lo = sum(scaled.bitwiseAND(lit((1L << 30) - 1)))
-      (hi.cast(DecimalType(38, 0)) * lit(1L << 30) + lo).cast("double") / f
+      val hi = sum(shiftright(scaled, 18))
+      val lo = sum(scaled.bitwiseAND(lit((1L << 18) - 1)))
+      (hi.cast(DecimalType(38, 0)) * lit(1L << 18) + lo).cast("double") / f
     }
   }
 

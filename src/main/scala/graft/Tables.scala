@@ -20,14 +20,37 @@ object Tables {
     * deployment does once at catalog registration, not once per query.
     * Caching the DataFrame (its logical relation — never materialized data)
     * removes that repeated driver-side I/O; filters/column pruning still
-    * plan per query against the shared relation. Keyed by session so a
-    * stopped session's relations are not reused by a new one. */
+    * plan per query against the shared relation.
+    *
+    * Weakly keyed by session: a stopped session's relations (and the
+    * session itself) become collectable instead of pinning driver memory
+    * for the JVM lifetime. The cached file listing assumes these dataset
+    * dirs are IMMUTABLE (true for the generated testdata); call
+    * [[invalidate]] after rewriting a directory in-process. */
   private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    relationCache.computeIfAbsent((spark, s"$sfDir/$table.parquet"),
-      k => k._1.read.parquet(k._2))
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val perSession = relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        relationCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(s"$sfDir/$table.parquet",
+      spark.read.parquet(s"$sfDir/$table.parquet"))
+  }
+
+  /** Drop cached relations for a session (all of them, or one path). */
+  def invalidate(spark: SparkSession, path: Option[String] = None): Unit =
+    relationCache.synchronized {
+      path match {
+        case Some(p) => Option(relationCache.get(spark)).foreach(_.remove(p))
+        case None    => relationCache.remove(spark)
+      }
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -188,26 +188,50 @@ object EmbeddingStage {
       timeout: Duration = 15000.millis): Iterator[Either[String, EmbeddingResult]] = {
     val permits = new Semaphore(maxInFlight)
     val budget = retryBudget(timeout, policy)
+    // after one exhaustion detection, later records probe with zero wait
+    // (fail FAST, not one full budget each); a permit coming back — an
+    // interrupted call finally releasing — clears the flag and resumes
+    var exhausted = false
+    final case class Submitted(
+        jf: java.util.concurrent.Future[Either[String, EmbeddingResult]],
+        claimed: java.util.concurrent.atomic.AtomicBoolean)
     texts.grouped(batchSize).flatMap { batch =>
-      val submitted: Seq[Either[String, java.util.concurrent.Future[Either[String, EmbeddingResult]]]] =
+      val submitted: Seq[Either[String, Submitted]] =
         batch.map { t =>
-          if (!permits.tryAcquire(budget.toMillis, TimeUnit.MILLISECONDS))
+          val got =
+            if (exhausted) permits.tryAcquire()
+            else permits.tryAcquire(budget.toMillis, TimeUnit.MILLISECONDS)
+          if (!got) {
+            exhausted = true
             Left(s"embedding pool exhausted: all $maxInFlight permits held " +
               s"beyond $budget — provider is hung and ignoring interrupts")
-          else
-            Right(pool.submit(new java.util.concurrent.Callable[Either[String, EmbeddingResult]] {
+          } else {
+            exhausted = false
+            // exactly-once permit release, decided by CAS: the task runs the
+            // provider only if it claims first; a canceller that claims
+            // first owns the release (a task cancelled while still QUEUED
+            // never executes its finally — the round-2 leak)
+            val claimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+            val jf = pool.submit(new java.util.concurrent.Callable[Either[String, EmbeddingResult]] {
               override def call(): Either[String, EmbeddingResult] =
-                try embedWithRetry(t, provider, policy)
-                finally permits.release()
-            }))
+                if (!claimed.compareAndSet(false, true))
+                  Left("cancelled before start") // canceller released the permit
+                else
+                  try embedWithRetry(t, provider, policy)
+                  finally permits.release()
+            })
+            Right(Submitted(jf, claimed))
+          }
         }
       submitted.map {
         case Left(err) => Left(err)
-        case Right(jf) =>
+        case Right(Submitted(jf, claimed)) =>
           try jf.get(budget.toMillis, TimeUnit.MILLISECONDS)
           catch {
             case _: java.util.concurrent.TimeoutException =>
-              jf.cancel(true) // interrupt so the permit frees when the call unblocks
+              jf.cancel(true) // interrupt so a RUNNING call unblocks + releases
+              if (claimed.compareAndSet(false, true))
+                permits.release() // never started: the release is ours
               Left(s"embed timed out after $budget (incl. ${policy.maxAttempts} attempts)")
             case e: java.util.concurrent.ExecutionException =>
               throw e.getCause // only fatal/interrupt escapes embedWithRetry

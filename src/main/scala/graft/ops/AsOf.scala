@@ -45,12 +45,18 @@ object AsOf {
 
     val side = "_asof_side"
     val matchStruct = "_asof_r"
+    // null keys never equi-match and null times never satisfy t' <= t, so
+    // such rows are dropped UP FRONT on both sides — without this, a
+    // null-time right row would sort FIRST (asc = nulls first) and wrongly
+    // match every left row that has no real prior right row
+    val lClean = left.filter(col(key).isNotNull && col(time).isNotNull)
+    val rClean = right.filter(col(key).isNotNull && col(time).isNotNull)
     // right rows carry their payload in ONE nullable struct so the window
     // needs a single last(); its time rides along as field `_asof_t`
-    val r = right.select(
+    val r = rClean.select(
       col(key), col(time), lit(0).as(side),
       struct((col(time).as("_asof_t") +: rPayload.map(col)): _*).as(matchStruct))
-    val l = left.withColumn(side, lit(1))
+    val l = lClean.withColumn(side, lit(1))
     // allowMissingColumns: left rows get a null match struct, right rows
     // get nulls for the left payload columns
     val merged = l.unionByName(r, allowMissingColumns = true)

@@ -24,21 +24,20 @@ object Skew {
     * `salt` reducers. Cost: small side shuffles `salt`×, so pick
     * salt ≈ (hot-key rows / target partition rows), not hundreds.
     */
-  /** The salt mixes the row's content hash with a per-row ordinal
-    * (`monotonically_increasing_id` = partition id ⧺ position): content
-    * alone would send BYTE-IDENTICAL rows — the degenerate hot key, one
-    * default record repeated millions of times — to a single reducer,
-    * defeating the mitigation exactly in the worst case. The ordinal is
+  /** The salt is a per-row ordinal round-robin
+    * (`monotonically_increasing_id` = partition id ⧺ position, mod salt):
+    * unique per row, so BYTE-IDENTICAL rows — the degenerate hot key, one
+    * default record repeated millions of times — spread too, and perfectly
+    * evenly (a content hash both fails on identical rows and costs a
+    * per-row hash of every column for no added guarantee). The ordinal is
     * deterministic for a given partitioning (a retried task re-reads its
     * partition in the same order, so attempts agree); across different
     * partitionings only the salt ASSIGNMENT changes, never join results,
     * since the small side matches every salt value. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val bigCols = big.columns.map(col)
     val b = big.withColumn("_salt",
-      pmod(xxhash64((bigCols :+ monotonically_increasing_id()).toSeq: _*),
-        lit(salt.toLong)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val s = small.withColumn("_salt",
       explode(array((0 until salt).map(lit): _*)))
     b.join(s, Seq(key, "_salt")).drop("_salt")
@@ -52,8 +51,7 @@ object Skew {
   def saltedCount(df: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
     df.withColumn("_salt",
-        pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
-          lit(salt.toLong)).cast("int"))
+        pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))

@@ -32,25 +32,42 @@ object VectorTable {
     * PUT mapping only when missing). Creates the table directory and a
     * `_schema.json` sidecar so consumers starting BEFORE the first batch
     * ([[readOrEmpty]]) can resolve the document schema. Safe to call on
-    * every job start; never touches data files. */
+    * every job start; never touches data files.
+    *
+    * Goes through the Hadoop FileSystem API resolved from the path — a
+    * `java.io.File` implementation would silently no-op on the object
+    * stores (s3a://, hdfs://) this sink targets in production. */
   def bootstrap(dir: String): Unit = {
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    val sidecar = new java.io.File(d, "_schema.json")
-    if (!sidecar.exists())
-      java.nio.file.Files.writeString(sidecar.toPath, schema.json)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    fs.mkdirs(path)
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_schema.json")
+    if (!fs.exists(sidecar)) {
+      val out = fs.create(sidecar, false)
+      try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** [[read]], but an empty bootstrapped table (no parquet files yet)
     * yields a 0-row DataFrame with the canonical schema instead of
-    * failing schema inference. */
+    * failing schema inference. Hadoop-FS-based for the same reason as
+    * [[bootstrap]]. */
   def readOrEmpty(spark: SparkSession, dir: String): DataFrame = {
-    def hasParquet(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
-        kids.exists(k => k.isDirectory && hasParquet(k))
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def hasParquet: Boolean = {
+      if (!fs.exists(path)) return false
+      val it = fs.listFiles(path, /* recursive = */ true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) return true
+      }
+      false
     }
-    if (hasParquet(new java.io.File(dir))) read(spark, dir)
+    if (hasParquet) read(spark, dir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

@@ -58,21 +58,24 @@ object StreamingOps {
     * 100 TB shape is many small per-key buffers, no global state.
     *
     * Same code runs batch (where the predicates are just a theta join), so
-    * the Spark-diff harness can equality-check streamed vs batch output. */
+    * the Spark-diff harness can equality-check streamed vs batch output.
+    *
+    * `idCol` names the per-row identifier both inputs carry (each side's is
+    * emitted as `l_<idCol>` / `r_<idCol>`). */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, lookback: String,
-                   watermark: String): DataFrame = {
+                   watermark: String, idCol: String = "event_id"): DataFrame = {
     val l = (if (left.isStreaming) left.withWatermark(tsCol, watermark) else left)
       .select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
-        col("event_id").as("l_event_id"))
+        col(idCol).as(s"l_$idCol"))
     val r = (if (right.isStreaming) right.withWatermark(tsCol, watermark) else right)
       .select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
-        col("event_id").as("r_event_id"))
+        col(idCol).as(s"r_$idCol"))
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
         col("r_ts") <= col("l_ts"))
-      .select(col("l_key").as(keyCol), col("l_event_id"), col("r_event_id"),
+      .select(col("l_key").as(keyCol), col(s"l_$idCol"), col(s"r_$idCol"),
         col("l_ts"), col("r_ts"))
   }
 

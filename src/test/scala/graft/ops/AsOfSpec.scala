@@ -30,6 +30,26 @@ class AsOfSpec extends AnyFunSuite {
       ("l-d", 49L, "r49")))
   }
 
+  test("as-of: null keys/times never match — and never poison real rows") {
+    // a null-time right row sorts FIRST under asc ordering; without the
+    // up-front null filter it would 'match' every left row that has no
+    // real prior right row, inventing pairs the DuckDB ASOF oracle rejects
+    val left = Seq(
+      (Option(1L), Option(3L), "l-early"),   // before r7, no valid match → dropped
+      (Option(1L), Option(10L), "l-late"),   // matches r7
+      (Option(1L), None, "l-null-t"),        // null time → dropped
+      (None, Option(9L), "l-null-k")         // null key → dropped
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Option(1L), None: Option[Long], "r-null-t"),
+      (Option(1L), Option(7L), "r7"),
+      (None, Option(1L), "r-null-k")
+    ).toDF("k", "t", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "t")
+      .select($"lv", $"rv").as[(String, String)].collect().toSet
+    assert(out === Set(("l-late", "r7")))
+  }
+
   test("as-of join equals an in-memory reference on seeded random data") {
     val rnd = new scala.util.Random(13)
     // small key/time domains force heavy collisions: exact ties, multiple

