@@ -1591,8 +1591,54 @@ object SparkEntry {
       Dedup.dedupByPairs(good, "doc_id", pairs).select(col("doc_id"))
     },
 
-    qNoOracle("q_fingerprint") { (s, d) =>
+    // Oracle-checked since round 3: DuckDB independently recomputes BOTH
+    // hashes from raw UTF-8 bytes — fnv64 of the whole text, and the full
+    // winnowing pipeline (byte 8-gram FNV hashes → sliding window-4 minima
+    // → distinct, sorted) — via the hex()/HUGEINT modular-arithmetic
+    // technique. Scoped to doc_id < 100 like q_ngram_jaccard so the
+    // byte-level SQL recomputation stays a bounded slice of the baseline.
+    q("q_fingerprint",
+      """WITH scoped AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS nb FROM scoped),
+        |bytes AS (
+        |  SELECT doc_id, nb, [ (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+        |              + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1
+        |              for i in range(1, nb + 1) ] AS bs
+        |  FROM b),
+        |content AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT, bs::HUGEINT[]),
+        |    (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) AS ch
+        |  FROM bytes),
+        |grams AS (
+        |  SELECT doc_id, nb,
+        |    [ list_reduce(list_prepend(14695981039346656037::HUGEINT, (bs[i:i+7])::HUGEINT[]),
+        |        (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+        |                    % 18446744073709551616::HUGEINT)
+        |      for i in range(1, nb - 8 + 2) ] AS hs
+        |  FROM bytes WHERE nb >= 8),
+        |signed AS (
+        |  SELECT doc_id, [ CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |        THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |        for h in hs ] AS hsig
+        |  FROM grams),
+        |wins AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    [ list_min(hsig[i:i+3])
+        |      for i in range(1, greatest(1, len(hsig) - 4 + 1) + 1) ])) AS fp
+        |  FROM signed)
+        |SELECT s.doc_id,
+        |  CAST(CASE WHEN c.ch >= 9223372036854775808::HUGEINT
+        |       THEN c.ch - 18446744073709551616::HUGEINT ELSE c.ch END AS BIGINT) AS content_hash,
+        |  array_to_string(w.fp, ',') AS fingerprints
+        |FROM scoped s
+        |JOIN content c ON c.doc_id = s.doc_id
+        |JOIN wins w ON w.doc_id = s.doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
         .select(col("doc_id"), fnv64(col("text")).as("content_hash"),
           concat_ws(",", transform(winnow_fingerprint(col("text"), 8, 4),
             _.cast("string"))).as("fingerprints"))
