@@ -49,6 +49,20 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** [[contentDedup]] with late-replay tolerance: `dropDuplicates` evicts a
+    * key's state exactly at the watermark, so a duplicate arriving late-
+    * but-within-watermark after its original was evicted would be emitted
+    * AGAIN. `dropDuplicatesWithinWatermark` keeps each key's state for the
+    * full watermark horizon past its last sighting — the correct semantics
+    * when the duplicate source is an at-least-once REPLAY (the reference's
+    * failure mode) rather than perfectly ordered re-arrival. */
+  def contentDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
+                                  watermark: String): DataFrame =
+    df.withColumn("content_hash",
+        graft.functions.GraftFunctions.fnv64(lower(trim(col(textCol)))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Stream–stream interval join: each left event matched to right events
     * of the same user within `[left.ts − lookback, left.ts]`. The time-range
     * predicate + both-side watermarks are what make this runnable as a

@@ -40,4 +40,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(7) >= 1)
     assert(r.getInt(8) === 2)
   }
+
+  test("pure-SQL surface end-to-end: registered views + graft functions ≡ DataFrame API") {
+    // the way a SQL-first user consumes the engine: tables as views, graft
+    // expressions by name, the whole query in one spark.sql — results must
+    // be identical to the DataFrame formulation of the same dedup query
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.documents(spark, TestSpark.sf).createOrReplaceTempView("v_documents")
+    try {
+      val sql = spark.sql(
+        """SELECT fnv64(concat_ws(' ', filter(
+          |         split(lower(trim(text)), '\\s+'), t -> t != ''))) AS content_hash,
+          |  count(*) AS n_dups, min(doc_id) AS keeper_id
+          |FROM v_documents
+          |GROUP BY 1 HAVING count(*) > 1""".stripMargin)
+      val api = graft.ops.Dedup.exact(
+          Tables.documents(spark, TestSpark.sf), "text", "doc_id")
+        .select("content_hash", "n_dups", "keeper_id")
+      assert(sql.collect().map(_.toString).sorted.toSeq ===
+        api.collect().map(_.toString).sorted.toSeq)
+    } finally spark.catalog.dropTempView("v_documents")
+  }
 }

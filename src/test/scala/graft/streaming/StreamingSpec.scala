@@ -125,6 +125,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.sorted == Seq("one fish", "two fish"), s"got $texts")
   }
 
+  test("dedup within watermark suppresses a LATE replayed duplicate") {
+    // the at-least-once replay failure mode: the duplicate arrives with an
+    // OLD timestamp after the watermark has advanced past it (but within
+    // the horizon) — dropDuplicatesWithinWatermark keeps the key's state
+    // alive long enough to suppress it
+    val ms = MemoryStream[(String, java.sql.Timestamp)](spark)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val out = nextSink()
+    val q = StreamingOps.contentDedupWithinWatermark(
+        ms.toDF().toDF("text", "ts"), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData(Seq(("replayed doc", ts("2024-01-01 10:00:00"))))
+      q.processAllAvailable()
+      ms.addData(Seq(("advancer", ts("2024-01-01 10:45:00"))))
+      q.processAllAvailable()
+      // replay of the first record, original timestamp, behind the current
+      // max event time but inside the 1 h watermark horizon
+      ms.addData(Seq(("replayed doc", ts("2024-01-01 10:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val texts = spark.table(out).select("text").as[String].collect().toSeq
+    assert(texts.sorted == Seq("advancer", "replayed doc"), s"got $texts")
+  }
+
+  test("streaming progress exposes state-store and watermark metrics (observability)") {
+    val ms = MemoryStream[EventRow](spark)
+    val out = nextSink()
+    val q = StreamingOps.tumblingAgg(
+        ms.toDF().withWatermark("ts", "10 minutes"), "ts", "1 hour")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData(chunks.head); q.processAllAvailable()
+      ms.addData(Seq(sentinel())); q.processAllAvailable()
+      val p = q.lastProgress
+      assert(p != null)
+      // the stateful agg reports its state store: rows kept, memory used
+      assert(p.stateOperators.nonEmpty)
+      assert(p.stateOperators.head.numRowsTotal > 0)
+      assert(p.stateOperators.head.memoryUsedBytes > 0)
+      // event-time watermark is tracked and advancing
+      assert(p.eventTime.get("watermark") != null)
+      assert(p.sources.nonEmpty && p.sink != null)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running counters converge to batch totals") {
     val ms = MemoryStream[EventRow](spark)
     val out = nextSink()
