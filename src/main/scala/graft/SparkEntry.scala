@@ -1633,10 +1633,10 @@ object SparkEntry {
         |SELECT s.doc_id,
         |  CAST(CASE WHEN c.ch >= 9223372036854775808::HUGEINT
         |       THEN c.ch - 18446744073709551616::HUGEINT ELSE c.ch END AS BIGINT) AS content_hash,
-        |  array_to_string(w.fp, ',') AS fingerprints
+        |  coalesce(array_to_string(w.fp, ','), '') AS fingerprints
         |FROM scoped s
-        |JOIN content c ON c.doc_id = s.doc_id
-        |JOIN wins w ON w.doc_id = s.doc_id""".stripMargin) { (s, d) =>
+        |LEFT JOIN content c ON c.doc_id = s.doc_id
+        |LEFT JOIN wins w ON w.doc_id = s.doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), fnv64(col("text")).as("content_hash"),

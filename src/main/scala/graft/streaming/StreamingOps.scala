@@ -39,28 +39,36 @@ object StreamingOps {
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("user_id"), col("n"), col("total"))
 
+  private def hashedWithWatermark(df: DataFrame, textCol: String,
+                                  tsCol: String, watermark: String): DataFrame =
+    df.withColumn("content_hash",
+        graft.functions.GraftFunctions.fnv64(lower(trim(col(textCol)))))
+      .withWatermark(tsCol, watermark)
+
   /** Content-hash streaming dedup — the replay-safe fix for the
     * reference's uuid-identity duplicate leak (SURVEY §2a O2/O5):
-    * identical `text` within the watermark horizon is emitted once. */
+    * identical `text` is emitted once, EVER. State caveat: because the
+    * dedup subset is the key alone (no event-time column),
+    * `dropDuplicates` never evicts this state — exactly-once-per-content
+    * forever, at the cost of state that grows with distinct contents.
+    * For a watermark-BOUNDED state footprint use
+    * [[contentDedupWithinWatermark]]. */
   def contentDedup(df: DataFrame, textCol: String, tsCol: String,
                    watermark: String): DataFrame =
-    df.withColumn("content_hash",
-        graft.functions.GraftFunctions.fnv64(lower(trim(col(textCol)))))
-      .withWatermark(tsCol, watermark)
+    hashedWithWatermark(df, textCol, tsCol, watermark)
       .dropDuplicates("content_hash")
 
-  /** [[contentDedup]] with late-replay tolerance: `dropDuplicates` evicts a
-    * key's state exactly at the watermark, so a duplicate arriving late-
-    * but-within-watermark after its original was evicted would be emitted
-    * AGAIN. `dropDuplicatesWithinWatermark` keeps each key's state for the
-    * full watermark horizon past its last sighting — the correct semantics
-    * when the duplicate source is an at-least-once REPLAY (the reference's
-    * failure mode) rather than perfectly ordered re-arrival. */
+  /** [[contentDedup]] with a BOUNDED state footprint:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only until the
+    * watermark passes its last sighting plus the horizon, then EVICTS it —
+    * so state scales with the duplicate-arrival window, not with every
+    * distinct content ever seen. Replays within the horizon (the
+    * at-least-once failure mode) are still suppressed; a duplicate
+    * arriving after eviction would be re-emitted, the explicit trade for
+    * bounded state at 100 TB stream volumes. */
   def contentDedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
                                   watermark: String): DataFrame =
-    df.withColumn("content_hash",
-        graft.functions.GraftFunctions.fnv64(lower(trim(col(textCol)))))
-      .withWatermark(tsCol, watermark)
+    hashedWithWatermark(df, textCol, tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Stream–stream interval join: each left event matched to right events

@@ -125,11 +125,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.sorted == Seq("one fish", "two fish"), s"got $texts")
   }
 
-  test("dedup within watermark suppresses a LATE replayed duplicate") {
-    // the at-least-once replay failure mode: the duplicate arrives with an
-    // OLD timestamp after the watermark has advanced past it (but within
-    // the horizon) — dropDuplicatesWithinWatermark keeps the key's state
-    // alive long enough to suppress it
+  test("dedup within watermark: replay suppressed AND state actually evicted") {
+    // plain dropDuplicates on a key-only subset would ALSO suppress every
+    // replay (its state is never evicted) — what discriminates the
+    // within-watermark variant is the second half: state-store rows DROP
+    // once the watermark passes lastSeen + horizon, bounding state
     val ms = MemoryStream[(String, java.sql.Timestamp)](spark)
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val out = nextSink()
@@ -141,13 +141,28 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       ms.addData(Seq(("advancer", ts("2024-01-01 10:45:00"))))
       q.processAllAvailable()
-      // replay of the first record, original timestamp, behind the current
-      // max event time but inside the 1 h watermark horizon
+      // replay: original timestamp, behind current max event time but
+      // inside the 1 h horizon → suppressed
       ms.addData(Seq(("replayed doc", ts("2024-01-01 10:00:00"))))
       q.processAllAvailable()
+      val rowsBefore = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rowsBefore >= 2, s"expected both keys in state, got $rowsBefore")
+      // push the watermark far past every key's lastSeen + horizon; one
+      // more batch lets the eviction land in the state store
+      ms.addData(Seq(("far future", ts("2024-01-01 15:00:00"))))
+      q.processAllAvailable()
+      ms.addData(Seq(("further", ts("2024-01-01 16:00:00"))))
+      q.processAllAvailable()
+      // 4 distinct contents were seen; plain dropDuplicates would hold all
+      // 4 in state forever. The within-watermark variant must have evicted
+      // the two whose lastSeen + horizon fell behind the 15:00 watermark.
+      val rowsAfter = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rowsAfter <= 2,
+        s"expired keys must leave the state store: $rowsBefore -> $rowsAfter (4 keys seen)")
     } finally q.stop()
     val texts = spark.table(out).select("text").as[String].collect().toSeq
-    assert(texts.sorted == Seq("advancer", "replayed doc"), s"got $texts")
+    assert(texts.sorted ==
+      Seq("advancer", "far future", "further", "replayed doc"), s"got $texts")
   }
 
   test("streaming progress exposes state-store and watermark metrics (observability)") {
