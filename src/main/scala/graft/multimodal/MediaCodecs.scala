@@ -45,6 +45,31 @@ object ImageCodec {
     dst
   }
 
+  /** 64-bit difference hash (dHash), the standard perceptual fingerprint
+    * for image near-dup detection: bilinear-downscale to 9×8 luminance,
+    * then bit (x, y) = "pixel brighter than its right neighbour". Robust
+    * to re-encoding, mild resizing and noise; Hamming distance between
+    * dHashes ranks perceptual similarity — feed through
+    * [[graft.ops.Dedup.hammingNearDups]] exactly like a text simhash. */
+  def dHash(img: BufferedImage): Long = {
+    val small = resize(img, 9, 8)
+    var out = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        def lum(px: Int): Double = {
+          val rgb = small.getRGB(px, y)
+          0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        }
+        if (lum(x) > lum(x + 1)) out |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Normalized luminance histogram — a real, deterministic fixed-width
     * image feature (the classic pre-deep-learning descriptor). */
   def luminanceHistogram(img: BufferedImage, bins: Int): Array[Float] = {

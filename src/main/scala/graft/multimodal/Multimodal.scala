@@ -174,6 +174,25 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image near-dup pairs: decode → 64-bit dHash per image →
+    * the SAME chunk-blocked Hamming join the text path uses
+    * ([[graft.ops.Dedup.hammingNearDups]]) — multimodal dedup rides the
+    * scale-hardened text machinery, payload bytes never shuffle (only
+    * (id, hash64) rows reach the exchange). Undecodable images are skipped
+    * (they can't be perceptual near-dups of anything). */
+  def imageNearDups(media: Dataset[MediaRecord], maxHamming: Int = 6,
+                    batchSize: Int = 64): org.apache.spark.sql.DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.filter(_.meta.media_type == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        try Some((r.media_id, ImageCodec.dHash(ImageCodec.decode(r.payload))))
+        catch { case scala.util.control.NonFatal(_) => None }
+      })
+    }.toDF("media_id", "dhash")
+    graft.ops.Dedup.hammingNearDups(hashed, "media_id", "dhash", maxHamming)
+  }
+
   /** REAL frequency-domain audio features: per-band spectrum + spectral
     * centroid over the decoded PCM (fixed width `bins + 1`). Only audio
     * rows are emitted. */

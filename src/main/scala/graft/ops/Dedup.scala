@@ -176,22 +176,21 @@ object Dedup {
     starPairs.withColumn("jaccard", lit(1.0)).unionByName(nearPairs)
   }
 
-  /** SimHash near-dups: block on each of the four 16-bit chunks of the
-    * 64-bit simhash (any pair with Hamming ≤ 3 shares at least one chunk),
-    * verify Hamming distance ≤ maxHamming. Same composition as
-    * [[minhashNearDups]]: exact duplicates collapse to a representative
-    * first (they share all four chunks — the worst bucket saturators), and
-    * the chunk-blocked pairing runs over representatives only. */
-  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    val (starPairs, repDocs) = collapseExact(df, idCol, contentKey(col(textCol)))
-    val sh = repDocs.select(col(idCol), simhash64(tokens(col(textCol))).as("_sh"))
+  /** Hamming near-dup pairs over ANY 64-bit fingerprint column: block on
+    * each of the four 16-bit chunks (pigeonhole: any pair with Hamming ≤ 3
+    * shares at least one chunk; larger `maxHamming` trades a little recall
+    * for the same bounded cost), then verify exact Hamming distance within
+    * buckets. The generic core shared by text SimHash and image dHash —
+    * input is just (id, hash64). Bucket elements carry (id, hash) so
+    * verification needs no join back. */
+  def hammingNearDups(hashed: DataFrame, idCol: String, hashCol: String,
+                      maxHamming: Int, maxBucket: Int = 4096): DataFrame = {
+    val sh = hashed.select(col(idCol), col(hashCol).as("_sh"))
     val banded = sh.select(col(idCol), col("_sh"), posexplode(
       array(Seq.tabulate(4)(i =>
         shiftrightunsigned(col("_sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    // bucket elements carry (id, simhash) so verification needs no join back
-    val nearPairs = bucketPairs(bucketed(banded, struct(col(idCol), col("_sh")), maxBucket),
+    bucketPairs(bucketed(banded, struct(col(idCol), col("_sh")), maxBucket),
         "_elems")
       .select(col("_a").getField(idCol).as("id_a"),
         col("_b").getField(idCol).as("id_b"),
@@ -199,6 +198,19 @@ object Dedup {
           .bitwiseXOR(col("_b").getField("_sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dups: [[hammingNearDups]] over the 64-bit text simhash.
+    * Same composition as [[minhashNearDups]]: exact duplicates collapse to
+    * a representative first (they share all four chunks — the worst bucket
+    * saturators), and the chunk-blocked pairing runs over representatives
+    * only. */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val (starPairs, repDocs) = collapseExact(df, idCol, contentKey(col(textCol)))
+    val nearPairs = hammingNearDups(
+      repDocs.select(col(idCol), simhash64(tokens(col(textCol))).as("_h64")),
+      idCol, "_h64", maxHamming, maxBucket)
     starPairs.withColumn("hamming", lit(0)).unionByName(nearPairs)
   }
 

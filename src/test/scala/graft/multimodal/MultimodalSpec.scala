@@ -148,6 +148,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.features.toSeq == feats.toSeq)
   }
 
+  test("perceptual image near-dups: noisy/re-encoded copies pair, distinct images don't") {
+    val rnd = new java.util.Random(23)
+    // base images: sinusoidal patterns with DISTINCT frequencies and
+    // orientations — monotone gradients would all hash identically (every
+    // "brighter than right neighbour" bit equal), sinusoids flip different
+    // neighbour comparisons per frequency, and the structure survives the
+    // 9×8 downscale (pure noise would not)
+    def pattern(seed: Int, w: Int = 64, h: Int = 48): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val (fx, fy) = (1.0 + seed % 4, 1.0 + (seed / 4) % 4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val s = math.sin(2 * math.Pi * (fx * x / w + fy * y / h + seed * 0.17))
+        val v = math.min(255, math.max(0, (128 + 120 * s).toInt))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def noisy(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val v0 = img.getRGB(x, y) & 0xff
+        val v = math.min(255, math.max(0, v0 + rnd.nextInt(9) - 4))
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      out
+    }
+    def rec(id: Long, img: java.awt.image.BufferedImage) =
+      Multimodal.MediaRecord(id, ImageCodec.encodePng(img),
+        Multimodal.MediaMeta("image", img.getWidth, img.getHeight, 0, 0L, "png"))
+    val bases = Seq(pattern(1), pattern(6), pattern(11), pattern(14))
+    val records =
+      bases.zipWithIndex.map { case (b, i) => rec(i.toLong, b) } ++
+      Seq(rec(100L, noisy(bases(0))),                       // noisy copy of 0
+          rec(101L, ImageCodec.resize(bases(1), 48, 36)))   // rescaled copy of 1
+    val pairs = Multimodal.imageNearDups(records.toDS(), maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), s"noisy copy must pair: $pairs")
+    assert(pairs.contains((1L, 101L)), s"rescaled copy must pair: $pairs")
+    // no cross-pairs between distinct base images
+    assert(!pairs.exists { case (a, b) => (a % 100) != (b % 100) },
+      s"distinct images must not pair: $pairs")
+  }
+
   test("real video frames: animated GIF decodes to per-frame pixels, sampled evenly") {
     // 9-frame animated GIF, frame f filled with a distinct gray level
     val gifFrames = (0 until 9).map { f =>
