@@ -83,8 +83,13 @@ object Bench {
         R(name, math.min(w1, math.min(w2, w3)), cold, e1.orElse(e2).orElse(e3))
       }
     }
+    // Millisecond precision keeps the headline line compact: the driver
+    // archives a bounded log TAIL (~3 KB), and round 3's line — two
+    // 77-entry maps at full double precision, ~5.5 KB — overflowed it,
+    // truncating the leading '{' and leaving the artifact unparseable.
+    def sec3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def m(f: R => Double) =
-      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+      results.map(r => "\"" + r.name + "\":" + sec3(f(r))).mkString("{", ",", "}")
     // A crashed query's elapsed time is NOT a legitimate timing — surface it.
     // Full JSON string escaping: AnalysisException messages routinely carry
     // newlines, which would break the one-JSON-line driver contract.
@@ -102,17 +107,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_.warm).sum
     val coldTotal = results.map(_.cold).sum
-    // Warm headline fields go LAST on the line: the driver archives the log
-    // TAIL, and round 2's artifact kept only the leading cold map — the warm
-    // total the target races was cut off. Tail-truncation now loses cold
-    // detail first, never the headline.
     val oracleNames = SparkEntry.oracleSql.keySet
     val oracleTotal = results.filter(r => oracleNames(r.name)).map(_.warm).sum
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"cold_value":$coldTotal,"cold_queries":${m(_.cold)},"oracle_value":$oracleTotal,"queries":${m(_.warm)},"value":$total}"""
+    // Cold detail goes on its OWN earlier line — tail truncation may eat it,
+    // never the headline. The headline line is the LAST stdout line and is
+    // kept under ~2 KB so the whole line survives inside the tail window.
+    val coldLine =
+      s"""{"metric":"cold","unit":"sec","sf":"$sfDir","cold_queries":${m(_.cold)},"cold_value":${sec3(coldTotal)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"queries":${m(_.warm)},"value":${sec3(total)}}"""
     // self-contained artifact: also write the full JSON next to the log tail
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        coldLine + "\n" + line + "\n")
     }
+    println(coldLine)
     println(line)
     spark.stop()
   }

@@ -819,6 +819,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
     },
 
+    // Oracle gotcha: DuckDB's sum over integers yields HUGEINT, which the
+    // driver's pandas bridge renders as float64 ("1.0" vs Spark's "1") —
+    // hash-mismatch with identical values. Every integer sum exposed in an
+    // oracle result must be CAST to BIGINT.
     q("q_sessionize",
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, value,
@@ -831,9 +835,10 @@ object SparkEntry {
         |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
         |sessions AS (
         |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id
         |                      ORDER BY CAST(ts AS TIMESTAMP), event_id
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,

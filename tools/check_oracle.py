@@ -53,7 +53,20 @@ def main():
             n_fail += 1
             continue
         try:
-            exp = con.execute(sql).fetch_arrow_table()
+            rel = con.sql(sql)
+            # The driver's bridge goes through pandas, where DuckDB HUGEINT /
+            # unsigned types become float64 ("1.0" vs Spark's "1") and
+            # hash-mismatch despite equal values. Arrow's to_pylist hides
+            # this (HUGEINT -> python int), so guard on the DuckDB type.
+            widened = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                       if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT",
+                                     "UINTEGER", "USMALLINT", "UTINYINT")]
+            if widened:
+                print(f"FAIL {name}: oracle column(s) {widened} would reach "
+                      f"the driver as float64 — CAST to BIGINT in the SQL")
+                n_fail += 1
+                continue
+            exp = rel.fetch_arrow_table()
             exp_cols = sorted(exp.column_names)
             exp_rows = canon([tuple(d[c] for c in exp_cols) for d in exp.to_pylist()], exp_cols)
         except Exception as e:
