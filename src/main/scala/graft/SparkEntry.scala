@@ -1504,19 +1504,25 @@ object SparkEntry {
         |  FROM votes),
         |chunks AS (
         |  SELECT doc_id,
-        |    (sh >> 0) & 65535 AS c0,
-        |    (sh >> 16) & 65535 AS c1,
-        |    (sh >> 32) & 65535 AS c2,
-        |    (sh >> 48) & 65535 AS c3
+        |    (sh >> 0) & 255 AS c0,  (sh >> 8) & 255 AS c1,
+        |    (sh >> 16) & 255 AS c2, (sh >> 24) & 255 AS c3,
+        |    (sh >> 32) & 255 AS c4, (sh >> 40) & 255 AS c5,
+        |    (sh >> 48) & 255 AS c6, (sh >> 56) & 255 AS c7
         |  FROM sim),
         |near AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
-        |       + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INT) AS hamming
+        |       + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+        |       + bit_count(xor(a.c4, b.c4)) + bit_count(xor(a.c5, b.c5))
+        |       + bit_count(xor(a.c6, b.c6)) + bit_count(xor(a.c7, b.c7)) AS INT) AS hamming
         |  FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
-        |   AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
+        |   AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3
+        |     OR a.c4 = b.c4 OR a.c5 = b.c5 OR a.c6 = b.c6 OR a.c7 = b.c7))
         |SELECT id_a, id_b, hamming FROM near WHERE hamming <= 10
         |UNION ALL SELECT id_a, id_b, hamming FROM star""".stripMargin) { (s, d) =>
+      // maxHamming 10 > 3 selects the operator's 8×8-bit chunk blocking
+      // (recall exact through Hamming 7, candidate-recall trade past it);
+      // the oracle mirrors the identical 8-chunk blocking above.
       Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id", maxHamming = 10)
     },
 

@@ -22,35 +22,56 @@ object Tables {
     * removes that repeated driver-side I/O; filters/column pruning still
     * plan per query against the shared relation.
     *
-    * Weakly keyed by session: a stopped session's relations (and the
-    * session itself) become collectable instead of pinning driver memory
-    * for the JVM lifetime. The cached file listing assumes these dataset
-    * dirs are IMMUTABLE (true for the generated testdata); call
-    * [[invalidate]] after rewriting a directory in-process. */
+    * Keyed by `sessionUUID` — a plain string that does NOT reference the
+    * session (a WeakHashMap keyed by the session would never collect:
+    * each cached DataFrame strongly references its session, the exact
+    * value→key cycle the WeakHashMap javadoc warns about). Classic-mode
+    * sessions cannot outlive their SparkContext, so an application-end
+    * listener clears the cache when the context stops; within an
+    * application's lifetime entries persist like a catalog's would, and
+    * [[invalidate]] drops them early. The cached file listing assumes
+    * these dataset dirs are IMMUTABLE (true for the generated testdata);
+    * call [[invalidate]] after rewriting a directory in-process. */
   private val relationCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    scala.collection.concurrent.TrieMap
+      .empty[String, scala.collection.concurrent.TrieMap[String, DataFrame]]
+  private val hookedApps = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Session identity as a plain string: a UUID stamped into the session's
+    * runtime conf on first use. `newSession()` starts from fresh session
+    * state, so sibling sessions get distinct tokens. */
+  private def sessionToken(spark: SparkSession): String = synchronized {
+    spark.conf.getOption("graft.session.token").getOrElse {
+      val t = java.util.UUID.randomUUID().toString
+      spark.conf.set("graft.session.token", t)
+      t
+    }
+  }
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val perSession = relationCache.synchronized {
-      var m = relationCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        relationCache.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(s"$sfDir/$table.parquet",
-      spark.read.parquet(s"$sfDir/$table.parquet"))
+    val sc = spark.sparkContext
+    if (hookedApps.putIfAbsent(sc.applicationId, ()).isEmpty)
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          relationCache.clear(); hookedApps.clear()
+        }
+      })
+    relationCache
+      .getOrElseUpdate(sessionToken(spark),
+        scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(s"$sfDir/$table.parquet",
+        spark.read.parquet(s"$sfDir/$table.parquet"))
   }
 
   /** Drop cached relations for a session (all of them, or one path). */
-  def invalidate(spark: SparkSession, path: Option[String] = None): Unit =
-    relationCache.synchronized {
-      path match {
-        case Some(p) => Option(relationCache.get(spark)).foreach(_.remove(p))
-        case None    => relationCache.remove(spark)
-      }
+  def invalidate(spark: SparkSession, path: Option[String] = None): Unit = {
+    val token = sessionToken(spark)
+    path match {
+      case Some(p) => relationCache.get(token).foreach(_.remove(p))
+      case None    => relationCache.remove(token)
     }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

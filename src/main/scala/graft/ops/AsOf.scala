@@ -42,6 +42,11 @@ object AsOf {
     val rPayload = right.columns.filterNot(c => c == key || c == time)
     val clash = rPayload.intersect(left.columns)
     require(clash.isEmpty, s"right payload columns collide with left: ${clash.mkString(",")}")
+    // the merge plan's internal columns are reserved — an input column named
+    // _asof_* would be silently shadowed or break resolution deep in the plan
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("_asof_"))
+    require(reserved.isEmpty,
+      s"input columns use reserved _asof_* names: ${reserved.distinct.mkString(",")}")
 
     val side = "_asof_side"
     val matchStruct = "_asof_r"

@@ -16,9 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed, per-bucket-sorted table named `table`.
-    * `overwrite` replaces an existing layout. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    * `overwrite` replaces an existing layout; with it false, an existing
+    * table of that name is an error rather than silently clobbered. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 

@@ -16,8 +16,9 @@ import graft.functions.GraftFunctions._
   *    Shuffle cost is rows × bands small (band-hash, id) pairs; candidate
   *    verification joins back only the candidate ids. Standard web-scale
   *    near-dup (the GPT-3/C4 recipe).
-  *  - [[simhashNearDups]] — 64-bit SimHash, block on 16-bit chunks
-  *    (Hamming ≤ 3 ⇒ some chunk equal, pigeonhole), verify Hamming.
+  *  - [[simhashNearDups]] — 64-bit SimHash, block on equal-width chunks
+  *    (pigeonhole: Hamming ≤ chunks−1 ⇒ some chunk equal; 4×16-bit or
+  *    8×8-bit by radius), verify Hamming.
   *  - [[jaccardPairs]] — exact n-gram Jaccard via inverted-index join:
   *    explode tokens, pair docs sharing a token, count intersections —
   *    no cross join anywhere, so it scales with corpus token mass, not
@@ -177,18 +178,26 @@ object Dedup {
   }
 
   /** Hamming near-dup pairs over ANY 64-bit fingerprint column: block on
-    * each of the four 16-bit chunks (pigeonhole: any pair with Hamming ≤ 3
-    * shares at least one chunk; larger `maxHamming` trades a little recall
-    * for the same bounded cost), then verify exact Hamming distance within
-    * buckets. The generic core shared by text SimHash and image dHash —
+    * equal-width chunks (pigeonhole: any pair with Hamming ≤ chunks−1
+    * shares at least one chunk), then verify exact Hamming distance within
+    * buckets. Chunk count adapts to the requested radius: 4×16-bit for
+    * `maxHamming` ≤ 3 (most selective bands), 8×8-bit above (recall exact
+    * through Hamming 7). Beyond 7, 8-chunk blocking is a RECALL TRADE —
+    * a pair whose differing bits span all eight chunks is missed — kept
+    * deliberately: ≥16 chunks of ≤4 bits collide half the corpus into
+    * every bucket, which is the all-pairs join this operator exists to
+    * avoid. The generic core shared by text SimHash and image dHash —
     * input is just (id, hash64). Bucket elements carry (id, hash) so
     * verification needs no join back. */
   def hammingNearDups(hashed: DataFrame, idCol: String, hashCol: String,
                       maxHamming: Int, maxBucket: Int = 4096): DataFrame = {
+    val nChunks = if (maxHamming <= 3) 4 else 8
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
     val sh = hashed.select(col(idCol), col(hashCol).as("_sh"))
     val banded = sh.select(col(idCol), col("_sh"), posexplode(
-      array(Seq.tabulate(4)(i =>
-        shiftrightunsigned(col("_sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      array(Seq.tabulate(nChunks)(i =>
+        shiftrightunsigned(col("_sh"), i * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
     bucketPairs(bucketed(banded, struct(col(idCol), col("_sh")), maxBucket),
         "_elems")
@@ -202,7 +211,7 @@ object Dedup {
 
   /** SimHash near-dups: [[hammingNearDups]] over the 64-bit text simhash.
     * Same composition as [[minhashNearDups]]: exact duplicates collapse to
-    * a representative first (they share all four chunks — the worst bucket
+    * a representative first (they share every chunk — the worst bucket
     * saturators), and the chunk-blocked pairing runs over representatives
     * only. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
