@@ -108,6 +108,23 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).toArray
     }
 
+  /** Shared ANN-probe contract aggregate (see the q_ivf_knn/q_lsh_knn
+    * oracle comment): one row of (n_in_bounds, top1_id, top1_score,
+    * scores_exact) over an ANN result of (ann_id, score). The join back to
+    * the corpus recomputes each emitted id's true cosine independently of
+    * whatever score the candidate machinery attached to it. */
+  private def annContract(ann: DataFrame, corpus: DataFrame,
+                          probe: Array[Float], k: Int): DataFrame =
+    ann.join(corpus.select(col("vec_id").as("_cid"), col("embedding")),
+        col("ann_id") === col("_cid"))
+      .select(col("ann_id"), col("score"),
+        round(cosine_sim(col("embedding"), typedLit(probe)), 6).as("_true"))
+      .agg(
+        count(lit(1)).between(1, k).as("n_in_bounds"),
+        max_by(col("ann_id"), struct(col("score"), -col("ann_id"))).as("top1_id"),
+        max(col("score")).as("top1_score"),
+        bool_and(col("score") === col("_true")).as("scores_exact"))
+
   // ---------------------------------------------------------------- flagship
 
   /** Flagship: the reference's full RAG topology on sf0.001 —
@@ -1681,7 +1698,24 @@ object SparkEntry {
             .as("in_bounds"))
     },
 
-    qNoOracle("q_ivf_knn") { (s, d) =>
+    // ANN oracles (validation-aggregate): the LSH/IVF candidate set is not
+    // SQL-expressible, but the probe CONTRACT is — (a) the global argmax
+    // neighbor (the probe vector itself, or any exact-duplicate with a
+    // smaller id) must surface with its exact cosine (true value equality,
+    // DuckDB computes the argmax independently); (b) every emitted score
+    // must be the true cosine of the id it is attached to (join-back
+    // recompute); (c) the result is non-empty and ≤ k. Candidate-recall on
+    // planted structure is DedupKnnSpec's job.
+    q("q_ivf_knn",
+      """WITH probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
+        |  FROM embeddings, probe)
+        |SELECT CAST(1 AS BOOLEAN) AS n_in_bounds,
+        |  vec_id AS top1_id, sim AS top1_score,
+        |  CAST(1 AS BOOLEAN) AS scores_exact
+        |FROM sims ORDER BY sim DESC, vec_id LIMIT 1""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       // index-build artifacts (coarse quantizer, probe vector) are built
       // once per dataset and amortized across every probe in a real
@@ -1692,28 +1726,62 @@ object SparkEntry {
           .map(_.getSeq[Float](0).toArray)
         Knn.trainCentroids(sample, nCells = 16)
       }
-      Knn.ivfSearch(Knn.ivfAssign(e, "embedding", centroids),
-          "embedding", "vec_id", centroids, probeVector(s, d), 10, nProbe = 4)
-        .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      val probe = probeVector(s, d)
+      val ann = Knn.ivfSearch(Knn.ivfAssign(e, "embedding", centroids),
+          "embedding", "vec_id", centroids, probe, 10, nProbe = 4)
+        .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
+      annContract(ann, e, probe, k = 10)
     },
 
-    qNoOracle("q_lsh_knn") { (s, d) =>
-      Knn.lshBucketed(Tables.embeddings(s, d), "embedding", "vec_id",
-          probeVector(s, d), 10, dim = 64)
-        .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+    q("q_lsh_knn",
+      """WITH probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
+        |  FROM embeddings, probe)
+        |SELECT CAST(1 AS BOOLEAN) AS n_in_bounds,
+        |  vec_id AS top1_id, sim AS top1_score,
+        |  CAST(1 AS BOOLEAN) AS scores_exact
+        |FROM sims ORDER BY sim DESC, vec_id LIMIT 1""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = probeVector(s, d)
+      val ann = Knn.lshBucketed(e, "embedding", "vec_id", probe, 10, dim = 64)
+        .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
+      annContract(ann, e, probe, k = 10)
     },
 
-    qNoOracle("q_rag_pipeline") { (s, d) =>
+    // Pipeline oracle (validation-aggregate): per-row compare is impossible
+    // (`_id` is uuid-v4 by reference semantics), so the output is the
+    // pipeline's CONTRACT — row count equals the O3-filtered document count
+    // (only NULL/empty text drops; whitespace-only passes), ids are unique
+    // and uuid-v4-shaped, every embedding has the titan-v2 dim, every date
+    // parsed to the wire timestamp, and distinct texts pass through
+    // unchanged. Spark MEASURES each; the SQL side computes the counts
+    // independently and STATES the booleans — any violation breaks the
+    // driver's hash. Full-vector embedding determinism is PipelineSpec's.
+    q("q_rag_pipeline",
+      """WITH valid AS (
+        |  SELECT text FROM documents WHERE text IS NOT NULL AND text <> '')
+        |SELECT count(*) AS n_docs, count(*) AS n_ids,
+        |  CAST(1 AS BOOLEAN) AS all_uuid_v4,
+        |  CAST(1 AS BOOLEAN) AS all_dim_1024,
+        |  CAST(1 AS BOOLEAN) AS all_dates_parsed,
+        |  count(DISTINCT text) AS n_texts
+        |FROM valid""".stripMargin) { (s, d) =>
       val raw = Tables.documents(s, d).select(
         to_json(struct(col("text"),
           lit("2024-01-01T12:00:00.000Z").as("created_at"))).as("value"))
       graft.pipeline.RagPipeline.batch(raw, graft.embed.StubEmbeddingProvider("titan-v2"))
-        // driver rows-check glue: dim + a 4-dim prefix prove the embedding
-        // shape without CSV-encoding 1024 floats × 5000 rows in the bench's
-        // timed region (full-vector determinism is PipelineSpec's job)
-        .select(col("_id"), col("text"), col("date"),
-          size(col("passage_embedding")).as("dim"),
-          arrCsv(slice(col("passage_embedding"), 1, 4), 100000L).as("embedding_head"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("_id")).as("n_ids"),
+          bool_and(col("_id").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"))
+            .as("all_uuid_v4"),
+          bool_and(size(col("passage_embedding")) === 1024).as("all_dim_1024"),
+          bool_and(col("date") ===
+            lit("2024-01-01 12:00:00").cast("timestamp")).as("all_dates_parsed"),
+          countDistinct(col("text")).as("n_texts"))
     })
 
   // ------------------------------------------------------------------ export
