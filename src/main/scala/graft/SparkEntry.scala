@@ -57,9 +57,18 @@ object SparkEntry {
     * balance the two component bounds.) DECIMAL(38)→double uses the same
     * round-half-even as DuckDB's exact HUGEINT sum→double, so oracle
     * hashes still match. */
+  /** Round half-away-from-zero in plain double arithmetic. Spark's round()
+    * allocates a BigDecimal PER ROW (measured ≈2× the whole aggregation
+    * cost of q1_agg); floor(|x|+0.5) is codegen'd arithmetic with identical
+    * results for |x| ≲ 2^51 — far above the ≤1e11 scaled-money magnitudes
+    * this file feeds it — and matches DuckDB round()'s C half-away
+    * semantics the oracles use. */
+  private def roundAway(c: Column): Column =
+    when(c >= 0, floor(c + lit(0.5))).otherwise(-floor(-c + lit(0.5)))
+
   private def decSum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)
-    val scaled = round(c * f).cast("long")
+    val scaled = roundAway(c * f).cast("long")
     if (scale < 6) {
       // scale ≤ 5: the plain LONG sum's 2^63 bound needs ~10^11 rows in ONE
       // group of ~10^5-valued money — unreachable; skip the split's extra agg
@@ -77,7 +86,7 @@ object SparkEntry {
     * only representation both engines agree on bit-for-bit. */
   private def arrCsv(c: Column, scale: Long): Column =
     concat_ws(",", transform(c,
-      x => round(x.cast("double") * scale).cast("long").cast("string")))
+      x => roundAway(x.cast("double") * scale).cast("long").cast("string")))
 
   /** q_simhash_neardup oracle codegen: 64 per-bit vote sums as flat SQL
     * columns (one vectorized aggregation pass in DuckDB) … */
@@ -1612,8 +1621,16 @@ object SparkEntry {
         |labels AS MATERIALIZED (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
         |SELECT doc_id FROM good
         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)""".stripMargin) { (s, d) =>
+      // Stage materialization: the near-dup stages downstream re-scan the
+      // quality-filtered corpus several times (exact-collapse, shingling,
+      // Jaccard verify, final anti-join), and each rescan would recompute
+      // the quality score over every document body. A real pipeline
+      // materializes this stage boundary; localCheckpoint keeps it on
+      // executor-local storage (never the driver).
       val good = Tables.documents(s, d)
         .filter(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.6)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(false)
       val pairs = Dedup.minhashNearDups(good, "text", "doc_id",
         threshold = 0.5, shingleN = 3, numHashes = 48, bands = 24)
       Dedup.dedupByPairs(good, "doc_id", pairs).select(col("doc_id"))
