@@ -815,6 +815,75 @@ object SparkEntry {
         .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
     },
 
+    // TPC-H Q10 shape (returned-item reporting): one selective quarter of
+    // orders joins returned lineitems, then the customer dimension; revenue
+    // agg at customer grain, top-20. Scale plan: the o_orderdate filter
+    // prunes the orders scan, nation broadcasts, and the final ORDER BY is
+    // a TakeOrderedAndProject — the full customer-grain aggregate never
+    // sorts globally. (Adapted to this schema's columns: no
+    // address/phone/comment in the generated customer table.)
+    q("q_tpch_q10",
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q18 shape (large-volume customers): the HAVING subquery is a
+    // lineitem self-aggregation reused as a LEFT SEMI join (map-side
+    // partial agg trims it before the exchange) — never a correlated
+    // per-order probe. Top-100 via TakeOrderedAndProject.
+    q("q_tpch_q18",
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("_q"))
+        .filter(col("_q") > 250)
+        .select(col("l_orderkey").as("_bk"))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("_bk"), "left_semi")
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(decSum(col("l_quantity")).as("total_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     q("q_above_avg",
       """SELECT o_orderkey, o_totalprice FROM orders o
         |WHERE o_totalprice > 2 * (
@@ -992,6 +1061,35 @@ object SparkEntry {
         .select(col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")) <=
             lit(0.10) * col("exact_parts")).as("within_2rsd"))
+    },
+
+    // Approximate heavy hitters (Spark 4's approx_top_k sketch). WHICH items
+    // a sketch emits under count ties is sketch-specific, so the oracle
+    // compares what IS engine-independent: the item count, the k-th count
+    // and the count-multiset sum (identical for every valid top-k set under
+    // ties), plus the stated contract that the sketch's per-item counts are
+    // exact (maxItemsTracked far above the distinct count → no collisions).
+    q("q_approx_topk",
+      """WITH c AS (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+        |top AS (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS n_items,
+        |  CAST(min(cnt) AS BIGINT) AS kth_count,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_counts,
+        |  CAST(1 AS BOOLEAN) AS counts_exact
+        |FROM top""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val approx = li
+        .agg(expr("approx_top_k(l_partkey, 10, 65536)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("acount"))
+      val exact = li.groupBy(col("l_partkey").as("_item"))
+        .agg(count(lit(1)).as("ecount"))
+      approx.join(exact, col("item") === col("_item"))
+        .agg(count(lit(1)).as("n_items"),
+          min(col("ecount")).as("kth_count"),
+          sum(col("ecount")).as("sum_counts"),
+          bool_and(col("acount") === col("ecount")).as("counts_exact"))
     })
 
   // -------------------------------------------------------- nested structs
@@ -1763,6 +1861,34 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val probe = probeVector(s, d)
       val ann = Knn.lshBucketed(e, "embedding", "vec_id", probe, 10, dim = 64)
+        .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
+      annContract(ann, e, probe, k = 10)
+    },
+
+    // PQ ANN probe (same contract oracle as q_ivf_knn/q_lsh_knn): ADC over
+    // 8-byte PQ codes → shortlist-64 → exact cosine re-rank. The probe's own
+    // row has the minimum quantization error, so the exact top-1 always
+    // survives the shortlist (PqSpec pins this plus recall).
+    q("q_pq_knn",
+      """WITH probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
+        |  FROM embeddings, probe)
+        |SELECT CAST(1 AS BOOLEAN) AS n_in_bounds,
+        |  vec_id AS top1_id, sim AS top1_score,
+        |  CAST(1 AS BOOLEAN) AS scores_exact
+        |FROM sims ORDER BY sim DESC, vec_id LIMIT 1""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = probeVector(s, d)
+      // codebooks are index-build artifacts, trained once per dataset on a
+      // bounded sample and reused by every probe (like the IVF quantizer)
+      val cb = indexArtifact(s"pq-codebooks:$d") {
+        val sample = e.select("embedding").limit(256).collect()
+          .map(_.getSeq[Float](0).toArray)
+        Knn.trainPq(sample, m = 8, ksub = 16)
+      }
+      val ann = Knn.pqSearch(e, "embedding", "vec_id", cb, probe, 10, shortlist = 64)
         .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
       annContract(ann, e, probe, k = 10)
     },

@@ -178,4 +178,92 @@ object Knn {
         col("col.score").as("score"),
         (col("pos") + 1).cast("int").as("rn"))
   }
+
+  // -------------------------------------------------------------------- PQ
+
+  /** Train per-subspace PQ codebooks over a bounded driver-side sample —
+    * the same recipe (and the same deterministic Lloyd loop) as
+    * [[trainCentroids]], run independently on each of `m` contiguous
+    * `dim/m`-dim subspaces. Returns `[m][ksub][dsub]`. */
+  def trainPq(samples: Array[Array[Float]], m: Int, ksub: Int = 256,
+              iterations: Int = 10, seed: Long = 42L): Array[Array[Array[Float]]] = {
+    require(samples.nonEmpty, "need a non-empty sample")
+    val dim = samples.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = samples.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      trainCentroids(sub, ksub, iterations, seed + s)
+    }
+  }
+
+  /** Flatten `[m][ksub][dsub]` codebooks for the codegen kernels. Clamps
+    * ksub to what training actually produced (small samples yield fewer
+    * centroids than requested). */
+  private def flatCodebooks(cb: Array[Array[Array[Float]]]): (Array[Float], Int, Int, Int) = {
+    val m = cb.length; val ksub = cb.head.length; val dsub = cb.head.head.length
+    val flat = new Array[Float](m * ksub * dsub)
+    for (s <- 0 until m; j <- 0 until ksub)
+      System.arraycopy(cb(s)(j), 0, flat, (s * ksub + j) * dsub, dsub)
+    (flat, m, ksub, dsub)
+  }
+
+  /** Append the `codesCol` byte column (one byte per subspace) — the
+    * encode-at-ingest step. At 100 TB the codes table (plus ids) is what a
+    * probe scans: m bytes/row instead of 4·dim. */
+  def pqEncode(corpus: DataFrame, vecCol: String,
+               codebooks: Array[Array[Array[Float]]],
+               codesCol: String = "_pq"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val (flat, m, ksub, dsub) = flatCodebooks(codebooks)
+    corpus.withColumn(codesCol, GraftBridge.toColumn(
+      graft.functions.PqEncode(GraftBridge.toExpression(col(vecCol)), m, ksub, dsub, flat)))
+  }
+
+  /** ADC distance of each row's PQ codes to `queryVec` under a
+    * driver-built lookup table (approximate squared l2). */
+  def pqAdcScore(codesCol: Column, codebooks: Array[Array[Array[Float]]],
+                 queryVec: Array[Float]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val m = codebooks.length; val ksub = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        var d = 0.0; var t = 0
+        while (t < dsub) {
+          val qi = s * dsub + t
+          val x = (if (qi < queryVec.length) queryVec(qi) else 0.0f) - codebooks(s)(j)(t)
+          d += x * x; t += 1
+        }
+        lut(s * ksub + j) = d
+        j += 1
+      }
+      s += 1
+    }
+    GraftBridge.toColumn(graft.functions.PqAdcScore(
+      GraftBridge.toExpression(codesCol), m, ksub, lut))
+  }
+
+  /** PQ ANN probe: ADC-score every row's codes (m byte lookups/row — the
+    * 100 TB scan path reads codes, never float vectors), keep the
+    * `shortlist` best via TakeOrderedAndProject, then exact cosine re-rank
+    * of the shortlist to top-k. Recall is tunable via `shortlist`
+    * (shortlist = corpus size ≡ exact). `corpus` may already carry a
+    * `_pq` codes column (encode-at-ingest); otherwise codes are computed
+    * on the fly from `vecCol`. */
+  def pqSearch(corpus: DataFrame, vecCol: String, idCol: String,
+               codebooks: Array[Array[Array[Float]]], queryVec: Array[Float],
+               k: Int, shortlist: Int = 64): DataFrame = {
+    val coded =
+      if (corpus.columns.contains("_pq")) corpus
+      else pqEncode(corpus, vecCol, codebooks)
+    val short = coded
+      .withColumn("_adc", pqAdcScore(col("_pq"), codebooks, queryVec))
+      .orderBy(col("_adc").asc, col(idCol).asc)
+      .limit(math.max(k, shortlist))
+    topK(short, vecCol, idCol, queryVec, k, "cosine").drop("_pq", "_adc")
+  }
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Product quantization: codebook training, encode kernel, ADC scoring,
+  * shortlist + re-rank search. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.embeddings(spark, TestSpark.sf).cache()
+  private lazy val sample = emb.orderBy("vec_id").limit(128)
+    .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+  private lazy val cb = Knn.trainPq(sample, m = 8, ksub = 16)
+  private lazy val probe = emb.filter($"vec_id" === 0)
+    .select("embedding").head().getSeq[Float](0).toArray
+
+  test("codebook geometry: m subspaces, ≤ksub centroids, dsub dims each") {
+    assert(cb.length === 8)
+    assert(cb.forall(sub => sub.length <= 16 && sub.nonEmpty))
+    assert(cb.forall(_.forall(_.length === sample.head.length / 8)))
+  }
+
+  test("encode emits m bytes; identical vectors encode identically") {
+    val coded = Knn.pqEncode(emb.limit(20), "embedding", cb)
+    val rows = coded.select($"vec_id", $"_pq").collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("_pq").length === 8))
+    val again = Knn.pqEncode(emb.limit(20), "embedding", cb)
+      .select($"vec_id", $"_pq").collect()
+    assert(rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap ===
+      again.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap)
+  }
+
+  test("ADC distance equals the LUT reconstruction distance (self ≈ small)") {
+    // The probe's own ADC distance = sum of its subvectors' distances to
+    // their chosen centroids — the quantization error, far below the
+    // distance to unrelated vectors.
+    val scored = Knn.pqEncode(emb, "embedding", cb)
+      .withColumn("_adc", Knn.pqAdcScore($"_pq", cb, probe))
+      .select($"vec_id", $"_adc").as[(Long, Double)].collect().toMap
+    val selfD = scored(0L)
+    val others = scored.filter(_._1 != 0L).values
+    assert(selfD < others.min,
+      s"probe's own quantization error $selfD should undercut every other row (min other = ${others.min})")
+  }
+
+  test("codegen and interpreted paths agree for encode + ADC") {
+    def run(): Seq[(Long, Seq[Byte], Double)] =
+      Knn.pqEncode(emb.limit(40), "embedding", cb)
+        .withColumn("_adc", Knn.pqAdcScore($"_pq", cb, probe))
+        .select($"vec_id", $"_pq", $"_adc")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2)))
+        .sortBy(_._1)
+    val withCg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val noCg = run()
+      assert(withCg === noCg)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("pqSearch with full shortlist is exact; bounded shortlist keeps high recall") {
+    val n = emb.count().toInt
+    val exact = Knn.topK(emb, "embedding", "vec_id", probe, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val full = Knn.pqSearch(emb, "embedding", "vec_id", cb, probe, 10, shortlist = n)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full === exact, "shortlist = corpus must reproduce the exact top-k")
+    val bounded = Knn.pqSearch(emb, "embedding", "vec_id", cb, probe, 10, shortlist = 64)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (bounded intersect exact).size / 10.0
+    assert(bounded.contains(0L), "the probe's own row must always surface")
+    assert(recall >= 0.5, s"shortlist-64 recall $recall collapsed")
+  }
+
+  test("pre-encoded corpus is reused (encode-at-ingest path)") {
+    val coded = Knn.pqEncode(emb, "embedding", cb).cache()
+    val viaCodes = Knn.pqSearch(coded, "embedding", "vec_id", cb, probe, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val viaVecs = Knn.pqSearch(emb, "embedding", "vec_id", cb, probe, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaCodes === viaVecs)
+    coded.unpersist()
+  }
+}
