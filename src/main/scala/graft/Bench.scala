@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
-  * `{"metric":…,"value":…,"unit":"sec","queries":{…},"cold_queries":{…},
-  * "errors":{…},"sf":…}`.
+  * SPARK_GRAFT_SF_DIR and prints TWO JSON lines — a cold-detail line
+  * `{"metric":"cold","cold_queries":{…},"cold_value":…}` first, then the
+  * headline line `{"metric":"total","unit":"sec","sf":…,"errors":{…},
+  * "cold_value":…,"oracle_value":…,"queries":{…},"value":…}` LAST, kept
+  * under ~2 KB (ms precision) so the whole line survives the driver's
+  * bounded log-tail capture. `SPARK_GRAFT_BENCH_OUT` (optional) receives
+  * both lines as a self-contained file.
   *
   * Each query is forced through a `noop` write — unlike `count()`, that
   * materializes every output column, so projection/codegen work is

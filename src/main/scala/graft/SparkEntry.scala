@@ -59,12 +59,19 @@ object SparkEntry {
     * hashes still match. */
   /** Round half-away-from-zero in plain double arithmetic. Spark's round()
     * allocates a BigDecimal PER ROW (measured ≈2× the whole aggregation
-    * cost of q1_agg); floor(|x|+0.5) is codegen'd arithmetic with identical
-    * results for |x| ≲ 2^51 — far above the ≤1e11 scaled-money magnitudes
-    * this file feeds it — and matches DuckDB round()'s C half-away
-    * semantics the oracles use. */
-  private def roundAway(c: Column): Column =
-    when(c >= 0, floor(c + lit(0.5))).otherwise(-floor(-c + lit(0.5)))
+    * cost of q1_agg). The naive floor(x+0.5) is NOT C round: within 1 ulp
+    * below a .5 boundary the +0.5 addition itself rounds up across the
+    * integer (e.g. x = 0.49999999999999994 → floor(x+0.5) = 1, C round = 0).
+    * Comparing the exact fractional part instead has no such hazard:
+    * x − floor(x) is exact in IEEE double (result magnitude < 1, exponents
+    * adjacent), so this matches DuckDB round()'s C half-away semantics for
+    * every finite double — for |x| ≥ 2^52 doubles are integral and the
+    * fraction is 0. */
+  private def roundAway(c: Column): Column = {
+    def pos(x: Column): Column =
+      floor(x) + when(x - floor(x) >= lit(0.5), lit(1.0)).otherwise(lit(0.0))
+    when(c >= 0, pos(c)).otherwise(-pos(-c))
+  }
 
   private def decSum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)
@@ -116,6 +123,19 @@ object SparkEntry {
       Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
     }
+
+  /** The one DuckDB oracle all three ANN probes (IVF / LSH / PQ) share —
+    * single definition so a precision tweak cannot desynchronize them. */
+  private val annOracleSql: String =
+    """WITH probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT vec_id,
+      |    round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
+      |  FROM embeddings, probe)
+      |SELECT CAST(1 AS BOOLEAN) AS n_in_bounds,
+      |  vec_id AS top1_id, sim AS top1_score,
+      |  CAST(1 AS BOOLEAN) AS scores_exact
+      |FROM sims ORDER BY sim DESC, vec_id LIMIT 1""".stripMargin
 
   /** Shared ANN-probe contract aggregate (see the q_ivf_knn/q_lsh_knn
     * oracle comment): one row of (n_in_bounds, top1_id, top1_score,
@@ -1622,31 +1642,51 @@ object SparkEntry {
         |$simhashVoteCols
         |  FROM occ o JOIN whs ON whs.w = o.w
         |  GROUP BY o.doc_id),
-        |sim AS (
+        |sim AS MATERIALIZED (
         |  SELECT doc_id,
         |   ($simhashSimTerms) AS sh
         |  FROM votes),
-        |chunks AS (
-        |  SELECT doc_id,
+        |chunks0 AS MATERIALIZED (
+        |  SELECT doc_id, sh,
         |    (sh >> 0) & 255 AS c0,  (sh >> 8) & 255 AS c1,
         |    (sh >> 16) & 255 AS c2, (sh >> 24) & 255 AS c3,
         |    (sh >> 32) & 255 AS c4, (sh >> 40) & 255 AS c5,
         |    (sh >> 48) & 255 AS c6, (sh >> 56) & 255 AS c7
         |  FROM sim),
+        |sat0 AS (SELECT c0 AS v FROM chunks0 GROUP BY c0 HAVING count(*) > 4096),
+        |sat1 AS (SELECT c1 AS v FROM chunks0 GROUP BY c1 HAVING count(*) > 4096),
+        |sat2 AS (SELECT c2 AS v FROM chunks0 GROUP BY c2 HAVING count(*) > 4096),
+        |sat3 AS (SELECT c3 AS v FROM chunks0 GROUP BY c3 HAVING count(*) > 4096),
+        |sat4 AS (SELECT c4 AS v FROM chunks0 GROUP BY c4 HAVING count(*) > 4096),
+        |sat5 AS (SELECT c5 AS v FROM chunks0 GROUP BY c5 HAVING count(*) > 4096),
+        |sat6 AS (SELECT c6 AS v FROM chunks0 GROUP BY c6 HAVING count(*) > 4096),
+        |sat7 AS (SELECT c7 AS v FROM chunks0 GROUP BY c7 HAVING count(*) > 4096),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, sh,
+        |    CASE WHEN c0 IN (SELECT v FROM sat0) THEN NULL ELSE c0 END AS c0,
+        |    CASE WHEN c1 IN (SELECT v FROM sat1) THEN NULL ELSE c1 END AS c1,
+        |    CASE WHEN c2 IN (SELECT v FROM sat2) THEN NULL ELSE c2 END AS c2,
+        |    CASE WHEN c3 IN (SELECT v FROM sat3) THEN NULL ELSE c3 END AS c3,
+        |    CASE WHEN c4 IN (SELECT v FROM sat4) THEN NULL ELSE c4 END AS c4,
+        |    CASE WHEN c5 IN (SELECT v FROM sat5) THEN NULL ELSE c5 END AS c5,
+        |    CASE WHEN c6 IN (SELECT v FROM sat6) THEN NULL ELSE c6 END AS c6,
+        |    CASE WHEN c7 IN (SELECT v FROM sat7) THEN NULL ELSE c7 END AS c7
+        |  FROM chunks0),
         |near AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
-        |       + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
-        |       + bit_count(xor(a.c4, b.c4)) + bit_count(xor(a.c5, b.c5))
-        |       + bit_count(xor(a.c6, b.c6)) + bit_count(xor(a.c7, b.c7)) AS INT) AS hamming
+        |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         |  FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
         |   AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3
         |     OR a.c4 = b.c4 OR a.c5 = b.c5 OR a.c6 = b.c6 OR a.c7 = b.c7))
         |SELECT id_a, id_b, hamming FROM near WHERE hamming <= 10
         |UNION ALL SELECT id_a, id_b, hamming FROM star""".stripMargin) { (s, d) =>
       // maxHamming 10 > 3 selects the operator's 8×8-bit chunk blocking
-      // (recall exact through Hamming 7, candidate-recall trade past it);
-      // the oracle mirrors the identical 8-chunk blocking above.
+      // (recall exact through Hamming 7, candidate-recall trade past it).
+      // The oracle mirrors the blocking EXACTLY, including the
+      // maxBucket=4096 saturated-bucket skip: a chunk value whose bucket
+      // saturates is NULLed before the pairing join (NULL never equals),
+      // identical semantics to the operator's skipped buckets — without
+      // this a skewed corpus would drop pairs on the Spark side only.
       Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id", maxHamming = 10)
     },
 
@@ -1822,15 +1862,7 @@ object SparkEntry {
     // recompute); (c) the result is non-empty and ≤ k. Candidate-recall on
     // planted structure is DedupKnnSpec's job.
     q("q_ivf_knn",
-      """WITH probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        |sims AS (
-        |  SELECT vec_id,
-        |    round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
-        |  FROM embeddings, probe)
-        |SELECT CAST(1 AS BOOLEAN) AS n_in_bounds,
-        |  vec_id AS top1_id, sim AS top1_score,
-        |  CAST(1 AS BOOLEAN) AS scores_exact
-        |FROM sims ORDER BY sim DESC, vec_id LIMIT 1""".stripMargin) { (s, d) =>
+      annOracleSql) { (s, d) =>
       val e = Tables.embeddings(s, d)
       // index-build artifacts (coarse quantizer, probe vector) are built
       // once per dataset and amortized across every probe in a real
@@ -1849,15 +1881,7 @@ object SparkEntry {
     },
 
     q("q_lsh_knn",
-      """WITH probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        |sims AS (
-        |  SELECT vec_id,
-        |    round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
-        |  FROM embeddings, probe)
-        |SELECT CAST(1 AS BOOLEAN) AS n_in_bounds,
-        |  vec_id AS top1_id, sim AS top1_score,
-        |  CAST(1 AS BOOLEAN) AS scores_exact
-        |FROM sims ORDER BY sim DESC, vec_id LIMIT 1""".stripMargin) { (s, d) =>
+      annOracleSql) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val probe = probeVector(s, d)
       val ann = Knn.lshBucketed(e, "embedding", "vec_id", probe, 10, dim = 64)
@@ -1870,15 +1894,7 @@ object SparkEntry {
     // row has the minimum quantization error, so the exact top-1 always
     // survives the shortlist (PqSpec pins this plus recall).
     q("q_pq_knn",
-      """WITH probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        |sims AS (
-        |  SELECT vec_id,
-        |    round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS sim
-        |  FROM embeddings, probe)
-        |SELECT CAST(1 AS BOOLEAN) AS n_in_bounds,
-        |  vec_id AS top1_id, sim AS top1_score,
-        |  CAST(1 AS BOOLEAN) AS scores_exact
-        |FROM sims ORDER BY sim DESC, vec_id LIMIT 1""".stripMargin) { (s, d) =>
+      annOracleSql) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val probe = probeVector(s, d)
       // codebooks are index-build artifacts, trained once per dataset on a

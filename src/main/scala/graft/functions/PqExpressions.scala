@@ -25,12 +25,18 @@ import org.apache.spark.sql.types._
   * (matching [[VectorBinaryExpression]]'s defensive padding semantics).
   */
 case class PqEncode(child: Expression, m: Int, ksub: Int, dsub: Int,
-                    codebooks: Array[Float])
+                    codebooks: scala.collection.immutable.ArraySeq[Float])
     extends UnaryExpression {
   require(m > 0 && dsub > 0, s"invalid PQ geometry: m=$m dsub=$dsub")
   require(ksub > 0 && ksub <= 256, s"ksub must fit one byte, got $ksub")
   require(codebooks.length == m * ksub * dsub,
     s"codebook length ${codebooks.length} != m*ksub*dsub = ${m * ksub * dsub}")
+
+  // ArraySeq parameter keeps case-class equality STRUCTURAL (an Array field
+  // would compare by reference, defeating Catalyst canonicalization and
+  // subexpression elimination); the hot loops read the unwrapped primitive
+  // array.
+  private lazy val cb: Array[Float] = codebooks.toArray
 
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
@@ -60,7 +66,7 @@ case class PqEncode(child: Expression, m: Int, ksub: Int, dsub: Int,
           val vi = s * dsub + t
           val x = if (vi >= n || vec.isNullAt(vi)) 0.0
             else if (fl) vec.getFloat(vi).toDouble else vec.getDouble(vi)
-          val diff = x - codebooks((s * ksub + j) * dsub + t)
+          val diff = x - cb((s * ksub + j) * dsub + t)
           d += diff * diff
           t += 1
         }
@@ -75,7 +81,7 @@ case class PqEncode(child: Expression, m: Int, ksub: Int, dsub: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+      val cbRef = ctx.addReferenceObj("pqCodebooks", cb, "float[]")
       val n = ctx.freshName("n"); val out = ctx.freshName("out")
       val s = ctx.freshName("s"); val j = ctx.freshName("j")
       val t = ctx.freshName("t"); val vi = ctx.freshName("vi")
@@ -93,7 +99,7 @@ case class PqEncode(child: Expression, m: Int, ksub: Int, dsub: Int,
          |    for (int $t = 0; $t < $dsub; $t++) {
          |      int $vi = $s * $dsub + $t;
          |      double $x = ($vi >= $n || $a.isNullAt($vi)) ? 0.0 : $get;
-         |      double $diff = $x - $cb[($s * $ksub + $j) * $dsub + $t];
+         |      double $diff = $x - $cbRef[($s * $ksub + $j) * $dsub + $t];
          |      $d += $diff * $diff;
          |    }
          |    if ($d < $bestD) { $bestD = $d; $best = $j; }
@@ -112,9 +118,13 @@ case class PqEncode(child: Expression, m: Int, ksub: Int, dsub: Int,
   * distances from the query subvector to every codebook centroid) is built
   * once per query on the driver — m×ksub doubles — so the per-row work is
   * `m` array lookups, no float vectors touched. */
-case class PqAdcScore(child: Expression, m: Int, ksub: Int, lut: Array[Double])
+case class PqAdcScore(child: Expression, m: Int, ksub: Int,
+                      lut: scala.collection.immutable.ArraySeq[Double])
     extends UnaryExpression {
   require(lut.length == m * ksub, s"LUT length ${lut.length} != m*ksub = ${m * ksub}")
+
+  // structural equality, primitive-array hot path — see PqEncode
+  private lazy val lutArr: Array[Double] = lut.toArray
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -130,20 +140,33 @@ case class PqAdcScore(child: Expression, m: Int, ksub: Int, lut: Array[Double])
     val codes = v.asInstanceOf[Array[Byte]]
     val n = math.min(codes.length, m)
     var acc = 0.0; var s = 0
-    while (s < n) { acc += lut(s * ksub + (codes(s) & 0xff)); s += 1 }
+    while (s < n) {
+      val code = codes(s) & 0xff
+      // fail fast instead of reading past this subspace's LUT segment:
+      // an out-of-range code means the codes column was encoded with a
+      // larger codebook than the one this LUT was built from
+      if (code >= ksub) throw new IllegalArgumentException(
+        s"PQ code $code >= ksub=$ksub at subspace $s — codes were encoded with a different codebook")
+      acc += lutArr(s * ksub + code)
+      s += 1
+    }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val lt = ctx.addReferenceObj("pqLut", lut, "double[]")
+      val lt = ctx.addReferenceObj("pqLut", lutArr, "double[]")
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      val s = ctx.freshName("s")
+      val s = ctx.freshName("s"); val code = ctx.freshName("code")
       s"""
          |int $n = java.lang.Math.min($a.length, $m);
          |double $acc = 0.0;
          |for (int $s = 0; $s < $n; $s++) {
-         |  $acc += $lt[$s * $ksub + ($a[$s] & 0xff)];
+         |  int $code = $a[$s] & 0xff;
+         |  if ($code >= $ksub) throw new IllegalArgumentException(
+         |    "PQ code " + $code + " >= ksub=" + $ksub + " at subspace " + $s +
+         |    " — codes were encoded with a different codebook");
+         |  $acc += $lt[$s * $ksub + $code];
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -217,7 +217,8 @@ object Knn {
     import org.apache.spark.sql.GraftBridge
     val (flat, m, ksub, dsub) = flatCodebooks(codebooks)
     corpus.withColumn(codesCol, GraftBridge.toColumn(
-      graft.functions.PqEncode(GraftBridge.toExpression(col(vecCol)), m, ksub, dsub, flat)))
+      graft.functions.PqEncode(GraftBridge.toExpression(col(vecCol)), m, ksub, dsub,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(flat))))
   }
 
   /** ADC distance of each row's PQ codes to `queryVec` under a
@@ -244,7 +245,8 @@ object Knn {
       s += 1
     }
     GraftBridge.toColumn(graft.functions.PqAdcScore(
-      GraftBridge.toExpression(codesCol), m, ksub, lut))
+      GraftBridge.toExpression(codesCol), m, ksub,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(lut)))
   }
 
   /** PQ ANN probe: ADC-score every row's codes (m byte lookups/row — the
@@ -253,7 +255,13 @@ object Knn {
     * of the shortlist to top-k. Recall is tunable via `shortlist`
     * (shortlist = corpus size ≡ exact). `corpus` may already carry a
     * `_pq` codes column (encode-at-ingest); otherwise codes are computed
-    * on the fly from `vecCol`. */
+    * on the fly from `vecCol`. Pre-encoded codes MUST come from these same
+    * `codebooks`: a code ≥ ksub fails fast in the ADC kernel, but codes
+    * from a different equal-shape codebook are indistinguishable and score
+    * garbage — version your codes column with its codebook at ingest.
+    * Null-embedding rows carry null codes/scores and sort AFTER every
+    * scored row (`asc_nulls_last`), so they can never evict real
+    * candidates from the shortlist. */
   def pqSearch(corpus: DataFrame, vecCol: String, idCol: String,
                codebooks: Array[Array[Array[Float]]], queryVec: Array[Float],
                k: Int, shortlist: Int = 64): DataFrame = {
@@ -262,7 +270,7 @@ object Knn {
       else pqEncode(corpus, vecCol, codebooks)
     val short = coded
       .withColumn("_adc", pqAdcScore(col("_pq"), codebooks, queryVec))
-      .orderBy(col("_adc").asc, col(idCol).asc)
+      .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
       .limit(math.max(k, shortlist))
     topK(short, vecCol, idCol, queryVec, k, "cosine").drop("_pq", "_adc")
   }
