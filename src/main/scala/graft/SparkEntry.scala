@@ -67,7 +67,7 @@ object SparkEntry {
     * adjacent), so this matches DuckDB round()'s C half-away semantics for
     * every finite double — for |x| ≥ 2^52 doubles are integral and the
     * fraction is 0. */
-  private def roundAway(c: Column): Column = {
+  private[graft] def roundAway(c: Column): Column = {
     def pos(x: Column): Column =
       floor(x) + when(x - floor(x) >= lit(0.5), lit(1.0)).otherwise(lit(0.0))
     when(c >= 0, pos(c)).otherwise(-pos(-c))

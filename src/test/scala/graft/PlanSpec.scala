@@ -183,4 +183,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(p.contains("Union"), p)
   }
+
+  test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
+    // At 100 TB a shuffle join whose build side is pre-filtered should not
+    // scan+shuffle the whole fact side: Spark injects a bloom-filter
+    // semi-filter (might_contain on the join key) into the fact scan. The
+    // thresholds are tuned down because the test tables are tiny; the
+    // optimization itself (and that our join shapes remain eligible for
+    // it) is what this pins.
+    import org.apache.spark.sql.functions.col
+    val before = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Tables.orders(spark, TestSpark.sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = Tables.lineitem(spark, TestSpark.sf)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally before.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

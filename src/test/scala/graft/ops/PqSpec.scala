@@ -80,6 +80,31 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"shortlist-64 recall $recall collapsed")
   }
 
+  test("null embeddings cannot evict real candidates from the shortlist") {
+    // null vec → null codes → null ADC score; asc_nulls_last keeps them
+    // BEHIND every scored row, so a null-heavy corpus still returns the
+    // real top-k (a plain asc sort would put them all first)
+    val withNulls = emb.select($"vec_id", $"embedding").unionByName(
+      spark.range(100).select(($"id" + 10000L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val got = Knn.pqSearch(withNulls, "embedding", "vec_id", cb, probe, 10, shortlist = 64)
+      .select("vec_id").as[Long].collect()
+    assert(got.length === 10)
+    assert(got.contains(0L), "the probe's own row must still win")
+    assert(got.forall(_ < 10000L), "null rows must never reach the top-k")
+  }
+
+  test("codes from a larger codebook fail fast instead of scoring garbage") {
+    val bigCb = Knn.trainPq(sample, m = 8, ksub = 64)
+    val coded = Knn.pqEncode(emb.limit(50), "embedding", bigCb)
+    val ex = intercept[org.apache.spark.SparkException] {
+      coded.withColumn("_adc", Knn.pqAdcScore($"_pq", cb, probe))
+        .select("_adc").collect()
+    }
+    assert(ex.getMessage.contains("different codebook") ||
+      Option(ex.getCause).exists(_.getMessage.contains("different codebook")))
+  }
+
   test("pre-encoded corpus is reused (encode-at-ingest path)") {
     val coded = Knn.pqEncode(emb, "embedding", cb).cache()
     val viaCodes = Knn.pqSearch(coded, "embedding", "vec_id", cb, probe, 5)
