@@ -329,6 +329,11 @@ object Dedup {
     // That is a scan-only aggregate of the just-checkpointed output (no
     // join against the previous round, no extra shuffle). DECIMAL(38) sum:
     // 64-bit id sums would wrap at corpus scale.
+    // NOTE (measured, do not "optimize"): stacking two propagation layers
+    // per materialized job to halve driver round-trips makes it ~2× SLOWER
+    // — the inner layer's output is referenced four times by the outer
+    // (label edges twice, join side, union side) and recomputes each time
+    // without a checkpoint between layers.
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var iter = 0
