@@ -97,4 +97,45 @@ class PropertySpec extends AnyFunSuite {
       assert(sim.nullSafeEval(toArrayData(toks)) === reference(toks), s"toks=$toks")
     }
   }
+
+  test("PqEncode/PqAdcScore kernels equal a naive argmin/lookup reference") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 50) {
+      val m = 1 + rnd.nextInt(4)
+      val ksub = 1 + rnd.nextInt(8)
+      val dsub = 1 + rnd.nextInt(4)
+      val dim = m * dsub
+      val cb = Array.fill(m, ksub, dsub)(rnd.nextFloat() * 2 - 1)
+      val flat = cb.flatten.flatten
+      val vec = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      // naive reference: per-subspace exhaustive argmin over squared l2
+      val expCodes = (0 until m).map { s =>
+        (0 until ksub).minBy { j =>
+          (0 until dsub).map { t =>
+            val d = vec(s * dsub + t).toDouble - cb(s)(j)(t); d * d
+          }.sum
+        }.toByte
+      }
+      val enc = PqEncode(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(vec,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        m, ksub, dsub, scala.collection.immutable.ArraySeq.unsafeWrapArray(flat))
+      val gotCodes = enc.eval(null).asInstanceOf[Array[Byte]]
+      assert(gotCodes.toSeq === expCodes, s"m=$m ksub=$ksub dsub=$dsub")
+      // ADC against a random query must equal direct LUT summation
+      val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val lut = Array.tabulate(m * ksub) { i =>
+        val s = i / ksub; val j = i % ksub
+        (0 until dsub).map { t =>
+          val d = q(s * dsub + t).toDouble - cb(s)(j)(t); d * d
+        }.sum
+      }
+      val adc = PqAdcScore(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(gotCodes,
+          org.apache.spark.sql.types.BinaryType),
+        m, ksub, scala.collection.immutable.ArraySeq.unsafeWrapArray(lut))
+      val expected = (0 until m).map(s => lut(s * ksub + (gotCodes(s) & 0xff))).sum
+      assert(adc.eval(null).asInstanceOf[Double] === expected)
+    }
+  }
 }
