@@ -904,6 +904,61 @@ object SparkEntry {
         .limit(100)
     },
 
+    // TPC-H Q4 shape (order-priority checking): the correlated EXISTS
+    // subquery decorrelates to a LEFT SEMI join — per-order probes never
+    // happen; the lineitem side is filtered then distinct-reduced by the
+    // semi join itself. (Adapted to this schema: the reference predicate
+    // l_commitdate < l_receiptdate has no generated columns, so the
+    // existence test is "has a returned lineitem".)
+    q("q_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_returnflag") === "R").select("l_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // TPC-H Q22 shape (global sales opportunity): an uncorrelated scalar
+    // subquery (the positive-balance average) broadcast as a 1-row cross
+    // join, plus a NOT EXISTS that decorrelates to a LEFT ANTI join against
+    // orders. (Adapted: no c_phone in the generated schema, so the report
+    // groups by nationkey instead of phone country code; and the generated
+    // orders table covers essentially every customer, so the existence test
+    // is "no order since mid-1998" to keep the anti join non-trivial.)
+    q("q_tpch_q22",
+      """WITH avg_bal AS (
+        |  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS totacctbal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-06-01')
+        |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), decSum(col("c_acctbal")).as("totacctbal"))
+    },
+
     q("q_above_avg",
       """SELECT o_orderkey, o_totalprice FROM orders o
         |WHERE o_totalprice > 2 * (
@@ -1905,6 +1960,32 @@ object SparkEntry {
         Knn.trainPq(sample, m = 8, ksub = 16)
       }
       val ann = Knn.pqSearch(e, "embedding", "vec_id", cb, probe, 10, shortlist = 64)
+        .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
+      annContract(ann, e, probe, k = 10)
+    },
+
+    // IVF-PQ composed probe (same contract oracle): coarse cells prune the
+    // rows scanned, PQ codes shrink the bytes per row — the FAISS IVFPQ
+    // batch recipe. The probe's own row lands in the nearest probed cell
+    // with minimum ADC error, so the exact top-1 survives both pruning
+    // stages (PqSpec pins equivalence to exact at full probe/shortlist).
+    q("q_ivfpq_knn",
+      annOracleSql) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = probeVector(s, d)
+      val centroids = indexArtifact(s"ivf-centroids:$d") {
+        val sample = e.select("embedding").limit(256).collect()
+          .map(_.getSeq[Float](0).toArray)
+        Knn.trainCentroids(sample, nCells = 16)
+      }
+      val cb = indexArtifact(s"pq-codebooks:$d") {
+        val sample = e.select("embedding").limit(256).collect()
+          .map(_.getSeq[Float](0).toArray)
+        Knn.trainPq(sample, m = 8, ksub = 16)
+      }
+      val ann = Knn.ivfPqSearch(Knn.ivfAssign(e, "embedding", centroids),
+          "embedding", "vec_id", centroids, cb, probe, 10,
+          nProbe = 4, shortlist = 64)
         .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
       annContract(ann, e, probe, k = 10)
     },

@@ -134,6 +134,18 @@ object Knn {
       (array_position(dists, array_min(dists)) - 1).cast("int"))
   }
 
+  /** The `nProbe` cell ids whose centroids are nearest `queryVec` —
+    * driver-side over the (bounded, nCells × dim) quantizer. */
+  private def nearestCells(centroids: Array[Array[Float]],
+                           queryVec: Array[Float], nProbe: Int): Array[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < queryVec.length) { val x = queryVec(j) - c(j); d += x * x; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(math.max(1, nProbe)).map(_._1)
+
   /** IVF probe: exact top-k restricted to the `nProbe` cells whose
     * centroids are nearest the query. Scans only ~nProbe/nCells of the
     * corpus (a partition-pruned scan once assigned data is laid out by
@@ -141,13 +153,7 @@ object Knn {
   def ivfSearch(assigned: DataFrame, vecCol: String, idCol: String,
                 centroids: Array[Array[Float]], queryVec: Array[Float],
                 k: Int, nProbe: Int): DataFrame = {
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < queryVec.length) { val x = queryVec(j) - c(j); d += x * x; j += 1 }
-        (i, d)
-      }
-      .sortBy(_._2).take(math.max(1, nProbe)).map(_._1)
+    val probeCells = nearestCells(centroids, queryVec, nProbe)
     topK(assigned.filter(col("_cell").isin(probeCells.map(Integer.valueOf): _*)),
       vecCol, idCol, queryVec, k, "cosine").drop("_cell")
   }
@@ -273,5 +279,25 @@ object Knn {
       .orderBy(col("_adc").asc_nulls_last, col(idCol).asc)
       .limit(math.max(k, shortlist))
     topK(short, vecCol, idCol, queryVec, k, "cosine").drop("_pq", "_adc")
+  }
+
+  /** IVF-PQ probe — the composed batch-ANN recipe (coarse quantizer ×
+    * product quantizer, as in FAISS's IndexIVFPQ): prune to the `nProbe`
+    * nearest cells, ADC-score only those rows' PQ codes, shortlist, exact
+    * cosine re-rank. At 100 TB the codes table is laid out partitioned by
+    * `_cell`, so a probe reads ~nProbe/nCells of an already m-bytes-per-row
+    * table — cell pruning cuts the rows scanned, PQ cuts the bytes per row,
+    * and the two compose multiplicatively. `assigned` must carry the
+    * `_cell` column from [[ivfAssign]]; a pre-encoded `_pq` column is
+    * reused (encode-at-ingest), otherwise codes are computed from `vecCol`
+    * — the same codebook-versioning caveat as [[pqSearch]] applies. */
+  def ivfPqSearch(assigned: DataFrame, vecCol: String, idCol: String,
+                  centroids: Array[Array[Float]],
+                  codebooks: Array[Array[Array[Float]]],
+                  queryVec: Array[Float], k: Int,
+                  nProbe: Int, shortlist: Int = 64): DataFrame = {
+    val probeCells = nearestCells(centroids, queryVec, nProbe)
+    val pruned = assigned.filter(col("_cell").isin(probeCells.map(Integer.valueOf): _*))
+    pqSearch(pruned, vecCol, idCol, codebooks, queryVec, k, shortlist).drop("_cell")
   }
 }

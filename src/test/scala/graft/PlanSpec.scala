@@ -124,6 +124,36 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("subquery shapes decorrelate: EXISTS → semi join, NOT EXISTS → anti join") {
+    // the correlated EXISTS (Q4) and NOT EXISTS (Q22) must never plan as
+    // per-row probes — at 100 TB a re-executed subquery per outer row is
+    // the difference between one join and a million scans
+    val q4 = plan("q_tpch_q4")
+    assert(q4.contains("LeftSemi"), q4)
+    val q22 = plan("q_tpch_q22")
+    assert(q22.contains("LeftAnti"), q22)
+    // the scalar-average subquery reaches the filter as a broadcast of one
+    // row, not a cartesian re-computation per customer
+    assert(q22.contains("BroadcastNestedLoopJoin") || q22.contains("BroadcastHashJoin"), q22)
+  }
+
+  test("IVF-PQ probe prunes cells at the scan and scores codes, not vectors") {
+    // the 16 centroid literals push the plan string past the default
+    // truncation threshold, which would cut the markers this test greps for
+    val before = spark.conf.get("spark.sql.debug.maxToStringFields")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    try {
+      val p = plan("q_ivfpq_knn")
+      // cell pruning: projection collapse inlines the `_cell` argmin
+      // (array_position over the centroid-distance array) straight into the
+      // pre-shortlist Filter — the IN test runs against the scan output
+      assert(p.contains("array_position"), p.take(4000))
+      // the shortlist ranking runs on the ADC kernel over PQ codes
+      assert(p.contains("pq_adc"), p.take(4000))
+      assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    } finally spark.conf.set("spark.sql.debug.maxToStringFields", before)
+  }
+
   test("embedding near-dup plans as banded LSH — no nested-loop product anywhere") {
     val p = plan("q_embedding_neardup")
     // the O(n²) exact variant planned a BroadcastNestedLoopJoin over the

@@ -105,6 +105,28 @@ class PqSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("different codebook")))
   }
 
+  test("ivfPqSearch: full probe + full shortlist ≡ exact; pruned probe keeps self-recall") {
+    val n = emb.count().toInt
+    val centroids = Knn.trainCentroids(sample, nCells = 16)
+    val assigned = Knn.ivfAssign(emb, "embedding", centroids).cache()
+    val exact = Knn.topK(emb, "embedding", "vec_id", probe, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val full = Knn.ivfPqSearch(assigned, "embedding", "vec_id", centroids, cb,
+        probe, 10, nProbe = 16, shortlist = n)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full === exact,
+      "nProbe = nCells with shortlist = corpus must reproduce the exact top-k")
+    val pruned = Knn.ivfPqSearch(assigned, "embedding", "vec_id", centroids, cb,
+        probe, 10, nProbe = 2, shortlist = 64)
+      .select($"vec_id", $"score").as[(Long, Double)].collect()
+    assert(pruned.length === 10)
+    assert(pruned.map(_._1).contains(0L),
+      "the probe's own row lands in the nearest probed cell and must surface")
+    assert(!pruned.map(_._1).toSeq.contains(null), "result carries real ids")
+    assert(pruned.forall { case (_, s) => s <= 1.0 + 1e-6 })
+    assigned.unpersist()
+  }
+
   test("pre-encoded corpus is reused (encode-at-ingest path)") {
     val coded = Knn.pqEncode(emb, "embedding", cb).cache()
     val viaCodes = Knn.pqSearch(coded, "embedding", "vec_id", cb, probe, 5)
