@@ -616,6 +616,30 @@ object SparkEntry {
             .cast("double") / 100).as("spend_30d"))
     },
 
+    // Distribution window functions (percent_rank / cume_dist) with an
+    // explicit NULLS FIRST window ordering — the explicitness is the
+    // point: DuckDB defaults ASC to NULLS LAST, Spark to NULLS FIRST, so
+    // a null-ranking query that leans on engine defaults silently
+    // reorders when ported.
+    q("q_window_dist",
+      """SELECT c_custkey, c_mktsegment, bal_band,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM (SELECT c_custkey, c_mktsegment,
+        |        CASE WHEN c_acctbal < 0 THEN NULL
+        |             ELSE CAST(floor(c_acctbal / 1000) AS BIGINT) END AS bal_band
+        |      FROM customer)
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY bal_band NULLS FIRST, c_custkey)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("bal_band").asc_nulls_first, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          when(col("c_acctbal") < 0, lit(null))
+            .otherwise(floor(col("c_acctbal") / 1000)).cast("bigint").as("bal_band"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_band"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+    },
+
     q("q_topk_per_group",
       """SELECT user_id, event_id, CAST(value AS DOUBLE) AS value FROM (
         |  SELECT user_id, event_id, value,
@@ -987,6 +1011,38 @@ object SparkEntry {
             "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+    },
+
+    // Recursive CTE (WITH RECURSIVE, Spark 4's UnionLoop): the calendar-
+    // spine gap-fill — generate a month series recursively, LEFT JOIN the
+    // fact table so empty months surface as zero instead of vanishing (at
+    // the chosen price threshold several 1996 months ARE empty at the
+    // oracle SF). The scale shape: recursion builds only the tiny spine
+    // (12 driver-iterated steps, one row each) which then broadcasts
+    // against the distributed fact scan — the big side never recurses.
+    q("q_recursive_cte",
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1996-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < DATE '1996-12-01')
+        |SELECT strftime(m, '%Y-%m') AS month, count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        |  AND o_totalprice > 496000
+        |GROUP BY m""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_rec")
+      s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT DATE '1996-01-01'
+          |  UNION ALL
+          |  SELECT add_months(m, 1) FROM months WHERE m < DATE '1996-12-01')
+          |SELECT date_format(m, 'yyyy-MM') AS month,
+          |  count(o_orderkey) AS n_orders
+          |FROM months LEFT JOIN orders_rec
+          |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+          |  AND o_totalprice > 496000
+          |GROUP BY m""".stripMargin)
     },
 
     // Oracle gotcha: DuckDB's sum over integers yields HUGEINT, which the
@@ -1591,6 +1647,36 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
+    // Gopher/MassiveText repetition rules: duplicate-word fraction + the
+    // most-frequent-bigram share. Spark computes the bigram mode as a
+    // sort + max-run HOF fold over each row's OWN array (no shuffle — the
+    // groupBy(doc, bigram) shape would shuffle every token at 100 TB); the
+    // oracle recomputes it with the straightforward unnest + GROUP BY.
+    q("q_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6) AS dup_word_frac,
+        |    toks FROM tok WHERE len(toks) >= 2),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM base),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
+        |  round(top_c * 1.0 / (b.n_tokens - 1), 6) AS top_bigram_frac,
+        |  (round(top_c * 1.0 / (b.n_tokens - 1), 6) > 0.18
+        |    OR b.dup_word_frac > 0.9) AS repetitive
+        |FROM base b JOIN top USING (doc_id)""".stripMargin) { (s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
     }) ++ Seq(
 
     // no-oracle entries (nondeterministic or non-SQL-expressible → driver

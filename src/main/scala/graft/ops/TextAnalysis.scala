@@ -84,6 +84,50 @@ object TextAnalysis {
     round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
   }
 
+  /** Word bigrams of a token array (non-distinct, order-preserving) —
+    * [[Dedup.shingles]] deduplicates, which frequency signals must not. */
+  def bigrams(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+
+  /** Length of the longest run of equal adjacent elements in an already
+    * SORTED string array (= the max frequency of any element) — one HOF
+    * fold per row, no shuffle. */
+  def maxRunLength(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run2 = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run2.as("run"),
+          greatest(st.getField("best"), run2).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Repetition signals for training-data curation (the Gopher /
+    * MassiveText repetition rules): per document, the duplicate-word
+    * fraction and the fraction of bigrams taken by the single most
+    * frequent bigram, plus the combined `repetitive` verdict. Computed as
+    * sort + max-run over each row's own bigram array — a per-row pass with
+    * NO shuffle (the groupBy(doc, bigram) formulation would shuffle every
+    * token of a 100 TB corpus to find per-doc modes; this stays
+    * embarrassingly parallel). Documents with < 2 tokens are dropped (no
+    * bigram exists to score). */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    df.select(col(idCol), toks.as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol),
+        size(col("_toks")).cast("bigint").as("n_tokens"),
+        round(lit(1.0) -
+          size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")), 6)
+          .as("dup_word_frac"),
+        round(maxRunLength(array_sort(bigrams(col("_toks")))).cast("double") /
+          (size(col("_toks")) - 1), 6).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.9)
+  }
+
   /** One-pass per-document stats projection. */
   def documentStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))

@@ -266,4 +266,26 @@ class DedupKnnSpec extends AnyFunSuite {
     val langAcc = stats.filter($"lang" === $"lang_pred").count().toDouble / stats.count()
     assert(langAcc > 0.3, s"language-id heuristic accuracy too low: $langAcc")
   }
+
+  test("repetition signals: planted repetition scores as the hand-computed fractions") {
+    val docs = Seq(
+      // "spam spam spam spam" — 4 tokens all equal: dup_word = 3/4,
+      // 3 bigrams all "spam spam" → top_bigram = 1.0
+      (1L, "spam spam spam spam"),
+      // all-distinct text: dup_word = 0, every bigram unique → 1/(n-1)
+      (2L, "one two three four five"),
+      // "a b a b a b" — alternating: dup 4/6; bigrams: [a b]×3, [b a]×2 → 3/5
+      (3L, "a b a b a b"),
+      (4L, "solo"),         // < 2 tokens → dropped
+      (5L, "")) .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .select($"doc_id", $"dup_word_frac", $"top_bigram_frac", $"repetitive")
+      .as[(Long, Double, Double, Boolean)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 0.75 && byId(1L)._3 === 1.0 && byId(1L)._4)
+    assert(byId(2L)._2 === 0.0 && byId(2L)._3 === 0.25 && byId(2L)._4)
+    assert(math.abs(byId(3L)._2 - 2.0 / 3) < 1e-6 && byId(3L)._3 === 0.6 && byId(3L)._4)
+  }
 }
