@@ -113,6 +113,88 @@ case class PqEncode(child: Expression, m: Int, ksub: Int, dsub: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** nearest_centroid(vec) → index of the nearest (squared-l2) centroid —
+  * the IVF coarse-quantizer assignment, one flat-array loop per row.
+  *
+  * The compositional formulation
+  * `array_position(array(l2_dist×k), array_min(array(l2_dist×k)))` inlines
+  * 2·k separate distance loops into the fused stage (the distance array is
+  * built twice: once for min, once for position); at k=16 the generated
+  * method grows past what JIT compiles willingly and the scan runs several
+  * times slower than this single kernel. Ties resolve to the lowest cell
+  * index (matching array_position-of-first-min). Missing/null tail
+  * elements read as 0 ([[VectorBinaryExpression]] padding semantics). */
+case class NearestCentroid(child: Expression, nCells: Int, dim: Int,
+                           centroids: scala.collection.immutable.ArraySeq[Float])
+    extends UnaryExpression {
+  require(nCells > 0 && dim > 0, s"invalid quantizer geometry: nCells=$nCells dim=$dim")
+  require(centroids.length == nCells * dim,
+    s"centroid matrix length ${centroids.length} != nCells*dim = ${nCells * dim}")
+
+  // structural equality, primitive-array hot path — see PqEncode
+  private lazy val ct: Array[Float] = centroids.toArray
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<float|double>, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val fl = isFloat
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < nCells) {
+      var d = 0.0; var i = 0
+      while (i < dim) {
+        val x = if (i >= n || vec.isNullAt(i)) 0.0
+          else if (fl) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val diff = x - ct(c * dim + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("ivfCentroids", ct, "float[]")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val diff = ctx.freshName("diff"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $x = ($i >= $n || $a.isNullAt($i)) ? 0.0 : $get;
+         |    double $diff = $x - $ref[$c * $dim + $i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** pq_adc(codes) → approximate SQUARED l2 distance to the query the `lut`
   * was built for: Σ_s lut[s*ksub + codes[s]]. The LUT (per-subspace
   * distances from the query subvector to every codebook centroid) is built

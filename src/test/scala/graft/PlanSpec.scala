@@ -144,10 +144,10 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
     try {
       val p = plan("q_ivfpq_knn")
-      // cell pruning: projection collapse inlines the `_cell` argmin
-      // (array_position over the centroid-distance array) straight into the
-      // pre-shortlist Filter — the IN test runs against the scan output
-      assert(p.contains("array_position"), p.take(4000))
+      // cell pruning: projection collapse inlines the `_cell` argmin (the
+      // nearest_centroid kernel) straight into the pre-shortlist Filter —
+      // the IN test runs against the scan output
+      assert(p.contains("nearest_centroid"), p.take(4000))
       // the shortlist ranking runs on the ADC kernel over PQ codes
       assert(p.contains("pq_adc"), p.take(4000))
       assert(p.contains("TakeOrderedAndProject"), p.take(4000))

@@ -105,6 +105,40 @@ class PqSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("different codebook")))
   }
 
+  test("nearest_centroid kernel ≡ naive argmin; codegen ≡ interpreted") {
+    val centroids = Knn.trainCentroids(sample, nCells = 16)
+    val dim = centroids.head.length
+    // naive per-row reference computed in plain Scala
+    def naive(v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- centroids.indices) {
+        var d = 0.0
+        for (i <- 0 until dim) {
+          val x = (if (i < v.length) v(i) else 0.0f) - centroids(c)(i)
+          d += x.toDouble * x
+        }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    def run(): Map[Long, Int] =
+      Knn.ivfAssign(emb.limit(100), "embedding", centroids)
+        .select($"vec_id", $"_cell").as[(Long, Int)].collect().toMap
+    val got = run()
+    val vecs = emb.limit(100).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === naive(v.toArray), s"vec $id cell mismatch")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === got)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("ivfPqSearch: full probe + full shortlist ≡ exact; pruned probe keeps self-recall") {
     val n = emb.count().toInt
     val centroids = Knn.trainCentroids(sample, nCells = 16)
