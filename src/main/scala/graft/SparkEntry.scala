@@ -124,6 +124,15 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).toArray
     }
 
+  /** Bounded 256-row training sample shared by every ANN index build (IVF
+    * quantizer, PQ codebooks) — one collect per dataset, not one per
+    * artifact. */
+  private def sampleVectors(s: SparkSession, d: String): Array[Array[Float]] =
+    indexArtifact(s"sample:$d") {
+      Tables.embeddings(s, d).select("embedding").limit(256).collect()
+        .map(_.getSeq[Float](0).toArray)
+    }
+
   /** The one DuckDB oracle all three ANN probes (IVF / LSH / PQ) share —
     * single definition so a precision tweak cannot desynchronize them. */
   private val annOracleSql: String =
@@ -961,7 +970,9 @@ object SparkEntry {
     // is "no order since mid-1998" to keep the anti join non-trivial.)
     q("q_tpch_q22",
       """WITH avg_bal AS (
-        |  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |           / 100 / count(*) AS ab
+        |  FROM customer WHERE c_acctbal > 0.0)
         |SELECT c_nationkey, count(*) AS numcust,
         |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS totacctbal
         |FROM customer, avg_bal
@@ -971,8 +982,12 @@ object SparkEntry {
         |                    AND o_orderdate >= TIMESTAMP '1998-06-01')
         |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d)
+      // the threshold average goes through the file's exact fixed-point sum
+      // (LONG cents) — a plain parallel avg(double) could drift a ULP from
+      // DuckDB's serial sum and flip membership for a row sitting exactly
+      // on the threshold, a binary diff no output rounding can absorb
       val avgBal = c.filter(col("c_acctbal") > 0.0)
-        .agg(avg(col("c_acctbal")).as("ab"))
+        .agg((decSum(col("c_acctbal")) / count(lit(1))).as("ab"))
       c.join(broadcast(avgBal))
         .filter(col("c_acctbal") > col("ab"))
         .join(Tables.orders(s, d)
@@ -1673,7 +1688,7 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
         |  round(top_c * 1.0 / (b.n_tokens - 1), 6) AS top_bigram_frac,
-        |  (round(top_c * 1.0 / (b.n_tokens - 1), 6) > 0.18
+        |  ((b.n_tokens >= 12 AND round(top_c * 1.0 / (b.n_tokens - 1), 6) > 0.18)
         |    OR b.dup_word_frac > 0.9) AS repetitive
         |FROM base b JOIN top USING (doc_id)""".stripMargin) { (s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d), "text", "doc_id")
@@ -2010,9 +2025,7 @@ object SparkEntry {
       // deployment — memoized so the measured query is the probe path
       // (assign + cell-pruned scan), not quantizer re-training
       val centroids = indexArtifact(s"ivf-centroids:$d") {
-        val sample = e.select("embedding").limit(256).collect()
-          .map(_.getSeq[Float](0).toArray)
-        Knn.trainCentroids(sample, nCells = 16)
+        Knn.trainCentroids(sampleVectors(s, d), nCells = 16)
       }
       val probe = probeVector(s, d)
       val ann = Knn.ivfSearch(Knn.ivfAssign(e, "embedding", centroids),
@@ -2041,9 +2054,7 @@ object SparkEntry {
       // codebooks are index-build artifacts, trained once per dataset on a
       // bounded sample and reused by every probe (like the IVF quantizer)
       val cb = indexArtifact(s"pq-codebooks:$d") {
-        val sample = e.select("embedding").limit(256).collect()
-          .map(_.getSeq[Float](0).toArray)
-        Knn.trainPq(sample, m = 8, ksub = 16)
+        Knn.trainPq(sampleVectors(s, d), m = 8, ksub = 16)
       }
       val ann = Knn.pqSearch(e, "embedding", "vec_id", cb, probe, 10, shortlist = 64)
         .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
@@ -2060,14 +2071,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val probe = probeVector(s, d)
       val centroids = indexArtifact(s"ivf-centroids:$d") {
-        val sample = e.select("embedding").limit(256).collect()
-          .map(_.getSeq[Float](0).toArray)
-        Knn.trainCentroids(sample, nCells = 16)
+        Knn.trainCentroids(sampleVectors(s, d), nCells = 16)
       }
       val cb = indexArtifact(s"pq-codebooks:$d") {
-        val sample = e.select("embedding").limit(256).collect()
-          .map(_.getSeq[Float](0).toArray)
-        Knn.trainPq(sample, m = 8, ksub = 16)
+        Knn.trainPq(sampleVectors(s, d), m = 8, ksub = 16)
       }
       val ann = Knn.ivfPqSearch(Knn.ivfAssign(e, "embedding", centroids),
           "embedding", "vec_id", centroids, cb, probe, 10,

@@ -85,10 +85,14 @@ object TextAnalysis {
   }
 
   /** Word bigrams of a token array (non-distinct, order-preserving) —
-    * [[Dedup.shingles]] deduplicates, which frequency signals must not. */
+    * [[Dedup.shingles]] deduplicates, which frequency signals must not.
+    * Arrays of < 2 tokens yield an empty array (unguarded,
+    * `sequence(1, size-1)` would run DESCENDING to index 0 and throw). */
   def bigrams(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
 
   /** Length of the longest run of equal adjacent elements in an already
     * SORTED string array (= the max frequency of any element) — one HOF
@@ -112,8 +116,17 @@ object TextAnalysis {
     * NO shuffle (the groupBy(doc, bigram) formulation would shuffle every
     * token of a 100 TB corpus to find per-doc modes; this stays
     * embarrassingly parallel). Documents with < 2 tokens are dropped (no
-    * bigram exists to score). */
-  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * bigram exists to score).
+    *
+    * The bigram-share rule only applies at `minTokens` and above: an
+    * all-distinct n-token doc has top_bigram_frac = 1/(n-1), so below
+    * ~1/topBigramMax tokens the threshold would flag every short document
+    * regardless of content (the published pipelines gate these rules on a
+    * minimum length for the same reason). The dup-word rule applies at any
+    * length. */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
+                        minTokens: Int = 12, topBigramMax: Double = 0.18,
+                        dupWordMax: Double = 0.9): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
     df.select(col(idCol), toks.as("_toks"))
       .filter(size(col("_toks")) >= 2)
@@ -125,7 +138,8 @@ object TextAnalysis {
         round(maxRunLength(array_sort(bigrams(col("_toks")))).cast("double") /
           (size(col("_toks")) - 1), 6).as("top_bigram_frac"))
       .withColumn("repetitive",
-        col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.9)
+        (col("n_tokens") >= minTokens && col("top_bigram_frac") > topBigramMax) ||
+          col("dup_word_frac") > dupWordMax)
   }
 
   /** One-pass per-document stats projection. */

@@ -130,11 +130,17 @@ class PlanSpec extends AnyFunSuite {
     // the difference between one join and a million scans
     val q4 = plan("q_tpch_q4")
     assert(q4.contains("LeftSemi"), q4)
-    val q22 = plan("q_tpch_q22")
-    assert(q22.contains("LeftAnti"), q22)
-    // the scalar-average subquery reaches the filter as a broadcast of one
-    // row, not a cartesian re-computation per customer
-    assert(q22.contains("BroadcastNestedLoopJoin") || q22.contains("BroadcastHashJoin"), q22)
+    // disable auto-broadcast so the anti join can't satisfy the broadcast
+    // assertion by itself — the 1-row scalar-average side must broadcast
+    // because of the EXPLICIT hint, and nothing may go cartesian
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q22 = plan("q_tpch_q22")
+      assert(q22.contains("LeftAnti"), q22)
+      assert(q22.contains("BroadcastNestedLoopJoin"), q22)
+      assert(!q22.contains("CartesianProduct"), q22)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
   test("IVF-PQ probe prunes cells at the scan and scores codes, not vectors") {

@@ -269,23 +269,32 @@ class DedupKnnSpec extends AnyFunSuite {
 
   test("repetition signals: planted repetition scores as the hand-computed fractions") {
     val docs = Seq(
-      // "spam spam spam spam" — 4 tokens all equal: dup_word = 3/4,
-      // 3 bigrams all "spam spam" → top_bigram = 1.0
-      (1L, "spam spam spam spam"),
-      // all-distinct text: dup_word = 0, every bigram unique → 1/(n-1)
+      // 13 × "spam": dup_word = 12/13 > 0.9, 12 bigrams all equal → flagged
+      (1L, Seq.fill(13)("spam").mkString(" ")),
+      // all-distinct 5 tokens: top_bigram = 1/4 = 0.25 EXCEEDS 0.18 but the
+      // doc is below minTokens — the length gate must keep it clean (an
+      // ungated threshold would flag every short document)
       (2L, "one two three four five"),
-      // "a b a b a b" — alternating: dup 4/6; bigrams: [a b]×3, [b a]×2 → 3/5
+      // "a b a b a b": dup 4/6, top bigram [a b]×3 of 5 → 0.6; short → clean
       (3L, "a b a b a b"),
       (4L, "solo"),         // < 2 tokens → dropped
-      (5L, "")) .toDF("doc_id", "text")
+      (5L, ""),             // no tokens → dropped
+      // 8 × "x y" = 16 tokens: top bigram [x y]×8 of 15 > 0.18 at n ≥ 12 →
+      // flagged by the bigram rule alone (dup 14/16 = 0.875 < 0.9)
+      (6L, Seq.fill(8)("x y").mkString(" ")),
+      // 12 distinct tokens: top_bigram = 1/11 ≈ 0.09 < 0.18 → clean even
+      // though the length gate is open
+      (7L, (1 to 12).map("w" + _).mkString(" "))).toDF("doc_id", "text")
     val got = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
       .orderBy("doc_id")
       .select($"doc_id", $"dup_word_frac", $"top_bigram_frac", $"repetitive")
       .as[(Long, Double, Double, Boolean)].collect()
-    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 6L, 7L))
     val byId = got.map(r => r._1 -> r).toMap
-    assert(byId(1L)._2 === 0.75 && byId(1L)._3 === 1.0 && byId(1L)._4)
-    assert(byId(2L)._2 === 0.0 && byId(2L)._3 === 0.25 && byId(2L)._4)
-    assert(math.abs(byId(3L)._2 - 2.0 / 3) < 1e-6 && byId(3L)._3 === 0.6 && byId(3L)._4)
+    assert(math.abs(byId(1L)._2 - 12.0 / 13) < 1e-6 && byId(1L)._3 === 1.0 && byId(1L)._4)
+    assert(byId(2L)._2 === 0.0 && byId(2L)._3 === 0.25 && !byId(2L)._4)
+    assert(math.abs(byId(3L)._2 - 2.0 / 3) < 1e-6 && byId(3L)._3 === 0.6 && !byId(3L)._4)
+    assert(byId(6L)._2 === 0.875 && math.abs(byId(6L)._3 - 8.0 / 15) < 1e-6 && byId(6L)._4)
+    assert(!byId(7L)._4 && math.abs(byId(7L)._3 - 1.0 / 11) < 1e-6)
   }
 }

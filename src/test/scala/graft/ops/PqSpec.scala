@@ -156,7 +156,9 @@ class PqSpec extends AnyFunSuite {
     assert(pruned.length === 10)
     assert(pruned.map(_._1).contains(0L),
       "the probe's own row lands in the nearest probed cell and must surface")
-    assert(!pruned.map(_._1).toSeq.contains(null), "result carries real ids")
+    val corpusIds = emb.select("vec_id").as[Long].collect().toSet
+    assert(pruned.forall(p => corpusIds.contains(p._1)),
+      "every emitted id must exist in the corpus")
     assert(pruned.forall { case (_, s) => s <= 1.0 + 1e-6 })
     assigned.unpersist()
   }
