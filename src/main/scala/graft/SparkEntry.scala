@@ -1664,6 +1664,73 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")).as("quality"))
     },
 
+    // Sequence packing (context-window bin packing) — validation-aggregate
+    // oracle: the bin assignment depends on Spark's hash partitioning (not
+    // reproducible in SQL), but the packing CONTRACT is not — every
+    // non-null doc packed exactly once (n_docs), token mass preserved
+    // (total_tokens, SQL recomputes both), no bin over the 512 budget, and
+    // the bin count within [ceil(total/512), 2·ceil(total/512) + P]
+    // (next-fit's bound with P partition tail bins). Spark MEASURES the
+    // booleans; the SQL side states them. Exact layout is DedupKnnSpec's.
+    q("q_pack_sequences",
+      """WITH tok AS (
+        |  SELECT doc_id, len(list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(1 AS BOOLEAN) AS all_bins_within_budget,
+        |  CAST(1 AS BOOLEAN) AS bin_count_in_bounds,
+        |  CAST(1 AS BOOLEAN) AS none_oversized
+        |FROM tok""".stripMargin) { (s, d) =>
+      val budget = 512; val parts = 8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val packed = ops.Packing.packNextFit(docs, "doc_id", "n_tok", budget, parts)
+      packed.groupBy("bin_id")
+        .agg(sum(col("n_tok")).as("_bt"), count(lit(1)).as("_n"),
+          bool_or(col("oversized")).as("_over"))
+        .agg(
+          sum(col("_n")).as("n_docs"),
+          sum(col("_bt")).cast("bigint").as("total_tokens"),
+          bool_and(col("_bt") <= budget).as("all_bins_within_budget"),
+          (count(lit(1)).between(
+            ceil(sum(col("_bt")) / lit(budget.toDouble)),
+            lit(2) * ceil(sum(col("_bt")) / lit(budget.toDouble)) + parts))
+            .as("bin_count_in_bounds"),
+          (!bool_or(col("_over"))).as("none_oversized"))
+    },
+
+    // Benchmark decontamination (train/eval n-gram overlap): docs ≥ 100
+    // are "training", docs < 100 the "holdout"; any training doc sharing a
+    // distinct 5-gram with the holdout is contaminated. The Spark plan
+    // broadcasts the holdout's shingle hashes (the eval set is small by
+    // construction) so the train side is never shuffled for the
+    // membership test; the oracle recomputes the overlap join on shingle
+    // STRINGS — agreement also re-certifies fnv64's collision-freeness
+    // here, as in q_fingerprint.
+    q("q_decontaminate",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 3),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS g
+        |  FROM tok WHERE len(toks) >= 5)
+        |SELECT tr.doc_id, count(DISTINCT tr.g) AS shared_ngrams
+        |FROM sh tr JOIN sh te ON tr.g = te.g
+        |WHERE tr.doc_id >= 100 AND te.doc_id < 100
+        |GROUP BY tr.doc_id
+        |HAVING count(DISTINCT tr.g) >= 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+        docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100),
+        "text", "doc_id", shingleN = 5, minShared = 1)
+    },
+
     // Gopher/MassiveText repetition rules: duplicate-word fraction + the
     // most-frequent-bigram share. Spark computes the bigram mode as a
     // sort + max-run HOF fold over each row's OWN array (no shuffle — the

@@ -261,6 +261,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination — per-train-document contamination counts:
+    * training documents sharing ≥ `minShared` distinct word
+    * `shingleN`-grams with ANY holdout/eval document leak the eval set
+    * into training and must be dropped. Returns `(idCol, shared_ngrams)`
+    * for contaminated docs only.
+    *
+    * Shape for 100 TB: the holdout side is small (it is the benchmark), so
+    * its distinct shingle hashes BROADCAST — the train corpus is never
+    * shuffled for the membership test (broadcast semi join on 8-byte fnv64
+    * keys, text never leaves the scan), and the only exchange is the
+    * per-doc count partial agg. `maxDocFreq` caps stop-shingle posting
+    * lists exactly as in [[jaccardPairs]] (an under-count: contamination
+    * via ubiquitous shingles is ignored — at n ≥ 5 such shingles are
+    * boilerplate, which published decontamination pipelines also skip). */
+  def contamination(train: DataFrame, test: DataFrame, textCol: String,
+                    idCol: String, shingleN: Int = 5, minShared: Int = 1,
+                    maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val trShAll = train
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("_g"))
+      .select(col(idCol), fnv64(col("_g")).as("_gh"))
+    val trSh =
+      if (maxDocFreq == Int.MaxValue) trShAll
+      else {
+        val hot = trShAll.groupBy("_gh").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("_gh")
+        trShAll.join(hot, Seq("_gh"), "left_anti")
+      }
+    val teSh = test
+      .select(explode(shingles(col(textCol), shingleN)).as("_g"))
+      .select(fnv64(col("_g")).as("_gh")).distinct()
+    trSh.join(broadcast(teSh), Seq("_gh"), "left_semi")
+      // shingles() is distinct per document, so post-semi-join multiplicity
+      // is exactly one row per (doc, shingle) — a plain count IS the
+      // distinct shared-shingle count, no distinct-agg state needed
+      .groupBy(col(idCol)).agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** The decontaminated training corpus: [[contamination]]'s hits
+    * anti-joined away. */
+  def decontaminate(train: DataFrame, test: DataFrame, textCol: String,
+                    idCol: String, shingleN: Int = 5, minShared: Int = 1,
+                    maxDocFreq: Int = Int.MaxValue): DataFrame =
+    train.join(
+      contamination(train, test, textCol, idCol, shingleN, minShared, maxDocFreq),
+      Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-dups, exact within LSH candidate buckets.
     * Buckets hold ids only (vectors are wide — shuffling them through the
     * band exchange would dominate); candidate pairs are deduplicated FIRST,

@@ -257,6 +257,54 @@ class DedupKnnSpec extends AnyFunSuite {
       "languages with no fraction must not be sampled")
   }
 
+  test("decontamination: planted eval overlap is flagged, clean docs survive") {
+    val test = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the holdout's "alpha beta gamma delta epsilon" 5-gram
+      (1L, "intro words alpha beta gamma delta epsilon outro"),
+      // same words, different order — no shared 5-gram
+      (2L, "epsilon delta gamma beta alpha zeta other words here"),
+      // completely disjoint vocabulary
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, test, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet === Set(1L), s"only doc 1 shares a 5-gram: $hits")
+    assert(hits(1L) === 1L,
+      "doc 1 shares exactly one 5-gram (alpha beta gamma delta epsilon); its " +
+        "other windows shift past the holdout's two shingles")
+    val clean = Dedup.decontaminate(train, test, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(2L, 3L))
+  }
+
+  test("sequence packing: next-fit bins match the hand-computed layout") {
+    val docs = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 500), (5L, 600), (6L, 10))
+      .toDF("doc_id", "n_tok")
+    val packed = Packing.packNextFit(docs, "doc_id", "n_tok", budget = 512,
+      partitions = 1)
+      .select($"doc_id", $"bin_id", $"oversized")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // next-fit in id order: [1], [2,3], [4], [5 oversized], [6]
+    val binOf = packed.map(p => p._1 -> p._2).toMap
+    assert(binOf(2L) === binOf(3L), "300+100 share a bin")
+    assert(Set(binOf(1L), binOf(2L), binOf(4L), binOf(5L), binOf(6L)).size === 5,
+      "five distinct bins")
+    assert(packed.filter(_._3).map(_._1).toSeq === Seq(5L), "only the 600-token doc is oversized")
+    // multi-partition contract: every doc packed once, no non-oversized bin
+    // over budget, deterministic across runs
+    val big = graft.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tok"))
+    def run() = Packing.packNextFit(big, "doc_id", "n_tok", budget = 512, partitions = 4)
+    val a = run().collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val b = run().collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a === b, "packing must be deterministic")
+    assert(a.map(_._1).distinct.size === a.size, "every doc packed exactly once")
+    val over = run().groupBy("bin_id").agg(sum($"n_tok").as("bt"))
+      .filter($"bt" > 512).count()
+    assert(over === 0, "no bin exceeds the budget (no oversized docs in this corpus)")
+  }
+
   test("text analysis stats are sane on documents") {
     val d = graft.Tables.documents(spark, TestSpark.sf)
     val stats = TextAnalysis.documentStats(d, "text")
