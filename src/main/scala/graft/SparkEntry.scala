@@ -1664,6 +1664,33 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")).as("quality"))
     },
 
+    // Temperature-flattened domain mixing (multinomial α-sampling): target
+    // share ∝ n_d^0.5 upsamples low-resource languages relative to the
+    // en-heavy natural distribution (en's fraction ≈ 0.28 vs ≈ 0.48 for
+    // the tail here). Same validation-aggregate pattern as
+    // q_stratified_sample: per-domain totals hash-compared, the seeded
+    // sample's per-domain counts measured against 6σ binomial bounds of
+    // the temperature fractions. Fraction determinism: domains fold in
+    // sorted order on the driver (see Mixing.temperatureFractions).
+    q("q_domain_mix",
+      """SELECT lang, count(*) AS n_total, CAST(1 AS BOOLEAN) AS in_bounds
+        |FROM documents WHERE lang IS NOT NULL
+        |GROUP BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("lang").isNotNull)
+      val fracs = indexArtifact(s"mix-fracs:$d") {
+        val target = docs.count() * 2 / 5
+        ops.Mixing.temperatureFractions(docs, "lang", alpha = 0.5, target)
+      }
+      val f = element_at(typedLit(fracs), col("lang"))
+      val sampled = docs.stat.sampleBy("lang", fracs, 42L)
+        .groupBy("lang").agg(count(lit(1)).as("_ns"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          (abs(coalesce(col("_ns"), lit(0L)) - col("n_total") * f) <=
+            lit(6.0) * sqrt(col("n_total") * f * (lit(1.0) - f))).as("in_bounds"))
+    },
+
     // Sequence packing (context-window bin packing) — validation-aggregate
     // oracle: the bin assignment depends on Spark's hash partitioning (not
     // reproducible in SQL), but the packing CONTRACT is not — every
