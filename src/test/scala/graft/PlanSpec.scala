@@ -160,6 +160,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.debug.maxToStringFields", before)
   }
 
+  test("decontamination broadcasts the holdout fingerprint — train side joins without a shuffle") {
+    // force the scale shape: at test SF everything fits the broadcast
+    // threshold, so disable auto-broadcast and check the EXPLICIT hint on
+    // the holdout's shingle hashes still wins — at 100 TB this is the
+    // difference between shipping 8-byte eval-set hashes to every executor
+    // and shuffling the entire training corpus's shingles
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_decontaminate")
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+      assert(p.contains("fnv64"), p)   // membership tests 8-byte hashes, not text
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("embedding near-dup plans as banded LSH — no nested-loop product anywhere") {
     val p = plan("q_embedding_neardup")
     // the O(n²) exact variant planned a BroadcastNestedLoopJoin over the
