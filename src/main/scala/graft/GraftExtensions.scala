@@ -61,6 +61,8 @@ object GraftExtensions {
       xs => WinnowFingerprint(xs(0), intArg(xs(1), "ngram"), intArg(xs(2), "window")) },
     f("word_shingles", "word_shingles(tokens, n) — distinct word n-grams") {
       xs => WordShingles(xs(0), intArg(xs(1), "shingle n")) },
+    f("top_ngram_run", "top_ngram_run(tokens, n) — max n-gram frequency") {
+      xs => TopNgramRun(xs(0), intArg(xs(1), "ngram n")) },
     f("unicode_norm", "unicode_norm(s, 'NFC'|'NFD'|'NFKC'|'NFKD')") {
       xs => UnicodeNormalize(xs(0), xs(1) match {
         case Literal(v, _) if v != null => v.toString

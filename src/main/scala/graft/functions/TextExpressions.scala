@@ -333,6 +333,40 @@ object TextShingling {
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
+
+  /** Max frequency of any word n-gram over NON-distinct windows (the mode
+    * count — repetition scoring needs frequencies, [[wordShingles]]
+    * deduplicates). Exact: n-grams sort as UTF8Strings and the longest
+    * equal-run is counted — no hashing, so a collision can never inflate
+    * the mode. Windows containing a null token are skipped; fewer than n
+    * tokens → 0. */
+  def maxNgramRun(arr: ArrayData, n: Int): Long = {
+    val m = arr.numElements()
+    if (m < n) return 0L
+    val grams = new java.util.ArrayList[UTF8String](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      var ok = true
+      while (j < n && ok) {
+        if (arr.isNullAt(i + j)) ok = false else parts(j) = arr.getUTF8String(i + j)
+        j += 1
+      }
+      if (ok) grams.add(if (n == 1) parts(0) else UTF8String.concatWs(SPACE, parts: _*))
+      i += 1
+    }
+    if (grams.isEmpty) return 0L
+    val a = grams.toArray(new Array[UTF8String](0))
+    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
+    var best = 1L; var run = 1L; var k = 1
+    while (k < a.length) {
+      if (a(k).equals(a(k - 1))) { run += 1; if (run > best) best = run }
+      else run = 1
+      k += 1
+    }
+    best
+  }
 }
 
 /** word_shingles(array<string> tokens, n) → array<string> of distinct word
@@ -362,6 +396,33 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextShingling.wordShingles($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** top_ngram_run(array<string> tokens, n) → LONG max frequency of any word
+  * n-gram (non-distinct windows — the mode count repetition scoring
+  * needs). One JVM pass per row (build n-grams, sort, longest equal run):
+  * replaces an interpreted `array_sort` + HOF-fold chain over a
+  * `transform`-built bigram array, and at 100 TB keeps repetition scoring
+  * a pure scan-side computation. */
+case class TopNgramRun(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0 && n <= 64, s"ngram n out of range: $n")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "top_ngram_run"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"top_ngram_run requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextShingling.maxNgramRun(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextShingling.maxNgramRun($a, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -84,35 +84,12 @@ object TextAnalysis {
     round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
   }
 
-  /** Word bigrams of a token array (non-distinct, order-preserving) —
-    * [[Dedup.shingles]] deduplicates, which frequency signals must not.
-    * Arrays of < 2 tokens yield an empty array (unguarded,
-    * `sequence(1, size-1)` would run DESCENDING to index 0 and throw). */
-  def bigrams(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Length of the longest run of equal adjacent elements in an already
-    * SORTED string array (= the max frequency of any element) — one HOF
-    * fold per row, no shuffle. */
-  def maxRunLength(sortedArr: Column): Column =
-    aggregate(sortedArr,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (st, x) => {
-        val run2 = when(x === st.getField("prev"), st.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run2.as("run"),
-          greatest(st.getField("best"), run2).as("best"))
-      },
-      st => st.getField("best"))
-
   /** Repetition signals for training-data curation (the Gopher /
     * MassiveText repetition rules): per document, the duplicate-word
     * fraction and the fraction of bigrams taken by the single most
-    * frequent bigram, plus the combined `repetitive` verdict. Computed as
-    * sort + max-run over each row's own bigram array — a per-row pass with
+    * frequent bigram, plus the combined `repetitive` verdict. The bigram
+    * mode is one codegen'd JVM pass per row
+    * ([[graft.functions.TopNgramRun]]: build, sort, longest equal run) —
     * NO shuffle (the groupBy(doc, bigram) formulation would shuffle every
     * token of a 100 TB corpus to find per-doc modes; this stays
     * embarrassingly parallel). Documents with < 2 tokens are dropped (no
@@ -135,8 +112,8 @@ object TextAnalysis {
         round(lit(1.0) -
           size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")), 6)
           .as("dup_word_frac"),
-        round(maxRunLength(array_sort(bigrams(col("_toks")))).cast("double") /
-          (size(col("_toks")) - 1), 6).as("top_bigram_frac"))
+        round(graft.functions.GraftFunctions.top_ngram_run(col("_toks"), 2)
+          .cast("double") / (size(col("_toks")) - 1), 6).as("top_bigram_frac"))
       .withColumn("repetitive",
         (col("n_tokens") >= minTokens && col("top_bigram_frac") > topBigramMax) ||
           col("dup_word_frac") > dupWordMax)

@@ -14,7 +14,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet === Set(
       "cosine_sim", "l2_dist", "dot_product", "fnv64", "simhash64",
       "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles",
-      "unicode_norm", "strip_accents"))
+      "top_ngram_run", "unicode_norm", "strip_accents"))
   }
 
   test("every registered SQL function is runnable on a fresh session registry") {
@@ -29,7 +29,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(minhash_sig(array('a','b'), 16)) AS ms,
         |  size(minhash_bands(array('a','b'), 16, 4)) AS mb,
         |  size(winnow_fingerprint('abcdefgh', 3, 2)) AS wf,
-        |  size(word_shingles(array('a','b','c'), 2)) AS n2
+        |  size(word_shingles(array('a','b','c'), 2)) AS n2,
+        |  top_ngram_run(array('a','b','a','b','a'), 2) AS tr
         |""".stripMargin).head()
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 5.0)
@@ -39,6 +40,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(6) === 4)
     assert(r.getInt(7) >= 1)
     assert(r.getInt(8) === 2)
+    // [a b, b a, a b, b a] → "a b" twice
+    assert(r.getLong(9) === 2L)
   }
 
   test("pure-SQL surface end-to-end: registered views + graft functions ≡ DataFrame API") {

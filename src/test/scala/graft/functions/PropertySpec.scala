@@ -26,6 +26,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("maxNgramRun kernel equals naive n-gram mode count") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 200) {
+      val toks = List.fill(rnd.nextInt(40))(words(rnd.nextInt(words.length)))
+      val n = 1 + rnd.nextInt(4)
+      val got = TextShingling.maxNgramRun(toArrayData(toks), n)
+      val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList
+      val expected = if (grams.isEmpty) 0L
+        else grams.groupBy(identity).values.map(_.size).max.toLong
+      assert(got === expected, s"toks=$toks n=$n")
+    }
+  }
+
   test("TopKByScore equals sort-take under arbitrary reduce/merge splits") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 200) {
