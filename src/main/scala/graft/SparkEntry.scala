@@ -961,6 +961,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
     },
 
+    // TPC-H Q7 shape (volume shipping): the nation dimension participates
+    // TWICE under different roles (supplier's vs customer's nation) with a
+    // disjunctive cross-pair predicate that only resolves after both
+    // joins. Both role-filtered dimensions broadcast; the fact chain never
+    // re-shuffles for the second nation.
+    q("q_tpch_q7",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val names = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("_sk"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin(names: _*))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("_ck"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin(names: _*))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(n1), col("s_nationkey") === col("_sk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(n2), col("c_nationkey") === col("_ck"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+    },
+
     // TPC-H Q22 shape (global sales opportunity): an uncorrelated scalar
     // subquery (the positive-balance average) broadcast as a 1-row cross
     // join, plus a NOT EXISTS that decorrelates to a LEFT ANTI join against
