@@ -1721,8 +1721,10 @@ object SparkEntry {
         |GROUP BY lang""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).filter(col("lang").isNotNull)
       val fracs = indexArtifact(s"mix-fracs:$d") {
-        val target = docs.count() * 2 / 5
-        ops.Mixing.temperatureFractions(docs, "lang", alpha = 0.5, target)
+        // byShare derives the 40% target from the same collected histogram
+        // — one driver job, not a separate count() scan
+        ops.Mixing.temperatureFractionsByShare[String](
+          docs, "lang", alpha = 0.5, share = 0.4)
       }
       val f = element_at(typedLit(fracs), col("lang"))
       val sampled = docs.stat.sampleBy("lang", fracs, 42L)
@@ -1802,10 +1804,11 @@ object SparkEntry {
     },
 
     // Gopher/MassiveText repetition rules: duplicate-word fraction + the
-    // most-frequent-bigram share. Spark computes the bigram mode as a
-    // sort + max-run HOF fold over each row's OWN array (no shuffle — the
-    // groupBy(doc, bigram) shape would shuffle every token at 100 TB); the
-    // oracle recomputes it with the straightforward unnest + GROUP BY.
+    // most-frequent-bigram share. Spark computes the bigram mode with the
+    // codegen'd top_ngram_run kernel — one JVM pass over each row's OWN
+    // tokens (no shuffle — the groupBy(doc, bigram) shape would shuffle
+    // every token at 100 TB); the oracle recomputes it with the
+    // straightforward unnest + GROUP BY.
     q("q_repetition",
       """WITH tok AS (
         |  SELECT doc_id, list_filter(

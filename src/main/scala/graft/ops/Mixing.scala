@@ -15,19 +15,22 @@ import org.apache.spark.sql.functions._
   * Scale shape: the domain histogram is a tiny driver-side aggregate
   * (#domains rows), the sampling itself is `sampleBy` — a seeded
   * per-row Bernoulli filter in one scan, no shuffle.
+  *
+  * `T` is the domain column's external type (String, Int, …) — it must
+  * match what the column actually holds, exactly as with `sampleBy`.
   */
 object Mixing {
 
-  /** Per-domain sampling fractions for a target corpus of `targetSize`
-    * documents: f_d = min(1, p_d · targetSize / n_d), p_d = n_d^α / Σ n^α.
-    * Domains are folded in sorted order so the Σ n^α accumulation is
-    * deterministic. */
-  def temperatureFractions(df: DataFrame, domainCol: String, alpha: Double,
-                           targetSize: Long): Map[String, Double] = {
-    require(alpha > 0, s"alpha must be positive, got $alpha")
-    val counts = df.filter(col(domainCol).isNotNull)
+  /** One collected (domain, count) histogram, in deterministic sorted
+    * order so downstream float folds don't depend on task order. */
+  private def histogram[T](df: DataFrame, domainCol: String): Array[(T, Long)] =
+    df.filter(col(domainCol).isNotNull)
       .groupBy(domainCol).agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getAs[T](0) -> r.getLong(1))
+      .sortBy(_._1.toString)
+
+  private def fractions[T](counts: Array[(T, Long)], alpha: Double,
+                           targetSize: Long): Map[T, Double] = {
     val weights = counts.map { case (d, n) => (d, n, math.pow(n.toDouble, alpha)) }
     val z = weights.map(_._3).sum
     weights.map { case (d, n, w) =>
@@ -35,10 +38,29 @@ object Mixing {
     }.toMap
   }
 
+  /** Per-domain sampling fractions for a target corpus of `targetSize`
+    * documents: f_d = min(1, p_d · targetSize / n_d), p_d = n_d^α / Σ n^α. */
+  def temperatureFractions[T](df: DataFrame, domainCol: String, alpha: Double,
+                              targetSize: Long): Map[T, Double] = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    fractions(histogram[T](df, domainCol), alpha, targetSize)
+  }
+
+  /** Like [[temperatureFractions]] but the target is a SHARE of the
+    * corpus (0 < share ≤ 1) — total size comes from the same collected
+    * histogram, no extra count job. */
+  def temperatureFractionsByShare[T](df: DataFrame, domainCol: String,
+                                     alpha: Double, share: Double): Map[T, Double] = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(share > 0 && share <= 1, s"share must be in (0, 1], got $share")
+    val counts = histogram[T](df, domainCol)
+    fractions(counts, alpha, math.round(counts.map(_._2).sum * share))
+  }
+
   /** The mixed corpus: seeded, deterministic `sampleBy` under
     * [[temperatureFractions]]. */
-  def mixByTemperature(df: DataFrame, domainCol: String, alpha: Double,
-                       targetSize: Long, seed: Long = 42L): DataFrame =
+  def mixByTemperature[T](df: DataFrame, domainCol: String, alpha: Double,
+                          targetSize: Long, seed: Long = 42L): DataFrame =
     df.stat.sampleBy(domainCol,
-      temperatureFractions(df, domainCol, alpha, targetSize), seed)
+      temperatureFractions[T](df, domainCol, alpha, targetSize), seed)
 }

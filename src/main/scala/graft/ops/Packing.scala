@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *
   * A document larger than the budget gets a bin of its own (flagged via
   * `oversized`) — the caller decides whether to truncate or drop. Rows
-  * with a null id or token count are dropped (nothing to pack).
+  * with a null or NEGATIVE id/token count are dropped (nothing to pack;
+  * a negative count is an upstream bug — e.g. non-ANSI `size(null)` = -1
+  * — and must not silently pack as a zero-width doc).
   *
   * Bin ids are `(partitionId << 32) | localBin`: globally unique without
   * any cross-partition coordination.
@@ -40,6 +42,7 @@ object Packing {
     val prepared = df
       .select(col(idCol).cast("long").as("_id"), col(tokenCol).cast("int").as("_tok"))
       .na.drop()
+      .filter(col("_tok") >= 0)
       .repartition(n, col("_id"))
       .sortWithinPartitions("_id")
       .as[(Long, Int)]
@@ -48,9 +51,8 @@ object Packing {
       var localBin = -1L
       var used = budget.toLong + 1 // forces a fresh bin on the first row
       rows.map { case (id, tok) =>
-        val t = math.max(tok, 0).toLong
-        if (used + t > budget) { localBin += 1; used = 0L }
-        used += t
+        if (used + tok > budget) { localBin += 1; used = 0L }
+        used += tok
         (id, tok, (pid << 32) | localBin, tok > budget)
       }
     }.toDF(idCol, tokenCol, "bin_id", "oversized")

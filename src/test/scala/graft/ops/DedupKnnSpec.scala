@@ -283,7 +283,7 @@ class DedupKnnSpec extends AnyFunSuite {
       (1 to 200).map(i => (i.toLong + 1000, "mid")) ++
       (1 to 8).map(i => (i.toLong + 2000, "tiny"))
     val df = docs.toDF("doc_id", "dom")
-    val f = Mixing.temperatureFractions(df, "dom", alpha = 0.5, targetSize = 100)
+    val f = Mixing.temperatureFractions[String](df, "dom", alpha = 0.5, targetSize = 100)
     // flattening: the smaller the domain, the LARGER its sampling fraction
     assert(f("tiny") > f("mid") && f("mid") > f("big"), f.toString)
     // with no fraction capped, expected sample mass equals the target
@@ -291,15 +291,15 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(f.values.forall(_ < 1.0) && math.abs(expected - 100) < 1e-6,
       s"uncapped fractions must hit the target exactly, got $expected via $f")
     // a tiny domain under a large target caps at 1 instead of oversampling
-    val capped = Mixing.temperatureFractions(df, "dom", alpha = 0.5, targetSize = 1000)
+    val capped = Mixing.temperatureFractions[String](df, "dom", alpha = 0.5, targetSize = 1000)
     assert(capped("tiny") === 1.0, capped.toString)
     // α = 1 keeps natural proportions: every fraction = target / total
-    val natural = Mixing.temperatureFractions(df, "dom", alpha = 1.0, targetSize = 504)
+    val natural = Mixing.temperatureFractions[String](df, "dom", alpha = 1.0, targetSize = 504)
     assert(natural.values.forall(v => math.abs(v - 0.5) < 1e-9), natural.toString)
     // seeded mix is deterministic
-    val m1 = Mixing.mixByTemperature(df, "dom", 0.5, 100).select("doc_id")
+    val m1 = Mixing.mixByTemperature[String](df, "dom", 0.5, 100).select("doc_id")
       .as[Long].collect().toSet
-    val m2 = Mixing.mixByTemperature(df, "dom", 0.5, 100).select("doc_id")
+    val m2 = Mixing.mixByTemperature[String](df, "dom", 0.5, 100).select("doc_id")
       .as[Long].collect().toSet
     assert(m1 === m2)
   }
