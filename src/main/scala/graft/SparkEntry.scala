@@ -1004,6 +1004,61 @@ object SparkEntry {
         .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
     },
 
+    // TPC-H Q8 shape (national market share): a conditional-over-total
+    // ratio aggregated per year — the numerator is a CASE-gated slice of
+    // the same exact LONG-cents volume sum as the denominator, so the
+    // quotient is a deterministic double both engines compute identically.
+    // Five dimensions broadcast (part/supplier/customer-region chain);
+    // lineitem⋈orders stays the only big join.
+    q("q_tpch_q8",
+      """WITH all_sales AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |    AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END) AS DOUBLE)
+        |    / sum(volume), 6) AS mkt_share,
+        |  count(*) AS n
+        |FROM all_sales GROUP BY o_year""".stripMargin) { (s, d) =>
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("_nk"))),
+          col("c_nationkey") === col("_nk"))
+        .select("c_custkey")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("_sk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("_sk"))
+        .select("s_suppkey", "supp_nation")
+      val promoParts = Tables.part(s, d)
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val volume = roundAway(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        lit(1000000)).cast("long")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(year(col("o_orderdate")).cast("bigint").as("o_year"),
+          volume.as("_vol"), col("supp_nation"))
+        .groupBy("o_year")
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_7", col("_vol")).otherwise(0L))
+            .cast("double") / sum(col("_vol")), 6).as("mkt_share"),
+          count(lit(1)).as("n"))
+    },
+
     // TPC-H Q22 shape (global sales opportunity): an uncorrelated scalar
     // subquery (the positive-balance average) broadcast as a 1-row cross
     // join, plus a NOT EXISTS that decorrelates to a LEFT ANTI join against
