@@ -25,6 +25,9 @@ import graft.functions.GraftFunctions._
   *    rows².
   *  - [[embeddingNearDups]] — cosine near-dup over embedding vectors via
   *    the same banded LSH idea on random hyperplanes.
+  *  - [[contamination]] / [[decontaminate]] — cross-corpus benchmark
+  *    decontamination: the holdout's shingle hashes broadcast, the train
+  *    side never shuffles for the membership test.
   */
 object Dedup {
 

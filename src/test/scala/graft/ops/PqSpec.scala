@@ -172,4 +172,21 @@ class PqSpec extends AnyFunSuite {
     assert(viaCodes === viaVecs)
     coded.unpersist()
   }
+
+  test("ivfPqSearch on a fully pre-built layout (cells + codes at ingest) ≡ on-the-fly") {
+    // the 100 TB layout: _cell and _pq are both computed once at ingest and
+    // stored (partitioned by _cell); a probe must reuse them unchanged
+    val centroids = Knn.trainCentroids(sample, nCells = 16)
+    val prebuilt = Knn.pqEncode(
+      Knn.ivfAssign(emb, "embedding", centroids), "embedding", cb).cache()
+    val viaPrebuilt = Knn.ivfPqSearch(prebuilt, "embedding", "vec_id",
+        centroids, cb, probe, 10, nProbe = 4, shortlist = 64)
+      .select("vec_id").as[Long].collect().toSet
+    val onTheFly = Knn.ivfPqSearch(Knn.ivfAssign(emb, "embedding", centroids),
+        "embedding", "vec_id", centroids, cb, probe, 10, nProbe = 4, shortlist = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaPrebuilt === onTheFly)
+    assert(viaPrebuilt.contains(0L))
+    prebuilt.unpersist()
+  }
 }
