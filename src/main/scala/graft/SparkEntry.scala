@@ -1096,6 +1096,433 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), decSum(col("c_acctbal")).as("totacctbal"))
     },
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure-scan query — no
+    // join at all, one partial+final agg over a triple-predicate filter that
+    // must reach the parquet reader (shipdate range prunes row groups via
+    // min/max stats; discount/quantity land in PushedFilters). At 100 TB
+    // this query IS its scan: the plan is right when nothing but the scan
+    // and a 2-column project appear under the aggregate.
+    q("q_tpch_q6",
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(decSum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q12 shape (shipping-priority classification): the one big
+    // orders⋈lineitem join with a cross-table lateness predicate, then a
+    // conditional two-way CASE count per class. (Adapted: no l_shipmode /
+    // commit/receipt dates in the generated schema — the class column is
+    // l_linestatus and "late" is shipped ≥ 30 days after the order date.)
+    // DuckDB's sum(int) is HUGEINT — both counts must CAST to BIGINT.
+    q("q_tpch_q12",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(high, 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(high, 0).otherwise(1)).cast("long").as("low_line_count"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    // whose filter lives in the ON clause — restricting the non-preserved
+    // side WITHOUT dropping order-less customers (a WHERE would) — then a
+    // second aggregation over the first's result (count of counts).
+    q("q_tpch_q13",
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "5-LOW",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q15 shape (top supplier): an aggregated revenue view consumed
+    // twice — once as the join input, once reduced to a 1-row global max
+    // that broadcasts back as the selection threshold (the scalar-subquery
+    // shape). Revenue goes through the exact LONG-micros sum so the
+    // max-equality join cannot be broken by float accumulation order.
+    q("q_tpch_q15",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin) { (s, d) =>
+      val revenue = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("total_revenue"))
+      val top = revenue.agg(max(col("total_revenue")).as("_max"))
+      revenue
+        .join(broadcast(top))
+        .filter(col("total_revenue") === col("_max"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated scalar
+    // subquery (per-part average quantity) decorrelates to a per-part
+    // aggregate joined back — one pass over lineitem builds every group's
+    // threshold; no per-row re-scan ever happens. The threshold average is
+    // exact (LONG-cents sum / count) so a row sitting on the 0.5·avg
+    // boundary cannot flip between engines. (Adapted: the part filter is
+    // brand + size — the generated schema has no p_container.)
+    q("q_tpch_q17",
+      """WITH small_parts AS (
+        |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#3' AND p_size < 15),
+        |part_avg AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100 / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / 7.0 AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem, small_parts, part_avg
+        |WHERE lineitem.l_partkey = p_partkey
+        |  AND lineitem.l_partkey = part_avg.l_partkey
+        |  AND l_quantity < 0.5 * avg_qty""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#3" && col("p_size") < 15)
+        .select("p_partkey")
+      val partAvg = li.groupBy(col("l_partkey").as("_pk"))
+        .agg((decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("_pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((decSum(col("l_extendedprice"), 6) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): one
+    // equi-join hidden inside an OR of three conjunction groups — Catalyst
+    // must extract the common p_partkey = l_partkey into the join key and
+    // leave the brand/size/quantity disjunction as a residual filter, or the
+    // plan degenerates to a nested-loop cross product. part broadcasts.
+    q("q_tpch_q19",
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |    AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+        |    AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+        |    AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      val clause = (brand: String, size: (Int, Int), qty: (Int, Int)) =>
+        col("p_brand") === brand &&
+          col("p_size").between(size._1, size._2) &&
+          col("l_quantity").between(qty._1, qty._2)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("p_partkey") === col("l_partkey") &&
+            (clause("Brand#1", (1, 10), (1, 11)) ||
+              clause("Brand#2", (1, 20), (10, 20)) ||
+              clause("Brand#3", (1, 30), (20, 30))))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q16 shape (part/supplier relationship count): a NOT IN that
+    // decorrelates to a LEFT ANTI join (excluded suppliers broadcast), then
+    // a count-DISTINCT aggregate per part attribute triple. The generated
+    // schema has no partsupp — lineitem's (l_partkey, l_suppkey) IS the
+    // part-supplier relation; no s_comment either, so the exclusion set is
+    // the negative-balance suppliers.
+    q("q_tpch_q16",
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "ECONOMY" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    // TPC-H Q11 shape (important stock): per-group value share against a
+    // global fraction-of-total threshold — the HAVING-scalar-subquery shape.
+    // BOTH the per-part values and the corpus total run the exact
+    // LONG-micros sum, so threshold membership is bit-deterministic; the
+    // total reduces to one row and broadcasts. (lineitem stands in for
+    // partsupp; "value" is a nation's discounted revenue per part.)
+    q("q_tpch_q11",
+      """WITH nation_items AS (
+        |  SELECT l_partkey,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS v
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3'),
+        |total AS (
+        |  SELECT CAST(sum(v) AS DOUBLE) / 1000000 AS tot FROM nation_items)
+        |SELECT l_partkey, CAST(sum(v) AS DOUBLE) / 1000000 AS part_value
+        |FROM nation_items, total
+        |GROUP BY l_partkey, tot
+        |HAVING CAST(sum(v) AS DOUBLE) / 1000000 > tot * 0.001""".stripMargin) { (s, d) =>
+      val suppN3 = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val items = Tables.lineitem(s, d)
+        .join(broadcast(suppN3), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_val"))
+      val total = items.agg(decSum(col("_val"), 6).as("tot"))
+      items.groupBy(col("l_partkey"))
+        .agg(decSum(col("_val"), 6).as("part_value"))
+        .join(broadcast(total))
+        .filter(col("part_value") > col("tot") * 0.001)
+        .select(col("l_partkey"), col("part_value"))
+    },
+
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery
+    // decorrelates to a per-part min aggregate joined back on equality —
+    // each part's cheapest regional quote found in one pass, then the
+    // equality join keeps exactly the suppliers achieving it. Costs are
+    // scaled-integer (round(unit price · 10⁴) as BIGINT) so min/equality are
+    // bit-exact in both engines. (lineitem's (l_partkey, l_suppkey, unit
+    // price) stands in for partsupp; region = EUROPE.)
+    q("q_tpch_q2",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice / l_quantity * 10000) AS BIGINT)) AS cost_e4
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |esupp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'),
+        |costs AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, cost_e4
+        |  FROM ps, esupp, part
+        |  WHERE ps.l_partkey = p_partkey AND ps.l_suppkey = s_suppkey
+        |    AND p_size = 15 AND p_type = 'LARGE'),
+        |minc AS (SELECT p_partkey AS mk, min(cost_e4) AS mc FROM costs GROUP BY p_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_e4
+        |FROM costs, minc
+        |WHERE p_partkey = mk AND cost_e4 = mc
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 10""".stripMargin) { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(roundAway(col("l_extendedprice") / col("l_quantity") * 10000)
+          .cast("long")).as("cost_e4"))
+      val esupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val targetParts = Tables.part(s, d)
+        .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val costs = ps
+        .join(broadcast(targetParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(esupp), col("l_suppkey") === col("s_suppkey"))
+      val minc = costs.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("cost_e4")).as("mc"))
+      costs
+        .join(broadcast(minc), col("p_partkey") === col("mk") && col("cost_e4") === col("mc"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost_e4"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q9 shape (product-type profit): a LIKE-filtered part dimension
+    // gates the big lineitem⋈orders join; supplier→nation resolves the
+    // grouping nation; profit aggregates per (nation, order year). All three
+    // dimensions broadcast — the fact chain shuffles once for the agg.
+    // (Adapted: no ps_supplycost — the cost proxy is 60 % of retail price
+    // per unit, a deterministic expression with identical evaluation order
+    // on both sides.)
+    q("q_tpch_q9",
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_profit
+        |FROM lineitem, orders, supplier, nation, part
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND s_nationkey = n_nationkey AND p_partkey = l_partkey
+        |  AND p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val gearParts = Tables.part(s, d)
+        .filter(col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, d)
+        .join(broadcast(gearParts), col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(suppNation), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(decSum(profit, 6).as("sum_profit"))
+    },
+
+    // TPC-H Q20 shape (part promotion): the doubly-nested IN decorrelates
+    // outward — per-(part, supplier) shipped quantity joins the per-part
+    // total (both exact LONG-cents, derived from the SAME aggregate so the
+    // halves can never disagree), the dominance filter yields qualifying
+    // suppliers, and a LEFT SEMI reduces the supplier dimension. (Adapted:
+    // no ps_availqty — "qualifies" means the supplier shipped > 50 % of a
+    // SMALL-type part's 1996 volume.)
+    q("q_tpch_q20",
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |pt AS (
+        |  SELECT l_partkey AS tk, CAST(sum(sq_c) AS DOUBLE) / 100 AS tot
+        |  FROM sp GROUP BY l_partkey),
+        |qual AS (
+        |  SELECT DISTINCT l_suppkey
+        |  FROM sp, pt, part
+        |  WHERE sp.l_partkey = tk AND p_partkey = sp.l_partkey
+        |    AND p_type = 'SMALL'
+        |    AND CAST(sq_c AS DOUBLE) / 100 > 0.5 * tot)
+        |SELECT s_suppkey, s_name
+        |FROM supplier, nation, region
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'""".stripMargin) { (s, d) =>
+      val sp = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(roundAway(col("l_quantity") * 100).cast("long")).as("sq_c"))
+      val pt = sp.groupBy(col("l_partkey").as("tk"))
+        .agg((sum(col("sq_c")).cast("double") / 100).as("tot"))
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_type") === "SMALL").select("p_partkey")
+      val qual = sp
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(pt, col("l_partkey") === col("tk"))
+        .filter(col("sq_c").cast("double") / 100 > lit(0.5) * col("tot"))
+        .select("l_suppkey").distinct()
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
+      Tables.supplier(s, d)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS /
+    // NOT EXISTS pair over the SAME fact table decorrelates to a LEFT SEMI
+    // then a LEFT ANTI self-join — each with an equi key (orderkey) plus a
+    // non-equi residual (different supplier; lateness vs the outer row's
+    // order date) — never a per-row subquery probe. (Adapted: "late" is
+    // shipped > 90 days after the order date; no commit/receipt dates.)
+    q("q_tpch_q21",
+      """WITH base AS (
+        |  SELECT s_name, l1.l_orderkey, l1.l_suppkey, o_orderdate
+        |  FROM supplier, lineitem l1, orders
+        |  WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |    AND o_orderstatus = 'F'
+        |    AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM base
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = base.l_orderkey
+        |                AND l2.l_suppkey <> base.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = base.l_orderkey
+        |                    AND l3.l_suppkey <> base.l_suppkey
+        |                    AND l3.l_shipdate > base.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_name"), col("l_orderkey"), col("l_suppkey"), col("o_orderdate"))
+      val withOther = base.join(
+        li.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2")),
+        col("l_orderkey") === col("_ok2") && col("l_suppkey") =!= col("_sk2"),
+        "left_semi")
+      withOther.join(
+          li.select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3"),
+            col("l_shipdate").as("_ship3")),
+          col("l_orderkey") === col("_ok3") && col("l_suppkey") =!= col("_sk3") &&
+            col("_ship3") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
     q("q_above_avg",
       """SELECT o_orderkey, o_totalprice FROM orders o
         |WHERE o_totalprice > 2 * (

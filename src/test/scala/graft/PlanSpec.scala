@@ -143,6 +143,33 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("full TPC-H suite shapes: residual disjunctions, outer-join ON pushdown, self-join anti residuals") {
+    // Q6 is scan-only: every predicate must reach the parquet reader and no
+    // join may appear at all
+    val q6 = plan("q_tpch_q6")
+    assert(q6.contains("PushedFilters"), q6)
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate") &&
+      q6.contains("LessThan(l_quantity"), q6)
+    assert(!q6.contains("Join"), q6)
+    // Q19's OR-of-conjunctions must ride a single equi hash join (common
+    // p_partkey = l_partkey extracted, disjunction as residual) — a
+    // nested-loop product over lineitem × part is the 100 TB failure mode
+    val q19 = plan("q_tpch_q19")
+    assert(q19.contains("BroadcastHashJoin"), q19)
+    assert(!q19.contains("CartesianProduct") && !q19.contains("BroadcastNestedLoopJoin"), q19)
+    // Q13's ON-clause dimension filter must prune the orders scan without
+    // turning the outer join inner
+    val q13 = plan("q_tpch_q13")
+    assert(q13.contains("LeftOuter"), q13)
+    assert(q13.contains("Not(EqualTo(o_orderpriority"), q13)
+    // Q21's EXISTS/NOT-EXISTS self-joins: equi orderkey key + non-equi
+    // supplier/lateness residuals, planned as semi + anti hash joins
+    val q21 = plan("q_tpch_q21")
+    assert(q21.contains("LeftSemi"), q21)
+    assert(q21.contains("LeftAnti"), q21)
+    assert(!q21.contains("CartesianProduct"), q21)
+  }
+
   test("IVF-PQ probe prunes cells at the scan and scores codes, not vectors") {
     // the 16 centroid literals push the plan string past the default
     // truncation threshold, which would cut the markers this test greps for
