@@ -2109,6 +2109,62 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     },
 
+    // SemDeDup (Abbas et al. 2023): coarse-cluster embeddings, prune pairs
+    // only WITHIN a cluster — the cluster id is the partition key, so the
+    // quadratic pair work becomes per-cell. The oracle-able instance pins
+    // the k=8 centroids to the first 8 vectors (a deterministic seed set
+    // both engines can reproduce); at scale the same operator takes
+    // Knn.trainCentroids' sampled k-means. Assignment argmax is on
+    // round(cosine, 6) with lowest-cid ties, so cell membership — and
+    // therefore the emitted pair set — is hash-exact across engines. The
+    // low threshold (0.35) is this synthetic corpus's pair ceiling
+    // (max pairwise cosine ≈ 0.51); production SemDeDup runs ≥ 0.95.
+    q("q_semdedup",
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |asgn AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+        |    (SELECT c.cid FROM cent c
+        |     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+        |       c.cid
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM asgn a, asgn b
+        |WHERE a.cell = b.cell AND a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Dedup.semanticNearDups(emb, "embedding", "vec_id",
+        seeds, "cid", "embedding", threshold = 0.35)
+    },
+
+    // Int8 scalar quantization + quantized top-k probe: per-vector max-abs
+    // symmetric quantization (q = round-half-away(x·127/amax)), then an
+    // EXACT integer dot product ranks the corpus — small-integer arithmetic
+    // is immune to accumulation-order drift, so quantized scores (unlike
+    // float cosines) hash-compare bit-for-bit with no rounding shim. The
+    // 100 TB shape: codes are 4× smaller than the float column and the
+    // probe scans them with integer multiply-adds (ops.Quantize doc).
+    q("q_int8_knn",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * (127.0 / list_max(
+        |             list_transform(embedding::DOUBLE[], y -> abs(y))))) AS INT)) AS qv
+        |  FROM embeddings),
+        |probe AS (SELECT qv AS pv FROM q WHERE vec_id = 0)
+        |SELECT vec_id, CAST(list_inner_product(qv, pv) AS BIGINT) AS qdot
+        |FROM q, probe
+        |ORDER BY qdot DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Quantize.topKInt8(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") === 0), k = 10)
+    },
+
     q("q_lang_quality",
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -340,6 +340,47 @@ object Dedup {
     starPairs.withColumn("cosine", lit(1.0)).unionByName(nearPairs)
   }
 
+  /** SemDeDup-style semantic near-dup pairs: coarse-cluster the corpus,
+    * then compare pairs ONLY within a cluster (Abbas et al. 2023 — the
+    * web-scale recipe: k-means over embeddings, per-cluster cosine
+    * pruning). The cluster id becomes the partition key, so the pair join
+    * is per-cell — total work Σ|cell|² instead of n², and at 100 TB each
+    * cell's pairs build on one executor's partition with no cross-cell
+    * traffic. Recall bound: pairs straddling a cell boundary are missed by
+    * design (the published trade); more centroids → smaller cells → faster
+    * and blinder, exactly like the paper's k.
+    *
+    * `centroids` is a small (cid, vector) frame that BROADCASTS for the
+    * assignment pass — at scale produce it with [[Knn.trainCentroids]]
+    * (sampled k-means); any deterministic seed set (e.g. first-k vectors)
+    * makes the whole operator reproducible for a correctness oracle.
+    * Assignment maximizes round(cosine, 6) with ties to the lowest cid —
+    * the 6-decimal rounding keeps argmax stable across engines that
+    * accumulate dot products in different orders. */
+  def semanticNearDups(df: DataFrame, vecCol: String, idCol: String,
+                       centroids: DataFrame, cidCol: String, cvecCol: String,
+                       threshold: Double): DataFrame = {
+    val csim = round(
+      graft.functions.GraftFunctions.cosine_sim(col(vecCol), col("_cvec")), 6)
+    val assigned = df
+      .join(broadcast(centroids.select(col(cidCol).as("_cid"),
+        col(cvecCol).as("_cvec"))))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("_cid"), struct(csim, -col("_cid"))).as("_cell"),
+        first(col(vecCol)).as(vecCol))
+    val a = assigned.select(col("_cell"), col(idCol).as("a_id"),
+      col(vecCol).as("_v_a"))
+    val b = assigned.select(col("_cell"), col(idCol).as("b_id"),
+      col(vecCol).as("_v_b"))
+    a.join(b, Seq("_cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(col("_v_a"), col("_v_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Connected components over a near-dup pair set (id_a, id_b) →
     * (id, cluster_id) with cluster_id = the minimum id reachable through
     * any chain of pairs. Iterative min-label propagation: each round is one

@@ -131,6 +131,71 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(lsh === exact, "registered LSH variant must match the exact oracle")
   }
 
+  test("semdedup: planted near-dups pair within their cell, cross-cell pairs are skipped by design") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val seeds = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding")
+    // plant a noisy copy of vec 20 (cosine ≈ 0.999): it must land in the
+    // same cell as its original and the pair must surface
+    val original = e.filter($"vec_id" === 20)
+      .select($"embedding").as[Seq[Float]].head()
+    val noisy = original.zipWithIndex.map { case (x, i) =>
+      x + (if (i % 5 == 0) 0.002f else -0.001f) }
+    val corpus = e.select($"vec_id", $"embedding")
+      .unionByName(Seq((900000L, noisy)).toDF("vec_id", "embedding"))
+    val pairs = Dedup.semanticNearDups(corpus, "embedding", "vec_id",
+        seeds, "cid", "embedding", threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((20L, 900000L)), s"planted pair missing from $pairs")
+    // within-cell completeness: every within-cell exact pair ≥ τ must be
+    // emitted (the operator's recall loss is ONLY cross-cell, per the
+    // SemDeDup contract) — check against brute force restricted to cells
+    val asgnRows = corpus.join(broadcast(
+        seeds.select($"cid".as("_cid"), $"embedding".as("_cvec"))))
+      .groupBy($"vec_id")
+      .agg(max_by($"_cid",
+          struct(round(graft.functions.GraftFunctions.cosine_sim(
+            $"embedding", $"_cvec"), 6), -$"_cid")).as("cell"),
+        first($"embedding").as("v"))
+      .as[(Long, Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), (x, y)) => (d + x * y, na + x * x, nb + y * y) }
+      d / math.sqrt(na * nb)
+    }
+    val brute = (for {
+      (ai, ac, av) <- asgnRows; (bi, bc, bv) <- asgnRows
+      if ai < bi && ac == bc && cos(av, bv) >= 0.9 + 1e-9
+    } yield (ai, bi)).toSet
+    assert(brute.subsetOf(pairs),
+      s"within-cell pairs missed: ${brute.diff(pairs)}")
+  }
+
+  test("int8 quantization: codes bounded, reconstruction within amax/254, dot exact, zero-vector safe") {
+    import graft.ops.Quantize
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(-0.003f, 0.001f, 0.002f, -0.0015f)),   // tiny dynamic range
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))               // all-zero guard
+    ).toDF("vec_id", "embedding")
+    val got = vecs.select($"vec_id", Quantize.int8($"embedding").as("q"),
+        Quantize.int8Scale($"embedding").as("s"))
+      .as[(Long, Seq[Int], Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 === Seq(64, -127, 32, 0))       // 0.5·127 = 63.5 → half-away 64
+    assert(got(3L)._1 === Seq(0, 0, 0, 0), "zero vector must not produce NaN codes")
+    for ((id, (q, s)) <- got; c <- q) assert(math.abs(c) <= 127, s"$id code $c")
+    // reconstruction: |q·s − x| ≤ s/2 = amax/254
+    val orig = vecs.as[(Long, Seq[Float])].collect().toMap
+    for ((id, (q, s)) <- got if id != 3L; (c, x) <- q.zip(orig(id)))
+      assert(math.abs(c * s - x) <= s / 2 + 1e-12, s"vec $id elem $x")
+    // integer dot is exact: compare against BigInt arithmetic on the codes
+    val dot = vecs.filter($"vec_id" === 1L).select(Quantize.int8($"embedding").as("a"))
+      .crossJoin(vecs.filter($"vec_id" === 2L).select(Quantize.int8($"embedding").as("b")))
+      .select(Quantize.dotInt($"a", $"b")).as[Long].head()
+    val expected = got(1L)._1.zip(got(2L)._1).map { case (x, y) => x.toLong * y }.sum
+    assert(dot === expected)
+  }
+
   test("approx_count_distinct is within HLL tolerance of exact") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf)
     val row = li.agg(
