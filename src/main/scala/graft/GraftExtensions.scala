@@ -70,5 +70,9 @@ object GraftExtensions {
           s"normalization form must be a string literal, got $other")
       }) },
     f("strip_accents", "strip_accents(s) — remove combining marks") {
-      xs => StripAccents(xs(0)) })
+      xs => StripAccents(xs(0)) },
+    f("int8_encode", "int8_encode(vec) — symmetric int8 quantization codes") {
+      xs => Int8Encode(xs(0)) },
+    f("int8_dot", "int8_dot(a, b) — exact integer dot of int8 codes") {
+      xs => Int8Dot(xs(0), xs(1)) })
 }

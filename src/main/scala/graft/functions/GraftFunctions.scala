@@ -27,6 +27,8 @@ object GraftFunctions {
   def top_ngram_run(tokens: Column, n: Int): Column = col(TopNgramRun(e(tokens), n))
   def unicode_norm(text: Column, form: String): Column = col(UnicodeNormalize(e(text), form))
   def strip_accents(text: Column): Column = col(StripAccents(e(text)))
+  def int8_encode(vec: Column): Column = col(Int8Encode(e(vec)))
+  def int8_dot(a: Column, b: Column): Column = col(Int8Dot(e(a), e(b)))
 
   /** Idempotent per-session SQL registration — same builder list the
     * [[graft.GraftExtensions]] session extension injects. */

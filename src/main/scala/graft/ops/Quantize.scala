@@ -19,22 +19,21 @@ import org.apache.spark.sql.functions._
   * is therefore bit-reproducible across engines — which is also what makes
   * it oracle-checkable.
   *
-  * Everything composes from codegen'd built-ins (transform / zip_with /
-  * aggregate HOFs) — no UDF, no driver-side work.
+  * Encode and dot are native codegen kernels ([[graft.functions.Int8Encode]]
+  * / [[graft.functions.Int8Dot]], SQL names `int8_encode` / `int8_dot`) —
+  * no UDF, no HOF-lambda re-evaluation, no driver-side work.
   */
 object Quantize {
 
   /** Per-vector symmetric int8 quantization of an array<float|double>
     * column: round-half-away(x · 127 / max|x|) as array<int> in
     * [-127, 127]. The all-zero vector quantizes to all zeros (guarded —
-    * 127/0 would poison the row with NaNs). */
-  def int8(vec: Column): Column = {
-    val amax = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scaled = (x: Column) => x.cast("double") * (lit(127.0) / amax)
-    when(amax === 0d, transform(vec, _ => lit(0)))
-      .otherwise(transform(vec,
-        x => graft.SparkEntry.roundAway(scaled(x)).cast("int")))
-  }
+    * 127/0 would poison the row with NaNs). Codegen'd single-pass kernel
+    * ([[graft.functions.Int8Encode]]): the HOF formulation re-evaluates the
+    * max-abs subexpression per ELEMENT (lambdas are exempt from
+    * subexpression elimination) — O(d²) per row, measured 14× slower. */
+  def int8(vec: Column): Column =
+    graft.functions.GraftFunctions.int8_encode(vec)
 
   /** The scale factor that dequantizes [[int8]] codes: x ≈ q · amax / 127.
     * Stored once per vector — the standard code-table layout. */
@@ -42,10 +41,9 @@ object Quantize {
     array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
 
   /** Exact integer dot product of two quantized vectors (LONG — see the
-    * object doc for the overflow bound). */
+    * object doc for the overflow bound). Codegen'd loop kernel. */
   def dotInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.int8_dot(a, b)
 
   /** Top-k corpus rows by quantized dot product against one probe vector:
     * quantize both sides, broadcast the 1-row probe, score with the exact

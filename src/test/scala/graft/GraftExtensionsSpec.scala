@@ -14,7 +14,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet === Set(
       "cosine_sim", "l2_dist", "dot_product", "fnv64", "simhash64",
       "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles",
-      "top_ngram_run", "unicode_norm", "strip_accents"))
+      "top_ngram_run", "unicode_norm", "strip_accents",
+      "int8_encode", "int8_dot"))
   }
 
   test("every registered SQL function is runnable on a fresh session registry") {
@@ -30,7 +31,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(minhash_bands(array('a','b'), 16, 4)) AS mb,
         |  size(winnow_fingerprint('abcdefgh', 3, 2)) AS wf,
         |  size(word_shingles(array('a','b','c'), 2)) AS n2,
-        |  top_ngram_run(array('a','b','a','b','a'), 2) AS tr
+        |  top_ngram_run(array('a','b','a','b','a'), 2) AS tr,
+        |  int8_encode(array(0.5F, -1.0F)) AS i8,
+        |  int8_dot(array(2, -3), array(4, 5)) AS i8d
         |""".stripMargin).head()
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 5.0)
@@ -42,6 +45,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(8) === 2)
     // [a b, b a, a b, b a] → "a b" twice
     assert(r.getLong(9) === 2L)
+    assert(r.getSeq[Int](10) === Seq(64, -127))   // 0.5·127 = 63.5 → 64
+    assert(r.getLong(11) === 2L * 4 + (-3L) * 5)
   }
 
   test("pure-SQL surface end-to-end: registered views + graft functions ≡ DataFrame API") {

@@ -62,6 +62,28 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 kernels: codegen and interpreted paths agree on real embeddings") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf).limit(50).cache()
+    val probe = e.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+    def run(): Array[(Long, Seq[Int], Long)] =
+      e.select($"vec_id", int8_encode($"embedding").as("q"),
+          int8_dot(int8_encode($"embedding"), int8_encode(typedLit(probe))).as("d"))
+        .orderBy("vec_id").as[(Long, Seq[Int], Long)].collect()
+    val withCg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val noCg = run()
+      withCg.zip(noCg).foreach { case ((i1, q1, d1), (i2, q2, d2)) =>
+        assert(i1 == i2); assert(q1 === q2); assert(d1 === d2)
+      }
+      assert(withCg.forall(_._2.forall(c => math.abs(c) <= 127)))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("SQL registration works") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
