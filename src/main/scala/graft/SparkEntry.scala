@@ -1979,6 +1979,26 @@ object SparkEntry {
           col("n_chars"))
     },
 
+    // Passage chunking — the step upstream of the reference's own
+    // `passage_embedding` schema: fixed 32-token windows at stride 24
+    // (overlapping, RAG-style). Generator expansion only, no shuffle; each
+    // document chunks independently at any corpus size.
+    q("q_chunk_passages",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 1, 0) + 1, 24)) AS s
+        |  FROM toks)
+        |SELECT doc_id, CAST(s // 24 AS INT) AS chunk_idx,
+        |  array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS passage,
+        |  CAST(least(32, len(tk) - s) AS INT) AS n_tok
+        |FROM st""".stripMargin) { (s, d) =>
+      TextAnalysis.chunkPassages(Tables.documents(s, d), "text", "doc_id",
+        size = 32, stride = 24)
+    },
+
     q("q_bpe_tokens",
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS INT) AS bpe_tokens,

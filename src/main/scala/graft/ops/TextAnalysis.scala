@@ -120,6 +120,34 @@ object TextAnalysis {
   }
 
   /** One-pass per-document stats projection. */
+  /** Document → fixed-size token-window passages, the chunking step
+    * upstream of the reference's own vector schema (its index stores
+    * `passage_embedding`, not document embeddings — something must cut
+    * documents into passages first; the reference leaves that to the
+    * producer). Each output row is one passage: (id, chunk_idx,
+    * passage, n_tok), where chunk c covers tokens [c·stride,
+    * c·stride + size). stride = size → disjoint windows; stride < size →
+    * overlapping RAG-style chunks (the overlap keeps boundary context
+    * retrievable). Single scan, generator expansion, no shuffle — each
+    * document chunks independently, so the operator parallelizes by input
+    * partition at any corpus size. Empty/whitespace docs yield one empty
+    * chunk row (chunk_idx 0, n_tok 0) rather than vanishing — the
+    * dead-letter decision belongs to the caller. */
+  def chunkPassages(df: DataFrame, textCol: String, idCol: String,
+                    size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(col("_tk")) - 1, lit(0)),
+      lit(stride))
+    df.withColumn("_tk", Dedup.tokens(col(textCol)))
+      .select(col(idCol), col("_tk"), posexplode(starts).as(Seq("chunk_idx", "_st")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_tk"), col("_st") + 1, lit(size)), " ").as("passage"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col("_tk")) - col("_st")).cast("int")
+          .as("n_tok"))
+  }
+
   def documentStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))
       .withColumn("char_count", length(col(textCol)))

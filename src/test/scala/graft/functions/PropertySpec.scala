@@ -111,6 +111,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Int8Encode/Int8Dot kernels equal the naive quantization reference") {
+    val rnd = new scala.util.Random(23)
+    def naiveInt8(v: Seq[Double]): Seq[Int] = {
+      val amax = if (v.isEmpty) 0.0 else v.map(math.abs).max
+      if (amax == 0.0) v.map(_ => 0)
+      else v.map { x =>
+        val ax = x * (127.0 / amax)
+        val m = math.abs(ax); val f = math.floor(m)
+        val q = (f + (if (m - f >= 0.5) 1.0 else 0.0)).toInt
+        if (ax < 0) -q else q
+      }
+    }
+    for (_ <- 1 to 200) {
+      val d = rnd.nextInt(20)
+      val a = Seq.fill(d)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(5) - 2))
+      val b = Seq.fill(d)((rnd.nextDouble() - 0.5) * 2)
+      val enc = Int8Encode(org.apache.spark.sql.catalyst.expressions.Literal
+        .create(a, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+      val got = enc.eval(null).asInstanceOf[ArrayData]
+      val gotSeq = (0 until got.numElements()).map(got.getInt)
+      assert(gotSeq === naiveInt8(a), s"v=$a")
+      assert(gotSeq.forall(c => math.abs(c) <= 127))
+      // dot: kernel vs BigInt reference over independently quantized b
+      val qb = naiveInt8(b)
+      val dot = Int8Dot(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(gotSeq,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(qb,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)))
+        .eval(null).asInstanceOf[Long]
+      val expected = gotSeq.zip(qb).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      assert(BigInt(dot) === expected, s"a=$gotSeq b=$qb")
+    }
+  }
+
   test("PqEncode/PqAdcScore kernels equal a naive argmin/lookup reference") {
     val rnd = new scala.util.Random(23)
     for (_ <- 1 to 50) {

@@ -396,6 +396,27 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(over === 0, "no bin exceeds the budget (no oversized docs in this corpus)")
   }
 
+  test("passage chunking: hand-computed windows, overlap coverage, empty-doc row") {
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")),  // 10 tokens
+      (2L, "only three words"),
+      (3L, "   ")                                          // whitespace-only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkPassages(docs, "text", "doc_id", size = 4, stride = 3)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    assert(got(1L) === Seq(
+      (1L, 0, "t0 t1 t2 t3", 4), (1L, 1, "t3 t4 t5 t6", 4),
+      (1L, 2, "t6 t7 t8 t9", 4), (1L, 3, "t9", 1)))
+    assert(got(2L) === Seq((2L, 0, "only three words", 3)))
+    assert(got(3L) === Seq((3L, 0, "", 0)), "empty doc must yield one empty chunk")
+    // overlap coverage: every token index is inside ≥ 1 window, and
+    // consecutive windows share size − stride tokens
+    val starts = got(1L).map(c => c._2 * 3)
+    assert(starts.zip(starts.tail).forall { case (a, b) => b - a == 3 })
+  }
+
   test("text analysis stats are sane on documents") {
     val d = graft.Tables.documents(spark, TestSpark.sf)
     val stats = TextAnalysis.documentStats(d, "text")
