@@ -1342,6 +1342,11 @@ object SparkEntry {
     // scaled-integer (round(unit price · 10⁴) as BIGINT) so min/equality are
     // bit-exact in both engines. (lineitem's (l_partkey, l_suppkey, unit
     // price) stands in for partsupp; region = EUROPE.)
+    // Scale plan: the target-part semi join prunes lineitem BEFORE the
+    // (partkey, suppkey) aggregation — ~0.4 % of the fact rows reach the
+    // shuffle (the equivalent of partition-pruning partsupp by part); the
+    // oracle aggregates first and filters later, same result by the join
+    // keys, but the pushed-down order is the one that survives 100 TB.
     q("q_tpch_q2",
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
@@ -1362,7 +1367,11 @@ object SparkEntry {
         |FROM costs, minc
         |WHERE p_partkey = mk AND cost_e4 = mc
         |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 10""".stripMargin) { (s, d) =>
+      val targetKeys = Tables.part(s, d)
+        .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+        .select(col("p_partkey").as("_tpk"))
       val ps = Tables.lineitem(s, d)
+        .join(broadcast(targetKeys), col("l_partkey") === col("_tpk"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(roundAway(col("l_extendedprice") / col("l_quantity") * 10000)
           .cast("long")).as("cost_e4"))

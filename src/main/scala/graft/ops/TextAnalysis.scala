@@ -134,18 +134,21 @@ object TextAnalysis {
     * chunk row (chunk_idx 0, n_tok 0) rather than vanishing — the
     * dead-letter decision belongs to the caller. */
   def chunkPassages(df: DataFrame, textCol: String, idCol: String,
-                    size: Int, stride: Int): DataFrame = {
+                    size: Int, stride: Int,
+                    carry: Seq[String] = Nil): DataFrame = {
     require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
     val starts = sequence(lit(0),
       greatest(org.apache.spark.sql.functions.size(col("_tk")) - 1, lit(0)),
       lit(stride))
+    val carryCols = carry.map(col)
     df.withColumn("_tk", Dedup.tokens(col(textCol)))
-      .select(col(idCol), col("_tk"), posexplode(starts).as(Seq("chunk_idx", "_st")))
-      .select(col(idCol), col("chunk_idx"),
-        array_join(slice(col("_tk"), col("_st") + 1, lit(size)), " ").as("passage"),
+      .select(col(idCol) +: carryCols :+ col("_tk") :+
+        posexplode(starts).as(Seq("chunk_idx", "_st")): _*)
+      .select(col(idCol) +: carryCols :+ col("chunk_idx") :+
+        array_join(slice(col("_tk"), col("_st") + 1, lit(size)), " ").as("passage") :+
         least(lit(size),
           org.apache.spark.sql.functions.size(col("_tk")) - col("_st")).cast("int")
-          .as("n_tok"))
+          .as("n_tok"): _*)
   }
 
   def documentStats(df: DataFrame, textCol: String): DataFrame =

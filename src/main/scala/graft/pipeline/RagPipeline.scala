@@ -56,6 +56,24 @@ object RagPipeline {
   def filterNonEmpty(df: DataFrame): DataFrame =
     df.filter(col("text").isNotNull && col("text") =!= "")
 
+  /** Optional O3.5 — passage chunking between the non-empty filter and the
+    * embedding stage: the reference's vector schema stores PASSAGE
+    * embeddings (`passage_embedding`) but its repo leaves cutting documents
+    * into passages to the producer; this makes it a pipeline stage. Each
+    * passage becomes its own document with `_id = <parent id>#<chunk_idx>`
+    * (lineage-preserving, deterministic given the parent id) and the
+    * parent's `created_at`. Token-empty documents (whitespace-only text,
+    * which O3 deliberately passes) produce no passages — there is nothing
+    * to embed. No shuffle: generator expansion per input partition. */
+  def chunk(df: DataFrame, size: Int, stride: Int): DataFrame =
+    graft.ops.TextAnalysis
+      .chunkPassages(df, "text", "_id", size, stride, carry = Seq("created_at"))
+      .filter(col("n_tok") > 0)
+      .select(
+        concat(col("_id"), lit("#"), col("chunk_idx")).as("_id"),
+        col("passage").as("text"),
+        col("created_at"))
+
   /** O4 — embedding via bounded-concurrency mapPartitions (the Spark
     * analogue of `AsyncDataStream.unorderedWait(…, 1000)`). Typed
     * Dataset in/out so Tungsten handles the row format. */
@@ -126,9 +144,11 @@ object RagPipeline {
       col("text"),
       col("_id"))
 
-  /** Full batch topology from a raw `value: string` DataFrame. */
-  def batch(raw: DataFrame, provider: EmbeddingProvider = StubEmbeddingProvider()): DataFrame =
-    toVectorDocs(embed(filterNonEmpty(enrich(parseWire(raw))), provider))
+  /** Full batch topology from a raw `value: string` DataFrame;
+    * `chunking = Some((size, stride))` inserts the O3.5 passage stage. */
+  def batch(raw: DataFrame, provider: EmbeddingProvider = StubEmbeddingProvider(),
+            chunking: Option[(Int, Int)] = None): DataFrame =
+    batchStages(raw, provider, chunking)
 
   /** Streaming topology: JSON-lines file source → same stages →
     * `foreachBatch` parquet vector-table sink (micro-batch is Spark's native
@@ -167,8 +187,15 @@ object RagPipeline {
       .start()
   }
 
-  private def batchStages(raw: DataFrame, provider: EmbeddingProvider): DataFrame =
-    toVectorDocs(embed(filterNonEmpty(enrich(parseWire(raw))), provider))
+  private def batchStages(raw: DataFrame, provider: EmbeddingProvider,
+                          chunking: Option[(Int, Int)] = None): DataFrame = {
+    val filtered = filterNonEmpty(enrich(parseWire(raw)))
+    val docs = chunking match {
+      case Some((size, stride)) => chunk(filtered, size, stride)
+      case None => filtered
+    }
+    toVectorDocs(embed(docs, provider))
+  }
 
   /** [[streaming]] with the dead-letter-capturing embed stage: per micro
     * batch, successes land in the idempotent vector table and embed

@@ -115,12 +115,20 @@ object RunPipeline {
     conf.mode match {
       case "batch" =>
         val raw = spark.read.text(conf("source.path")).toDF("value")
+        val filtered = RagPipeline.filterNonEmpty(
+          RagPipeline.enrich(RagPipeline.parseWire(raw)))
+        // opt-in O3.5 passage chunking: chunk.size=<tokens>
+        // (chunk.stride defaults to size → disjoint windows)
+        val docs = conf.get("chunk.size") match {
+          case Some(sz) => RagPipeline.chunk(filtered, sz.toInt,
+            conf.getOrElse("chunk.stride", sz).toInt)
+          case None => filtered
+        }
         // cached: the dead-letter write and the sink write must read ONE
         // embedding pass — an uncached plan would re-embed every document
         // (double provider cost) and let a flaky record land in both
         // outputs or neither
-        val attempts = RagPipeline.embedSafe(
-          RagPipeline.filterNonEmpty(RagPipeline.enrich(RagPipeline.parseWire(raw))),
+        val attempts = RagPipeline.embedSafe(docs,
           provider, conf.retryPolicy, conf.maxInFlight).cache()
         try {
           conf.get("deadletter.dir").foreach { dl =>

@@ -52,6 +52,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(texts === Set("Hello World", "   ", "no date", "extra"))
   }
 
+  test("chunked batch: passages embed as their own documents with lineage ids") {
+    val words = (0 until 70).map(i => s"w$i").mkString(" ")
+    val raw = Seq(
+      s"""{"text": "$words", "created_at": "2024-01-01T12:00:00.000Z"}""",
+      """{"text": "   ", "created_at": "2024-01-01T12:00:01.000Z"}"""  // token-empty → no passages
+    ).toDF("value")
+    val out = RagPipeline.batch(raw, StubEmbeddingProvider("titan-v2"),
+      chunking = Some((32, 32)))
+    val rows = out.select($"_id", $"text", $"passage_embedding", $"date")
+      .collect().sortBy(_.getString(0))
+    // 70 tokens at size=stride=32 → starts 0,32,64 → 32+32+6 tokens
+    assert(rows.length === 3, "whitespace-only doc must yield no passages")
+    val suffixes = rows.map(_.getString(0).split("#")(1)).toSeq
+    assert(suffixes === Seq("0", "1", "2"))
+    assert(rows.map(_.getString(0).split("#")(0)).distinct.length === 1)
+    val texts = rows.map(_.getString(1))
+    assert(texts(0) === (0 until 32).map(i => s"w$i").mkString(" "))
+    assert(texts(2) === (64 until 70).map(i => s"w$i").mkString(" "))
+    rows.foreach { r =>
+      assert(r.getSeq[Float](2).length === EmbeddingModels.dimOf("titan-v2"))
+      assert(r.getTimestamp(3) !== null)
+    }
+  }
+
   test("enrich assigns unique uuid-v4 _ids") {
     val raw = wireLines.toDF("value")
     val ids = RagPipeline.enrich(RagPipeline.parseWire(raw))
@@ -206,6 +230,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.columns.contains("passage_embedding"))
     // stub provider never fails → dead-letter table exists and is empty
     assert(spark.read.parquet(dl).count() === 0)
+  }
+
+  test("config runner: chunk.size inserts the passage stage (O3.5)") {
+    val src = java.nio.file.Files.createTempDirectory("graft-src-ck")
+    val words = (0 until 50).map(i => s"w$i").mkString(" ")
+    java.nio.file.Files.write(src.resolve("in.jsonl"),
+      s"""{"text": "$words", "created_at": "2024-01-01T12:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+    val sink = java.nio.file.Files.createTempDirectory("graft-sink-ck").toString + "/out"
+    val conf = PipelineConfig.parse(Seq(
+      "mode=batch", s"source.path=$src", s"sink.dir=$sink",
+      "model=titan-v2", "chunk.size=20")).validated
+    RunPipeline.run(spark, conf)
+    val out = graft.sink.VectorTable.read(spark, sink).collect()
+    // 50 tokens, size = stride = 20 → 3 passages of 20/20/10 tokens
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[String]("_id").contains("#")))
+    assert(out.map(r => r.getAs[String]("text").split(" ").length).sorted.toSeq
+      === Seq(10, 20, 20))
   }
 
   test("sink.kind=memory drives a second VectorSink implementation end-to-end") {
