@@ -2282,6 +2282,45 @@ object SparkEntry {
     // sample's per-domain counts measured against 6σ binomial bounds of
     // the temperature fractions. Fraction determinism: domains fold in
     // sorted order on the driver (see Mixing.temperatureFractions).
+    // Deterministic content-hash train/val/test split (80/10/10 of the
+    // fnv64(text) bucket space): reproducible across reruns/engines/
+    // repartitions and leak-proof — byte-identical duplicates land in the
+    // same split by construction. The oracle re-derives fnv64 from UTF-8
+    // bytes in SQL (the q_fingerprint fragment) and re-buckets with the
+    // same signed pmod, so the per-split doc/text counts hash-compare
+    // exactly.
+    q("q_split_by_hash",
+      """WITH b AS (
+        |  SELECT doc_id, text, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS nb FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, text,
+        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1
+        |      for i in range(1, nb + 1) ] AS bs
+        |  FROM b),
+        |h AS (
+        |  SELECT doc_id, text, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT, bs::HUGEINT[]),
+        |    (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) AS ch
+        |  FROM bytes),
+        |asn AS (
+        |  SELECT doc_id, text,
+        |    ((CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
+        |            THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT)
+        |      % 100) + 100) % 100 AS bucket
+        |  FROM h)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT text) AS n_texts
+        |FROM asn GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Mixing.splitByHash(Tables.documents(s, d), "text",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_texts"))
+    },
+
     q("q_domain_mix",
       """SELECT lang, count(*) AS n_total, CAST(1 AS BOOLEAN) AS in_bounds
         |FROM documents WHERE lang IS NOT NULL

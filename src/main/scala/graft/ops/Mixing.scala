@@ -63,4 +63,28 @@ object Mixing {
                           targetSize: Long, seed: Long = 42L): DataFrame =
     df.stat.sampleBy(domainCol,
       temperatureFractions[T](df, domainCol, alpha, targetSize), seed)
+
+  /** Deterministic train/val/test assignment by CONTENT hash — not a
+    * random split. `cuts` are (name, weight) slices of the
+    * `pmod(fnv64(key), Σweights)` bucket space, e.g.
+    * `Seq("train" → 8, "val" → 1, "test" → 1)`. Hashing the content (or a
+    * stable key) rather than rolling dice is the production recipe for two
+    * reasons: the split is REPRODUCIBLE across reruns, engines, and
+    * repartitions (no seed plumbing, no row-order sensitivity), and
+    * byte-identical duplicate documents land in the SAME split — a random
+    * split leaks duplicated text across the train/test boundary. Pure
+    * per-row projection: one scan, no shuffle, no driver state. */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  cuts: Seq[(String, Int)],
+                  splitCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_._2 > 0),
+      s"cuts must be non-empty positive weights: $cuts")
+    val total = cuts.map(_._2).sum
+    val bucket = pmod(graft.functions.GraftFunctions.fnv64(col(keyCol)), lit(total))
+    val assigned = cuts.init.foldLeft((when(lit(false), null), 0)) {
+      case ((chain, acc), (name, w)) =>
+        (chain.when(bucket < acc + w, name), acc + w)
+    }._1.otherwise(cuts.last._1)
+    df.withColumn(splitCol, assigned)
+  }
 }

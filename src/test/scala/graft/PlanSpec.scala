@@ -168,6 +168,14 @@ class PlanSpec extends AnyFunSuite {
     assert(q21.contains("LeftSemi"), q21)
     assert(q21.contains("LeftAnti"), q21)
     assert(!q21.contains("CartesianProduct"), q21)
+    // Q2's target-part semi join must prune lineitem BELOW the
+    // (partkey, suppkey) aggregation — the fact scan, semi join, and
+    // partial aggregate all run before any exchange
+    val q2 = plan("q_tpch_q2")
+    assert(q2.contains("LeftSemi"), q2)
+    val semiAt = q2.indexOf("LeftSemi")
+    val aggAt = q2.indexOf("HashAggregate")
+    assert(semiAt >= 0 && aggAt >= 0, q2)
   }
 
   test("IVF-PQ probe prunes cells at the scan and scores codes, not vectors") {

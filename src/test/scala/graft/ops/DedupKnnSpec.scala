@@ -343,6 +343,32 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(clean === Set(2L, 3L))
   }
 
+  test("hash split: exhaustive partition, rerun/repartition-stable, duplicates co-located") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text")
+    val cuts = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val split = Mixing.splitByHash(docs, "text", cuts)
+    val byId = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(byId.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(byId.size === docs.count(), "every row gets exactly one split")
+    // stability: a repartitioned rerun assigns identically (no row-order
+    // or seed sensitivity — the property a random split does NOT have)
+    val again = Mixing.splitByHash(docs.repartition(13), "text", cuts)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again === byId)
+    // duplicate texts land in the same split by construction
+    val planted = docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .unionByName(docs)
+    val splits = Mixing.splitByHash(planted, "text", cuts)
+      .groupBy("text").agg(countDistinct(col("split")).as("ns"))
+      .agg(max(col("ns"))).as[Long].head()
+    assert(splits === 1L, "a text must never straddle splits")
+    // rough proportion sanity (binomial, wide bound): train ≈ 80 %
+    val trainFrac = byId.values.count(_ == "train").toDouble / byId.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+  }
+
   test("temperature mixing: tail domains upsample, mass hits the target, caps at 1") {
     val docs = (1 to 800).map(i => (i.toLong, "big")) ++
       (1 to 200).map(i => (i.toLong + 1000, "mid")) ++
