@@ -346,4 +346,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(row.getLong(0) === 20L)
     assert(row.getLong(1) === 0L && row.getLong(2) === 19L)
   }
+
+  test("console sink: the debug sink accepts a triggered batch") {
+    // the §2b console-sink row, exercised rather than just declared: a
+    // one-batch rate stream through format("console") must complete a
+    // trigger and report progress (output goes to stdout by design)
+    val q = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", 3)
+      .load()
+      .writeStream.format("console")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      assert(q.recentProgress.nonEmpty, "console query must record progress")
+      assert(q.recentProgress.map(_.numInputRows).sum === 3L)
+    } finally q.stop()
+  }
 }
