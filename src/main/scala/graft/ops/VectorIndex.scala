@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The IVF-PQ index as a continuously-maintained PARTITIONED TABLE — the
+  * piece that turns [[Knn.ivfPqSearch]]'s "at 100 TB the codes table is
+  * laid out partitioned by `_cell`" doc-note into an on-disk reality with
+  * a streaming maintenance path.
+  *
+  * Layout: `dir/batch=<id>/_cell=<c>/part-….parquet`. Each micro-batch computes
+  * its rows' coarse cells ([[Knn.ivfAssign]]) and PQ codes
+  * ([[Knn.pqEncode]]) ONCE at ingest and lands in its own `batch=<id>`
+  * partition with overwrite semantics — the same exactly-once-effect
+  * recipe as [[graft.sink.VectorTable.appendIdempotent]], so at-least-once
+  * replay rewrites instead of duplicating. `_cell` is a physical partition
+  * column: a probe's `nProbe`-cell filter becomes PartitionFilters at the
+  * parquet scan — pruned cells are never read from storage, which is the
+  * multiplicative IVF×PQ saving the index exists for.
+  *
+  * The quantizer/codebooks are trained once (bounded sample) and must stay
+  * fixed for the table's lifetime — codes are meaningless under any other
+  * codebook (see [[Knn.pqSearch]]'s versioning caveat). Re-training means
+  * re-encoding: write a new table, not new batches of an old one.
+  *
+  * Float vectors ride along in the data files for the exact re-rank step;
+  * only the shortlist's row groups ever read them, while ADC scoring
+  * touches the m-byte codes column.
+  */
+object VectorIndex {
+
+  /** One micro-batch → indexed rows: `_cell` (coarse quantizer) and `_pq`
+    * (codes) computed at ingest. */
+  def encodeBatch(batch: DataFrame, vecCol: String,
+                  centroids: Array[Array[Float]],
+                  codebooks: Array[Array[Array[Float]]]): DataFrame =
+    Knn.pqEncode(Knn.ivfAssign(batch, vecCol, centroids), vecCol, codebooks)
+
+  /** Idempotent micro-batch append: replayed batch ids overwrite their own
+    * `batch=<id>` partition. Pass as the `foreachBatch` body for a
+    * streaming index. */
+  def appendIdempotent(batch: DataFrame, vecCol: String,
+                       centroids: Array[Array[Float]],
+                       codebooks: Array[Array[Array[Float]]],
+                       dir: String, batchId: Long): Unit =
+    encodeBatch(batch, vecCol, centroids, codebooks)
+      .write.mode("overwrite")
+      .partitionBy("_cell")
+      .parquet(s"$dir/batch=$batchId")
+
+  /** The indexed table across all batches; `basePath` keeps `batch` out of
+    * the document schema, `_cell` comes back as the partition column. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(s"$dir/batch=*")
+      .drop("batch")
+
+  /** IVF-PQ probe against the on-disk layout: identical semantics to
+    * [[Knn.ivfPqSearch]] over the same rows, but cell pruning happens at
+    * the SCAN (PartitionFilters) — non-probed cells are never read. */
+  def probe(spark: SparkSession, dir: String, vecCol: String, idCol: String,
+            centroids: Array[Array[Float]],
+            codebooks: Array[Array[Array[Float]]],
+            queryVec: Array[Float], k: Int,
+            nProbe: Int, shortlist: Int = 64): DataFrame =
+    Knn.ivfPqSearch(read(spark, dir), vecCol, idCol,
+      centroids, codebooks, queryVec, k, nProbe, shortlist)
+}

@@ -189,4 +189,33 @@ class PqSpec extends AnyFunSuite {
     assert(viaPrebuilt.contains(0L))
     prebuilt.unpersist()
   }
+
+  test("VectorIndex: on-disk partitioned layout probes ≡ on-the-fly, replay-idempotent, scan-pruned") {
+    val centroids = Knn.trainCentroids(sample, nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+    // three micro-batches; batch 0 replayed (at-least-once) must overwrite
+    val batches = Seq(
+      emb.filter($"vec_id" % 3 === 0), emb.filter($"vec_id" % 3 === 1),
+      emb.filter($"vec_id" % 3 === 2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      VectorIndex.appendIdempotent(b, "embedding", centroids, cb, dir, i.toLong) }
+    VectorIndex.appendIdempotent(batches.head, "embedding", centroids, cb, dir, 0L)
+    assert(VectorIndex.read(spark, dir).count() === emb.count(),
+      "replayed batch must overwrite, not duplicate")
+    val viaDisk = VectorIndex.probe(spark, dir, "embedding", "vec_id",
+        centroids, cb, probe, 10, nProbe = 4, shortlist = 64)
+      .select("vec_id").as[Long].collect().toSet
+    val onTheFly = Knn.ivfPqSearch(Knn.ivfAssign(emb, "embedding", centroids),
+        "embedding", "vec_id", centroids, cb, probe, 10, nProbe = 4, shortlist = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaDisk === onTheFly)
+    // the probe's cell filter must reach the scan as a PARTITION filter —
+    // pruned cells are never read from storage
+    val plan = VectorIndex.probe(spark, dir, "embedding", "vec_id",
+        centroids, cb, probe, 10, nProbe = 4, shortlist = 64)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("_cell"), plan.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*_cell".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
 }

@@ -347,6 +347,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(row.getLong(1) === 0L && row.getLong(2) === 19L)
   }
 
+  test("streaming-maintained IVF-PQ index: foreachBatch appends, probe ≡ batch build") {
+    import graft.ops.{Knn, VectorIndex}
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+    val rows = emb.collect()
+    val sample = rows.sortBy(_._1).take(128).map(_._2.toArray)
+    val centroids = Knn.trainCentroids(sample, nCells = 16)
+    val cb = Knn.trainPq(sample, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vidx-stream").toString
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-vidx-ck").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        VectorIndex.appendIdempotent(batch, "embedding", centroids, cb, dir, batchId)
+      }
+      .start()
+    try {
+      rows.grouped(200).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(VectorIndex.read(spark, dir).count() === rows.length)
+    val probeVec = rows.find(_._1 == 0L).get._2.toArray
+    val viaStream = VectorIndex.probe(spark, dir, "embedding", "vec_id",
+        centroids, cb, probeVec, 10, nProbe = 4, shortlist = 64)
+      .select("vec_id").as[Long].collect().toSet
+    val viaBatch = Knn.ivfPqSearch(
+        Knn.ivfAssign(emb.toDF("vec_id", "embedding"), "embedding", centroids),
+        "embedding", "vec_id", centroids, cb, probeVec, 10, nProbe = 4, shortlist = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaStream === viaBatch)
+    assert(viaStream.contains(0L))
+  }
+
   test("console sink: the debug sink accepts a triggered batch") {
     // the §2b console-sink row, exercised rather than just declared: a
     // one-batch rate stream through format("console") must complete a
