@@ -174,11 +174,12 @@ object RagPipeline {
       sourceDir: String,
       sink: graft.sink.VectorSink,
       checkpointDir: String,
-      provider: EmbeddingProvider = StubEmbeddingProvider()) = {
+      provider: EmbeddingProvider = StubEmbeddingProvider(),
+      chunking: Option[(Int, Int)] = None) = {
     val raw = spark.readStream.schema(Schemas.wire).option("mode", "PERMISSIVE")
       .json(sourceDir)
       .select(to_json(struct(col("text"), col("created_at"))).as("value"))
-    val docs = batchStages(raw, provider)
+    val docs = batchStages(raw, provider, chunking)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
@@ -221,11 +222,16 @@ object RagPipeline {
       deadLetterDir: String,
       checkpointDir: String,
       provider: EmbeddingProvider = StubEmbeddingProvider(),
-      policy: graft.embed.RetryPolicy = graft.embed.RetryPolicy()) = {
+      policy: graft.embed.RetryPolicy = graft.embed.RetryPolicy(),
+      chunking: Option[(Int, Int)] = None) = {
     val raw = spark.readStream.schema(Schemas.wire).option("mode", "PERMISSIVE")
       .json(sourceDir)
       .select(to_json(struct(col("text"), col("created_at"))).as("value"))
-    val enriched = filterNonEmpty(enrich(parseWire(raw)))
+    val filtered = filterNonEmpty(enrich(parseWire(raw)))
+    val enriched = chunking match {
+      case Some((size, stride)) => chunk(filtered, size, stride)
+      case None => filtered
+    }
     enriched.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>

@@ -347,6 +347,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(row.getLong(1) === 0L && row.getLong(2) === 19L)
   }
 
+  test("streaming chunked pipeline equals chunked batch (O3.5 parity)") {
+    val srcDir = Files.createTempDirectory("graft_wire_ck").toFile.getAbsolutePath
+    val outDir = Files.createTempDirectory("graft_vec_ck").toFile.getAbsolutePath + "/t"
+    val ckDir = Files.createTempDirectory("graft_ck_ck").toFile.getAbsolutePath
+    val docs = graft.Tables.documents(spark, TestSpark.sf).limit(15)
+      .select($"text", lit("2024-01-01T12:00:00.000Z").as("created_at"))
+    Files.write(java.nio.file.Paths.get(s"$srcDir/w.json"),
+      docs.toJSON.collect().mkString("\n").getBytes)
+    val query = graft.pipeline.RagPipeline.streamingTo(spark, srcDir,
+      graft.sink.ParquetVectorSink(outDir), ckDir,
+      graft.embed.StubEmbeddingProvider("titan-v2"), chunking = Some((16, 16)))
+    try query.processAllAvailable() finally query.stop()
+    val streamed = graft.sink.VectorTable.readBatched(spark, outDir)
+    val batch = graft.pipeline.RagPipeline.batch(
+      docs.select(to_json(struct($"text", $"created_at")).as("value")),
+      graft.embed.StubEmbeddingProvider("titan-v2"), chunking = Some((16, 16)))
+    // uuids differ per run; passage text multiset + per-passage embeddings
+    // (deterministic stub) must match, and ids must carry chunk suffixes
+    def canonTexts(df: DataFrame) =
+      df.select($"text", $"passage_embedding").as[(String, Seq[Float])]
+        .collect().sortBy(_._1).toSeq
+    assert(canonTexts(streamed) === canonTexts(batch))
+    assert(streamed.count() > docs.count(), "chunking must expand documents")
+    assert(streamed.select("_id").as[String].collect().forall(_.contains("#")))
+  }
+
   test("streaming-maintained IVF-PQ index: foreachBatch appends, probe ≡ batch build") {
     import graft.ops.{Knn, VectorIndex}
     val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
