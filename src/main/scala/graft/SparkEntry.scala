@@ -1687,6 +1687,57 @@ object SparkEntry {
           coalesce(col("P"), lit(0L)).as("n_p"))
     },
 
+    // Equal-width histogram via width_bucket — the distribution-profiling
+    // primitive (both engines implement the same SQL-standard bucketing:
+    // bin i covers [lo + (i-1)·w, lo + i·w), out-of-range clamps to 0 /
+    // n+1). Fixed literal bounds keep the bin edges engine-identical; one
+    // scan, partial+final count agg.
+    q("q_histogram",
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+        |            WHEN o_totalprice >= 600000 THEN 13
+        |            ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1
+        |       END AS INT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS mass
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(width_bucket(col("o_totalprice"), lit(0), lit(600000), lit(12))
+          .cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("mass"))
+    },
+
+    // Single-scan column profiling — the data-quality sweep every ingest
+    // runs first: per column null count, distinct count, min/max, all in
+    // ONE aggregate pass (no per-column jobs). Distincts are exact here;
+    // at 100 TB swap in approx_count_distinct per the q_approx_distinct
+    // contract.
+    q("q_profile",
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(*) - count(l_partkey) AS BIGINT) AS partkey_nulls,
+        |  count(DISTINCT l_partkey) AS partkey_distinct,
+        |  CAST(min(l_partkey) AS BIGINT) AS partkey_min,
+        |  CAST(max(l_partkey) AS BIGINT) AS partkey_max,
+        |  CAST(count(*) - count(l_quantity) AS BIGINT) AS qty_nulls,
+        |  count(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS qty_distinct,
+        |  CAST(round(min(l_quantity) * 100) AS BIGINT) AS qty_min_c,
+        |  CAST(round(max(l_quantity) * 100) AS BIGINT) AS qty_max_c,
+        |  count(DISTINCT l_returnflag) AS flag_distinct
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("l_partkey"))).as("partkey_nulls"),
+        countDistinct(col("l_partkey")).as("partkey_distinct"),
+        min(col("l_partkey")).as("partkey_min"),
+        max(col("l_partkey")).as("partkey_max"),
+        (count(lit(1)) - count(col("l_quantity"))).as("qty_nulls"),
+        countDistinct(roundAway(col("l_quantity") * 100).cast("long"))
+          .as("qty_distinct"),
+        roundAway(min(col("l_quantity")) * 100).cast("long").as("qty_min_c"),
+        roundAway(max(col("l_quantity")) * 100).cast("long").as("qty_max_c"),
+        countDistinct(col("l_returnflag")).as("flag_distinct"))
+    },
+
     q("q_percentile",
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
