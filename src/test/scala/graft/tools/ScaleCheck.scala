@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity harness (not a ScalaTest — run on demand):
+  *
+  * {{{
+  * sbt "Test/runMain graft.tools.ScaleCheck"          # k = 1,2,4 at sf0.1
+  * }}}
+  *
+  * Self-unions the documents/embeddings tables k× with per-replica
+  * DISSIMILARITY transforms — texts through a replica-specific vowel
+  * substitution (every token changes → cross-replica shingle overlap ≈ 0),
+  * embeddings through a replica-specific circular shift (cross-replica
+  * cosine ≈ random) — so each replica pairs only within itself and the
+  * true-pair count grows LINEARLY with k. That isolates input-size scaling:
+  * a time factor near the 2× data ratio per doubling is linear behavior, a
+  * factor near 4× is the quadratic blowup that would sink a 100 TB run.
+  * (A naive suffix-token replica design makes every doc near-dup its k−1
+  * copies — output itself quadratic in k — and measures nothing useful.)
+  * Prints one JSON line per (op, k) and a growth-factor summary.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val step = 10000000L
+    // replica-specific vowel rotation: every word containing a vowel
+    // changes, so cross-replica token/shingle overlap collapses while
+    // within-replica pair structure stays identical to the original
+    val vowelMaps = Array("aeiou", "eioua", "iouae", "ouaei", "uaeio")
+    def replicateDocs(df: DataFrame, k: Int): DataFrame =
+      (0 until k).map { r =>
+        val withId = df.withColumn("doc_id", col("doc_id") + lit(r * step))
+        if (r == 0) withId
+        else withId.withColumn("text",
+          translate(col("text"), "aeiou", vowelMaps(r % vowelMaps.length)))
+      }.reduce(_ unionByName _)
+    // replica-specific circular shift: shifted random vectors are ~orthogonal
+    // to every other replica's, so cosine pairs stay within a replica
+    def replicateEmb(df: DataFrame, dim: Int, k: Int): DataFrame =
+      (0 until k).map { r =>
+        val withId = df.withColumn("vec_id", col("vec_id") + lit(r * step))
+        if (r == 0) withId
+        else withId.withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r)))
+      }.reduce(_ unionByName _)
+
+    def timed(name: String, k: Int, rows: Long)(body: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","k":$k,"rows":$rows,"out_rows":$n,"sec":$sec%.3f}""")
+      sec
+    }
+
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val results = scala.collection.mutable.Map[(String, Int), Double]()
+
+    // warm-up pass over every op shape so the first measured k does not
+    // absorb codegen/classload compilation
+    {
+      val d0 = docs.limit(500).localCheckpoint(true)
+      val e0 = emb.limit(500).localCheckpoint(true)
+      graft.ops.Dedup.exactDedup(d0, "text", "doc_id").count()
+      graft.ops.Dedup.minhashNearDups(d0, "text", "doc_id", threshold = 0.8).count()
+      graft.ops.Dedup.jaccardPairs(d0, "text", "doc_id", shingleN = 3, threshold = 0.8).count()
+      graft.ops.Dedup.embeddingNearDups(e0, "embedding", "vec_id", dim = 64,
+        threshold = 0.9).count()
+    }
+    for (k <- ks) {
+      val d = replicateDocs(docs, k).localCheckpoint(true)
+      val e = replicateEmb(emb, 64, k).localCheckpoint(true)
+      val nd = d.count(); val ne = e.count()
+      results(("exact_dedup", k)) = timed("exact_dedup", k, nd) {
+        graft.ops.Dedup.exactDedup(d, "text", "doc_id").count()
+      }
+      results(("minhash_neardup", k)) = timed("minhash_neardup", k, nd) {
+        graft.ops.Dedup.minhashNearDups(d, "text", "doc_id", threshold = 0.8).count()
+      }
+      results(("jaccard_pairs", k)) = timed("jaccard_pairs", k, nd) {
+        graft.ops.Dedup.jaccardPairs(d, "text", "doc_id",
+          shingleN = 3, threshold = 0.8).count()
+      }
+      results(("embedding_lsh", k)) = timed("embedding_lsh", k, ne) {
+        graft.ops.Dedup.embeddingNearDups(e, "embedding", "vec_id",
+          dim = 64, threshold = 0.9).count()
+      }
+    }
+    // growth factors per doubling-pair of k values
+    for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted) {
+      val f = results((op, b)) / math.max(results((op, a)), 1e-9)
+      println(f"""{"op":"$op","k_from":$a,"k_to":$b,"data_ratio":${b.toDouble / a}%.1f,"time_factor":$f%.2f}""")
+    }
+    spark.stop()
+  }
+}
