@@ -369,9 +369,23 @@ object Dedup {
       .agg(
         max_by(col("_cid"), struct(csim, -col("_cid"))).as("_cell"),
         first(col(vecCol)).as(vecCol))
-    val a = assigned.select(col("_cell"), col(idCol).as("a_id"),
+    semanticNearDupsAssigned(assigned, vecCol, idCol, "_cell", threshold)
+  }
+
+  /** The pair-pruning stage of [[semanticNearDups]] alone, for a corpus
+    * whose cluster column is ALREADY materialized — the 100 TB form: the
+    * DataFrame-centroid variant above expands every vector × k through a
+    * broadcast-join argmax aggregation (an extra exchange of wide vectors),
+    * where [[Knn.ivfAssign]]'s `nearest_centroid` kernel assigns cells in a
+    * pure per-row projection. Assign once at ingest (store `_cell`, as
+    * [[VectorIndex]] does), then vectors shuffle exactly ONCE here — by
+    * cell, for the pair join. */
+  def semanticNearDupsAssigned(assigned: DataFrame, vecCol: String,
+                               idCol: String, cellCol: String,
+                               threshold: Double): DataFrame = {
+    val a = assigned.select(col(cellCol).as("_cell"), col(idCol).as("a_id"),
       col(vecCol).as("_v_a"))
-    val b = assigned.select(col("_cell"), col(idCol).as("b_id"),
+    val b = assigned.select(col(cellCol).as("_cell"), col(idCol).as("b_id"),
       col(vecCol).as("_v_b"))
     a.join(b, Seq("_cell"))
       .filter(col("a_id") < col("b_id"))

@@ -171,6 +171,35 @@ class DedupKnnSpec extends AnyFunSuite {
       s"within-cell pairs missed: ${brute.diff(pairs)}")
   }
 
+  test("semdedup on a kernel-assigned corpus: ivfAssign cells + shared pair stage ≡ within-cell brute force") {
+    // the 100 TB form: cells come from the shuffle-free nearest_centroid
+    // kernel (assign-at-ingest), semanticNearDupsAssigned only runs the
+    // per-cell pair join — vectors shuffle exactly once, by cell
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val sample = e.orderBy("vec_id").limit(128)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val centroids = Knn.trainCentroids(sample, nCells = 8)
+    val assigned = Knn.ivfAssign(e, "embedding", centroids).cache()
+    val pairs = Dedup.semanticNearDupsAssigned(assigned, "embedding", "vec_id",
+        "_cell", threshold = 0.35)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val rows = assigned.select($"vec_id", $"_cell", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), (x, y)) => (d + x * y, na + x * x, nb + y * y) }
+      d / math.sqrt(na * nb)
+    }
+    val brute = (for {
+      (ai, ac, av) <- rows; (bi, bc, bv) <- rows
+      if ai < bi && ac == bc &&
+        BigDecimal(cos(av, bv)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.35
+    } yield (ai, bi)).toSet
+    assert(pairs === brute)
+    assert(pairs.nonEmpty, "threshold chosen to yield pairs on this corpus")
+    assigned.unpersist()
+  }
+
   test("int8 quantization: codes bounded, reconstruction within amax/254, dot exact, zero-vector safe") {
     import graft.ops.Quantize
     val vecs = Seq(
