@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints THREE JSON lines — full cold detail,
-  * full warm detail, then the headline `{"metric":"total","unit":"sec",
-  * "sf":…,"errors":{…},"cold_value":…,"oracle_value":…,"n_queries":…,
+  * full warm detail (incl. the full error map), then the headline
+  * `{"metric":"total","unit":"sec","sf":…,"failed":[names],
+  * "cold_value":…,"oracle_value":…,"n_queries":…,
   * "queries":{slowest-first subset},"value":…}` LAST, sized to survive
   * the driver's 2000-byte log-tail capture (a full 100+-entry map cannot).
   * All three lines are also written to `BENCH_SELF.json` in the working
@@ -137,9 +138,16 @@ object Bench {
       s"""{"metric":"cold","unit":"sec","sf":"$sfDir","cold_queries":${m(_.cold)},"cold_value":${sec3(coldTotal)}}"""
     val warmLine =
       s"""{"metric":"warm_detail","unit":"sec","sf":"$sfDir","errors":$errs,"queries":${m(_.warm)},"value":${sec3(total)}}"""
-    val subset = slowestSubset(1500)
+    // The headline carries only the NAMES of failed queries — a single
+    // AnalysisException message would blow the 2000-byte tail budget the
+    // headline exists to fit; full messages live on the warm_detail line
+    // and in BENCH_SELF.json. The queries-subset budget shrinks by
+    // whatever the error list consumes.
+    val errNames = results.collect { case R(k, _, _, Some(_)) => jstr(k) }
+      .mkString("[", ",", "]")
+    val subset = slowestSubset(math.max(200, 1500 - errNames.length))
     val shown = subset.count(_ == ':')
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.json","queries":$subset,"value":${sec3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.json","queries":$subset,"value":${sec3(total)}}"""
     // Self-contained round artifact (JSON lines: cold, warm_detail,
     // headline) — committed from the repo working dir by the round's
     // closing commit, so the full per-query map survives even when the

@@ -81,7 +81,12 @@ object Mixing {
       s"cuts must be non-empty positive weights: $cuts")
     val total = cuts.map(_._2).sum
     val bucket = pmod(graft.functions.GraftFunctions.fnv64(col(keyCol)), lit(total))
-    val assigned = cuts.init.foldLeft((when(lit(false), null), 0)) {
+    // a null key gets a NULL split, not a silent bucket: fnv64(null) is
+    // null, and without the explicit guard the when-chain would fall
+    // through to `otherwise` and dump the whole null population into the
+    // LAST cut (contaminating the smallest split, typically 'test')
+    val assigned = cuts.init.foldLeft(
+      (when(col(keyCol).isNull, lit(null).cast("string")), 0)) {
       case ((chain, acc), (name, w)) =>
         (chain.when(bucket < acc + w, name), acc + w)
     }._1.otherwise(cuts.last._1)

@@ -188,15 +188,20 @@ object RagPipeline {
       .start()
   }
 
-  private def batchStages(raw: DataFrame, provider: EmbeddingProvider,
-                          chunking: Option[(Int, Int)] = None): DataFrame = {
+  /** O1→O3(.5): parse, enrich, filter, optional chunk — the shared
+    * pre-embed stage sequence every topology (batch, streaming file,
+    * streaming Kafka, config runner) goes through. */
+  def preEmbed(raw: DataFrame, chunking: Option[(Int, Int)] = None): DataFrame = {
     val filtered = filterNonEmpty(enrich(parseWire(raw)))
-    val docs = chunking match {
+    chunking match {
       case Some((size, stride)) => chunk(filtered, size, stride)
       case None => filtered
     }
-    toVectorDocs(embed(docs, provider))
   }
+
+  private def batchStages(raw: DataFrame, provider: EmbeddingProvider,
+                          chunking: Option[(Int, Int)] = None): DataFrame =
+    toVectorDocs(embed(preEmbed(raw, chunking), provider))
 
   /** [[streaming]] with the dead-letter-capturing embed stage: per micro
     * batch, successes land in the idempotent vector table and embed
@@ -227,11 +232,7 @@ object RagPipeline {
     val raw = spark.readStream.schema(Schemas.wire).option("mode", "PERMISSIVE")
       .json(sourceDir)
       .select(to_json(struct(col("text"), col("created_at"))).as("value"))
-    val filtered = filterNonEmpty(enrich(parseWire(raw)))
-    val enriched = chunking match {
-      case Some((size, stride)) => chunk(filtered, size, stride)
-      case None => filtered
-    }
+    val enriched = preEmbed(raw, chunking)
     enriched.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
@@ -298,10 +299,11 @@ object RagPipeline {
       checkpointDir: String,
       startingOffsets: String = "earliest",
       extra: Map[String, String] = Map.empty,
-      provider: EmbeddingProvider = StubEmbeddingProvider()) = {
+      provider: EmbeddingProvider = StubEmbeddingProvider(),
+      chunking: Option[(Int, Int)] = None) = {
     val sink = graft.sink.ParquetVectorSink(outDir)
     val raw = streamingKafkaSource(spark, bootstrapServers, topic, startingOffsets, extra)
-    batchStages(raw, provider).writeStream
+    batchStages(raw, provider, chunking).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
         sink.appendIdempotent(batchDf, batchId)

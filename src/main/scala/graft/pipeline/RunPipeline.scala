@@ -32,6 +32,9 @@ import graft.embed.{EmbeddingModels, RetryPolicy, StubEmbeddingProvider}
   *  - `embed.maxAttempts`  retry attempts before dead-letter (default 3)
   *  - `deadletter.dir`  where embed dead-letters land (batch + streaming;
   *                      streaming uses the per-batch idempotent layout)
+  *  - `chunk.size`      opt-in O3.5 passage chunking, every mode: window
+  *                      size in tokens; `chunk.stride` (default = size)
+  *                      sets the overlap stride
   *  - `timeout.s`       streaming: stop gracefully after N seconds (0 = run
   *                      until external termination)
   */
@@ -109,26 +112,21 @@ object RunPipeline {
       case "memory" => graft.sink.MemoryVectorSink(conf("sink.dir"))
       case _        => graft.sink.ParquetVectorSink(conf("sink.dir"))
     }
+    // opt-in O3.5 passage chunking for EVERY mode: chunk.size=<tokens>
+    // (chunk.stride defaults to size → disjoint windows)
+    val chunking: Option[(Int, Int)] = conf.get("chunk.size").map { sz =>
+      (sz.toInt, conf.getOrElse("chunk.stride", sz).toInt) }
     // explicit DDL stage, reference index-creation-lambda parity: the
     // table exists with its schema before any data flows
     sink.bootstrap()
     conf.mode match {
       case "batch" =>
         val raw = spark.read.text(conf("source.path")).toDF("value")
-        val filtered = RagPipeline.filterNonEmpty(
-          RagPipeline.enrich(RagPipeline.parseWire(raw)))
-        // opt-in O3.5 passage chunking: chunk.size=<tokens>
-        // (chunk.stride defaults to size → disjoint windows)
-        val docs = conf.get("chunk.size") match {
-          case Some(sz) => RagPipeline.chunk(filtered, sz.toInt,
-            conf.getOrElse("chunk.stride", sz).toInt)
-          case None => filtered
-        }
         // cached: the dead-letter write and the sink write must read ONE
         // embedding pass — an uncached plan would re-embed every document
         // (double provider cost) and let a flaky record land in both
         // outputs or neither
-        val attempts = RagPipeline.embedSafe(docs,
+        val attempts = RagPipeline.embedSafe(RagPipeline.preEmbed(raw, chunking),
           provider, conf.retryPolicy, conf.maxInFlight).cache()
         try {
           conf.get("deadletter.dir").foreach { dl =>
@@ -148,9 +146,9 @@ object RunPipeline {
       case "streaming" =>
         val q = conf.get("deadletter.dir") match {
           case Some(dl) => RagPipeline.streamingSafeTo(spark, conf("source.path"),
-            sink, dl, conf("checkpoint.dir"), provider, conf.retryPolicy)
+            sink, dl, conf("checkpoint.dir"), provider, conf.retryPolicy, chunking)
           case None => RagPipeline.streamingTo(spark, conf("source.path"),
-            sink, conf("checkpoint.dir"), provider)
+            sink, conf("checkpoint.dir"), provider, chunking)
         }
         awaitWithTimeout(q, conf)
 
@@ -158,7 +156,7 @@ object RunPipeline {
         val q = RagPipeline.streamingKafka(spark, conf("kafka.bootstrap"),
           conf("kafka.topic"), conf("sink.dir"), conf("checkpoint.dir"),
           conf.getOrElse("kafka.startingOffsets", "earliest"),
-          conf.kafkaExtra, provider)
+          conf.kafkaExtra, provider, chunking)
         awaitWithTimeout(q, conf)
     }
   }

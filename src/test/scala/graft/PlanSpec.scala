@@ -169,13 +169,26 @@ class PlanSpec extends AnyFunSuite {
     assert(q21.contains("LeftAnti"), q21)
     assert(!q21.contains("CartesianProduct"), q21)
     // Q2's target-part semi join must prune lineitem BELOW the
-    // (partkey, suppkey) aggregation — the fact scan, semi join, and
-    // partial aggregate all run before any exchange
-    val q2 = plan("q_tpch_q2")
-    assert(q2.contains("LeftSemi"), q2)
-    val semiAt = q2.indexOf("LeftSemi")
-    val aggAt = q2.indexOf("HashAggregate")
-    assert(semiAt >= 0 && aggAt >= 0, q2)
+    // (partkey, suppkey) aggregation: the logical plan's Aggregate that
+    // groups by BOTH keys must contain the LeftSemi join in its subtree
+    // (string-index comparisons on the plan dump can't express this —
+    // other aggregates/joins surround it)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val q2lp = SparkEntry.queries("q_tpch_q2")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan
+    val psAggs = q2lp.collect {
+      case a: Aggregate
+        if a.groupingExpressions.size == 2 &&
+          a.groupingExpressions.flatMap(_.references.map(_.name))
+            .toSet == Set("l_partkey", "l_suppkey") => a
+    }
+    assert(psAggs.nonEmpty, q2lp.treeString)
+    assert(psAggs.exists(_.find {
+      case j: Join => j.joinType == LeftSemi
+      case _ => false
+    }.isDefined), "the (partkey, suppkey) aggregate must sit ABOVE the " +
+      "target-part semi join:\n" + q2lp.treeString)
   }
 
   test("IVF-PQ probe prunes cells at the scan and scores codes, not vectors") {

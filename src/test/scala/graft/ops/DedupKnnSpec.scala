@@ -396,6 +396,12 @@ class DedupKnnSpec extends AnyFunSuite {
     // rough proportion sanity (binomial, wide bound): train ≈ 80 %
     val trainFrac = byId.values.count(_ == "train").toDouble / byId.size
     assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    // null keys get a NULL split — never silently dumped into the last cut
+    val withNull = Seq((1L, "some text"), (2L, null))
+      .toDF("doc_id", "text")
+    val nullSplit = Mixing.splitByHash(withNull, "text", cuts)
+      .filter($"doc_id" === 2L).select("split").collect()(0)
+    assert(nullSplit.isNullAt(0), "null key must yield null split")
   }
 
   test("temperature mixing: tail domains upsample, mass hits the target, caps at 1") {

@@ -26,6 +26,10 @@ object ScaleCheck {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,2,4")
       .split(",").map(_.trim.toInt).toSeq
+    // k is capped by the number of distinct vowel maps: replica r would be
+    // byte-identical to replica r-5 (map r % 5 repeats, and map 0 is the
+    // identity), re-introducing the quadratic-output trap documented above
+    require(ks.max <= 5, s"k must be ≤ 5 (distinct replica alphabets), got $ks")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
