@@ -54,6 +54,31 @@ object VectorIndex {
     spark.read.option("basePath", dir).parquet(s"$dir/batch=*")
       .drop("batch")
 
+  /** Compaction: fold the per-micro-batch layout (one small `batch=<id>`
+    * dir per trigger — thousands of small files after a day of streaming)
+    * into a plain `_cell`-partitioned table, one id kept per row
+    * deterministically (the [[graft.sink.VectorTable.dedupeById]] rule,
+    * paranoia against concurrent replay). The operational companion of
+    * [[appendIdempotent]]: streams write small-and-replay-safe, a periodic
+    * compaction job rewrites cold batches into scan-efficient cell
+    * partitions. [[probe]] works identically on either layout — `_cell`
+    * stays the physical partition column. */
+  def compact(spark: SparkSession, batchedDir: String, outDir: String,
+              idCol: String): Unit =
+    graft.sink.VectorTable.dedupeById(read(spark, batchedDir), idCol)
+      .write.mode("overwrite")
+      .partitionBy("_cell")
+      .parquet(outDir)
+
+  /** [[probe]] for a [[compact]]-written table (no `batch=` level). */
+  def probeCompacted(spark: SparkSession, dir: String, vecCol: String,
+                     idCol: String, centroids: Array[Array[Float]],
+                     codebooks: Array[Array[Array[Float]]],
+                     queryVec: Array[Float], k: Int,
+                     nProbe: Int, shortlist: Int = 64): DataFrame =
+    Knn.ivfPqSearch(spark.read.parquet(dir), vecCol, idCol,
+      centroids, codebooks, queryVec, k, nProbe, shortlist)
+
   /** IVF-PQ probe against the on-disk layout: identical semantics to
     * [[Knn.ivfPqSearch]] over the same rows, but cell pruning happens at
     * the SCAN (PartitionFilters) — non-probed cells are never read. */

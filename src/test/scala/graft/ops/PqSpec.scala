@@ -217,5 +217,14 @@ class PqSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("_cell"), plan.take(3000))
     assert("PartitionFilters: \\[[^\\]]*_cell".r.findFirstIn(plan).isDefined,
       plan.take(3000))
+    // compaction folds the batch dirs into the plain _cell layout: same
+    // rows (a replayed duplicate would have been folded), same probe result
+    val compactDir = java.nio.file.Files.createTempDirectory("graft-vidx-c").toString
+    VectorIndex.compact(spark, dir, compactDir, "vec_id")
+    assert(spark.read.parquet(compactDir).count() === emb.count())
+    val viaCompact = VectorIndex.probeCompacted(spark, compactDir, "embedding",
+        "vec_id", centroids, cb, probe, 10, nProbe = 4, shortlist = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaCompact === viaDisk)
   }
 }
