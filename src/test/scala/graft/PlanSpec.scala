@@ -191,6 +191,22 @@ class PlanSpec extends AnyFunSuite {
       "target-part semi join:\n" + q2lp.treeString)
   }
 
+  test("LLM-op shapes: passage chunking is shuffle-free, int8 probe is bounded") {
+    // chunking = scan → generate → project: every document expands on its
+    // own input partition; any Exchange here would mean the operator
+    // reshuffles the corpus just to split strings
+    val cp = plan("q_chunk_passages")
+    assert(cp.contains("Generate"), cp)
+    assert(!cp.contains("Exchange"), cp)
+    // the quantized probe: one broadcast of the 1-row probe codes, a
+    // TakeOrderedAndProject cap — and NO hash-partitioned shuffle of the
+    // corpus (the scan streams straight into scoring)
+    val i8 = plan("q_int8_knn")
+    assert(i8.contains("TakeOrderedAndProject"), i8)
+    assert(i8.contains("BroadcastExchange"), i8)
+    assert(!i8.contains("Exchange hashpartitioning"), i8)
+  }
+
   test("IVF-PQ probe prunes cells at the scan and scores codes, not vectors") {
     // the 16 centroid literals push the plan string past the default
     // truncation threshold, which would cut the markers this test greps for
