@@ -1637,6 +1637,62 @@ object SparkEntry {
           decSum(col("value")).as("session_value"))
     },
 
+    // Funnel analysis (ordered event-sequence matching): how deep does each
+    // user get through view → click → purchase, with later stages only
+    // counting AFTER earlier ones — a per-user state machine expressed as a
+    // sorted-event HOF fold (collect → sort → aggregate lambda), no UDF, no
+    // per-user iteration, one shuffle at user grain. Ordering mirrors the
+    // q_sessionize lesson: Spark folds on its MICRO-truncated ts with
+    // event_id tiebreak; the data is (user, micro-ts)-tie-free at every SF,
+    // so time order is total and both engines agree. The oracle computes
+    // the SAME semantics as staged conditional mins (first view, first
+    // click after it, first purchase after that) because DuckDB 1.0.0's
+    // list_reduce mis-evaluates multi-row batches (verified: a 15-row
+    // literal replay folds one list to 1 where the single-row fold and a
+    // hand fold give 3) — an independent formulation also makes the oracle
+    // a stronger check than re-running the identical fold.
+    q("q_funnel",
+      """WITH f AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-03'),
+        |s1 AS (
+        |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+        |  FROM f GROUP BY user_id),
+        |s2 AS (
+        |  SELECT f.user_id,
+        |    min(ts) FILTER (WHERE event_type = 'click' AND ts > t1) AS t2
+        |  FROM f JOIN s1 USING (user_id) GROUP BY f.user_id),
+        |s3 AS (
+        |  SELECT f.user_id,
+        |    min(ts) FILTER (WHERE event_type = 'purchase' AND ts > t2) AS t3
+        |  FROM f JOIN s2 USING (user_id) GROUP BY f.user_id),
+        |depth AS (
+        |  SELECT s1.user_id,
+        |    CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |              WHEN t2 IS NOT NULL THEN 2
+        |              WHEN t1 IS NOT NULL THEN 1
+        |              ELSE 0 END AS INT) AS funnel_depth
+        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+        |SELECT funnel_depth, count(*) AS n_users
+        |FROM depth GROUP BY funnel_depth""".stripMargin) { (s, d) =>
+      val stage = (e: Column) =>
+        when(e("et") === "view", 1).when(e("et") === "click", 2)
+          .when(e("et") === "purchase", 3).otherwise(0)
+      val step = (acc: Column, x: Column) =>
+        when(acc === 0 && x === 1, 1).when(acc === 1 && x === 2, 2)
+          .when(acc === 2 && x === 3, 3).otherwise(acc)
+      Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          col("ts").as("t"), col("event_id").as("eid"),
+          col("event_type").as("et")))).as("evs"))
+        .select(aggregate(transform(col("evs"), stage), lit(0), step)
+          .cast("int").as("funnel_depth"))
+        .groupBy(col("funnel_depth"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // As-of join (the temporal-alignment operator Spark lacks): every click
     // matched to the user's most recent purchase at-or-before it. The
     // oracle is DuckDB's NATIVE ASOF JOIN — an independent implementation
