@@ -1641,36 +1641,38 @@ object SparkEntry {
     // user get through view → click → purchase, with later stages only
     // counting AFTER earlier ones — a per-user state machine expressed as a
     // sorted-event HOF fold (collect → sort → aggregate lambda), no UDF, no
-    // per-user iteration, one shuffle at user grain. Ordering mirrors the
-    // q_sessionize lesson: Spark folds on its MICRO-truncated ts with
-    // event_id tiebreak; the data is (user, micro-ts)-tie-free at every SF,
-    // so time order is total and both engines agree. The oracle computes
-    // the SAME semantics as staged conditional mins (first view, first
-    // click after it, first purchase after that) because DuckDB 1.0.0's
-    // list_reduce mis-evaluates multi-row batches (verified: a 15-row
-    // literal replay folds one list to 1 where the single-row fold and a
-    // hand fold give 3) — an independent formulation also makes the oracle
-    // a stronger check than re-running the identical fold.
+    // per-user iteration, one shuffle at user grain. The oracle computes
+    // the SAME semantics INDEPENDENTLY as staged conditional mins over the
+    // composite key ROW(micro-truncated ts, event_id) — first view, first
+    // click lexicographically after it, first purchase after that — which
+    // is EXACTLY the fold's sort order (the q_sessionize ns-vs-µs lesson,
+    // tie-robust by construction rather than by data). Independent
+    // formulation is deliberate twice over: it is a stronger check than
+    // re-running the identical fold, and DuckDB 1.0.0's list_reduce
+    // mis-evaluates multi-row batches (verified: a 15-row literal replay
+    // folds one list to 1 where the single-row fold and a hand fold
+    // give 3).
     q("q_funnel",
       """WITH f AS (
-        |  SELECT user_id, ts, event_type FROM events
-        |  WHERE ts < TIMESTAMP '2024-01-03'),
+        |  SELECT user_id,
+        |    ROW(CAST(ts AS TIMESTAMP), event_id) AS k, event_type
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-03'),
         |s1 AS (
-        |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+        |  SELECT user_id, min(k) FILTER (WHERE event_type = 'view') AS k1
         |  FROM f GROUP BY user_id),
         |s2 AS (
         |  SELECT f.user_id,
-        |    min(ts) FILTER (WHERE event_type = 'click' AND ts > t1) AS t2
+        |    min(k) FILTER (WHERE event_type = 'click' AND k > k1) AS k2
         |  FROM f JOIN s1 USING (user_id) GROUP BY f.user_id),
         |s3 AS (
         |  SELECT f.user_id,
-        |    min(ts) FILTER (WHERE event_type = 'purchase' AND ts > t2) AS t3
+        |    min(k) FILTER (WHERE event_type = 'purchase' AND k > k2) AS k3
         |  FROM f JOIN s2 USING (user_id) GROUP BY f.user_id),
         |depth AS (
         |  SELECT s1.user_id,
-        |    CAST(CASE WHEN t3 IS NOT NULL THEN 3
-        |              WHEN t2 IS NOT NULL THEN 2
-        |              WHEN t1 IS NOT NULL THEN 1
+        |    CAST(CASE WHEN k3 IS NOT NULL THEN 3
+        |              WHEN k2 IS NOT NULL THEN 2
+        |              WHEN k1 IS NOT NULL THEN 1
         |              ELSE 0 END AS INT) AS funnel_depth
         |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
         |SELECT funnel_depth, count(*) AS n_users

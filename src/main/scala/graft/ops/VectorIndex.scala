@@ -66,6 +66,11 @@ object VectorIndex {
   def compact(spark: SparkSession, batchedDir: String, outDir: String,
               idCol: String): Unit =
     graft.sink.VectorTable.dedupeById(read(spark, batchedDir), idCol)
+      // cluster by cell before writing: dedupeById leaves rows hashed by
+      // id, so every write task would otherwise emit a file into (almost)
+      // every _cell directory — shufflePartitions × nCells small files,
+      // re-creating the fragmentation compaction exists to remove
+      .repartition(col("_cell"))
       .write.mode("overwrite")
       .partitionBy("_cell")
       .parquet(outDir)

@@ -204,7 +204,11 @@ class PlanSpec extends AnyFunSuite {
     val i8 = plan("q_int8_knn")
     assert(i8.contains("TakeOrderedAndProject"), i8)
     assert(i8.contains("BroadcastExchange"), i8)
-    assert(!i8.contains("Exchange hashpartitioning"), i8)
+    // FormattedMode prints a shuffle as `Exchange (N)` with the
+    // hashpartitioning expression on its own Arguments line — grep the
+    // expression itself, never the juxtaposed "Exchange hashpartitioning"
+    // (which can never appear and would make this assertion vacuous)
+    assert(!i8.contains("hashpartitioning"), i8)
   }
 
   test("IVF-PQ probe prunes cells at the scan and scores codes, not vectors") {

@@ -226,5 +226,23 @@ class PqSpec extends AnyFunSuite {
         "vec_id", centroids, cb, probe, 10, nProbe = 4, shortlist = 64)
       .select("vec_id").as[Long].collect().toSet
     assert(viaCompact === viaDisk)
+    // _cell must survive compaction as a PHYSICAL partition column —
+    // cell pruning at the scan, same assertion as the batched layout
+    // (a flattened data column would return identical probe results
+    // while silently reading every cell from storage)
+    val cplan = VectorIndex.probeCompacted(spark, compactDir, "embedding",
+        "vec_id", centroids, cb, probe, 10, nProbe = 4, shortlist = 64)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*_cell".r.findFirstIn(cplan).isDefined,
+      cplan.take(3000))
+    // compaction must also fix the file fanout: at most a handful of
+    // parquet files per cell directory, not one per shuffle task
+    val cellDirs = new java.io.File(compactDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      val n = cd.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n <= 2, s"${cd.getName} has $n files — compaction fanout regressed")
+    }
   }
 }
