@@ -1695,6 +1695,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // Retention / cohort analysis — the third of the classic event-
+    // analytics trio (sessionize, funnel, retention): users cohorted by
+    // their FIRST signup day, then counted distinct per (cohort day,
+    // day offset) for the first week of activity. Two aggregations and one
+    // join, all at user/day grain — the fact table never shuffles twice;
+    // the per-user cohort scalar broadcasts back onto the events scan.
+    q("q_retention",
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (
+        |  SELECT c.user_id, cohort_day,
+        |    datediff('day', cohort_day, CAST(e.ts AS TIMESTAMP)::DATE) AS day_offset
+        |  FROM events e JOIN cohort c ON e.user_id = c.user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+        |  CAST(day_offset AS INT) AS day_offset,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM activity
+        |WHERE day_offset BETWEEN 0 AND 6
+        |GROUP BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).cast("date").as("cohort_day"))
+      ev.select(col("user_id").as("_uid"), col("ts"))
+        .join(broadcast(cohort), col("_uid") === col("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("ts").cast("date"), col("cohort_day")).as("day_offset"))
+        .filter(col("day_offset").between(0, 6))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset").cast("int").as("day_offset"),
+          col("active_users"))
+    },
+
     // As-of join (the temporal-alignment operator Spark lacks): every click
     // matched to the user's most recent purchase at-or-before it. The
     // oracle is DuckDB's NATIVE ASOF JOIN — an independent implementation
