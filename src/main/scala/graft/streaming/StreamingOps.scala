@@ -123,4 +123,48 @@ object StreamingOps {
           Iterator.single(next)
       }
   }
+
+  /** The same running counters on Spark 4's arbitrary-state API
+    * (`transformWithState` + [[UserCounterProcessor]]): typed `ValueState`
+    * handles, first-class timers/TTL, and the RocksDB state store as the
+    * required backend — the forward path for stateful streaming (the
+    * `flatMapGroupsWithState` variant above is the classic API, kept for
+    * comparison; both must produce identical results). Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * …state.RocksDBStateStoreProvider` on the session. */
+  def runningUserCountersTws(ds: Dataset[EventRow]): Dataset[UserCount] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new UserCounterProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** [[StreamingOps.runningUserCountersTws]]'s per-key processor: one
+  * `ValueState[UserCount]` per user, no timers (TimeMode.None). Top-level
+  * class — the processor is serialized into tasks, and a nested one would
+  * drag the enclosing object's state along. */
+final class UserCounterProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamingOps.EventRow, StreamingOps.UserCount] {
+  import StreamingOps.UserCount
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[UserCount] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[UserCount]("counter",
+      org.apache.spark.sql.Encoders.product[UserCount],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[StreamingOps.EventRow],
+                               timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserCount] = {
+    val prev = Option(state.get()).getOrElse(UserCount(key, 0L, 0.0))
+    var n = prev.n; var total = prev.total
+    rows.foreach { e => n += 1; total += e.value }
+    val next = UserCount(key, n, total)
+    state.update(next)
+    Iterator.single(next)
+  }
 }

@@ -201,6 +201,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalCounts == batchCounts)
   }
 
+  test("transformWithState (Spark 4 arbitrary-state API) equals the classic flatMapGroupsWithState") {
+    // the new API requires the RocksDB state store; scope the provider to
+    // this query and restore the session default afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[EventRow](spark)
+      val out = nextSink()
+      val q = StreamingOps.runningUserCountersTws(ms.toDS())
+        .writeStream.format("memory").queryName(out).outputMode("update").start()
+      try {
+        chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val finalCounts = spark.table(out)
+        .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = allEvents.groupBy(_.user_id).view.mapValues(es =>
+        (es.size.toLong, es.map(_.value).sum)).toMap
+      assert(finalCounts.keySet === batch.keySet)
+      finalCounts.foreach { case (u, (n, total)) =>
+        assert(n === batch(u)._1, s"user $u count")
+        assert(math.abs(total - batch(u)._2) < 1e-6, s"user $u total")
+      }
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static join: streaming equals batch") {
     val dim = allEvents.map(_.user_id).distinct.sorted
       .map(u => (u, if (u % 2 == 0) "even" else "odd")).toDF("user_id", "bucket")
