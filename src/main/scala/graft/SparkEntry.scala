@@ -1677,22 +1677,45 @@ object SparkEntry {
         |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
         |SELECT funnel_depth, count(*) AS n_users
         |FROM depth GROUP BY funnel_depth""".stripMargin) { (s, d) =>
-      val stage = (e: Column) =>
-        when(e("et") === "view", 1).when(e("et") === "click", 2)
-          .when(e("et") === "purchase", 3).otherwise(0)
-      val step = (acc: Column, x: Column) =>
-        when(acc === 0 && x === 1, 1).when(acc === 1 && x === 2, 2)
-          .when(acc === 2 && x === 3, 3).otherwise(acc)
-      Tables.events(s, d)
-        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(
-          col("ts").as("t"), col("event_id").as("eid"),
-          col("event_type").as("et")))).as("evs"))
-        .select(aggregate(transform(col("evs"), stage), lit(0), step)
-          .cast("int").as("funnel_depth"))
-        .groupBy(col("funnel_depth"))
-        .agg(count(lit(1)).as("n_users"))
+      ops.Funnel.depthHistogram(
+        Tables.events(s, d).filter(col("ts") < lit("2024-01-03").cast("timestamp")),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+    },
+
+    // Same funnel, bounded-buffer plan: per-(user, day) folds collapse to
+    // state-transition mappings, composed per user — the skew-immune
+    // variant for the 10⁸-events bot tail (see ops.Funnel scaladoc).
+    // Exact, so it shares q_funnel's independent staged-mins oracle.
+    q("q_funnel_segmented",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    ROW(CAST(ts AS TIMESTAMP), event_id) AS k, event_type
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+        |s1 AS (
+        |  SELECT user_id, min(k) FILTER (WHERE event_type = 'view') AS k1
+        |  FROM f GROUP BY user_id),
+        |s2 AS (
+        |  SELECT f.user_id,
+        |    min(k) FILTER (WHERE event_type = 'click' AND k > k1) AS k2
+        |  FROM f JOIN s1 USING (user_id) GROUP BY f.user_id),
+        |s3 AS (
+        |  SELECT f.user_id,
+        |    min(k) FILTER (WHERE event_type = 'purchase' AND k > k2) AS k3
+        |  FROM f JOIN s2 USING (user_id) GROUP BY f.user_id),
+        |depth AS (
+        |  SELECT s1.user_id,
+        |    CAST(CASE WHEN k3 IS NOT NULL THEN 3
+        |              WHEN k2 IS NOT NULL THEN 2
+        |              WHEN k1 IS NOT NULL THEN 1
+        |              ELSE 0 END AS INT) AS funnel_depth
+        |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+        |SELECT funnel_depth, count(*) AS n_users
+        |FROM depth GROUP BY funnel_depth""".stripMargin) { (s, d) =>
+      ops.Funnel.segmentedDepthHistogram(
+        Tables.events(s, d).filter(col("ts") < lit("2024-01-03").cast("timestamp")),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), to_date(col("ts")))
     },
 
     // Retention / cohort analysis — the third of the classic event-
@@ -2432,32 +2455,55 @@ object SparkEntry {
     // fnv64(text) bucket space): reproducible across reruns/engines/
     // repartitions and leak-proof — byte-identical duplicates land in the
     // same split by construction. The oracle re-derives fnv64 from UTF-8
-    // bytes in SQL (the q_fingerprint fragment) and re-buckets with the
-    // same signed pmod, so the per-split doc/text counts hash-compare
-    // exactly.
+    // bytes in SQL and re-buckets with the same signed pmod, so the
+    // per-split doc/text counts hash-compare exactly. The FNV fold is a
+    // recursive CTE over 8-byte chunks with the 8 steps unrolled as
+    // lateral column aliases — deliberately NOT list_reduce, which DuckDB
+    // 1.0.0 mis-evaluates on some multi-row batch shapes (observed in the
+    // r4 q_funnel investigation). NULL text maps to a NULL split on both
+    // sides (Mixing.splitByHash yields NULL for null keys).
     q("q_split_by_hash",
-      """WITH b AS (
+      """WITH RECURSIVE b AS (
         |  SELECT doc_id, text, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS nb FROM documents),
         |bytes AS (
-        |  SELECT doc_id, text,
+        |  SELECT doc_id, nb,
         |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
         |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1
         |      for i in range(1, nb + 1) ] AS bs
         |  FROM b),
+        |cidx AS (
+        |  SELECT doc_id, nb, bs,
+        |    unnest([ i for i in range(1, 1 + CAST(ceil(nb / 8.0) AS BIGINT)) ]) AS ci
+        |  FROM bytes WHERE nb > 0),
+        |chunks AS (
+        |  SELECT doc_id, ci, bs[(ci-1)*8+1 : least(ci*8, nb)] AS ck FROM cidx),
+        |f AS (
+        |  SELECT doc_id, 0 AS ci, 14695981039346656037::HUGEINT AS acc FROM bytes
+        |  UNION ALL
+        |  SELECT doc_id, ci, s8 FROM (
+        |    SELECT f.doc_id, f.ci + 1 AS ci,
+        |      CASE WHEN len(c.ck) >= 1 THEN (xor(f.acc, c.ck[1]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE f.acc END AS s1,
+        |      CASE WHEN len(c.ck) >= 2 THEN (xor(s1, c.ck[2]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s1 END AS s2,
+        |      CASE WHEN len(c.ck) >= 3 THEN (xor(s2, c.ck[3]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s2 END AS s3,
+        |      CASE WHEN len(c.ck) >= 4 THEN (xor(s3, c.ck[4]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s3 END AS s4,
+        |      CASE WHEN len(c.ck) >= 5 THEN (xor(s4, c.ck[5]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s4 END AS s5,
+        |      CASE WHEN len(c.ck) >= 6 THEN (xor(s5, c.ck[6]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s5 END AS s6,
+        |      CASE WHEN len(c.ck) >= 7 THEN (xor(s6, c.ck[7]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s6 END AS s7,
+        |      CASE WHEN len(c.ck) >= 8 THEN (xor(s7, c.ck[8]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s7 END AS s8
+        |    FROM f JOIN chunks c ON c.doc_id = f.doc_id AND c.ci = f.ci + 1)),
         |h AS (
-        |  SELECT doc_id, text, list_reduce(
-        |    list_prepend(14695981039346656037::HUGEINT, bs::HUGEINT[]),
-        |    (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
-        |                % 18446744073709551616::HUGEINT) AS ch
-        |  FROM bytes),
+        |  SELECT doc_id, acc AS ch FROM f
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ci DESC) = 1),
         |asn AS (
-        |  SELECT doc_id, text,
-        |    ((CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
-        |            THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT)
-        |      % 100) + 100) % 100 AS bucket
-        |  FROM h)
-        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |  SELECT b.doc_id, b.text,
+        |    CASE WHEN b.text IS NULL THEN NULL ELSE
+        |      ((CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
+        |              THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT)
+        |        % 100) + 100) % 100 END AS bucket
+        |  FROM b JOIN h ON h.doc_id = b.doc_id)
+        |SELECT CASE WHEN bucket IS NULL THEN NULL
+        |            WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs, count(DISTINCT text) AS n_texts
         |FROM asn GROUP BY 1""".stripMargin) { (s, d) =>

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis (ordered event-sequence matching): how deep does each
+  * user get through stage 1 → stage 2 → … → stage n, with later stages
+  * only counting AFTER earlier ones — a per-user state machine where the
+  * only legal transition is acc → acc+1 on seeing the (acc+1)-th stage
+  * event.
+  *
+  * Two exact implementations of the same semantics, different memory
+  * envelopes:
+  *
+  *  - [[depthHistogram]] (single-shuffle): collect + sort + HOF fold per
+  *    user. Events are pre-filtered to the funnel stage types BEFORE the
+  *    collect — semantically identical (non-stage events never advance the
+  *    state machine) but the aggregation buffer holds funnel events only,
+  *    so a bot with 10⁸ heartbeat events costs nothing. A bot with 10⁸
+  *    *view* events still concentrates in one buffer — that adversarial
+  *    tail is what [[segmentedDepthHistogram]] is for.
+  *
+  *  - [[segmentedDepthHistogram]] (bounded-buffer): the fold is
+  *    associative once each time segment is summarized as a state-
+  *    transition MAPPING (exit state per entry state, an (n+1)-vector) —
+  *    function composition is associative even though the event fold
+  *    itself is order-sensitive. Stage 1 folds each (user, segment)'s
+  *    sorted events from every possible entry state; stage 2 composes the
+  *    per-segment mappings in segment order. Buffers are bounded by
+  *    events-per-(user, segment) and segments-per-user — pick the segment
+  *    grain (day, hour) so both fit; no single-user buffer ever holds the
+  *    full history. Two shuffles instead of one: the price of skew
+  *    immunity, paid only when the tail calls for it.
+  *
+  * Users whose events are ALL outside the stage types have depth 0 but
+  * fall out of the filtered groupBy; both entry points add them back via
+  * two count-distinct scalars (a broadcast-friendly 1-row correction, not
+  * a second shuffle of the fact table).
+  */
+object Funnel {
+
+  /** Stage index per event: 1-based position in `stages`, 0 if absent. */
+  private def stageIdx(et: Column, stages: Seq[String]): Column =
+    stages.zipWithIndex.foldLeft(lit(0)) { case (acc, (st, i)) =>
+      when(et === st, i + 1).otherwise(acc)
+    }
+
+  /** One state-machine step: advance iff this event is the next stage. */
+  private def step(acc: Column, x: Column): Column =
+    when(x === acc + 1, acc + 1).otherwise(acc)
+
+  /** (depth-histogram of funnel users) ∪ (depth-0 row for users with no
+    * stage-typed events), summed and zero-row-pruned so the result matches
+    * a plain per-user GROUP BY over the unfiltered events. */
+  private def withMissingUsers(depths: DataFrame, all: DataFrame,
+                               funnelOnly: DataFrame, userCol: String): DataFrame = {
+    val hist = depths.groupBy(col("funnel_depth"))
+      .agg(count(lit(1)).as("n_users"))
+    val missing = all.agg(countDistinct(col(userCol)).as("_n")).crossJoin(
+        funnelOnly.agg(countDistinct(col(userCol)).as("_nf")))
+      .select(lit(0).cast("int").as("funnel_depth"),
+        (col("_n") - col("_nf")).as("n_users"))
+    hist.unionByName(missing)
+      .groupBy(col("funnel_depth"))
+      .agg(sum(col("n_users")).as("n_users"))
+      .filter(col("n_users") > 0)
+  }
+
+  /** Single-shuffle funnel: per-user sorted-event fold at user grain.
+    * Result: (funnel_depth INT, n_users LONG), one row per non-empty
+    * depth. Sort order within a user is (ts, tie) — pass a unique
+    * tiebreaker so the fold order is deterministic under ts ties. */
+  def depthHistogram(events: DataFrame, userCol: String, tsCol: String,
+                     tieCol: String, typeCol: String,
+                     stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val fevs = events.filter(col(typeCol).isin(stages.map(x => x: Any): _*))
+    val depths = fevs
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(tieCol).as("tie"),
+        stageIdx(col(typeCol), stages).as("st")))).as("evs"))
+      .select(aggregate(col("evs"), lit(0), (acc, e) => step(acc, e("st")))
+        .cast("int").as("funnel_depth"))
+    withMissingUsers(depths, events, fevs, userCol)
+  }
+
+  /** Bounded-buffer funnel: fold each (user, segment) into a transition
+    * mapping, then compose mappings in segment order. Exact — same result
+    * as [[depthHistogram]] for any segmentation, because composition of
+    * the per-segment transition functions is associative. `segment` must
+    * be orderable and chronologically consistent with `tsCol` (e.g.
+    * `to_date(ts)`). */
+  def segmentedDepthHistogram(events: DataFrame, userCol: String, tsCol: String,
+                              tieCol: String, typeCol: String,
+                              stages: Seq[String], segment: Column): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val n = stages.size
+    val fevs = events.filter(col(typeCol).isin(stages.map(x => x: Any): _*))
+    val perSegment = fevs
+      .groupBy(col(userCol), segment.as("_seg"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(tieCol).as("tie"),
+        stageIdx(col(typeCol), stages).as("st")))).as("evs"))
+      // exit state from every possible entry state: the segment's whole
+      // event list collapses to an (n+1)-int mapping before the second
+      // shuffle — the wire carries vectors, not events
+      .select(col(userCol), col("_seg"),
+        array((0 to n).map(e =>
+          aggregate(col("evs"), lit(e), (acc, ev) => step(acc, ev("st")))): _*)
+          .as("_m"))
+    val depths = perSegment
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("_seg").as("g"), col("_m").as("m"))))
+        .as("segs"))
+      .select(aggregate(col("segs"), lit(0),
+          (acc, sgm) => element_at(sgm("m"), acc + 1))
+        .cast("int").as("funnel_depth"))
+    withMissingUsers(depths, events, fevs, userCol)
+  }
+}

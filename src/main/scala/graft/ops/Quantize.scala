@@ -53,7 +53,10 @@ object Quantize {
   def topKInt8(corpus: DataFrame, vecCol: String, idCol: String,
                probe: DataFrame, k: Int): DataFrame = {
     val q = corpus.select(col(idCol), int8(col(vecCol)).as("_qv"))
-    val p = probe.select(int8(col(vecCol)).as("_pv"))
+    // Single-probe contract: a multi-row probe would cross-join and
+    // interleave scores from different probes into one top-k. limit(1)
+    // makes the contract structural rather than a runtime surprise.
+    val p = probe.limit(1).select(int8(col(vecCol)).as("_pv"))
     q.join(broadcast(p))
       .select(col(idCol), dotInt(col("_qv"), col("_pv")).as("qdot"))
       .orderBy(col("qdot").desc, col(idCol))

@@ -137,6 +137,9 @@ object TextAnalysis {
                     size: Int, stride: Int,
                     carry: Seq[String] = Nil): DataFrame = {
     require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
+    require(stride <= size,
+      s"stride ($stride) > size ($size) would silently skip tokens between windows; " +
+        "use stride = size for disjoint chunks or stride < size for overlap")
     val starts = sequence(lit(0),
       greatest(org.apache.spark.sql.functions.size(col("_tk")) - 1, lit(0)),
       lit(stride))

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two funnel plans are the same function: single-shuffle fold vs
+  * segmented transition-mapping composition, including on a planted
+  * hot-user tail where the segmented variant's buffers stay bounded. */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val stages = Seq("view", "click", "purchase")
+
+  private def hist(df: org.apache.spark.sql.DataFrame) =
+    Funnel.depthHistogram(df, "user_id", "ts", "event_id", "event_type", stages)
+      .as[(Int, Long)].collect().sorted.toSeq
+
+  private def segHist(df: org.apache.spark.sql.DataFrame) =
+    Funnel.segmentedDepthHistogram(df, "user_id", "ts", "event_id", "event_type",
+        stages, to_date(col("ts")))
+      .as[(Int, Long)].collect().sorted.toSeq
+
+  test("segmented == single-shuffle on a skewed corpus with a hot user") {
+    // user 1: bot — 50k view events across 10 days, then one click and one
+    // purchase on the last day (depth 3; the purchase only counts because
+    // it follows the click, which follows a view). user 2: click before
+    // any view (depth 1 — the early click can't count). user 3: only
+    // heartbeats (depth 0, survives via the missing-user correction).
+    // user 4: view then click, purchase BEFORE the click (depth 2).
+    val bot = (0 until 50000).map { i =>
+      (1L, f"2024-01-${1 + i % 10}%02dT00:${(i / 600) % 60}%02d:${(i / 10) % 60}%02d", i.toLong, "view")
+    }
+    val tail = Seq(
+      (1L, "2024-01-10T23:59:58", 90001L, "click"),
+      (1L, "2024-01-10T23:59:59", 90002L, "purchase"),
+      (2L, "2024-01-01T00:00:00", 90003L, "click"),
+      (2L, "2024-01-02T00:00:00", 90004L, "view"),
+      (3L, "2024-01-01T00:00:00", 90005L, "heartbeat"),
+      (4L, "2024-01-01T00:00:00", 90006L, "view"),
+      (4L, "2024-01-02T00:00:00", 90007L, "purchase"),
+      (4L, "2024-01-03T00:00:00", 90008L, "click"))
+    val df = (bot ++ tail).toDF("user_id", "_t", "event_id", "event_type")
+      .withColumn("ts", col("_t").cast("timestamp")).drop("_t")
+
+    val expected = Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L))
+    assert(hist(df) === expected)
+    assert(segHist(df) === expected)
+  }
+
+  test("segmentation grain does not change the answer (associativity)") {
+    val df = Seq(
+      (1L, "2024-01-01T01:00:00", 1L, "view"),
+      (1L, "2024-01-01T02:00:00", 2L, "click"),    // same day as the view
+      (1L, "2024-01-02T00:00:00", 3L, "purchase"), // next day
+      (2L, "2024-01-01T00:00:00", 4L, "view"))
+      .toDF("user_id", "_t", "event_id", "event_type")
+      .withColumn("ts", col("_t").cast("timestamp")).drop("_t")
+    val byDay = segHist(df)
+    val byHour = Funnel.segmentedDepthHistogram(df, "user_id", "ts", "event_id",
+        "event_type", stages, date_trunc("hour", col("ts")))
+      .as[(Int, Long)].collect().sorted.toSeq
+    assert(byDay === hist(df))
+    assert(byHour === byDay)
+  }
+
+  test("ts ties break on the tiebreaker column, matching the staged-mins oracle order") {
+    // two events at the identical timestamp: event_id order decides whether
+    // the click follows the view
+    val df = Seq(
+      (1L, "2024-01-01T00:00:00", 2L, "click"),
+      (1L, "2024-01-01T00:00:00", 1L, "view"))
+      .toDF("user_id", "_t", "event_id", "event_type")
+      .withColumn("ts", col("_t").cast("timestamp")).drop("_t")
+    assert(hist(df) === Seq((2, 1L)))
+    assert(segHist(df) === Seq((2, 1L)))
+  }
+}
