@@ -1,0 +1,175 @@
+package graft.sink
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList, Executors}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The network O5 contract against a REAL process boundary: a local JDK
+  * HttpServer speaking the `_bulk` NDJSON shape, with injected 5xx faults,
+  * item-level errors, and an id-keyed store — so retry, dead-letter,
+  * bulk batching, and idempotent replay are all observed from the server
+  * side, the same way HttpEmbedSpec proves the O4 contract. */
+class HttpVectorSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Id-keyed doc store + instrumentation. `failFirst` 503s the first n
+    * bulk requests; `itemErrorsFirst` answers 200 with `"errors": true`
+    * for the first n; `alwaysFail` 500s everything. */
+  private final class BulkServer(failFirst: Int = 0, itemErrorsFirst: Int = 0,
+                                 alwaysFail: Boolean = false) {
+    val docs = new ConcurrentHashMap[String, String]()
+    val bulkSizes = new CopyOnWriteArrayList[Integer]()
+    val authSeen = new CopyOnWriteArrayList[String]()
+    private val reqs = new AtomicInteger(0)
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(Executors.newCachedThreadPool())
+    server.createContext("/_bulk", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      Option(ex.getRequestHeaders.getFirst("Authorization")).foreach(authSeen.add)
+      val n = reqs.incrementAndGet()
+      def respond(code: Int, payload: String): Unit = {
+        val bytes = payload.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      if (alwaysFail || n <= failFirst) respond(503, """{"message":"unavailable"}""")
+      else if (n <= failFirst + itemErrorsFirst)
+        respond(200, """{"took":1,"errors":true,"items":[{"index":{"status":429}}]}""")
+      else {
+        val lines = body.split('\n').filter(_.nonEmpty)
+        val pairs = lines.grouped(2).collect { case Array(action, doc) =>
+          val id = action.split("\"_id\":\"")(1).takeWhile(_ != '"')
+          (id, doc)
+        }.toSeq
+        pairs.foreach { case (id, doc) => docs.put(id, doc) }
+        bulkSizes.add(pairs.size)
+        respond(200, """{"took":1,"errors":false,"items":[]}""")
+      }
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def attempts: Int = reqs.get()
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def sampleDocs(n: Int, day: String = "2024-01-01") =
+    (1 to n).map(i =>
+        (Seq(i.toFloat, 2f * i), f"$day%s 00:00:${i % 60}%02d",
+          s"passage number $i", f"uuid-$i%04d"))
+      .toDF("passage_embedding", "_ts", "text", "_id")
+      .withColumn("date", col("_ts").cast("timestamp")).drop("_ts")
+      .coalesce(1)
+
+  test("wire round-trip: docs land id-keyed with the reference's field shape; auth header sent") {
+    val srv = new BulkServer()
+    try {
+      HttpVectorSink(srv.url, "rag-index",
+        authHeader = Some("Authorization" -> "Bearer tok-123"))
+        .append(sampleDocs(10))
+      assert(srv.docs.size === 10)
+      assert(srv.docs.containsKey("uuid-0003")) // append path keeps upstream _id
+      val doc = srv.docs.get("uuid-0003")
+      assert(doc.contains("\"passage_embedding\":[3.0,6.0]"))
+      assert(doc.contains("\"text\":\"passage number 3\""))
+      assert(doc.contains("\"date\""))
+      assert(!doc.contains("\"_id\"")) // id rides the action line, not the body
+      assert(srv.authSeen.get(0) === "Bearer tok-123")
+    } finally srv.stop()
+  }
+
+  test("bulk batching: a wide partition splits on bulkMaxDocs") {
+    val srv = new BulkServer()
+    try {
+      HttpVectorSink(srv.url, "idx", bulkMaxDocs = 400).append(sampleDocs(1050))
+      assert(srv.docs.size === 1050)
+      val sizes = srv.bulkSizes.toArray.map(_.asInstanceOf[Integer].intValue).toSeq
+      assert(sizes.sum === 1050)
+      assert(sizes.max <= 400)
+      assert(sizes.size >= 3)
+    } finally srv.stop()
+  }
+
+  test("transient 5xx and item-level errors both retry to success") {
+    val srv = new BulkServer(failFirst = 1, itemErrorsFirst = 1)
+    try {
+      HttpVectorSink(srv.url, "idx", maxAttempts = 4, initialBackoffMs = 10)
+        .append(sampleDocs(5))
+      assert(srv.docs.size === 5)
+      assert(srv.attempts === 3) // 503, 200-with-errors, then clean
+    } finally srv.stop()
+  }
+
+  test("an unreachable store dead-letters the bulk and the job survives") {
+    val srv = new BulkServer(alwaysFail = true)
+    val dlq = Files.createTempDirectory("dlq").toString
+    try {
+      HttpVectorSink(srv.url, "idx", maxAttempts = 2, initialBackoffMs = 5,
+        deadLetterDir = Some(dlq)).append(sampleDocs(7)) // must not throw
+      assert(srv.docs.isEmpty)
+      val files = new java.io.File(dlq).listFiles().filter(_.getName.endsWith(".jsonl"))
+      assert(files.nonEmpty)
+      val lines = files.flatMap(f =>
+        scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).toSeq
+      assert(lines.size === 7)
+      assert(lines.forall(l => l.contains("\"_id\"") && l.contains("passage number")))
+    } finally srv.stop()
+  }
+
+  test("idempotent replay: re-putting batch N converges instead of duplicating") {
+    val srv = new BulkServer()
+    try {
+      val sink = HttpVectorSink(srv.url, "idx")
+      val docs = sampleDocs(20)
+      sink.appendIdempotent(docs, batchId = 7)
+      val afterFirst = srv.docs.size
+      assert(afterFirst === 20)
+      sink.appendIdempotent(docs, batchId = 7) // checkpoint replay
+      assert(srv.docs.size === afterFirst, "replay of the same batch must upsert, not append")
+      sink.appendIdempotent(docs, batchId = 8) // genuinely new batch
+      assert(srv.docs.size === 2 * afterFirst, "distinct batches must not collide")
+    } finally srv.stop()
+  }
+
+  test("flush interval bounds how long a trickling buffer waits") {
+    val srv = new BulkServer()
+    try {
+      val cfg = HttpVectorSink(srv.url, "idx", bulkMaxDocs = 1000, flushIntervalMs = 10)
+      val slow = (1 to 4).iterator.map { i =>
+        if (i > 1) Thread.sleep(30)
+        (s"id-$i", s"""{"text":"t$i"}""")
+      }
+      val (sent, dead) = BulkWriter.writePartition(slow, cfg, partitionId = 0)
+      assert(dead === 0)
+      assert(sent >= 2, s"a 10 ms flush interval must split a 30 ms-gap trickle, sent=$sent")
+      assert(srv.docs.size === 4)
+    } finally srv.stop()
+  }
+
+  test("streaming topology end-to-end: micro-batches land over HTTP behind the VectorSink seam") {
+    val srv = new BulkServer()
+    val src = Files.createTempDirectory("wire-src")
+    val ckpt = Files.createTempDirectory("wire-ckpt").toString
+    try {
+      Files.write(src.resolve("w1.jsonl"),
+        (1 to 6).map(i =>
+            s"""{"text": "streamed passage $i", "created_at": "2024-03-01T08:00:0$i.000Z"}""")
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val sink = HttpVectorSink(srv.url, "rag-index")
+      val q = graft.pipeline.RagPipeline.streamingTo(
+        spark, src.toString, sink, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      assert(srv.docs.size === 6)
+      assert(srv.docs.values().toArray.exists(_.toString.contains("streamed passage 3")))
+    } finally srv.stop()
+  }
+}
