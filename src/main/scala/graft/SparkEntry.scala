@@ -3021,6 +3021,66 @@ object SparkEntry {
       annContract(ann, e, probe, k = 10)
     },
 
+    // Multimodal image near-dup, oracle-checkable end to end: the corpus is
+    // REAL PNGs rendered deterministically from doc_id (same family id →
+    // same block pattern + per-id pixel noise; Multimodal.syntheticImages),
+    // so the expected pair set is pure id arithmetic the SQL side
+    // recomputes — while Spark must earn it through actual PNG decode →
+    // 9×8 bilinear downscale → 64-bit dHash → the chunk-blocked Hamming
+    // join (payload bytes never shuffle; only (id, hash64) rows reach the
+    // exchange). Construction guarantees within-family Hamming 0 (≥64
+    // luminance margin per dHash cell vs ±3 noise) and cross-family ~32,
+    // so maxHamming=6 has wide margin on both sides. Families scale with
+    // the table (10 members each) so every SF plants real pairs.
+    q("q_image_neardup",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND a.doc_id % (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT)
+        |                 FROM documents)
+        |   = b.doc_id % (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT)
+        |                 FROM documents)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nFam = indexArtifact(s"img-nfam:$d") {
+        java.lang.Long.valueOf(math.max(1L, docs.count() / 10))
+      }.longValue()
+      val media = graft.multimodal.Multimodal.syntheticImages(docs, "doc_id", nFam)
+      graft.multimodal.Multimodal.imageNearDups(media, maxHamming = 6)
+        .select(col("id_a"), col("id_b"))
+    },
+
+    // Multimodal audio profile (validation-aggregate, the q_rag_pipeline
+    // pattern): the corpus is REAL 16-bit WAVs synthesized from doc_id
+    // (pure sine, freq = 200 + (id%20)·100 Hz, A = 0.5, 500 ms @ 8 kHz),
+    // with closed-form expectations — per-window RMS = A/√2, zero-cross
+    // rate = 2f/fs, decoded rate/duration exact. Spark MEASURES each bound
+    // through the real WAV decode + feature path; the SQL side restates
+    // the expected values from id arithmetic. Any violation (wrong decode,
+    // wrong windowing, wrong rate recovery) breaks the driver hash.
+    q("q_audio_profile",
+      """SELECT count(*) AS n_audio,
+        |  CAST(1 AS BOOLEAN) AS all_rate_ok,
+        |  CAST(1 AS BOOLEAN) AS all_dur_ok,
+        |  CAST(1 AS BOOLEAN) AS all_rms_ok,
+        |  CAST(1 AS BOOLEAN) AS all_zcr_ok,
+        |  count(DISTINCT 200 + (doc_id % 20) * 100) AS n_freqs
+        |FROM documents""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val media = graft.multimodal.Multimodal.syntheticWavs(docs, "doc_id")
+      val feats = graft.multimodal.Multimodal.audioFeatures(media, windows = 8).toDF()
+      val rmsExp = lit(0.5 / math.sqrt(2.0))
+      val zcrExp = (lit(200.0) + (col("media_id") % 20) * 100.0) * 2.0 / 8000.0
+      feats.agg(
+        count(lit(1)).as("n_audio"),
+        bool_and(col("meta.sample_rate") === 8000).as("all_rate_ok"),
+        bool_and(col("meta.duration_ms") === 500L).as("all_dur_ok"),
+        bool_and(forall(slice(col("features"), 1, 8),
+          x => abs(x - rmsExp) < lit(0.01))).as("all_rms_ok"),
+        bool_and(abs(element_at(col("features"), 9) - zcrExp) < 0.01)
+          .as("all_zcr_ok"),
+        countDistinct(lit(200) + (col("media_id") % 20) * 100).as("n_freqs"))
+    },
+
     // Pipeline oracle (validation-aggregate): per-row compare is impossible
     // (`_id` is uuid-v4 by reference semantics), so the output is the
     // pipeline's CONTRACT — row count equals the O3-filtered document count

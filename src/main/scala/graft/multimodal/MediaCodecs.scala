@@ -141,6 +141,28 @@ object AudioCodec {
     } finally in.close()
   }
 
+  /** Encode mono float samples as 16-bit little-endian PCM WAV — the
+    * fixture writer dual of [[decodeWav]] (same container the JDK's
+    * `AudioSystem` reads back). */
+  def encodeWavPcm16(samples: Array[Float], sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-1.0f, math.min(1.0f, samples(i)))
+      val s = math.round(v * 32767.0f).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    try AudioSystem.write(in, AudioFileFormat.Type.WAVE, out) finally in.close()
+    out.toByteArray
+  }
+
   /** Fixed-width audio descriptor: per-window RMS energy (`windows` values)
     * + global zero-crossing rate as the last element. */
   def features(pcm: Pcm, windows: Int): Array[Float] = {

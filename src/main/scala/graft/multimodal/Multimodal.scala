@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -53,6 +55,77 @@ object Multimodal {
         }
         MediaRecord(id, payload, mt)
       }
+  }
+
+  /** Deterministic REAL-PNG image corpus derived from a table's id column —
+    * what makes the image path ORACLE-CHECKABLE: ids in the same family
+    * (`id % nFamilies`) render the same 9×8-block luminance pattern, plus
+    * per-id ±3 pixel noise, so the expected near-dup pair set is pure id
+    * arithmetic a SQL oracle can recompute, while Spark has to earn it
+    * through the full decode → dHash → Hamming-join path. Block luminances
+    * are drawn from 4 levels 64 apart with horizontally-adjacent blocks
+    * forced to differ, so every dHash bit has ≥64 luminance margin against
+    * the ±3 noise: within-family Hamming is 0 by construction, cross-family
+    * ~32 (independent patterns). Each 8×8 pixel block maps to exactly one
+    * dHash cell (72×64 → 9×8 downscale). */
+  def syntheticImages(docs: DataFrame, idCol: String,
+                      nFamilies: Long): Dataset[MediaRecord] = {
+    require(nFamilies > 0, "nFamilies must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.TextHashing.splitmix64
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val fam = id % nFamilies
+      val img = new BufferedImage(72, 64, BufferedImage.TYPE_INT_RGB)
+      val levels = Array(16, 80, 144, 208)
+      var by = 0
+      while (by < 8) {
+        var prev = -1
+        var bx = 0
+        while (bx < 9) {
+          var li = (splitmix64(fam * 1000003L + by * 9 + bx) >>> 32).toInt & 3
+          if (li == prev) li = (li + 1) & 3 // adjacent blocks must differ
+          prev = li
+          val base = levels(li)
+          var py = 0
+          while (py < 8) {
+            var px = 0
+            while (px < 8) {
+              val x = bx * 8 + px
+              val y = by * 8 + py
+              val noise = ((splitmix64(id * 7919L + y * 72 + x) >>> 32) % 7).toInt - 3
+              val v = math.max(0, math.min(255, base + noise))
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              px += 1
+            }
+            py += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      MediaRecord(id, ImageCodec.encodePng(img),
+        MediaMeta("image", 72, 64, 0, 0L, "png"))
+    }
+  }
+
+  /** Deterministic REAL-WAV audio corpus from an id column: a pure sine at
+    * `200 + (id % 20)·100` Hz, amplitude 0.5, 4000 samples at 8 kHz
+    * (500 ms) — closed-form expectations (RMS = A/√2 per window, zero-cross
+    * rate = 2f/fs) that a SQL oracle can restate from id arithmetic while
+    * Spark recovers them through the real WAV decode + feature path. */
+  def syntheticWavs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val freq = 200.0 + (id % 20) * 100.0
+      val n = 4000
+      val rate = 8000
+      val samples = Array.tabulate(n)(i =>
+        (0.5 * math.sin(2.0 * math.Pi * freq * i / rate)).toFloat)
+      MediaRecord(id, AudioCodec.encodeWavPcm16(samples, rate),
+        MediaMeta("audio", 0, 0, rate, 500L, "wav"))
+    }
   }
 
   /** STUB decode+feature-extract: batch-shaped mapPartitions. A real
