@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver archives a 2000-byte stdout TAIL of `sbt "runMain
+// graft.Bench"` and parses the LAST line as the headline JSON. sbt's
+// "[success] Total time …" footer prints AFTER the forked JVM's last
+// println, displacing the headline from the final line (BENCH_r04
+// landed "parsed": null exactly this way). Suppressing the footer makes
+// the Bench headline the true last stdout line; exit codes still carry
+// success/failure for every sbt invocation.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

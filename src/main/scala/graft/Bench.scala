@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * "cold_value":…,"oracle_value":…,"n_queries":…,
   * "queries":{slowest-first subset},"value":…}` LAST, sized to survive
   * the driver's 2000-byte log-tail capture (a full 100+-entry map cannot).
-  * All three lines are also written to `BENCH_SELF.json` in the working
+  * All three lines are also written to `BENCH_SELF.jsonl` in the working
   * dir (override: `SPARK_GRAFT_BENCH_OUT`) as the self-contained round
   * artifact carrying the complete per-query map.
   *
@@ -93,7 +93,7 @@ object Bench {
     // parses the LAST JSON line out of it. Round 2 lost the warm map to
     // that window, round 3 the whole line — and at 100+ queries even an
     // ms-precision full map (~2.3 KB) cannot fit 2000 bytes minus sbt's
-    // trailing "[success]" line. So: full detail goes to BENCH_SELF.json
+    // trailing "[success]" line. So: full detail goes to BENCH_SELF.jsonl
     // in the repo (self-contained round artifact) AND to full-precision
     // cold/warm_detail stdout lines; the final headline keeps every scalar
     // plus a slowest-first SUBSET of the queries map, greedily sized to a
@@ -141,19 +141,21 @@ object Bench {
     // The headline carries only the NAMES of failed queries — a single
     // AnalysisException message would blow the 2000-byte tail budget the
     // headline exists to fit; full messages live on the warm_detail line
-    // and in BENCH_SELF.json. The queries-subset budget shrinks by
+    // and in BENCH_SELF.jsonl. The queries-subset budget shrinks by
     // whatever the error list consumes.
     val errNames = results.collect { case R(k, _, _, Some(_)) => jstr(k) }
       .mkString("[", ",", "]")
     val subset = slowestSubset(math.max(200, 1500 - errNames.length))
     val shown = subset.count(_ == ':')
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.json","queries":$subset,"value":${sec3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","queries":$subset,"value":${sec3(total)}}"""
     // Self-contained round artifact (JSON lines: cold, warm_detail,
     // headline) — committed from the repo working dir by the round's
     // closing commit, so the full per-query map survives even when the
     // driver's log tail cannot hold it. Never let artifact I/O kill the
     // measurement itself.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    // .jsonl: three concatenated JSON lines, named so `json.loads` tooling
+    // is never tempted to parse the file as one document.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.jsonl")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       coldLine + "\n" + warmLine + "\n" + line + "\n")
     catch { case _: Throwable => }
