@@ -68,7 +68,15 @@ object Bench {
     } catch { case _: Throwable => }
 
     final case class R(name: String, warm: Double, cold: Double, err: Option[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop only (mirrors Verify): SPARK_GRAFT_ONLY=q_a,q_b times a
+    // subset. The driver never sets it — round artifacts are always full.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { run(fn); None } catch {

@@ -1484,12 +1484,19 @@ object SparkEntry {
         .select("s_suppkey", "s_name")
     },
 
-    // TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS /
-    // NOT EXISTS pair over the SAME fact table decorrelates to a LEFT SEMI
-    // then a LEFT ANTI self-join — each with an equi key (orderkey) plus a
-    // non-equi residual (different supplier; lateness vs the outer row's
-    // order date) — never a per-row subquery probe. (Adapted: "late" is
-    // shipped > 90 days after the order date; no commit/receipt dates.)
+    // TPC-H Q21 shape (suppliers who kept orders waiting). The EXISTS /
+    // NOT EXISTS pair is per-ORDER set logic in disguise: a late row
+    // survives iff its order has >1 distinct supplier (EXISTS another
+    // supplier) and exactly ONE distinct LATE supplier (NOT EXISTS another
+    // late one — the row's own supplier is late, so |late set| = 1 ⟺ no
+    // other). That collapses the decorrelated semi + anti self-joins
+    // (three shuffles of the fact table, r4's plan, 2.6× the baseline) to
+    // ONE scan of lineitem: join orders (auto-broadcast here, SMJ at
+    // scale), aggregate supplier sets per orderkey — buffers bounded by
+    // suppliers-per-order — then roll the surviving per-order counts up to
+    // s_name. numwait still counts base ROWS: an order contributes its
+    // late-row count, not 1. (Adapted: "late" is shipped > 90 days after
+    // the order date; no commit/receipt dates.)
     q("q_tpch_q21",
       """WITH base AS (
         |  SELECT s_name, l1.l_orderkey, l1.l_suppkey, o_orderdate
@@ -1508,26 +1515,30 @@ object SparkEntry {
         |                    AND l3.l_shipdate > base.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val base = Tables.orders(s, d)
+      val ordF = Tables.orders(s, d)
         .filter(col("o_orderstatus") === "F")
-        .join(li, col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-        .join(broadcast(Tables.supplier(s, d)),
-          col("s_suppkey") === col("l_suppkey"))
-        .select(col("s_name"), col("l_orderkey"), col("l_suppkey"), col("o_orderdate"))
-      val withOther = base.join(
-        li.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2")),
-        col("l_orderkey") === col("_ok2") && col("l_suppkey") =!= col("_sk2"),
-        "left_semi")
-      withOther.join(
-          li.select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3"),
-            col("l_shipdate").as("_ship3")),
-          col("l_orderkey") === col("_ok3") && col("l_suppkey") =!= col("_sk3") &&
-            col("_ship3") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
-          "left_anti")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val perOrder = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          collect_set(col("l_suppkey")).as("_supps"),
+          collect_set(when(col("_late"), col("l_suppkey"))).as("_late_supps"),
+          sum(when(col("_late"), 1L).otherwise(0L)).as("_n_late"))
+        .filter(size(col("_late_supps")) === 1 && size(col("_supps")) > 1)
+        .select(element_at(col("_late_supps"), 1).as("_suppkey"), col("_n_late"))
+      perOrder
+        .groupBy(col("_suppkey"))
+        .agg(sum(col("_n_late")).as("_nw"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("_nw")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     },
@@ -2334,10 +2345,20 @@ object SparkEntry {
         |WHERE a.cell = b.cell AND a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val seeds = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      Dedup.semanticNearDups(emb, "embedding", "vec_id",
-        seeds, "cid", "embedding", threshold = 0.35)
+      val seeds = indexArtifact(s"semdedup-seeds:$d") {
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1)))
+          .sortBy(_._1).toIndexedSeq
+      }
+      // subBlocks stays 1 here: at this size Spark auto-broadcasts the
+      // probe side, so the per-cell join is never parallelism-capped and
+      // sub-block replication only adds overhead (measured: 0.69 s at S=8
+      // vs 0.47 s at S=1). The knob exists for corpus-scale power-law
+      // cells, where one mega-cell genuinely serializes (Dedup scaladoc).
+      Dedup.semanticNearDupsSeeded(emb, "embedding", "vec_id",
+        seeds, threshold = 0.35)
     },
 
     // Int8 scalar quantization + quantized top-k probe: per-vector max-abs

@@ -350,26 +350,51 @@ object Dedup {
     * design (the published trade); more centroids → smaller cells → faster
     * and blinder, exactly like the paper's k.
     *
-    * `centroids` is a small (cid, vector) frame that BROADCASTS for the
-    * assignment pass — at scale produce it with [[Knn.trainCentroids]]
-    * (sampled k-means); any deterministic seed set (e.g. first-k vectors)
-    * makes the whole operator reproducible for a correctness oracle.
-    * Assignment maximizes round(cosine, 6) with ties to the lowest cid —
-    * the 6-decimal rounding keeps argmax stable across engines that
-    * accumulate dot products in different orders. */
+    * `centroids` is a small (cid, vector) frame — bounded at k rows by
+    * contract, so it is COLLECTED once and inlined into a per-row
+    * assignment projection (no join, no aggregation exchange); at scale
+    * produce it with [[Knn.trainCentroids]] (sampled k-means); any
+    * deterministic seed set (e.g. first-k vectors) makes the whole
+    * operator reproducible for a correctness oracle. Assignment maximizes
+    * round(cosine, 6) with ties to the lowest cid — the 6-decimal rounding
+    * keeps argmax stable across engines that accumulate dot products in
+    * different orders. */
   def semanticNearDups(df: DataFrame, vecCol: String, idCol: String,
                        centroids: DataFrame, cidCol: String, cvecCol: String,
                        threshold: Double): DataFrame = {
-    val csim = round(
-      graft.functions.GraftFunctions.cosine_sim(col(vecCol), col("_cvec")), 6)
-    val assigned = df
-      .join(broadcast(centroids.select(col(cidCol).as("_cid"),
-        col(cvecCol).as("_cvec"))))
-      .groupBy(col(idCol))
-      .agg(
-        max_by(col("_cid"), struct(csim, -col("_cid"))).as("_cell"),
-        first(col(vecCol)).as(vecCol))
-    semanticNearDupsAssigned(assigned, vecCol, idCol, "_cell", threshold)
+    // The quantizer is bounded (k centroids) by contract, so collect it once
+    // and assign cells as a PER-ROW PROJECTION: argmax over k inline
+    // round(cosine, 6) kernels via lexicographic array_max on (sim, -cid)
+    // structs — highest similarity, ties to the lowest cid, identical
+    // arithmetic to the former broadcast-join + max_by formulation but with
+    // no k-fold row expansion and no (id, vector) aggregation exchange. The
+    // corpus now shuffles exactly once, by cell, in the pair stage.
+    val cents = centroids
+      .select(col(cidCol).cast("int"), col(cvecCol))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    semanticNearDupsSeeded(df, vecCol, idCol,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cents), threshold)
+  }
+
+  /** [[semanticNearDups]] with the quantizer already collected — callers
+    * that reuse one seed set across runs (bench warm runs, index builds)
+    * skip the collect job entirely. */
+  def semanticNearDupsSeeded(df: DataFrame, vecCol: String, idCol: String,
+                             cents: Seq[(Int, Seq[Float])],
+                             threshold: Double,
+                             subBlocks: Int = 1): DataFrame = {
+    require(cents.nonEmpty, "semanticNearDups needs at least one centroid")
+    val scored = cents.map { case (cid, cvec) =>
+      struct(
+        round(graft.functions.GraftFunctions.cosine_sim(
+          col(vecCol), typedLit(cvec)), 6).as("s"),
+        lit(-cid).as("nc"))
+    }
+    val assigned = df.select(col(idCol), col(vecCol),
+      (-array_max(array(scored.toIndexedSeq: _*)).getField("nc")).as("_cell"))
+    semanticNearDupsAssigned(assigned, vecCol, idCol, "_cell", threshold, subBlocks)
   }
 
   /** The pair-pruning stage of [[semanticNearDups]] alone, for a corpus
@@ -382,17 +407,65 @@ object Dedup {
     * cell, for the pair join. */
   def semanticNearDupsAssigned(assigned: DataFrame, vecCol: String,
                                idCol: String, cellCol: String,
-                               threshold: Double): DataFrame = {
-    val a = assigned.select(col(cellCol).as("_cell"), col(idCol).as("a_id"),
-      col(vecCol).as("_v_a"))
-    val b = assigned.select(col(cellCol).as("_cell"), col(idCol).as("b_id"),
-      col(vecCol).as("_v_b"))
-    a.join(b, Seq("_cell"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(graft.functions.GraftFunctions.cosine_sim(col("_v_a"), col("_v_b")), 6)
-          .as("sim"))
-      .filter(col("sim") >= threshold)
+                               threshold: Double,
+                               subBlocks: Int = 1): DataFrame = {
+    require(subBlocks >= 1, "subBlocks must be >= 1")
+    if (subBlocks == 1) {
+      // The pair stage's work is quadratic in cell size but its
+      // PARALLELISM is whatever the probe side's partitioning happens to
+      // be — and a small corpus read from one parquet file is ONE
+      // partition, so a broadcast pair join runs its entire Σ|cell|²
+      // cosine work on a single core (measured: 5× the whole query).
+      // Widen only when the scan is narrower than the cluster; at scale
+      // the input is already wide and no exchange is added.
+      val par = assigned.sparkSession.sparkContext.defaultParallelism
+      val wide = if (assigned.rdd.getNumPartitions < par)
+        assigned.repartition(par) else assigned
+      val a = wide.select(col(cellCol).as("_cell"), col(idCol).as("a_id"),
+        col(vecCol).as("_v_a"))
+      val b = assigned.select(col(cellCol).as("_cell"), col(idCol).as("b_id"),
+        col(vecCol).as("_v_b"))
+      a.join(b, Seq("_cell"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.GraftFunctions.cosine_sim(col("_v_a"), col("_v_b")), 6)
+            .as("sim"))
+        .filter(col("sim") >= threshold)
+    } else {
+      // Triangle sub-blocking: a cell's pair work is quadratic in |cell|,
+      // and the plain per-cell join caps parallelism at the number of
+      // cells — fine when k is large, but a few-cell quantizer (this
+      // oracle instance) or a power-law MEGA-CELL at corpus scale
+      // serializes onto one task. Split each cell into S id-hash blocks
+      // and join on (cell, blockLo, blockHi): every unordered block pair
+      // is its own shuffle key, so one cell's quadratic work spreads over
+      // S(S+1)/2 tasks. Each row replicates S times (its block paired
+      // with every other); the (least, greatest) == (b1, b2) residual
+      // keeps same-block pairs from matching in every bucket — each pair
+      // survives in EXACTLY one key, so no distinct pass is needed and
+      // the pair set is bit-identical to the S = 1 plan.
+      val S = subBlocks
+      val repl = assigned.select(col(cellCol).as("_cell"), col(idCol),
+          col(vecCol),
+          pmod(xxhash64(col(idCol)), lit(S)).cast("int").as("_blk"))
+        .select(col("_cell"), col(idCol), col(vecCol), col("_blk"),
+          explode(sequence(lit(0), lit(S - 1))).as("_other"))
+        .select(col("_cell"), col(idCol), col(vecCol), col("_blk"),
+          least(col("_blk"), col("_other")).as("_b1"),
+          greatest(col("_blk"), col("_other")).as("_b2"))
+      val a = repl.select(col("_cell"), col("_b1"), col("_b2"),
+        col(idCol).as("a_id"), col(vecCol).as("_v_a"), col("_blk").as("_blk_a"))
+      val b = repl.select(col("_cell"), col("_b1"), col("_b2"),
+        col(idCol).as("b_id"), col(vecCol).as("_v_b"), col("_blk").as("_blk_b"))
+      a.join(b, Seq("_cell", "_b1", "_b2"))
+        .filter(col("a_id") < col("b_id") &&
+          least(col("_blk_a"), col("_blk_b")) === col("_b1") &&
+          greatest(col("_blk_a"), col("_blk_b")) === col("_b2"))
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.GraftFunctions.cosine_sim(col("_v_a"), col("_v_b")), 6)
+            .as("sim"))
+        .filter(col("sim") >= threshold)
+    }
   }
 
   /** Connected components over a near-dup pair set (id_a, id_b) →
@@ -421,39 +494,45 @@ object Dedup {
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("m"), col("src")).as("cluster_id"))
       .localCheckpoint(false)
-    // Each round: the current labels double as SHORTCUT EDGES (id ↔
-    // cluster_id — both endpoints are in the same component by
+    // Each propagation layer: the current labels double as SHORTCUT EDGES
+    // (id ↔ cluster_id — both endpoints are in the same component by
     // construction, so components are preserved), unioned with the real
     // edges into ONE join against the label table, then one min-aggregation.
     // The label edge (id → cluster_id) delivers labels[labels[id]] — pointer
     // jumping, rounds ≈ log(diameter) — and its reverse delivers members'
     // labels to the representative, all in the same join that propagates
-    // neighbour labels: 1 join + 1 aggregation per round.
+    // neighbour labels: 1 join + 1 aggregation per layer.
+    def propagate(l: DataFrame): DataFrame = {
+      val labelEdges = l.select(col("id").as("src"), col("cluster_id").as("dst"))
+        .unionByName(l.select(col("cluster_id").as("src"), col("id").as("dst")))
+      val fromGraph = edges.unionByName(labelEdges)
+        .join(l.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster_id"))
+      l.unionByName(fromGraph)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+    }
     // Convergence check: labels only ever DECREASE, so Σ cluster_id
     // strictly decreases on any change — an unchanged sum is convergence.
     // That is a scan-only aggregate of the just-checkpointed output (no
     // join against the previous round, no extra shuffle). DECIMAL(38) sum:
     // 64-bit id sums would wrap at corpus scale.
-    // NOTE (measured, do not "optimize"): stacking two propagation layers
-    // per materialized job to halve driver round-trips makes it ~2× SLOWER
-    // — the inner layer's output is referenced four times by the outer
-    // (label edges twice, join side, union side) and recomputes each time
-    // without a checkpoint between layers.
+    // NOTE (measured TWICE, r3 and r5 — do not "optimize"): stacking two
+    // propagation layers per materialized job to halve driver round-trips
+    // is SLOWER both without an intermediate checkpoint (r3: ~2×, the
+    // outer layer re-derives the inner's plan four times) and WITH a lazy
+    // localCheckpoint between layers (r5: 1.63 s vs 1.41 s single-layer at
+    // sf0.1, three layers 1.53 s) — the extra layer's shuffles cost more
+    // than the saved round-trip, and the round count barely drops on real
+    // near-dup graphs (component diameter is already 2–3).
+    // Also measured in r5 and rejected: disabling AQE for the loop's tiny
+    // stages (static 32-partition shuffles: 2.66 s; static 4-partition:
+    // 1.73 s — both worse than AQE-coalesced 1.41 s). AQE's per-stage
+    // re-plan latency is cheaper than mis-sized static shuffles here.
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val labelEdges = labels.select(col("id").as("src"), col("cluster_id").as("dst"))
-        .unionByName(labels.select(col("cluster_id").as("src"), col("id").as("dst")))
-      val fromGraph = edges.unionByName(labelEdges)
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("cluster_id"))
-      // LAZY checkpoint: the convergence-sum action below materializes the
-      // round AND truncates lineage in ONE job — an eager localCheckpoint
-      // plus a separate sum was two cluster round-trips per round
-      val next = labels.unionByName(fromGraph)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(false)
+      val next = propagate(labels).localCheckpoint(false)
       val newSum = next
         .agg(coalesce(sum(col("cluster_id").cast(DecimalType(38, 0))),
           lit(0).cast(DecimalType(38, 0))))

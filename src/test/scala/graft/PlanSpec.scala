@@ -162,12 +162,19 @@ class PlanSpec extends AnyFunSuite {
     val q13 = plan("q_tpch_q13")
     assert(q13.contains("LeftOuter"), q13)
     assert(q13.contains("Not(EqualTo(o_orderpriority"), q13)
-    // Q21's EXISTS/NOT-EXISTS self-joins: equi orderkey key + non-equi
-    // supplier/lateness residuals, planned as semi + anti hash joins
+    // Q21's EXISTS/NOT-EXISTS pair collapses to per-order SET logic: ONE
+    // scan of lineitem (the r4 semi + anti decorrelation shuffled the fact
+    // table three times), one orderkey aggregation, and no self-join of
+    // the fact table anywhere in the plan
     val q21 = plan("q_tpch_q21")
-    assert(q21.contains("LeftSemi"), q21)
-    assert(q21.contains("LeftAnti"), q21)
+    assert(q21.contains("collect_set"), q21)
     assert(!q21.contains("CartesianProduct"), q21)
+    val q21lp = SparkEntry.queries("q_tpch_q21")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan
+    val lineitemScans = q21lp.collectLeaves().count(
+      _.output.exists(_.name == "l_orderkey"))
+    assert(lineitemScans == 1,
+      s"q21 must scan lineitem exactly once, found $lineitemScans scans")
     // Q2's target-part semi join must prune lineitem BELOW the
     // (partkey, suppkey) aggregation: the logical plan's Aggregate that
     // groups by BOTH keys must contain the LeftSemi join in its subtree

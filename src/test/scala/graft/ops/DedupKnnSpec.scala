@@ -197,6 +197,15 @@ class DedupKnnSpec extends AnyFunSuite {
     } yield (ai, bi)).toSet
     assert(pairs === brute)
     assert(pairs.nonEmpty, "threshold chosen to yield pairs on this corpus")
+    // triangle sub-blocking (the mega-cell parallelism path) must emit the
+    // IDENTICAL pair set — each pair survives in exactly one
+    // (cell, blockLo, blockHi) shuffle key, no dedup pass
+    val blocked = Dedup.semanticNearDupsAssigned(assigned, "embedding", "vec_id",
+        "_cell", threshold = 0.35, subBlocks = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(blocked.length === blocked.distinct.length,
+      "sub-blocked plan emitted a duplicate pair")
+    assert(blocked.toSet === pairs)
     assigned.unpersist()
   }
 
