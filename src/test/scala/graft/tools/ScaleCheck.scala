@@ -72,25 +72,74 @@ object ScaleCheck {
       sec
     }
 
+    // events replicate by user-id shift: users (and so funnels, cohorts,
+    // sessions) pair only within their replica — event volume and per-user
+    // structure both scale linearly with k
+    def replicateEvents(df: DataFrame, k: Int): DataFrame =
+      (0 until k).map { r =>
+        df.withColumn("user_id", col("user_id") + lit(r * step))
+          .withColumn("event_id", col("event_id") + lit(r * step))
+      }.reduce(_ unionByName _)
+    // the adversarial tail for the funnel ops: one bot user whose event
+    // count grows with k (20k views per replica unit, then one click +
+    // purchase) — the de-skewed single-shuffle fold must stay linear, and
+    // the segmented variant bounds its buffers at (user, day) grain
+    def plantHotUser(ev: DataFrame, k: Int): DataFrame = {
+      val n = 20000 * k
+      val bot = spark.range(n).select(
+        lit(888888888L).as("user_id"),
+        expr("timestamp_micros(cast(1704067200000000 + id * 1000000 as long))").as("ts"),
+        (col("id") + 500000000L).as("event_id"),
+        when(col("id") < n - 2, "view")
+          .when(col("id") === n - 2, "click").otherwise("purchase").as("event_type"),
+        lit(1.0).as("value"))
+      ev.select("user_id", "ts", "event_id", "event_type", "value")
+        .unionByName(bot)
+    }
+
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
     val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val events = graft.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
     val results = scala.collection.mutable.Map[(String, Int), Double]()
+
+    // ANN index artifacts are trained ONCE on the base corpus and reused at
+    // every k — the realistic setup (the quantizer does not retrain because
+    // the corpus grew) and the only fair one (training is O(sample), not
+    // O(corpus), and must not pollute the probe timing)
+    val sample = emb.select("embedding").limit(256).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = graft.ops.Knn.trainCentroids(sample, nCells = 16)
+    val codebooks = graft.ops.Knn.trainPq(sample, m = 8, ksub = 16)
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val funnelStages = Seq("view", "click", "purchase")
 
     // warm-up pass over every op shape so the first measured k does not
     // absorb codegen/classload compilation
     {
       val d0 = docs.limit(500).localCheckpoint(true)
       val e0 = emb.limit(500).localCheckpoint(true)
+      val ev0 = events.limit(2000).localCheckpoint(true)
       graft.ops.Dedup.exactDedup(d0, "text", "doc_id").count()
       graft.ops.Dedup.minhashNearDups(d0, "text", "doc_id", threshold = 0.8).count()
       graft.ops.Dedup.jaccardPairs(d0, "text", "doc_id", shingleN = 3, threshold = 0.8).count()
       graft.ops.Dedup.embeddingNearDups(e0, "embedding", "vec_id", dim = 64,
         threshold = 0.9).count()
+      graft.ops.Knn.ivfPqSearch(graft.ops.Knn.ivfAssign(e0, "embedding", centroids),
+        "embedding", "vec_id", centroids, codebooks, probeVec, 10, nProbe = 4).count()
+      graft.ops.Quantize.topKInt8(e0, "embedding", "vec_id",
+        emb.filter(col("vec_id") === 0), k = 10).count()
+      graft.ops.Funnel.depthHistogram(ev0, "user_id", "ts", "event_id",
+        "event_type", funnelStages).count()
+      graft.ops.Funnel.segmentedDepthHistogram(ev0, "user_id", "ts", "event_id",
+        "event_type", funnelStages, to_date(col("ts"))).count()
     }
     for (k <- ks) {
       val d = replicateDocs(docs, k).localCheckpoint(true)
       val e = replicateEmb(emb, 64, k).localCheckpoint(true)
-      val nd = d.count(); val ne = e.count()
+      val ev = plantHotUser(replicateEvents(events, k), k).localCheckpoint(true)
+      val nd = d.count(); val ne = e.count(); val nev = ev.count()
       results(("exact_dedup", k)) = timed("exact_dedup", k, nd) {
         graft.ops.Dedup.exactDedup(d, "text", "doc_id").count()
       }
@@ -104,6 +153,34 @@ object ScaleCheck {
       results(("embedding_lsh", k)) = timed("embedding_lsh", k, ne) {
         graft.ops.Dedup.embeddingNearDups(e, "embedding", "vec_id",
           dim = 64, threshold = 0.9).count()
+      }
+      results(("ivfpq_probe", k)) = timed("ivfpq_probe", k, ne) {
+        graft.ops.Knn.ivfPqSearch(graft.ops.Knn.ivfAssign(e, "embedding", centroids),
+          "embedding", "vec_id", centroids, codebooks, probeVec, 10, nProbe = 4).count()
+      }
+      results(("int8_probe", k)) = timed("int8_probe", k, ne) {
+        graft.ops.Quantize.topKInt8(e, "embedding", "vec_id",
+          emb.filter(col("vec_id") === 0), k = 10).count()
+      }
+      results(("funnel", k)) = timed("funnel", k, nev) {
+        graft.ops.Funnel.depthHistogram(ev, "user_id", "ts", "event_id",
+          "event_type", funnelStages).count()
+      }
+      results(("funnel_segmented", k)) = timed("funnel_segmented", k, nev) {
+        graft.ops.Funnel.segmentedDepthHistogram(ev, "user_id", "ts", "event_id",
+          "event_type", funnelStages, to_date(col("ts"))).count()
+      }
+      results(("retention", k)) = timed("retention", k, nev) {
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(to_date(min(col("ts"))).as("cohort_day"))
+        ev.join(cohort, "user_id")
+          .select(col("cohort_day"),
+            datediff(to_date(col("ts")), col("cohort_day")).as("day_offset"),
+            col("user_id"))
+          .filter(col("day_offset").between(0, 6))
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct("user_id").as("active_users"))
+          .count()
       }
     }
     // growth factors per doubling-pair of k values
