@@ -62,7 +62,9 @@ object VectorIndex {
     * [[appendIdempotent]]: streams write small-and-replay-safe, a periodic
     * compaction job rewrites cold batches into scan-efficient cell
     * partitions. [[probe]] works identically on either layout — `_cell`
-    * stays the physical partition column. */
+    * stays the physical partition column. In-place overwrite: only safe
+    * with no concurrent readers — a probe that must run DURING compaction
+    * belongs on the generational layout ([[compactGen]]/[[probeLive]]). */
   def compact(spark: SparkSession, batchedDir: String, outDir: String,
               idCol: String): Unit =
     graft.sink.VectorTable.dedupeById(read(spark, batchedDir), idCol)
@@ -74,6 +76,115 @@ object VectorIndex {
       .write.mode("overwrite")
       .partitionBy("_cell")
       .parquet(outDir)
+
+  // ------------------------------------------------------------------
+  // Generational compaction — the read-during-compaction contract.
+  //
+  // [[compact]] overwrites its output IN PLACE, which is only safe when
+  // nothing reads the table meanwhile. The generational layout removes
+  // that window: each compaction writes a complete snapshot into a
+  // temporary directory, then PUBLISHES it with one atomic FS rename to
+  // `gen=<n>` — a concurrent reader resolves the latest complete
+  // generation and either sees the old snapshot or the new one, never a
+  // half-written mix. The generation carries a `_watermark` file naming
+  // the highest `batch=<id>` it folded, so the live view is
+  // `gen=<latest> ∪ batches > watermark`: streaming appends (and replays
+  // of already-folded batches, which rewrite dirs the live view no longer
+  // reads) stay visible and consistent throughout.
+
+  private def fs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def listIds(spark: SparkSession, dir: String,
+                      prefix: String): Seq[Long] = {
+    val (f, p) = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(n => n.stripPrefix(prefix).toLong)
+  }
+
+  /** Latest PUBLISHED generation id under `tableDir`, if any. */
+  def latestGen(spark: SparkSession, tableDir: String): Option[Long] =
+    listIds(spark, tableDir, "gen=").sorted.lastOption
+
+  /** The max batch id a generation folded (its `_watermark` sidecar). */
+  private def watermarkOf(spark: SparkSession, tableDir: String,
+                          gen: Long): Long = {
+    val (f, _) = fs(spark, tableDir)
+    val wm = new org.apache.hadoop.fs.Path(s"$tableDir/gen=$gen/_watermark")
+    val in = f.open(wm)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+  }
+
+  /** Compact every `batch=<id>` dir into the next generation snapshot and
+    * publish it atomically. Batches appended AFTER the listing simply stay
+    * live through the tail union until the next compaction — no
+    * coordination with the writer is needed. */
+  def compactGen(spark: SparkSession, batchedDir: String, tableDir: String,
+                 idCol: String): Unit = {
+    val batchIds = listIds(spark, batchedDir, "batch=")
+    require(batchIds.nonEmpty, s"nothing to compact under $batchedDir")
+    val nextGen = latestGen(spark, tableDir).getOrElse(-1L) + 1
+    val tmp = s"$tableDir/_tmp-gen=$nextGen"
+    graft.sink.VectorTable.dedupeById(
+        spark.read.option("basePath", batchedDir)
+          .parquet(batchIds.map(b => s"$batchedDir/batch=$b"): _*)
+          .drop("batch"), idCol)
+      .repartition(col("_cell"))
+      .write.mode("overwrite")
+      .partitionBy("_cell")
+      .parquet(tmp)
+    val (f, _) = fs(spark, tableDir)
+    val wm = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_watermark"), true)
+    try wm.write(batchIds.max.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally wm.close()
+    // the publish: one atomic rename — readers see gen=<n> complete or not
+    // at all
+    if (!f.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$tableDir/gen=$nextGen")))
+      throw new java.io.IOException(s"failed to publish $tableDir/gen=$nextGen")
+    // prune generations older than the PREVIOUS one: the previous stays on
+    // disk for readers that resolved it just before this publish
+    listIds(spark, tableDir, "gen=").sorted.dropRight(2).foreach { g =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/gen=$g"), true)
+    }
+  }
+
+  /** The live view: latest published generation plus every batch newer
+    * than its watermark (all batches when no generation exists yet). */
+  def readLive(spark: SparkSession, batchedDir: String,
+               tableDir: String): DataFrame =
+    latestGen(spark, tableDir) match {
+      case None => read(spark, batchedDir)
+      case Some(g) =>
+        val wmId = watermarkOf(spark, tableDir, g)
+        val genDf = spark.read.parquet(s"$tableDir/gen=$g")
+        val tailIds = listIds(spark, batchedDir, "batch=").filter(_ > wmId)
+        if (tailIds.isEmpty) genDf
+        else genDf.unionByName(
+          spark.read.option("basePath", batchedDir)
+            .parquet(tailIds.map(b => s"$batchedDir/batch=$b"): _*)
+            .drop("batch")
+            .select(genDf.columns.map(col).toIndexedSeq: _*))
+    }
+
+  /** [[probe]] over the [[readLive]] view — correct at every instant of a
+    * concurrent [[compactGen]]. */
+  def probeLive(spark: SparkSession, batchedDir: String, tableDir: String,
+                vecCol: String, idCol: String,
+                centroids: Array[Array[Float]],
+                codebooks: Array[Array[Array[Float]]],
+                queryVec: Array[Float], k: Int,
+                nProbe: Int, shortlist: Int = 64): DataFrame =
+    Knn.ivfPqSearch(readLive(spark, batchedDir, tableDir), vecCol, idCol,
+      centroids, codebooks, queryVec, k, nProbe, shortlist)
 
   /** [[probe]] for a [[compact]]-written table (no `batch=` level). */
   def probeCompacted(spark: SparkSession, dir: String, vecCol: String,

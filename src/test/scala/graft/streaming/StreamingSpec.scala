@@ -440,6 +440,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream.contains(0L))
   }
 
+  test("generational compaction: probes racing a live compaction never see a half-compacted cell") {
+    import graft.ops.{Knn, VectorIndex}
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+    val rows = emb.collect().sortBy(_._1)
+    val sample = rows.take(128).map(_._2.toArray)
+    val centroids = Knn.trainCentroids(sample, nCells = 16)
+    val cb = Knn.trainPq(sample, m = 8, ksub = 16)
+    val batched = java.nio.file.Files.createTempDirectory("graft-vidx-b").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-vidx-t").toString
+    val probeVec = rows.find(_._1 == 0L).get._2.toArray
+    def probeIds(): Seq[Long] =
+      VectorIndex.probeLive(spark, batched, table, "embedding", "vec_id",
+          centroids, cb, probeVec, 10, nProbe = 4, shortlist = 64)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+
+    // five initial batches; the expected answer is layout-independent
+    val groups = rows.grouped((rows.length + 4) / 5).toSeq
+    groups.take(5).zipWithIndex.foreach { case (g, i) =>
+      VectorIndex.appendIdempotent(g.toSeq.toDF("vec_id", "embedding"),
+        "embedding", centroids, cb, batched, i.toLong)
+    }
+    val expected = probeIds()
+    assert(expected.nonEmpty)
+
+    // probes hammer the live view WHILE compaction runs: every answer must
+    // equal the static expectation — a probe observing a half-published
+    // generation (or double-counting folded batches) would diverge
+    @volatile var compactErr: Option[Throwable] = None
+    val compactor = new Thread(() => {
+      try VectorIndex.compactGen(spark, batched, table, "vec_id")
+      catch { case t: Throwable => compactErr = Some(t) }
+    })
+    compactor.start()
+    var probesDuring = 0
+    while (compactor.isAlive) {
+      assert(probeIds() === expected, "probe diverged during compaction")
+      probesDuring += 1
+    }
+    compactor.join()
+    assert(compactErr.isEmpty, s"compaction failed: $compactErr")
+    assert(probesDuring >= 1, "no probe overlapped the compaction window")
+    assert(VectorIndex.latestGen(spark, table) === Some(0L))
+    assert(probeIds() === expected, "post-compaction probe must be unchanged")
+
+    // a batch appended AFTER the fold stays visible through the tail union
+    // (its id is past the generation watermark)…
+    val extra = rows.map { case (id, v) => (id + 1000000L, v.map(x => -x)) }
+      .take(rows.length / 5)
+    VectorIndex.appendIdempotent(extra.toSeq.toDF("vec_id", "embedding"),
+      "embedding", centroids, cb, batched, 9L)
+    val withTail = probeIds()
+    val full = rows ++ extra
+    val expected2 = Knn.ivfPqSearch(
+        Knn.ivfAssign(full.toSeq.toDF("vec_id", "embedding"), "embedding", centroids),
+        "embedding", "vec_id", centroids, cb, probeVec, 10, nProbe = 4, shortlist = 64)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(withTail === expected2)
+
+    // …and a second racing compaction folds it without ever disturbing
+    // concurrent probes; the superseded generation is pruned eventually
+    val compactor2 = new Thread(() => {
+      try VectorIndex.compactGen(spark, batched, table, "vec_id")
+      catch { case t: Throwable => compactErr = Some(t) }
+    })
+    compactor2.start()
+    while (compactor2.isAlive) {
+      assert(probeIds() === expected2, "probe diverged during second compaction")
+    }
+    compactor2.join()
+    assert(compactErr.isEmpty, s"second compaction failed: $compactErr")
+    assert(VectorIndex.latestGen(spark, table) === Some(1L))
+    assert(probeIds() === expected2)
+  }
+
   test("console sink: the debug sink accepts a triggered batch") {
     // the §2b console-sink row, exercised rather than just declared: a
     // one-batch rate stream through format("console") must complete a
