@@ -108,6 +108,88 @@ object SparkEntry {
     "CASE WHEN 2*b63 > n THEN -9223372036854775808 ELSE 0 END")
     .mkString("\n   + ")
 
+  /** DuckDB-safe FNV-1a-over-UTF-8 fold fragment — the list_reduce
+    * replacement (DuckDB 1.0.0 mis-evaluates list_reduce on some
+    * multi-row batch shapes; r4 q_funnel investigation). Emits CTEs
+    * `{p}src … {p}` where the final `{p}(k, ch)` holds the HUGEINT hash of
+    * `textExpr` per `keyExpr` row of `srcCte`. The enclosing WITH must be
+    * RECURSIVE. Rows with empty text fold to the offset basis.
+    *
+    * Shape notes, each measured the hard way (64-byte chunks exceed DuckDB's 128 expression-binder depth — 32 is the practical max):
+    *  - FULL 32-byte chunks recurse with a BRANCH-FREE unrolled chain.
+    *    DuckDB implements lateral column aliases by SUBSTITUTION, so a
+    *    guarded step (`CASE … THEN f(prev) ELSE prev END`) that references
+    *    the previous alias twice doubles the expression tree per step —
+    *    2^32 nodes at 32 steps (the first 32-byte attempt never finished
+    *    at sf0.01). Branch-free steps reference `prev` once → linear.
+    *  - The ≤31-byte TAIL recurses one byte per iteration (also
+    *    branch-free); its per-doc row count is bounded by 31.
+    *  - The chunk/tail tables are MATERIALIZED: DuckDB inlines plain CTEs,
+    *    so the recursive arm would otherwise re-derive the whole
+    *    hex→bytes→chunks pipeline on EVERY iteration (measured 6.6× on
+    *    q_fingerprint).
+    * Validated against a Python FNV reference at sf0.01/0.1. */
+  private def fnvFoldCtes(p: String, srcCte: String, keyExpr: String,
+                          textExpr: String): String = {
+    val P = "1099511628211::HUGEINT"
+    val M = "18446744073709551616::HUGEINT"
+    val chunkBytes = 32
+    val steps = (1 to chunkBytes).map { j =>
+      val prev = if (j == 1) "f.acc" else s"s${j - 1}"
+      s"(xor($prev, c.ck[$j]::HUGEINT) * $P) % $M AS s$j"
+    }.mkString(",\n      ")
+    s"""${p}src AS (SELECT $keyExpr AS k, $textExpr AS t FROM $srcCte),
+       |${p}hx AS (
+       |  SELECT k, hex(encode(t)) AS hx, octet_length(encode(t)) AS nb
+       |  FROM ${p}src),
+       |${p}bytes AS (
+       |  SELECT k, nb, nb // $chunkBytes AS nf,
+       |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+       |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1
+       |      for i in range(1, nb + 1) ] AS bs
+       |  FROM ${p}hx),
+       |${p}cidx AS (
+       |  SELECT k, bs, unnest([ i for i in range(1, nf + 1) ]) AS ci
+       |  FROM ${p}bytes WHERE nf > 0),
+       |${p}chunks AS MATERIALIZED (
+       |  SELECT k, ci, bs[(ci-1)*$chunkBytes+1 : ci*$chunkBytes] AS ck FROM ${p}cidx),
+       |${p}f AS (
+       |  SELECT k, 0 AS ci, 14695981039346656037::HUGEINT AS acc FROM ${p}bytes
+       |  UNION ALL
+       |  SELECT k, ci, s$chunkBytes FROM (
+       |    SELECT f.k, f.ci + 1 AS ci,
+       |      $steps
+       |    FROM ${p}f f JOIN ${p}chunks c ON c.k = f.k AND c.ci = f.ci + 1)),
+       |${p}chash AS (
+       |  SELECT k, acc FROM ${p}f
+       |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY ci DESC) = 1),
+       |${p}tidx AS (
+       |  SELECT k, nf, bs,
+       |    unnest([ i for i in range(1, nb - nf * $chunkBytes + 1) ]) AS ti
+       |  FROM ${p}bytes WHERE nb > nf * $chunkBytes),
+       |${p}tailb AS MATERIALIZED (
+       |  SELECT k, ti, bs[nf * $chunkBytes + ti]::HUGEINT AS tb FROM ${p}tidx),
+       |${p}tf AS (
+       |  SELECT k, 0 AS ti, acc FROM ${p}chash
+       |  UNION ALL
+       |  SELECT f.k, f.ti + 1, (xor(f.acc, t.tb) * $P) % $M
+       |  FROM ${p}tf f JOIN ${p}tailb t ON t.k = f.k AND t.ti = f.ti + 1),
+       |$p AS (
+       |  SELECT k, acc AS ch FROM ${p}tf
+       |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY ti DESC) = 1)""".stripMargin
+  }
+
+  /** Constant-8-byte FNV fold, fully unrolled (no list_reduce, no guards —
+    * every window is exactly 8 bytes): the winnowing 8-gram hash. `bs` and
+    * `i` are free variables of the enclosing list comprehension. */
+  private val fnv8Unrolled: String = {
+    val P = "1099511628211::HUGEINT"
+    val M = "18446744073709551616::HUGEINT"
+    (0 until 8).foldLeft("14695981039346656037::HUGEINT") { (acc, j) =>
+      s"(xor($acc, bs[i+$j]::HUGEINT) * $P) % $M"
+    }
+  }
+
   /** Per-dataset index-build artifacts (ANN quantizer, probe vectors):
     * bounded driver-side lookups that a deployment builds once and reuses
     * across every probe, memoized here so repeated query runs measure the
@@ -2484,45 +2566,15 @@ object SparkEntry {
     // r4 q_funnel investigation). NULL text maps to a NULL split on both
     // sides (Mixing.splitByHash yields NULL for null keys).
     q("q_split_by_hash",
-      """WITH RECURSIVE b AS (
-        |  SELECT doc_id, text, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) AS nb FROM documents),
-        |bytes AS (
-        |  SELECT doc_id, nb,
-        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
-        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1
-        |      for i in range(1, nb + 1) ] AS bs
-        |  FROM b),
-        |cidx AS (
-        |  SELECT doc_id, nb, bs,
-        |    unnest([ i for i in range(1, 1 + CAST(ceil(nb / 8.0) AS BIGINT)) ]) AS ci
-        |  FROM bytes WHERE nb > 0),
-        |chunks AS (
-        |  SELECT doc_id, ci, bs[(ci-1)*8+1 : least(ci*8, nb)] AS ck FROM cidx),
-        |f AS (
-        |  SELECT doc_id, 0 AS ci, 14695981039346656037::HUGEINT AS acc FROM bytes
-        |  UNION ALL
-        |  SELECT doc_id, ci, s8 FROM (
-        |    SELECT f.doc_id, f.ci + 1 AS ci,
-        |      CASE WHEN len(c.ck) >= 1 THEN (xor(f.acc, c.ck[1]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE f.acc END AS s1,
-        |      CASE WHEN len(c.ck) >= 2 THEN (xor(s1, c.ck[2]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s1 END AS s2,
-        |      CASE WHEN len(c.ck) >= 3 THEN (xor(s2, c.ck[3]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s2 END AS s3,
-        |      CASE WHEN len(c.ck) >= 4 THEN (xor(s3, c.ck[4]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s3 END AS s4,
-        |      CASE WHEN len(c.ck) >= 5 THEN (xor(s4, c.ck[5]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s4 END AS s5,
-        |      CASE WHEN len(c.ck) >= 6 THEN (xor(s5, c.ck[6]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s5 END AS s6,
-        |      CASE WHEN len(c.ck) >= 7 THEN (xor(s6, c.ck[7]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s6 END AS s7,
-        |      CASE WHEN len(c.ck) >= 8 THEN (xor(s7, c.ck[8]::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT ELSE s7 END AS s8
-        |    FROM f JOIN chunks c ON c.doc_id = f.doc_id AND c.ci = f.ci + 1)),
-        |h AS (
-        |  SELECT doc_id, acc AS ch FROM f
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ci DESC) = 1),
+      s"""WITH RECURSIVE docs0 AS (SELECT doc_id, text FROM documents),
+        |${fnvFoldCtes("sfold", "docs0", "doc_id", "text")},
         |asn AS (
-        |  SELECT b.doc_id, b.text,
-        |    CASE WHEN b.text IS NULL THEN NULL ELSE
+        |  SELECT d.doc_id, d.text,
+        |    CASE WHEN d.text IS NULL THEN NULL ELSE
         |      ((CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
         |              THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT)
         |        % 100) + 100) % 100 END AS bucket
-        |  FROM b JOIN h ON h.doc_id = b.doc_id)
+        |  FROM docs0 d JOIN sfold ON sfold.k = d.doc_id)
         |SELECT CASE WHEN bucket IS NULL THEN NULL
         |            WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
@@ -2726,7 +2778,7 @@ object SparkEntry {
     // ran 28× slower in DuckDB, which would have inflated the baseline this
     // engine is raced against.
     q("q_simhash_neardup",
-      s"""WITH keyed AS (
+      s"""WITH RECURSIVE keyed AS (
         |  SELECT doc_id, array_to_string(list_filter(
         |    string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''), ' ') AS norm
         |  FROM documents),
@@ -2739,15 +2791,8 @@ object SparkEntry {
         |occur AS (SELECT doc_id, unnest(toks) AS w FROM tok),
         |occ AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM occur GROUP BY doc_id, w),
         |vocab AS (SELECT DISTINCT w FROM occ),
-        |wh AS (
-        |  SELECT w, list_reduce(
-        |    list_prepend(14695981039346656037::HUGEINT,
-        |      [ (strpos('0123456789ABCDEF', substr(hex(encode(w)), 2*i-1, 1))-1)*16
-        |        + strpos('0123456789ABCDEF', substr(hex(encode(w)), 2*i, 1))-1
-        |        for i in range(1, len(hex(encode(w)))//2 + 1) ]::HUGEINT[]),
-        |    (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
-        |                % 18446744073709551616::HUGEINT) AS h
-        |  FROM vocab),
+        |${fnvFoldCtes("wfold", "vocab", "w", "w")},
+        |wh AS (SELECT k AS w, ch AS h FROM wfold),
         |whs AS (
         |  SELECT w, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
         |                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS hs
@@ -2895,8 +2940,13 @@ object SparkEntry {
     // → distinct, sorted) — via the hex()/HUGEINT modular-arithmetic
     // technique. Scoped to doc_id < 100 like q_ngram_jaccard so the
     // byte-level SQL recomputation stays a bounded slice of the baseline.
+    // r5: both folds rebuilt without list_reduce (the known-bad DuckDB
+    // 1.0.0 primitive) — the whole-text fold via the recursive chunked
+    // fragment, the constant-8-byte gram fold fully unrolled.
     q("q_fingerprint",
-      """WITH scoped AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      s"""WITH RECURSIVE scoped AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |${fnvFoldCtes("cfold", "scoped", "doc_id", "text")},
+        |content AS (SELECT k AS doc_id, ch FROM cfold),
         |b AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS nb FROM scoped),
@@ -2905,17 +2955,9 @@ object SparkEntry {
         |              + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1
         |              for i in range(1, nb + 1) ] AS bs
         |  FROM b),
-        |content AS (
-        |  SELECT doc_id, list_reduce(
-        |    list_prepend(14695981039346656037::HUGEINT, bs::HUGEINT[]),
-        |    (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
-        |                % 18446744073709551616::HUGEINT) AS ch
-        |  FROM bytes),
         |grams AS (
         |  SELECT doc_id, nb,
-        |    [ list_reduce(list_prepend(14695981039346656037::HUGEINT, (bs[i:i+7])::HUGEINT[]),
-        |        (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
-        |                    % 18446744073709551616::HUGEINT)
+        |    [ $fnv8Unrolled
         |      for i in range(1, nb - 8 + 2) ] AS hs
         |  FROM bytes WHERE nb >= 8),
         |signed AS (
