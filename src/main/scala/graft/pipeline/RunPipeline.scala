@@ -18,10 +18,20 @@ import graft.embed.{EmbeddingModels, RetryPolicy, StubEmbeddingProvider}
   *  - `kafka.topic`     topic (streaming-kafka)
   *  - `kafka.startingOffsets` earliest (default) | latest | json
   *  - `kafka.option.*`  passed through to the consumer (SASL etc.)
-  *  - `sink.kind`       parquet (default) | memory — [[graft.sink.VectorSink]]
-  *                      implementation; `memory` treats `sink.dir` as the
-  *                      in-memory table name (test/demo backend)
+  *  - `sink.kind`       parquet (default) | memory | http —
+  *                      [[graft.sink.VectorSink]] implementation; `memory`
+  *                      treats `sink.dir` as the in-memory table name
+  *                      (test/demo backend)
   *  - `sink.dir`        vector-table output dir (parquet) or table name (memory)
+  *  - `sink.endpoint`   http: base URL of the bulk-indexing store
+  *  - `sink.index`      http: target index name
+  *  - `sink.bulkMaxDocs` / `sink.flushMs` / `sink.maxAttempts`
+  *                      http: bulk sizing, buffer age cap (reference runs
+  *                      1 ms, `DataStreamJob.java:173`), retry attempts
+  *  - `sink.authHeader` http: `Name: value` auth header (the SigV4
+  *                      interceptor seam, `DataStreamJob.java:158-170`)
+  *  - `sink.deadletter.dir`  http: NDJSON dead-letter dir for bulks that
+  *                      exhaust their retries
   *  - `checkpoint.dir`  streaming checkpoint location
   *  - `model`           titan-v1 (default) | titan-v2 — reference registry
   *  - `embed.endpoint`  HTTP embedding endpoint URL → uses
@@ -56,13 +66,14 @@ final case class PipelineConfig(settings: Map[String, String]) {
 
   def validated: PipelineConfig = {
     require(Set("batch", "streaming", "streaming-kafka")(mode), s"unknown mode: $mode")
-    require(Set("parquet", "memory")(sinkKind), s"unknown sink.kind: $sinkKind")
+    require(Set("parquet", "memory", "http")(sinkKind), s"unknown sink.kind: $sinkKind")
     EmbeddingModels.dimOf(modelAlias) // throws on unknown model
     mode match {
       case "batch" | "streaming" => apply("source.path")
       case "streaming-kafka"     => apply("kafka.bootstrap"); apply("kafka.topic")
     }
-    apply("sink.dir")
+    if (sinkKind == "http") { apply("sink.endpoint"); apply("sink.index") }
+    else apply("sink.dir")
     if (mode != "batch") apply("checkpoint.dir")
     this
   }
@@ -110,7 +121,21 @@ object RunPipeline {
     }
     val sink: graft.sink.VectorSink = conf.sinkKind match {
       case "memory" => graft.sink.MemoryVectorSink(conf("sink.dir"))
-      case _        => graft.sink.ParquetVectorSink(conf("sink.dir"))
+      case "http" => graft.sink.HttpVectorSink(
+        endpoint = conf("sink.endpoint"),
+        index = conf("sink.index"),
+        bulkMaxDocs = conf.getOrElse("sink.bulkMaxDocs", "500").toInt,
+        flushIntervalMs = conf.getOrElse("sink.flushMs", "200").toLong,
+        maxAttempts = conf.getOrElse("sink.maxAttempts", "3").toInt,
+        authHeader = conf.get("sink.authHeader").map { h =>
+          h.split(":", 2) match {
+            case Array(k, v) => (k.trim, v.trim)
+            case _ => throw new IllegalArgumentException(
+              s"sink.authHeader must be 'Name: value', got: $h")
+          }
+        },
+        deadLetterDir = conf.get("sink.deadletter.dir"))
+      case _ => graft.sink.ParquetVectorSink(conf("sink.dir"))
     }
     // opt-in O3.5 passage chunking for EVERY mode: chunk.size=<tokens>
     // (chunk.stride defaults to size → disjoint windows)

@@ -251,6 +251,27 @@ class PipelineSpec extends AnyFunSuite {
       === Seq(10, 20, 20))
   }
 
+  test("sink.kind=http drives the network O5 from config, auth header and all") {
+    val srv = new graft.sink.TestBulkServer()
+    val src = java.nio.file.Files.createTempDirectory("graft-src-h")
+    java.nio.file.Files.write(src.resolve("in.jsonl"),
+      wireLines.mkString("\n").getBytes("UTF-8"))
+    try {
+      intercept[IllegalArgumentException]( // http requires endpoint + index
+        PipelineConfig.parse(Seq(
+          "mode=batch", s"source.path=$src", "sink.kind=http")).validated)
+      val conf = PipelineConfig.parse(Seq(
+        "mode=batch", s"source.path=$src", "sink.kind=http",
+        s"sink.endpoint=${srv.url}", "sink.index=rag-passages",
+        "sink.authHeader=Authorization: Bearer cfg-tok",
+        "model=titan-v2")).validated
+      RunPipeline.run(spark, conf)
+      assert(srv.docs.size === 4) // the 4 embeddable fixture lines
+      assert(srv.docs.values().toArray.exists(_.toString.contains("passage_embedding")))
+      assert(srv.authSeen.get(0) === "Bearer cfg-tok")
+    } finally srv.stop()
+  }
+
   test("sink.kind=memory drives a second VectorSink implementation end-to-end") {
     val src = java.nio.file.Files.createTempDirectory("graft-src-m")
     java.nio.file.Files.write(src.resolve("in.jsonl"),

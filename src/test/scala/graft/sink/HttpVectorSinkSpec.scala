@@ -1,12 +1,8 @@
 package graft.sink
 
-import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
-import java.util.concurrent.atomic.AtomicInteger
-import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList, Executors}
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -21,47 +17,6 @@ class HttpVectorSinkSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Id-keyed doc store + instrumentation. `failFirst` 503s the first n
-    * bulk requests; `itemErrorsFirst` answers 200 with `"errors": true`
-    * for the first n; `alwaysFail` 500s everything. */
-  private final class BulkServer(failFirst: Int = 0, itemErrorsFirst: Int = 0,
-                                 alwaysFail: Boolean = false) {
-    val docs = new ConcurrentHashMap[String, String]()
-    val bulkSizes = new CopyOnWriteArrayList[Integer]()
-    val authSeen = new CopyOnWriteArrayList[String]()
-    private val reqs = new AtomicInteger(0)
-    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.setExecutor(Executors.newCachedThreadPool())
-    server.createContext("/_bulk", (ex: HttpExchange) => {
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      Option(ex.getRequestHeaders.getFirst("Authorization")).foreach(authSeen.add)
-      val n = reqs.incrementAndGet()
-      def respond(code: Int, payload: String): Unit = {
-        val bytes = payload.getBytes(StandardCharsets.UTF_8)
-        ex.sendResponseHeaders(code, bytes.length)
-        ex.getResponseBody.write(bytes)
-        ex.close()
-      }
-      if (alwaysFail || n <= failFirst) respond(503, """{"message":"unavailable"}""")
-      else if (n <= failFirst + itemErrorsFirst)
-        respond(200, """{"took":1,"errors":true,"items":[{"index":{"status":429}}]}""")
-      else {
-        val lines = body.split('\n').filter(_.nonEmpty)
-        val pairs = lines.grouped(2).collect { case Array(action, doc) =>
-          val id = action.split("\"_id\":\"")(1).takeWhile(_ != '"')
-          (id, doc)
-        }.toSeq
-        pairs.foreach { case (id, doc) => docs.put(id, doc) }
-        bulkSizes.add(pairs.size)
-        respond(200, """{"took":1,"errors":false,"items":[]}""")
-      }
-    })
-    server.start()
-    val url = s"http://127.0.0.1:${server.getAddress.getPort}"
-    def attempts: Int = reqs.get()
-    def stop(): Unit = server.stop(0)
-  }
-
   private def sampleDocs(n: Int, day: String = "2024-01-01") =
     (1 to n).map(i =>
         (Seq(i.toFloat, 2f * i), f"$day%s 00:00:${i % 60}%02d",
@@ -71,7 +26,7 @@ class HttpVectorSinkSpec extends AnyFunSuite {
       .coalesce(1)
 
   test("wire round-trip: docs land id-keyed with the reference's field shape; auth header sent") {
-    val srv = new BulkServer()
+    val srv = new TestBulkServer()
     try {
       HttpVectorSink(srv.url, "rag-index",
         authHeader = Some("Authorization" -> "Bearer tok-123"))
@@ -88,7 +43,7 @@ class HttpVectorSinkSpec extends AnyFunSuite {
   }
 
   test("bulk batching: a wide partition splits on bulkMaxDocs") {
-    val srv = new BulkServer()
+    val srv = new TestBulkServer()
     try {
       HttpVectorSink(srv.url, "idx", bulkMaxDocs = 400).append(sampleDocs(1050))
       assert(srv.docs.size === 1050)
@@ -100,7 +55,7 @@ class HttpVectorSinkSpec extends AnyFunSuite {
   }
 
   test("transient 5xx and item-level errors both retry to success") {
-    val srv = new BulkServer(failFirst = 1, itemErrorsFirst = 1)
+    val srv = new TestBulkServer(failFirst = 1, itemErrorsFirst = 1)
     try {
       HttpVectorSink(srv.url, "idx", maxAttempts = 4, initialBackoffMs = 10)
         .append(sampleDocs(5))
@@ -110,7 +65,7 @@ class HttpVectorSinkSpec extends AnyFunSuite {
   }
 
   test("an unreachable store dead-letters the bulk and the job survives") {
-    val srv = new BulkServer(alwaysFail = true)
+    val srv = new TestBulkServer(alwaysFail = true)
     val dlq = Files.createTempDirectory("dlq").toString
     try {
       HttpVectorSink(srv.url, "idx", maxAttempts = 2, initialBackoffMs = 5,
@@ -126,7 +81,7 @@ class HttpVectorSinkSpec extends AnyFunSuite {
   }
 
   test("idempotent replay: re-putting batch N converges instead of duplicating") {
-    val srv = new BulkServer()
+    val srv = new TestBulkServer()
     try {
       val sink = HttpVectorSink(srv.url, "idx")
       val docs = sampleDocs(20)
@@ -141,7 +96,7 @@ class HttpVectorSinkSpec extends AnyFunSuite {
   }
 
   test("flush interval bounds how long a trickling buffer waits") {
-    val srv = new BulkServer()
+    val srv = new TestBulkServer()
     try {
       val cfg = HttpVectorSink(srv.url, "idx", bulkMaxDocs = 1000, flushIntervalMs = 10)
       val slow = (1 to 4).iterator.map { i =>
@@ -156,7 +111,7 @@ class HttpVectorSinkSpec extends AnyFunSuite {
   }
 
   test("streaming topology end-to-end: micro-batches land over HTTP behind the VectorSink seam") {
-    val srv = new BulkServer()
+    val srv = new TestBulkServer()
     val src = Files.createTempDirectory("wire-src")
     val ckpt = Files.createTempDirectory("wire-ckpt").toString
     try {
