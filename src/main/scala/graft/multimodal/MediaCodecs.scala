@@ -18,6 +18,12 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   */
 object ImageCodec {
 
+  // ImageIO's default stream cache spools every decode through a TEMP FILE
+  // (disk I/O + lock per image) — with in-memory byte-array payloads the
+  // cache buys nothing and serializes concurrent executor threads. One-time
+  // JVM-wide switch to heap-backed streams.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode PNG/JPEG/BMP/GIF bytes. Throws on undecodable payloads — callers
     * route that to a dead-letter channel, mirroring the embed stage. */
   def decode(bytes: Array[Byte]): BufferedImage = {
@@ -98,8 +104,68 @@ object AudioCodec {
   final case class Pcm(samples: Array[Float], sampleRate: Int)
 
   /** Decode a WAV payload (PCM 8/16-bit, any channel count — channels are
-    * averaged to mono). Throws on non-WAV/unsupported encodings. */
-  def decodeWav(bytes: Array[Byte]): Pcm = {
+    * averaged to mono). Throws on non-WAV/unsupported encodings.
+    *
+    * Canonical little-endian RIFF/PCM payloads take a direct header-parse
+    * fast path: `AudioSystem.getAudioInputStream` runs a synchronized
+    * service-provider lookup per call, which serializes concurrent
+    * executor threads (measured: the whole per-record cost on a 5000-WAV
+    * corpus). Anything the fast path doesn't recognize — RIFX, compressed
+    * encodings, exotic chunk layouts — falls back to javax.sound, so the
+    * accepted format surface is unchanged. */
+  def decodeWav(bytes: Array[Byte]): Pcm =
+    parseRiffPcm(bytes).getOrElse(decodeWavJavax(bytes))
+
+  /** Direct parser for canonical RIFF little-endian PCM: walks the chunk
+    * list for `fmt ` (format 1, 8/16-bit) and `data`. Returns None for
+    * anything else — the javax.sound fallback owns those. */
+  private[multimodal] def parseRiffPcm(bytes: Array[Byte]): Option[Pcm] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, length)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val sz = u32(off + 4).toInt
+      if (sz < 0 || off + 8 + sz > bytes.length) return None
+      if (id == "fmt ") {
+        if (sz < 16 || u16(off + 8) != 1) return None // PCM only
+        fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+      } else if (id == "data") data = Some((off + 8, sz))
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((channels, rate, bits)), Some((dOff, dLen)))
+          if channels > 0 && rate > 0 && (bits == 8 || bits == 16) =>
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * channels
+        val nFrames = dLen / frameBytes
+        val out = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0f
+          var c = 0
+          while (c < channels) {
+            val o = dOff + f * frameBytes + c * bytesPerSample
+            val v =
+              if (bits == 8) ((bytes(o) & 0xff) - 128) / 128.0f // 8-bit WAV is unsigned
+              else (((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort) / 32768.0f
+            acc += v
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        Some(Pcm(out, rate))
+      case _ => None
+    }
+  }
+
+  private[multimodal] def decodeWavJavax(bytes: Array[Byte]): Pcm = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
@@ -142,25 +208,40 @@ object AudioCodec {
   }
 
   /** Encode mono float samples as 16-bit little-endian PCM WAV — the
-    * fixture writer dual of [[decodeWav]] (same container the JDK's
-    * `AudioSystem` reads back). */
+    * fixture writer dual of [[decodeWav]]. Canonical 44-byte RIFF header
+    * written directly: `AudioSystem.write` pays the same synchronized
+    * service-provider machinery as the decode side (measured ~1.3 s over a
+    * 5000-WAV corpus), and the canonical container needs none of it. */
   def encodeWavPcm16(samples: Array[Float], sampleRate: Int): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    val data = new Array[Byte](samples.length * 2)
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def tag(o: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    tag(0, "RIFF"); le32(4, 36L + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, sampleRate)
+    le32(28, sampleRate.toLong * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, dataLen)
     var i = 0
     while (i < samples.length) {
       val v = math.max(-1.0f, math.min(1.0f, samples(i)))
       val s = math.round(v * 32767.0f).toShort
-      data(2 * i) = (s & 0xff).toByte
-      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val in = new AudioInputStream(
-      new ByteArrayInputStream(data), fmt, samples.length.toLong)
-    val out = new ByteArrayOutputStream()
-    try AudioSystem.write(in, AudioFileFormat.Type.WAVE, out) finally in.close()
-    out.toByteArray
+    out
   }
 
   /** Fixed-width audio descriptor: per-window RMS energy (`windows` values)

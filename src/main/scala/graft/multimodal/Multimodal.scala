@@ -57,6 +57,16 @@ object Multimodal {
       }
   }
 
+  /** Codec work is per-row CPU, so its parallelism is the input's
+    * partitioning — and a small corpus read from one parquet file is ONE
+    * partition, serializing every render/decode onto a single core
+    * (measured 19× vs the oracle on q_image_neardup). Widen narrow inputs
+    * to cluster parallelism; wide inputs pass through untouched. */
+  private def widen[T](ds: Dataset[T]): Dataset[T] = {
+    val par = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < par) ds.repartition(par) else ds
+  }
+
   /** Deterministic REAL-PNG image corpus derived from a table's id column —
     * what makes the image path ORACLE-CHECKABLE: ids in the same family
     * (`id % nFamilies`) render the same 9×8-block luminance pattern, plus
@@ -74,7 +84,7 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.functions.TextHashing.splitmix64
-    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+    widen(docs.select(col(idCol).cast("long")).as[Long]).map { id =>
       val fam = id % nFamilies
       val img = new BufferedImage(72, 64, BufferedImage.TYPE_INT_RGB)
       val levels = Array(16, 80, 144, 208)
@@ -117,7 +127,7 @@ object Multimodal {
   def syntheticWavs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+    widen(docs.select(col(idCol).cast("long")).as[Long]).map { id =>
       val freq = 200.0 + (id % 20) * 100.0
       val n = 4000
       val rate = 8000

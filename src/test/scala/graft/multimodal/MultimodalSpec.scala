@@ -89,6 +89,25 @@ class MultimodalSpec extends AnyFunSuite {
     spark.createDataset(rows)
   }
 
+  test("RIFF fast path == javax.sound decode, both directions") {
+    // javax-written container through the fast path
+    val javaxWav = wavPayload(4000, 8000, 300.0)
+    val fast = AudioCodec.parseRiffPcm(javaxWav)
+    assert(fast.isDefined, "javax-written canonical WAV must hit the fast path")
+    val slow = AudioCodec.decodeWavJavax(javaxWav)
+    assert(fast.get.sampleRate === slow.sampleRate)
+    assert(fast.get.samples.toSeq === slow.samples.toSeq)
+    // manually-written container through javax
+    val manual = AudioCodec.encodeWavPcm16(
+      Array.tabulate(1000)(i => (0.4 * math.sin(2 * math.Pi * 200 * i / 8000)).toFloat), 8000)
+    val viaJavax = AudioCodec.decodeWavJavax(manual)
+    val viaFast = AudioCodec.parseRiffPcm(manual).get
+    assert(viaJavax.sampleRate === 8000)
+    assert(viaFast.samples.toSeq === viaJavax.samples.toSeq)
+    // non-RIFF bytes skip the fast path (fallback owns the error contract)
+    assert(AudioCodec.parseRiffPcm("definitely not a wav".getBytes).isEmpty)
+  }
+
   test("real image decode: true dimensions, undecodable rows dead-letter") {
     val decoded = Multimodal.decodeImages(realMedia).collect().map(r => r.media_id -> r).toMap
     assert(decoded(1L)._err == null)
