@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.functions.GraftFunctions._
-import graft.ops.{Dedup, Knn, TextAnalysis}
+import graft.ops.{Dedup, Knn, Retrieval, TextAnalysis}
 
 /** Driver contract — queries + DuckDB oracle SQL (SURVEY.md §2b inventory).
   *
@@ -2232,6 +2232,123 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Knn.knnJoin(queries, "q_id", "q_vec", e, "vec_id", "embedding", 4)
         .select(col("q_id"), col("vec_id"), col("rn"))
+    },
+
+    // Okapi BM25 keyword retrieval — the engine-side keyword half of the
+    // reference's serving stack (its OpenSearch index analyzes `text` for
+    // BM25 next to the knn_vector field, index-creation lambda :69-96).
+    // One aggregate pass → a broadcast stats row; scoring + top-k is a
+    // single scan into TakeOrderedAndProject. Terms: 'dup' is rare in the
+    // corpus (high idf — it marks the planted duplicate families), the
+    // other two near-uniform; arithmetic shape mirrored verbatim in SQL
+    // (literal sums like 1.2 + 1.0 are written as sums so both engines
+    // round the same way).
+    q("q_bm25_topk",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(tk, x -> x = 'dup')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE) AS tf2,
+        |    (CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS m,
+        |    dl, n, sumdl, df0, df1, df2
+        |  FROM d, st)
+        |SELECT doc_id,
+        |  round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0))
+        |      / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+        |      / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+        |      / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))), 6) AS bm25,
+        |  CAST(m AS INT) AS n_matched
+        |FROM sc WHERE m > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        Seq("dup", "spark", "merge"), k = 20)
+    },
+
+    // Hybrid retrieval: BM25 keyword list ⊕ cosine-knn vector list fused by
+    // reciprocal rank (RRF, Cormack et al. 2009 — OpenSearch's default
+    // hybrid combiner). Both inputs are already-reduced top-50 lists, so
+    // the fusion cost is O(n·lists) regardless of corpus size; ranks are
+    // assigned over (round(score,6) DESC, id) in both engines, and the RRF
+    // sum of exact reciprocals of integer ranks is drift-free.
+    q("q_hybrid_rrf",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(tk, x -> x = 'dup')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE) AS tf2,
+        |    (CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS m,
+        |    dl, n, sumdl, df0, df1, df2
+        |  FROM d, st),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0))
+        |        / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+        |        / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+        |        / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))), 6) AS bm25
+        |  FROM sc WHERE m > 0
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |bmr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        |  FROM bm),
+        |probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+        |vs AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS sim
+        |  FROM embeddings, probe
+        |  ORDER BY sim DESC, doc_id LIMIT 50),
+        |vsr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rk
+        |  FROM vs),
+        |u AS (SELECT doc_id, rk FROM bmr UNION ALL SELECT doc_id, rk FROM vsr)
+        |SELECT doc_id,
+        |  round(sum(1.0 / (60.0 + CAST(rk AS DOUBLE))), 6) AS rrf,
+        |  CAST(count(*) AS INT) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val keyword = Retrieval.ranked(
+        Retrieval.bm25TopK(docs, "text", "doc_id",
+          Seq("dup", "spark", "merge"), k = 50),
+        "doc_id", "bm25")
+      val probe = e.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+      val vecTop = e.crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id"))
+        .limit(50)
+      val vector = Retrieval.ranked(vecTop, "doc_id", "sim")
+      Retrieval.rrfFuse(Seq(keyword, vector), "doc_id", k = 20)
     })
 
   // ------------------------------------------------- LLM-pipeline operators

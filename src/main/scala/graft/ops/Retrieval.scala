@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-side retrieval scoring — the engine-side stand-in for the serving
+  * half of the reference's RAG loop. The reference's OpenSearch index holds
+  * BOTH a `knn_vector` field and an analyzed `text` field
+  * (`index-creation-function/lambda_function.py:69-96`): at query time a RAG
+  * application runs keyword (BM25) search, vector knn, or the hybrid of the
+  * two, fused by reciprocal rank. The knn side already exists here
+  * ([[Knn]]); this object adds the keyword side and the fusion:
+  *
+  *  - [[bm25TopK]] — Okapi BM25 over whitespace tokens. Corpus statistics
+  *    (N, Σdl, per-term document frequency) reduce to ONE broadcast row in a
+  *    single aggregate pass; scoring + top-k is then one scan ending in
+  *    `TakeOrderedAndProject` — per query-term work is a codegen'd array
+  *    probe, no explode, no inverted-index shuffle. At 100 TB a deployment
+  *    computes the stats row once per corpus snapshot and reuses it across
+  *    every query (the same artifact-reuse shape as the ANN quantizers).
+  *  - [[rrfFuse]] — reciprocal-rank fusion (Cormack et al. 2009), the
+  *    standard hybrid-search combiner (OpenSearch ships it as the default
+  *    hybrid processor). Inputs are already-reduced top-n rank lists, so
+  *    the fusion join touches O(n·lists) rows regardless of corpus size.
+  *
+  * Determinism: ranks are assigned over `(round(score, 6) DESC, id)` so the
+  * DuckDB oracle reproduces the exact ordering; RRF scores are sums of exact
+  * double reciprocals 1/(k0+rank) of integer ranks — bit-identical across
+  * engines given identical ranks.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k keyword retrieval over `terms` (lowercase; matching is
+    * against [[Dedup.tokens]]' lowercase whitespace tokenization — the same
+    * tokenization every dedup/text oracle uses).
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's non-negative
+    * variant of the Robertson–Sparck Jones idf).
+    *
+    * Output: (id, bm25 DOUBLE rounded to 6, n_matched INT), docs with at
+    * least one matching term, ordered bm25 DESC then id, limited to k.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k must be positive: $k")
+    val tk = df
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
+      .withColumn("_dl", size(col("_tk")).cast("double"))
+    // One aggregate pass → a single broadcast stats row: corpus size, total
+    // token mass, and per-term document frequency. This is the only
+    // corpus-wide reduction; everything after is a scan.
+    val dfAggs = sum(col("_dl")).as("_sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("_tk"), t), 1L).otherwise(0L))
+          .cast("double").as(s"_df$i")
+      }
+    val stats = tk.agg(count(lit(1)).cast("double").as("_n"), dfAggs: _*)
+    val scored = tk.crossJoin(broadcast(stats))
+    // Per-term contribution. Arithmetic shape (literal constants, operation
+    // order) is mirrored verbatim by the oracle SQL so double results agree
+    // bit-for-bit up to libm ln ulps — absorbed by the round-6.
+    val termScore: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("_tk"), x => x === lit(t))).cast("double")
+      val idf = log(lit(1.0) +
+        (col("_n") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / (col("_sumdl") / col("_n"))))
+    }
+    val matched: Column = terms.map(t =>
+      when(array_contains(col("_tk"), t), 1).otherwise(0): Column)
+      .reduce(_ + _)
+    scored
+      .select(col(idCol),
+        round(termScore.reduce(_ + _), 6).as("bm25"),
+        matched.cast("int").as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of already-ranked retrieval lists. Each input
+    * must carry (`idCol`, `rank` starting at 1); output is
+    * (id, rrf DOUBLE rounded to 6, n_lists INT) ordered rrf DESC then id,
+    * limited to `k`. rrf(d) = Σ_lists 1/(k0 + rank_list(d)) — a document
+    * missing from a list contributes nothing (the standard convention).
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int,
+              k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k > 0 && k0 >= 0, s"bad k/k0: $k/$k0")
+    val tagged = lists.map(_.select(col(idCol), col("rank")))
+    tagged.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double"))).as("_rrf"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .select(col(idCol), round(col("_rrf"), 6).as("rrf"), col("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Attach 1-based `rank` to an already-reduced top-n list by
+    * `(orderCol [DESC], idCol)` — deterministic tie-break by id. The input
+    * is expected to be small (a top-n result); the single-partition window
+    * this plans is over n rows, not the corpus. */
+  def ranked(topN: DataFrame, idCol: String, orderCol: String,
+             descending: Boolean = true): DataFrame = {
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord, col(idCol))
+    topN.withColumn("rank", row_number().over(w))
+  }
+}

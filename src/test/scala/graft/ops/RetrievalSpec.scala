@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark shuffle join spark spark"), // tf(spark)=3, dl=5
+    (2L, "spark join"),                     // tf(spark)=1, dl=2
+    (3L, "merge sort merge"),               // no 'spark'
+    (4L, "the quick brown fox"),            // no query terms at all
+    (5L, "")                                // empty doc
+  ).toDF("doc_id", "text")
+
+  test("bm25: hand-computed scores, ordering, and non-matching docs excluded") {
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id", Seq("spark"), k = 10)
+      .as[(Long, Double, Int)].collect()
+    // N=5, df=2, avgdl=(5+2+3+4+0)/5 = 2.8
+    val n = 5.0; val df = 2.0; val avgdl = 14.0 / 5.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val expect1 = BigDecimal(s(3, 5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect2 = BigDecimal(s(1, 2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // only matching docs, ranked
+    assert(math.abs(out(0)._2 - expect1) < 1e-9)
+    assert(math.abs(out(1)._2 - expect2) < 1e-9)
+    assert(out.forall(_._3 == 1))
+  }
+
+  test("bm25: repeated rare term outranks longer doc; multi-term n_matched") {
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("spark", "merge"), k = 10).as[(Long, Double, Int)].collect()
+    // docs 1,2 match 'spark'; doc 3 matches 'merge'; 4,5 excluded
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(out.forall(_._3 == 1)) // no doc contains both terms
+  }
+
+  test("rrf: fusion favors a doc present in both lists; k0 formula exact") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", k = 10)
+      .as[(Long, Double, Int)].collect()
+    // doc 20: 1/62 + 1/61; doc 10: 1/61; doc 40: 1/62; doc 30: 1/63
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head._1 === 20L && out.head._3 === 2)
+    assert(out.head._2 === r6(1.0 / 62 + 1.0 / 61))
+    assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+  }
+
+  test("ranked: deterministic id tie-break on equal scores") {
+    val top = Seq((5L, 1.0), (2L, 1.0), (9L, 2.0)).toDF("id", "score")
+    val out = Retrieval.ranked(top, "id", "score").orderBy($"rank")
+      .select($"id").as[Long].collect()
+    assert(out.toSeq === Seq(9L, 2L, 5L)) // score desc, then id asc
+  }
+
+  test("bm25 plan: one broadcast stats row + TakeOrderedAndProject, no extra shuffle") {
+    // Needs more input rows than k: Catalyst's EliminateLimits drops the
+    // Limit (and with it the TakeOrdered pattern) when child maxRows <= k.
+    val many = (1L to 40L).map(i => (i, s"spark doc $i")).toDF("doc_id", "text")
+    val plan = Retrieval.bm25TopK(many, "text", "doc_id", Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    // the only Exchange is the stats row's single-partition aggregate +
+    // broadcast — scoring itself must not shuffle the corpus
+    assert(!plan.contains("rangepartitioning"))
+  }
+}
