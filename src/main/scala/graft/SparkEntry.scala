@@ -2466,6 +2466,44 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // Substring-level span dedup (ExactSubstr, Lee et al. 2021): maximal
+    // cross-document verbatim runs of ≥ 12 tokens, found via a positional
+    // 8-shingle inverted index + diagonal run-coalescing. The oracle
+    // recomputes the identical pipeline on shingle STRINGS (no hashes):
+    // Spark's 8-byte fnv64 postings agree unless a 64-bit collision
+    // co-buckets different shingles (~2⁻⁶⁴·n² — and such a collision is a
+    // genuine recall bug this oracle exists to catch).
+    q("q_substring_dedup",
+      """WITH tk0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tk FROM tk0 WHERE len(tk) >= 8),
+        |sh AS (
+        |  SELECT doc_id, s, array_to_string(list_slice(tk, s+1, s+8), ' ') AS g
+        |  FROM tk, unnest(range(0, len(tk)-8+1)) u(s)),
+        |hc AS (SELECT g, count(*) AS n FROM sh GROUP BY g),
+        |shf AS (
+        |  SELECT sh.doc_id, sh.s, sh.g FROM sh JOIN hc USING(g)
+        |  WHERE hc.n BETWEEN 2 AND 256),
+        |m AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, a.s AS sa, b.s AS sb
+        |  FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT a, b, sa, sb, sa - sb AS diag,
+        |    sa - row_number() OVER (PARTITION BY a, b, sa - sb ORDER BY sa) AS grp
+        |  FROM m),
+        |sp AS (
+        |  SELECT a AS doc_a, b AS doc_b, min(sa) AS a_start, min(sb) AS b_start,
+        |    count(*) + 7 AS span_tokens
+        |  FROM r GROUP BY a, b, diag, grp)
+        |SELECT doc_a, doc_b, CAST(a_start AS INT) AS a_start,
+        |  CAST(b_start AS INT) AS b_start, CAST(span_tokens AS INT) AS span_tokens
+        |FROM sp WHERE span_tokens >= 12""".stripMargin) { (s, d) =>
+      Dedup.substringSpans(Tables.documents(s, d), "text", "doc_id",
+        k = 8, minSpanTokens = 12, maxPostings = 256)
+    },
+
     q("q_dedup_clusters",
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, list_distinct(list_filter(

@@ -264,6 +264,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-document repeated-SPAN detection — the token-level ExactSubstr
+    * recipe of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"): document-level dedup misses the dominant
+    * duplication mode of web corpora, long verbatim passages (boilerplate,
+    * quotations, syndication) embedded in otherwise-distinct documents.
+    * The paper builds a corpus suffix array; the distributed re-expression
+    * is a positional shingle inverted index + diagonal run-coalescing:
+    *
+    *  1. every k-token window (position-stamped, unlike [[shingles]] which
+    *     is distinct-set) hashes to 8 bytes — the shuffle carries
+    *     (hash, id, pos), never text;
+    *  2. postings group by hash (ONE shuffle — the same bucket-combine
+    *     shape as [[bucketed]], not a self-join that would shuffle the
+    *     shingle table twice); lists longer than `maxPostings` are SKIPPED
+    *     as template noise, the [[jaccardPairs]] stop-shingle argument —
+    *     mandatory at 100 TB where one boilerplate sentence otherwise
+    *     yields d² pairs;
+    *  3. cross-doc position pairs coalesce into maximal spans along
+    *     match diagonals (sa − sb constant, sa consecutive) via one
+    *     window + an aggregation whose keys extend the window partition —
+    *     Spark plans them on a single exchange.
+    *
+    * Output: (doc_a, doc_b, a_start, b_start, span_tokens), doc_a < doc_b,
+    * one row per MAXIMAL shared span of ≥ `minSpanTokens` tokens (0-based
+    * token offsets). False pairs require a 64-bit FNV collision between
+    * co-bucketed shingles (~2⁻⁶⁴·postings² — the minhash-band stance).
+    * Downstream curation cuts the doc_b copy of each span, or feeds
+    * [[clusterLabels]] when spans cover whole documents. */
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8, minSpanTokens: Int = 12,
+                     maxPostings: Int = 256): DataFrame = {
+    require(k > 0, s"shingle width must be positive: $k")
+    require(minSpanTokens >= k,
+      s"minSpanTokens ($minSpanTokens) < k ($k): a single shared shingle " +
+        "already spans k tokens — the floor is k")
+    require(maxPostings >= 2, s"maxPostings must allow a pair: $maxPostings")
+    val tk = df
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= k)
+    // Positional shingle postings: explode FIRST, hash in codegen land —
+    // hashing inside an HOF lambda would run interpreted per element.
+    val sh = tk
+      .select(col("_id"), col("_tk"),
+        explode(sequence(lit(0), size(col("_tk")) - k)).as("_s"))
+      .select(col("_id"), col("_s"),
+        fnv64(concat_ws(" ", slice(col("_tk"), col("_s") + 1, lit(k)))).as("_g"))
+    val buckets = sh
+      .groupBy(col("_g"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_s")))).as("_elems"))
+      .filter(size(col("_elems")).between(2, maxPostings))
+    val pairs = bucketPairs(buckets, "_elems")
+      .filter(col("_a._id") =!= col("_b._id"))
+      .select(col("_a._id").as("doc_a"), col("_b._id").as("doc_b"),
+        col("_a._s").as("_sa"), col("_b._s").as("_sb"))
+    // Diagonal run-coalescing (gaps-and-islands): within a (pair, diagonal)
+    // the start offsets are distinct, so consecutive offsets share
+    // sa − row_number(). The groupBy keys extend the window partition keys
+    // → EnsureRequirements reuses the window's exchange, no second shuffle.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("_diag"))
+      .orderBy(col("_sa"))
+    pairs
+      .withColumn("_diag", col("_sa") - col("_sb"))
+      .withColumn("_grp", col("_sa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("_diag"), col("_grp"))
+      .agg(min(col("_sa")).cast("int").as("a_start"),
+        min(col("_sb")).cast("int").as("b_start"),
+        (count(lit(1)) + (k - 1)).cast("int").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+  }
+
   /** Benchmark decontamination — per-train-document contamination counts:
     * training documents sharing ≥ `minShared` distinct word
     * `shingleN`-grams with ANY holdout/eval document leak the eval set

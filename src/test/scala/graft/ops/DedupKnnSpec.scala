@@ -527,4 +527,58 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(byId(6L)._2 === 0.875 && math.abs(byId(6L)._3 - 8.0 / 15) < 1e-6 && byId(6L)._4)
     assert(!byId(7L)._4 && math.abs(byId(7L)._3 - 1.0 / 11) < 1e-6)
   }
+
+  test("substring spans: planted verbatim run found maximal, offsets exact") {
+    // doc 1 tokens[5..18] (14 tokens) verbatim inside doc 2 at [2..15];
+    // doc 3 shares nothing long enough (an isolated 8-token window only)
+    val shared = (1 to 14).map("s" + _)
+    val d1 = ((1 to 5).map("a" + _) ++ shared ++ (1 to 4).map("z" + _)).mkString(" ")
+    val d2 = ((1 to 2).map("b" + _) ++ shared ++ (1 to 6).map("y" + _)).mkString(" ")
+    val d3 = ((1 to 8).map("s" + _) ++ (1 to 10).map("q" + _)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "text", "doc_id",
+      k = 8, minSpanTokens = 12)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    // (1,2): maximal span of 14 tokens at a_start=5, b_start=2 — ONE row,
+    // not the 7 individual shingle matches. (1,3)/(2,3): s1..s8 is only an
+    // 8-token span < 12 → excluded by the floor.
+    assert(spans === Set((1L, 2L, 5, 2, 14)))
+    // lowering the floor to k surfaces the short (·,3) spans too
+    val all = Dedup.substringSpans(docs, "text", "doc_id",
+      k = 8, minSpanTokens = 8)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(all === Set((1L, 2L, 5, 2, 14), (1L, 3L, 5, 0, 8), (2L, 3L, 2, 0, 8)))
+  }
+
+  test("substring spans: within-doc repeats don't pair, postings cap drops template noise") {
+    val rep = (1 to 8).map("r" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$rep x1 x2 $rep"),          // same shingle twice in ONE doc
+      (2L, s"pad1 pad2 pad3 $rep tail")  // cross-doc match at two diagonals
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "text", "doc_id",
+      k = 8, minSpanTokens = 8)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    // doc1 holds the run at offsets 0 and 10, doc2 at 3 → two spans, one
+    // per diagonal; never a (1,1) self pair
+    assert(spans === Set((1L, 2L, 0, 3, 8), (1L, 2L, 10, 3, 8)))
+    // a postings cap of 2 still admits pairs; the 3-element bucket
+    // (two doc-1 positions + one doc-2) is skipped entirely
+    val capped = Dedup.substringSpans(docs, "text", "doc_id",
+      k = 8, minSpanTokens = 8, maxPostings = 2)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(capped.isEmpty)
+  }
+
+  test("substring spans: single exchange serves both the window and the span aggregation") {
+    val docs = (1L to 20L).map(i => (i, s"w$i " + (1 to 10).map("c" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = Dedup.substringSpans(docs, "text", "doc_id", k = 8, minSpanTokens = 8)
+      .queryExecution.executedPlan.toString
+    // exchanges: one for the postings groupBy(hash), one for the
+    // (doc_a, doc_b, diag) window; the span groupBy's keys extend the
+    // window partition so it must NOT add a third
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+  }
 }
