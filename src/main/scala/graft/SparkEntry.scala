@@ -2702,6 +2702,69 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")).as("quality"))
     },
 
+    // Perplexity-proxy quality score: per-doc mean token log-probability
+    // under the corpus's own unigram LM (the CCNet recipe's degenerate
+    // distributed case — no external model artifact). Per-token ln values
+    // accumulate as round(ln·10⁶) LONGs, exact and order-independent, so
+    // the doc score is hash-stable across engines and partitionings.
+    q("q_unigram_logprob",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(tk) AS w FROM tk),
+        |vc AS (SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+        |tot AS (SELECT sum(cnt) AS total FROM vc),
+        |lp AS (
+        |  SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS lp
+        |  FROM vc, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  round((CAST(sum(lp) AS DOUBLE) / 1000000.0)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+        |FROM ex JOIN lp USING (w)
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      ops.Selection.unigramLogProb(Tables.documents(s, d), "text", "doc_id")
+    },
+
+    // DSIR importance log-weights (Xie et al. 2023): hashed-bigram feature
+    // distributions, target = non-English docs (the multilingual-upsampling
+    // selection, matching q_domain_mix's narrative), raw = whole corpus,
+    // add-1 smoothing over 256 buckets. 256 is a power of two so Spark's
+    // signed-LONG fnv64 and the oracle's unsigned HUGEINT agree under mod
+    // without the sign shim q_split_by_hash needs for mod 100. The oracle
+    // re-derives the bucket of every DISTINCT bigram via the recursive FNV
+    // fold, then replays counts, smoothing, and the exact scaled-LONG sum.
+    q("q_dsir_weights",
+      s"""WITH RECURSIVE tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang <> 'en' AS in_t, tk[s+1] || ' ' || tk[s+2] AS bg
+        |  FROM (SELECT * FROM tk WHERE len(tk) >= 2), unnest(range(0, len(tk)-1)) u(s)),
+        |bgv AS (SELECT DISTINCT bg FROM big),
+        |${fnvFoldCtes("bfold", "bgv", "bg", "bg")},
+        |bmap AS (SELECT k AS bg, CAST(ch % 256 AS BIGINT) AS b FROM bfold),
+        |f AS (SELECT doc_id, in_t, b FROM big JOIN bmap USING (bg)),
+        |rc AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+        |tc AS (SELECT b, count(*) AS ct FROM f WHERE in_t GROUP BY b),
+        |tot AS (SELECT (SELECT sum(cr) FROM rc) AS r,
+        |               (SELECT coalesce(sum(ct), 0) FROM tc) AS t),
+        |lr AS (
+        |  SELECT rc.b,
+        |    CAST(round((ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / CAST(t + 256 AS DOUBLE))
+        |              - ln(CAST(rc.cr + 1 AS DOUBLE) / CAST(r + 256 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS lr
+        |  FROM rc LEFT JOIN tc ON tc.b = rc.b, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+        |  round(CAST(sum(lr) AS DOUBLE) / 1000000.0, 6) AS log_weight
+        |FROM f JOIN lr USING (b)
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      ops.Selection.dsirLogWeights(Tables.documents(s, d), "text", "doc_id",
+        targetPred = col("lang") =!= "en", buckets = 256)
+    },
+
     // Temperature-flattened domain mixing (multinomial α-sampling): target
     // share ∝ n_d^0.5 upsamples low-resource languages relative to the
     // en-heavy natural distribution (en's fraction ≈ 0.28 vs ≈ 0.48 for

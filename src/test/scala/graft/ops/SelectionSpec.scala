@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unigram log-prob: hand-computed scores; empty docs absent") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val got = Selection.unigramLogProb(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // counts: a=2, b=2, c=1, total=5
+    val lpA = math.round(math.log(2.0 / 5.0) * 1e6) // == lp(b)
+    val lpC = math.round(math.log(1.0 / 5.0) * 1e6)
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._2 === 3L && got(2L)._2 === 2L)
+    assert(math.abs(got(1L)._3 - (3 * lpA) / 1e6 / 3.0) < 2e-6)
+    assert(math.abs(got(2L)._3 - (lpA + lpC) / 1e6 / 2.0) < 2e-6)
+    // common-token docs outscore rare-token docs: p(a)=p(b) > p(c)
+    assert(got(1L)._3 > got(2L)._3)
+  }
+
+  test("dsir: target-like feature distributions get higher weights; stable under repartition") {
+    // non-en docs use a disjoint bigram vocabulary from en docs
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha beta alpha"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "de", "rot blau rot blau"),
+      (4L, "de", "rot blau grun"),
+      (5L, "en", "rot blau rot"), // en doc that LOOKS like the target
+      (6L, "fr", "x")             // single token → no features → absent
+    ).toDF("doc_id", "lang", "text")
+    val out = Selection.dsirLogWeights(docs, "text", "doc_id",
+      targetPred = col("lang") =!= "en", buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L)._2 === 4L && out(4L)._2 === 2L) // n_feat = n_tokens - 1
+    // every target-vocab doc outweighs every en-vocab doc — including the
+    // en doc whose CONTENT matches the target distribution (DSIR scores
+    // content, not labels)
+    val tgtLike = Seq(out(3L)._3, out(4L)._3, out(5L)._3)
+    val enLike = Seq(out(1L)._3, out(2L)._3)
+    assert(tgtLike.min > enLike.max)
+    val re = Selection.dsirLogWeights(docs.repartition(7), "text", "doc_id",
+      targetPred = col("lang") =!= "en", buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(re === out)
+  }
+
+  test("selection plans: model tables broadcast — scoring never shuffle-joins the corpus") {
+    val docs = (1L to 30L).map(i => (i, if (i % 3 == 0) "de" else "en",
+      s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5}")).toDF("doc_id", "lang", "text")
+    val p1 = Selection.unigramLogProb(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"))
+    assert(!p1.contains("SortMergeJoin"))
+    val p2 = Selection.dsirLogWeights(docs, "text", "doc_id",
+      targetPred = col("lang") =!= "en")
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"))
+    assert(!p2.contains("SortMergeJoin"))
+  }
+}
