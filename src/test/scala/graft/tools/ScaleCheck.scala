@@ -124,6 +124,7 @@ object ScaleCheck {
       graft.ops.Dedup.exactDedup(d0, "text", "doc_id").count()
       graft.ops.Dedup.minhashNearDups(d0, "text", "doc_id", threshold = 0.8).count()
       graft.ops.Dedup.jaccardPairs(d0, "text", "doc_id", shingleN = 3, threshold = 0.8).count()
+      graft.ops.Dedup.substringSpans(d0, "text", "doc_id").count()
       graft.ops.Dedup.embeddingNearDups(e0, "embedding", "vec_id", dim = 64,
         threshold = 0.9).count()
       graft.ops.Knn.ivfPqSearch(graft.ops.Knn.ivfAssign(e0, "embedding", centroids),
@@ -149,6 +150,12 @@ object ScaleCheck {
       results(("jaccard_pairs", k)) = timed("jaccard_pairs", k, nd) {
         graft.ops.Dedup.jaccardPairs(d, "text", "doc_id",
           shingleN = 3, threshold = 0.8).count()
+      }
+      // vowel rotation rewrites every vowel-bearing token, so cross-replica
+      // positional 8-shingles never collide — span pairs stay within a
+      // replica and the true span count grows linearly with k
+      results(("substring_spans", k)) = timed("substring_spans", k, nd) {
+        graft.ops.Dedup.substringSpans(d, "text", "doc_id").count()
       }
       results(("embedding_lsh", k)) = timed("embedding_lsh", k, ne) {
         graft.ops.Dedup.embeddingNearDups(e, "embedding", "vec_id",
