@@ -2504,6 +2504,54 @@ object SparkEntry {
         k = 8, minSpanTokens = 12, maxPostings = 256)
     },
 
+    // The curation ACTION for the spans: cut the doc_b copy of every
+    // duplicated span (keep-the-earliest convention), rebuild the
+    // surviving text. The oracle replays span detection on shingle
+    // strings, unions covered positions, and rebuilds each affected doc
+    // with a positional list comprehension — the full detect→cut pipeline
+    // verified end-to-end, including overlapping-span position unions.
+    q("q_cut_spans",
+      """WITH tk0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tk FROM tk0 WHERE len(tk) >= 8),
+        |sh AS (
+        |  SELECT doc_id, s, array_to_string(list_slice(tk, s+1, s+8), ' ') AS g
+        |  FROM tk, unnest(range(0, len(tk)-8+1)) u(s)),
+        |hc AS (SELECT g, count(*) AS n FROM sh GROUP BY g),
+        |shf AS (
+        |  SELECT sh.doc_id, sh.s, sh.g FROM sh JOIN hc USING(g)
+        |  WHERE hc.n BETWEEN 2 AND 256),
+        |m AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, a.s AS sa, b.s AS sb
+        |  FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT a, b, sa, sb, sa - sb AS diag,
+        |    sa - row_number() OVER (PARTITION BY a, b, sa - sb ORDER BY sa) AS grp
+        |  FROM m),
+        |sp AS (
+        |  SELECT b AS doc_b, min(sb) AS b_start, count(*) + 7 AS span_tokens
+        |  FROM r GROUP BY a, b, diag, grp),
+        |cpos AS (
+        |  SELECT doc_b AS doc_id, unnest(range(b_start, b_start + span_tokens)) AS p
+        |  FROM sp WHERE span_tokens >= 12),
+        |cdis AS (SELECT DISTINCT doc_id, p FROM cpos),
+        |cv AS (
+        |  SELECT doc_id, count(*) AS n_removed, list(p ORDER BY p) AS cut
+        |  FROM cdis GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_before,
+        |  CAST(cv.n_removed AS INT) AS n_removed,
+        |  coalesce(array_to_string(
+        |    [t.tk[i+1] for i in range(0, len(t.tk)) if NOT list_contains(cv.cut, i)],
+        |    ' '), '') AS text_clean
+        |FROM tk t JOIN cv ON cv.doc_id = t.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.cutSpans(docs, "text", "doc_id",
+        Dedup.substringSpans(docs, "text", "doc_id",
+          k = 8, minSpanTokens = 12, maxPostings = 256))
+    },
+
     q("q_dedup_clusters",
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, list_distinct(list_filter(

@@ -337,6 +337,43 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** The curation ACTION for [[substringSpans]] — Lee et al. cut ONE copy
+    * of every duplicated span and keep the rest of both documents: for
+    * each span, the doc_b side (the later id; doc_a keeps the canonical
+    * copy) has tokens [b_start, b_start + span_tokens) removed. Returns
+    * one row per AFFECTED document:
+    * (idCol, n_before, n_removed, text_clean) — text_clean is the
+    * space-joined surviving tokens in original order (possibly empty when
+    * spans covered the whole document).
+    *
+    * Overlapping spans union naturally (covered positions are
+    * distinct-collected); a document that is doc_a in one pair and doc_b
+    * in another keeps its canonical role per pair — the greedy
+    * keep-the-earliest-copy convention.
+    *
+    * Scale shape: covered positions aggregate to ONE sorted array per
+    * affected doc (bounded by doc length) and join the corpus by id —
+    * one doc-grain shuffle of (id, positions); token filtering is then a
+    * per-row HOF over the already-tokenized array, no explode of the
+    * corpus. */
+  def cutSpans(df: DataFrame, textCol: String, idCol: String,
+               spans: DataFrame): DataFrame = {
+    val covered = spans
+      .select(col("doc_b").as("_cid"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("span_tokens") - 1)).as("_pos"))
+      .groupBy(col("_cid"))
+      .agg(sort_array(collect_set(col("_pos"))).as("_cut"))
+    df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .join(covered, col(idCol) === col("_cid"))
+      .select(col(idCol),
+        size(col("_tk")).cast("int").as("n_before"),
+        size(col("_cut")).cast("int").as("n_removed"),
+        concat_ws(" ",
+          filter(col("_tk"), (t, i) => !array_contains(col("_cut"), i)))
+          .as("text_clean"))
+  }
+
   /** Benchmark decontamination — per-train-document contamination counts:
     * training documents sharing ≥ `minShared` distinct word
     * `shingleN`-grams with ANY holdout/eval document leak the eval set

@@ -570,6 +570,28 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("cutSpans: doc_b loses exactly the covered tokens, doc_a untouched, overlaps union") {
+    val shared = (1 to 14).map("s" + _)
+    val d1 = ((1 to 5).map("a" + _) ++ shared ++ (1 to 4).map("z" + _)).mkString(" ")
+    val d2 = ((1 to 2).map("b" + _) ++ shared ++ (1 to 6).map("y" + _)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "text", "doc_id", k = 8, minSpanTokens = 12)
+    val cut = Dedup.cutSpans(docs, "text", "doc_id", spans)
+      .as[(Long, Int, Int, String)].collect()
+    // only doc 2 (the doc_b side) is affected; its 14 shared tokens vanish
+    assert(cut.toSeq === Seq((2L, 22, 14,
+      ((1 to 2).map("b" + _) ++ (1 to 6).map("y" + _)).mkString(" "))))
+    // overlapping spans: hand-built overlapping intervals on one doc union
+    // to a single covered range (positions 2..9 ∪ 5..12 → 2..12)
+    val overlap = Seq((9L, 2L, 2, 2, 8), (9L, 2L, 5, 5, 8))
+      .toDF("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    val toks = (0 to 14).map("t" + _).mkString(" ")
+    val got = Dedup.cutSpans(Seq((2L, toks)).toDF("doc_id", "text"),
+      "text", "doc_id", overlap).as[(Long, Int, Int, String)].collect()
+    assert(got.toSeq === Seq((2L, 15, 11,
+      Seq("t0", "t1", "t13", "t14").mkString(" "))))
+  }
+
   test("substring spans: single exchange serves both the window and the span aggregation") {
     val docs = (1L to 20L).map(i => (i, s"w$i " + (1 to 10).map("c" + _).mkString(" ")))
       .toDF("doc_id", "text")
