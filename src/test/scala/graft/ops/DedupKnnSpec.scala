@@ -592,6 +592,50 @@ class DedupKnnSpec extends AnyFunSuite {
       Seq("t0", "t1", "t13", "t14").mkString(" "))))
   }
 
+  test("substring spans equal a brute-force reference on dense random corpora") {
+    // tiny vocab → coincidental shingle collisions everywhere: stresses
+    // multi-diagonal coalescing, within-doc repeats, and run maximality
+    val vocab = Array("p", "q", "r")
+    def brute(docs: Seq[(Long, Array[String])], k: Int, minSpan: Int)
+        : Set[(Long, Long, Int, Int, Int)] = {
+      val out = scala.collection.mutable.Set[(Long, Long, Int, Int, Int)]()
+      for {
+        (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
+        if ta.length >= k && tb.length >= k
+      } {
+        val matches = for {
+          sa <- 0 to ta.length - k; sb <- 0 to tb.length - k
+          if ta.slice(sa, sa + k).sameElements(tb.slice(sb, sb + k))
+        } yield (sa, sb)
+        matches.groupBy { case (sa, sb) => sa - sb }.values.foreach { diag =>
+          val sas = diag.map(_._1).sorted
+          var runStart = sas.head; var prev = sas.head
+          def emit(last: Int): Unit = {
+            val span = last - runStart + k
+            if (span >= minSpan)
+              out += ((ida, idb, runStart, runStart - (diag.head._1 - diag.head._2), span))
+          }
+          for (sa <- sas.tail) {
+            if (sa != prev + 1) { emit(prev); runStart = sa }
+            prev = sa
+          }
+          emit(prev)
+        }
+      }
+      out.toSet
+    }
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 8) {
+      val docs = (1L to 12L).map(i =>
+        i -> Array.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))))
+      val df = docs.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.substringSpans(df, "text", "doc_id",
+        k = 3, minSpanTokens = 4, maxPostings = 1000000)
+        .as[(Long, Long, Int, Int, Int)].collect().toSet
+      assert(got === brute(docs, 3, 4), s"trial=$trial docs=$docs")
+    }
+  }
+
   test("substring spans: single exchange serves both the window and the span aggregation") {
     val docs = (1L to 20L).map(i => (i, s"w$i " + (1 to 10).map("c" + _).mkString(" ")))
       .toDF("doc_id", "text")

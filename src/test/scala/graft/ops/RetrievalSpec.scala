@@ -59,6 +59,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(9L, 2L, 5L)) // score desc, then id asc
   }
 
+  test("bm25 equals a naive reference on random corpora (seeded)") {
+    val vocab = Array("u", "v", "w", "xx", "yy")
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 6) {
+      val docs = (1L to 15L).map(i =>
+        i -> Array.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))))
+      val terms = rnd.shuffle(vocab.toSeq).take(1 + rnd.nextInt(2))
+      val df = docs.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Retrieval.bm25TopK(df, "text", "doc_id", terms, k = 100)
+        .as[(Long, Double, Int)].collect()
+      // naive reference
+      val n = docs.size.toDouble
+      val avgdl = docs.map(_._2.length).sum.toDouble / n
+      val dfs = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+      def score(toks: Array[String]): Double = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+      }.sum
+      val expect = docs
+        .map { case (i, t) => (i, score(t), terms.count(t.contains)) }
+        .filter(_._3 > 0)
+        .sortBy { case (i, s, _) => (-s, i) }
+      assert(got.map(_._1).toSeq === expect.map(_._1),
+        s"trial=$trial terms=$terms")
+      got.zip(expect).foreach { case ((_, gs, gm), (_, es, em)) =>
+        assert(math.abs(gs - es) < 2e-6 && gm === em, s"trial=$trial")
+      }
+    }
+  }
+
   test("bm25 plan: one broadcast stats row + TakeOrderedAndProject, no extra shuffle") {
     // Needs more input rows than k: Catalyst's EliminateLimits drops the
     // Limit (and with it the TakeOrdered pattern) when child maxRows <= k.
