@@ -2247,7 +2247,7 @@ object SparkEntry {
       """WITH tk AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
         |  CAST(sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
@@ -2289,7 +2289,7 @@ object SparkEntry {
       """WITH tk AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
         |  CAST(sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,

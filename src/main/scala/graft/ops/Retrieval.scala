@@ -46,7 +46,11 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k > 0, s"k must be positive: $k")
+    // null-text guard: size(null tokens) is -1 and would poison Σdl (the
+    // avgdl statistic) — a null-text doc can match nothing, so excluding
+    // it from N/avgdl matches what a NULL-skipping SQL sum computes
     val tk = df
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
       .withColumn("_dl", size(col("_tk")).cast("double"))
     // One aggregate pass → a single broadcast stats row: corpus size, total

@@ -15,6 +15,10 @@ class RetrievalSpec extends AnyFunSuite {
     (4L, "the quick brown fox"),            // no query terms at all
     (5L, "")                                // empty doc
   ).toDF("doc_id", "text")
+    // null text must not poison the corpus stats (size(null)=-1 into Σdl);
+    // the hand-computed N=5/avgdl=2.8 assertions below only hold if this
+    // row is excluded from the statistics entirely
+    .unionByName(Seq((6L, Option.empty[String])).toDF("doc_id", "text"))
 
   test("bm25: hand-computed scores, ordering, and non-matching docs excluded") {
     val out = Retrieval.bm25TopK(docs, "text", "doc_id", Seq("spark"), k = 10)
