@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -44,8 +45,13 @@ object Selection {
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val ex = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("_w"))
     val vocabCounts = ex.groupBy(col("_w")).agg(count(lit(1)).as("_cnt"))
-    val total = vocabCounts.agg(sum(col("_cnt")).as("_total"))
-    val vocab = vocabCounts.crossJoin(broadcast(total))
+    // corpus total via an unpartitioned window over the (small) vocab table
+    // — computed inside the same broadcast-build job instead of a separate
+    // aggregate + cross-join chain (one fewer serial job per run)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val vocab = vocabCounts
+      .withColumn("_total", sum(col("_cnt")).over(wAll))
       .select(col("_w"),
         round(log(col("_cnt").cast("double") / col("_total").cast("double")) * lit(1e6))
           .cast("long").as("_lp"))
