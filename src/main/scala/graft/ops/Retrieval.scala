@@ -41,27 +41,58 @@ object Retrieval {
     * Output: (id, bm25 DOUBLE rounded to 6, n_matched INT), docs with at
     * least one matching term, ordered bm25 DESC then id, limited to k.
     */
-  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
-               terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
-    require(k > 0, s"k must be positive: $k")
-    // null-text guard: size(null tokens) is -1 and would poison Σdl (the
-    // avgdl statistic) — a null-text doc can match nothing, so excluding
-    // it from N/avgdl matches what a NULL-skipping SQL sum computes
-    val tk = df
-      .filter(col(textCol).isNotNull)
+  /** Tokenized view shared by the stats and scoring passes. Null-text
+    * guard: size(null tokens) is -1 and would poison Σdl (the avgdl
+    * statistic) — a null-text doc can match nothing, so excluding it from
+    * N/avgdl matches what a NULL-skipping SQL sum computes. */
+  private def tokenized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
       .withColumn("_dl", size(col("_tk")).cast("double"))
-    // One aggregate pass → a single broadcast stats row: corpus size, total
-    // token mass, and per-term document frequency. This is the only
-    // corpus-wide reduction; everything after is a scan.
+
+  /** The BM25 corpus-statistics row for `terms`: one row
+    * (_n, _sumdl, _df0 … _df{n-1}) — corpus size, total token mass,
+    * per-term document frequency. Every column is a SUM over documents, so
+    * stats are ADDITIVE across disjoint corpus slices: a streaming
+    * pipeline maintains an exact running row by appending per-batch rows
+    * and summing ([[mergeStats]]) — the keyword-side analogue of the
+    * streaming-maintained vector index, and the once-per-snapshot artifact
+    * a 100 TB deployment reuses across every query. */
+  def bm25Stats(df: DataFrame, textCol: String, idCol: String,
+                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val tk = tokenized(df, textCol, idCol)
     val dfAggs = sum(col("_dl")).as("_sumdl") +:
       terms.zipWithIndex.map { case (t, i) =>
         sum(when(array_contains(col("_tk"), t), 1L).otherwise(0L))
           .cast("double").as(s"_df$i")
       }
-    val stats = tk.agg(count(lit(1)).cast("double").as("_n"), dfAggs: _*)
+    tk.agg(count(lit(1)).cast("double").as("_n"), dfAggs: _*)
+  }
+
+  /** Collapse appended per-batch stats rows into the single current row —
+    * exact because every statistic is additive over disjoint batches. */
+  def mergeStats(statsRows: DataFrame, nTerms: Int): DataFrame = {
+    val sums = sum(col("_sumdl")).as("_sumdl") +:
+      (0 until nTerms).map(i => sum(col(s"_df$i")).as(s"_df$i"))
+    statsRows.agg(sum(col("_n")).as("_n"), sums: _*)
+  }
+
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKWithStats(df, textCol, idCol,
+      bm25Stats(df, textCol, idCol, terms), terms, k, k1, b)
+
+  /** Score + top-k against a PRE-BUILT stats row ([[bm25Stats]], possibly
+    * streaming-maintained via [[mergeStats]]) — one scan into
+    * TakeOrderedAndProject, no corpus-wide reduction at query time. */
+  def bm25TopKWithStats(df: DataFrame, textCol: String, idCol: String,
+                        stats: DataFrame, terms: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k must be positive: $k")
+    val tk = tokenized(df, textCol, idCol)
     val scored = tk.crossJoin(broadcast(stats))
     // Per-term contribution. Arithmetic shape (literal constants, operation
     // order) is mirrored verbatim by the oracle SQL so double results agree

@@ -94,6 +94,40 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming-maintained bm25 stats: per-batch appends merge to the exact batch stats") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val terms = Seq("spark", "merge")
+    val all = (1L to 60L).map(i =>
+      (i, s"spark doc$i " + (if (i % 3 == 0) "merge join " else "scan ") * (1 + (i % 4).toInt)))
+    val ms = MemoryStream[(Long, String)](spark)
+    val statsRows = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the additive per-batch stats row — what a real pipeline appends
+        // to its stats table each micro-batch
+        statsRows ++= Retrieval.bm25Stats(batch, "text", "doc_id", terms).collect()
+        ()
+      }
+      .start()
+    try {
+      all.grouped(20).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    assert(statsRows.size === 3)
+    val statsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(statsRows.toSeq),
+      Retrieval.bm25Stats(all.toDF("doc_id", "text"), "text", "doc_id", terms).schema)
+    val merged = Retrieval.mergeStats(statsDf, terms.size)
+    val batchStats = Retrieval.bm25Stats(all.toDF("doc_id", "text"), "text", "doc_id", terms)
+    assert(merged.collect().toSeq === batchStats.collect().toSeq)
+    // and a probe against the maintained stats equals the batch probe
+    val corpus = all.toDF("doc_id", "text")
+    val viaMaintained = Retrieval.bm25TopKWithStats(
+      corpus, "text", "doc_id", merged, terms, k = 10).collect().toSeq
+    val viaBatch = Retrieval.bm25TopK(corpus, "text", "doc_id", terms, k = 10)
+      .collect().toSeq
+    assert(viaMaintained === viaBatch)
+  }
+
   test("bm25 plan: one broadcast stats row + TakeOrderedAndProject, no extra shuffle") {
     // Needs more input rows than k: Catalyst's EliminateLimits drops the
     // Limit (and with it the TakeOrdered pattern) when child maxRows <= k.
