@@ -2349,6 +2349,50 @@ object SparkEntry {
         .limit(50)
       val vector = Retrieval.ranked(vecTop, "doc_id", "sim")
       Retrieval.rrfFuse(Seq(keyword, vector), "doc_id", k = 20)
+    },
+
+    // Multi-query BM25 retrieval join (the keyword knnJoin): a query TABLE
+    // (first-5-token prefixes of docs 0–2, derived identically in both
+    // engines) scores against the corpus through one inverted-index pass.
+    // Per-(query, doc) scores accumulate as exact round(score·10⁶) LONGs —
+    // join-row order is nondeterministic, so the fixed-term-list scan's
+    // plain double sum would drift; ranking is on the exact LONG.
+    q("q_bm25_join",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM d),
+        |dt AS (
+        |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS w FROM d)
+        |  GROUP BY doc_id, dl, w),
+        |qt AS (
+        |  SELECT DISTINCT doc_id AS q_id, unnest(tk[1:5]) AS w
+        |  FROM tk WHERE doc_id < 3),
+        |dfr AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS dfw
+        |  FROM dt WHERE w IN (SELECT w FROM qt) GROUP BY w),
+        |sc AS (
+        |  SELECT qt.q_id, dt.doc_id,
+        |    CAST(round((ln(1.0 + (n - dfw + 0.5) / (dfw + 0.5)) * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
+        |      * 1000000.0) AS BIGINT) AS s
+        |  FROM dt JOIN dfr USING (w) JOIN qt USING (w), st),
+        |ag AS (SELECT q_id, doc_id, sum(s) AS score FROM sc GROUP BY q_id, doc_id),
+        |rk AS (
+        |  SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM ag)
+        |SELECT q_id, doc_id, round(CAST(score AS DOUBLE) / 1000000.0, 6) AS bm25,
+        |  CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 15""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5)).as("q_text"))
+      Retrieval.bm25Join(queries, "q_id", "q_text", docs, "doc_id", "text", k = 15)
     })
 
   // ------------------------------------------------- LLM-pipeline operators

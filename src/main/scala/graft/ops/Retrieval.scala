@@ -116,6 +116,65 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Multi-query BM25 retrieval join — the keyword analogue of
+    * [[Knn.knnJoin]]: score a TABLE of queries against the corpus in one
+    * pass and keep the top `k` docs per query. Where [[bm25TopK]] serves
+    * one ad-hoc query with a scan, this is the batch-retrieval shape: the
+    * corpus explodes ONCE into an inverted index at (doc, word) grain
+    * (shuffled once, by word), the query table's distinct terms broadcast
+    * against it (postings for non-query words are pruned BEFORE the
+    * document-frequency join), and per-(query, doc) scores accumulate as
+    * exact round(score·10⁶) LONGs — join-row order is nondeterministic, so
+    * unlike the fixed-term-list scan the sum here must be
+    * order-independent. Ranking is on the exact scaled LONG (doc id
+    * tie-break), never the rounded double.
+    *
+    * Output: (qIdCol, idCol, bm25, rank), rank 1..k per query. Query term
+    * frequency is ignored (standard Robertson for short queries); query
+    * terms are the DISTINCT tokens of `qTextCol`. */
+  def bm25Join(queries: DataFrame, qIdCol: String, qTextCol: String,
+               corpus: DataFrame, idCol: String, textCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tk = tokenized(corpus, textCol, idCol)
+    val stats = tk.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("_dl")).as("_sumdl"))
+    val docTerms = tk
+      .select(col(idCol), col("_dl"), explode(col("_tk")).as("_w"))
+      .groupBy(col(idCol), col("_w"), col("_dl"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val qTerms = queries
+      .filter(col(qTextCol).isNotNull)
+      .select(col(qIdCol), explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("_w"))
+    // prune postings to query terms FIRST (broadcast semi), so the df join
+    // only touches relevant words
+    val relevant = docTerms.join(broadcast(qTerms.select("_w").distinct()),
+      Seq("_w"), "left_semi")
+    // postings are unique per (doc, word) by construction, so counting
+    // rows per word IS the document frequency — no distinct needed
+    val dfTab = relevant
+      .groupBy(col("_w")).agg(count(lit(1)).cast("double").as("_df"))
+    val scored = relevant
+      .join(broadcast(dfTab), "_w")
+      .join(broadcast(qTerms), "_w")
+      .crossJoin(broadcast(stats))
+      .select(col(qIdCol), col(idCol),
+        round((log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))) *
+          (col("_tf") * lit(k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / (col("_sumdl") / col("_n"))))
+          ) * lit(1e6)).cast("long").as("_s"))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("_s")).as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("_score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol),
+        round(col("_score").cast("double") / lit(1e6), 6).as("bm25"),
+        col("rank"))
+  }
+
   /** Reciprocal-rank fusion of already-ranked retrieval lists. Each input
     * must carry (`idCol`, `rank` starting at 1); output is
     * (id, rrf DOUBLE rounded to 6, n_lists INT) ordered rrf DESC then id,

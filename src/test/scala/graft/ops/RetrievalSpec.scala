@@ -94,6 +94,32 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25Join ranks each query like a per-query bm25TopK; unmatched queries vanish") {
+    val corpus = Seq(
+      (1L, "spark shuffle join spark spark"),
+      (2L, "spark join"),
+      (3L, "merge sort merge"),
+      (4L, "the quick brown fox"),
+      (5L, "sort merge join spark")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (100L, "spark join"),
+      (200L, "merge"),
+      (300L, "zzz")  // matches nothing → no output rows for this query
+    ).toDF("q_id", "q_text")
+    val got = Retrieval.bm25Join(queries, "q_id", "q_text",
+      corpus, "doc_id", "text", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._4).map(_._2).toSeq }
+    assert(got.keySet === Set(100L, 200L))
+    // per-query reference: the single-query scan with the same term sets
+    def ref(terms: Seq[String]) = Retrieval.bm25TopK(
+      corpus, "text", "doc_id", terms, k = 5)
+      .as[(Long, Double, Int)].collect().map(_._1).toSeq
+    assert(got(100L) === ref(Seq("spark", "join")))
+    assert(got(200L) === ref(Seq("merge")))
+  }
+
   test("streaming-maintained bm25 stats: per-batch appends merge to the exact batch stats") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val terms = Seq("spark", "merge")
