@@ -2857,6 +2857,43 @@ object SparkEntry {
         targetPred = col("lang") =!= "en", buckets = 256)
     },
 
+    // PII scrubbing (C4-style curation stage). The corpus contains no
+    // PII-shaped content (verified: zero rows match [0-9@]), so both
+    // engines INJECT identical synthetic PII derived from doc_id into
+    // every 5th doc, then scrub — a real test of Java-regex (Spark) vs
+    // RE2 (DuckDB) dialect equivalence on the shared patterns, which are
+    // restricted to syntax with identical semantics in both.
+    q("q_pii_scrub",
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.org ip 10.2.'
+        |        || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+        |        || ' call +14155550' || CAST(doc_id % 100 AS VARCHAR)
+        |      ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS text_scrubbed
+        |FROM inj""".stripMargin) { (s, d) =>
+      val injected = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact u"), col("doc_id"),
+              lit("@ex.org ip 10.2."), col("doc_id") % 256, lit("."),
+              col("doc_id") % 250, lit(" call +14155550"), col("doc_id") % 100))
+            .otherwise(col("text")))
+      TextAnalysis.piiScrub(injected, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("text_scrubbed"))
+    },
+
     // Temperature-flattened domain mixing (multinomial α-sampling): target
     // share ∝ n_d^0.5 upsamples low-resource languages relative to the
     // en-heavy natural distribution (en's fraction ≈ 0.28 vs ≈ 0.48 for

@@ -154,6 +154,34 @@ object TextAnalysis {
           .as("n_tok"): _*)
   }
 
+  /** PII patterns shared by the scrubber and its oracle — deliberately
+    * restricted to syntax with IDENTICAL semantics in Java regex (Spark)
+    * and RE2 (DuckDB): explicit character classes, bounded repetition, no
+    * lookaround, no backreferences. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** PII scrubbing — the standard pre-training curation stage (C4-style):
+    * mask emails, IPv4 addresses, and international-format phone numbers,
+    * and count each class on the RAW text (counts are independent pattern
+    * counts; an IP inside an email domain increments both). Replacement
+    * order is email → ip → phone so the email mask consumes any address
+    * embedded in a mail domain first; masks carry no digits, so later
+    * patterns never match inside an earlier mask. Pure codegen'd
+    * regexp_count/regexp_replace — single scan, no shuffle, scrubbing is
+    * idempotent. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("int"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)).cast("int"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)).cast("int"))
+      .withColumn("text_scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+
   def documentStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))
       .withColumn("char_count", length(col(textCol)))

@@ -570,6 +570,31 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("piiScrub: masks and counts each class; order handles ip-in-email-domain; idempotent") {
+    val docs = Seq(
+      (1L, "mail a.b@x.org and b%c@y.co.uk now"),
+      (2L, "server 10.0.200.7 then 192.168.1.1 up"),
+      (3L, "call +4915112345678 ok"),
+      (4L, "weird a@10.2.3.4 case"),   // numeric mail domain: NOT an email
+      (5L, "clean text only")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs, "text")
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"text_scrubbed")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 2, 0, 0, "mail <EMAIL> and <EMAIL> now")))
+    assert(got(1) === ((2L, 0, 2, 0, "server <IP> then <IP> up")))
+    assert(got(2) === ((3L, 0, 0, 1, "call <PHONE> ok")))
+    // the email pattern requires an ALPHABETIC TLD, so an address with a
+    // numeric domain is not an email — the embedded IP is masked instead
+    assert(got(3) === ((4L, 0, 1, 0, "weird a@<IP> case")))
+    assert(got(4) === ((5L, 0, 0, 0, "clean text only")))
+    // idempotence: masks contain no digits/@, a second pass is a no-op
+    val twice = TextAnalysis.piiScrub(
+      got.toSeq.map(r => (r._1, r._5)).toDF("doc_id", "text"), "text")
+      .select($"text_scrubbed").as[String].collect().sorted
+    assert(twice.toSeq === got.map(_._5).sorted.toSeq)
+  }
+
   test("cutSpans: doc_b loses exactly the covered tokens, doc_a untouched, overlaps union") {
     val shared = (1 to 14).map("s" + _)
     val d1 = ((1 to 5).map("a" + _) ++ shared ++ (1 to 4).map("z" + _)).mkString(" ")
