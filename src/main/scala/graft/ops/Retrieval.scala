@@ -139,17 +139,20 @@ object Retrieval {
     val tk = tokenized(corpus, textCol, idCol)
     val stats = tk.agg(count(lit(1)).cast("double").as("_n"),
       sum(col("_dl")).as("_sumdl"))
-    val docTerms = tk
-      .select(col(idCol), col("_dl"), explode(col("_tk")).as("_w"))
-      .groupBy(col(idCol), col("_w"), col("_dl"))
-      .agg(count(lit(1)).cast("double").as("_tf"))
     val qTerms = queries
       .filter(col(qTextCol).isNotNull)
       .select(col(qIdCol), explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("_w"))
-    // prune postings to query terms FIRST (broadcast semi), so the df join
-    // only touches relevant words
-    val relevant = docTerms.join(broadcast(qTerms.select("_w").distinct()),
-      Seq("_w"), "left_semi")
+    // prune the exploded token stream to query words BEFORE the inverted-
+    // index aggregation — the broadcast semi probe is a per-row hash
+    // lookup, so only matching postings ever shuffle. Locally this is
+    // noise (the synthetic vocab is 31 words and query terms cover ~⅓ of
+    // the token mass); at a real vocabulary the difference is the whole
+    // corpus token mass vs the query-term postings.
+    val relevant = tk
+      .select(col(idCol), col("_dl"), explode(col("_tk")).as("_w"))
+      .join(broadcast(qTerms.select("_w").distinct()), Seq("_w"), "left_semi")
+      .groupBy(col(idCol), col("_w"), col("_dl"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
     // postings are unique per (doc, word) by construction, so counting
     // rows per word IS the document frequency — no distinct needed
     val dfTab = relevant
