@@ -95,16 +95,15 @@ object Selection {
           element_at(col("_tk"), col("_s") + 1),
           element_at(col("_tk"), col("_s") + 2))), lit(buckets.toLong))
           .as("_b"))
-    val rawCounts = feats.groupBy(col("_b")).agg(count(lit(1)).as("_cr"))
-    val tgtCounts = feats.filter(col("_in_target"))
-      .groupBy(col("_b")).agg(count(lit(1)).as("_ct"))
-    // Bucket list derives from the raw side (a feature occurring in any doc
-    // occurs in the raw corpus); target-absent buckets smooth to count 0.
-    val totals = rawCounts.agg(sum(col("_cr")).as("_R")).crossJoin(
-      tgtCounts.agg(sum(col("_ct")).as("_T")))
-    val ratios = rawCounts
-      .join(tgtCounts, Seq("_b"), "left_outer")
-      .na.fill(0L, Seq("_ct"))
+    // ONE aggregation pass yields both distributions (raw = every row,
+    // target = the conditional sum) — target-absent buckets count 0 by
+    // construction, no outer join or fill needed. The bucket list derives
+    // from the raw side: a feature occurring in any doc occurs in raw.
+    val counts = feats.groupBy(col("_b")).agg(
+      count(lit(1)).as("_cr"),
+      sum(when(col("_in_target"), 1L).otherwise(0L)).as("_ct"))
+    val totals = counts.agg(sum(col("_cr")).as("_R"), sum(col("_ct")).as("_T"))
+    val ratios = counts
       .crossJoin(broadcast(totals))
       .select(col("_b"),
         round((log((col("_ct") + lit(1)).cast("double") /
