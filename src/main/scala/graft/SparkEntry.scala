@@ -3198,6 +3198,92 @@ object SparkEntry {
       Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id", maxHamming = 10)
     },
 
+    // The round-5 curation composite: span-level dedup feeding selection —
+    // substring span-cut → exact dedup on the CLEANED text → length gate →
+    // unigram-LM scoring → keep the top 60% by a percentile threshold
+    // (broadcast scalar, not a global sort — the selection shape that
+    // survives 100 TB). Every stage is individually oracled elsewhere
+    // (q_cut_spans, q_dedup_exact, q_unigram_logprob, q_percentile); this
+    // verifies their COMPOSITION — e.g. docs fully consumed by span-cuts
+    // collapse to one empty representative and then fail the gate, and the
+    // LM vocabulary is built over survivors only. MATERIALIZED hints keep
+    // DuckDB from re-deriving shared stages (the q_corpus_curate fairness
+    // note).
+    q("q_curate_select",
+      """WITH tk0 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tkS AS (SELECT doc_id, tk FROM tk0 WHERE len(tk) >= 8),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, s, array_to_string(list_slice(tk, s+1, s+8), ' ') AS g
+        |  FROM tkS, unnest(range(0, len(tk)-8+1)) u(s)),
+        |hc AS (SELECT g, count(*) AS n FROM sh GROUP BY g),
+        |shf AS MATERIALIZED (
+        |  SELECT sh.doc_id, sh.s, sh.g FROM sh JOIN hc USING(g)
+        |  WHERE hc.n BETWEEN 2 AND 256),
+        |m AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, a.s AS sa, b.s AS sb
+        |  FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT a, b, sa, sb, sa - sb AS diag,
+        |    sa - row_number() OVER (PARTITION BY a, b, sa - sb ORDER BY sa) AS grp
+        |  FROM m),
+        |sp AS (
+        |  SELECT b AS doc_b, min(sb) AS b_start, count(*) + 7 AS span_tokens
+        |  FROM r GROUP BY a, b, diag, grp),
+        |cpos AS (
+        |  SELECT doc_b AS doc_id, unnest(range(b_start, b_start + span_tokens)) AS p
+        |  FROM sp WHERE span_tokens >= 12),
+        |cdis AS (SELECT DISTINCT doc_id, p FROM cpos),
+        |cv AS (SELECT doc_id, list(p ORDER BY p) AS cut FROM cdis GROUP BY doc_id),
+        |cleaned AS MATERIALIZED (
+        |  SELECT t.doc_id,
+        |    CASE WHEN cv.doc_id IS NULL THEN t.tk
+        |         ELSE [t.tk[i+1] for i in range(0, len(t.tk)) if NOT list_contains(cv.cut, i)]
+        |    END AS tk
+        |  FROM tk0 t LEFT JOIN cv ON cv.doc_id = t.doc_id),
+        |ded AS (
+        |  SELECT doc_id, tk FROM (
+        |    SELECT doc_id, tk,
+        |      row_number() OVER (PARTITION BY array_to_string(tk, ' ') ORDER BY doc_id) AS rn
+        |    FROM cleaned) WHERE rn = 1),
+        |gated AS (SELECT doc_id, tk FROM ded WHERE len(tk) >= 5),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(tk) AS w FROM gated),
+        |vc AS (SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+        |tot AS (SELECT sum(cnt) AS total FROM vc),
+        |lp AS (
+        |  SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS lp
+        |  FROM vc, tot),
+        |scored AS MATERIALIZED (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    round((CAST(sum(lp) AS DOUBLE) / 1000000.0)
+        |      / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+        |  FROM ex JOIN lp USING (w) GROUP BY doc_id),
+        |thr AS (SELECT round(quantile_cont(avg_logprob, 0.4), 6) AS t FROM scored)
+        |SELECT doc_id, n_tok, avg_logprob
+        |FROM scored, thr WHERE avg_logprob >= t""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val spans = Dedup.substringSpans(docs, "text", "doc_id",
+        k = 8, minSpanTokens = 12, maxPostings = 256)
+      val cut = Dedup.cutSpans(docs, "text", "doc_id", spans)
+        .select(col("doc_id").as("_cid"), col("text_clean"))
+      val cleaned = docs.join(cut, col("doc_id") === col("_cid"), "left_outer")
+        .select(col("doc_id"), coalesce(col("text_clean"), col("text")).as("text"))
+      val keyed = cleaned.withColumn("_ck", Dedup.contentKey(col("text")))
+      val reps = keyed.groupBy(col("_ck")).agg(min(col("doc_id")).as("_keep"))
+      val ded = keyed.join(reps, "_ck").filter(col("doc_id") === col("_keep"))
+      val gated = ded.filter(size(Dedup.tokens(col("text"))) >= 5)
+        .select("doc_id", "text")
+      val scored = ops.Selection.unigramLogProb(gated, "text", "doc_id")
+      val thr = scored.agg(
+        round(expr("percentile(avg_logprob, 0.4)"), 6).as("_t"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("avg_logprob") >= col("_t"))
+        .select(col("doc_id"), col("n_tok"), col("avg_logprob"))
+    },
+
     // The CAPSTONE training-data query: end-to-end corpus curation —
     // quality-filter → exact dedup → near-dup dedup (banded MinHash LSH →
     // Jaccard verify → connected components → keep cluster representatives).
