@@ -2857,6 +2857,35 @@ object SparkEntry {
         targetPred = col("lang") =!= "en", buckets = 256)
     },
 
+    // Token-budget assembly: keep the best documents — (score DESC,
+    // doc_id) order, score = character length here — until a 12k-token
+    // budget is exhausted. The oracle is the DEFINITION (one global window
+    // cumsum); the Spark side is the scale-shaped histogram split (whole
+    // buckets pass/fail wholesale via a ≤64-row driver cumulative; only
+    // the single boundary bucket pays an exact prefix-sum window). The
+    // hash compare proves the two select identical rows — ties, zero-token
+    // docs, and the boundary doc included. Budget 12k lands mid-corpus at
+    // every SF (total ws tokens ≈ 27k/27k/271k).
+    q("q_token_budget",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |             t -> t <> '')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, n_tok, score,
+        |    sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum
+        |  FROM s)
+        |SELECT doc_id, n_tok, score FROM c WHERE cum <= 12000""".stripMargin) { (s, d) =>
+      val proj = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("score"))
+      ops.Selection.selectToTokenBudget(proj, "doc_id", "n_tok", "score",
+        budget = 12000L, buckets = 64)
+    },
+
     // PII scrubbing (C4-style curation stage). The corpus contains no
     // PII-shaped content (verified: zero rows match [0-9@]), so both
     // engines INJECT identical synthetic PII derived from doc_id into

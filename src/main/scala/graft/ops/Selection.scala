@@ -29,6 +29,9 @@ import graft.functions.GraftFunctions._
   *    whose feature distribution resembles the target domain get high
   *    weights; resampling ∝ w(x) (or keeping the top tail) shifts the raw
   *    corpus toward the target without training a classifier.
+  *  - [[selectToTokenBudget]] — the assembly step the scores feed: keep the
+  *    best documents, in (score DESC, id) order, until a global token
+  *    budget is exhausted — without the naive global-window sort.
   */
 object Selection {
 
@@ -61,6 +64,69 @@ object Selection {
       .select(col(idCol), col("n_tok"),
         round((col("_s").cast("double") / lit(1e6)) / col("n_tok").cast("double"), 6)
           .as("avg_logprob"))
+  }
+
+  /** Select documents in priority order until a global token budget is hit:
+    * keep exactly those rows whose running token total — over the total
+    * order (scoreCol DESC, idCol ASC) — stays ≤ `budget`. The "assemble the
+    * best N tokens" step every training-data pipeline ends with.
+    *
+    * Scale shape: the naive formulation is a GLOBAL unpartitioned window
+    * (one task sorts the corpus — the exact anti-pattern WindowExec warns
+    * about). Instead: (1) one aggregate gets min/max score + grand total;
+    * (2) rows bucket into `buckets` fixed-width score ranges, descending,
+    * and per-bucket token totals collect to the driver (≤ `buckets` rows —
+    * bounded, like the k-means sample); (3) the driver finds the single
+    * BOUNDARY bucket where the cumulative crosses the budget — every
+    * earlier bucket is selected wholesale, every later bucket rejected
+    * wholesale, with no sort at all; (4) only the boundary bucket (~1/
+    * `buckets` of the data) pays an exact prefix-sum window against the
+    * remaining budget. Skew note: a single score value shared by > 1/
+    * `buckets` of the corpus concentrates the boundary bucket — recurse the
+    * same split on the boundary slice if that tail matters.
+    *
+    * Token counts must be ≥ 0 (running totals are assumed monotone).
+    * Returns the input schema, filtered; `total ≤ budget` short-circuits to
+    * the input unchanged. */
+  def selectToTokenBudget(df: DataFrame, idCol: String, tokCol: String,
+                          scoreCol: String, budget: Long,
+                          buckets: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val stats = df.agg(
+      min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double"),
+      sum(col(tokCol)).cast("long")).head()
+    if (stats.isNullAt(0)) return df.limit(0)
+    val (mn, mx, total) = (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
+    if (total <= budget) return df
+    // bucket 0 = best scores; equal scores always share a bucket, and
+    // bucket id is monotone in descending score, so global priority order
+    // is (bucket ASC, score DESC, id ASC)
+    val width = (mx - mn) / buckets
+    val bucketCol =
+      if (width == 0.0) lit(0)
+      else least(lit(buckets - 1), greatest(lit(0),
+        floor((lit(mx) - col(scoreCol).cast("double")) / lit(width)).cast("int")))
+    val withB = df.withColumn("_tb", bucketCol)
+    val btots = withB.groupBy(col("_tb"))
+      .agg(sum(col(tokCol)).cast("long").as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var cum = 0L; var boundary = -1; var before = 0L
+    var i = 0
+    while (i < buckets && boundary < 0) {
+      val t = btots.getOrElse(i, 0L)
+      if (cum + t > budget) { boundary = i; before = cum } else cum += t
+      i += 1
+    }
+    // total > budget guarantees some bucket crosses
+    val keepWhole = withB.filter(col("_tb") < boundary)
+    val remaining = budget - before
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val keepBoundary = withB.filter(col("_tb") === boundary)
+      .withColumn("_run", sum(col(tokCol)).over(w))
+      .filter(col("_run") <= remaining)
+      .drop("_run")
+    keepWhole.unionByName(keepBoundary).drop("_tb")
   }
 
   /** DSIR importance log-weights over hashed bigram features.

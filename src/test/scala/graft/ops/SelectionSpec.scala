@@ -63,4 +63,61 @@ class SelectionSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastHashJoin"))
     assert(!p2.contains("SortMergeJoin"))
   }
+
+  // brute-force reference: max prefix of (score DESC, id ASC) with running
+  // Σtok ≤ budget
+  private def budgetRef(rows: Seq[(Long, Long, Long)], budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy { case (id, _, sc) => (-sc, id) }.flatMap { case (id, tok, _) =>
+      cum += tok
+      if (cum <= budget) Some(id) else None
+    }.toSet
+  }
+
+  test("token budget: matches the brute-force prefix across budgets and bucket counts") {
+    // ties on score, a zero-token doc at the top, varied token counts
+    val rows = Seq(
+      (1L, 10L, 90L), (2L, 0L, 95L), (3L, 25L, 90L), (4L, 7L, 80L),
+      (5L, 40L, 70L), (6L, 13L, 70L), (7L, 5L, 60L), (8L, 21L, 50L),
+      (9L, 3L, 50L), (10L, 100L, 40L), (11L, 1L, 30L), (12L, 17L, 95L))
+    val df = rows.toDF("doc_id", "n_tok", "score")
+    for (budget <- Seq(0L, 5L, 27L, 60L, 111L, 150L, 10000L);
+         buckets <- Seq(1, 2, 4, 64)) {
+      val got = Selection.selectToTokenBudget(df, "doc_id", "n_tok", "score",
+        budget, buckets).select("doc_id").as[Long].collect().toSet
+      assert(got === budgetRef(rows, budget),
+        s"budget=$budget buckets=$buckets")
+    }
+  }
+
+  test("token budget: edge cases — empty input, all-equal scores, zero-tok at budget 0") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_tok", "score")
+    assert(Selection.selectToTokenBudget(empty, "doc_id", "n_tok", "score",
+      10L).count() === 0L)
+    // width == 0 path: every row lands in bucket 0, the window does all work
+    val flat = Seq((1L, 4L, 7L), (2L, 4L, 7L), (3L, 4L, 7L))
+      .toDF("doc_id", "n_tok", "score")
+    assert(Selection.selectToTokenBudget(flat, "doc_id", "n_tok", "score",
+      8L, 16).select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    // zero-token docs at the best score survive a zero budget (cum stays 0)
+    val z = Seq((1L, 0L, 9L), (2L, 3L, 8L)).toDF("doc_id", "n_tok", "score")
+    assert(Selection.selectToTokenBudget(z, "doc_id", "n_tok", "score",
+      0L, 8).select("doc_id").as[Long].collect().toSet === Set(1L))
+  }
+
+  test("token budget: stable under repartition; boundary window sees only its bucket") {
+    val rows = (1L to 200L).map(i => (i, (i % 13) + 1, (i * 37) % 101))
+    val df = rows.toDF("doc_id", "n_tok", "score")
+    val ref = budgetRef(rows.map(t => (t._1, t._2, t._3)), 400L)
+    val got = Selection.selectToTokenBudget(df.repartition(7), "doc_id",
+      "n_tok", "score", 400L, 32).select("doc_id").as[Long].collect()
+    assert(got.length === got.toSet.size && got.toSet === ref)
+    // scale contract: the single-partition (global-sort) exchange exists
+    // only on the boundary-bucket branch, fed by a bucket filter — the
+    // wholesale branch never sorts
+    val plan = Selection.selectToTokenBudget(df, "doc_id", "n_tok", "score",
+      400L, 32).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange SinglePartition").length - 1 === 1, plan)
+    assert(plan.contains("Union"), plan)
+  }
 }
