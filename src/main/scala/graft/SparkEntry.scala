@@ -2886,6 +2886,37 @@ object SparkEntry {
         budget = 12000L, buckets = 64)
     },
 
+    // Mixture assembly: per-domain token budgets (en 5000 / de 2000 /
+    // zh 2500; es+fr absent from the spec → dropped). Every budget binds
+    // at every SF (per-lang totals ≈ 11.8k/3.5k/4.1k at sf0.01, 10× at
+    // sf0.1). The oracle is the per-group definition window; the Spark
+    // side proves the grouped histogram split + single group-partitioned
+    // boundary window selects identical rows.
+    q("q_mixture_budget",
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |             t -> t <> '')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok, score,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS cum,
+        |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+        |              WHEN 'zh' THEN 2500 END AS bud
+        |  FROM s)
+        |SELECT doc_id, lang, n_tok, score
+        |FROM c WHERE bud IS NOT NULL AND cum <= bud""".stripMargin) { (s, d) =>
+      val proj = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("score"))
+      ops.Selection.selectToTokenBudgetByGroup(proj, "lang", "doc_id",
+        "n_tok", "score",
+        budgets = Map("en" -> 5000L, "de" -> 2000L, "zh" -> 2500L),
+        buckets = 64)
+    },
+
     // PII scrubbing (C4-style curation stage). The corpus contains no
     // PII-shaped content (verified: zero rows match [0-9@]), so both
     // engines INJECT identical synthetic PII derived from doc_id into

@@ -129,6 +129,65 @@ object Selection {
     keepWhole.unionByName(keepBoundary).drop("_tb")
   }
 
+  /** Mixture assembly: [[selectToTokenBudget]] with a PER-GROUP budget —
+    * "50 % web / 30 % code / 20 % books, by tokens" as explicit per-domain
+    * token budgets. Within each group, keep rows whose running token total
+    * over (scoreCol DESC, idCol ASC) stays ≤ that group's budget; groups
+    * absent from `budgets` are dropped (the mixture spec is exhaustive).
+    *
+    * Scale shape: one aggregate for the global score range, one
+    * per-(group, bucket) totals pass collecting ≤ |groups|·`buckets` rows
+    * (groups are a driver-provided map — bounded by definition), wholesale
+    * bucket pass/fail per group from the driver cumulative, and ONE
+    * boundary window partitioned BY GROUP over only the per-group boundary
+    * slices (~1/`buckets` of each group). No global sort; the group window
+    * is keyed, so boundary work distributes across the cluster. */
+  def selectToTokenBudgetByGroup(df: DataFrame, groupCol: String,
+                                 idCol: String, tokCol: String,
+                                 scoreCol: String, budgets: Map[String, Long],
+                                 buckets: Int = 1024): DataFrame = {
+    require(budgets.nonEmpty, "budgets must name at least one group")
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val eligible = df.filter(col(groupCol).isin(budgets.keys.toSeq: _*))
+    val stats = eligible.agg(
+      min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double")).head()
+    if (stats.isNullAt(0)) return df.limit(0)
+    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+    val width = (mx - mn) / buckets
+    val bucketCol =
+      if (width == 0.0) lit(0)
+      else least(lit(buckets - 1), greatest(lit(0),
+        floor((lit(mx) - col(scoreCol).cast("double")) / lit(width)).cast("int")))
+    val withB = eligible.withColumn("_tb", bucketCol)
+    val btots = withB.groupBy(col(groupCol), col("_tb"))
+      .agg(sum(col(tokCol)).cast("long").as("_t"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per-group boundary bucket + remaining budget; boundary = `buckets`
+    // (past the last bucket) when the whole group fits
+    val bounds: Map[String, (Int, Long)] = budgets.map { case (g, budget) =>
+      var cum = 0L; var boundary = buckets; var before = 0L
+      var i = 0
+      while (i < buckets && boundary == buckets) {
+        val t = btots.getOrElse((g, i), 0L)
+        if (cum + t > budget) { boundary = i; before = cum } else cum += t
+        i += 1
+      }
+      g -> (boundary, budget - before)
+    }
+    val bMap = typedLit(bounds.map { case (g, (b, _)) => g -> b })
+    val rMap = typedLit(bounds.map { case (g, (_, r)) => g -> r })
+    val keepWhole = withB.filter(col("_tb") < element_at(bMap, col(groupCol)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val keepBoundary = withB
+      .filter(col("_tb") === element_at(bMap, col(groupCol)))
+      .withColumn("_run", sum(col(tokCol)).over(w))
+      .filter(col("_run") <= element_at(rMap, col(groupCol)))
+      .drop("_run")
+    keepWhole.unionByName(keepBoundary).drop("_tb")
+  }
+
   /** DSIR importance log-weights over hashed bigram features.
     *
     * Feature = fnv64(bigram) mod `buckets`; keep `buckets` a POWER OF TWO so

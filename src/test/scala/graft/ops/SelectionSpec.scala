@@ -120,4 +120,33 @@ class SelectionSpec extends AnyFunSuite {
     assert(plan.split("Exchange SinglePartition").length - 1 === 1, plan)
     assert(plan.contains("Union"), plan)
   }
+
+  test("mixture budget: per-group prefixes match brute force; unspecified groups dropped") {
+    val rows = (1L to 120L).map { i =>
+      val g = Seq("a", "b", "c")(i.toInt % 3)
+      (i, g, (i % 11) + 1, (i * 53) % 97)
+    }
+    val df = rows.toDF("doc_id", "grp", "n_tok", "score")
+    val budgets = Map("a" -> 60L, "b" -> 150L) // c absent; b binds loosely
+    for (buckets <- Seq(1, 8, 64)) {
+      val got = Selection.selectToTokenBudgetByGroup(df.repartition(5), "grp",
+        "doc_id", "n_tok", "score", budgets, buckets)
+        .select("doc_id").as[Long].collect().toSet
+      val ref = budgets.keys.flatMap { g =>
+        budgetRef(rows.filter(_._2 == g).map(t => (t._1, t._3, t._4)), budgets(g))
+      }.toSet
+      assert(got === ref, s"buckets=$buckets")
+      assert(!got.exists(id => rows.find(_._1 == id).get._2 == "c"))
+    }
+    // a group whose total fits its budget is kept whole (boundary past the
+    // last bucket — no window rows for it)
+    val all = Selection.selectToTokenBudgetByGroup(df, "grp", "doc_id",
+      "n_tok", "score", Map("a" -> 100000L), 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all === rows.filter(_._2 == "a").map(_._1).toSet)
+    // the boundary window is keyed by group — no single-partition exchange
+    val plan = Selection.selectToTokenBudgetByGroup(df, "grp", "doc_id",
+      "n_tok", "score", budgets, 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }
