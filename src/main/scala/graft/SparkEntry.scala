@@ -2917,6 +2917,40 @@ object SparkEntry {
         buckets = 64)
     },
 
+    // Epoch materialization: mixture weights → an actual repeated corpus.
+    // en×1.2 (1 copy + a deterministic 20 % get a 2nd), de×2.5, zh×0.4
+    // (pure subsample), es×0.0 (all dropped), fr absent (dropped). The
+    // hash coin is pmod(fnv64(doc_id-as-string), 10⁶) — the oracle
+    // re-derives it via the recursive FNV fold with the q_split_by_hash
+    // sign shim (10⁶ is not a power of two), so copy COUNTS and epoch
+    // indices hash-compare exactly.
+    q("q_epoch_mix",
+      s"""WITH RECURSIVE docs0 AS (
+        |  SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+        |${fnvFoldCtes("efold", "docs0", "doc_id", "CAST(doc_id AS VARCHAR)")},
+        |asn AS (
+        |  SELECT d.doc_id, d.lang,
+        |    ((CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
+        |            THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT)
+        |      % 1000000) + 1000000) % 1000000 AS coin
+        |  FROM docs0 d JOIN efold ON efold.k = d.doc_id),
+        |cp AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang
+        |      WHEN 'en' THEN 1 + CASE WHEN coin < 200000 THEN 1 ELSE 0 END
+        |      WHEN 'de' THEN 2 + CASE WHEN coin < 500000 THEN 1 ELSE 0 END
+        |      WHEN 'zh' THEN 0 + CASE WHEN coin < 400000 THEN 1 ELSE 0 END
+        |      WHEN 'es' THEN 0 END AS copies
+        |  FROM asn)
+        |SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS INT) AS epoch
+        |FROM cp WHERE copies >= 1""".stripMargin) { (s, d) =>
+      ops.Mixing.materializeEpochs(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select("doc_id", "lang"),
+        "lang", "doc_id",
+        epochs = Map("en" -> 1.2, "de" -> 2.5, "zh" -> 0.4, "es" -> 0.0))
+    },
+
     // PII scrubbing (C4-style curation stage). The corpus contains no
     // PII-shaped content (verified: zero rows match [0-9@]), so both
     // engines INJECT identical synthetic PII derived from doc_id into

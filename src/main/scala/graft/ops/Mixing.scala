@@ -92,4 +92,44 @@ object Mixing {
     }._1.otherwise(cuts.last._1)
     df.withColumn(splitCol, assigned)
   }
+
+  /** Epoch materialization — the step that turns mixture weights into an
+    * actual training corpus: each row repeats `epochs(domain)` times, with
+    * the fractional part decided by a DETERMINISTIC per-row hash coin
+    * (`pmod(fnv64(key), 10⁶) < frac·10⁶`), so de×2.5 yields 2 copies of
+    * every German doc plus a 3rd for a reproducible half of them, and
+    * zh×0.4 is deterministic subsampling (0 full copies, coin keeps 40 %).
+    * Domains absent from `epochs` drop — the spec is exhaustive.
+    *
+    * Output: input columns + `epochCol` (1..copies). (key, epoch) is a
+    * stable identity for downstream shard shuffling — hash it to spread
+    * repeats across shards.
+    *
+    * Scale shape: one scan, a per-row when-chain + generator, NO shuffle
+    * and no driver state; reproducible across reruns/engines/partitionings
+    * (the [[splitByHash]] argument — a seeded random upsample would
+    * scatter copies differently every run). */
+  def materializeEpochs(df: DataFrame, domainCol: String, keyCol: String,
+                        epochs: Map[String, Double],
+                        epochCol: String = "epoch"): DataFrame = {
+    require(epochs.nonEmpty, "epochs must name at least one domain")
+    require(epochs.values.forall(e => e >= 0 && e.isFinite),
+      s"epoch factors must be finite and >= 0: $epochs")
+    val full = epochs.map { case (d, e) => d -> math.floor(e).toInt }
+    // fractional parts scaled to the 10⁶ coin space, rounded ONCE on the
+    // driver so both engines compare against the same integer
+    val frac = epochs.map { case (d, e) =>
+      d -> math.round((e - math.floor(e)) * 1e6)
+    }
+    val coin = pmod(graft.functions.GraftFunctions.fnv64(
+      col(keyCol).cast("string")), lit(1000000L))
+    val copies = (element_at(typedLit(full), col(domainCol)) +
+      when(coin < element_at(typedLit(frac), col(domainCol)), 1).otherwise(0))
+      .as("_copies")
+    df.filter(col(domainCol).isin(epochs.keys.toSeq: _*))
+      .withColumn("_copies", copies)
+      .filter(col("_copies") >= 1)
+      .withColumn(epochCol, explode(sequence(lit(1), col("_copies"))))
+      .drop("_copies")
+  }
 }

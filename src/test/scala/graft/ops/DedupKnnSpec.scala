@@ -439,6 +439,41 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(m1 === m2)
   }
 
+  test("epoch materialization: copy counts, fractional coin rates, determinism, no shuffle") {
+    val docs = (1L to 1000L).map { i =>
+      (i, Seq("en", "de", "zh", "es", "fr")(i.toInt % 5))
+    }.toDF("doc_id", "dom")
+    val eps = Map("en" -> 1.2, "de" -> 2.5, "zh" -> 0.4, "es" -> 0.0)
+    val out = Mixing.materializeEpochs(docs, "dom", "doc_id", eps)
+      .as[(Long, String, Int)].collect()
+    val copies = out.groupBy(_._1).view.mapValues(_.length).toMap
+    val domOf = docs.as[(Long, String)].collect().toMap
+    // integer floors hold exactly; epoch indices are 1..copies
+    assert(out.forall { case (id, _, e) => e >= 1 && e <= copies(id) })
+    assert(copies.forall { case (id, n) => domOf(id) match {
+      case "en" => n == 1 || n == 2
+      case "de" => n == 2 || n == 3
+      case "zh" => n == 1 // zh rows present only via the coin
+      case _ => false     // es×0 and unspecified fr never appear
+    }})
+    // coin rates ≈ fractional parts (binomial over 200 docs/domain)
+    def extraFrac(d: String, base: Int) = {
+      val ids = domOf.collect { case (id, dd) if dd == d => id }
+      ids.count(id => copies.getOrElse(id, 0) > base).toDouble / ids.size
+    }
+    assert(math.abs(extraFrac("en", 1) - 0.2) < 0.1)
+    assert(math.abs(extraFrac("de", 2) - 0.5) < 0.12)
+    assert(math.abs(extraFrac("zh", 0) - 0.4) < 0.12)
+    // deterministic under repartition — same (id, epoch) multiset
+    val again = Mixing.materializeEpochs(docs.repartition(11), "dom", "doc_id", eps)
+      .as[(Long, String, Int)].collect()
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+    // scale contract: pure map + generator — no exchange in the plan
+    val plan = Mixing.materializeEpochs(docs, "dom", "doc_id", eps)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("sequence packing: next-fit bins match the hand-computed layout") {
     val docs = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 500), (5L, 600), (6L, 10))
       .toDF("doc_id", "n_tok")
