@@ -3367,10 +3367,18 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("text_clean"), col("text")).as("text"))
       val keyed = cleaned.withColumn("_ck", Dedup.contentKey(col("text")))
       val reps = keyed.groupBy(col("_ck")).agg(min(col("doc_id")).as("_keep"))
-      val ded = keyed.join(reps, "_ck").filter(col("doc_id") === col("_keep"))
-      val gated = ded.filter(size(Dedup.tokens(col("text"))) >= 5)
+      // materialize the cleaned+deduped corpus ONCE (lazy localCheckpoint):
+      // downstream consumes it 5× (dedup join-back, LM vocab build, scoring
+      // join, threshold aggregate, final filter) and would otherwise
+      // re-run span detection for each — measured 3.1 s → the re-bench
+      // time below. A real pipeline writes this stage boundary to storage;
+      // the checkpoint is the in-session equivalent.
+      val gated = keyed.join(reps, "_ck").filter(col("doc_id") === col("_keep"))
+        .filter(size(Dedup.tokens(col("text"))) >= 5)
         .select("doc_id", "text")
+        .localCheckpoint(false)
       val scored = ops.Selection.unigramLogProb(gated, "text", "doc_id")
+        .localCheckpoint(false)
       val thr = scored.agg(
         round(expr("percentile(avg_logprob, 0.4)"), 6).as("_t"))
       scored.crossJoin(broadcast(thr))

@@ -85,14 +85,16 @@ object Selection {
     * `buckets` of the corpus concentrates the boundary bucket — recurse the
     * same split on the boundary slice if that tail matters.
     *
-    * Token counts must be ≥ 0 (running totals are assumed monotone).
-    * Returns the input schema, filtered; `total ≤ budget` short-circuits to
-    * the input unchanged. */
-  def selectToTokenBudget(df: DataFrame, idCol: String, tokCol: String,
+    * Token counts must be ≥ 0 (running totals are assumed monotone). Rows
+    * with a NULL score or token count are dropped — they have no place in
+    * the priority order. Returns the input schema, filtered; `total ≤
+    * budget` short-circuits to the input unchanged. */
+  def selectToTokenBudget(df0: DataFrame, idCol: String, tokCol: String,
                           scoreCol: String, budget: Long,
                           buckets: Int = 1024): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val df = df0.filter(col(scoreCol).isNotNull && col(tokCol).isNotNull)
     val stats = df.agg(
       min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double"),
       sum(col(tokCol)).cast("long")).head()
@@ -149,7 +151,10 @@ object Selection {
     require(budgets.nonEmpty, "budgets must name at least one group")
     require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    val eligible = df.filter(col(groupCol).isin(budgets.keys.toSeq: _*))
+    // NULL score/tok rows have no place in the priority order (and would
+    // null the driver-side bucket key); isin already excludes null groups
+    val eligible = df.filter(col(groupCol).isin(budgets.keys.toSeq: _*) &&
+      col(scoreCol).isNotNull && col(tokCol).isNotNull)
     val stats = eligible.agg(
       min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double")).head()
     if (stats.isNullAt(0)) return df.limit(0)

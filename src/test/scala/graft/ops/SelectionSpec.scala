@@ -103,6 +103,13 @@ class SelectionSpec extends AnyFunSuite {
     val z = Seq((1L, 0L, 9L), (2L, 3L, 8L)).toDF("doc_id", "n_tok", "score")
     assert(Selection.selectToTokenBudget(z, "doc_id", "n_tok", "score",
       0L, 8).select("doc_id").as[Long].collect().toSet === Set(1L))
+    // null score/tok rows drop instead of NPE-ing the driver bucket read
+    val withNull = Seq((1L, Some(4L), Some(9L)), (2L, None, Some(8L)),
+      (3L, Some(2L), None)).toDF("doc_id", "n_tok", "score")
+    assert(Selection.selectToTokenBudget(withNull, "doc_id", "n_tok", "score",
+      3L, 8).select("doc_id").as[Long].collect().toSet === Set.empty[Long])
+    assert(Selection.selectToTokenBudget(withNull, "doc_id", "n_tok", "score",
+      4L, 8).select("doc_id").as[Long].collect().toSet === Set(1L))
   }
 
   test("token budget: stable under repartition; boundary window sees only its bucket") {
