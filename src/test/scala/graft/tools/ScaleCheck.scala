@@ -135,6 +135,11 @@ object ScaleCheck {
         "event_type", funnelStages).count()
       graft.ops.Funnel.segmentedDepthHistogram(ev0, "user_id", "ts", "event_id",
         "event_type", funnelStages, to_date(col("ts"))).count()
+      graft.ops.Selection.selectToTokenBudget(
+        d0.select(col("doc_id"),
+          size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("score")),
+        "doc_id", "n_tok", "score", budget = 10000L, buckets = 64).count()
     }
     for (k <- ks) {
       val d = replicateDocs(docs, k).localCheckpoint(true)
@@ -176,6 +181,26 @@ object ScaleCheck {
       results(("funnel_segmented", k)) = timed("funnel_segmented", k, nev) {
         graft.ops.Funnel.segmentedDepthHistogram(ev, "user_id", "ts", "event_id",
           "event_type", funnelStages, to_date(col("ts"))).count()
+      }
+      // budget grows with k so the SELECTED FRACTION stays constant —
+      // otherwise the boundary bucket's share of the data would shrink
+      // with k and the measurement would conflate scaling with selectivity
+      results(("token_budget", k)) = timed("token_budget", k, nd) {
+        val proj = d.select(col("doc_id"),
+          size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("score"))
+        graft.ops.Selection.selectToTokenBudget(proj, "doc_id", "n_tok",
+          "score", budget = 120000L * k, buckets = 64).count()
+      }
+      results(("mixture_budget", k)) = timed("mixture_budget", k, nd) {
+        val proj = d.select(col("doc_id"),
+          pmod(col("doc_id"), lit(3)).cast("string").as("dom"),
+          size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("score"))
+        graft.ops.Selection.selectToTokenBudgetByGroup(proj, "dom", "doc_id",
+          "n_tok", "score",
+          budgets = Map("0" -> 40000L * k, "1" -> 40000L * k, "2" -> 40000L * k),
+          buckets = 64).count()
       }
       results(("retention", k)) = timed("retention", k, nev) {
         val cohort = ev.filter(col("event_type") === "signup")
