@@ -2988,6 +2988,50 @@ object SparkEntry {
           col("text_scrubbed"))
     },
 
+    // HTML→text extraction (the stage C4-style curation runs FIRST). The
+    // corpus has no markup, so both engines wrap every 3rd doc in an
+    // identical doc_id-derived HTML shell — tags, a script block whose
+    // contents must vanish (including a bare `<` that merges into one
+    // tag-shaped raw token, same leftmost-greedy match in both dialects),
+    // a style block, and all five core entities (with &amp;-last decode
+    // order observable via the '&amp; Q' → '& Q' vs '&lt;tag&gt;' →
+    // literal '<tag>' distinction). Patterns restricted to the
+    // Java-regex/RE2 common subset (no backreferences — script and style
+    // each get their own block pattern).
+    q("q_strip_markup",
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '<html><body class="c' || CAST(doc_id AS VARCHAR)
+        |        || '"><h1>T &amp; Q</h1><script type="text/javascript">var x = 1 < 2;</script><p>'
+        |        || text || ' &lt;tag&gt; &quot;q&#39;</p><style>.s{color:red}</style></body></html>'
+        |    ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '<[^>]+>')) AS INT) AS n_tags,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(t,
+        |        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text_plain
+        |FROM inj""".stripMargin) { (s, d) =>
+      val injected = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<html><body class=\"c"), col("doc_id"),
+              lit("\"><h1>T &amp; Q</h1><script type=\"text/javascript\">var x = 1 < 2;</script><p>"),
+              col("text"),
+              lit(" &lt;tag&gt; &quot;q&#39;</p><style>.s{color:red}</style></body></html>")))
+            .otherwise(col("text")))
+      TextAnalysis.stripMarkup(injected, "text")
+        .select(col("doc_id"), col("n_tags"), col("text_plain"))
+    },
+
     // Temperature-flattened domain mixing (multinomial α-sampling): target
     // share ∝ n_d^0.5 upsamples low-resource languages relative to the
     // en-heavy natural distribution (en's fraction ≈ 0.28 vs ≈ 0.48 for

@@ -182,6 +182,36 @@ object TextAnalysis {
             Ipv4Re, "<IP>"),
           PhoneRe, "<PHONE>"))
 
+  /** Markup-stripping patterns shared with the oracle — same
+    * Java-regex/RE2 common-subset discipline as the PII patterns: inline
+    * (?is) flags and non-greedy .*? are identical in both dialects; NO
+    * backreference (`</\1>` is not RE2), so script and style blocks get
+    * one pattern each. */
+  val ScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
+  val StyleRe = "(?is)<style\\b[^>]*>.*?</style>"
+  val TagRe = "<[^>]+>"
+
+  /** HTML→text extraction — the stage a C4-style pipeline runs FIRST:
+    * drop script/style blocks with their contents, strip remaining tags,
+    * decode the five core entities (&amp; last, so `&amp;lt;` yields the
+    * literal `&lt;` instead of double-decoding), collapse whitespace runs
+    * to single spaces and trim. `n_tags` counts tag-shaped tokens on the
+    * raw text before any removal. Pure codegen'd regex/replace chain —
+    * single scan, no shuffle. Not a parser: pathological nesting inside
+    * attribute values is out of scope (the common-subset regex contract
+    * is what makes the cross-engine oracle exact). */
+  def stripMarkup(df: DataFrame, textCol: String): DataFrame = {
+    val noBlocks = regexp_replace(
+      regexp_replace(col(textCol), ScriptRe, " "), StyleRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    df.withColumn("n_tags", regexp_count(col(textCol), lit(TagRe)).cast("int"))
+      .withColumn("text_plain",
+        trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
   def documentStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))
       .withColumn("char_count", length(col(textCol)))

@@ -630,6 +630,29 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(twice.toSeq === got.map(_._5).sorted.toSeq)
   }
 
+  test("stripMarkup: blocks vanish with contents, tags strip, entities decode in order") {
+    val docs = Seq(
+      (1L, "<html><body><h1>Title</h1><p>hello <b>bold</b> world</p></body></html>"),
+      (2L, "before<script type=\"a\">var x = 1 < 2; alert('hi')</script>after"),
+      (3L, "a<style>.c{color:red}</style>b"),
+      (4L, "T &amp; Q says &lt;tag&gt; &quot;q&#39; &amp;lt;raw"),
+      (5L, "multi  \t spaces\n\nand lines"),
+      (6L, "no markup at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(docs, "text")
+      .select($"doc_id", $"n_tags", $"text_plain")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 10, "Title hello bold world")))
+    // script CONTENTS gone, not just the tags; the bare `<` merges into
+    // one tag-shaped raw token (leftmost-greedy), so raw count is 2
+    assert(got(1) === ((2L, 2, "before after")))
+    assert(got(2) === ((3L, 2, "a b")))
+    // &amp; decodes LAST: '&amp;lt;' yields literal '&lt;', not '<'
+    assert(got(3) === ((4L, 0, "T & Q says <tag> \"q' &lt;raw")))
+    assert(got(4) === ((5L, 0, "multi spaces and lines")))
+    assert(got(5) === ((6L, 0, "no markup at all")))
+  }
+
   test("cutSpans: doc_b loses exactly the covered tokens, doc_a untouched, overlaps union") {
     val shared = (1 to 14).map("s" + _)
     val d1 = ((1 to 5).map("a" + _) ++ shared ++ (1 to 4).map("z" + _)).mkString(" ")
