@@ -125,6 +125,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.sorted == Seq("one fish", "two fish"), s"got $texts")
   }
 
+  test("stateless curation transforms (stripMarkup, piiScrub) stream ≡ batch") {
+    val docs = Seq(
+      (1L, "<p>mail a.b@x.org</p>"),
+      (2L, "before<script>var x = 1 < 2;</script>after"),
+      (3L, "T &amp; Q at 10.0.200.7"),
+      (4L, "plain text"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = nextSink()
+    // the curation stages are plain DataFrame=>DataFrame combinators, so
+    // the SAME code composes into a streaming topology unchanged
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.piiScrub(
+        graft.ops.TextAnalysis.stripMarkup(df.toDF("doc_id", "text"), "text")
+          .select($"doc_id", $"text_plain".as("text")), "text")
+        .select($"doc_id", $"n_emails", $"n_ips", $"text_scrubbed")
+    val q = curate(ms.toDF())
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData(docs.take(2)); q.processAllAvailable()
+      ms.addData(docs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(out).as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    val batch = curate(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed(0) === ((1L, 1, 0, "mail <EMAIL>")))
+    assert(streamed(1)._4 === "before after")
+    assert(streamed(2) === ((3L, 0, 1, "T & Q at <IP>")))
+  }
+
   test("dedup within watermark: replay suppressed AND state actually evicted") {
     // plain dropDuplicates on a key-only subset would ALSO suppress every
     // replay (its state is never evicted) — what discriminates the
