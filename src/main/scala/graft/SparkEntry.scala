@@ -3160,6 +3160,39 @@ object SparkEntry {
         "text", "doc_id", shingleN = 5, minShared = 1)
     },
 
+    // FUZZY decontamination: Jaccard ≥ 0.8 against any holdout doc (same
+    // train/holdout boundary as q_decontaminate). The oracle recomputes
+    // EXACT pairwise train×holdout Jaccard — LSH misses at j ≥ 0.8 with 48
+    // single-row bands are ≤ 0.2^48, so candidate generation is lossless
+    // in practice and the verify stage makes Spark's output exactly the
+    // definition. Division and round(·, 6) shapes mirrored verbatim.
+    q("q_decontaminate_fuzzy",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
+        |  FROM tok WHERE len(toks) >= 3),
+        |pj AS (
+        |  SELECT tr.doc_id AS doc_id,
+        |    len(list_intersect(tr.g, te.g)) AS shared,
+        |    len(tr.g) AS na, len(te.g) AS nb
+        |  FROM sh tr JOIN sh te ON tr.doc_id >= 100 AND te.doc_id < 100),
+        |jj AS (
+        |  SELECT doc_id, shared / (na + nb - shared) AS j FROM pj
+        |  WHERE na + nb > shared)
+        |SELECT doc_id, count(*) AS n_holdout_hits,
+        |  round(max(j), 6) AS max_jaccard
+        |FROM jj WHERE j >= 0.8 GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFuzzy(
+        docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100),
+        "text", "doc_id", threshold = 0.8, shingleN = 3)
+    },
+
     // Gopher/MassiveText repetition rules: duplicate-word fraction + the
     // most-frequent-bigram share. Spark computes the bigram mode with the
     // codegen'd top_ngram_run kernel — one JVM pass over each row's OWN

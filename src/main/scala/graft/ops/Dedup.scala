@@ -421,6 +421,52 @@ object Dedup {
       contamination(train, test, textCol, idCol, shingleN, minShared, maxDocFreq),
       Seq(idCol), "left_anti")
 
+  /** FUZZY contamination: train docs whose shingle-set Jaccard against ANY
+    * holdout doc reaches `threshold` — the near-verbatim eval leakage
+    * (whitespace/punctuation/token edits) that exact n-gram matching
+    * misses. Output: (idCol, n_holdout_hits, max_jaccard).
+    *
+    * Scale shape: the holdout is an eval set — bounded by definition — so
+    * BOTH its band table and its shingle sets broadcast; the train side is
+    * scanned twice (one banding pass, one verify pass) and never shuffles
+    * except for the candidate-id distinct. Single-row bands by default
+    * (`bands == numHashes`): at j ≥ 0.8 a pair shares any given minhash
+    * w.p. ≥ 0.8, so the miss probability is ≤ 0.2^48 ≈ 4e-34 — candidates
+    * are over-generated and the exact-Jaccard verify discards the excess,
+    * which is the right trade when the probe side is broadcast. Docs with
+    * no shingles (< shingleN tokens) are excluded on both sides — there
+    * is no set to compare. */
+  def contaminationFuzzy(train: DataFrame, test: DataFrame, textCol: String,
+                         idCol: String, threshold: Double, shingleN: Int = 3,
+                         numHashes: Int = 48, bands: Int = 48): DataFrame = {
+    val trOk = train.filter(size(shingles(col(textCol), shingleN)) >= 1)
+    val teOk = test.filter(size(shingles(col(textCol), shingleN)) >= 1)
+    val teB = minhashBands(teOk, textCol, idCol, shingleN, numHashes, bands)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("_hid"))
+    val cand = minhashBands(trOk, textCol, idCol, shingleN, numHashes, bands)
+      .join(broadcast(teB), Seq("band_idx", "band_hash"))
+      .select(col(idCol), col("_hid")).distinct()
+    val trSh = trOk.select(col(idCol), shingles(col(textCol), shingleN).as("_sh_a"))
+    val teSh = teOk.select(col(idCol).as("_hid"),
+      shingles(col(textCol), shingleN).as("_sh_b"))
+    cand.join(trSh, Seq(idCol)).join(broadcast(teSh), Seq("_hid"))
+      .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      .withColumn("_j",
+        col("_inter") / (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
+      .filter(col("_j") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_holdout_hits"),
+        round(max(col("_j")), 6).as("max_jaccard"))
+  }
+
+  /** The fuzzily-decontaminated corpus: [[contaminationFuzzy]]'s hits
+    * anti-joined away. */
+  def decontaminateFuzzy(train: DataFrame, test: DataFrame, textCol: String,
+                         idCol: String, threshold: Double,
+                         shingleN: Int = 3): DataFrame =
+    train.join(contaminationFuzzy(train, test, textCol, idCol, threshold, shingleN),
+      Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-dups, exact within LSH candidate buckets.
     * Buckets hold ids only (vectors are wide — shuffling them through the
     * band exchange would dominate); candidate pairs are deduplicated FIRST,

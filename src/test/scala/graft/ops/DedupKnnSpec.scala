@@ -381,6 +381,33 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(clean === Set(2L, 3L))
   }
 
+  test("fuzzy decontamination: near-verbatim leak caught, tangential overlap passes") {
+    val base = (1 to 12).map("w" + _)
+    val test = Seq((900L, base.mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      // verbatim copy → jaccard 1.0
+      (1L, base.mkString(" ")),
+      // one token swapped mid-sequence: breaks 3 of 10 3-shingles, j = 7/13 ≈ 0.54
+      (2L, base.updated(5, "EDIT").mkString(" ")),
+      // shares a 5-token run only: tangential quote, j = 3/15 = 0.2
+      (3L, ((1 to 5).map("w" + _) ++ (1 to 5).map("q" + _)).mkString(" ")),
+      // disjoint
+      (4L, (1 to 10).map("z" + _).mkString(" "))).toDF("doc_id", "text")
+    val hits = Dedup.contaminationFuzzy(train, test, "text", "doc_id",
+      threshold = 0.5).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(hits.keySet === Set(1L, 2L), s"got $hits")
+    assert(hits(1L)._3 === 1.0)
+    assert(math.abs(hits(2L)._3 - 7.0 / 13.0) < 1e-6)
+    val clean = Dedup.decontaminateFuzzy(train, test, "text", "doc_id",
+      threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(3L, 4L))
+    // the holdout side broadcasts — the train side must not shuffle-join it
+    val plan = Dedup.contaminationFuzzy(train, test, "text", "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("hash split: exhaustive partition, rerun/repartition-stable, duplicates co-located") {
     val docs = graft.Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text")
