@@ -3193,6 +3193,43 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.8, shingleN = 3)
     },
 
+    // CCNet-style SEGMENT dedup with reassembly: disjoint 8-token windows,
+    // first corpus-wide occurrence of each distinct segment survives,
+    // documents reassemble from their surviving segments in order (fully
+    // duplicated docs vanish). The oracle replays the identical
+    // segmentation (the q_chunk_passages range idiom), picks keepers by
+    // the same packed (doc<<20|idx) key, and reassembles with an ordered
+    // string_agg.
+    q("q_segment_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 1, 0) + 1, 8)) AS s
+        |  FROM toks),
+        |seg AS (
+        |  SELECT doc_id, CAST(s // 8 AS INT) AS seg_idx,
+        |    array_to_string(list_slice(tk, s + 1, s + 8), ' ') AS ptext
+        |  FROM st WHERE len(tk) - s > 0),
+        |firsts AS (
+        |  SELECT ptext, min(doc_id * 1048576 + seg_idx) AS keep
+        |  FROM seg GROUP BY ptext),
+        |kept AS (
+        |  SELECT seg.doc_id, seg.seg_idx, seg.ptext FROM seg
+        |  JOIN firsts ON seg.ptext = firsts.ptext
+        |    AND seg.doc_id * 1048576 + seg.seg_idx = firsts.keep),
+        |tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id)
+        |SELECT k.doc_id,
+        |  string_agg(k.ptext, ' ' ORDER BY k.seg_idx) AS clean_text,
+        |  count(*) AS n_kept,
+        |  any_value(t.n_segments) AS n_segments
+        |FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+        |GROUP BY k.doc_id""".stripMargin) { (s, d) =>
+      Dedup.dedupSegments(Tables.documents(s, d), "text", "doc_id",
+        segTokens = 8)
+    },
+
     // Gopher/MassiveText repetition rules: duplicate-word fraction + the
     // most-frequent-bigram share. Spark computes the bigram mode with the
     // codegen'd top_ngram_run kernel — one JVM pass over each row's OWN

@@ -459,6 +459,51 @@ object Dedup {
         round(max(col("_j")), 6).as("max_jaccard"))
   }
 
+  /** Corpus-level SEGMENT dedup with reassembly — the CCNet/RefinedWeb
+    * paragraph-dedup stage: cut every document into disjoint
+    * `segTokens`-token windows, keep exactly the FIRST corpus-wide
+    * occurrence of each distinct segment text (smallest (doc, idx)), and
+    * reassemble each document from its surviving segments in order. The
+    * granularity exact doc-level dedup and substring span-cutting both
+    * miss: boilerplate headers/footers repeated across thousands of pages
+    * disappear while each page's unique body survives. Docs whose every
+    * segment occurred earlier vanish. Output: (idCol, clean_text, n_kept,
+    * n_segments).
+    *
+    * Scale shape: segment BODIES never enter the dedup exchange. The
+    * segment hash is computed map-side, the first-occurrence aggregation
+    * and decision join run over 16-byte (hash, key) rows, and the
+    * surviving indices come back to the corpus as one small int array per
+    * doc — so the only shuffle that carries text is the doc-grain join of
+    * the bodies themselves, once; each doc then re-chunks row-locally.
+    * fnv64 collisions can merge distinct segments (the same ~2⁻⁶⁴/pair
+    * trade [[exact]] takes). The keeper key packs (doc, idx) into one
+    * long — exact while chunk_idx < 2²⁰, i.e. docs under ~8M tokens. */
+  def dedupSegments(df: DataFrame, textCol: String, idCol: String,
+                    segTokens: Int): DataFrame = {
+    val segs = TextAnalysis.chunkPassages(df, textCol, idCol,
+        size = segTokens, stride = segTokens)
+      .filter(col("n_tok") > 0)
+      .select(col(idCol), col("chunk_idx"),
+        fnv64(col("passage")).as("_shash"),
+        (col(idCol).cast("long") * (1L << 20) + col("chunk_idx")).as("_skey"))
+    val firsts = segs.groupBy(col("_shash")).agg(min(col("_skey")).as("_keep"))
+    val keptIdx = segs.join(firsts, Seq("_shash"))
+      .filter(col("_skey") === col("_keep"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("chunk_idx"))).as("_kidx"),
+        count(lit(1)).as("n_kept"))
+    df.join(keptIdx, Seq(idCol))
+      .withColumn("_tk", tokens(col(textCol)))
+      .select(col(idCol),
+        array_join(flatten(transform(col("_kidx"),
+          i => slice(col("_tk"), i * segTokens + 1, lit(segTokens)))), " ")
+          .as("clean_text"),
+        col("n_kept"),
+        ceil(size(col("_tk")) / lit(segTokens.toDouble)).cast("long")
+          .as("n_segments"))
+  }
+
   /** The fuzzily-decontaminated corpus: [[contaminationFuzzy]]'s hits
     * anti-joined away. */
   def decontaminateFuzzy(train: DataFrame, test: DataFrame, textCol: String,

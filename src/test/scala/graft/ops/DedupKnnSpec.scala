@@ -408,6 +408,38 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("segment dedup: first occurrence survives, docs reassemble, full dups vanish") {
+    val segA = (1 to 4).map("a" + _).mkString(" ")   // 4-token segments, S=4
+    val segB = (1 to 4).map("b" + _).mkString(" ")
+    val segC = (1 to 4).map("c" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$segA $segB"),        // both segments novel → intact
+      (2L, s"$segA $segC"),        // seg 0 seen in doc 1 → keeps only segC
+      (3L, s"$segA $segB"),        // exact copy of doc 1 → vanishes
+      (4L, s"$segC $segC x1 x2"),  // segC seen (doc 2); partial tail segment novel
+      (5L, "   ")                  // whitespace-only → no segments → vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, "text", "doc_id", segTokens = 4)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L) === ((1L, s"$segA $segB", 2L, 2L)))
+    assert(out(2L) === ((2L, segC, 1L, 2L)))
+    // doc 4: segC dropped (first seen in doc 2), its own repeat dropped
+    // (within-doc dup), the 2-token tail survives
+    assert(out(4L) === ((4L, "x1 x2", 1L, 3L)))
+    // the dedup exchange must carry hashes/keys, not segment bodies: no
+    // Exchange input may include the passage (or token-array) column —
+    // only the doc-grain join of the original `text` bodies ships text
+    val plan = Dedup.dedupSegments(docs, "text", "doc_id", 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val exchangeInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, plan.take(2000))
+    val bodies = exchangeInputs.filter(in =>
+      in.contains("passage") || in.contains("_tk"))
+    assert(bodies.isEmpty, s"segment bodies crossed an exchange: $bodies")
+  }
+
   test("hash split: exhaustive partition, rerun/repartition-stable, duplicates co-located") {
     val docs = graft.Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text")
