@@ -2234,6 +2234,30 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rn"))
     },
 
+    // Contrastive hard-negative mining: per query, the top-5 most-similar
+    // vectors with a DIFFERENT label (rank-only output, the q_knn_join
+    // float-tie recipe: order is fully determined by sim desc + vec_id, so
+    // no float crosses the hash compare).
+    q("q_hard_negatives",
+      """SELECT q_id, vec_id, rn FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id,
+        |    row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                      q.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 6) q
+        |  WHERE e.label <> q.label
+        |) WHERE rn <= 5""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label"))
+      Knn.hardNegatives(queries, "q_id", "q_vec", "label",
+          e, "vec_id", "embedding", "label", 5)
+        .select(col("q_id"), col("vec_id"), col("rn"))
+    },
+
     // Okapi BM25 keyword retrieval — the engine-side keyword half of the
     // reference's serving stack (its OpenSearch index analyzes `text` for
     // BM25 next to the knn_vector field, index-creation lambda :69-96).
@@ -2949,6 +2973,30 @@ object SparkEntry {
           .select("doc_id", "lang"),
         "lang", "doc_id",
         epochs = Map("en" -> 1.2, "de" -> 2.5, "zh" -> 0.4, "es" -> 0.0))
+    },
+
+    // Deterministic EXACT-k sample per group (eval carving / per-domain
+    // caps): rows rank by fnv64("s0:" + doc_id), top 40 per lang. The
+    // oracle replays the hash via the recursive FNV fold + sign shim and
+    // ranks by the same DOUBLE image with the same doc_id tiebreak.
+    q("q_sample_per_group",
+      s"""WITH RECURSIVE docs0 AS (
+        |  SELECT doc_id, lang FROM documents),
+        |${fnvFoldCtes("sfold", "docs0", "doc_id", "'s0:' || CAST(doc_id AS VARCHAR)")},
+        |sh AS (
+        |  SELECT k AS doc_id,
+        |    CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
+        |         THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT) AS h
+        |  FROM sfold),
+        |r AS (
+        |  SELECT d.lang, d.doc_id,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY CAST(s.h AS DOUBLE) ASC, d.doc_id) AS rn
+        |  FROM docs0 d JOIN sh s ON s.doc_id = d.doc_id)
+        |SELECT lang, doc_id, CAST(rn AS INT) AS rn FROM r WHERE rn <= 40""".stripMargin) { (s, d) =>
+      ops.Mixing.sampleKPerGroup(
+        Tables.documents(s, d).select("lang", "doc_id"),
+        "lang", "doc_id", k = 40)
     },
 
     // PII scrubbing (C4-style curation stage). The corpus contains no

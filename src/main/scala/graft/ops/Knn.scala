@@ -196,6 +196,38 @@ object Knn {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Contrastive hard-negative mining: for every query row, the top-k
+    * most-similar corpus rows whose label DIFFERS from the query's — the
+    * standard negative-selection step when building contrastive /
+    * embedding-model training pairs (the "hard" negatives are the
+    * near-misses that actually move the loss). Same plan shape as
+    * [[knnJoin]] — broadcast the query set, one corpus scan, bounded
+    * [[graft.functions.TopKByScore]] partial aggregation — with the
+    * label-mismatch predicate applied BEFORE the top-k, so positives
+    * never occupy shortlist slots and the mining stays a single pass.
+    * Output: (qIdCol, cIdCol, score, rn). */
+  def hardNegatives(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    qLabelCol: String,
+                    corpus: DataFrame, cIdCol: String, cVecCol: String,
+                    cLabelCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val scored = corpus
+      .select(col(cIdCol).cast("long").as("_cid"), col(cVecCol),
+        col(cLabelCol).as("_clab"))
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol),
+        col(qLabelCol).as("_qlab"))))
+      .filter(col("_clab") =!= col("_qlab"))
+      .select(col(qIdCol), col("_cid"),
+        cosine_sim(col(cVecCol), col(qVecCol)).as("_score"))
+    scored.groupBy(col(qIdCol))
+      .agg(topk(col("_score"), col("_cid")).as("_top"))
+      .select(col(qIdCol), posexplode(col("_top")))
+      .select(col(qIdCol),
+        col("col.id").as(cIdCol),
+        col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   // -------------------------------------------------------------------- PQ
 
   /** Train per-subspace PQ codebooks over a bounded driver-side sample —

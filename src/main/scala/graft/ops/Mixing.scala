@@ -93,6 +93,41 @@ object Mixing {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Deterministic EXACT-k sample per group — the fraction-free sibling of
+    * [[mixByTemperature]] (a `sampleBy` fraction only hits its target size
+    * in expectation; eval-set carving and per-domain caps need exactly k).
+    * Rows rank by a seeded content-independent hash of their id
+    * (`fnv64(seed:id)`), so the sample is reproducible across reruns,
+    * engines, and repartitionings, and extending k by one only ADDS a row
+    * (prefix-stable, like a shuffled deck dealt from the top). Output:
+    * (groupCol, idCol, rn) with rn in 1..k per group; groups smaller than
+    * k return whole.
+    *
+    * Scale shape: NOT a window — `row_number() OVER (PARTITION BY group)`
+    * sorts each whole group in one task, the OOM shape when a group is a
+    * domain with 10⁹ docs. The bounded [[graft.functions.TopKByScore]]
+    * partial aggregation trims every input partition to k before the
+    * exchange, so the shuffle carries ≤ partitions × groups × k tiny rows
+    * regardless of group skew. The hash ranks through its DOUBLE image
+    * (ties broken by id) — deterministic, and order-equivalent to the
+    * exact 64-bit order except on 2⁻¹¹-rare mantissa collisions, where
+    * the id tiebreak keeps both engines aligned anyway. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      k: Int, seed: String = "s0"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    df.select(col(groupCol),
+        col(idCol).cast("long").as("_id"),
+        negate(graft.functions.GraftFunctions.fnv64(
+          concat(lit(seed + ":"), col(idCol).cast("string")))
+          .cast("double")).as("_ord"))
+      .groupBy(col(groupCol))
+      .agg(topk(col("_ord"), col("_id")).as("_top"))
+      .select(col(groupCol), posexplode(col("_top")))
+      .select(col(groupCol), col("col.id").as(idCol),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Epoch materialization — the step that turns mixture weights into an
     * actual training corpus: each row repeats `epochs(domain)` times, with
     * the fractional part decided by a DETERMINISTIC per-row hash coin

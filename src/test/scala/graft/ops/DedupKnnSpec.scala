@@ -440,6 +440,52 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(bodies.isEmpty, s"segment bodies crossed an exchange: $bodies")
   }
 
+  test("hard negatives: same-label excluded, nearest different-label ranks first") {
+    // label-0 cluster near (1,0); label-1 vectors at known cosines to it
+    val corpus = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),   // same label, cos ≈ 0.994 — must NOT appear
+      (2L, Array(0.6f, 0.8f), 1),   // cos 0.6
+      (3L, Array(0f, 1f), 1),       // cos 0.0
+      (4L, Array(0.8f, 0.6f), 1)    // cos 0.8 — the hardest negative
+    ).toDF("vec_id", "embedding", "label")
+    val qs = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"label")
+    val out = Knn.hardNegatives(qs, "q_id", "q_vec", "label",
+        corpus, "vec_id", "embedding", "label", 2)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((0L, 4L, 1), (0L, 2L, 2)))
+  }
+
+  test("sample k per group: exact k, window-equivalent, prefix-stable, repartition-invariant") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf).select("lang", "doc_id")
+    val s5 = Mixing.sampleKPerGroup(docs, "lang", "doc_id", 5)
+    val got = s5.as[(String, Long, Int)].collect().toSet
+    s5.groupBy("lang").count().as[(String, Long)].collect()
+      .foreach { case (l, c) => assert(c === 5, s"lang $l") }
+    // ≡ the window formulation on the same ranking key (the shape the op
+    // deliberately avoids at scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(graft.functions.GraftFunctions.fnv64(
+        concat(lit("s0:"), $"doc_id".cast("string"))).cast("double").asc,
+        $"doc_id")
+    val exp = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"lang", $"doc_id", $"rn".cast("int"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(got === exp)
+    // dealt-from-the-top: k=8's first five rows ARE the k=5 sample
+    val s8 = Mixing.sampleKPerGroup(docs, "lang", "doc_id", 8)
+      .filter($"rn" <= 5).as[(String, Long, Int)].collect().toSet
+    assert(s8 === got)
+    val sp = Mixing.sampleKPerGroup(docs.repartition(7), "lang", "doc_id", 5)
+      .as[(String, Long, Int)].collect().toSet
+    assert(sp === got)
+    // a group smaller than k returns whole
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("lang", "doc_id")
+    assert(Mixing.sampleKPerGroup(tiny, "lang", "doc_id", 5).count() === 3)
+  }
+
   test("hash split: exhaustive partition, rerun/repartition-stable, duplicates co-located") {
     val docs = graft.Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text")
