@@ -2843,6 +2843,34 @@ object SparkEntry {
       ops.Selection.unigramLogProb(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // Bigram LM with add-1 smoothing — the word-ORDER-aware perplexity
+    // proxy (P(w2|w1) = (c12+1)/(c1+V)). Same scaled-LONG ln discipline
+    // as the unigram LM; V counts the FULL token vocabulary (all
+    // positions, all docs), histories count bigram occurrences.
+    q("q_bigram_logprob",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[s+1] || ' ' || tk[s+2] AS bg, tk[s+1] AS w1
+        |  FROM (SELECT * FROM tk WHERE len(tk) >= 2), unnest(range(0, len(tk)-1)) u(s)),
+        |c12 AS (SELECT bg, min(w1) AS w1, count(*) AS c12 FROM bg GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs
+        |      FROM (SELECT unnest(tk) AS w FROM tk)),
+        |lp AS (
+        |  SELECT bg, CAST(round(ln((CAST(c12 AS DOUBLE) + 1.0)
+        |    / (CAST(c1 AS DOUBLE) + vs)) * 1000000.0) AS BIGINT) AS lp
+        |  FROM c12 JOIN c1 USING (w1), v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(round(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+        |    / 1000000.0 AS avg_logprob
+        |FROM bg JOIN lp USING (bg)
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      ops.Selection.bigramLogProb(Tables.documents(s, d), "text", "doc_id")
+    },
+
     // DSIR importance log-weights (Xie et al. 2023): hashed-bigram feature
     // distributions, target = non-English docs (the multilingual-upsampling
     // selection, matching q_domain_mix's narrative), raw = whole corpus,
@@ -3239,6 +3267,50 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 100),
         docs.filter(col("doc_id") < 100),
         "text", "doc_id", threshold = 0.8, shingleN = 3)
+    },
+
+    // Bloom-filter decontamination (contract-aggregate oracle, the r4 ANN
+    // pattern): the Bloom path must catch EVERY exactly-contaminated doc
+    // (no false negatives), never under-count a doc's shared grams, and
+    // over-flag at most a hair (fpp 1e-6 over ~4k test grams → extras
+    // deterministically ≤ 10; Spark's bloom build is order-independent
+    // bit-OR with fixed murmur3 seeds, so the flag set is stable across
+    // runs and partitionings). DuckDB recomputes the exact overlap and
+    // emits the contract constants; any violation breaks the row hash.
+    q("q_decontaminate_bloom",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 3),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS g
+        |  FROM tok WHERE len(toks) >= 5),
+        |ex AS (
+        |  SELECT tr.doc_id FROM sh tr JOIN sh te ON tr.g = te.g
+        |  WHERE tr.doc_id >= 100 AND te.doc_id < 100
+        |  GROUP BY tr.doc_id)
+        |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact_hits,
+        |  CAST(0 AS BIGINT) AS n_leaked,
+        |  CAST(0 AS BIGINT) AS n_undercount,
+        |  true AS extras_bounded""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") >= 100)
+      val test = docs.filter(col("doc_id") < 100)
+      val exact = Dedup.contamination(train, test, "text", "doc_id",
+        shingleN = 5, minShared = 1)
+      val bloom = Dedup.contaminationBloom(train, test, "text", "doc_id",
+        shingleN = 5, minShared = 1)
+      val checks = exact.join(bloom, Seq("doc_id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact_hits"),
+          sum(when(col("n_gram_hits").isNull, 1).otherwise(0))
+            .cast("bigint").as("n_leaked"),
+          sum(when(col("n_gram_hits") < col("shared_ngrams"), 1).otherwise(0))
+            .cast("bigint").as("n_undercount"))
+      checks.crossJoin(bloom.agg(count(lit(1)).as("_nb")))
+        .select(col("n_exact_hits"), col("n_leaked"), col("n_undercount"),
+          (col("_nb") - col("n_exact_hits") <= 10).as("extras_bounded"))
     },
 
     // CCNet-style SEGMENT dedup with reassembly: disjoint 8-token windows,

@@ -421,6 +421,52 @@ object Dedup {
       contamination(train, test, textCol, idCol, shingleN, minShared, maxDocFreq),
       Seq(idCol), "left_anti")
 
+  /** Bloom-filter decontamination — the GPT-3/RedPajama recipe at the
+    * scale point where even the holdout's exact shingle-hash set is too
+    * wide to broadcast: a Bloom filter over the holdout's n-gram hashes
+    * costs ~10·log₁₀(1/fpp)/ln(2)² bits per gram (vs 64 for exact
+    * hashes), at the price of a tunable false-positive rate that can only
+    * OVER-flag — Blooms have no false negatives, so every exactly
+    * contaminated doc is caught. Same output contract as [[contamination]]:
+    * (idCol, n_gram_hits) for train docs with ≥ minShared distinct grams
+    * hitting the filter; per-doc n_gram_hits ≥ the exact shared count,
+    * equal except on FP grams.
+    *
+    * Scale shape: the filter builds in one treeAggregate over the holdout
+    * gram hashes and ships to every task in the closure (fixed size, set
+    * by expected-items × fpp — not by holdout bytes); the train side
+    * tests membership MAP-SIDE and shuffles only (id) rows of surviving
+    * grams for the per-doc count. The membership test is a deliberate
+    * Scala UDF: Spark's own bloom `might_contain` expression is not
+    * callable on a driver-built filter without internal APIs, and the UDF
+    * sits behind a codegen'd fnv64 + explode, off the wide path. */
+  def contaminationBloom(train: DataFrame, test: DataFrame, textCol: String,
+                         idCol: String, shingleN: Int = 5, minShared: Int = 1,
+                         fpp: Double = 1e-6): DataFrame = {
+    val teGrams = test
+      .select(explode(shingles(col(textCol), shingleN)).as("_g"))
+      .select(fnv64(col("_g")).as("_gh")).distinct()
+    // holdout-bounded driver scalar: the filter must be sized before build
+    val expected = math.max(teGrams.count(), 1L)
+    val bf = teGrams.stat.bloomFilter("_gh", expected, fpp)
+    val might = udf((h: Long) => bf.mightContainLong(h))
+    train.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("_g"))
+      .select(col(idCol), fnv64(col("_g")).as("_gh"))
+      .filter(might(col("_gh")))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_gram_hits"))
+      .filter(col("n_gram_hits") >= minShared)
+  }
+
+  /** The Bloom-decontaminated corpus: [[contaminationBloom]]'s hits
+    * anti-joined away. Removes a superset of [[decontaminate]]'s removals
+    * (exact hits plus ~fpp-rare over-flags), never a subset. */
+  def decontaminateBloom(train: DataFrame, test: DataFrame, textCol: String,
+                         idCol: String, shingleN: Int = 5,
+                         minShared: Int = 1, fpp: Double = 1e-6): DataFrame =
+    train.join(
+      contaminationBloom(train, test, textCol, idCol, shingleN, minShared, fpp),
+      Seq(idCol), "left_anti")
+
   /** FUZZY contamination: train docs whose shingle-set Jaccard against ANY
     * holdout doc reaches `threshold` — the near-verbatim eval leakage
     * (whitespace/punctuation/token edits) that exact n-gram matching

@@ -66,6 +66,54 @@ object Selection {
           .as("avg_logprob"))
   }
 
+  /** Per-document mean BIGRAM log-probability under the corpus's own
+    * add-1-smoothed bigram LM — one order up from [[unigramLogProb]]
+    * toward the CCNet recipe's KenLM: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V),
+    * so word-ORDER anomalies (shuffled text, keyword stuffing) now score
+    * low even when every individual token is common. Output: (idCol,
+    * n_bigrams, avg_logprob); docs with < 2 tokens have no bigram to
+    * score and are absent. Same scaled-LONG discipline as the unigram LM:
+    * per-bigram ln accumulates as round(ln·10⁶) integers, order-exact.
+    *
+    * Scale shape: the model table is bounded by DISTINCT BIGRAMS — unlike
+    * the unigram vocab it is NOT broadcastable at corpus scale, so the
+    * scoring join runs at bigram grain (the stream side carries only
+    * (id, bigram) pairs, never documents); the history-count and
+    * vocab-size factors fold into the model build (one groupBy + one
+    * vocab-bounded join). */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tk = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+    val n = size(col("_tk"))
+    val bg = tk.select(col(idCol),
+      explode(zip_with(
+        slice(col("_tk"), lit(1), n - 1), slice(col("_tk"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))).as("_bg"))
+    val c12 = bg.groupBy(col("_bg"))
+      .agg(count(lit(1)).as("_c12"), min(split(col("_bg"), " ")(0)).as("_w1"))
+    val c1 = bg.select(split(col("_bg"), " ")(0).as("_w1"))
+      .groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
+    val vRow = df.select(explode(Dedup.tokens(col(textCol))).as("_w"))
+      .agg(countDistinct(col("_w")).cast("double").as("_V"))
+    val model = c12.join(broadcast(c1), Seq("_w1"))
+      .crossJoin(broadcast(vRow))
+      .select(col("_bg"),
+        round(log((col("_c12").cast("double") + lit(1.0))
+          / (col("_c1").cast("double") + col("_V"))) * lit(1e6))
+          .cast("long").as("_lp"))
+    bg.join(model, Seq("_bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_s"))
+      // average in integer MICRO-units, then divide: round(Σlp/n) of a
+      // ≤2⁵³ integer quotient is exact in both engines, whereas
+      // round(Σlp/10⁶/n, 6) lands on .xxxxxx5 half-cases (e.g. n=20,
+      // Σ≡10 mod 20) where Spark's BigDecimal and DuckDB's C round
+      // disagree on the binary expansion — caught at sf0.1
+      .select(col(idCol), col("n_bigrams"),
+        (round(col("_s").cast("double") / col("n_bigrams").cast("double"))
+          .cast("long").cast("double") / lit(1e6)).as("avg_logprob"))
+  }
+
   /** Select documents in priority order until a global token budget is hit:
     * keep exactly those rows whose running token total — over the total
     * order (scoreCol DESC, idCol ASC) — stays ≤ `budget`. The "assemble the

@@ -408,6 +408,31 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bloom decontamination: no false negatives vs exact, clean docs survive") {
+    val base = (1 to 20).map("w" + _)
+    val test = Seq((1L, base.mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      (100L, base.take(8).mkString(" ") + " " + (1 to 5).map("u" + _).mkString(" ")),
+      (101L, (1 to 12).map("z" + _).mkString(" ")),
+      (102L, base.mkString(" "))).toDF("doc_id", "text")
+    val exact = Dedup.contamination(train, test, "text", "doc_id", 5, 1)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.contaminationBloom(train, test, "text", "doc_id", 5, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet === Set(100L, 102L))
+    // every exact hit flagged, with at least the exact gram count
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id) && bloom(id) >= n, s"doc $id: $bloom vs $exact") }
+    // the clean doc survives decontamination (fpp 1e-6 on 3 grams)
+    val clean = Dedup.decontaminateBloom(train, test, "text", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(101L))
+    // deterministic across repartitionings
+    val b2 = Dedup.contaminationBloom(train.repartition(5), test, "text",
+      "doc_id", 5, 1).as[(Long, Long)].collect().toMap
+    assert(b2 === bloom)
+  }
+
   test("segment dedup: first occurrence survives, docs reassemble, full dups vanish") {
     val segA = (1 to 4).map("a" + _).mkString(" ")   // 4-token segments, S=4
     val segB = (1 to 4).map("b" + _).mkString(" ")

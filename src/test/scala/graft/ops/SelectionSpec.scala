@@ -23,6 +23,26 @@ class SelectionSpec extends AnyFunSuite {
     assert(got(1L)._3 > got(2L)._3)
   }
 
+  test("bigram log-prob: add-1 smoothing hand-checked; single-token docs absent") {
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
+    val got = Selection.bigramLogProb(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // bigrams: d1 = (a b)×2, (b a); d2 = (a a). histories: a→3, b→1. V=3.
+    // P(b|a) = (2+1)/(3+3) = 0.5; P(a|b) = (1+1)/(1+3) = 0.5;
+    // P(a|a) = (1+1)/(3+3) = 1/3
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._2 === 3L && got(2L)._2 === 1L)
+    assert(math.abs(got(1L)._3 - math.log(0.5)) < 2e-6)
+    assert(math.abs(got(2L)._3 - math.log(1.0 / 3.0)) < 2e-6)
+    // word order matters now: scrambled text scores differ from natural
+    // even with identical token multiset (unigram LM can't see this)
+    val pair = Seq((10L, "a b a b a b"), (11L, "a a a b b b"))
+      .toDF("doc_id", "text")
+    val s = Selection.bigramLogProb(pair, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(s(10L) > s(11L), s"frequent-bigram doc must outscore: $s")
+  }
+
   test("dsir: target-like feature distributions get higher weights; stable under repartition") {
     // non-en docs use a disjoint bigram vocabulary from en docs
     val docs = Seq(
