@@ -1923,6 +1923,60 @@ object SparkEntry {
     // ONE aggregate pass (no per-column jobs). Distincts are exact here;
     // at 100 TB swap in approx_count_distinct per the q_approx_distinct
     // contract.
+    // Corpus diversity: mean pairwise cosine over ALL n·(n−1) pairs via
+    // the centroid-norm identity ‖Σv̂‖² − Σ‖v̂‖² — one O(n·d) pass, no
+    // pair materialized. Integer-exact on the 10⁻⁶-quantized unit sphere:
+    // per-dim sums are LONG/HUGEINT, squares DECIMAL, so both engines
+    // compute the identical rational before one final double division.
+    q("q_corpus_diversity",
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |nr AS (SELECT v, sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nm
+        |       FROM e),
+        |qd AS (SELECT i, CAST(round(v[i]/nm*1000000.0) AS BIGINT) AS q
+        |       FROM nr, unnest(range(1, len(v)+1)) u(i)),
+        |dims AS (SELECT i, sum(q) AS s, sum(q::HUGEINT * q::HUGEINT) AS sf
+        |         FROM qd GROUP BY i),
+        |tot AS (SELECT sum(s::HUGEINT * s::HUGEINT) AS ss, sum(sf) AS selfss,
+        |        CAST(count(*) AS INT) AS dim FROM dims),
+        |n AS (SELECT count(*) AS n FROM e)
+        |SELECT n.n, tot.dim,
+        |  round((CAST(ss AS DOUBLE) - CAST(selfss AS DOUBLE)) / 1e12
+        |    / (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)), 6)
+        |    AS avg_pairwise_cos
+        |FROM tot, n""".stripMargin) { (s, d) =>
+      ops.CorpusStats.corpusDiversity(Tables.embeddings(s, d), "embedding")
+    },
+
+    // Vocabulary KL drift KL(en ‖ rest): add-1 smoothed over the joint
+    // vocab, counts×ln-micro accumulated as exact integers, final
+    // division rounds once in micro-units (the bigram-LM half-case
+    // discipline).
+    q("q_vocab_kl",
+      """WITH ex AS (
+        |  SELECT lang = 'en' AS p,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, sum(CASE WHEN p THEN 1 ELSE 0 END) AS cp,
+        |             sum(CASE WHEN p THEN 0 ELSE 1 END) AS cq
+        |      FROM ex GROUP BY w),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(cp) AS BIGINT) AS tp,
+        |             CAST(sum(cq) AS BIGINT) AS tq FROM c),
+        |s AS (SELECT sum((cp + 1)::HUGEINT *
+        |        (CAST(round(ln((CAST(cp AS DOUBLE)+1.0)
+        |           /(CAST(tp AS DOUBLE)+CAST(v AS DOUBLE)))*1000000.0) AS BIGINT)
+        |       - CAST(round(ln((CAST(cq AS DOUBLE)+1.0)
+        |           /(CAST(tq AS DOUBLE)+CAST(v AS DOUBLE)))*1000000.0) AS BIGINT))::HUGEINT)
+        |        AS sm
+        |      FROM c, t)
+        |SELECT t.v AS n_vocab, t.tp AS p_tokens, t.tq AS q_tokens,
+        |  CAST(round(CAST(sm AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(v AS DOUBLE)))
+        |    AS BIGINT)/1000000.0 AS kl_nats
+        |FROM s, t""".stripMargin) { (s, d) =>
+      ops.CorpusStats.vocabKl(Tables.documents(s, d), "text",
+        col("lang") === "en")
+    },
+
     q("q_profile",
       """SELECT count(*) AS n_rows,
         |  CAST(count(*) - count(l_partkey) AS BIGINT) AS partkey_nulls,

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.GraftFunctions._
+
+/** Corpus-level monitoring metrics — the numbers a training-data pipeline
+  * tracks BETWEEN runs (is this snapshot more repetitive / less diverse /
+  * drifted vs the last one?), as distinct from the per-document scores in
+  * [[Selection]] and [[TextAnalysis]]. Both operators return one (or a
+  * handful of) rows from a single distributed pass, and both do their
+  * accumulation in exact integer space so the result is identical across
+  * engines, partitionings, and reruns — the property every oracle in this
+  * repo leans on, applied to metrics whose naive formulation (double sums
+  * over millions of rows) is order-dependent.
+  */
+object CorpusStats {
+
+  /** Mean pairwise cosine similarity across ALL n·(n−1) ordered pairs of
+    * the corpus — without materializing a single pair. Identity: with
+    * normalized vectors v̂, Σ_{i≠j} cos(v_i,v_j) = ‖Σv̂‖² − Σ‖v̂‖², so one
+    * pass accumulating per-dimension sums is enough: O(n·d) work, no join,
+    * no n² anywhere. Low mean similarity = diverse corpus; a climbing
+    * value between snapshots flags template/boilerplate creep that
+    * per-document dedup scores miss. Output: (n, dim, avg_pairwise_cos).
+    *
+    * Exactness: each normalized coordinate quantizes to round(v̂_d·10⁶)
+    * (a LONG), so the per-dimension sums S_d and self-energy Σq² are
+    * exact integers; ‖Σ‖² recombines as DECIMAL(38,0) — the metric is
+    * bit-identical across engines/partitionings, defined on the
+    * 10⁻⁶-quantized unit sphere (bias ≤ ~10⁻⁵, shared by both engines).
+    *
+    * Scale shape: the only exchange carries d partial-sum rows per input
+    * partition (map-side combined) — bytes, not vectors; the final
+    * combine over d rows is a scalar job. */
+  def corpusDiversity(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val qd = df
+      .select(v.as("_v"), sqrt(dot_product(v, v)).as("_nm"))
+      .select(posexplode(col("_v")).as(Seq("_i", "_x")), col("_nm"))
+      .select(col("_i"),
+        round(col("_x") / col("_nm") * lit(1e6)).cast("long").as("_q"))
+    val dims = qd.groupBy(col("_i"))
+      .agg(sum(col("_q")).as("_s"),
+        sum((col("_q").cast(DecimalType(38, 0))
+          * col("_q").cast(DecimalType(38, 0)))).as("_self"))
+    val combined = dims.agg(
+      sum(col("_s").cast(DecimalType(38, 0)) * col("_s").cast(DecimalType(38, 0)))
+        .as("_ss"),
+      sum(col("_self")).as("_selfss"),
+      count(lit(1)).cast("int").as("dim"))
+    val nRow = df.agg(count(lit(1)).as("n"))
+    combined.crossJoin(nRow)
+      .select(col("n"), col("dim"),
+        round((col("_ss").cast("double") - col("_selfss").cast("double"))
+          / lit(1e12)
+          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 6)
+          .as("avg_pairwise_cos"))
+  }
+
+  /** Unigram-distribution KL divergence KL(P‖Q) between two sub-corpora —
+    * the drift monitor between a target slice and the rest (or between two
+    * corpus snapshots): 0 = identical token distributions, growing values
+    * flag vocabulary shift before it shows up in eval loss. Add-1
+    * smoothing over the JOINT vocabulary keeps every term finite.
+    * `pPred` selects the P side; rows are P where true, Q where false.
+    * Output: (n_vocab, p_tokens, q_tokens, kl_nats).
+    *
+    * Exactness: per-word ln p and ln q quantize to round(ln·10⁶) LONGs;
+    * the sum Σ (c_p+1)·(L_p − L_q) is exact integer arithmetic, and the
+    * final division by the smoothed P mass rounds once in integer
+    * micro-units (the [[Selection.bigramLogProb]] half-case discipline).
+    *
+    * Scale shape: one token-grain explode feeds one vocab-grain count
+    * aggregation (map-side combined); everything after operates on the
+    * vocab-bounded count table. */
+  def vocabKl(df: DataFrame, textCol: String,
+              pPred: org.apache.spark.sql.Column): DataFrame = {
+    val ex = df.select(pPred.as("_p"),
+      explode(Dedup.tokens(col(textCol))).as("_w"))
+    val counts = ex.groupBy(col("_w"))
+      .agg(sum(when(col("_p"), 1L).otherwise(0L)).as("_cp"),
+        sum(when(col("_p"), 0L).otherwise(1L)).as("_cq"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts
+      .withColumn("_v", count(lit(1)).over(wAll))
+      .withColumn("_tp", sum(col("_cp")).over(wAll))
+      .withColumn("_tq", sum(col("_cq")).over(wAll))
+      .select(col("_v"), col("_tp"), col("_tq"),
+        // DECIMAL product: count × ln-micro reaches ~10¹⁹ at web scale —
+        // past LONG, comfortably inside DECIMAL(38)
+        ((col("_cp") + lit(1L)).cast(DecimalType(38, 0)) *
+          (round(log((col("_cp").cast("double") + lit(1.0))
+              / (col("_tp").cast("double") + col("_v").cast("double"))) * lit(1e6))
+            .cast("long")
+            - round(log((col("_cq").cast("double") + lit(1.0))
+              / (col("_tq").cast("double") + col("_v").cast("double"))) * lit(1e6))
+            .cast("long")).cast(DecimalType(38, 0))).as("_t"))
+      .groupBy(col("_v"), col("_tp"), col("_tq"))
+      .agg(sum(col("_t")).as("_s"))
+      .select(col("_v").as("n_vocab"), col("_tp").as("p_tokens"),
+        col("_tq").as("q_tokens"),
+        (round(col("_s").cast("double")
+          / (col("_tp").cast("double") + col("_v").cast("double")))
+          .cast("long").cast("double") / lit(1e6)).as("kl_nats"))
+  }
+}

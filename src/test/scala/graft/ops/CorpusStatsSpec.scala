@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("corpus diversity: matches hand-computed mean pairwise cosine") {
+    // (1,0), (0,1), (1,0): ordered pairs average = 2·(0+1+0)/(3·2) = 1/3
+    val e = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = CorpusStats.corpusDiversity(e, "embedding")
+      .as[(Long, Int, Double)].collect().head
+    assert(r._1 === 3L && r._2 === 2)
+    assert(math.abs(r._3 - 1.0 / 3.0) < 1e-5)
+    // two identical vectors → 1; two orthogonal → 0
+    val same = Seq((1L, Array(0.6f, 0.8f)), (2L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    assert(math.abs(CorpusStats.corpusDiversity(same, "embedding")
+      .as[(Long, Int, Double)].collect().head._3 - 1.0) < 1e-5)
+    val orth = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(math.abs(CorpusStats.corpusDiversity(orth, "embedding")
+      .as[(Long, Int, Double)].collect().head._3) < 1e-5)
+    // partitioning must not change a single bit of the result
+    val full = graft.Tables.embeddings(spark, TestSpark.sf)
+    val a = CorpusStats.corpusDiversity(full, "embedding").collect().head
+    val b = CorpusStats.corpusDiversity(full.repartition(13), "embedding")
+      .collect().head
+    assert(a === b)
+  }
+
+  test("vocab KL: zero for identical distributions, positive under drift") {
+    val same = Seq(
+      (1L, "en", "a a b"), (2L, "de", "a a b")).toDF("doc_id", "lang", "text")
+    val r0 = CorpusStats.vocabKl(same, "text", col("lang") === "en")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r0 === ((2L, 3L, 3L, 0.0)))
+    val drift = Seq(
+      (1L, "en", "a a a a"), (2L, "de", "b b b b")).toDF("doc_id", "lang", "text")
+    val r1 = CorpusStats.vocabKl(drift, "text", col("lang") === "en")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r1._1 === 2L && r1._4 > 0.5, s"expected strong drift: $r1")
+    // KL is asymmetric but both directions positive here
+    val r2 = CorpusStats.vocabKl(drift, "text", col("lang") =!= "en")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r2._4 > 0.5)
+  }
+}
