@@ -1543,18 +1543,24 @@ object SparkEntry {
         |WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'""".stripMargin) { (s, d) =>
+      // The part filter commutes below BOTH aggregations (it keys on
+      // l_partkey alone, and the 50 % threshold compares within one
+      // partkey), so lineitem is pre-pruned map-side by the broadcast
+      // semi join and aggregated ONCE; the per-partkey total then comes
+      // from a window over the already-aggregated (partkey, suppkey)
+      // rows — the naive shape scanned lineitem twice (the sp subtree
+      // fed two consumers) and paid a second aggregation plus a join.
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_type") === "SMALL").select("p_partkey")
       val sp = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(roundAway(col("l_quantity") * 100).cast("long")).as("sq_c"))
-      val pt = sp.groupBy(col("l_partkey").as("tk"))
-        .agg((sum(col("sq_c")).cast("double") / 100).as("tot"))
-      val smallParts = Tables.part(s, d)
-        .filter(col("p_type") === "SMALL").select("p_partkey")
+      val wPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
       val qual = sp
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
-        .join(pt, col("l_partkey") === col("tk"))
+        .withColumn("tot", sum(col("sq_c")).over(wPart).cast("double") / 100)
         .filter(col("sq_c").cast("double") / 100 > lit(0.5) * col("tot"))
         .select("l_suppkey").distinct()
       val asiaNations = Tables.nation(s, d)

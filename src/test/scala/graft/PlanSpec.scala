@@ -124,6 +124,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("Q20: lineitem scanned once — part prune below the agg, window not a second agg") {
+    val q20 = plan("q_tpch_q20")
+    // exactly ONE lineitem scan: the (partkey, suppkey) aggregate feeds
+    // both the 50%-threshold comparison (via a window) and the qualifying
+    // set — the naive two-consumer shape scanned and aggregated it twice
+    val lineitemScans = "Location:[^\\n]*lineitem".r.findAllIn(q20).size
+    assert(lineitemScans === 1, s"expected 1 lineitem scan, got $lineitemScans\n$q20")
+    assert(q20.contains("Window"), q20)
+    // the SMALL-part prune is a broadcast semi join below the aggregation
+    assert(q20.contains("LeftSemi"), q20)
+  }
+
   test("subquery shapes decorrelate: EXISTS → semi join, NOT EXISTS → anti join") {
     // the correlated EXISTS (Q4) and NOT EXISTS (Q22) must never plan as
     // per-row probes — at 100 TB a re-executed subquery per outer row is
