@@ -140,6 +140,12 @@ object ScaleCheck {
           size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("n_tok"),
           length(col("text")).cast("long").as("score")),
         "doc_id", "n_tok", "score", budget = 10000L, buckets = 64).count()
+      graft.ops.Dedup.dedupSegments(d0, "text", "doc_id", segTokens = 8).count()
+      graft.ops.Mixing.sampleKPerGroup(
+        d0.select(col("doc_id"), pmod(col("doc_id"), lit(5)).cast("string").as("g")),
+        "g", "doc_id", k = 100).count()
+      graft.ops.Selection.bigramLogProb(d0, "text", "doc_id").count()
+      graft.ops.CorpusStats.corpusDiversity(e0, "embedding").count()
     }
     for (k <- ks) {
       val d = replicateDocs(docs, k).localCheckpoint(true)
@@ -213,6 +219,27 @@ object ScaleCheck {
           .groupBy("cohort_day", "day_offset")
           .agg(countDistinct("user_id").as("active_users"))
           .count()
+      }
+      // vowel rotation makes every replica's 8-token segments distinct, so
+      // surviving rows (and reassembly work) grow linearly with k
+      results(("segment_dedup", k)) = timed("segment_dedup", k, nd) {
+        graft.ops.Dedup.dedupSegments(d, "text", "doc_id", segTokens = 8).count()
+      }
+      // group count is CONSTANT (pmod 5) while rows grow: the bounded
+      // top-k aggregation must stay scan-dominated — a window formulation
+      // would sort ever-growing groups in single tasks
+      results(("sample_k_per_group", k)) = timed("sample_k_per_group", k, nd) {
+        graft.ops.Mixing.sampleKPerGroup(
+          d.select(col("doc_id"), pmod(col("doc_id"), lit(5)).cast("string").as("g")),
+          "g", "doc_id", k = 100).count()
+      }
+      // rotated replicas mint new vocabulary, so the bigram model table
+      // grows ~linearly with k alongside the token stream
+      results(("bigram_logprob", k)) = timed("bigram_logprob", k, nd) {
+        graft.ops.Selection.bigramLogProb(d, "text", "doc_id").count()
+      }
+      results(("corpus_diversity", k)) = timed("corpus_diversity", k, ne) {
+        graft.ops.CorpusStats.corpusDiversity(e, "embedding").count()
       }
     }
     // growth factors per doubling-pair of k values
