@@ -3087,6 +3087,27 @@ object SparkEntry {
         "lang", "doc_id", k = 40)
     },
 
+    // Deterministic global training-order shuffle: 8 shards (power of two
+    // — the unsigned-HUGEINT and signed-LONG mod agree on low bits, the
+    // DSIR-256 argument), in-shard order by (shimmed hash, doc_id).
+    q("q_shuffle_shards",
+      s"""WITH RECURSIVE docs0 AS (
+        |  SELECT doc_id FROM documents),
+        |${fnvFoldCtes("hfold", "docs0", "doc_id", "'t0:' || CAST(doc_id AS VARCHAR)")},
+        |sh AS (
+        |  SELECT k AS doc_id,
+        |    CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
+        |         THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT) AS h,
+        |    CAST(ch % 8 AS INT) AS shard
+        |  FROM hfold)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+        |FROM sh""".stripMargin) { (s, d) =>
+      ops.Mixing.shuffleDeterministic(
+        Tables.documents(s, d).select("doc_id"), "doc_id", nShards = 8)
+        .select("doc_id", "shard", "pos")
+    },
+
     // PII scrubbing (C4-style curation stage). The corpus contains no
     // PII-shaped content (verified: zero rows match [0-9@]), so both
     // engines INJECT identical synthetic PII derived from doc_id into

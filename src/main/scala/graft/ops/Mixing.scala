@@ -128,6 +128,34 @@ object Mixing {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Deterministic GLOBAL training-order shuffle — the last step before a
+    * corpus ships to a trainer: every row gets a shard and a position
+    * such that reading shards 0..n−1 each in position order yields a
+    * fixed pseudo-random permutation of the corpus. Shard =
+    * pmod(fnv64(seed:id), nShards); position = rank of (hash, id) within
+    * the shard. Hash-derived (not seeded-random): reproducible across
+    * reruns, engines, and repartitionings — two pipelines that materialize
+    * the same corpus produce byte-identical training order, so a resumed
+    * or re-run job sees the same batches.
+    *
+    * Scale shape: one exchange by shard, one sort per shard — exactly the
+    * work of WRITING sorted shards, which is what the result feeds
+    * (`write.partitionBy(shard)` with `sortWithinPartitions(pos)`).
+    * Choose nShards so a shard fits one task (corpus/nShards ≈ a few
+    * hundred MB); the per-shard sort is the contract, not an accident —
+    * a global row_number would be one task sorting the corpus. */
+  def shuffleDeterministic(df: DataFrame, idCol: String, nShards: Int,
+                           seed: String = "t0"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", graft.functions.GraftFunctions.fnv64(
+        concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
+
   /** Epoch materialization — the step that turns mixture weights into an
     * actual training corpus: each row repeats `epochs(domain)` times, with
     * the fractional part decided by a DETERMINISTIC per-row hash coin

@@ -511,6 +511,27 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Mixing.sampleKPerGroup(tiny, "lang", "doc_id", 5).count() === 3)
   }
 
+  test("deterministic shuffle: exhaustive cover, contiguous positions, repartition-stable") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf).select("doc_id")
+    val n = docs.count()
+    val s = Mixing.shuffleDeterministic(docs, "doc_id", nShards = 8)
+    val rows = s.select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // every row exactly once, shards in range
+    assert(rows.length === n)
+    assert(rows.map(_._1).distinct.length === n)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions are contiguous 1..|shard| within each shard
+    rows.groupBy(_._2).foreach { case (sh, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length), s"shard $sh") }
+    // no shard hogs the corpus (hash balance: within 3x of fair share)
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.max < 3.0 * n / 8, s"skewed shards: $sizes")
+    // identical permutation regardless of input partitioning
+    val s2 = Mixing.shuffleDeterministic(docs.repartition(7), "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(s2.toSet === rows.toSet)
+  }
+
   test("hash split: exhaustive partition, rerun/repartition-stable, duplicates co-located") {
     val docs = graft.Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text")
