@@ -2712,6 +2712,57 @@ object SparkEntry {
         shingleN = 1, threshold = 0.8))
     },
 
+    // Cluster-safe split: near-dup components (the q_dedup_clusters
+    // closure) hash by their representative, so paraphrase pairs never
+    // straddle train/test. The oracle composes the recursive-CTE closure
+    // with the q_split_by_hash FNV fold + sign shim on the rep's decimal
+    // string; singletons hash by their own id.
+    q("q_split_safe",
+      s"""WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |ex AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |sizes AS (SELECT doc_id, len(toks) AS n FROM tok),
+        |prs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE shared / (sa.n + sb.n - shared) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |base AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_rep
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        |  LEFT JOIN cl ON cl.id = d.doc_id),
+        |${fnvFoldCtes("rfold", "base", "doc_id", "CAST(cluster_rep AS VARCHAR)")},
+        |bk AS (
+        |  SELECT k AS doc_id,
+        |    ((CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
+        |            THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT)
+        |      % 10) + 10) % 10 AS b
+        |  FROM rfold)
+        |SELECT base.doc_id, base.cluster_rep,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM base JOIN bk USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id",
+        shingleN = 1, threshold = 0.8)
+      Dedup.splitByCluster(docs.select("doc_id"), "doc_id", pairs,
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select("doc_id", "cluster_rep", "split")
+    },
+
     // The SCALE-SAFE variant is the registered query: banded hyperplane LSH
     // over ids-only buckets, exact cosine verification on surviving pairs —
     // no all-pairs product anywhere in the plan. The oracle is the exact

@@ -421,6 +421,32 @@ object Dedup {
       contamination(train, test, textCol, idCol, shingleN, minShared, maxDocFreq),
       Seq(idCol), "left_anti")
 
+  /** CLUSTER-safe train/val/test split — [[graft.ops.Mixing.splitByHash]]
+    * raised from content grain to near-dup-cluster grain: every member of
+    * a connected near-dup component hashes by its cluster REPRESENTATIVE
+    * (min reachable id), so paraphrases and near-copies land on the same
+    * side of the split. Content-hash splitting only co-locates
+    * byte-identical duplicates — a near-dup pair straddling the
+    * train/test boundary is exactly the leakage a decontamination pass
+    * exists to catch, prevented here at split time instead. Docs in no
+    * pair are their own singleton cluster. Output: input columns +
+    * (cluster_rep, splitCol).
+    *
+    * Scale shape: the label table is bounded by DOCS-IN-PAIRS (not the
+    * corpus); one id-grain join attaches representatives, then the split
+    * is the same zero-shuffle hash projection as splitByHash. */
+  def splitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                     cuts: Seq[(String, Int)],
+                     splitCol: String = "split"): DataFrame = {
+    val labels = clusterLabels(pairs)
+      .select(col("id").as("_lid"), col("cluster_id").as("_lcl"))
+    val keyed = df.join(labels, col(idCol) === col("_lid"), "left_outer")
+      .withColumn("cluster_rep", coalesce(col("_lcl"), col(idCol)))
+      .withColumn("_repkey", col("cluster_rep").cast("string"))
+      .drop("_lid", "_lcl")
+    Mixing.splitByHash(keyed, "_repkey", cuts, splitCol).drop("_repkey")
+  }
+
   /** Bloom-filter decontamination — the GPT-3/RedPajama recipe at the
     * scale point where even the holdout's exact shingle-hash set is too
     * wide to broadcast: a Bloom filter over the holdout's n-gram hashes

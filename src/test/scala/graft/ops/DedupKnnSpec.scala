@@ -511,6 +511,29 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Mixing.sampleKPerGroup(tiny, "lang", "doc_id", 5).count() === 3)
   }
 
+  test("cluster-safe split: near-dup components share a side, singletons hash alone") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // component {1,2,3} (chained pairs), component {4,5}; 6 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.splitByCluster(docs, "doc_id", pairs,
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select("doc_id", "cluster_rep", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 1L && out(2L)._2 === 1L && out(3L)._2 === 1L)
+    assert(out(4L)._2 === 4L && out(5L)._2 === 4L)
+    assert(out(6L)._2 === 6L)
+    // the leakage guarantee: one split per component
+    assert(Set(out(1L)._3, out(2L)._3, out(3L)._3).size === 1)
+    assert(out(4L)._3 === out(5L)._3)
+    // and the split agrees with hashing the rep directly
+    val direct = graft.ops.Mixing.splitByHash(
+        Seq(("1"), ("4"), ("6")).toDF("k"), "k",
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .as[(String, String)].collect().toMap
+    assert(out(2L)._3 === direct("1") && out(5L)._3 === direct("4")
+      && out(6L)._3 === direct("6"))
+  }
+
   test("deterministic shuffle: exhaustive cover, contiguous positions, repartition-stable") {
     val docs = graft.Tables.documents(spark, TestSpark.sf).select("doc_id")
     val n = docs.count()
