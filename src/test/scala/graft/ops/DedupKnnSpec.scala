@@ -511,6 +511,32 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Mixing.sampleKPerGroup(tiny, "lang", "doc_id", 5).count() === 3)
   }
 
+  test("segment dedup equals a naive reference on random corpora (seeded)") {
+    val vocab = Array("a", "b", "c")
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 6) {
+      val segTok = 1 + rnd.nextInt(3)
+      val docs = (1L to 12L).map(i =>
+        i -> Array.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))))
+      val segs = docs.flatMap { case (id, toks) =>
+        toks.grouped(segTok).zipWithIndex
+          .map { case (seg, idx) => (id, idx, seg.mkString(" ")) } }
+      val firsts = segs.groupBy(_._3)
+        .map { case (g, occ) => g -> occ.map(o => (o._1, o._2)).min }
+      val kept = segs.filter(s => firsts(s._3) == ((s._1, s._2)))
+      val expect = kept.groupBy(_._1).map { case (id, ks) =>
+        val sorted = ks.sortBy(_._2)
+        (id, sorted.map(_._3).mkString(" "), sorted.length.toLong,
+          segs.count(_._1 == id).toLong)
+      }.toSet
+      val df = docs.map { case (i, t) => (i, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.dedupSegments(df, "text", "doc_id", segTok)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got === expect, s"trial=$trial segTokens=$segTok")
+    }
+  }
+
   test("cluster-safe split: near-dup components share a side, singletons hash alone") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // component {1,2,3} (chained pairs), component {4,5}; 6 singleton
