@@ -1698,6 +1698,26 @@ object SparkEntry {
     // driver's pandas bridge renders as float64 ("1.0" vs Spark's "1") —
     // hash-mismatch with identical values. Every integer sum exposed in an
     // oracle result must be CAST to BIGINT.
+    // First-order Markov transitions between consecutive events per user —
+    // the "what happens after X" companion to the funnel. Probabilities
+    // round through integer micro-units.
+    q("q_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+        |  FROM events WHERE user_id < 50),
+        |pr AS (SELECT src, dst, count(*) AS n FROM seq
+        |       WHERE dst IS NOT NULL GROUP BY src, dst),
+        |tt AS (SELECT src, sum(n) AS tot FROM pr GROUP BY src)
+        |SELECT pr.src, pr.dst, pr.n,
+        |  CAST(round(pr.n * 1000000.0 / tot) AS BIGINT) / 1000000.0 AS p
+        |FROM pr JOIN tt USING (src)""".stripMargin) { (s, d) =>
+      ops.Funnel.transitionMatrix(
+        Tables.events(s, d).filter(col("user_id") < 50),
+        "user_id", "ts", "event_id", "event_type")
+    },
+
     q("q_sessionize",
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, value,
@@ -2196,6 +2216,29 @@ object SparkEntry {
           round(l2_dist(col("embedding"), col("qv")), 6).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(20)
+    },
+
+    // Matryoshka truncated retrieval: exact cosine top-20 on the leading
+    // 16 of 64 dims (rank-only output, the q_knn_join float-tie recipe).
+    q("q_matryoshka",
+      """WITH probe AS (
+        |  SELECT embedding[1:16]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, rn FROM (
+        |  SELECT e.vec_id,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(e.embedding[1:16]::DOUBLE[], qv) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e, probe) WHERE rn <= 20""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = indexArtifact(s"matryoshka-probe:$d") {
+        e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).toArray
+      }
+      ops.Retrieval.ranked(
+        ops.Quantize.matryoshkaTopK(e, "embedding", "vec_id", probe,
+          k = 20, dims = 16),
+        "vec_id", "score")
+        .select(col("vec_id"), col("rank").as("rn"))
     },
 
     q("q_vector_stats",

@@ -118,4 +118,30 @@ object Funnel {
         .cast("int").as("funnel_depth"))
     withMissingUsers(depths, events, fevs, userCol)
   }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the "what happens after X" companion to the funnel (which fixes the
+    * stage order up front): for every consecutive (src → dst) pair in a
+    * user's chronological stream, the count and the per-src transition
+    * probability. Output: (src, dst, n, p), p = n / Σ_dst n rounded
+    * through integer micro-units (the cross-engine half-case discipline).
+    *
+    * Scale shape: one shuffle at user grain for the lead() window (the
+    * sessionize shape — a user's events sort within one task), then the
+    * pair counting aggregates map-side into a \|types\|² table; the
+    * per-src total is a window over that tiny table, not a second pass. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    events
+      .select(col(userCol), col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") * lit(1e6) / sum(col("n")).over(wSrc))
+          .cast("long").cast("double") / lit(1e6))
+  }
 }

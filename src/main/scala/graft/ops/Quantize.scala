@@ -62,4 +62,20 @@ object Quantize {
       .orderBy(col("qdot").desc, col(idCol))
       .limit(k)
   }
+
+  /** Matryoshka (MRL-style) truncated retrieval: exact cosine top-k on the
+    * vector PREFIX — embeddings trained with matryoshka losses keep most
+    * ranking signal in their leading dimensions, so a dims-of-d prefix
+    * scan reads dims/d of the vector bytes (the cheap first stage before
+    * a full-dimension re-rank of the shortlist). Cosine is
+    * scale-invariant, so truncation needs no re-normalization. Same
+    * TakeOrderedAndProject shape as [[graft.ops.Knn.topK]]. */
+  def matryoshkaTopK(corpus: DataFrame, vecCol: String, idCol: String,
+                     queryVec: Array[Float], k: Int, dims: Int): DataFrame = {
+    require(dims > 0 && dims <= queryVec.length,
+      s"dims must be in 1..${queryVec.length}: $dims")
+    Knn.topK(
+      corpus.withColumn(vecCol, slice(col(vecCol), 1, dims)),
+      vecCol, idCol, queryVec.take(dims), k, "cosine")
+  }
 }

@@ -511,6 +511,26 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Mixing.sampleKPerGroup(tiny, "lang", "doc_id", 5).count() === 3)
   }
 
+  test("matryoshka top-k ranks by prefix cosine only") {
+    // prefix (2 dims) ranking disagrees with full ranking by construction:
+    // vec 2 matches the query prefix exactly but diverges in the tail
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 10f)),   // identical to query
+      (2L, Array(1f, 0f, 0f, -10f)),  // same prefix, opposite tail
+      (3L, Array(0f, 1f, 5f, 50f))    // orthogonal prefix, aligned tail
+    ).toDF("vec_id", "embedding")
+    val q = Array(1f, 0f, 0f, 10f)
+    val got = Quantize.matryoshkaTopK(corpus, "embedding", "vec_id", q,
+        k = 3, dims = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    // prefix cosines: v1 = v2 = 1 (tie → id order), v3 = 0
+    assert(got === Seq(1L, 2L, 3L))
+    // full-dimension ranking disagrees: v3 ≈ 0.99 beats v2 ≈ −0.98
+    val full = Knn.topK(corpus, "embedding", "vec_id", q, 3, "cosine")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full === Seq(1L, 3L, 2L))
+  }
+
   test("segment dedup equals a naive reference on random corpora (seeded)") {
     val vocab = Array("a", "b", "c")
     val rnd = new scala.util.Random(41)

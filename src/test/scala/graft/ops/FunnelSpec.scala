@@ -65,6 +65,26 @@ class FunnelSpec extends AnyFunSuite {
     assert(byHour === byDay)
   }
 
+  test("transition matrix: hand-checked counts and per-source probabilities") {
+    val ev = Seq(
+      // user 1: v -> c -> v -> p ; user 2: v -> v
+      (1L, 1000L, 1L, "v"), (1L, 2000L, 2L, "c"),
+      (1L, 3000L, 3L, "v"), (1L, 4000L, 4L, "p"),
+      (2L, 1000L, 5L, "v"), (2L, 2000L, 6L, "v")
+    ).toDF("user_id", "t", "event_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(t * 1000)"))
+    val got = Funnel.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // src v: v->c 1, v->p 1, v->v 1 (p = 1/3 each); src c: c->v 1 (p=1)
+    assert(got.keySet === Set(("v", "c"), ("v", "p"), ("v", "v"), ("c", "v")))
+    assert(got(("v", "c")) === ((1L, 0.333333)))
+    assert(got(("v", "v")) === ((1L, 0.333333)))
+    assert(got(("c", "v")) === ((1L, 1.0)))
+    // cross-user pairs must NOT appear (user 1's last p never chains into
+    // user 2's first v) — implied by the keyset assertion above
+  }
+
   test("ts ties break on the tiebreaker column, matching the staged-mins oracle order") {
     // two events at the identical timestamp: event_id order decides whether
     // the click follows the view
