@@ -2241,6 +2241,53 @@ object SparkEntry {
         .select(col("vec_id"), col("rank").as("rn"))
     },
 
+    // MMR diversity re-rank of a top-12 shortlist (k=5, λ=0.7): the greedy
+    // argmax runs in INTEGER micro-space (7·relμ − 3·maxSimμ, tie → id) so
+    // both engines replay the identical pick sequence; the oracle unrolls
+    // the five steps as plain CTE stages — no recursion needed at fixed k.
+    q("q_mmr_rerank", {
+      val stages = (2 to 5).map { i =>
+        s"""p$i AS (
+           |  SELECT c.vec_id FROM short c
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM ps${i - 1})
+           |  ORDER BY 7*c.relm - 3*(SELECT max(sm) FROM sims
+           |    WHERE ia = c.vec_id AND ib IN (SELECT vec_id FROM ps${i - 1})) DESC,
+           |    c.vec_id LIMIT 1),
+           |ps$i AS (SELECT vec_id FROM ps${i - 1}
+           |         UNION ALL SELECT vec_id FROM p$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH probe AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |short AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    CAST(round(list_cosine_similarity(embedding::DOUBLE[], qv)
+        |      * 1000000.0) AS BIGINT) AS relm
+        |  FROM embeddings, probe
+        |  ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+        |  LIMIT 12),
+        |sims AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(round(list_cosine_similarity(a.v, b.v) * 1000000.0) AS BIGINT) AS sm
+        |  FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+        |p1 AS (SELECT vec_id FROM short ORDER BY relm DESC, vec_id LIMIT 1),
+        |ps1 AS (SELECT vec_id FROM p1),
+        |$stages
+        |SELECT vec_id, 1 AS rn FROM p1
+        |UNION ALL SELECT vec_id, 2 FROM p2
+        |UNION ALL SELECT vec_id, 3 FROM p3
+        |UNION ALL SELECT vec_id, 4 FROM p4
+        |UNION ALL SELECT vec_id, 5 FROM p5""".stripMargin
+    }) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = indexArtifact(s"matryoshka-probe:$d") {
+        e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).toArray
+      }
+      ops.Retrieval.mmrRerank(
+        Knn.topK(e, "embedding", "vec_id", probe, 12, "cosine"),
+        "vec_id", "embedding", "score", k = 5, lambdaTenths = 7)
+    },
+
     q("q_vector_stats",
       """SELECT label, count(*) AS n,
         |  CAST(len(embedding) AS INT) AS dim,

@@ -215,6 +215,56 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Maximal-Marginal-Relevance re-rank of a retrieval SHORTLIST — the
+    * serving-side diversity stage: greedily pick the candidate maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-picked, so near-duplicate hits
+    * stop crowding out distinct ones. Input is a top-n (bounded by
+    * construction — the collect here is O(n·d), the k-means-sample class
+    * of driver read, not a corpus read); output (idCol, rn), rn = 1..k in
+    * pick order.
+    *
+    * Determinism: relevance and pairwise similarities quantize to
+    * round(cos·10⁶) LONGs and λ enters as TENTHS, so every greedy
+    * comparison is pure integer arithmetic (score = λ₁₀·rel − (10−λ₁₀)·
+    * maxSim, tie → smaller id) — bit-identical across engines; FP
+    * differences in the underlying cosines (~10⁻¹⁵) vanish in the
+    * micro-rounding. */
+  def mmrRerank(shortlist: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lambdaTenths: Int = 7): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be 0..10: $lambdaTenths")
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    val rows = shortlist
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        col(relCol).cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.round(dot / math.sqrt(na) / math.sqrt(nb) * 1e6)
+    }
+    val relMicro = rows.map { case (id, _, rel) => id -> math.round(rel * 1e6) }.toMap
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    val ids = rows.map(_._1).sorted
+    val picked = scala.collection.mutable.ArrayBuffer[Long]()
+    while (picked.length < math.min(k, ids.length)) {
+      val best = ids.filterNot(picked.contains).minBy { c =>
+        val pen =
+          if (picked.isEmpty) 0L
+          else picked.map(p => cosMicro(vecs(c), vecs(p))).max
+        (-(lambdaTenths * relMicro(c) - (10L - lambdaTenths) * pen), c)
+      }
+      picked += best
+    }
+    picked.zipWithIndex
+      .map { case (id, i) => (id, i + 1) }.toSeq.toDF(idCol, "rn")
+  }
+
   /** Attach 1-based `rank` to an already-reduced top-n list by
     * `(orderCol [DESC], idCol)` — deterministic tie-break by id. The input
     * is expected to be small (a top-n result); the single-partition window

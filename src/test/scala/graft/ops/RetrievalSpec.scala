@@ -63,6 +63,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(9L, 2L, 5L)) // score desc, then id asc
   }
 
+  test("mmr: near-duplicate of the top hit is demoted below a diverse candidate") {
+    // a and b identical (rel ≈ 1), c diagonal (rel ≈ 0.707): pure-relevance
+    // order is a, b, c; at λ=0.3 the redundancy penalty flips b and c
+    val shortlist = Seq(
+      (1L, Array(1.0f, 0.0f), 1.0),
+      (2L, Array(1.0f, 0.0f), 1.0),
+      (3L, Array(0.7f, 0.7f), 0.7071)
+    ).toDF("vec_id", "embedding", "score")
+    val diverse = Retrieval.mmrRerank(shortlist, "vec_id", "embedding",
+        "score", k = 3, lambdaTenths = 3)
+      .as[(Long, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(diverse === Seq(1L, 3L, 2L))
+    // at λ=10 the penalty vanishes and MMR degenerates to relevance order
+    val pure = Retrieval.mmrRerank(shortlist, "vec_id", "embedding",
+        "score", k = 3, lambdaTenths = 10)
+      .as[(Long, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(pure === Seq(1L, 2L, 3L))
+  }
+
   test("bm25 equals a naive reference on random corpora (seeded)") {
     val vocab = Array("u", "v", "w", "xx", "yy")
     val rnd = new scala.util.Random(23)
