@@ -2258,14 +2258,14 @@ object SparkEntry {
       }.mkString(",\n")
       s"""WITH probe AS (
         |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        |short AS (
+        |short AS MATERIALIZED (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |    CAST(round(list_cosine_similarity(embedding::DOUBLE[], qv)
         |      * 1000000.0) AS BIGINT) AS relm
         |  FROM embeddings, probe
         |  ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
         |  LIMIT 12),
-        |sims AS (
+        |sims AS MATERIALIZED (
         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
         |    CAST(round(list_cosine_similarity(a.v, b.v) * 1000000.0) AS BIGINT) AS sm
         |  FROM short a JOIN short b ON a.vec_id <> b.vec_id),
@@ -3053,7 +3053,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
         |  FROM documents),
-        |bg AS (
+        |bg AS MATERIALIZED (
         |  SELECT doc_id, tk[s+1] || ' ' || tk[s+2] AS bg, tk[s+1] AS w1
         |  FROM (SELECT * FROM tk WHERE len(tk) >= 2), unnest(range(0, len(tk)-1)) u(s)),
         |c12 AS (SELECT bg, min(w1) AS w1, count(*) AS c12 FROM bg GROUP BY bg),
@@ -3460,7 +3460,10 @@ object SparkEntry {
 
     // FUZZY decontamination: Jaccard ≥ 0.8 against any holdout doc (same
     // train/holdout boundary as q_decontaminate). The oracle recomputes
-    // EXACT pairwise train×holdout Jaccard — LSH misses at j ≥ 0.8 with 48
+    // EXACT train×holdout Jaccard over shared-shingle candidate pairs —
+    // an exact prefilter (a zero-overlap pair has j = 0 < 0.8), not an
+    // approximation; the brute-force all-pairs formulation gave DuckDB a
+    // degenerate 27 s baseline to race. LSH misses at j ≥ 0.8 with 48
     // single-row bands are ≤ 0.2^48, so candidate generation is lossless
     // in practice and the verify stage makes Spark's output exactly the
     // definition. Division and round(·, 6) shapes mirrored verbatim.
@@ -3469,15 +3472,21 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(
         |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(
         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS g
         |  FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT tr.doc_id AS a, te.doc_id AS b
+        |  FROM ex tr JOIN ex te ON tr.s = te.s
+        |  WHERE tr.doc_id >= 100 AND te.doc_id < 100),
         |pj AS (
-        |  SELECT tr.doc_id AS doc_id,
-        |    len(list_intersect(tr.g, te.g)) AS shared,
-        |    len(tr.g) AS na, len(te.g) AS nb
-        |  FROM sh tr JOIN sh te ON tr.doc_id >= 100 AND te.doc_id < 100),
+        |  SELECT c.a AS doc_id,
+        |    len(list_intersect(ta.g, tb.g)) AS shared,
+        |    len(ta.g) AS na, len(tb.g) AS nb
+        |  FROM cand c JOIN sh ta ON ta.doc_id = c.a
+        |  JOIN sh tb ON tb.doc_id = c.b),
         |jj AS (
         |  SELECT doc_id, shared / (na + nb - shared) AS j FROM pj
         |  WHERE na + nb > shared)
@@ -3504,7 +3513,7 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(
         |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(toks) - 3),
         |    i -> array_to_string(toks[i:i+4], ' ')))) AS g
@@ -3550,7 +3559,7 @@ object SparkEntry {
         |st AS (
         |  SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 1, 0) + 1, 8)) AS s
         |  FROM toks),
-        |seg AS (
+        |seg AS MATERIALIZED (
         |  SELECT doc_id, CAST(s // 8 AS INT) AS seg_idx,
         |    array_to_string(list_slice(tk, s + 1, s + 8), ' ') AS ptext
         |  FROM st WHERE len(tk) - s > 0),

@@ -559,8 +559,12 @@ object Dedup {
       .select(col(idCol), col("chunk_idx"),
         fnv64(col("passage")).as("_shash"),
         (col(idCol).cast("long") * (1L << 20) + col("chunk_idx")).as("_skey"))
-    val firsts = segs.groupBy(col("_shash")).agg(min(col("_skey")).as("_keep"))
-    val keptIdx = segs.join(firsts, Seq("_shash"))
+    // first-occurrence via a min window over the hash partition: ONE
+    // exchange of the 16-byte rows, where a groupBy + join-back shape
+    // would shuffle segs twice (once for the aggregate, once to meet it)
+    val wHash = org.apache.spark.sql.expressions.Window.partitionBy(col("_shash"))
+    val keptIdx = segs
+      .withColumn("_keep", min(col("_skey")).over(wHash))
       .filter(col("_skey") === col("_keep"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("chunk_idx"))).as("_kidx"),
