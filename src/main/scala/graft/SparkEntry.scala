@@ -4113,6 +4113,38 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     },
 
+    // Multimodal video frame-sampling, oracle-checkable end to end: ids
+    // become REAL animated GIFs (3 + id%5 solid-gray frames, levels 64
+    // apart), Spark earns every row through encode → frame decode → even
+    // sampling → PNG re-encode → decode → nearest-level classification
+    // (GIF palette shifts ≤ ~8 gray, margin 32 — codec-proof), while the
+    // SQL side restates frame counts, even-sample source indices, and
+    // levels from pure id arithmetic.
+    q("q_video_frames",
+      """WITH v AS (
+        |  SELECT doc_id, 3 + doc_id % 5 AS len,
+        |    least(4, 3 + doc_id % 5) AS k
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |f AS (
+        |  SELECT doc_id, len, i,
+        |    i * (len - 1) // (k - 1) AS src
+        |  FROM v, unnest(range(0, k)) u(i))
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  16 AS w, 16 AS h,
+        |  CAST((doc_id + 3 * src) % 4 AS INT) AS level
+        |FROM f""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+      val gifs = graft.multimodal.Multimodal.syntheticGifs(docs, "doc_id")
+      graft.multimodal.Multimodal.sampleFrames(gifs, 4).map { fr =>
+        val img = graft.multimodal.ImageCodec.decode(fr.frame)
+        val g = img.getRGB(8, 8) & 0xff
+        val lvl = Seq(32, 96, 160, 224).zipWithIndex
+          .minBy { case (l, _) => math.abs(g - l) }._2
+        (fr.media_id, fr.frame_idx, img.getWidth, img.getHeight, lvl)
+      }.toDF("media_id", "frame_idx", "w", "h", "level")
+    },
+
     // Multimodal audio profile (validation-aggregate, the q_rag_pipeline
     // pattern): the corpus is REAL 16-bit WAVs synthesized from doc_id
     // (pure sine, freq = 200 + (id%20)·100 Hz, A = 0.5, 500 ms @ 8 kHz),

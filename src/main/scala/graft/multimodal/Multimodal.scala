@@ -119,6 +119,37 @@ object Multimodal {
     }
   }
 
+  /** Deterministic animated-GIF video corpus from an id column — what makes
+    * the video frame-sampling path ORACLE-CHECKABLE: id `i` becomes a
+    * 16×16 GIF with `3 + i % 5` solid-gray frames, frame `j` at level
+    * `LEVELS[(i + 3j) % 4]` with levels 64 apart — GIF palette
+    * quantization shifts grays by up to ~8, so NEAREST-LEVEL
+    * classification (margin 32) survives the codec exactly and a SQL
+    * oracle can restate every sampled frame's level from id arithmetic,
+    * while Spark must earn it through encode → frame decode → even
+    * sampling → PNG re-encode → decode. */
+  def syntheticGifs(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val levels = Array(32, 96, 160, 224)
+    widen(docs.select(col(idCol).cast("long")).as[Long]).map { id =>
+      val n = (3 + id % 5).toInt
+      val frames = (0 until n).map { j =>
+        val v = levels(((id + 3 * j) % 4).toInt)
+        val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+          y += 1
+        }
+        img
+      }
+      MediaRecord(id, VideoCodec.encodeGif(frames),
+        MediaMeta("video", 16, 16, 0, n * 100L, "gif"))
+    }
+  }
+
   /** Deterministic REAL-WAV audio corpus from an id column: a pure sine at
     * `200 + (id % 20)·100` Hz, amplitude 0.5, 4000 samples at 8 kHz
     * (500 ms) — closed-form expectations (RMS = A/√2 per window, zero-cross
