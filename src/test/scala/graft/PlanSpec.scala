@@ -124,6 +124,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("new selection/retrieval ops keep their scale shapes") {
+    // sampleKPerGroup: bounded top-k AGGREGATION, never a per-group window
+    // sort (the group-skew OOM shape it exists to avoid)
+    val sk = plan("q_sample_per_group")
+    assert(sk.contains("ObjectHashAggregate"), sk)
+    assert(!sk.contains("WindowExec") && !"\\(\\d+\\) Window\\n".r.findFirstIn(sk).isDefined, sk)
+    // hardNegatives: the query set broadcasts (corpus never shuffles for
+    // the join) and the top-k is the bounded partial aggregation
+    val hn = plan("q_hard_negatives")
+    assert(hn.contains("BroadcastNestedLoopJoin") || hn.contains("BroadcastHashJoin"), hn)
+    assert(hn.contains("ObjectHashAggregate"), hn)
+    // bm25Join: one hash exchange per phase — term-grain postings, query-
+    // grain scores, plus the stats and query-term-distinct aggregates
+    val bj = plan("q_bm25_join")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(bj).size
+    assert(exchanges <= 4, s"bm25Join grew to $exchanges exchanges\n$bj")
+  }
+
   test("Q20: lineitem scanned once — part prune below the agg, window not a second agg") {
     val q20 = plan("q_tpch_q20")
     // exactly ONE lineitem scan: the (partkey, suppkey) aggregate feeds
