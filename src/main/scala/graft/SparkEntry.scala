@@ -1956,20 +1956,22 @@ object SparkEntry {
     // compute the identical rational before one final double division.
     q("q_corpus_diversity",
       """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
-        |nr AS (SELECT v, sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nm
-        |       FROM e),
+        |nr AS (SELECT * FROM (
+        |        SELECT v, sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nm
+        |        FROM e) WHERE nm > 0),
         |qd AS (SELECT i, CAST(round(v[i]/nm*1000000.0) AS BIGINT) AS q
         |       FROM nr, unnest(range(1, len(v)+1)) u(i)),
-        |dims AS (SELECT i, sum(q) AS s, sum(q::HUGEINT * q::HUGEINT) AS sf
+        |dims AS (SELECT i, sum(q) AS s, sum(q::HUGEINT * q::HUGEINT) AS sf,
+        |                count(*) AS cnt
         |         FROM qd GROUP BY i),
         |tot AS (SELECT sum(s::HUGEINT * s::HUGEINT) AS ss, sum(sf) AS selfss,
-        |        CAST(count(*) AS INT) AS dim FROM dims),
-        |n AS (SELECT count(*) AS n FROM e)
-        |SELECT n.n, tot.dim,
+        |        CAST(count(*) AS INT) AS dim, CAST(max(cnt) AS BIGINT) AS n
+        |        FROM dims)
+        |SELECT n, dim,
         |  round((CAST(ss AS DOUBLE) - CAST(selfss AS DOUBLE)) / 1e12
-        |    / (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)), 6)
+        |    / nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0), 6)
         |    AS avg_pairwise_cos
-        |FROM tot, n""".stripMargin) { (s, d) =>
+        |FROM tot""".stripMargin) { (s, d) =>
       ops.CorpusStats.corpusDiversity(Tables.embeddings(s, d), "embedding")
     },
 
@@ -2397,7 +2399,7 @@ object SparkEntry {
         |                                      q.embedding::DOUBLE[]) DESC,
         |               e.vec_id) AS rn
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 6) q
-        |  WHERE e.label <> q.label
+        |  WHERE e.label IS DISTINCT FROM q.label
         |) WHERE rn <= 5""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val queries = e.filter(col("vec_id") < 6)

@@ -38,24 +38,31 @@ object CorpusStats {
     val v = col(vecCol).cast("array<double>")
     val qd = df
       .select(v.as("_v"), sqrt(dot_product(v, v)).as("_nm"))
+      // a zero vector has no direction: excluding it is the only defined
+      // semantics (0/0 per coordinate would otherwise NaN-poison the one
+      // global output row)
+      .filter(col("_nm") > 0)
       .select(posexplode(col("_v")).as(Seq("_i", "_x")), col("_nm"))
       .select(col("_i"),
         round(col("_x") / col("_nm") * lit(1e6)).cast("long").as("_q"))
     val dims = qd.groupBy(col("_i"))
       .agg(sum(col("_q")).as("_s"),
         sum((col("_q").cast(DecimalType(38, 0))
-          * col("_q").cast(DecimalType(38, 0)))).as("_self"))
-    val combined = dims.agg(
-      sum(col("_s").cast(DecimalType(38, 0)) * col("_s").cast(DecimalType(38, 0)))
-        .as("_ss"),
-      sum(col("_self")).as("_selfss"),
-      count(lit(1)).cast("int").as("dim"))
-    val nRow = df.agg(count(lit(1)).as("n"))
-    combined.crossJoin(nRow)
+          * col("_q").cast(DecimalType(38, 0)))).as("_self"),
+        count(lit(1)).as("_cnt"))
+    // n rides out of the same pass (every dimension row-counts the same
+    // corpus) — a separate df.count() would re-execute the input lineage
+    dims.agg(
+        sum(col("_s").cast(DecimalType(38, 0)) * col("_s").cast(DecimalType(38, 0)))
+          .as("_ss"),
+        sum(col("_self")).as("_selfss"),
+        count(lit(1)).cast("int").as("dim"),
+        max(col("_cnt")).as("n"))
       .select(col("n"), col("dim"),
         round((col("_ss").cast("double") - col("_selfss").cast("double"))
           / lit(1e12)
-          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 6)
+          / nullif(col("n").cast("double") * (col("n").cast("double") - lit(1.0)),
+            lit(0.0)), 6)
           .as("avg_pairwise_cos"))
   }
 
@@ -79,17 +86,20 @@ object CorpusStats {
               pPred: org.apache.spark.sql.Column): DataFrame = {
     val ex = df.select(pPred.as("_p"),
       explode(Dedup.tokens(col(textCol))).as("_w"))
+    // vocab-bounded stage boundary (lazy checkpoint): two consumers below
+    // — without it the token-grain explode + count aggregation would run
+    // twice, once for the totals and once for the scoring pass
     val counts = ex.groupBy(col("_w"))
       .agg(sum(when(col("_p"), 1L).otherwise(0L)).as("_cp"),
         sum(when(col("_p"), 0L).otherwise(1L)).as("_cq"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      .localCheckpoint(false)
+    // totals via a partial-aggregated pass + broadcast — an unpartitioned
+    // window here would funnel the entire vocab table through ONE task,
+    // the single-partition shape this metric exists at web scale to avoid
+    val totals = counts.agg(count(lit(1)).as("_v"),
+      sum(col("_cp")).as("_tp"), sum(col("_cq")).as("_tq"))
     counts
-      .withColumn("_v", count(lit(1)).over(wAll))
-      .withColumn("_tp", sum(col("_cp")).over(wAll))
-      .withColumn("_tq", sum(col("_cq")).over(wAll))
+      .crossJoin(broadcast(totals))
       .select(col("_v"), col("_tp"), col("_tq"),
         // DECIMAL product: count × ln-micro reaches ~10¹⁹ at web scale —
         // past LONG, comfortably inside DECIMAL(38)

@@ -469,12 +469,18 @@ object Dedup {
   def contaminationBloom(train: DataFrame, test: DataFrame, textCol: String,
                          idCol: String, shingleN: Int = 5, minShared: Int = 1,
                          fpp: Double = 1e-6): DataFrame = {
+    // persisted: sizing (count) and the filter build both consume the
+    // distinct gram set — unpersisted, the holdout explode + distinct
+    // shuffle would run twice
     val teGrams = test
       .select(explode(shingles(col(textCol), shingleN)).as("_g"))
       .select(fnv64(col("_g")).as("_gh")).distinct()
+      .persist()
     // holdout-bounded driver scalar: the filter must be sized before build
     val expected = math.max(teGrams.count(), 1L)
-    val bf = teGrams.stat.bloomFilter("_gh", expected, fpp)
+    val bf =
+      try teGrams.stat.bloomFilter("_gh", expected, fpp)
+      finally teGrams.unpersist(blocking = false)
     val might = udf((h: Long) => bf.mightContainLong(h))
     train.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("_g"))
       .select(col(idCol), fnv64(col("_g")).as("_gh"))
@@ -521,7 +527,14 @@ object Dedup {
     val trSh = trOk.select(col(idCol), shingles(col(textCol), shingleN).as("_sh_a"))
     val teSh = teOk.select(col(idCol).as("_hid"),
       shingles(col(textCol), shingleN).as("_sh_b"))
-    cand.join(trSh, Seq(idCol)).join(broadcast(teSh), Seq("_hid"))
+    // attach holdout shingle sets to the candidate ids FIRST and broadcast
+    // the result (bounded: candidates ≈ true hits + the 0.2^48-rare band
+    // FPs, each carrying one holdout set) — joining cand to trSh the other
+    // way around would hash-exchange the whole train side's shingle
+    // arrays, the exact text-carrying shuffle this operator promises not
+    // to do
+    val candSh = cand.join(broadcast(teSh), Seq("_hid"))
+    trSh.join(broadcast(candSh), Seq(idCol))
       .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
       .withColumn("_j",
         col("_inter") / (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
@@ -553,6 +566,14 @@ object Dedup {
     * long — exact while chunk_idx < 2²⁰, i.e. docs under ~8M tokens. */
   def dedupSegments(df: DataFrame, textCol: String, idCol: String,
                     segTokens: Int): DataFrame = {
+    require({
+        import org.apache.spark.sql.types._
+        Seq(LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(idCol).dataType)
+      },
+      s"idCol '$idCol' must be integral — the packed keeper key is " +
+        s"id·2²⁰ + idx (a string id casts to NULL and silently empties " +
+        s"the output; ids ≥ 2⁴³ would wrap the pack): ${df.schema(idCol).dataType}")
     val segs = TextAnalysis.chunkPassages(df, textCol, idCol,
         size = segTokens, stride = segTokens)
       .filter(col("n_tok") > 0)

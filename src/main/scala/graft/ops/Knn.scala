@@ -216,7 +216,10 @@ object Knn {
         col(cLabelCol).as("_clab"))
       .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol),
         col(qLabelCol).as("_qlab"))))
-      .filter(col("_clab") =!= col("_qlab"))
+      // null-SAFE inequality: an unlabeled row differs from every label —
+      // plain =!= would null-drop every pair of a NULL-label query,
+      // silently returning it zero negatives
+      .filter(!(col("_clab") <=> col("_qlab")))
       .select(col(qIdCol), col("_cid"),
         cosine_sim(col(cVecCol), col(qVecCol)).as("_score"))
     scored.groupBy(col(qIdCol))

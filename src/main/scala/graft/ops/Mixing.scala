@@ -115,6 +115,14 @@ object Mixing {
   def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
                       k: Int, seed: String = "s0"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require({
+        import org.apache.spark.sql.types._
+        Seq(LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(idCol).dataType)
+      },
+      s"idCol '$idCol' must be integral (the top-k buffer carries LONG ids; " +
+        s"a string id would cast to NULL and crash the aggregator): " +
+        s"${df.schema(idCol).dataType}")
     val topk = udaf(new graft.functions.TopKByScore(k))
     df.select(col(groupCol),
         col(idCol).cast("long").as("_id"),

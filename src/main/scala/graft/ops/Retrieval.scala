@@ -241,6 +241,10 @@ object Retrieval {
         col(relCol).cast("double"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      // a MERGED shortlist (union of retrievers) can repeat an id: keep
+      // its best relevance — without the dedup the greedy would try to
+      // pick the same id twice and exhaust the candidate pool early
+      .groupBy(_._1).map { case (_, dups) => dups.maxBy(_._3) }.toArray
     def cosMicro(a: Array[Double], b: Array[Double]): Long = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {

@@ -85,14 +85,17 @@ object Selection {
     val tk = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
       .filter(size(col("_tk")) >= 2)
     val n = size(col("_tk"))
+    // w1 rides along from construction (the zip_with lambda has it in
+    // hand) — re-splitting every bigram string downstream would run a
+    // per-row regex over the corpus-scale stream to recover it
     val bg = tk.select(col(idCol),
       explode(zip_with(
         slice(col("_tk"), lit(1), n - 1), slice(col("_tk"), lit(2), n - 1),
-        (a, b) => concat(a, lit(" "), b))).as("_bg"))
-    val c12 = bg.groupBy(col("_bg"))
-      .agg(count(lit(1)).as("_c12"), min(split(col("_bg"), " ")(0)).as("_w1"))
-    val c1 = bg.select(split(col("_bg"), " ")(0).as("_w1"))
-      .groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
+        (a, b) => struct(concat(a, lit(" "), b).as("bg"), a.as("w1")))).as("_e"))
+      .select(col(idCol), col("_e.bg").as("_bg"), col("_e.w1").as("_w1"))
+    val c12 = bg.groupBy(col("_bg"), col("_w1"))
+      .agg(count(lit(1)).as("_c12"))
+    val c1 = bg.groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
     val vRow = df.select(explode(Dedup.tokens(col(textCol))).as("_w"))
       .agg(countDistinct(col("_w")).cast("double").as("_V"))
     val model = c12.join(broadcast(c1), Seq("_w1"))
