@@ -3502,6 +3502,56 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.8, shingleN = 3)
     },
 
+    // Corpus snapshot diff: v2 drops every 7th doc, edits every 11th,
+    // adds a shifted copy of every 13th — the oracle replays the same
+    // synthesis and compares normalized text where Spark compares content
+    // hashes (the q_dedup_exact fnv64-collision re-certification).
+    q("q_corpus_diff",
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 13 = 0),
+        |k1 AS (
+        |  SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''), ' ') AS nk
+        |  FROM documents),
+        |k2 AS (
+        |  SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''), ' ') AS nk
+        |  FROM v2)
+        |SELECT coalesce(k1.doc_id, k2.doc_id) AS doc_id,
+        |  CASE WHEN k1.doc_id IS NULL THEN 'added'
+        |       WHEN k2.doc_id IS NULL THEN 'removed'
+        |       WHEN k1.nk = k2.nk THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM k1 FULL JOIN k2 ON k1.doc_id = k2.doc_id""".stripMargin) { (s, d) =>
+      val v1 = Tables.documents(s, d).select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      ops.CorpusStats.corpusDiff(v1, v2, "doc_id", "text")
+    },
+
+    // Quality-aware exact-dedup keeper: the LONGEST copy survives (tie →
+    // smaller id) instead of the smallest id.
+    q("q_dedup_keep_best",
+      """WITH k AS (
+        |  SELECT doc_id, length(text) AS sc, array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''), ' ') AS nk
+        |  FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY nk ORDER BY sc DESC, doc_id) AS rn FROM k)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      Dedup.exactDedupBy(Tables.documents(s, d), "text", "doc_id",
+        length(col("text")))
+        .select("doc_id")
+    },
+
     // Bloom-filter decontamination (contract-aggregate oracle, the r4 ANN
     // pattern): the Bloom path must catch EVERY exactly-contaminated doc
     // (no false negatives), never under-count a doc's shared grams, and

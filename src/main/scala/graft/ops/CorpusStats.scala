@@ -66,6 +66,30 @@ object CorpusStats {
           .as("avg_pairwise_cos"))
   }
 
+  /** Corpus snapshot diff — what changed between two versions of a table:
+    * per id, `added` (only in v2), `removed` (only in v1), `changed`
+    * (present in both, normalized content key differs), or `unchanged`.
+    * The audit every pipeline wants between crawl refreshes before
+    * re-running the expensive downstream stages. Output:
+    * (idCol, status STRING).
+    *
+    * Scale shape: content hashes computed map-side on each version; the
+    * full-outer join exchanges 16-byte (id, hash) rows — document bodies
+    * never shuffle. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def keyed(df: DataFrame, hashName: String) = df.select(
+      col(idCol), Dedup.contentKey(col(textCol)).as(hashName))
+    keyed(v1, "_h1").join(keyed(v2, "_h2")
+        .withColumnRenamed(idCol, "_id2"),
+        col(idCol) === col("_id2"), "full_outer")
+      .select(coalesce(col(idCol), col("_id2")).as(idCol),
+        when(col(idCol).isNull, "added")
+          .when(col("_id2").isNull, "removed")
+          .when(col("_h1") <=> col("_h2"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Unigram-distribution KL divergence KL(P‖Q) between two sub-corpora —
     * the drift monitor between a target slice and the rest (or between two
     * corpus snapshots): 0 = identical token distributions, growing values

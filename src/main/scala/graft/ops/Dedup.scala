@@ -70,6 +70,25 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** [[exactDedup]] with a QUALITY-aware keeper: one row per distinct
+    * normalized content, keeping the member with the highest `scoreCol`
+    * (ties → smaller id) instead of the smallest id — "keep the best copy"
+    * rather than "keep the first": near-identical mirrors often differ in
+    * truncation or boilerplate, and min-id throws the better one away.
+    * Same shape as [[exactDedup]]: hash-grain aggregate (max_by on a
+    * (score, −id) struct — no window), then one semi join; bodies shuffle
+    * once. */
+  def exactDedupBy(df: DataFrame, textCol: String, idCol: String,
+                   scoreCol: Column): DataFrame = {
+    val keepers = df
+      .select(fnv64(concat_ws(" ", tokens(col(textCol)))).as("content_hash"),
+        col(idCol), scoreCol.as("_score"))
+      .groupBy("content_hash")
+      .agg(max_by(col(idCol), struct(col("_score"), negate(col(idCol)))).as(idCol))
+      .select(idCol)
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** (id, band_idx, band_hash) tuples: LSH bucket keys. numHashes minhash
     * values split into `bands` bands of numHashes/bands rows each; a band's
     * hash is FNV-folded inside the [[graft.functions.MinHashBands]]

@@ -34,6 +34,18 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("corpus diff: added/removed/changed/unchanged classified per id") {
+    val v1 = Seq((1L, "a b"), (2L, "c d"), (3L, "e f")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a  B"),          // whitespace/case only → unchanged
+      (2L, "c d EDIT"),                  // changed
+      (9L, "new doc")                    // added; 3 missing → removed
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.corpusDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 9L -> "added"))
+  }
+
   test("vocab KL: zero for identical distributions, positive under drift") {
     val same = Seq(
       (1L, "en", "a a b"), (2L, "de", "a a b")).toDF("doc_id", "lang", "text")

@@ -511,6 +511,20 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Mixing.sampleKPerGroup(tiny, "lang", "doc_id", 5).count() === 3)
   }
 
+  test("exactDedupBy keeps the best-scoring copy, not the first") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x  y"), (3L, "x   y"),  // same normalized content
+      (4L, "unique")).toDF("doc_id", "text")
+    // longest raw text wins: doc 3 has the most whitespace
+    val best = Dedup.exactDedupBy(docs, "text", "doc_id", length(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(best === Set(3L, 4L))
+    // min-id semantics for comparison: exactDedup keeps doc 1
+    val first = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first === Set(1L, 4L))
+  }
+
   test("matryoshka top-k ranks by prefix cosine only") {
     // prefix (2 dims) ranking disagrees with full ranking by construction:
     // vec 2 matches the query prefix exactly but diverges in the tail
