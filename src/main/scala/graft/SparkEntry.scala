@@ -3882,15 +3882,21 @@ object SparkEntry {
         .select(col("doc_id").as("_cid"), col("text_clean"))
       val cleaned = docs.join(cut, col("doc_id") === col("_cid"), "left_outer")
         .select(col("doc_id"), coalesce(col("text_clean"), col("text")).as("text"))
+      // keeper via a min window over the content-hash partition: one
+      // exchange where the groupBy + join-back shape shuffled the cleaned
+      // corpus twice (the dedupSegments lesson applied here)
+      val wCk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_ck"))
       val keyed = cleaned.withColumn("_ck", Dedup.contentKey(col("text")))
-      val reps = keyed.groupBy(col("_ck")).agg(min(col("doc_id")).as("_keep"))
       // materialize the cleaned+deduped corpus ONCE (lazy localCheckpoint):
-      // downstream consumes it 5× (dedup join-back, LM vocab build, scoring
-      // join, threshold aggregate, final filter) and would otherwise
-      // re-run span detection for each — measured 3.1 s → the re-bench
-      // time below. A real pipeline writes this stage boundary to storage;
-      // the checkpoint is the in-session equivalent.
-      val gated = keyed.join(reps, "_ck").filter(col("doc_id") === col("_keep"))
+      // downstream consumes it 5× (LM vocab build, scoring join, threshold
+      // aggregate, final filter) and would otherwise re-run span detection
+      // for each — measured 3.1 s → the re-bench time below. A real
+      // pipeline writes this stage boundary to storage; the checkpoint is
+      // the in-session equivalent.
+      val gated = keyed
+        .withColumn("_keep", min(col("doc_id")).over(wCk))
+        .filter(col("doc_id") === col("_keep"))
         .filter(size(Dedup.tokens(col("text"))) >= 5)
         .select("doc_id", "text")
         .localCheckpoint(false)
