@@ -1930,6 +1930,28 @@ object SparkEntry {
     // bin i covers [lo + (i-1)·w, lo + i·w), out-of-range clamps to 0 /
     // n+1). Fixed literal bounds keep the bin edges engine-identical; one
     // scan, partial+final count agg.
+    // Equi-depth histogram over l_extendedprice: 8 buckets split at exact
+    // octile boundaries (round-6; ties → lower bucket). quantile_cont ≡
+    // Spark percentile interpolation is the q_percentile-proven parity.
+    q("q_equidepth",
+      """WITH b AS (
+        |  SELECT list_transform(
+        |    quantile_cont(l_extendedprice, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]),
+        |    x -> round(x, 6)) AS bs
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_extendedprice AS v,
+        |    len(list_filter(bs, x -> x < l_extendedprice)) AS bucket
+        |  FROM lineitem, b)
+        |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+        |  round(min(v), 6) AS lo, round(max(v), 6) AS hi
+        |FROM r GROUP BY bucket""".stripMargin) { (s, d) =>
+      ops.CorpusStats.equiDepthHistogram(
+        Tables.lineitem(s, d), "l_extendedprice", k = 8)
+        .select(col("bucket").cast("int").as("bucket"), col("n"),
+          col("lo"), col("hi"))
+    },
+
     q("q_histogram",
       """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
         |            WHEN o_totalprice >= 600000 THEN 13

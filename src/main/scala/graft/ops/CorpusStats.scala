@@ -66,6 +66,29 @@ object CorpusStats {
           .as("avg_pairwise_cos"))
   }
 
+  /** Equi-DEPTH histogram: `k` buckets holding ~equal row counts, split at
+    * the exact 1/k..(k−1)/k percentiles — the profiling companion to an
+    * equi-width histogram (which starves on skewed distributions: one hot
+    * bucket, many empty). Output: (bucket, n, lo, hi) with bucket 0-based;
+    * boundary ties land in the lower bucket. Boundaries round to 6
+    * decimals so the bucket predicate is engine-stable.
+    *
+    * Scale shape: one percentile aggregate produces the (k−1)-element
+    * boundary row, broadcast back; bucketing is a per-row HOF count over
+    * that array and the final count is an ordinary k-row aggregate. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets: $k")
+    val qs = (1 until k).map(i => i.toDouble / k).mkString(",")
+    val bounds = df.agg(expr(
+      s"transform(percentile(`$valueCol`, array($qs)), x -> round(x, 6))").as("_b"))
+    df.crossJoin(broadcast(bounds))
+      .select(col(valueCol).as("_v"),
+        size(filter(col("_b"), b => b < col(valueCol))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("_v")), 6).as("lo"), round(max(col("_v")), 6).as("hi"))
+  }
+
   /** Corpus snapshot diff — what changed between two versions of a table:
     * per id, `added` (only in v2), `removed` (only in v1), `changed`
     * (present in both, normalized content key differs), or `unchanged`.

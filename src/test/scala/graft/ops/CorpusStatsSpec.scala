@@ -34,6 +34,19 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("equi-depth histogram: balanced buckets, ordered ranges, skew-proof") {
+    val vals = (1 to 80).map(_.toDouble) ++ Seq.fill(20)(1000.0) // heavy tail
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val h = CorpusStats.equiDepthHistogram(df, "v", k = 4)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    // ~equal depth despite the hot value (100 rows / 4 ≈ 25 each)
+    h.foreach { case (b, n, _, _) => assert(n >= 20 && n <= 30, s"bucket $b: $n") }
+    // ranges ordered and non-overlapping
+    h.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) case _ => }
+  }
+
   test("corpus diff: added/removed/changed/unchanged classified per id") {
     val v1 = Seq((1L, "a b"), (2L, "c d"), (3L, "e f")).toDF("doc_id", "text")
     val v2 = Seq((1L, "a  B"),          // whitespace/case only → unchanged
