@@ -3228,6 +3228,30 @@ object SparkEntry {
         epochs = Map("en" -> 1.2, "de" -> 2.5, "zh" -> 0.4, "es" -> 0.0))
     },
 
+    // Weighted sample without replacement (Efraimidis–Spirakis, weight =
+    // doc length): rank by round(ln(u)/w·10⁶) micro-keys, u from the FNV
+    // fold's low 53 bits (power-of-two mod — no sign shim, the DSIR-256
+    // argument), top-40 by (key DESC, id).
+    q("q_weighted_sample",
+      s"""WITH RECURSIVE docs0 AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |${fnvFoldCtes("wfold", "docs0", "doc_id", "'w0:' || CAST(doc_id AS VARCHAR)")},
+        |ky AS (
+        |  SELECT d.doc_id,
+        |    CAST(round(ln((CAST(ch % 9007199254740992 AS DOUBLE) + 0.5)
+        |        / 9007199254740992.0) / d.w * 1000000.0) AS BIGINT) AS km
+        |  FROM docs0 d JOIN wfold ON wfold.k = d.doc_id)
+        |SELECT doc_id, rn FROM (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY km DESC, doc_id) AS INT) AS rn
+        |  FROM ky) WHERE rn <= 40""".stripMargin) { (s, d) =>
+      ops.Mixing.weightedSampleK(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), length(col("text")).cast("double").as("w")),
+        "doc_id", "w", k = 40)
+    },
+
     // Deterministic EXACT-k sample per group (eval carving / per-domain
     // caps): rows rank by fnv64("s0:" + doc_id), top 40 per lang. The
     // oracle replays the hash via the recursive FNV fold + sign shim and

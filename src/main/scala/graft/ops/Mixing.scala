@@ -136,6 +136,39 @@ object Mixing {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Deterministic WEIGHTED sample of k rows without replacement
+    * (Efraimidis–Spirakis 2006): rank every row by ln(u)/w with u a
+    * hash-derived uniform in (0,1) and keep the k largest — inclusion
+    * probability ∝ weight, so "sample the corpus ∝ quality^β" becomes one
+    * scan + the bounded top-k aggregation. Hash-derived u (not a seeded
+    * RNG): the sample is reproducible across reruns, engines, and
+    * repartitionings. Output: (idCol, rn), rn = 1..k in key order.
+    *
+    * Cross-engine exactness: the E-S key ln(u^{1/w}) = ln(u)/w ranks
+    * identically; it quantizes to round(ln(u)/w · 10⁶) micro-LONGs
+    * (ties → id) so both engines pick the identical set — libm ulp
+    * differences vanish in the micro-rounding. u = (pmod(fnv64, 2⁵³) +
+    * 0.5) / 2⁵³: 53-bit, exactly representable, never 0 or 1. Weights
+    * must be > 0 (rows with NULL or non-positive weight are dropped —
+    * they have no defined inclusion probability). */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+                      k: Int, seed: String = "w0"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val two53 = 9007199254740992.0 // 2^53
+    val u = (pmod(graft.functions.GraftFunctions.fnv64(
+        concat(lit(seed + ":"), col(idCol).cast("string"))),
+      lit(9007199254740992L)).cast("double") + lit(0.5)) / lit(two53)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol).cast("long").as("_id"),
+        round(log(u) / col(weightCol).cast("double") * lit(1e6))
+          .cast("long").cast("double").as("_key"))
+      .groupBy()
+      .agg(topk(col("_key"), col("_id")).as("_top"))
+      .select(posexplode(col("_top")))
+      .select(col("col.id").as(idCol), (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Deterministic GLOBAL training-order shuffle — the last step before a
     * corpus ships to a trainer: every row gets a shard and a position
     * such that reading shards 0..n−1 each in position order yields a

@@ -594,6 +594,36 @@ class DedupKnnSpec extends AnyFunSuite {
       && out(6L)._3 === direct("6"))
   }
 
+  test("weighted sample: window-equivalent, weight-responsive, null/zero weights dropped") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), length(col("text")).cast("double").as("w"))
+    val got = Mixing.weightedSampleK(docs, "doc_id", "w", k = 25)
+      .as[(Long, Int)].collect().toSet
+    // ≡ the window formulation over the same micro-key
+    val two53 = 9007199254740992.0
+    val u = (pmod(graft.functions.GraftFunctions.fnv64(
+        concat(lit("w0:"), col("doc_id").cast("string"))),
+      lit(9007199254740992L)).cast("double") + lit(0.5)) / lit(two53)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(round(log(u) / col("w") * lit(1e6)).cast("long").desc, col("doc_id"))
+    val exp = docs.filter(col("w") > 0)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 25)
+      .select(col("doc_id"), col("rn").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got === exp)
+    // repartition-stable
+    val g2 = Mixing.weightedSampleK(docs.repartition(9), "doc_id", "w", 25)
+      .as[(Long, Int)].collect().toSet
+    assert(g2 === got)
+    // a giant weight dominates; zero/null weights never sampled
+    val skew = Seq[(Long, java.lang.Double)](
+        (1L, 1.0), (2L, 1e9), (3L, 0.0), (4L, null))
+      .toDF("doc_id", "w")
+    val s2 = Mixing.weightedSampleK(skew, "doc_id", "w", 2)
+      .as[(Long, Int)].collect().sortBy(_._2).map(_._1)
+    assert(s2.toSeq === Seq(2L, 1L)) // ln(u)/1e9 ≈ 0 beats ln(u)/1
+  }
+
   test("deterministic shuffle: exhaustive cover, contiguous positions, repartition-stable") {
     val docs = graft.Tables.documents(spark, TestSpark.sf).select("doc_id")
     val n = docs.count()
