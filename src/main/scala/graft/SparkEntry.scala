@@ -1930,6 +1930,31 @@ object SparkEntry {
     // bin i covers [lo + (i-1)·w, lo + i·w), out-of-range clamps to 0 /
     // n+1). Fixed literal bounds keep the bin edges engine-identical; one
     // scan, partial+final count agg.
+    // Per-lang length outliers: |z| > 2 on n_chars under exact integer
+    // moment sums (μ, σ, z bit-identical cross-engine; arithmetic shapes
+    // mirrored verbatim incl. the repeated μ factor).
+    q("q_length_outliers",
+      """WITH s AS (
+        |  SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+        |    sum(n_chars * n_chars) AS sxx
+        |  FROM documents GROUP BY lang),
+        |st AS (
+        |  SELECT lang, CAST(sx AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(sxx AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS sigma
+        |  FROM s)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  round((CAST(d.n_chars AS DOUBLE) - mu) / nullif(sigma, 0), 6) AS z
+        |FROM documents d JOIN st USING (lang)
+        |WHERE abs((CAST(d.n_chars AS DOUBLE) - mu) / nullif(sigma, 0)) > 2""".stripMargin) { (s, d) =>
+      ops.CorpusStats.zScores(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars")
+        .filter(abs(col("z")) > 2)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("z"), 6).as("z"))
+    },
+
     // Equi-depth histogram over l_extendedprice: 8 buckets split at exact
     // octile boundaries (round-6; ties → lower bucket). quantile_cont ≡
     // Spark percentile interpolation is the q_percentile-proven parity.

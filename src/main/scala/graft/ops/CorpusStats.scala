@@ -66,6 +66,37 @@ object CorpusStats {
           .as("avg_pairwise_cos"))
   }
 
+  /** Per-group z-scores over an INTEGRAL value column — the "drop length
+    * outliers per domain" gate (a 2-character doc and a 2 MB doc are both
+    * suspect, but what counts as extreme differs by language/source).
+    * Output: input group/value plus (mu, sigma, z); population σ from the
+    * exact integer moment sums Σx and Σx², so μ/σ/z are bit-identical
+    * across engines and partitionings. Single-value groups (σ = 0) get a
+    * NULL z — there is no deviation scale to score against.
+    *
+    * Scale shape: one map-side-combined aggregate to a \|groups\|-row
+    * stats table, broadcast back; z is then a per-row projection. */
+  def zScores(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    require({
+        import org.apache.spark.sql.types._
+        Seq(LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(valueCol).dataType)
+      },
+      s"valueCol '$valueCol' must be integral — exact moment sums are what " +
+        s"make z cross-engine-reproducible: ${df.schema(valueCol).dataType}")
+    val v = col(valueCol).cast("long")
+    val st = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), sum(v).as("_sx"), sum(v * v).as("_sxx"))
+      .select(col(groupCol),
+        (col("_sx").cast("double") / col("_n")).as("mu"),
+        sqrt(col("_sxx").cast("double") / col("_n")
+          - (col("_sx").cast("double") / col("_n"))
+          * (col("_sx").cast("double") / col("_n"))).as("sigma"))
+    df.join(broadcast(st), Seq(groupCol))
+      .withColumn("z",
+        (v.cast("double") - col("mu")) / nullif(col("sigma"), lit(0.0)))
+  }
+
   /** Equi-DEPTH histogram: `k` buckets holding ~equal row counts, split at
     * the exact 1/k..(k−1)/k percentiles — the profiling companion to an
     * equi-width histogram (which starves on skewed distributions: one hot

@@ -34,6 +34,20 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("z-scores: hand-checked per group, sigma-zero group scores null") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),  // mu=20, sigma=sqrt(200/3)
+      ("b", 4L, 7L), ("b", 5L, 7L)                     // constant → z null
+    ).toDF("g", "id", "v")
+    val got = CorpusStats.zScores(df, "g", "v")
+      .select("id", "z").as[(Long, Option[Double])].collect().toMap
+    val sigA = math.sqrt(200.0 / 3.0)
+    assert(math.abs(got(1L).get - (-10.0 / sigA)) < 1e-9)
+    assert(math.abs(got(2L).get) < 1e-9)
+    assert(math.abs(got(3L).get - 10.0 / sigA) < 1e-9)
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+  }
+
   test("equi-depth histogram: balanced buckets, ordered ranges, skew-proof") {
     val vals = (1 to 80).map(_.toDouble) ++ Seq.fill(20)(1000.0) // heavy tail
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
