@@ -241,6 +241,20 @@ object ScaleCheck {
       results(("corpus_diversity", k)) = timed("corpus_diversity", k, ne) {
         graft.ops.CorpusStats.corpusDiversity(e, "embedding").count()
       }
+      // output fixed at k=100: the E-S top-k must stay scan-dominated
+      results(("weighted_sample", k)) = timed("weighted_sample", k, nd) {
+        graft.ops.Mixing.weightedSampleK(
+          d.select(col("doc_id"), length(col("text")).cast("long").as("w"))
+            .withColumn("w", col("w").cast("double")),
+          "doc_id", "w", k = 100).count()
+      }
+      // stats table constant at |groups| = 5; z is then a projection
+      results(("z_scores", k)) = timed("z_scores", k, nd) {
+        graft.ops.CorpusStats.zScores(
+          d.select(col("doc_id"), pmod(col("doc_id"), lit(5)).cast("string").as("g"),
+            length(col("text")).cast("long").as("v")),
+          "g", "v").count()
+      }
     }
     // growth factors per doubling-pair of k values
     for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted) {
