@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: sbt's default LoggedOutput
+// strategy prefixes every forked-process line with "[info] ", which is
+// exactly how BENCH_r05 landed "parsed": null — the driver tails stdout
+// of `sbt "runMain graft.Bench"` and json-parses the LAST line, and
+// `[info] {…}` is not JSON. StdoutOutput passes the child's stdout
+// through unmodified, so the Bench headline line IS the bytes Bench
+// printed.
+outputStrategy := Some(StdoutOutput)
 // The round driver archives a 2000-byte stdout TAIL of `sbt "runMain
 // graft.Bench"` and parses the LAST line as the headline JSON. sbt's
 // "[success] Total time …" footer prints AFTER the forked JVM's last

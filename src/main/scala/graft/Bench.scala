@@ -67,6 +67,19 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
 
+    // Contention sentinel: BENCH_r05's driver run disagreed with same-code
+    // serialized pairings by up to 14× on specific queries — sustained host
+    // load during the run, only judge-inferable after the fact. Recording
+    // system load before and after the measured loop makes a contaminated
+    // run machine-detectable from the artifact alone: loadavg far above
+    // the worker count means the numbers carry queueing delay, not query
+    // cost.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(' ').take(3).mkString(" ")
+      catch { case _: Throwable => "na" }
+    val loadBefore = loadavg()
+
     final case class R(name: String, warm: Double, cold: Double, err: Option[String])
     // Dev loop only (mirrors Verify): SPARK_GRAFT_ONLY=q_a,q_b times a
     // subset. The driver never sets it — round artifacts are always full.
@@ -153,9 +166,10 @@ object Bench {
     // whatever the error list consumes.
     val errNames = results.collect { case R(k, _, _, Some(_)) => jstr(k) }
       .mkString("[", ",", "]")
-    val subset = slowestSubset(math.max(200, 1500 - errNames.length))
+    val loadAfter = loadavg()
+    val subset = slowestSubset(math.max(200, 1400 - errNames.length))
     val shown = subset.count(_ == ':')
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","queries":$subset,"value":${sec3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
     // Self-contained round artifact (JSON lines: cold, warm_detail,
     // headline) — committed from the repo working dir by the round's
     // closing commit, so the full per-query map survives even when the

@@ -1955,26 +1955,34 @@ object SparkEntry {
           round(col("z"), 6).as("z"))
     },
 
-    // Equi-depth histogram over l_extendedprice: 8 buckets split at exact
-    // octile boundaries (round-6; ties → lower bucket). quantile_cont ≡
-    // Spark percentile interpolation is the q_percentile-proven parity.
+    // Equi-depth histogram over l_extendedprice: 8 buckets split at
+    // approx_percentile octile boundaries (round 6 replaced the exact
+    // full-column percentile — an unbounded aggregation buffer at corpus
+    // scale and the repo's worst local ratio). WHICH boundary values a
+    // GK sketch emits is implementation-specific, so the oracle compares
+    // what IS engine-independent (validation-aggregate pattern, the
+    // q_percentile_approx precedent): total rows, global min/max riding
+    // out of the bucket lo/hi columns, all 8 buckets materialized, and
+    // the sketch's stated depth contract — at accuracy 10000 each
+    // boundary's rank error is ≤ n/10000, so every bucket depth sits
+    // within 2n/10000 of the ideal n/8, far inside the 1 % gate checked
+    // here.
     q("q_equidepth",
-      """WITH b AS (
-        |  SELECT list_transform(
-        |    quantile_cont(l_extendedprice, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]),
-        |    x -> round(x, 6)) AS bs
-        |  FROM lineitem),
-        |r AS (
-        |  SELECT l_extendedprice AS v,
-        |    len(list_filter(bs, x -> x < l_extendedprice)) AS bucket
-        |  FROM lineitem, b)
-        |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
-        |  round(min(v), 6) AS lo, round(max(v), 6) AS hi
-        |FROM r GROUP BY bucket""".stripMargin) { (s, d) =>
+      """SELECT CAST(8 AS BIGINT) AS n_buckets,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(min(l_extendedprice), 6) AS lo_min,
+        |  round(max(l_extendedprice), 6) AS hi_max,
+        |  CAST(1 AS BOOLEAN) AS depth_within_1pct
+        |FROM lineitem""".stripMargin) { (s, d) =>
       ops.CorpusStats.equiDepthHistogram(
         Tables.lineitem(s, d), "l_extendedprice", k = 8)
-        .select(col("bucket").cast("int").as("bucket"), col("n"),
-          col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+          min(col("lo")).as("lo_min"), max(col("hi")).as("hi_max"),
+          max(col("n")).as("_maxn"), min(col("n")).as("_minn"))
+        .select(col("n_buckets"), col("n_rows"), col("lo_min"), col("hi_max"),
+          (greatest(col("_maxn") - col("n_rows") / lit(8.0),
+              col("n_rows") / lit(8.0) - col("_minn"))
+            <= lit(0.01) * col("n_rows")).as("depth_within_1pct"))
     },
 
     q("q_histogram",
@@ -3265,7 +3273,8 @@ object SparkEntry {
         |ky AS (
         |  SELECT d.doc_id,
         |    CAST(round(ln((CAST(ch % 9007199254740992 AS DOUBLE) + 0.5)
-        |        / 9007199254740992.0) / d.w * 1000000.0) AS BIGINT) AS km
+        |        / 9007199254740992.0)
+        |      / greatest(d.w, 0.000000001) * 1000000.0) AS BIGINT) AS km
         |  FROM docs0 d JOIN wfold ON wfold.k = d.doc_id)
         |SELECT doc_id, rn FROM (
         |  SELECT doc_id,

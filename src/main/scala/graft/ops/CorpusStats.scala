@@ -85,8 +85,13 @@ object CorpusStats {
       s"valueCol '$valueCol' must be integral — exact moment sums are what " +
         s"make z cross-engine-reproducible: ${df.schema(valueCol).dataType}")
     val v = col(valueCol).cast("long")
+    // moment sums in DECIMAL(38,0), not LONG: Σx² over 10⁷ docs of ~10⁶
+    // chars is ~10¹⁹ — past 2⁶³, where the non-ANSI LONG sum would wrap
+    // silently while the oracle's HUGEINT keeps going (same discipline as
+    // corpusDiversity/vocabKl above)
+    val vd = v.cast(DecimalType(38, 0))
     val st = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("_n"), sum(v).as("_sx"), sum(v * v).as("_sxx"))
+      .agg(count(lit(1)).as("_n"), sum(vd).as("_sx"), sum(vd * vd).as("_sxx"))
       .select(col(groupCol),
         (col("_sx").cast("double") / col("_n")).as("mu"),
         sqrt(col("_sxx").cast("double") / col("_n")
@@ -98,20 +103,33 @@ object CorpusStats {
   }
 
   /** Equi-DEPTH histogram: `k` buckets holding ~equal row counts, split at
-    * the exact 1/k..(k−1)/k percentiles — the profiling companion to an
+    * the 1/k..(k−1)/k percentile boundaries — the profiling companion to an
     * equi-width histogram (which starves on skewed distributions: one hot
     * bucket, many empty). Output: (bucket, n, lo, hi) with bucket 0-based;
     * boundary ties land in the lower bucket. Boundaries round to 6
     * decimals so the bucket predicate is engine-stable.
     *
-    * Scale shape: one percentile aggregate produces the (k−1)-element
+    * Boundaries come from `approx_percentile` (Greenwald–Khanna sketch,
+    * bounded memory per partial), NOT exact `percentile`: the exact
+    * aggregation buffers every distinct value of the column in one
+    * aggregation buffer — the unbounded-memory shape this operator must
+    * not have at corpus scale. The sketch's contract is a rank error of
+    * ≤ n/`accuracy` per boundary, so every bucket's depth is within
+    * 2·n/`accuracy` rows of the ideal n/k — at the default accuracy
+    * 10 000 that is 0.02 % of the corpus per boundary, far inside any
+    * profiling use. The [[graft.SparkEntry]] oracle states exactly this
+    * contract (the `q_percentile_approx` validation-aggregate pattern).
+    *
+    * Scale shape: one sketch aggregate produces the (k−1)-element
     * boundary row, broadcast back; bucketing is a per-row HOF count over
     * that array and the final count is an ordinary k-row aggregate. */
-  def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+  def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int,
+                         accuracy: Int = 10000): DataFrame = {
     require(k >= 2, s"need at least 2 buckets: $k")
     val qs = (1 until k).map(i => i.toDouble / k).mkString(",")
     val bounds = df.agg(expr(
-      s"transform(percentile(`$valueCol`, array($qs)), x -> round(x, 6))").as("_b"))
+      s"transform(approx_percentile(`$valueCol`, array($qs), $accuracy), " +
+        "x -> round(x, 6))").as("_b"))
     df.crossJoin(broadcast(bounds))
       .select(col(valueCol).as("_v"),
         size(filter(col("_b"), b => b < col(valueCol))).as("bucket"))

@@ -150,7 +150,14 @@ object Mixing {
     * differences vanish in the micro-rounding. u = (pmod(fnv64, 2⁵³) +
     * 0.5) / 2⁵³: 53-bit, exactly representable, never 0 or 1. Weights
     * must be > 0 (rows with NULL or non-positive weight are dropped —
-    * they have no defined inclusion probability). */
+    * they have no defined inclusion probability), and are floored at
+    * 10⁻⁹: below that the micro-key \|ln(u)/w·10⁶\| can pass 2⁶³, where
+    * the non-ANSI double→long cast clamps to Long.MinValue and every
+    * tiny-weight row collapses into one tied key (selection by id order,
+    * not ∝ weight — and diverging from an oracle's HUGEINT arithmetic).
+    * At the floor the key tops out at ~3.7·10¹⁶, comfortably inside
+    * LONG; weights spanning more than 9 orders of magnitude below 1
+    * have indistinguishable inclusion probability anyway. */
   def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
                       k: Int, seed: String = "w0"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
@@ -161,7 +168,8 @@ object Mixing {
       lit(9007199254740992L)).cast("double") + lit(0.5)) / lit(two53)
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .select(col(idCol).cast("long").as("_id"),
-        round(log(u) / col(weightCol).cast("double") * lit(1e6))
+        round(log(u) / greatest(col(weightCol).cast("double"), lit(1e-9))
+            * lit(1e6))
           .cast("long").cast("double").as("_key"))
       .groupBy()
       .agg(topk(col("_key"), col("_id")).as("_top"))

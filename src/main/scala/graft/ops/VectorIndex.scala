@@ -111,6 +111,24 @@ object VectorIndex {
   def latestGen(spark: SparkSession, tableDir: String): Option[Long] =
     listIds(spark, tableDir, "gen=").sorted.lastOption
 
+  /** `batch=<id>` dirs that are provably COMMITTED — the `_SUCCESS` marker
+    * Spark's commit protocol writes last is present. A directory being
+    * written (or overwrite-replayed: overwrite deletes the dir, marker
+    * included, before rewriting) concurrently has no marker and is
+    * excluded — folding it would capture a partial batch AND advance the
+    * watermark past rows that only land when the write commits, making
+    * them permanently invisible to [[readLive]]. A committed id above an
+    * in-flight smaller id is safe under the single-writer streaming
+    * contract: `foreachBatch` commits batches in order, so a hole below
+    * the committed max can only be a replay REWRITE of a batch some
+    * earlier listing already folded. */
+  private def committedBatchIds(spark: SparkSession,
+                                batchedDir: String): Seq[Long] = {
+    val (f, _) = fs(spark, batchedDir)
+    listIds(spark, batchedDir, "batch=").filter(b => f.exists(
+      new org.apache.hadoop.fs.Path(s"$batchedDir/batch=$b/_SUCCESS")))
+  }
+
   /** The max batch id a generation folded (its `_watermark` sidecar). */
   private def watermarkOf(spark: SparkSession, tableDir: String,
                           gen: Long): Long = {
@@ -122,14 +140,16 @@ object VectorIndex {
     finally in.close()
   }
 
-  /** Compact every `batch=<id>` dir into the next generation snapshot and
-    * publish it atomically. Batches appended AFTER the listing simply stay
-    * live through the tail union until the next compaction — no
-    * coordination with the writer is needed. */
+  /** Compact every COMMITTED `batch=<id>` dir into the next generation
+    * snapshot and publish it atomically. Batches appended (or still being
+    * written) after/during the listing simply stay live through the tail
+    * union until the next compaction — no coordination with the writer is
+    * needed, because only `_SUCCESS`-committed dirs are folded and the
+    * watermark is the max COMMITTED id ([[committedBatchIds]]). */
   def compactGen(spark: SparkSession, batchedDir: String, tableDir: String,
                  idCol: String): Unit = {
-    val batchIds = listIds(spark, batchedDir, "batch=")
-    require(batchIds.nonEmpty, s"nothing to compact under $batchedDir")
+    val batchIds = committedBatchIds(spark, batchedDir)
+    require(batchIds.nonEmpty, s"nothing committed to compact under $batchedDir")
     val nextGen = latestGen(spark, tableDir).getOrElse(-1L) + 1
     val tmp = s"$tableDir/_tmp-gen=$nextGen"
     graft.sink.VectorTable.dedupeById(
@@ -157,16 +177,22 @@ object VectorIndex {
     }
   }
 
-  /** The live view: latest published generation plus every batch newer
-    * than its watermark (all batches when no generation exists yet). */
+  /** The live view: latest published generation plus every COMMITTED batch
+    * newer than its watermark (all committed batches when no generation
+    * exists yet) — an in-flight write's partial files are never read. */
   def readLive(spark: SparkSession, batchedDir: String,
                tableDir: String): DataFrame =
     latestGen(spark, tableDir) match {
-      case None => read(spark, batchedDir)
+      case None =>
+        val ids = committedBatchIds(spark, batchedDir)
+        require(ids.nonEmpty, s"no committed batches under $batchedDir")
+        spark.read.option("basePath", batchedDir)
+          .parquet(ids.map(b => s"$batchedDir/batch=$b"): _*)
+          .drop("batch")
       case Some(g) =>
         val wmId = watermarkOf(spark, tableDir, g)
         val genDf = spark.read.parquet(s"$tableDir/gen=$g")
-        val tailIds = listIds(spark, batchedDir, "batch=").filter(_ > wmId)
+        val tailIds = committedBatchIds(spark, batchedDir).filter(_ > wmId)
         if (tailIds.isEmpty) genDf
         else genDf.unionByName(
           spark.read.option("basePath", batchedDir)

@@ -63,6 +63,7 @@ final case class HttpVectorSink(
     maxAttempts: Int = 3,
     initialBackoffMs: Long = 50,
     authHeader: Option[(String, String)] = None,
+    signer: Option[RequestSigner] = None,
     connectTimeoutMs: Long = 2000,
     requestTimeoutMs: Long = 10000,
     deadLetterDir: Option[String] = None) extends VectorSink {
@@ -76,11 +77,13 @@ final case class HttpVectorSink(
     write(docs, docId(docs, prefix = Some(batchId)))
 
   /** Deterministic doc id. With a batch prefix: replay-stable content
-    * hash; without: the upstream `_id` when the frame has one. */
+    * hash; without: the upstream `_id` when the frame has one — cast to
+    * string, because the wire loop reads it as one (a LONG upstream key
+    * would otherwise ClassCastException per partition at runtime). */
   private def docId(docs: DataFrame, prefix: Option[Long]) = prefix match {
     case Some(b) =>
       sha1(concat_ws("|", lit(b), col("text"), col("date").cast("string")))
-    case None if docs.columns.contains("_id") => col("_id")
+    case None if docs.columns.contains("_id") => col("_id").cast("string")
     case None =>
       sha1(concat_ws("|", col("text"), col("date").cast("string")))
   }
@@ -149,10 +152,22 @@ private[sink] object BulkWriter {
     while (attempt < cfg.maxAttempts) {
       attempt += 1
       try {
-        val b = HttpRequest.newBuilder(URI.create(s"${cfg.endpoint}/_bulk"))
+        val uri = URI.create(s"${cfg.endpoint}/_bulk")
+        val b = HttpRequest.newBuilder(uri)
           .timeout(java.time.Duration.ofMillis(cfg.requestTimeoutMs))
           .header("Content-Type", "application/x-ndjson")
         cfg.authHeader.foreach { case (k, v) => b.header(k, v) }
+        // signing seam (reference: SigV4 interceptor,
+        // DataStreamJob.java:158-170) — signed INSIDE the attempt loop so
+        // a retry after backoff re-signs with a fresh date rather than
+        // replaying a stale signature past the server's clock-skew window
+        cfg.signer.foreach { s =>
+          val base = Seq("Content-Type" -> "application/x-ndjson") ++
+            cfg.authHeader.toSeq
+          s.headers("POST", uri, base,
+              body.getBytes(StandardCharsets.UTF_8))
+            .foreach { case (k, v) => b.header(k, v) }
+        }
         val resp = client.send(
           b.POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)).build(),
           HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))

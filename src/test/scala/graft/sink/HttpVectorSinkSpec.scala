@@ -110,6 +110,30 @@ class HttpVectorSinkSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("SigV4 seam: every bulk arrives signed, with the payload hash matching the received body") {
+    val srv = new TestBulkServer()
+    try {
+      HttpVectorSink(srv.url, "rag-index", bulkMaxDocs = 4,
+        signer = Some(SigV4Signer("AKTEST", "secret", "us-east-1", "es")))
+        .append(sampleDocs(10))
+      assert(srv.docs.size === 10)
+      val sigs = srv.sigSeen.toArray.map(_.asInstanceOf[Array[String]]).toSeq
+      assert(sigs.size >= 3, "every bulk request must be signed, not just the first")
+      sigs.foreach { case Array(date, sha, auth, body) =>
+        assert(date.matches("""\d{8}T\d{6}Z"""))
+        // the server recomputes the payload hash from the bytes it RECEIVED
+        val expect = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(body.getBytes(StandardCharsets.UTF_8))
+          .map(b => f"${b & 0xff}%02x").mkString
+        assert(sha === expect, "x-amz-content-sha256 must hash the wire body")
+        assert(auth.matches(
+          "AWS4-HMAC-SHA256 Credential=AKTEST/\\d{8}/us-east-1/es/aws4_request, " +
+            "SignedHeaders=content-type;host;x-amz-content-sha256;x-amz-date, " +
+            "Signature=[0-9a-f]{64}"))
+      }
+    } finally srv.stop()
+  }
+
   test("streaming topology end-to-end: micro-batches land over HTTP behind the VectorSink seam") {
     val srv = new TestBulkServer()
     val src = Files.createTempDirectory("wire-src")

@@ -15,12 +15,20 @@ final class TestBulkServer(failFirst: Int = 0, itemErrorsFirst: Int = 0,
   val docs = new ConcurrentHashMap[String, String]()
   val bulkSizes = new CopyOnWriteArrayList[Integer]()
   val authSeen = new CopyOnWriteArrayList[String]()
+  val sigSeen = new CopyOnWriteArrayList[Array[String]]()
   private val reqs = new AtomicInteger(0)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(Executors.newCachedThreadPool())
   server.createContext("/_bulk", (ex: HttpExchange) => {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     Option(ex.getRequestHeaders.getFirst("Authorization")).foreach(authSeen.add)
+    // signing instrumentation: (x-amz-date, x-amz-content-sha256, auth, body)
+    if (ex.getRequestHeaders.containsKey("x-amz-date"))
+      sigSeen.add(Array(
+        ex.getRequestHeaders.getFirst("x-amz-date"),
+        Option(ex.getRequestHeaders.getFirst("x-amz-content-sha256")).orNull,
+        Option(ex.getRequestHeaders.getFirst("Authorization")).orNull,
+        body))
     val n = reqs.incrementAndGet()
     def respond(code: Int, payload: String): Unit = {
       val bytes = payload.getBytes(StandardCharsets.UTF_8)

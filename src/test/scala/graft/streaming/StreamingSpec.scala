@@ -545,6 +545,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(probeIds() === expected2)
   }
 
+  test("compaction skips an uncommitted batch; its rows stay visible once it commits") {
+    import graft.ops.{Knn, VectorIndex}
+    // tiny deterministic corpus: ids 0..39, 4-dim vectors
+    val rows = (0L until 40L).map(i =>
+      (i, Seq(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f)))
+    val sample = rows.map(_._2.toArray).toArray
+    val centroids = Knn.trainCentroids(sample, nCells = 4)
+    val cb = Knn.trainPq(sample, m = 2, ksub = 4)
+    val batched = java.nio.file.Files.createTempDirectory("graft-vidx-uc-b").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-vidx-uc-t").toString
+    rows.grouped(10).zipWithIndex.foreach { case (g, i) =>
+      VectorIndex.appendIdempotent(g.toSeq.toDF("vec_id", "embedding"),
+        "embedding", centroids, cb, batched, i.toLong)
+    }
+    // freeze batch=3 in the exact on-disk state of an in-flight writer:
+    // data files present, commit marker not yet written
+    val marker = new java.io.File(s"$batched/batch=3/_SUCCESS")
+    assert(marker.exists())
+    assert(marker.delete())
+
+    def liveIds(): Set[Long] =
+      VectorIndex.readLive(spark, batched, table)
+        .select("vec_id").as[Long].collect().toSet
+
+    VectorIndex.compactGen(spark, batched, table, "vec_id")
+    // the in-flight batch is neither folded nor read — and crucially the
+    // watermark must NOT have advanced past it
+    assert(liveIds() === (0L until 30L).toSet)
+    // the write "commits": with batch id 3 > watermark 2, its rows surface
+    // through the tail union — they'd be permanently invisible had the
+    // watermark been taken from the LISTED max (the pre-fix defect)
+    assert(marker.createNewFile())
+    assert(liveIds() === (0L until 40L).toSet)
+    // the next compaction folds it and the view is unchanged
+    VectorIndex.compactGen(spark, batched, table, "vec_id")
+    assert(liveIds() === (0L until 40L).toSet)
+  }
+
   test("console sink: the debug sink accepts a triggered batch") {
     // the §2b console-sink row, exercised rather than just declared: a
     // one-batch rate stream through format("console") must complete a
