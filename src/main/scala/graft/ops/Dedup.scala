@@ -845,15 +845,36 @@ object Dedup {
     // stages (static 32-partition shuffles: 2.66 s; static 4-partition:
     // 1.73 s — both worse than AQE-coalesced 1.41 s). AQE's per-stage
     // re-plan latency is cheaper than mis-sized static shuffles here.
-    var prevSum: Option[java.math.BigDecimal] = None
+    def labelSum(l: DataFrame): java.math.BigDecimal = l
+      .agg(coalesce(sum(col("cluster_id").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))))
+      .head().getDecimal(0)
+    // Pre-seed the convergence sum from the SEED labels (r6): for the
+    // near-clique components real near-dup corpora produce, the 1-hop seed
+    // (min over N(v) ∪ {v}) is already the fixpoint — every clique member
+    // sees the global min in hop 1 — so the loop's first propagate changes
+    // nothing and its sum equals the seed's. With prevSum starting None
+    // (r3–r5) that equality went undetected and a second, fully redundant
+    // propagate ROUND (one join + one aggregation shuffle over edges ∪
+    // labels) ran just to confirm. The seed-sum action trades that round
+    // for a scan-only aggregate of the already-needed seed checkpoint —
+    // strictly cheaper at corpus scale. Locally the trade is ~neutral
+    // (r6 in-JVM interleaved A/B, 8 reps: seeded min 1.63 s / med 1.91 s
+    // vs unseeded 1.56 / 1.76 — the extra ACTION costs about what the
+    // saved tiny-graph round does); kept for the scale argument.
+    // Also measured in r6 and REJECTED: fusing a second full edge-hop into
+    // the seed job before the first checkpoint ("2-fused-round seed",
+    // h1 → join(edges, h1) → re-aggregate, no action between) — 2.48 s vs
+    // 1.96 s same-session: the extra join + aggregation shuffles cost more
+    // than the one confirming round they can save, same conclusion as the
+    // r3/r5 two-layer stacking experiments. This loop is measured-final;
+    // see BASELINE.md.
+    var prevSum: Option[java.math.BigDecimal] = Some(labelSum(labels))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = propagate(labels).localCheckpoint(false)
-      val newSum = next
-        .agg(coalesce(sum(col("cluster_id").cast(DecimalType(38, 0))),
-          lit(0).cast(DecimalType(38, 0))))
-        .head().getDecimal(0)
+      val newSum = labelSum(next)
       labels = next
       converged = prevSum.exists(_.compareTo(newSum) == 0)
       prevSum = Some(newSum)
