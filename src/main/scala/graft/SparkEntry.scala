@@ -28,8 +28,6 @@ object SparkEntry {
 
   private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(oracle))
-  private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
-    Q(name, fn, None)
 
   private def dec(c: Column, scale: Int = 2): Column =
     c.cast(DecimalType(28, scale)).cast("double")
@@ -2630,15 +2628,22 @@ object SparkEntry {
 
   private def llmOps: Seq[Q] = Seq(
 
+    // subword_count is the vocabulary-free BPE-ish proxy: word/digit runs
+    // and punctuation runs counted as separate segments — both engines
+    // segment with the same \p{L}/\p{N} classes (Java regex / RE2 agree on
+    // Unicode script classes for this corpus).
     q("q_text_stats",
       """SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS INT) AS token_count,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t <> ''))
+        |    + len(list_filter(string_split_regex(text, '[\p{L}\p{N}\s]+'), t -> t <> '')) AS INT) AS subword_count,
         |  CAST(length(text) AS INT) AS char_count,
         |  n_chars
         |FROM documents""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.tokenCount(col("text")).as("token_count"),
+          TextAnalysis.subwordCount(col("text")).as("subword_count"),
           length(col("text")).as("char_count"),
           col("n_chars"))
     },
