@@ -3963,16 +3963,36 @@ object SparkEntry {
       val docs = Tables.documents(s, d).filter(col("text").isNotNull)
       val spans = Dedup.substringSpans(docs, "text", "doc_id",
         k = 8, minSpanTokens = 12, maxPostings = 256)
-      val cut = Dedup.cutSpans(docs, "text", "doc_id", spans)
-        .select(col("doc_id").as("_cid"), col("text_clean"))
-      val cleaned = docs.join(cut, col("doc_id") === col("_cid"), "left_outer")
-        .select(col("doc_id"), coalesce(col("text_clean"), col("text")).as("text"))
+      // Inline span-cut (r6 floor pass): covered positions aggregate to one
+      // sorted array per AFFECTED doc, then the corpus is left-joined ONCE
+      // — the previous cutSpans-then-join-back shape read and joined the
+      // docs table twice for the same result. The cut itself is the same
+      // per-row HOF token filter cutSpans applies.
+      val covered = spans
+        .select(col("doc_b").as("_cid"),
+          explode(sequence(col("b_start"),
+            col("b_start") + col("span_tokens") - 1)).as("_pos"))
+        .groupBy(col("_cid"))
+        .agg(sort_array(collect_set(col("_pos"))).as("_cut"))
       // keeper via a min window over the content-hash partition: one
       // exchange where the groupBy + join-back shape shuffled the cleaned
       // corpus twice (the dedupSegments lesson applied here)
       val wCk = org.apache.spark.sql.expressions.Window
         .partitionBy(col("_ck"))
-      val keyed = cleaned.withColumn("_ck", Dedup.contentKey(col("text")))
+      // Length gate BEFORE the keeper window (r6): members of a duplicate
+      // group share the identical normalized token sequence (that is what
+      // _ck hashes), so the ≥5-token gate decides uniformly per group and
+      // commutes with keeper selection — gating first just shrinks the
+      // window's exchange.
+      val keyed = docs
+        .join(covered, col("doc_id") === col("_cid"), "left_outer")
+        .select(col("doc_id"),
+          when(col("_cut").isNull, col("text"))
+            .otherwise(concat_ws(" ", filter(Dedup.tokens(col("text")),
+              (t, i) => !array_contains(col("_cut"), i))))
+            .as("text"))
+        .withColumn("_ck", Dedup.contentKey(col("text")))
+        .filter(size(Dedup.tokens(col("text"))) >= 5)
       // materialize the cleaned+deduped corpus ONCE (lazy localCheckpoint):
       // downstream consumes it 5× (LM vocab build, scoring join, threshold
       // aggregate, final filter) and would otherwise re-run span detection
@@ -3982,7 +4002,6 @@ object SparkEntry {
       val gated = keyed
         .withColumn("_keep", min(col("doc_id")).over(wCk))
         .filter(col("doc_id") === col("_keep"))
-        .filter(size(Dedup.tokens(col("text"))) >= 5)
         .select("doc_id", "text")
         .localCheckpoint(false)
       val scored = ops.Selection.unigramLogProb(gated, "text", "doc_id")

@@ -64,7 +64,13 @@ object ScaleCheck {
             slice(col("embedding"), 1, r)))
       }.reduce(_ unionByName _)
 
+    // SPARK_GRAFT_SCALE_OPS=a,b runs just those ops (dev loop for a new
+    // entry without the full ~20-op sweep); skipped ops record NaN, which
+    // the summary drops.
+    val opsFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     def timed(name: String, k: Int, rows: Long)(body: => Long): Double = {
+      if (opsFilter.exists(!_.contains(name))) return Double.NaN
       val t0 = System.nanoTime()
       val n = body
       val sec = (System.nanoTime() - t0) / 1e9
@@ -96,6 +102,20 @@ object ScaleCheck {
       ev.select("user_id", "ts", "event_id", "event_type", "value")
         .unionByName(bot)
     }
+
+    // Adversarial boilerplate for the segment/substring hot-key checks: an
+    // 8-token VOWEL-FREE footer (the cross-page-footer case) prefixed to
+    // 50 % of docs AFTER replication — vowel-free tokens survive the
+    // replica vowel rotation unchanged, so this is ONE global hot segment
+    // hash / shingle bucket whose absolute frequency grows linearly with k
+    // (the worst shape: a per-replica hot key would cap at sf-constant
+    // frequency). Exactly 8 tokens so it aligns with dedupSegments'
+    // segTokens=8 chunk 0 and forms exactly one complete 8-shingle.
+    val boiler8 = "qwrtb zxcvb bnmpl sdfgh hjklm qwwrt rrttz zzxxc"
+    def plantBoilerplate(df: DataFrame): DataFrame =
+      df.withColumn("text",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(boiler8 + " "), col("text"))).otherwise(col("text")))
 
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
     val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
@@ -225,6 +245,34 @@ object ScaleCheck {
       results(("segment_dedup", k)) = timed("segment_dedup", k, nd) {
         graft.ops.Dedup.dedupSegments(d, "text", "doc_id", segTokens = 8).count()
       }
+      // HOT-KEY adversarial (r5 verdict item 5): one global boilerplate
+      // segment in 50 % of ALL docs. dedupSegments' min-window sends every
+      // posting of the hot hash to one task — that task's work is O(hot
+      // count), linear, and the rows are 16 bytes; the check confirms no
+      // quadratic shape hides behind the skew. substringSpans' hot shingle
+      // bucket exceeds maxPostings=256 at every k and is dropped as a
+      // stop-shingle (documented recall trade: the segment-grain dedup is
+      // the op that actually handles boilerplate), so the candidate pair
+      // expansion never sees the n²/4 hot pairs.
+      val dHot = plantBoilerplate(d).localCheckpoint(true)
+      results(("segment_dedup_hotkey", k)) = timed("segment_dedup_hotkey", k, nd) {
+        graft.ops.Dedup.dedupSegments(dHot, "text", "doc_id", segTokens = 8).count()
+      }
+      results(("substring_spans_hotkey", k)) = timed("substring_spans_hotkey", k, nd) {
+        graft.ops.Dedup.substringSpans(dHot, "text", "doc_id").count()
+      }
+      // Cap-sensitivity demo, k=1 only: at maxPostings=4096 the hot bucket
+      // (n/2 = 2500 postings at sf0.1) is ADMITTED and the pair expansion
+      // pays ~n²/8 rows before the span-length filter discards them — the
+      // measured gap between this row and substring_spans_hotkey is what
+      // the 256 cap is worth under boilerplate skew.
+      if (k == 1) {
+        timed("substring_spans_hotkey_cap4096", k, nd) {
+          graft.ops.Dedup.substringSpans(dHot, "text", "doc_id",
+            maxPostings = 4096).count()
+        }
+      }
+      dHot.unpersist()
       // group count is CONSTANT (pmod 5) while rows grow: the bounded
       // top-k aggregation must stay scan-dominated — a window formulation
       // would sort ever-growing groups in single tasks
@@ -257,7 +305,8 @@ object ScaleCheck {
       }
     }
     // growth factors per doubling-pair of k values
-    for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted) {
+    for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted
+         if !results((op, a)).isNaN && !results((op, b)).isNaN) {
       val f = results((op, b)) / math.max(results((op, a)), 1e-9)
       println(f"""{"op":"$op","k_from":$a,"k_to":$b,"data_ratio":${b.toDouble / a}%.1f,"time_factor":$f%.2f}""")
     }
