@@ -214,4 +214,38 @@ object CorpusStats {
           / (col("_tp").cast("double") + col("_v").cast("double")))
           .cast("long").cast("double") / lit(1e6)).as("kl_nats"))
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus' own
+    * top-`vocabSize` word vocabulary — the tokenizer-coverage stat: a
+    * fixed-size vocab trained on this corpus would leave `oov_rate` of
+    * each document's token mass unrepresented (split to sub-word/bytes).
+    * Rising OOV on an incoming slice flags domain shift before training.
+    * Output: (idCol, n_tokens, n_oov, oov_rate), one row per document.
+    *
+    * Determinism: the vocab boundary tie-breaks (count DESC, word ASC) —
+    * without the word tie-break the cut among equal-frequency words would
+    * be partition-order-dependent and the oracle unreproducible.
+    *
+    * Scale shape: the vocab is top-k over the word-count aggregate — one
+    * map-side-combined token-grain shuffle into TakeOrderedAndProject
+    * (bounded k, never a global sort), and the resulting ≤ vocabSize words
+    * BROADCAST back against the token stream, so the membership test is a
+    * per-row hash probe at the scan; the only other exchange is the
+    * per-doc count aggregation (id-grain, partial-agg'd). Corpus bodies
+    * shuffle zero times. */
+  def oovRate(df: DataFrame, textCol: String, idCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val words = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("_w"))
+    val vocab = words.groupBy(col("_w")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_w")).limit(vocabSize)
+      .select(col("_w"), lit(1).as("_in"))
+    words
+      .join(broadcast(vocab), Seq("_w"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
 }

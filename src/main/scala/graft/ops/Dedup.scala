@@ -89,6 +89,35 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the production ingestion shape: the BASE
+    * corpus is already deduplicated, so only the DELTA batch is tested,
+    * (a) against base content and (b) within itself (min-id keeper).
+    * Returns the delta rows that survive, schema unchanged.
+    *
+    * Shape for 100 TB: you never re-dedup the world — the base reduces to
+    * its 8-byte [[contentKey]] AT THE SCAN (bodies never leave it; in a
+    * standing pipeline this key column is a materialized, bucketed table
+    * the next increment reuses), the delta likewise shuffles only
+    * (key, id): the anti join's hash(_ck) output partitioning is reused
+    * by the keeper aggregation (one exchange serves both — partitioning
+    * exprs ⊆ grouping exprs), and the surviving ids semi-join back so
+    * delta BODIES never shuffle at all. The base side is the big side
+    * here — broadcast would be backwards; the SMJ anti shuffles 8-byte
+    * keys, which is the floor for an exact containment test. */
+  def incrementalDedup(base: DataFrame, delta: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    // no .distinct() on the base: the contract says it is already clean,
+    // and an anti join only tests existence — a distinct here would spend
+    // a partial agg to remove duplicates that do not exist
+    val baseKeys = base.select(contentKey(col(textCol)).as("_ck"))
+    val survivors = delta
+      .select(contentKey(col(textCol)).as("_ck"), col(idCol))
+      .join(baseKeys, Seq("_ck"), "left_anti")
+      .groupBy(col("_ck")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    delta.join(survivors, Seq(idCol), "left_semi")
+  }
+
   /** (id, band_idx, band_hash) tuples: LSH bucket keys. numHashes minhash
     * values split into `bands` bands of numHashes/bands rows each; a band's
     * hash is FNV-folded inside the [[graft.functions.MinHashBands]]

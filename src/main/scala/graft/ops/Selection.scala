@@ -260,6 +260,34 @@ object Selection {
     * broadcasts; the target side is one filtered aggregate of the same
     * feature stream. `targetPred` selects the in-domain exemplar rows
     * (typically a small curated slice; the raw side is the whole input). */
+  /** Per-group quality floor — keep the top `keepFrac` of each group's
+    * rows by score: the per-SOURCE gate curation pipelines apply before
+    * mixing (a global floor lets one high-scoring source crowd out entire
+    * low-scoring domains; flooring within the group preserves every
+    * domain's presence while dropping its worst tail). Keeps
+    * ceil(keepFrac·n_g) rows per group in (score DESC, id ASC) order —
+    * ties break on id, so the cut is deterministic and engine-reproducible
+    * (a percent_rank gate would admit a tie-dependent, order-ambiguous
+    * boundary set). Schema passes through unchanged.
+    *
+    * Scale shape: ONE hash(groupCol) exchange serves both windows (the
+    * group-count and the row_number share the partition key); no global
+    * sort, no driver state. Skew note: a group is a window partition, so
+    * one giant domain sorts in one task — for web-scale single-domain
+    * corpora use [[selectToTokenBudget]]'s histogram split instead; this
+    * op is for the many-domain mixing stage where groups are balanced. */
+  def qualityFloor(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0,1]: $keepFrac")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wg = Window.partitionBy(col(groupCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wg))
+      .filter(col("_rn") <= ceil(col("_n").cast("double") * lit(keepFrac)))
+      .drop("_rn", "_n")
+  }
+
   def dsirLogWeights(df: DataFrame, textCol: String, idCol: String,
                      targetPred: Column, buckets: Int = 256): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,

@@ -89,4 +89,25 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().head
     assert(r2._4 > 0.5)
   }
+
+  test("oov rate: top-k vocab cut is deterministic, per-doc fractions exact") {
+    // counts: a=5, b=3, c=2, d=2, e=1 — vocabSize=3 must cut {a, b, c}
+    // (c beats d on the word tie-break at equal count 2)
+    val docs = Seq(
+      (1L, "a a b c"),        // all in vocab → 0/4
+      (2L, "a b d e"),        // d, e OOV → 2/4
+      (3L, "a b c d"),        // d OOV → 1/4
+      (4L, "a")               // 0/1
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.oovRate(docs, "text", "doc_id", vocabSize = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 0L, 0.0)))
+    assert(got(2L) === ((2L, 4L, 2L, 0.5)))
+    assert(got(3L) === ((3L, 4L, 1L, 0.25)))
+    assert(got(4L) === ((4L, 1L, 0L, 0.0)))
+    // vocabSize beyond the vocabulary → nothing is OOV
+    val all = CorpusStats.oovRate(docs, "text", "doc_id", vocabSize = 100)
+      .agg(sum("n_oov")).as[Long].collect().head
+    assert(all === 0L)
+  }
 }

@@ -29,6 +29,26 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("incremental dedup: delta tested against base AND within itself") {
+    val base = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "Alpha  beta GAMMA"),   // normalizes equal to base 1 → drops
+      (11L, "eta theta iota"),      // new content → survives
+      (12L, "eta theta iota"),      // within-delta dup of 11 → drops
+      (13L, "delta epsilon zeta"),  // equal to base 2 → drops
+      (14L, "kappa lambda mu")      // new → survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(base, delta, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 14L))
+    // idempotence: re-running the surviving delta against base ∪ survivors
+    // (the post-ingest state) keeps nothing — the exactly-once ingest shape
+    val base2 = base.unionByName(delta.filter(col("doc_id").isin(11L, 14L)))
+    assert(Dedup.incrementalDedup(base2, delta, "text", "doc_id").count() === 0L)
+  }
+
   test("minhash near-dups find the planted near-duplicate pair") {
     // 32 bands × 2 rows: P(candidate) = 1-(1-J²)^32 ≈ 1 at J ≥ 0.5
     val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",

@@ -176,4 +176,26 @@ class SelectionSpec extends AnyFunSuite {
       "n_tok", "score", budgets, 16).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+
+  test("quality floor: ceil(frac*n) kept per group, deterministic on ties") {
+    val df = Seq(
+      // group a: 5 rows, scores 5..1 → keepFrac=0.5 keeps ceil(2.5)=3
+      (1L, "a", 5.0), (2L, "a", 4.0), (3L, "a", 3.0), (4L, "a", 2.0), (5L, "a", 1.0),
+      // group b: 3 rows all TIED → keeps ceil(1.5)=2, smallest ids win
+      (10L, "b", 7.0), (11L, "b", 7.0), (12L, "b", 7.0),
+      // group c: 1 row → ceil(0.5)=1, a tiny group is never emptied
+      (20L, "c", 0.1)
+    ).toDF("doc_id", "src", "score")
+    val kept = Selection.qualityFloor(df, "src", "score", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 10L, 11L, 20L))
+    // keepFrac=1 is the identity; schema passes through
+    val all = Selection.qualityFloor(df, "src", "score", "doc_id", 1.0)
+    assert(all.count() === 9L && all.columns.toSeq === df.columns.toSeq)
+    // both windows share one hash(src) exchange — exactly 1, never 2
+    val plan = Selection.qualityFloor(df, "src", "score", "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }
