@@ -2058,6 +2058,29 @@ object SparkEntry {
         col("lang") === "en")
     },
 
+    // Tokenizer-coverage stat: per-document OOV rate against the corpus'
+    // own top-500 word vocabulary (count DESC, word ASC tie-break — the
+    // deterministic cut both engines reproduce). Scale shape: top-k vocab
+    // via TakeOrdered (never a global sort), broadcast membership probe;
+    // bodies shuffle zero times (CorpusStats.scala:236).
+    q("q_oov_rate",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w, 1 AS in_v FROM (
+        |    SELECT w, count(*) AS c FROM tok GROUP BY w
+        |    ORDER BY c DESC, w LIMIT 500))
+        |SELECT tok.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS oov_rate
+        |FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+        |GROUP BY tok.doc_id""".stripMargin) { (s, d) =>
+      ops.CorpusStats.oovRate(Tables.documents(s, d), "text", "doc_id", 500)
+    },
+
     q("q_profile",
       """SELECT count(*) AS n_rows,
         |  CAST(count(*) - count(l_partkey) AS BIGINT) AS partkey_nulls,
@@ -2721,6 +2744,37 @@ object SparkEntry {
         sum(col("cnt")).cast("long").as("n_total"),
         count(lit(1)).as("n_distinct"),
         (sum(col("cnt")) - count(lit(1))).cast("long").as("n_dups"))
+    },
+
+    // Incremental (base+delta) exact dedup — the continuous-ingest shape:
+    // only the delta batch is tested, against base content and within
+    // itself (min-id keeper). Base/delta split by doc_id % 3, so the
+    // documents table's natural duplicates straddle the split and BOTH
+    // rejection paths fire. The oracle re-derives survivors on normalized
+    // STRING keys (anti-exists + per-key min) — Spark's 8-byte fnv64 keys
+    // agree unless a 64-bit collision occurs, which this row exists to
+    // catch (Dedup.scala:107).
+    q("q_incremental_dedup",
+      """WITH nk AS (
+        |  SELECT doc_id, lang, array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''), ' ') AS nk
+        |  FROM documents),
+        |base AS (SELECT nk FROM nk WHERE doc_id % 3 = 0),
+        |delta AS (SELECT doc_id, lang, nk FROM nk WHERE doc_id % 3 <> 0),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM delta d
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.nk = d.nk)
+        |  GROUP BY d.nk)
+        |SELECT d.doc_id, d.lang FROM delta d JOIN surv USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // base is not itself deduped here — harmless: the anti join tests
+      // existence only (the operator's documented contract assumption is
+      // about cost, not correctness)
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "text", "doc_id")
+        .select(col("doc_id"), col("lang"))
     },
 
     q("q_ngram_jaccard",

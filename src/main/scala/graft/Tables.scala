@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -80,16 +80,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` the
-    * column arrives as a nano-epoch long; convert (truncating to micros,
-    * lossless for this micro-precision data) back to a real timestamp so
-    * downstream operators see the declared schema. */
+  /** Normalize `events.ts` to a real TIMESTAMP regardless of the parquet
+    * flavor the generator happened to write — the engine owns its logical
+    * schema; it must not assume the writer's physical encoding.
+    *
+    * Flavors seen from the driver's generator so far:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/
+    *    TestSpark) it arrives as a nano-epoch long → convert via
+    *    `timestamp_micros(ts div 1000)` (truncation lossless here, the
+    *    data is micro-precision).
+    *  - Timestamp(isAdjustedToUTC=false, MICROS): Spark 4 reads it as
+    *    TIMESTAMP_NTZ; all entry points pin the session to UTC, so a cast
+    *    to TIMESTAMP maps wall-clock to the identical instant — exact. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

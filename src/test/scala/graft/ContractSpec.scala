@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Driver-contract invariants — the class of regression that cost rounds
   * 2–3 their "no-oracle rows": every registered query must carry an
   * oracle, names must be unique, and both exported maps must stay in
-  * lock-step. Pure metadata checks, no Spark session. */
+  * lock-step. Mostly pure metadata checks; the loader-schema pin at the
+  * bottom is the one test that touches Spark. */
 class ContractSpec extends AnyFunSuite {
 
   test("every registered query has an oracle") {
@@ -26,5 +27,16 @@ class ContractSpec extends AnyFunSuite {
   test("oracle SQL never uses list_reduce (DuckDB 1.0.0 mis-folds batches)") {
     val offenders = SparkEntry.oracleSql.filter(_._2.contains("list_reduce")).keys
     assert(offenders.isEmpty, s"list_reduce-based oracles: $offenders")
+  }
+
+  // Not a pure metadata check, but it lives here because it guards the same
+  // driver contract: the generator has already changed events.ts's parquet
+  // flavor once (TIMESTAMP(NANOS) → micros/NTZ, which broke q_sessionize in
+  // the driver's run, round 6). Pin the LOADER's output type so the next
+  // silent testdata change fails loudly in-repo.
+  test("Tables.events normalizes ts to TIMESTAMP for any parquet flavor") {
+    import org.apache.spark.sql.types.TimestampType
+    val ts = Tables.events(TestSpark.spark, TestSpark.sf).schema("ts").dataType
+    assert(ts == TimestampType, s"events.ts read as $ts — loader must normalize")
   }
 }
