@@ -2777,6 +2777,73 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Composed continuous-ingest lifecycle (the reference's steady state,
+    // `DataStreamJob.java:140-177`, re-expressed over the engine's own
+    // operators): an already-clean BASE corpus absorbs a DELTA batch —
+    // delta → incrementalDedup(base, delta) → per-slice bm25Stats rows
+    // merged additively (mergeStats) → keyword probe against the merged
+    // row. The oracle recomputes the final corpus and single-pass global
+    // stats in SQL; additivity makes the merged row bit-identical (counts
+    // and integer-valued double sums, all exact), so the probe must hash-
+    // match. The streaming (multi-micro-batch) form of this exact fold is
+    // StreamingSpec's "incremental ingest lifecycle" case.
+    q("q_ingest_bm25",
+      """WITH nk AS (
+        |  SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''), ' ') AS nk
+        |  FROM documents),
+        |basek AS (SELECT nk, min(doc_id) AS doc_id FROM nk WHERE doc_id % 3 = 0 GROUP BY nk),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM nk d
+        |  WHERE doc_id % 3 <> 0
+        |    AND NOT EXISTS (SELECT 1 FROM basek b WHERE b.nk = d.nk)
+        |  GROUP BY d.nk),
+        |corpus AS (SELECT doc_id FROM basek UNION ALL SELECT doc_id FROM surv),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents JOIN corpus USING (doc_id) WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(tk, x -> x = 'dup')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE) AS tf2,
+        |    (CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS m,
+        |    dl, n, sumdl, df0, df1, df2
+        |  FROM d, st)
+        |SELECT doc_id,
+        |  round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0))
+        |      / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+        |      / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+        |      / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))), 6) AS bm25,
+        |  CAST(m AS INT) AS n_matched
+        |FROM sc WHERE m > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val terms = Seq("dup", "spark", "merge")
+      val base = Dedup.exactDedup(docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+      val delta = docs.filter(col("doc_id") % 3 =!= 0)
+      val survivors = Dedup.incrementalDedup(base, delta, "text", "doc_id")
+      val merged = Retrieval.mergeStats(
+        Retrieval.bm25Stats(base, "text", "doc_id", terms)
+          .unionAll(Retrieval.bm25Stats(survivors, "text", "doc_id", terms)),
+        terms.length)
+      Retrieval.bm25TopKWithStats(
+        base.unionAll(survivors).select(col("doc_id"), col("text")),
+        "text", "doc_id", merged, terms, k = 20)
+    },
+
     q("q_ngram_jaccard",
       """WITH tok AS (
         |  SELECT doc_id, list_distinct(list_filter(

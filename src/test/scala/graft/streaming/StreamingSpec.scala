@@ -600,4 +600,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(q.recentProgress.map(_.numInputRows).sum === 3L)
     } finally q.stop()
   }
+
+  test("incremental ingest lifecycle: per-batch dedup + stats fold ≡ batch recompute") {
+    // The q_ingest_bm25 composition run the way production runs it: a
+    // stream of delta batches folded with foreachBatch — each batch is
+    // incrementalDedup'd against the base accumulated so far, survivors
+    // join the base, and ONE additive bm25Stats row is appended per batch.
+    // Duplicates are planted both across batches (later batch repeats an
+    // earlier batch's text) and within a batch, so both rejection paths
+    // fire mid-stream. End state must equal the single-shot batch answer.
+    import graft.ops.{Dedup, Retrieval}
+    val terms = Seq("spark", "merge")
+    def doc(i: Long, t: String) = (i, t)
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(doc(1, "spark merge join"), doc(2, "scan only doc"), doc(3, "spark merge join")),
+      Seq(doc(4, "Spark  MERGE join"), doc(5, "fresh merge text"), doc(6, "fresh merge text")),
+      Seq(doc(7, "scan only doc"), doc(8, "totally new spark row"))
+    )
+    val ms = MemoryStream[(Long, String)](spark)
+    var base = Dedup.exactDedup(
+      Seq(doc(100, "seed spark corpus"), doc(101, "seed spark corpus"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      .persist()
+    var statsRows = Retrieval.bm25Stats(base, "text", "doc_id", terms)
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = Dedup.incrementalDedup(base, batch, "text", "doc_id")
+          .persist()
+        survivors.count() // settle survivors before base is repointed
+        statsRows = statsRows
+          .unionAll(Retrieval.bm25Stats(survivors, "text", "doc_id", terms))
+        base = base.unionAll(survivors)
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val merged = Retrieval.mergeStats(statsRows, terms.size)
+    val viaFold = Retrieval.bm25TopKWithStats(
+      base, "text", "doc_id", merged, terms, k = 10).as[(Long, Double, Int)].collect().toSeq
+    // single-shot reference over everything at once
+    val allDocs = (Seq(doc(100, "seed spark corpus"), doc(101, "seed spark corpus")) ++
+      batches.flatten).toDF("doc_id", "text")
+    val refCorpus = Dedup.exactDedup(allDocs, "text", "doc_id")
+    val viaBatch = Retrieval.bm25TopK(refCorpus, "text", "doc_id", terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(viaFold === viaBatch)
+    // the fold's survivor set is exactly the batch keeper set (min-id —
+    // stream order matches id order here, so first-seen IS min-id)
+    assert(base.select("doc_id").as[Long].collect().sorted.toSeq ===
+      refCorpus.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }

@@ -166,7 +166,19 @@ object ScaleCheck {
         "g", "doc_id", k = 100).count()
       graft.ops.Selection.bigramLogProb(d0, "text", "doc_id").count()
       graft.ops.CorpusStats.corpusDiversity(e0, "embedding").count()
+      graft.ops.Dedup.incrementalDedup(d0, d0, "text", "doc_id").count()
+      graft.ops.CorpusStats.oovRate(d0, "text", "doc_id", 100).count()
     }
+    // Fixed delta for the incremental-dedup check: the 5th vowel alphabet is
+    // never a replica alphabet at k ≤ 4 (replicas use maps 0..k-1), so the
+    // delta's content stays disjoint from EVERY base replica — the anti
+    // join rejects nothing and the survivor/keeper side is k-invariant by
+    // construction. (At k = 5 replica 4 shares this alphabet and the delta
+    // becomes all-duplicate — semantics change, no blowup.)
+    val deltaFixed = docs
+      .withColumn("doc_id", col("doc_id") + lit(9L * step))
+      .withColumn("text", translate(col("text"), "aeiou", vowelMaps(4)))
+      .localCheckpoint(true)
     for (k <- ks) {
       val d = replicateDocs(docs, k).localCheckpoint(true)
       val e = replicateEmb(emb, 64, k).localCheckpoint(true)
@@ -302,6 +314,22 @@ object ScaleCheck {
           d.select(col("doc_id"), pmod(col("doc_id"), lit(5)).cast("string").as("g"),
             length(col("text")).cast("long").as("v")),
           "g", "v").count()
+      }
+      // DELTA FIXED, base ×k (the production increment shape): the base
+      // reduces to 8-byte keys at the scan and the survivor/keeper/semi
+      // side is delta-bounded (disjoint delta — see deltaFixed above), so
+      // the per-doubling factor tracks the base key scan+shuffle, ≤ the
+      // 2× data ratio, with no delta-side recompute hiding in it
+      results(("incremental_dedup", k)) = timed("incremental_dedup", k, nd) {
+        graft.ops.Dedup.incrementalDedup(d, deltaFixed, "text", "doc_id").count()
+      }
+      // vocab size FIXED (500) while the corpus grows ×k — rotated
+      // replicas mint new vocabulary, so the word-count aggregate grows
+      // linearly while TakeOrdered's k and the broadcast membership probe
+      // stay bounded; per-doubling factor ≤ 2 means no global-sort or
+      // vocab-sized shuffle crept in
+      results(("oov_rate", k)) = timed("oov_rate", k, nd) {
+        graft.ops.CorpusStats.oovRate(d, "text", "doc_id", 500).count()
       }
     }
     // growth factors per doubling-pair of k values
