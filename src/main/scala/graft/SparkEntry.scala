@@ -2777,6 +2777,56 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Incremental near-dup: the LSH half of the continuous-ingest
+    // lifecycle — near-dup pairs TOUCHING the delta batch only, the base
+    // never re-deduped against itself. Base = exact-deduped doc_id%3=0
+    // slice (contract: clean); delta = exact-incremental survivors of the
+    // rest (so no jaccard-1.0 pairs remain). The oracle computes exact
+    // 3-shingle Jaccard over the final corpus restricted to pairs with ≥1
+    // delta side — full-recall LSH at these settings (48 hashes / 24
+    // bands, the q_minhash_neardup configuration), so the banded probe
+    // must reproduce the exact pair set (Dedup.scala incrementalNearDups).
+    q("q_incremental_neardup",
+      """WITH nk AS (
+        |  SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''), ' ') AS nk
+        |  FROM documents),
+        |basek AS (SELECT nk, min(doc_id) AS doc_id FROM nk WHERE doc_id % 3 = 0 GROUP BY nk),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id, d.nk FROM nk d
+        |  WHERE doc_id % 3 <> 0
+        |    AND NOT EXISTS (SELECT 1 FROM basek b WHERE b.nk = d.nk)
+        |  GROUP BY d.nk),
+        |corpus AS (
+        |  SELECT doc_id, nk, 0 AS is_delta FROM basek
+        |  UNION ALL SELECT doc_id, nk, 1 AS is_delta FROM surv),
+        |tok AS (SELECT doc_id, is_delta, string_split(nk, ' ') AS toks FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, is_delta, list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+        |  FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT id_a, id_b, shared / (sa.n + sb.n - shared) AS j,
+        |    sa.is_delta + sb.is_delta AS nd
+        |  FROM inter
+        |  JOIN (SELECT doc_id, len(shingles) AS n, is_delta FROM sh) sa ON sa.doc_id = id_a
+        |  JOIN (SELECT doc_id, len(shingles) AS n, is_delta FROM sh) sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard
+        |FROM near WHERE j >= 0.5 AND nd >= 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = Dedup.exactDedup(docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+      val delta = Dedup.incrementalDedup(base,
+        docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
+      Dedup.incrementalNearDups(base, delta, "text", "doc_id",
+          threshold = 0.5, shingleN = 3, numHashes = 48, bands = 24)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
     // Composed continuous-ingest lifecycle (the reference's steady state,
     // `DataStreamJob.java:140-177`, re-expressed over the engine's own
     // operators): an already-clean BASE corpus absorbs a DELTA batch —

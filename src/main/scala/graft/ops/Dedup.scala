@@ -118,6 +118,70 @@ object Dedup {
     delta.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** The MATERIALIZED base band table for [[incrementalNearDups]] — the
+    * near-dup analogue of the content-key column a standing exact-dedup
+    * pipeline keeps: [[minhashBands]] rows plus a per-bucket population
+    * count (`_bucket_n`), so an increment can skip saturated (template
+    * noise) buckets WITHOUT re-aggregating the base. Built once per corpus
+    * snapshot (one band-grain shuffle for the count window), appended as
+    * batches land — counts stay correct per-slice and the probe-side cap
+    * is on the BASE population, which is what grows. */
+  def minhashBandTable(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int = 3, numHashes: Int = 128,
+                       bands: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash"))
+    minhashBands(df, textCol, idCol, shingleN, numHashes, bands)
+      .withColumn("_bucket_n", count(lit(1)).over(w))
+  }
+
+  /** Incremental MinHash-LSH near-dup — [[incrementalDedup]] raised from
+    * exact to NEAR duplicates, the other half of the continuous-ingest
+    * lifecycle: report every near-dup pair (exact Jaccard ≥ `threshold`)
+    * that TOUCHES the delta batch, never re-deduping the base against
+    * itself.
+    *
+    * Contract (mirrors [[incrementalDedup]]): the base is already clean —
+    * exact-deduped and with its internal near-dup pairs known from prior
+    * increments — and the delta has been exact-incrementally-deduped
+    * (so no jaccard-1.0 star pairs remain to saturate buckets, the
+    * [[minhashNearDups]] collapse argument).
+    *
+    * Shape for 100 TB: the base participates ONLY through (a) its band
+    * table — `baseBandTable` when the pipeline materialized one via
+    * [[minhashBandTable]] (the production path; recomputed here otherwise)
+    * — scanned, never shuffled: the delta's fresh band rows are tiny and
+    * BROADCAST against it, so base×delta candidates cost one base-band
+    * scan; and (b) the candidate ids' rows for the Jaccard verify, a
+    * candidate-bounded semi-join — base BODIES never shuffle. Within-delta
+    * candidates bucket-combine among the delta bands alone (delta-sized
+    * shuffle). Saturated buckets (base `_bucket_n` > `maxBucket`) are
+    * skipped as template noise, the standard stop-bucket trade.
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b, ≥ 1 side in the delta. */
+  def incrementalNearDups(base: DataFrame, delta: DataFrame,
+                          textCol: String, idCol: String, threshold: Double,
+                          shingleN: Int = 3, numHashes: Int = 128,
+                          bands: Int = 32, maxBucket: Int = 1024,
+                          baseBandTable: Option[DataFrame] = None): DataFrame = {
+    val bBands = baseBandTable
+      .getOrElse(minhashBandTable(base, textCol, idCol, shingleN, numHashes, bands))
+    val dBands = minhashBands(delta, textCol, idCol, shingleN, numHashes, bands)
+    val crossCand = bBands
+      .filter(col("_bucket_n") <= maxBucket)
+      .join(broadcast(dBands.withColumnRenamed(idCol, "_did")),
+        Seq("band_idx", "band_hash"))
+      .filter(col(idCol) =!= col("_did"))
+      .select(least(col(idCol), col("_did")).as("id_a"),
+        greatest(col(idCol), col("_did")).as("id_b"))
+      .distinct()
+    val withinCand = bucketPairs(bucketed(dBands, col(idCol), maxBucket), "_elems")
+      .select(col("_a").as("id_a"), col("_b").as("id_b"))
+    val cand = crossCand.unionByName(withinCand).distinct()
+    verifyJaccard(cand, base.unionByName(delta), textCol, idCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** (id, band_idx, band_hash) tuples: LSH bucket keys. numHashes minhash
     * values split into `bands` bands of numHashes/bands rows each; a band's
     * hash is FNV-folded inside the [[graft.functions.MinHashBands]]

@@ -105,6 +105,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("fnv64"), p)
   }
 
+  test("incremental near-dup: delta bands broadcast against the base band scan") {
+    val p = plan("q_incremental_neardup")
+    // the base×delta candidate probe must be a broadcast hash join with the
+    // (tiny, fresh) delta band table as build side — the base band table is
+    // scanned, never shuffled, which is the whole point of the increment
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the exact-Jaccard verify joins shingle sets back by candidate id
+    assert(p.contains("array_intersect"), p)
+  }
+
   test("TPC-H shapes: dims broadcast (by hint), facts sort-merge, top-k bounded") {
     // at test sf EVERY table clears the auto-broadcast threshold; disable it
     // so the plan shows the scale shape — the EXPLICIT broadcast() hints on

@@ -49,6 +49,52 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(Dedup.incrementalDedup(base2, delta, "text", "doc_id").count() === 0L)
   }
 
+  test("incremental near-dups: pairs touching the delta only, cross and within") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val base = Seq(
+      (1L, long),                                       // near-dup source in base
+      (2L, "delta epsilon zeta completely other content right here"),
+      (3L, "unrelated base words nothing shared anywhere at all")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, long.replace("kappa", "lambda")),           // near dup of base 1
+      (12L, long.replace("kappa", "lambda").replace("iota", "pi")), // near dup of 11 (and 1)
+      (13L, "fresh delta content with no duplicate partner present")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(base, delta, "text", "doc_id",
+      threshold = 0.5, shingleN = 3, numHashes = 64, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 11L)), "cross base-delta near dup must surface")
+    assert(got.contains((11L, 12L)), "within-delta near dup must surface")
+    assert(!got.exists(p => p._1 == 13L || p._2 == 13L), "unique delta doc must not pair")
+    assert(got.forall(p => p._1 >= 11L || p._2 >= 11L),
+      s"every pair must touch the delta: $got")
+    // the materialized-artifact path returns the identical pair set
+    val bandTable = Dedup.minhashBandTable(base, "text", "doc_id",
+      shingleN = 3, numHashes = 64, bands = 32)
+    val viaArtifact = Dedup.incrementalNearDups(base, delta, "text", "doc_id",
+      threshold = 0.5, shingleN = 3, numHashes = 64, bands = 32,
+      baseBandTable = Some(bandTable))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaArtifact === got)
+    // saturated buckets are skipped PER SLICE (the batch op's stop-bucket
+    // trade applied to each side): with two near-identical base docs most
+    // cross buckets hold 2 base members — at cap 2 they are admitted; at
+    // cap 1 they drop and only bands where the base copies differ can
+    // still surface a cross pair. Within-delta buckets are capped by
+    // DELTA membership alone (11,12 share size-2 buckets → alive at cap 2).
+    val base2 = base.unionByName(Seq((4L, long + " extra tail word")).toDF("doc_id", "text"))
+    val cap2 = Dedup.incrementalNearDups(base2, delta, "text", "doc_id",
+      threshold = 0.5, shingleN = 3, numHashes = 64, bands = 32, maxBucket = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.incrementalNearDups(base2, delta, "text", "doc_id",
+      threshold = 0.5, shingleN = 3, numHashes = 64, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cap2.subsetOf(uncapped))
+    assert(cap2.contains((11L, 12L)),
+      "within-delta pair must survive a cap its bucket respects")
+  }
+
   test("minhash near-dups find the planted near-duplicate pair") {
     // 32 bands × 2 rows: P(candidate) = 1-(1-J²)^32 ≈ 1 at J ≥ 0.5
     val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
