@@ -652,4 +652,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(base.select("doc_id").as[Long].collect().sorted.toSeq ===
       refCorpus.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("incremental near-dup fold: per-batch band-table appends find every pair ≡ batch recompute") {
+    // The LSH half of the ingest lifecycle as foreachBatch: each batch is
+    // exact-incrementally-deduped, its survivors probe the ACCUMULATED band
+    // table (the materialized artifact a standing pipeline keeps), and both
+    // the corpus and the band table extend by the survivors' rows. Every
+    // near-dup pair of the final corpus is cross- or within- exactly one
+    // batch, so the fold's pair union must equal the single-shot batch
+    // near-dup of the final deduped corpus (no star pairs — the exact fold
+    // removed exact dups before banding, the operator contract).
+    import graft.ops.Dedup
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, long), (2L, "totally unrelated words nothing shared here at all")),
+      Seq((11L, long.replace("kappa", "lambda")),      // near dup of 1 (cross-batch)
+          (12L, long),                                 // exact dup of 1 → dropped by exact fold
+          (13L, "fresh content of the second wave distinct everywhere")),
+      Seq((21L, long.replace("kappa", "lambda").replace("iota", "pi")), // near dup of 1 & 11
+          (22L, "fresh content of the second wave distinct everywhere extra")) // near-ish of 13
+    )
+    val bandArgs = (3, 64, 32) // shingleN, numHashes, bands
+    val ms = MemoryStream[(Long, String)](spark)
+    var corpus = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+      .persist()
+    var bandTable = Dedup.minhashBandTable(corpus, "text", "doc_id",
+      bandArgs._1, bandArgs._2, bandArgs._3).persist()
+    val pairs = scala.collection.mutable.Set[(Long, Long)]()
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = Dedup.incrementalDedup(corpus, batch, "text", "doc_id")
+          .persist()
+        survivors.count()
+        pairs ++= Dedup.incrementalNearDups(corpus, survivors, "text", "doc_id",
+            threshold = 0.5, bandArgs._1, bandArgs._2, bandArgs._3,
+            baseBandTable = Some(bandTable))
+          .select("id_a", "id_b").as[(Long, Long)].collect()
+        corpus = corpus.unionByName(survivors)
+        bandTable = bandTable.unionByName(
+          Dedup.minhashBandTable(survivors, "text", "doc_id",
+            bandArgs._1, bandArgs._2, bandArgs._3))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val ref = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      threshold = 0.5, bandArgs._1, bandArgs._2, bandArgs._3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.toSet === ref,
+      s"fold pairs ${pairs.toSet} must equal batch recompute $ref")
+    // (1,21) is deliberately ABSENT from the plant list: two substitutions
+    // push its exact jaccard to ~0.43 < 0.5 — the fold must agree with the
+    // batch recompute on rejections too (covered by the set equality above)
+    assert(pairs.contains((1L, 11L)) && pairs.contains((11L, 21L)) &&
+      pairs.contains((13L, 22L)), "planted cross-batch near dups found")
+  }
 }

@@ -331,6 +331,23 @@ object ScaleCheck {
       results(("oov_rate", k)) = timed("oov_rate", k, nd) {
         graft.ops.CorpusStats.oovRate(d, "text", "doc_id", 500).count()
       }
+      // near-dup increment, steady state: the band-table ARTIFACT is
+      // prebuilt (as a standing pipeline would have it materialized) and
+      // the timed body is the probe — delta fixed, base ×k, so cost must
+      // track the base band SCAN (the broadcast probe and candidate-
+      // bounded verify are delta-sized); output pairs stay ~constant
+      // (rotated base replicas don't near-dup the 5th-alphabet delta)
+      if (opsFilter.forall(_.contains("incremental_neardup"))) {
+        val bandArt = graft.ops.Dedup.minhashBandTable(
+          d, "text", "doc_id", shingleN = 3, numHashes = 48, bands = 24)
+          .localCheckpoint(true)
+        results(("incremental_neardup", k)) = timed("incremental_neardup", k, nd) {
+          graft.ops.Dedup.incrementalNearDups(d, deltaFixed, "text", "doc_id",
+            threshold = 0.5, shingleN = 3, numHashes = 48, bands = 24,
+            baseBandTable = Some(bandArt)).count()
+        }
+        bandArt.unpersist()
+      }
     }
     // growth factors per doubling-pair of k values
     for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted
