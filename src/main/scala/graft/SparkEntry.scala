@@ -2164,6 +2164,36 @@ object SparkEntry {
             lit(0.10) * col("exact_parts")).as("within_2rsd"))
     },
 
+    // Mergeable distinct-count sketches (DataSketches HLL): per-slice
+    // sketches UNION to the corpus answer without rescanning history — the
+    // cardinality member of the engine's additive-artifact family
+    // (bm25Stats row, minhash band table). The union is register-lossless,
+    // but DataSketches estimates a streamed sketch with HIP and a union
+    // with the composite estimator, so the two values may differ by a few
+    // counts in dense mode — the honest mergeability contract, pinned
+    // here, is that BOTH estimates sit inside the lgK=12 error envelope of
+    // the exact count DuckDB computes (±5 % is ≈6 standard errors at
+    // lgK=12; both engines emit the booleans as constants-by-contract)
+    // (CorpusStats.distinctSketches / distinctFromSketches).
+    q("q_distinct_sketch",
+      """SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+        |  true AS merged_rel_err_ok, true AS global_rel_err_ok
+        |FROM documents""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val slices = ops.CorpusStats.distinctSketches(
+        docs.withColumn("_slice", pmod(col("doc_id"), lit(4))), "text", "_slice")
+      val merged = ops.CorpusStats.distinctFromSketches(slices)
+      val globalEst = docs.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("text"), lit(12))).as("_g"))
+      val exact = docs.agg(countDistinct(col("text")).as("n_exact"))
+      def errOk(c: Column): Column =
+        abs(c.cast("double") / col("n_exact").cast("double") - lit(1.0)) <= lit(0.05)
+      merged.crossJoin(globalEst).crossJoin(exact)
+        .select(col("n_exact"),
+          errOk(col("n_estimate")).as("merged_rel_err_ok"),
+          errOk(col("_g")).as("global_rel_err_ok"))
+    },
+
     // Approximate heavy hitters (Spark 4's approx_top_k sketch). WHICH items
     // a sketch emits under count ties is sketch-specific, so the oracle
     // compares what IS engine-independent: the item count, the k-th count

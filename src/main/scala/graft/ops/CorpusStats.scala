@@ -233,6 +233,34 @@ object CorpusStats {
     * per-row hash probe at the scan; the only other exchange is the
     * per-doc count aggregation (id-grain, partial-agg'd). Corpus bodies
     * shuffle zero times. */
+  /** Per-slice mergeable distinct-count sketches (Apache DataSketches HLL,
+    * Spark's built-in `hll_sketch_agg`) — the cardinality analogue of the
+    * additive [[graft.ops.Retrieval.bm25Stats]] row and the
+    * [[graft.ops.Dedup.minhashBandTable]] artifact: a standing pipeline
+    * keeps ONE small binary sketch per ingested slice (per batch, day, or
+    * shard) and answers "how many distinct values corpus-wide?" by
+    * UNIONING sketches ([[distinctFromSketches]]) — never re-scanning
+    * history. HLL union is register-LOSSLESS at equal lgK (register-wise
+    * max ≡ the single-pass sketch's registers); the ESTIMATE can still
+    * differ from a single global build by a few counts in dense mode
+    * because DataSketches applies its HIP estimator to streamed sketches
+    * but the composite estimator after a union — both sit inside the same
+    * lgK error envelope of the true cardinality, which is the contract the
+    * oracle pins. Output: one (sliceCol, sketch BINARY) row per slice. */
+  def distinctSketches(df: DataFrame, valueCol: String, sliceCol: String,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(col(sliceCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Union per-slice sketches to the corpus-wide distinct estimate: one
+    * row (n_estimate LONG). Work is O(slices · 2^lgK) — independent of
+    * corpus size, the point of keeping sketches. */
+  def distinctFromSketches(sketches: DataFrame,
+                           sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
+        .as("n_estimate"))
+
   def oovRate(df: DataFrame, textCol: String, idCol: String,
               vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")

@@ -110,4 +110,36 @@ class CorpusStatsSpec extends AnyFunSuite {
       .agg(sum("n_oov")).as[Long].collect().head
     assert(all === 0L)
   }
+
+  test("distinct sketches: slice-union estimate ≡ global build, near exact") {
+    // 10k rows, 1000 distinct values spread across 4 slices with overlap.
+    // At this cardinality (< 2^lgK registers) the sketch is in sparse/exact
+    // mode, where union and single-pass builds agree EXACTLY — asserting
+    // equality here pins register-losslessness without tripping over the
+    // HIP-vs-composite estimator gap of dense mode (which the registered
+    // q_distinct_sketch contract covers via the error envelope instead)
+    val rows = spark.range(10000)
+      .select((col("id") % 4).as("slice"),
+        concat(lit("v"), (col("id") % 1000)).as("v"))
+    val perSlice = CorpusStats.distinctSketches(rows.toDF(), "v", "slice")
+    assert(perSlice.count() === 4)
+    val merged = CorpusStats.distinctFromSketches(perSlice)
+      .as[Long].collect().head
+    val global = rows.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12)))).as[Long].collect().head
+    assert(merged === global, "lossless union: merged must equal global build")
+    val exact = 1000.0
+    assert(math.abs(merged - exact) / exact <= 0.05,
+      s"estimate $merged outside 5% of $exact")
+    // the artifact is additive: re-sketching only a NEW slice and unioning
+    // with the old rows reproduces the full-corpus answer
+    val more = spark.range(10000, 12000)
+      .select(lit(9L).as("slice"), concat(lit("v"), col("id")).as("v"))
+    val newSlice = CorpusStats.distinctSketches(more.toDF(), "v", "slice")
+    val incr = CorpusStats.distinctFromSketches(perSlice.unionByName(newSlice))
+      .as[Long].collect().head
+    val full = rows.unionByName(more).agg(
+      hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12)))).as[Long].collect().head
+    assert(incr === full)
+  }
 }
