@@ -2475,6 +2475,70 @@ object SparkEntry {
         .agg(arrCsv(centroid(col("embedding")), 10000L).as("centroid"))
     },
 
+    // Distributed quantized Lloyd k-means (Knn.kmeansFit): corpus-scale
+    // centroid refinement, bit-reproducible because the whole trajectory
+    // is exact integer arithmetic — coordinates on the 10⁻⁶ grid, integer
+    // distances, argmin ties to the smaller cell, half-away-from-zero
+    // means re-quantized each update, init = first-k-by-id. The oracle
+    // replays BOTH Lloyd iterations in SQL (cross-join assignment with the
+    // same tie-break, HUGEINT mean rounding via integer division `//`) —
+    // any engine-side float leak or order-dependence breaks the hash.
+    q("q_kmeans",
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qv AS cv
+        |  FROM q ORDER BY vec_id LIMIT 4),
+        |a1 AS (
+        |  SELECT vec_id, qv, cell FROM (
+        |    SELECT q.vec_id, q.qv, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cell) AS rn
+        |    FROM q CROSS JOIN c0 c)
+        |  WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cell, idx, sum(v) AS s, count(*) AS n
+        |  FROM (SELECT cell, unnest(qv) AS v,
+        |        generate_subscripts(qv, 1) AS idx FROM a1)
+        |  GROUP BY cell, idx),
+        |c1 AS (
+        |  SELECT c0.cell, coalesce(u.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cell, list(CAST(CASE WHEN s < 0 THEN -((2*(-s) + n) // (2*n))
+        |      ELSE (2*s + n) // (2*n) END AS BIGINT) ORDER BY idx) AS cv
+        |    FROM m1 GROUP BY cell) u USING (cell)),
+        |a2 AS (
+        |  SELECT vec_id, qv, cell FROM (
+        |    SELECT q.vec_id, q.qv, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cell) AS rn
+        |    FROM q CROSS JOIN c1 c)
+        |  WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cell, idx, sum(v) AS s, count(*) AS n
+        |  FROM (SELECT cell, unnest(qv) AS v,
+        |        generate_subscripts(qv, 1) AS idx FROM a2)
+        |  GROUP BY cell, idx),
+        |c2 AS (
+        |  SELECT c1.cell, coalesce(u.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cell, list(CAST(CASE WHEN s < 0 THEN -((2*(-s) + n) // (2*n))
+        |      ELSE (2*s + n) // (2*n) END AS BIGINT) ORDER BY idx) AS cv
+        |    FROM m2 GROUP BY cell) u USING (cell))
+        |SELECT c2.cell, CAST(coalesce(n2.n, 0) AS BIGINT) AS n,
+        |  array_to_string(c2.cv, ',') AS centroid
+        |FROM c2 LEFT JOIN (SELECT cell, count(*) AS n FROM a2 GROUP BY cell) n2
+        |  USING (cell)""".stripMargin) { (s, d) =>
+      ops.Knn.kmeansFit(Tables.embeddings(s, d), "embedding", "vec_id",
+          k = 4, iterations = 2)
+        .select(col("cell"), col("n"),
+          array_join(transform(col("centroid"), _.cast("string")), ",").as("centroid"))
+    },
+
     q("q_knn_join",
       """SELECT q_id, vec_id, rn FROM (
         |  SELECT q.vec_id AS q_id, e.vec_id,

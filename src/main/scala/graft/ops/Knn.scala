@@ -74,6 +74,101 @@ object Knn {
 
   // ------------------------------------------------------------------- IVF
 
+  /** DISTRIBUTED Lloyd k-means on the 10⁻⁶ fixed-point grid — corpus-scale
+    * centroid refinement where [[trainCentroids]]' driver-side sample loop
+    * stops being representative (embedding clustering for curation: domain
+    * discovery, SemDeDup cell assignment, IVF coarse quantizers trained on
+    * the full corpus rather than a sample).
+    *
+    * Determinism (the property every oracle here leans on, applied to an
+    * ITERATIVE float algorithm): coordinates quantize to round(v·10⁶)
+    * LONGs once at entry, so every distance is an exact integer, argmin
+    * ties break to the smaller cell id, means round half-away-from-zero
+    * back onto the grid after each update, and init is the k
+    * smallest-`idCol` vectors — the whole trajectory is bit-reproducible
+    * across engines, partitionings and reruns (each iteration's centroid
+    * error from true means is ≤ 0.5 grid units per coordinate — the
+    * standard fixed-point Lloyd argument).
+    *
+    * Scale shape per iteration: centroids are a k×d LONG artifact
+    * broadcast as literals — assignment is a per-row codegen'd HOF argmin
+    * (NO join, NO shuffle, no n×k row blowup); the update is one
+    * partial-aggregated groupBy(cell) with d per-dim sums collecting k
+    * rows to the driver (the bounded-artifact loop every iterative op here
+    * uses: histogram boundaries, centroid seeds). Driver traffic per
+    * iteration: k·d longs. Σ per dim fits LONG to ~9·10¹² rows at |v| ≤ 1
+    * (10⁶ grid · 9.2·10¹⁸ / 10⁶); beyond that widen the sums to DECIMAL.
+    * Empty cells keep their previous centroid (n = 0 in the report).
+    *
+    * Returns (cell INT, n LONG, centroid ARRAY<LONG>): the final grid
+    * centroids with the member counts of the LAST update step. */
+  def kmeansFit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                iterations: Int, quantScale: Long = 1000000L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol),
+      transform(col(vecCol), x => round(x.cast("double") * quantScale).cast("long"))
+        .as("_qv"))
+    val init = q.orderBy(col(idCol)).limit(k).select(col("_qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(init.nonEmpty, "need a non-empty corpus")
+    val dim = init.head.length
+    var centroids: Array[Array[Long]] = init
+    var counts: Array[Long] = Array.fill(centroids.length)(0L)
+    // round-half-away-from-zero mean on the grid, exact integer arithmetic
+    def meanQ(s: Long, n: Long): Long = {
+      val m = (2L * math.abs(s) + n) / (2L * n)
+      if (s < 0) -m else m
+    }
+    for (_ <- 0 until iterations) {
+      val cLit = array(centroids.zipWithIndex.map { case (cv, cid) =>
+        struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+      }: _*)
+      // fold over the centroid structs: carry (best d², best cid); strict <
+      // keeps the earlier (smaller) cid on ties since cLit is cid-ascending
+      val assigned = q.select(col(idCol), col("_qv"),
+        aggregate(cLit,
+          struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid")),
+          (acc, c) => {
+            val d2 = aggregate(
+              zip_with(col("_qv"), c.getField("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (s, x) => s + x)
+            when(d2 < acc.getField("d"),
+              struct(d2.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+          }).getField("cid").as("_cell"))
+      val aggs = (0 until dim).map(i =>
+        sum(element_at(col("_qv"), i + 1)).as(s"_s$i")) :+ count(lit(1)).as("_n")
+      val rows = assigned.groupBy(col("_cell")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = centroids.map(_.clone())
+      val nextCounts = Array.fill(centroids.length)(0L)
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(dim + 1)
+        nextCounts(cell) = n
+        var i = 0
+        while (i < dim) { next(cell)(i) = meanQ(r.getLong(i + 1), n); i += 1 }
+      }
+      centroids = next
+      counts = nextCounts
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      centroids.zipWithIndex.map { case (cv, cid) =>
+        org.apache.spark.sql.Row(cid, counts(cid), cv.toSeq)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))))
+  }
+
   /** Deterministic Lloyd k-means over a driver-side sample — the coarse
     * quantizer of an IVF index. The sample is bounded (caller controls it);
     * training a coarse quantizer on a sample is the standard recipe (FAISS

@@ -168,6 +168,7 @@ object ScaleCheck {
       graft.ops.CorpusStats.corpusDiversity(e0, "embedding").count()
       graft.ops.Dedup.incrementalDedup(d0, d0, "text", "doc_id").count()
       graft.ops.CorpusStats.oovRate(d0, "text", "doc_id", 100).count()
+      graft.ops.Knn.kmeansFit(e0, "embedding", "vec_id", k = 4, iterations = 1).count()
     }
     // Fixed delta for the incremental-dedup check: the 5th vowel alphabet is
     // never a replica alphabet at k ≤ 4 (replicas use maps 0..k-1), so the
@@ -330,6 +331,14 @@ object ScaleCheck {
       // vocab-sized shuffle crept in
       results(("oov_rate", k)) = timed("oov_rate", k, nd) {
         graft.ops.CorpusStats.oovRate(d, "text", "doc_id", 500).count()
+      }
+      // distributed Lloyd: k and iterations FIXED while rows grow ×k —
+      // assignment is a per-row broadcast-literal argmin (no join/shuffle)
+      // and each update collects k rows, so per-doubling cost must track
+      // the two scans; the driver loop is k·d longs per iteration
+      results(("kmeans", k)) = timed("kmeans", k, ne) {
+        graft.ops.Knn.kmeansFit(e, "embedding", "vec_id",
+          k = 8, iterations = 2).count()
       }
       // near-dup increment, steady state: the band-table ARTIFACT is
       // prebuilt (as a standing pipeline would have it materialized) and
