@@ -1755,6 +1755,41 @@ object SparkEntry {
           decSum(col("value")).as("session_value"))
     },
 
+    // Top session paths (Funnel.topPaths): sessionize by 30-min inactivity
+    // gap, render each session's chronological event-type sequence as one
+    // path string, count identical journeys corpus-wide, keep the 15 most
+    // common (count DESC, path ASC). One user-grain exchange serves the
+    // gap window + session counter + per-session path agg (keys extend the
+    // partition); the cut is TakeOrderedAndProject over the
+    // distinct-path-bounded count table.
+    q("q_top_paths",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP))
+        |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id
+        |                      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sid
+        |  FROM marked),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |      AS path
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin) { (s, d) =>
+      ops.Funnel.topPaths(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", gapMicros = 1800000000L, n = 15)
+    },
+
     // Funnel analysis (ordered event-sequence matching): how deep does each
     // user get through view → click → purchase, with later stages only
     // counting AFTER earlier ones — a per-user state machine expressed as a

@@ -144,4 +144,44 @@ object Funnel {
         round(col("n") * lit(1e6) / sum(col("n")).over(wSrc))
           .cast("long").cast("double") / lit(1e6))
   }
+
+  /** Top-n most frequent session PATHS — the whole-journey companion to
+    * [[transitionMatrix]] (which sees only consecutive pairs): sessionize
+    * by inactivity gap, render each session's chronological event-type
+    * sequence as one `a>b>c` path string, count identical paths
+    * corpus-wide, keep the n most common (count DESC, path ASC — the
+    * deterministic cut).
+    *
+    * Scale shape: ONE user-grain shuffle does all the session work — the
+    * gap window, the running session counter, and the per-(user, session)
+    * path aggregation all have keys extending the user partition, so
+    * EnsureRequirements plans them on a single exchange; paths then
+    * aggregate map-side into a distinct-path-bounded table and the cut is
+    * `TakeOrderedAndProject`, never a global sort. Per-session buffers are
+    * bounded by events-per-session (the gap bounds them in wall-clock
+    * terms); tie order inside a session is (ts, tieCol) — exact. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               tieCol: String, typeCol: String,
+               gapMicros: Long, n: Int): DataFrame = {
+    require(gapMicros > 0, s"gap must be positive: $gapMicros")
+    require(n > 0, s"n must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val marked = events.select(col(userCol), col(tsCol), col(tieCol), col(typeCol),
+      when(lag(col(tsCol), 1).over(w).isNull ||
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) > gapMicros,
+        1).otherwise(0).as("_new"))
+    val sess = marked.withColumn("_sid",
+      sum(col("_new")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    sess
+      .groupBy(col(userCol), col("_sid"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col(tsCol), col(tieCol), col(typeCol)))),
+        e => e.getField(typeCol)), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(n)
+  }
 }

@@ -85,6 +85,37 @@ class FunnelSpec extends AnyFunSuite {
     // user 2's first v) — implied by the keyset assertion above
   }
 
+  test("topPaths: gap splits sessions, paths order chronologically, cut is deterministic") {
+    // user 1: two sessions (gap > 30 min between event 2 and 3);
+    // user 2: one session matching user 1's first path — so "v>c" counts 2
+    val gap = 1800000000L
+    val ev = Seq(
+      (1L, 0L, 1L, "v"), (1L, 60L, 2L, "c"),          // session A: v>c
+      (1L, 7200L, 3L, "p"),                           // session B (2h later): p
+      (2L, 0L, 4L, "v"), (2L, 30L, 5L, "c"),          // session: v>c
+      (3L, 0L, 7L, "v"), (3L, 0L, 6L, "c")            // same ts: event_id orders c>v
+    ).toDF("user_id", "t", "event_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)"))
+    val got = Funnel.topPaths(ev, "user_id", "ts", "event_id", "event_type",
+      gapMicros = gap, n = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("v>c", 2L), ("c>v", 1L), ("p", 1L)))
+    // a bounded cut keeps the most frequent first, path tie-break ascending
+    val top1 = Funnel.topPaths(ev, "user_id", "ts", "event_id", "event_type",
+      gapMicros = gap, n = 1).as[(String, Long)].collect().toSeq
+    assert(top1 === Seq(("v>c", 2L)))
+    // plan: ONE user-grain exchange serves window + session counter + path
+    // agg; the cut is TakeOrderedAndProject, never a global Sort. n must
+    // be < input maxRows or EliminateLimits drops the Limit (the bm25
+    // plan-test lesson), so assert at n = 2 on the 7-row input
+    val plan = Funnel.topPaths(ev, "user_id", "ts", "event_id", "event_type",
+      gapMicros = gap, n = 2).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userExchanges >= 1, plan)
+  }
+
   test("ts ties break on the tiebreaker column, matching the staged-mins oracle order") {
     // two events at the identical timestamp: event_id order decides whether
     // the click follows the view
