@@ -1779,15 +1779,20 @@ object SparkEntry {
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS sid
         |  FROM marked),
+        |pathsrc AS (
+        |  SELECT user_id, sid, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM sess),
         |paths AS (
         |  SELECT user_id, sid,
         |    string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |      AS path
-        |  FROM sess GROUP BY user_id, sid)
+        |  FROM pathsrc WHERE rn <= 64 GROUP BY user_id, sid)
         |SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin) { (s, d) =>
       ops.Funnel.topPaths(Tables.events(s, d), "user_id", "ts", "event_id",
-        "event_type", gapMicros = 1800000000L, n = 15)
+        "event_type", gapMicros = 1800000000L, n = 15, maxEvents = 64)
     },
 
     // Funnel analysis (ordered event-sequence matching): how deep does each

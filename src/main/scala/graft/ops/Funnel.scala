@@ -153,29 +153,38 @@ object Funnel {
     * deterministic cut).
     *
     * Scale shape: ONE user-grain shuffle does all the session work — the
-    * gap window, the running session counter, and the per-(user, session)
-    * path aggregation all have keys extending the user partition, so
-    * EnsureRequirements plans them on a single exchange; paths then
-    * aggregate map-side into a distinct-path-bounded table and the cut is
-    * `TakeOrderedAndProject`, never a global sort. Per-session buffers are
-    * bounded by events-per-session (the gap bounds them in wall-clock
-    * terms); tie order inside a session is (ts, tieCol) — exact. */
+    * gap window, the running session counter, the in-session row_number
+    * AND the per-(user, session) path aggregation all have keys extending
+    * the user partition, so EnsureRequirements plans them on a single
+    * exchange; paths then aggregate map-side into a distinct-path-bounded
+    * table and the cut is `TakeOrderedAndProject`, never a global sort.
+    * Tie order inside a session is (ts, tieCol) — exact.
+    *
+    * `maxEvents` is the skew guard: sessions longer than `maxEvents`
+    * contribute their PREFIX path (first `maxEvents` events) — filtered by
+    * in-session row_number BEFORE the aggregation, so a bot whose "session"
+    * never hits the gap (10⁸ heartbeats) costs a bounded buffer and a
+    * bounded path string instead of a 10⁸-struct collect. The truncation
+    * is the analysis semantics, not an approximation: journeys are only
+    * readable to some depth anyway, and both engines apply the same cut. */
   def topPaths(events: DataFrame, userCol: String, tsCol: String,
                tieCol: String, typeCol: String,
-               gapMicros: Long, n: Int): DataFrame = {
+               gapMicros: Long, n: Int, maxEvents: Int = 64): DataFrame = {
     require(gapMicros > 0, s"gap must be positive: $gapMicros")
     require(n > 0, s"n must be positive: $n")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    require(maxEvents > 0, s"maxEvents must be positive: $maxEvents")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val marked = events.select(col(userCol), col(tsCol), col(tieCol), col(typeCol),
       when(lag(col(tsCol), 1).over(w).isNull ||
         unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) > gapMicros,
         1).otherwise(0).as("_new"))
     val sess = marked.withColumn("_sid",
-      sum(col("_new")).over(w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)))
+      sum(col("_new")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
     sess
+      .withColumn("_rn", row_number().over(
+        W.partitionBy(col(userCol), col("_sid")).orderBy(col(tsCol), col(tieCol))))
+      .filter(col("_rn") <= maxEvents)
       .groupBy(col(userCol), col("_sid"))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col(tsCol), col(tieCol), col(typeCol)))),

@@ -100,6 +100,13 @@ class FunnelSpec extends AnyFunSuite {
       gapMicros = gap, n = 10)
       .as[(String, Long)].collect().toSeq
     assert(got === Seq(("v>c", 2L), ("c>v", 1L), ("p", 1L)))
+    // maxEvents truncates to the session PREFIX — the bot-session skew
+    // guard: user 1's first session becomes just "v" and merges with
+    // nothing; user 2's "v>c" stays intact only if under the cap
+    val capped = Funnel.topPaths(ev, "user_id", "ts", "event_id", "event_type",
+      gapMicros = gap, n = 10, maxEvents = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(capped === Seq(("v", 2L), ("c", 1L), ("p", 1L)))
     // a bounded cut keeps the most frequent first, path tie-break ascending
     val top1 = Funnel.topPaths(ev, "user_id", "ts", "event_id", "event_type",
       gapMicros = gap, n = 1).as[(String, Long)].collect().toSeq

@@ -169,6 +169,8 @@ object ScaleCheck {
       graft.ops.Dedup.incrementalDedup(d0, d0, "text", "doc_id").count()
       graft.ops.CorpusStats.oovRate(d0, "text", "doc_id", 100).count()
       graft.ops.Knn.kmeansFit(e0, "embedding", "vec_id", k = 4, iterations = 1).count()
+      graft.ops.Funnel.topPaths(ev0, "user_id", "ts", "event_id", "event_type",
+        gapMicros = 1800000000L, n = 15).count()
     }
     // Fixed delta for the incremental-dedup check: the 5th vowel alphabet is
     // never a replica alphabet at k ≤ 4 (replicas use maps 0..k-1), so the
@@ -331,6 +333,14 @@ object ScaleCheck {
       // vocab-sized shuffle crept in
       results(("oov_rate", k)) = timed("oov_rate", k, nd) {
         graft.ops.CorpusStats.oovRate(d, "text", "doc_id", 500).count()
+      }
+      // session paths under the HOT USER (events 1 s apart → the bot never
+      // hits the 30-min gap: ONE session of 20k·k events): the maxEvents
+      // prefix cap bounds the path buffer to 64 structs, so the bot costs
+      // its share of the user-grain sort and nothing quadratic/unbounded
+      results(("top_paths_hotuser", k)) = timed("top_paths_hotuser", k, nev) {
+        graft.ops.Funnel.topPaths(ev, "user_id", "ts", "event_id", "event_type",
+          gapMicros = 1800000000L, n = 15).count()
       }
       // distributed Lloyd: k and iterations FIXED while rows grow ×k —
       // assignment is a per-row broadcast-literal argmin (no join/shuffle)
