@@ -2098,6 +2098,43 @@ object SparkEntry {
         col("lang") === "en")
     },
 
+    // Vocabulary drift through MATERIALIZED count-table artifacts
+    // (CorpusStats.vocabCounts / vocabKlFromCounts): the ingest-lifecycle
+    // question "has the delta drifted from the base?" answered from two
+    // vocab-bounded (word, cnt) tables alone — the corpora are never
+    // rescanned (a standing pipeline materializes one count table per
+    // slice; mergeVocabCounts folds them). Identical math to q_vocab_kl
+    // (the full-outer join supplies the zeros the one-pass predicate form
+    // produces implicitly), so the oracle is the same KL restated over
+    // the base/delta split.
+    q("q_vocab_drift",
+      """WITH ex AS (
+        |  SELECT doc_id % 3 <> 0 AS p,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, sum(CASE WHEN p THEN 1 ELSE 0 END) AS cp,
+        |             sum(CASE WHEN p THEN 0 ELSE 1 END) AS cq
+        |      FROM ex GROUP BY w),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(cp) AS BIGINT) AS tp,
+        |             CAST(sum(cq) AS BIGINT) AS tq FROM c),
+        |s AS (SELECT sum((cp + 1)::HUGEINT *
+        |        (CAST(round(ln((CAST(cp AS DOUBLE)+1.0)
+        |           /(CAST(tp AS DOUBLE)+CAST(v AS DOUBLE)))*1000000.0) AS BIGINT)
+        |       - CAST(round(ln((CAST(cq AS DOUBLE)+1.0)
+        |           /(CAST(tq AS DOUBLE)+CAST(v AS DOUBLE)))*1000000.0) AS BIGINT))::HUGEINT)
+        |        AS sm
+        |      FROM c, t)
+        |SELECT t.v AS n_vocab, t.tp AS p_tokens, t.tq AS q_tokens,
+        |  CAST(round(CAST(sm AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(v AS DOUBLE)))
+        |    AS BIGINT)/1000000.0 AS kl_nats
+        |FROM s, t""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      ops.CorpusStats.vocabKlFromCounts(
+        ops.CorpusStats.vocabCounts(docs.filter(col("doc_id") % 3 =!= 0), "text"),
+        ops.CorpusStats.vocabCounts(docs.filter(col("doc_id") % 3 === 0), "text"))
+    },
+
     // Tokenizer-coverage stat: per-document OOV rate against the corpus'
     // own top-500 word vocabulary (count DESC, word ASC tie-break — the
     // deterministic cut both engines reproduce). Scale shape: top-k vocab

@@ -189,6 +189,41 @@ object CorpusStats {
       .agg(sum(when(col("_p"), 1L).otherwise(0L)).as("_cp"),
         sum(when(col("_p"), 0L).otherwise(1L)).as("_cq"))
       .localCheckpoint(false)
+    klFromJointCounts(counts)
+  }
+
+  /** Per-slice vocabulary count table — the drift-monitoring member of
+    * the additive-artifact family (bm25Stats row, band table, HLL
+    * sketches): a standing pipeline materializes ONE (word, cnt) table
+    * per ingested slice or snapshot (counts are additive —
+    * [[mergeVocabCounts]] collapses appended slices exactly), and any two
+    * snapshots compare by [[vocabKlFromCounts]] over their vocab-bounded
+    * tables alone — the corpora themselves are never rescanned. */
+  def vocabCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Collapse appended per-slice count tables into the current snapshot —
+    * exact, counts are additive over disjoint slices. */
+  def mergeVocabCounts(counts: DataFrame): DataFrame =
+    counts.groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+
+  /** [[vocabKl]] from two MATERIALIZED count tables ([[vocabCounts]]) —
+    * identical math and output (full-outer join supplies the zero counts
+    * the one-pass predicate form produces implicitly), so
+    * `vocabKlFromCounts(vocabCounts(p), vocabCounts(q)) ≡ vocabKl(p ∪ q)`
+    * bit-for-bit; cost is vocab-bounded, not corpus-bounded. */
+  def vocabKlFromCounts(p: DataFrame, q: DataFrame): DataFrame =
+    klFromJointCounts(
+      p.select(col("word").as("_w"), col("cnt").as("_cp"))
+        .join(q.select(col("word").as("_w"), col("cnt").as("_cq")),
+          Seq("_w"), "full_outer")
+        .select(col("_w"), coalesce(col("_cp"), lit(0L)).as("_cp"),
+          coalesce(col("_cq"), lit(0L)).as("_cq"))
+        .localCheckpoint(false))
+
+  /** Shared KL tail over a joint (_w, _cp, _cq) count table. */
+  private def klFromJointCounts(counts: DataFrame): DataFrame = {
     // totals via a partial-aggregated pass + broadcast — an unpartitioned
     // window here would funnel the entire vocab table through ONE task,
     // the single-partition shape this metric exists at web scale to avoid
@@ -215,24 +250,6 @@ object CorpusStats {
           .cast("long").cast("double") / lit(1e6)).as("kl_nats"))
   }
 
-  /** Per-document out-of-vocabulary rate against the corpus' own
-    * top-`vocabSize` word vocabulary — the tokenizer-coverage stat: a
-    * fixed-size vocab trained on this corpus would leave `oov_rate` of
-    * each document's token mass unrepresented (split to sub-word/bytes).
-    * Rising OOV on an incoming slice flags domain shift before training.
-    * Output: (idCol, n_tokens, n_oov, oov_rate), one row per document.
-    *
-    * Determinism: the vocab boundary tie-breaks (count DESC, word ASC) —
-    * without the word tie-break the cut among equal-frequency words would
-    * be partition-order-dependent and the oracle unreproducible.
-    *
-    * Scale shape: the vocab is top-k over the word-count aggregate — one
-    * map-side-combined token-grain shuffle into TakeOrderedAndProject
-    * (bounded k, never a global sort), and the resulting ≤ vocabSize words
-    * BROADCAST back against the token stream, so the membership test is a
-    * per-row hash probe at the scan; the only other exchange is the
-    * per-doc count aggregation (id-grain, partial-agg'd). Corpus bodies
-    * shuffle zero times. */
   /** Per-slice mergeable distinct-count sketches (Apache DataSketches HLL,
     * Spark's built-in `hll_sketch_agg`) — the cardinality analogue of the
     * additive [[graft.ops.Retrieval.bm25Stats]] row and the
@@ -261,6 +278,24 @@ object CorpusStats {
       hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
         .as("n_estimate"))
 
+  /** Per-document out-of-vocabulary rate against the corpus' own
+    * top-`vocabSize` word vocabulary — the tokenizer-coverage stat: a
+    * fixed-size vocab trained on this corpus would leave `oov_rate` of
+    * each document's token mass unrepresented (split to sub-word/bytes).
+    * Rising OOV on an incoming slice flags domain shift before training.
+    * Output: (idCol, n_tokens, n_oov, oov_rate), one row per document.
+    *
+    * Determinism: the vocab boundary tie-breaks (count DESC, word ASC) —
+    * without the word tie-break the cut among equal-frequency words would
+    * be partition-order-dependent and the oracle unreproducible.
+    *
+    * Scale shape: the vocab is top-k over the word-count aggregate — one
+    * map-side-combined token-grain shuffle into TakeOrderedAndProject
+    * (bounded k, never a global sort), and the resulting ≤ vocabSize words
+    * BROADCAST back against the token stream, so the membership test is a
+    * per-row hash probe at the scan; the only other exchange is the
+    * per-doc count aggregation (id-grain, partial-agg'd). Corpus bodies
+    * shuffle zero times. */
   def oovRate(df: DataFrame, textCol: String, idCol: String,
               vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")

@@ -111,6 +111,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(all === 0L)
   }
 
+  test("vocab count artifacts: KL from materialized tables ≡ one-pass, merge additive") {
+    val en = Seq((1L, "the cat sat on the mat"), (2L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val de = Seq((3L, "der hund lief schnell"), (4L, "die katze sass"))
+      .toDF("doc_id", "text")
+    // one-pass predicate form over the union ≡ artifact form over the parts
+    val both = en.withColumn("lang", lit("en"))
+      .unionByName(de.withColumn("lang", lit("de")))
+    val onePass = CorpusStats.vocabKl(both, "text", col("lang") === "en")
+      .collect().toSeq
+    val viaArtifacts = CorpusStats.vocabKlFromCounts(
+      CorpusStats.vocabCounts(en, "text"),
+      CorpusStats.vocabCounts(de, "text")).collect().toSeq
+    assert(viaArtifacts === onePass)
+    // counts are additive: per-slice tables merge to the direct count
+    val slices = CorpusStats.vocabCounts(en.limit(1), "text")
+      .unionByName(CorpusStats.vocabCounts(en.orderBy(col("doc_id").desc).limit(1), "text"))
+    val merged = CorpusStats.mergeVocabCounts(slices)
+      .as[(String, Long)].collect().toMap
+    val direct = CorpusStats.vocabCounts(en, "text")
+      .as[(String, Long)].collect().toMap
+    assert(merged === direct)
+  }
+
   test("distinct sketches: slice-union estimate ≡ global build, near exact") {
     // 10k rows, 1000 distinct values spread across 4 slices with overlap.
     // At this cardinality (< 2^lgK registers) the sketch is in sparse/exact
