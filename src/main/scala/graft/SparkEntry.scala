@@ -1755,6 +1755,49 @@ object SparkEntry {
           decSum(col("value")).as("session_value"))
     },
 
+    // Conversion latency distribution (Funnel.timeToConvert): per-user
+    // seconds from first view to first purchase at-or-after it, then the
+    // exact latency percentiles (type-7 interpolation, the q_percentile
+    // parity idiom). Two user-grain aggregations share one exchange; only
+    // (user, 2 timestamps) rows shuffle.
+    q("q_time_to_convert",
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_from
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id,
+        |    CAST(epoch_us(min(CAST(e.ts AS TIMESTAMP))) - epoch_us(f.t_from)
+        |      AS DOUBLE) / 1000000.0 AS convert_s
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= f.t_from
+        |  GROUP BY e.user_id, f.t_from)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(convert_s, 0.5), 3) AS p50_s,
+        |  round(quantile_cont(convert_s, 0.9), 3) AS p90_s
+        |FROM c""".stripMargin) { (s, d) =>
+      ops.Funnel.timeToConvert(Tables.events(s, d), "user_id", "ts",
+          "event_type", fromType = "view", toType = "purchase")
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(convert_s, 0.5)"), 3).as("p50_s"),
+          round(expr("percentile(convert_s, 0.9)"), 3).as("p90_s"))
+    },
+
+    // Rolling 7-day active users (Funnel.rollingActiveUsers): the WAU
+    // curve on a daily grain. Events collapse FIRST to the bounded
+    // (day, user) distinct grain — the only pass over raw events — then a
+    // day-spine range join re-aggregates with count distinct (a windowed
+    // sum cannot express rolling DISTINCT; users repeat across days).
+    q("q_rolling_active",
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM daily)
+        |SELECT d.day, count(DISTINCT da.user_id) AS active_users
+        |FROM days d JOIN daily da ON da.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin) { (s, d) =>
+      ops.Funnel.rollingActiveUsers(Tables.events(s, d), "user_id", "ts",
+        windowDays = 7)
+    },
+
     // Top session paths (Funnel.topPaths): sessionize by 30-min inactivity
     // gap, render each session's chronological event-type sequence as one
     // path string, count identical journeys corpus-wide, keep the 15 most

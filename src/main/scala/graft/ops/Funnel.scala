@@ -145,6 +145,64 @@ object Funnel {
           .cast("long").cast("double") / lit(1e6))
   }
 
+  /** Per-user conversion latency: seconds from each user's FIRST
+    * `fromType` event to their FIRST `toType` event at-or-after it
+    * (users who never convert are absent). Output:
+    * (userCol, convert_s DOUBLE — exact micros ÷ 10⁶).
+    *
+    * Scale shape: two user-grain aggregations share one exchange — the
+    * first-`from` aggregate and the first-`to`-after-it aggregate both
+    * group by user (the second's keys extend the first join's
+    * partitioning), and only (user, 2 timestamps) rows ever shuffle;
+    * events are pre-filtered to the two types at the scan. Feed the
+    * result to `percentile`/histograms for the latency distribution — the
+    * registered query does exactly that. */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String,
+                    fromType: String, toType: String): DataFrame = {
+    val typed = events
+      .filter(col(typeCol).isin(fromType, toType))
+      .select(col(userCol), col(tsCol), col(typeCol))
+    val firstFrom = typed.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_from"))
+    typed.filter(col(typeCol) === toType)
+      .join(firstFrom, Seq(userCol))
+      .filter(col(tsCol) >= col("_from"))
+      .groupBy(col(userCol), col("_from"))
+      .agg(min(col(tsCol)).as("_to"))
+      .select(col(userCol),
+        ((unix_micros(col("_to")) - unix_micros(col("_from")))
+          .cast("double") / lit(1e6)).as("convert_s"))
+  }
+
+  /** Rolling active users — distinct users in the trailing `windowDays`
+    * window ending each active day (windowDays = 1 → DAU, 7 → WAU, 30 →
+    * MAU on a daily grain). Output: (day DATE, active_users LONG).
+    *
+    * Scale shape: the corpus collapses FIRST to the (day, user) distinct
+    * grain — one aggregation, map-side combined, bounded by users×days,
+    * the only pass that sees raw events; the rolling window is then a
+    * range join of that bounded table against the (broadcast) day spine —
+    * windowDays copies of each (day, user) row, never of any event — into
+    * a count-distinct re-aggregation. A windowed `sum` cannot express
+    * rolling DISTINCT (users repeat across days), which is why the spine
+    * join is the honest shape; at extreme scale the HLL-sketch family
+    * ([[graft.ops.CorpusStats.distinctSketches]]) trades exactness for a
+    * per-day sketch union over the same spine. */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be ≥ 1: $windowDays")
+    val daily = events
+      .select(to_date(col(tsCol)).as("_day"), col(userCol).as("_u"))
+      .distinct()
+    val spine = daily.select(col("_day").as("day")).distinct()
+    spine
+      .join(daily,
+        col("_day").between(date_sub(col("day"), windowDays - 1), col("day")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_u")).as("active_users"))
+  }
+
   /** Top-n most frequent session PATHS — the whole-journey companion to
     * [[transitionMatrix]] (which sees only consecutive pairs): sessionize
     * by inactivity gap, render each session's chronological event-type

@@ -85,6 +85,46 @@ class FunnelSpec extends AnyFunSuite {
     // user 2's first v) — implied by the keyset assertion above
   }
 
+  test("timeToConvert: first-view → first-purchase-after, pre-view purchases ignored") {
+    val ev = Seq(
+      // user 1: view at 100s, purchases at 90s (BEFORE view — ignored) and 110s
+      (1L, 100L, 1L, "view"), (1L, 90L, 2L, "purchase"), (1L, 110L, 3L, "purchase"),
+      // user 2: two views (first wins), purchase 30s after the FIRST view
+      (2L, 200L, 4L, "view"), (2L, 220L, 5L, "view"), (2L, 230L, 6L, "purchase"),
+      // user 3: never purchases; user 4: purchase only (no view) — both absent
+      (3L, 300L, 7L, "view"), (4L, 400L, 8L, "purchase")
+    ).toDF("user_id", "t", "event_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)"))
+    val got = Funnel.timeToConvert(ev, "user_id", "ts", "event_type",
+      "view", "purchase")
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 10.0, 2L -> 30.0))
+  }
+
+  test("rolling active users: trailing-window distinct with cross-day repeats") {
+    // user 1 active days 1+2 (counted ONCE per window), user 2 day 1,
+    // user 3 days 3 and 10 — day 10's trailing week sees only user 3
+    val ev = Seq(
+      (1L, "2024-01-01", 1L, "view"), (1L, "2024-01-02", 2L, "view"),
+      (1L, "2024-01-01", 3L, "view"),                      // same user+day dup
+      (2L, "2024-01-01", 4L, "view"),
+      (3L, "2024-01-03", 5L, "view"), (3L, "2024-01-10", 6L, "view")
+    ).toDF("user_id", "_d", "event_id", "event_type")
+      .withColumn("ts", col("_d").cast("timestamp")).drop("_d")
+    val got = Funnel.rollingActiveUsers(ev, "user_id", "ts", windowDays = 7)
+      .orderBy("day")
+      .as[(java.sql.Date, Long)].collect().map { case (d, n) => d.toString -> n }
+    assert(got.toSeq === Seq(
+      "2024-01-01" -> 2L,   // users 1, 2
+      "2024-01-02" -> 2L,   // users 1 (once), 2 from day 1
+      "2024-01-03" -> 3L,   // users 1, 2, 3
+      "2024-01-10" -> 1L))  // only user 3's day-10 activity is in window
+    // windowDays = 1 degenerates to plain DAU
+    val dau = Funnel.rollingActiveUsers(ev, "user_id", "ts", windowDays = 1)
+      .orderBy("day").as[(java.sql.Date, Long)].collect().map(_._2).toSeq
+    assert(dau === Seq(2L, 1L, 1L, 1L))
+  }
+
   test("topPaths: gap splits sessions, paths order chronologically, cut is deterministic") {
     // user 1: two sessions (gap > 30 min between event 2 and 3);
     // user 2: one session matching user 1's first path — so "v>c" counts 2
