@@ -105,6 +105,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("fnv64"), p)
   }
 
+  test("rolling active users: day-spine join broadcasts the spine, not the day-user table") {
+    val p = plan("q_rolling_active")
+    // the range join must be a broadcast nested-loop with the tiny day
+    // spine as build side — shuffling the (day, user) table for 30 spine
+    // rows would be backwards
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // raw events collapse to the (day, user) distinct grain before any join
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("incremental near-dup: delta bands broadcast against the base band scan") {
     val p = plan("q_incremental_neardup")
     // the base×delta candidate probe must be a broadcast hash join with the
