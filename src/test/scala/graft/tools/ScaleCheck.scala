@@ -334,6 +334,18 @@ object ScaleCheck {
       results(("oov_rate", k)) = timed("oov_rate", k, nd) {
         graft.ops.CorpusStats.oovRate(d, "text", "doc_id", 500).count()
       }
+      // rolling actives: users ×k (replicas shift user ids) while the day
+      // spine stays fixed — the (day, user) grain and the spine join both
+      // grow linearly; the hot user adds one more (day, user) row per day
+      results(("rolling_active", k)) = timed("rolling_active", k, nev) {
+        graft.ops.Funnel.rollingActiveUsers(ev, "user_id", "ts", 7).count()
+      }
+      // conversion latency: converting users ×k; only (user, 2 ts) rows
+      // shuffle, so growth is the two type-filtered scans
+      results(("time_to_convert", k)) = timed("time_to_convert", k, nev) {
+        graft.ops.Funnel.timeToConvert(ev, "user_id", "ts", "event_type",
+          "view", "purchase").count()
+      }
       // session paths under the HOT USER (events 1 s apart → the bot never
       // hits the 30-min gap: ONE session of 20k·k events): the maxEvents
       // prefix cap bounds the path buffer to 64 structs, so the bot costs
