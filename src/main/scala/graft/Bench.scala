@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: each query runs four times; the headline `value`/`queries`
   * are the MIN of the three post-cold runs (steady state, load-noise damped;
-  * the DuckDB baseline uses the same min-of-3 discipline).
+  * the DuckDB baseline uses the same min-of-3 discipline). Both JSON
+  * artifacts say so (`"min_of":3`), and the warm_detail line carries the
+  * per-query max/min `spread` so a contention-contaminated run is
+  * diagnosable from the artifact without a re-run.
   * The first run pays one-time per-query-shape costs — Janino whole-stage-codegen compilation, expression/HOF
   * classloading — that measured 2–10 s/query on this box and would be
   * irrelevant noise for a long-running 100 TB job (round-1 misread: a 10 s
@@ -80,7 +83,8 @@ object Bench {
       catch { case _: Throwable => "na" }
     val loadBefore = loadavg()
 
-    final case class R(name: String, warm: Double, cold: Double, err: Option[String])
+    final case class R(name: String, warm: Double, warmMax: Double,
+                       cold: Double, err: Option[String])
     // Dev loop only (mirrors Verify): SPARK_GRAFT_ONLY=q_a,q_b times a
     // subset. The driver never sets it — round artifacts are always full.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -99,15 +103,22 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (cold, coldErr) = timed()
-      if (coldErr.isDefined) R(name, cold, cold, coldErr)
+      if (coldErr.isDefined) R(name, cold, cold, cold, coldErr)
       else {
         // min of three steady-state runs — damps same-box load noise, which
         // at sf0.1 is the same order as the measurement. The DuckDB baseline
         // is captured with the identical min-of-3 discipline (BASELINE.md).
+        // The max is kept too: the per-query max/min spread goes into the
+        // warm_detail artifact line, so a host-noise-contaminated run is
+        // self-diagnosing from the artifact alone (spread ≫ 1 on a query
+        // whose min is at the scheduling floor = queueing delay, not cost —
+        // three rounds of phantom 4–16× driver spikes were adjudicated by
+        // hand before this was recorded).
         val (w1, e1) = timed()
         val (w2, e2) = timed()
         val (w3, e3) = timed()
-        R(name, math.min(w1, math.min(w2, w3)), cold, e1.orElse(e2).orElse(e3))
+        R(name, math.min(w1, math.min(w2, w3)), math.max(w1, math.max(w2, w3)),
+          cold, e1.orElse(e2).orElse(e3))
       }
     }
     // The driver archives a bounded log TAIL (measured: 2000 bytes) and
@@ -146,7 +157,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val errs = results.collect { case R(k, _, _, Some(e)) =>
+    val errs = results.collect { case R(k, _, _, _, Some(e)) =>
       jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = results.map(_.warm).sum
@@ -157,19 +168,26 @@ object Bench {
     // headline, which is the LAST stdout line and fits the tail window.
     val coldLine =
       s"""{"metric":"cold","unit":"sec","sf":"$sfDir","cold_queries":${m(_.cold)},"cold_value":${sec3(coldTotal)}}"""
+    // spread = max/min over the three warm runs: ≈1 means a stable
+    // measurement, ≫1 flags host contention on that query — the artifact
+    // carries its own noise diagnosis
+    val spreads = results
+      .map(r => "\"" + r.name + "\":" +
+        sec3(r.warmMax / math.max(r.warm, 1e-9)))
+      .mkString("{", ",", "}")
     val warmLine =
-      s"""{"metric":"warm_detail","unit":"sec","sf":"$sfDir","errors":$errs,"queries":${m(_.warm)},"value":${sec3(total)}}"""
+      s"""{"metric":"warm_detail","unit":"sec","sf":"$sfDir","min_of":3,"errors":$errs,"spread":$spreads,"queries":${m(_.warm)},"value":${sec3(total)}}"""
     // The headline carries only the NAMES of failed queries — a single
     // AnalysisException message would blow the 2000-byte tail budget the
     // headline exists to fit; full messages live on the warm_detail line
     // and in BENCH_SELF.jsonl. The queries-subset budget shrinks by
     // whatever the error list consumes.
-    val errNames = results.collect { case R(k, _, _, Some(_)) => jstr(k) }
+    val errNames = results.collect { case R(k, _, _, _, Some(_)) => jstr(k) }
       .mkString("[", ",", "]")
     val loadAfter = loadavg()
     val subset = slowestSubset(math.max(200, 1400 - errNames.length))
     val shown = subset.count(_ == ':')
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
     // Self-contained round artifact (JSON lines: cold, warm_detail,
     // headline) — committed from the repo working dir by the round's
     // closing commit, so the full per-query map survives even when the

@@ -1798,6 +1798,35 @@ object SparkEntry {
         windowDays = 7)
     },
 
+    // Sketch-family rolling actives (Funnel.rollingActiveSketches): the
+    // extreme-scale WAU variant — one mergeable HLL sketch per active day,
+    // unioned over the trailing window, so the rolling pass touches
+    // |spine| sketch rows instead of exploding the (day, user) grain.
+    // Contract oracle (the q_distinct_sketch discipline): DuckDB computes
+    // the EXACT rolling distinct per day; Spark joins its sketch estimate
+    // against its own exact rolling count and emits the ±5 % envelope
+    // boolean (≈3 std errors at lgK=12) as a constant-by-contract — at
+    // sf cardinalities the sketch sits in sparse mode and is exact.
+    q("q_rolling_active_sketch",
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM daily)
+        |SELECT d.day, count(DISTINCT da.user_id) AS n_exact,
+        |  true AS rel_err_ok
+        |FROM days d JOIN daily da ON da.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val est = ops.Funnel.rollingActiveSketches(ev, "user_id", "ts",
+        windowDays = 7)
+      val exact = ops.Funnel.rollingActiveUsers(ev, "user_id", "ts",
+        windowDays = 7).withColumnRenamed("active_users", "n_exact")
+      est.join(exact, Seq("day"))
+        .select(col("day"), col("n_exact"),
+          (abs(col("active_est").cast("double")
+            / col("n_exact").cast("double") - lit(1.0)) <= lit(0.05))
+            .as("rel_err_ok"))
+    },
+
     // Top session paths (Funnel.topPaths): sessionize by 30-min inactivity
     // gap, render each session's chronological event-type sequence as one
     // path string, count identical journeys corpus-wide, keep the 15 most

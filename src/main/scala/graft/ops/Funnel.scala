@@ -181,14 +181,20 @@ object Funnel {
     *
     * Scale shape: the corpus collapses FIRST to the (day, user) distinct
     * grain — one aggregation, map-side combined, bounded by users×days,
-    * the only pass that sees raw events; the rolling window is then a
-    * range join of that bounded table against the (broadcast) day spine —
-    * windowDays copies of each (day, user) row, never of any event — into
-    * a count-distinct re-aggregation. A windowed `sum` cannot express
-    * rolling DISTINCT (users repeat across days), which is why the spine
-    * join is the honest shape; at extreme scale the HLL-sketch family
-    * ([[graft.ops.CorpusStats.distinctSketches]]) trades exactness for a
-    * per-day sketch union over the same spine. */
+    * the only pass that sees raw events. Each (day, user) row then
+    * EXPLODES into the `windowDays` window-end days it is visible to —
+    * O(\|daily\|·windowDays) rows, an equi-keyed Generate, never a
+    * nested-loop — and a broadcast LEFT SEMI against the (tiny, distinct
+    * active-day) spine drops window-ends with no same-day activity, the
+    * output-grain contract. The alternative range join of daily against
+    * the spine plans as a BroadcastNestedLoopJoin whose per-row work
+    * scales with the SPINE — O(\|daily\|·\|spine\|) predicate evaluations,
+    * 500–3,600× the necessary comparisons on a multi-year deployment —
+    * which is why this operator refuses that shape. A windowed `sum`
+    * cannot express rolling DISTINCT (users repeat across days), which is
+    * why re-aggregation is the honest exact shape; at extreme scale
+    * [[rollingActiveSketches]] trades exactness for a per-day HLL union
+    * over the same spine. */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
                          windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be ≥ 1: $windowDays")
@@ -196,11 +202,44 @@ object Funnel {
       .select(to_date(col(tsCol)).as("_day"), col(userCol).as("_u"))
       .distinct()
     val spine = daily.select(col("_day").as("day")).distinct()
-    spine
-      .join(daily,
-        col("_day").between(date_sub(col("day"), windowDays - 1), col("day")))
+    daily
+      .select(explode(sequence(col("_day"),
+        date_add(col("_day"), windowDays - 1))).as("day"), col("_u"))
+      .join(broadcast(spine), Seq("day"), "left_semi")
       .groupBy(col("day"))
       .agg(countDistinct(col("_u")).as("active_users"))
+  }
+
+  /** Sketch-family rolling actives — the extreme-scale variant of
+    * [[rollingActiveUsers]]: ONE mergeable HLL sketch per active day (the
+    * standing per-slice artifact, built by
+    * [[graft.ops.CorpusStats.distinctSketches]] on the day slice), then a
+    * trailing-window UNION per window-end day. The corpus is scanned once
+    * to build the per-day sketches and never again — the rolling pass
+    * works on \|spine\| sketch rows, O(\|spine\|·windowDays·2^lgK), versus
+    * the exact shape's \|daily\|·windowDays row explosion; on a standing
+    * pipeline the per-day sketches append as days close, so yesterday's
+    * curve never recomputes. Same explode-offsets equi-join skeleton as
+    * the exact operator (each day's sketch is visible to its `windowDays`
+    * window-end days; broadcast left-semi spine filter keeps only active
+    * end-days). HLL union is register-lossless at equal lgK; the estimate
+    * carries the lgK error envelope (±1.6 % std at lgK=12) instead of
+    * exactness — the documented trade. Output: (day DATE, active_est
+    * LONG). */
+  def rollingActiveSketches(events: DataFrame, userCol: String, tsCol: String,
+                            windowDays: Int, lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be ≥ 1: $windowDays")
+    val perDay = CorpusStats.distinctSketches(
+      events.select(to_date(col(tsCol)).as("_day"), col(userCol).as("_u")),
+      "_u", "_day", lgK)
+    val spine = perDay.select(col("_day").as("day"))
+    perDay
+      .select(explode(sequence(col("_day"),
+        date_add(col("_day"), windowDays - 1))).as("day"), col("sketch"))
+      .join(broadcast(spine), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("active_est"))
   }
 
   /** Top-n most frequent session PATHS — the whole-journey companion to

@@ -105,12 +105,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("fnv64"), p)
   }
 
-  test("rolling active users: day-spine join broadcasts the spine, not the day-user table") {
+  test("rolling active users: explode-offsets equi-join — no nested loop anywhere") {
     val p = plan("q_rolling_active")
-    // the range join must be a broadcast nested-loop with the tiny day
-    // spine as build side — shuffling the (day, user) table for 30 spine
-    // rows would be backwards
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // each (day, user) row explodes into its windowDays window-end days —
+    // O(|daily|·windowDays) — and the spine is a broadcast LEFT SEMI
+    // filter; the day-spine RANGE join this replaces planned as a
+    // BroadcastNestedLoopJoin whose per-row work scales with the SPINE
+    // (O(|daily|·|spine|) predicate evaluations — 500–3,600× the needed
+    // comparisons on a multi-year deployment)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), p)          // the offsets explode
+    assert(p.contains("LeftSemi"), p)          // broadcast spine filter
+    assert(p.contains("BroadcastExchange"), p) // …with the spine as build side
     // raw events collapse to the (day, user) distinct grain before any join
     assert(p.contains("HashAggregate"), p)
   }

@@ -125,6 +125,38 @@ class FunnelSpec extends AnyFunSuite {
     assert(dau === Seq(2L, 1L, 1L, 1L))
   }
 
+  test("rollingActiveSketches: per-day window union ≡ exact counts ≡ single-build sketch") {
+    // 40 users spread over 10 days with heavy cross-day repeats; at this
+    // cardinality the lgK=12 sketch is in sparse mode, so BOTH the
+    // window-union path and a direct single-build sketch over each
+    // window's users must be EXACT — pinning register-losslessness of the
+    // union without relying on estimator internals
+    val ev = (0 until 200).map { i =>
+      (i % 40L, f"2024-02-${i % 10 + 1}%02d", i.toLong, "view")
+    }.toDF("user_id", "_d", "event_id", "event_type")
+      .withColumn("ts", col("_d").cast("timestamp")).drop("_d")
+    val est = Funnel.rollingActiveSketches(ev, "user_id", "ts", windowDays = 7)
+      .orderBy("day")
+      .as[(java.sql.Date, Long)].collect().map { case (d, n) => d.toString -> n }
+    val exact = Funnel.rollingActiveUsers(ev, "user_id", "ts", windowDays = 7)
+      .orderBy("day")
+      .as[(java.sql.Date, Long)].collect().map { case (d, n) => d.toString -> n }
+    assert(est.toSeq === exact.toSeq)
+    // single-build reference: one sketch built directly over each trailing
+    // window's user stream (no per-day intermediate, no union)
+    val daily = ev.select(to_date(col("ts")).as("_day"), col("user_id").as("_u"))
+      .distinct()
+    val direct = daily
+      .select(explode(expr("sequence(_day, date_add(_day, 6))")).as("day"),
+        col("_u"))
+      .join(daily.select(col("_day").as("day")).distinct(), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("_u"), lit(12))).as("n"))
+      .orderBy("day")
+      .as[(java.sql.Date, Long)].collect().map { case (d, n) => d.toString -> n }
+    assert(est.toSeq === direct.toSeq)
+  }
+
   test("topPaths: gap splits sessions, paths order chronologically, cut is deterministic") {
     // user 1: two sessions (gap > 30 min between event 2 and 3);
     // user 2: one session matching user 1's first path — so "v>c" counts 2

@@ -340,6 +340,28 @@ object ScaleCheck {
       results(("rolling_active", k)) = timed("rolling_active", k, nev) {
         graft.ops.Funnel.rollingActiveUsers(ev, "user_id", "ts", 7).count()
       }
+      // rolling actives with the SPINE ×k while the dense (day, user)
+      // grain stays FIXED (base events, un-replicated): one sparse user
+      // adds one event per day across 1000·k days beyond the base range,
+      // so |spine| grows ~linearly while |daily| barely moves. The
+      // explode-offsets equi-join does |daily|·windowDays + |spine| work
+      // → time stays FLAT in k; the day-spine BNLJ this replaced did
+      // |daily|·|spine| predicate evaluations → linear growth with a
+      // |daily|-sized constant, which is exactly what this entry detects
+      if (opsFilter.forall(_.contains("rolling_active_spine"))) {
+        val sparse = spark.range(1000L * k).select(
+          lit(777777777L).as("user_id"),
+          expr("timestamp_micros(cast(1735689600000000 + id * 86400000000 as long))")
+            .as("ts"),
+          (col("id") + 600000000L).as("event_id"),
+          lit("view").as("event_type"), lit(1.0).as("value"))
+        val evSpine = events.unionByName(sparse).localCheckpoint(true)
+        val nsp = evSpine.count()
+        results(("rolling_active_spine", k)) = timed("rolling_active_spine", k, nsp) {
+          graft.ops.Funnel.rollingActiveUsers(evSpine, "user_id", "ts", 7).count()
+        }
+        evSpine.unpersist()
+      }
       // conversion latency: converting users ×k; only (user, 2 ts) rows
       // shuffle, so growth is the two type-filtered scans
       results(("time_to_convert", k)) = timed("time_to_convert", k, nev) {
