@@ -123,9 +123,11 @@ object Dedup {
     * pipeline keeps: [[minhashBands]] rows plus a per-bucket population
     * count (`_bucket_n`), so an increment can skip saturated (template
     * noise) buckets WITHOUT re-aggregating the base. Built once per corpus
-    * snapshot (one band-grain shuffle for the count window), appended as
-    * batches land — counts stay correct per-slice and the probe-side cap
-    * is on the BASE population, which is what grows. */
+    * snapshot (one band-grain shuffle for the count window); as batches
+    * land, extend it with [[appendBandTable]] — a bare `union` with a
+    * fresh slice build would carry slice-LOCAL counts, and a bucket whose
+    * global population crosses `maxBucket` only across slices would never
+    * saturate, eroding the template-noise guard with every append. */
   def minhashBandTable(df: DataFrame, textCol: String, idCol: String,
                        shingleN: Int = 3, numHashes: Int = 128,
                        bands: Int = 32): DataFrame = {
@@ -133,6 +135,45 @@ object Dedup {
       .partitionBy(col("band_idx"), col("band_hash"))
     minhashBands(df, textCol, idCol, shingleN, numHashes, bands)
       .withColumn("_bucket_n", count(lit(1)).over(w))
+  }
+
+  /** Append one ingested slice to a materialized [[minhashBandTable]],
+    * keeping `_bucket_n` GLOBAL — row-for-row identical to rebuilding the
+    * table from scratch on the accumulated corpus (the unit pins this),
+    * without re-aggregating or shuffling the base: the slice's per-bucket
+    * counts are tiny and BROADCAST, so the base rows get their counts
+    * bumped in a map-side projection over one scan, and the slice rows
+    * pick up the base population of the buckets they touch via a
+    * broadcast-semi-filtered aggregate over that same scan (bucket keys
+    * only ever shuffle slice-side). Strictly cheaper than the alternative
+    * band-grain re-window of the accumulated table, which would shuffle
+    * everything on every append. */
+  def appendBandTable(table: DataFrame, slice: DataFrame,
+                      textCol: String, idCol: String,
+                      shingleN: Int = 3, numHashes: Int = 128,
+                      bands: Int = 32): DataFrame = {
+    val sliceBands = minhashBands(slice, textCol, idCol, shingleN, numHashes, bands)
+    val sliceCounts = sliceBands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_add"))
+    // base rows: bump the population of every bucket the slice touches
+    val bumped = table
+      .join(broadcast(sliceCounts), Seq("band_idx", "band_hash"), "left_outer")
+      .withColumn("_bucket_n", col("_bucket_n") + coalesce(col("_add"), lit(0L)))
+      .drop("_add")
+    // slice rows: slice-local count + the base population of their bucket
+    // (every base row in a bucket carries the same _bucket_n, so max ≡ the
+    // bucket's population; the semi filter keeps the aggregate slice-bounded)
+    val basePop = table
+      .join(broadcast(sliceCounts.select(col("band_idx"), col("band_hash"))),
+        Seq("band_idx", "band_hash"), "left_semi")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(max(col("_bucket_n")).as("_basep"))
+    val sliceWithN = sliceBands
+      .join(broadcast(sliceCounts), Seq("band_idx", "band_hash"))
+      .join(broadcast(basePop), Seq("band_idx", "band_hash"), "left_outer")
+      .withColumn("_bucket_n", col("_add") + coalesce(col("_basep"), lit(0L)))
+      .drop("_add", "_basep")
+    bumped.unionByName(sliceWithN)
   }
 
   /** Incremental MinHash-LSH near-dup — [[incrementalDedup]] raised from

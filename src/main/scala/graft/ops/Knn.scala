@@ -98,6 +98,9 @@ object Knn {
     * uses: histogram boundaries, centroid seeds). Driver traffic per
     * iteration: k·d longs. Σ per dim fits LONG to ~9·10¹² rows at |v| ≤ 1
     * (10⁶ grid · 9.2·10¹⁸ / 10⁶); beyond that widen the sums to DECIMAL.
+    * The driver-side mean is remainder-based (no 2·Σ doubling), so that
+    * sum bound is the ONLY bound — the rounding step never overflows
+    * before the sum itself would.
     * Empty cells keep their previous centroid (n = 0 in the report).
     *
     * Returns (cell INT, n LONG, centroid ARRAY<LONG>): the final grid
@@ -116,10 +119,18 @@ object Knn {
     val dim = init.head.length
     var centroids: Array[Array[Long]] = init
     var counts: Array[Long] = Array.fill(centroids.length)(0L)
-    // round-half-away-from-zero mean on the grid, exact integer arithmetic
+    // round-half-away-from-zero mean on the grid, exact integer
+    // arithmetic. Remainder-based (NOT the (2·|s|+n)/(2·n) form, whose
+    // doubling halves the usable LONG range and would wrap silently at
+    // |s| > 2⁶²): quotient + round-up when the remainder reaches half of
+    // n — r and n−r are both < n, so no intermediate exceeds |s|, and the
+    // documented ~9·10¹² row bound holds over the FULL LONG range.
     def meanQ(s: Long, n: Long): Long = {
-      val m = (2L * math.abs(s) + n) / (2L * n)
-      if (s < 0) -m else m
+      val a = math.abs(s)
+      val m = a / n
+      val r = a - m * n
+      val up = if (r >= n - r) m + 1 else m
+      if (s < 0) -up else up
     }
     for (_ <- 0 until iterations) {
       val cLit = array(centroids.zipWithIndex.map { case (cv, cid) =>

@@ -95,6 +95,31 @@ class DedupKnnSpec extends AnyFunSuite {
       "within-delta pair must survive a cap its bucket respects")
   }
 
+  test("appendBandTable: appended counts are GLOBAL — row-identical to a from-scratch rebuild") {
+    // three base copies + two slice copies of one text share every band
+    // bucket: the rebuilt table counts 5 everywhere, while a bare union of
+    // per-slice builds would carry 3 and 2 — the eroded-saturation-guard
+    // bug this helper exists to prevent (a bucket over maxBucket globally
+    // but under it per-slice would never be skipped)
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq((1L, t), (2L, t), (3L, t),
+      (4L, "unrelated base words nothing shared anywhere at all")).toDF("doc_id", "text")
+    val slice = Seq((11L, t), (12L, t),
+      (13L, "fresh slice content with no duplicate partner here")).toDF("doc_id", "text")
+    val args = (3, 16, 8) // shingleN, numHashes, bands
+    val appended = Dedup.appendBandTable(
+      Dedup.minhashBandTable(base, "text", "doc_id", args._1, args._2, args._3),
+      slice, "text", "doc_id", args._1, args._2, args._3)
+      .select("doc_id", "band_idx", "band_hash", "_bucket_n")
+      .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+    val rebuilt = Dedup.minhashBandTable(base.unionByName(slice), "text", "doc_id",
+      args._1, args._2, args._3)
+      .select("doc_id", "band_idx", "band_hash", "_bucket_n")
+      .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+    assert(appended === rebuilt)
+    assert(appended.exists(_._4 === 5L), "shared buckets must count base+slice members")
+  }
+
   test("minhash near-dups find the planted near-duplicate pair") {
     // 32 bands × 2 rows: P(candidate) = 1-(1-J²)^32 ≈ 1 at J ≥ 0.5
     val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",

@@ -689,9 +689,11 @@ class StreamingSpec extends AnyFunSuite {
             baseBandTable = Some(bandTable))
           .select("id_a", "id_b").as[(Long, Long)].collect()
         corpus = corpus.unionByName(survivors)
-        bandTable = bandTable.unionByName(
-          Dedup.minhashBandTable(survivors, "text", "doc_id",
-            bandArgs._1, bandArgs._2, bandArgs._3))
+        // appendBandTable, NOT a bare union of a fresh slice build: the
+        // union would carry slice-local _bucket_n and the saturation guard
+        // would erode as appends accumulate
+        bandTable = Dedup.appendBandTable(bandTable, survivors, "text", "doc_id",
+          bandArgs._1, bandArgs._2, bandArgs._3)
         ()
       }
       .start()
