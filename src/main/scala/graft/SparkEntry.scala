@@ -4612,6 +4612,30 @@ object SparkEntry {
       annContract(ann, e, probe, k = 10)
     },
 
+    // IVF probe over a coarse quantizer trained by the DISTRIBUTED Lloyd
+    // trainer (Knn.kmeansFit) instead of the driver-side sample trainer —
+    // the wiring that makes the full-corpus-trained quantizer a consumed
+    // index artifact, not a leaf: fit on the whole corpus (exact integer
+    // trajectory), cast the 10⁻⁶-grid centroids to float, assign + probe
+    // through the identical ivfAssign/ivfSearch path, and hold the same
+    // ANN contract (exact top-1 surfaces with its true cosine, every score
+    // verifies by join-back, ≤ k rows). Trained once per dataset and
+    // memoized like every index artifact.
+    q("q_kmeans_ivf",
+      annOracleSql) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val centroids = indexArtifact(s"kmeans-ivf-centroids:$d") {
+        Knn.kmeansFit(e, "embedding", "vec_id", k = 16, iterations = 2)
+          .orderBy("cell").collect()
+          .map(_.getSeq[Long](2).map(_ / 1e6f).toArray)
+      }
+      val probe = probeVector(s, d)
+      val ann = Knn.ivfSearch(Knn.ivfAssign(e, "embedding", centroids),
+          "embedding", "vec_id", centroids, probe, 10, nProbe = 4)
+        .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
+      annContract(ann, e, probe, k = 10)
+    },
+
     q("q_lsh_knn",
       annOracleSql) { (s, d) =>
       val e = Tables.embeddings(s, d)
