@@ -653,6 +653,82 @@ class StreamingSpec extends AnyFunSuite {
       refCorpus.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("vocab-count artifact fold: per-batch appends merge ≡ batch build") {
+    // The drift-monitoring member of the additive-artifact family run as a
+    // stream: each micro-batch appends ONE vocab-bounded (word, cnt) slice
+    // (the corpus is never rescanned), and mergeVocabCounts over the
+    // accumulated slices must equal the single-shot vocabCounts of the
+    // whole corpus exactly — counts are additive over disjoint slices.
+    import graft.ops.CorpusStats
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, "alpha beta beta gamma"), (2L, "beta gamma delta")),
+      Seq((3L, "gamma gamma epsilon"), (4L, "alpha zeta")),
+      Seq((5L, "zeta eta theta alpha beta"))
+    )
+    val ms = MemoryStream[(Long, String)](spark)
+    var slices = spark.emptyDataset[(String, Long)].toDF("word", "cnt")
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // settle the slice before the batch frame goes out of scope
+        slices = slices.unionByName(
+          CorpusStats.vocabCounts(batch, "text").localCheckpoint(true))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val merged = CorpusStats.mergeVocabCounts(slices)
+      .as[(String, Long)].collect().sorted.toSeq
+    val batchBuild = CorpusStats.vocabCounts(
+      batches.flatten.toDF("doc_id", "text"), "text")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(merged === batchBuild)
+    assert(merged.toMap.apply("beta") === 4L, "cross-batch counts must add")
+  }
+
+  test("HLL sketch-slice fold: per-batch sketches union ≡ global sketch ≡ exact distinct") {
+    // The cardinality member of the additive-artifact family as a stream:
+    // one HLL sketch row per micro-batch (slice = batch id), corpus-wide
+    // distinct answered by unioning the accumulated sketch rows. Values
+    // repeat across batches, so the union must NOT double-count; at this
+    // cardinality the lgK=12 sketch is sparse-mode exact, so the folded
+    // estimate, a single global sketch, and the exact distinct all agree.
+    import graft.ops.CorpusStats
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")),
+      Seq((4L, "beta"), (5L, "delta"), (6L, "alpha")),
+      Seq((7L, "epsilon"), (8L, "gamma"), (9L, "zeta"))
+    )
+    val ms = MemoryStream[(Long, String)](spark)
+    var sketchRows = spark.emptyDataset[(Long, Array[Byte])].toDF("_slice", "sketch")
+    var bid = 0L
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sketchRows = sketchRows.unionByName(
+          CorpusStats.distinctSketches(
+            batch.withColumn("_slice", lit(bid)), "text", "_slice")
+            .localCheckpoint(true))
+        bid += 1
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(sketchRows.count() === 3L, "one sketch row per micro-batch")
+    val folded = CorpusStats.distinctFromSketches(sketchRows)
+      .as[Long].head()
+    val allDocs = batches.flatten.toDF("doc_id", "text")
+    val global = CorpusStats.distinctFromSketches(
+      CorpusStats.distinctSketches(
+        allDocs.withColumn("_slice", lit(0)), "text", "_slice"))
+      .as[Long].head()
+    val exact = allDocs.select(countDistinct(col("text"))).as[Long].head()
+    assert(folded === exact)
+    assert(global === exact)
+  }
+
   test("incremental near-dup fold: per-batch band-table appends find every pair ≡ batch recompute") {
     // The LSH half of the ingest lifecycle as foreachBatch: each batch is
     // exact-incrementally-deduped, its survivors probe the ACCUMULATED band
