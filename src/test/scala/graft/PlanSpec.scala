@@ -105,11 +105,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("fnv64"), p)
   }
 
-  test("rolling active users: explode-offsets equi-join — no nested loop anywhere") {
+  test("rolling active users: interval-coverage equi-join — no nested loop anywhere") {
     val p = plan("q_rolling_active")
-    // each (day, user) row explodes into its windowDays window-end days —
-    // O(|daily|·windowDays) — and the spine is a broadcast LEFT SEMI
-    // filter; the day-spine RANGE join this replaces planned as a
+    // per-user runs close into coverage intervals that explode into
+    // covered days and map-side count — and the spine is a broadcast LEFT
+    // SEMI filter; the day-spine RANGE join this replaces planned as a
     // BroadcastNestedLoopJoin whose per-row work scales with the SPINE
     // (O(|daily|·|spine|) predicate evaluations — 500–3,600× the needed
     // comparisons on a multi-year deployment)

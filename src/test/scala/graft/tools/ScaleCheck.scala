@@ -344,7 +344,7 @@ object ScaleCheck {
       // grain stays FIXED (base events, un-replicated): one sparse user
       // adds one event per day across 1000·k days beyond the base range,
       // so |spine| grows ~linearly while |daily| barely moves. The
-      // explode-offsets equi-join does |daily|·windowDays + |spine| work
+      // interval-coverage shape does ≤|daily|·windowDays + |spine| work
       // → time stays FLAT in k; the day-spine BNLJ this replaced did
       // |daily|·|spine| predicate evaluations → linear growth with a
       // |daily|-sized constant, which is exactly what this entry detects
