@@ -1867,6 +1867,43 @@ object SparkEntry {
         "event_type", gapMicros = 1800000000L, n = 15, maxEvents = 64)
     },
 
+    // Trailing-window volume anomalies (Funnel.dailyAnomalies): the
+    // morning-after monitoring query — is each (type, day)'s event count
+    // more than 3 trailing-sample-stddevs from its 7-day mean? The z-test
+    // decides in INTEGER arithmetic ((x·m−S)²·(m−1) > t²·(m·SS−S²)·m, a
+    // DECIMAL(38,0)/HUGEINT-exact inequality), so the anomaly booleans are
+    // bit-identical cross-engine — no floating-point stddev anywhere near
+    // the decision; trailing_mean is one integer division, rounded 1e-6.
+    q("q_anomaly_days",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT day, event_type, n_events,
+        |    sum(n_events) OVER t AS s,
+        |    sum(CAST(n_events AS HUGEINT) * n_events) OVER t AS ss,
+        |    count(*) OVER t AS m,
+        |    lag(day, 7) OVER (PARTITION BY event_type ORDER BY day) AS d7
+        |  FROM daily
+        |  WINDOW t AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT day, event_type, n_events, s, ss, m,
+        |    CAST(n_events AS HUGEINT) * m - s AS dev
+        |  FROM w WHERE m = 7 AND day - d7 = 7)
+        |SELECT day, event_type, n_events,
+        |  round(CAST(s AS DOUBLE) / m, 6) AS trailing_mean,
+        |  dev * dev * (m - 1) > 9 * m * (m * ss - CAST(s AS HUGEINT) * s)
+        |    AS is_anomaly,
+        |  CASE WHEN dev * dev * (m - 1)
+        |            > 9 * m * (m * ss - CAST(s AS HUGEINT) * s)
+        |       THEN CASE WHEN dev > 0 THEN 'spike' ELSE 'dip' END
+        |       ELSE 'none' END AS direction
+        |FROM f""".stripMargin) { (s, d) =>
+      ops.Funnel.dailyAnomalies(Tables.events(s, d), "ts", "event_type",
+        lookbackDays = 7, zThreshold = 3)
+    },
+
     // Funnel analysis (ordered event-sequence matching): how deep does each
     // user get through view → click → purchase, with later stages only
     // counting AFTER earlier ones — a per-user state machine expressed as a

@@ -313,4 +313,71 @@ object Funnel {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(n)
   }
+
+  /** Trailing-window z-score anomaly flags on the daily event volume per
+    * event type — the monitoring query a standing ingest pipeline runs
+    * every morning: is today's count more than `zThreshold` sample
+    * standard deviations from the trailing `lookbackDays`-day mean?
+    * Output: (day DATE, event_type, n_events LONG, trailing_mean DOUBLE,
+    * is_anomaly BOOLEAN, direction 'spike'|'dip'|'none'), one row per
+    * (type, day) that has a FULL lookback history (the first
+    * `lookbackDays` days per type are warm-up and emit nothing — a
+    * partial window would make the flag depend on where the data starts).
+    *
+    * Exactness: the z-test is decided in INTEGER arithmetic so the
+    * boolean is reproducible bit-for-bit on any engine — no engine-order
+    * floating-point sums anywhere near the decision. With x the day's
+    * count, m = lookbackDays, S/SS the trailing sum and sum-of-squares,
+    * z² > t² ⟺ (x·m − S)²·(m−1) > t²·(m·SS − S²)·m — every factor a
+    * DECIMAL(38,0)-exact integer (headroom: daily counts to ~10¹², m to
+    * ~10³ stay under 10³⁸). `zThreshold` is an Int for the same reason.
+    * Degenerate flat history (variance 0): any deviation is flagged, an
+    * infinite-z convention both engines share. `trailing_mean` (S/m,
+    * rounded to 1e-6) is one integer division — IEEE-identical
+    * cross-engine.
+    *
+    * Scale shape: the corpus collapses to the (day, type) grain in ONE
+    * map-side-combined aggregation — the only pass over raw events; the
+    * trailing window then runs over a spine-×-types table (thousands of
+    * rows at any corpus size) partitioned by type. Nothing after the
+    * first exchange scales with the corpus. */
+  def dailyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+                     lookbackDays: Int = 7, zThreshold: Int = 3): DataFrame = {
+    require(lookbackDays >= 2, s"lookbackDays must be ≥ 2: $lookbackDays")
+    require(zThreshold >= 1, s"zThreshold must be ≥ 1: $zThreshold")
+    val W = org.apache.spark.sql.expressions.Window
+    val trail = W.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(-lookbackDays, -1)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec)
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+    daily
+      .withColumn("_s", sum(col("n_events")).over(trail))
+      // per-day squares in DECIMAL before the sum — a LONG x² would
+      // overflow at daily counts past ~3·10⁹
+      .withColumn("_ss", sum(big(col("n_events")) * big(col("n_events"))).over(trail))
+      .withColumn("_m", count(col("n_events")).over(trail))
+      // rows-between counts ROWS, not days: a calendar gap inside the
+      // lookback means the window spans more than lookbackDays days →
+      // the row is warm-up too (checked via datediff against the m-th
+      // previous day's date)
+      .withColumn("_span_ok",
+        datediff(col("day"), lag(col("day"), lookbackDays)
+          .over(W.partitionBy(col(typeCol)).orderBy(col("day")))) === lookbackDays)
+      .filter(col("_m") === lookbackDays && col("_span_ok"))
+      .withColumn("_dev", big(col("n_events")) * big(col("_m")) - big(col("_s")))
+      .withColumn("_lhs", col("_dev") * col("_dev") * big(col("_m") - 1))
+      .withColumn("_rhs",
+        big(lit(zThreshold * zThreshold)) * big(col("_m")) *
+          (big(col("_m")) * big(col("_ss")) - big(col("_s")) * big(col("_s"))))
+      .select(col("day"), col(typeCol), col("n_events"),
+        round(col("_s").cast("double") / col("_m").cast("double"), 6)
+          .as("trailing_mean"),
+        (col("_lhs") > col("_rhs")).as("is_anomaly"),
+        when(col("_lhs") > col("_rhs"),
+          when(col("_dev") > 0, "spike").otherwise("dip"))
+          .otherwise("none").as("direction"))
+  }
 }

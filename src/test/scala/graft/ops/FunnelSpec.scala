@@ -206,4 +206,40 @@ class FunnelSpec extends AnyFunSuite {
     assert(hist(df) === Seq((2, 1L)))
     assert(segHist(df) === Seq((2, 1L)))
   }
+
+  test("dailyAnomalies flags a planted spike, skips warm-up and calendar gaps") {
+    // type "a": days 1..8 have 10 events each, day 9 has 40 (spike),
+    // day 10 back to 10 but its trailing window CONTAINS the spike so
+    // variance explodes → not flagged. days 1..7 (and day 8, whose
+    // 7-day lookback needs day 1..7 but the first flaggable day is the
+    // 8th) — only days with a FULL 7-row, 7-calendar-day history emit.
+    // type "b": constant 5/day → flat history, zero variance, never
+    // flagged. type "c": has a calendar GAP (day 5 missing) → first
+    // emitted day must wait until 7 consecutive days follow the gap.
+    val rows = (1 to 8).flatMap(d => (0 until 10).map(i => (f"2024-01-$d%02dT01:00:$i%02d", "a", 1L))) ++
+      (0 until 40).map(i => (f"2024-01-09T01:${i / 60}%02d:${i % 60}%02d", "a", 1L)) ++
+      (0 until 10).map(i => (f"2024-01-10T01:00:$i%02d", "a", 1L)) ++
+      (1 to 10).flatMap(d => (0 until 5).map(i => (f"2024-01-$d%02dT02:00:$i%02d", "b", 1L))) ++
+      (1 to 10).filter(_ != 5).flatMap(d => (0 until 3).map(i => (f"2024-01-$d%02dT03:00:$i%02d", "c", 1L)))
+    val ev = rows.toDF("_t", "event_type", "user_id")
+      .withColumn("ts", col("_t").cast("timestamp")).drop("_t")
+    val out = Funnel.dailyAnomalies(ev, "ts", "event_type", lookbackDays = 7,
+        zThreshold = 3)
+      .select(col("day").cast("string"), col("event_type"), col("n_events"),
+        col("is_anomaly"), col("direction"))
+      .as[(String, String, Long, Boolean, String)].collect().toSeq.sorted
+    val a = out.filter(_._2 == "a")
+    // type a emits days 8, 9, 10; only day 9 is a spike
+    assert(a.map(r => (r._1, r._4, r._5)) === Seq(
+      ("2024-01-08", false, "none"),
+      ("2024-01-09", true, "spike"),
+      ("2024-01-10", false, "none")))
+    // flat history never flags (zero variance, zero deviation)
+    val b = out.filter(_._2 == "b")
+    assert(b.nonEmpty && b.forall(r => !r._4 && r._5 == "none"))
+    // the gap day resets type c's warm-up: windows spanning the missing
+    // day 5 are rejected, and 7 consecutive days never accumulate before
+    // the corpus ends → no c rows at all
+    assert(!out.exists(_._2 == "c"))
+  }
 }
