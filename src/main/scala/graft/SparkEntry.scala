@@ -3197,6 +3197,36 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // Prefix-filtered exact Jaccard join (Dedup.prefixJaccardPairs, the
+    // All-Pairs/PPJoin family): same exact-pairs semantics as
+    // q_ngram_jaccard — the oracle is the very same brute token
+    // self-join — but over the FULL documents table, because the prefix
+    // index only holds each doc's ~(1−t)·n rarest shingles, so the
+    // stop-shingle posting lists that force q_ngram_jaccard's doc_id<100
+    // cut never enter the candidate join. Full recall, no df cap.
+    q("q_prefix_jaccard",
+      """WITH tok AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS toks
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |sizes AS (SELECT doc_id, len(toks) AS n FROM tok)
+        |SELECT id_a, id_b,
+        |  round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE shared / (sa.n + sb.n - shared) >= 0.9""".stripMargin) { (s, d) =>
+      Dedup.prefixJaccardPairs(
+          Tables.documents(s, d), "text", "doc_id",
+          shingleN = 1, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
     // Substring-level span dedup (ExactSubstr, Lee et al. 2021): maximal
     // cross-document verbatim runs of ≥ 12 tokens, found via a positional
     // 8-shingle inverted index + diagonal run-coalescing. The oracle

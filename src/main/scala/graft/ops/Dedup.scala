@@ -417,6 +417,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard join (the All-Pairs/PPJoin family,
+    * Bayardo et al. 2007 / Xiao et al. 2008) — identical output to
+    * [[jaccardPairs]] (exact, full recall), but candidates come from an
+    * inverted index over each document's PREFIX only: with shingles
+    * sorted rarest-first by a global total order, any pair with
+    * J ≥ t and sizes within ratio t must share a shingle inside both
+    * prefixes of length n − ⌈t·n⌉ + 1, so the quadratic posting-list
+    * hazard shrinks from Σ_s df(s)² over ALL shingles to the same sum
+    * over ~(1−t)·n rarest-per-doc shingles — the frequent shingles that
+    * dominate [[jaccardPairs]]' join never enter the index, with NO
+    * recall loss (contrast `maxDocFreq` there, which buys the same
+    * safety by under-counting near the threshold). At t = 0.9 the
+    * indexed fraction is ~10 % of shingle mass, and it is exactly the
+    * long-df tail.
+    *
+    * The global order needs no rank table or single-partition window:
+    * sorting each document's (df, shingle) structs lexicographically IS
+    * the rarest-first total order — one token-grain df aggregate, one
+    * token-grain join (same key, same exchange), one id-grain
+    * collect_list bounded by tokens-per-doc.
+    *
+    * Verification is exact set intersection on the two carried sorted
+    * arrays (codegen'd `array_intersect`), after a (id_a, id_b)
+    * dedup so each candidate pair is verified once. The size filter
+    * t·|A| ≤ |B| ≤ |A|/t rides the candidate equi-join as a residual
+    * predicate — required for the prefix guarantee and a candidate cut.
+    * Output: (id_a, id_b, jaccard), id_a < id_b — bit-identical to
+    * [[jaccardPairs]] at the same threshold. */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val toks = df.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
+      .withColumn("_n", size(col("_sh"))).filter(col("_n") > 0)
+    val dfreq = toks.select(explode(col("_sh")).as("_s"))
+      .groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    val ordered = toks.select(col("_id"), col("_n"), explode(col("_sh")).as("_s"))
+      .join(dfreq, Seq("_s"))
+      .groupBy(col("_id"), col("_n"))
+      .agg(transform(sort_array(collect_list(struct(col("_df"), col("_s")))),
+        e => e.getField("_s")).as("_ord"))
+    val pre = ordered
+      .withColumn("_plen",
+        (col("_n") - ceil(lit(threshold) * col("_n")) + lit(1)).cast("int"))
+      .select(col("_id"), col("_n"), col("_ord"),
+        explode(slice(col("_ord"), lit(1), col("_plen"))).as("_p"))
+    pre.select(col("_p"), col("_id").as("id_a"), col("_n").as("n_a"),
+        col("_ord").as("_oa"))
+      .join(pre.select(col("_p"), col("_id").as("id_b"), col("_n").as("n_b"),
+        col("_ord").as("_ob")), Seq("_p"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_b").cast("double") * lit(threshold) <= col("n_a").cast("double") &&
+        col("n_a").cast("double") * lit(threshold) <= col("n_b").cast("double"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("inter", size(array_intersect(col("_oa"), col("_ob"))))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Cross-document repeated-SPAN detection — the token-level ExactSubstr
     * recipe of Lee et al. 2021 ("Deduplicating Training Data Makes
     * Language Models Better"): document-level dedup misses the dominant

@@ -152,6 +152,42 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixJaccardPairs ≡ jaccardPairs: full recall from prefix candidates only") {
+    // a corpus where the inverted index is dominated by stop-words the
+    // prefix filter must never need: 40 docs sharing a 12-word template
+    // with per-doc rare suffix words, plus planted near-dup pairs at
+    // several similarity levels and a couple of tiny/disjoint docs
+    val template = "the quick brown fox jumps over a lazy dog near some river"
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"$template unique$i token$i extra${i % 7} tail${i % 3}")
+    } ++ Seq(
+      (100L, s"$template unique1 token1 extra1 tail1"),   // near dup of doc 1
+      (101L, template),                                    // template only
+      (102L, "completely disjoint vocabulary entirely separate words"),
+      (103L, "tiny doc"))
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val exact = Dedup.jaccardPairs(df, "text", "doc_id", shingleN = 1, threshold = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val pp = Dedup.prefixJaccardPairs(df, "text", "doc_id", shingleN = 1, threshold = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(pp.keySet === exact.keySet, s"threshold $t")
+      pp.foreach { case (k, j) => assert(math.abs(j - exact(k)) < 1e-12, s"$k at $t") }
+    }
+    // 2-gram shingles agree too
+    val e2 = Dedup.jaccardPairs(df, "text", "doc_id", shingleN = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = Dedup.prefixJaccardPairs(df, "text", "doc_id", shingleN = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 === e2)
+    // the candidate join is an equi-join on prefix shingles — no nested
+    // loop / cartesian anywhere in the plan
+    val plan = Dedup.prefixJaccardPairs(df, "text", "doc_id", 1, 0.8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("distributed quantized k-means: hand-checked clusters, repartition-stable") {
     // two tight 2-D clusters; init = first k by id → ids 1,2 (both in the
     // left cluster) — Lloyd must still separate: after iter 1 centroid 0
