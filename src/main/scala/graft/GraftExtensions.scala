@@ -74,5 +74,15 @@ object GraftExtensions {
     f("int8_encode", "int8_encode(vec) — symmetric int8 quantization codes") {
       xs => Int8Encode(xs(0)) },
     f("int8_dot", "int8_dot(a, b) — exact integer dot of int8 codes") {
-      xs => Int8Dot(xs(0), xs(1)) })
+      xs => Int8Dot(xs(0), xs(1)) },
+    f("kll_sketch_agg", "kll_sketch_agg(x, k) — mergeable KLL quantile sketch") {
+      xs => KllSketchAgg(xs(0), xs(1)) },
+    f("kll_union_agg", "kll_union_agg(sketch, k) — union KLL sketches") {
+      xs => KllUnionAgg(xs(0), xs(1)) },
+    f("kll_quantile", "kll_quantile(sketch, p) — value at normalized rank p") {
+      xs => KllQuantile(xs(0), xs(1)) },
+    f("kll_rank", "kll_rank(sketch, v) — normalized rank of v") {
+      xs => KllRank(xs(0), xs(1)) },
+    f("kll_n", "kll_n(sketch) — values absorbed (exact)") {
+      xs => KllCount(xs(0)) })
 }

@@ -2380,6 +2380,44 @@ object SparkEntry {
           errOk(col("_g")).as("global_rel_err_ok"))
     },
 
+    // Mergeable quantile sketches (DataSketches KLL via graft's own
+    // TypedImperativeAggregate surface — kll_sketch_agg/kll_union_agg/
+    // kll_quantile): per-slice sketches union to corpus-wide percentiles
+    // without rescanning history, the rank member of the additive-artifact
+    // family beside q_distinct_sketch. The oracle pins what is engine-
+    // independent: the EXACT interpolated quantiles (percentile ≡
+    // quantile_cont, both linear interpolation over the same doubles) and
+    // the KLL contract that the merged estimate's EXACT rank sits within
+    // 2ε of the target (ε ≈ 1.65 % at k=200, 99 % conf — Spark recomputes
+    // the exact rank of its own estimates and emits the boolean).
+    q("q_quantile_sketch",
+      """WITH q AS (
+        |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |                       [0.25, 0.5, 0.75, 0.95]) AS qs
+        |  FROM lineitem)
+        |SELECT CAST(CASE i WHEN 1 THEN 0.25 WHEN 2 THEN 0.5
+        |              WHEN 3 THEN 0.75 ELSE 0.95 END AS DOUBLE) AS p,
+        |  round(qs[i], 6) AS exact_q, true AS rank_ok
+        |FROM q, unnest([1, 2, 3, 4]) AS t(i)""".stripMargin) { (s, d) =>
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("x"),
+          pmod(col("l_orderkey"), lit(8)).as("_slice"))
+      val slices = ops.CorpusStats.quantileSketches(li, "x", "_slice")
+      val est = ops.CorpusStats.quantilesFromSketches(slices, ps)
+      val exact = li.agg(percentile(col("x"), lit(ps.toArray)).as("_qs"))
+        .select(posexplode(col("_qs")).as(Seq("_i", "_q")))
+        .select(element_at(lit(ps.toArray), col("_i").cast("int") + 1).as("p"),
+          round(col("_q"), 6).as("exact_q"))
+      val ranks = li.crossJoin(broadcast(est))
+        .groupBy(col("p"), col("n"))
+        .agg(sum(when(col("x") <= col("value"), 1L).otherwise(0L)).as("_le"))
+        .select(col("p"),
+          (abs(col("_le").cast("double") / col("n").cast("double") - col("p"))
+            <= lit(0.033)).as("rank_ok"))
+      exact.join(ranks, Seq("p")).select(col("p"), col("exact_q"), col("rank_ok"))
+    },
+
     // Approximate heavy hitters (Spark 4's approx_top_k sketch). WHICH items
     // a sketch emits under count ties is sketch-specific, so the oracle
     // compares what IS engine-independent: the item count, the k-th count

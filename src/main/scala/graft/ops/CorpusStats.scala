@@ -278,6 +278,36 @@ object CorpusStats {
       hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
         .as("n_estimate"))
 
+  /** Per-slice mergeable QUANTILE sketches (DataSketches KLL via
+    * [[graft.functions.KllSketchAgg]]) — the rank/percentile member of the
+    * additive-artifact family, exactly parallel to [[distinctSketches]]:
+    * one small binary sketch per slice, kept as batches land, so
+    * "corpus-wide p95 of this score" is a union over sketch rows
+    * ([[quantilesFromSketches]]) — history is never re-scanned. KLL union
+    * runs the same compaction as the streamed build, so the merged sketch
+    * carries the single-build normalized rank-error guarantee at equal
+    * `k` (ε ≈ 1.65 % at k = 200, 99 % conf). Output: (sliceCol, sketch
+    * BINARY). */
+  def quantileSketches(df: DataFrame, valueCol: String, sliceCol: String,
+                       k: Int = 200): DataFrame =
+    df.groupBy(col(sliceCol))
+      .agg(graft.functions.KllExpressions
+        .kllSketchAgg(col(valueCol).cast("double"), k).as("sketch"))
+
+  /** Union per-slice KLL sketches and probe the requested normalized
+    * ranks: one row per rank — (p DOUBLE, value DOUBLE, n LONG). Work is
+    * O(slices · k log n), independent of corpus size. */
+  def quantilesFromSketches(sketches: DataFrame, ranks: Seq[Double],
+                            sketchCol: String = "sketch",
+                            k: Int = 200): DataFrame = {
+    import graft.functions.KllExpressions._
+    sketches
+      .agg(kllUnionAgg(col(sketchCol), k).as("_u"))
+      .select(explode(lit(ranks.toArray)).as("p"), col("_u"))
+      .select(col("p"), kllQuantile(col("_u"), col("p")).as("value"),
+        kllCount(col("_u")).as("n"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus' own
     * top-`vocabSize` word vocabulary — the tokenizer-coverage stat: a
     * fixed-size vocab trained on this corpus would leave `oov_rate` of

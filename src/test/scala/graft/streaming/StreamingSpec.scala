@@ -729,6 +729,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(global === exact)
   }
 
+  test("KLL quantile-slice fold: per-batch sketches union to the single-build contract") {
+    // The rank member of the additive-artifact family as a stream: one
+    // KLL sketch row per micro-batch, corpus-wide percentiles answered by
+    // unioning the accumulated rows — history never re-scanned. KLL keeps
+    // all values until the first compaction (k=200 ≫ n here), so the
+    // folded quantiles are EXACT on this corpus, not just in-envelope.
+    import graft.ops.CorpusStats
+    val batches: Seq[Seq[Double]] =
+      Seq((1 to 40).map(_.toDouble), (41 to 70).map(_.toDouble),
+        (71 to 100).map(_.toDouble))
+    val ms = MemoryStream[Double](spark)
+    var sketchRows = spark.emptyDataset[(Long, Array[Byte])].toDF("_slice", "sketch")
+    var bid = 0L
+    val q = ms.toDF().toDF("x").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sketchRows = sketchRows.unionByName(
+          CorpusStats.quantileSketches(
+            batch.withColumn("_slice", lit(bid)), "x", "_slice")
+            .localCheckpoint(true))
+        bid += 1
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(sketchRows.count() === 3L, "one sketch row per micro-batch")
+    val folded = CorpusStats
+      .quantilesFromSketches(sketchRows, Seq(0.1, 0.5, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(folded.map(_._3) === Seq(100L, 100L, 100L))
+    // inclusive-rank quantiles over the intact 1..100 stream are exact
+    assert(folded.map(_._2) === Seq(10.0, 50.0, 100.0))
+  }
+
   test("incremental near-dup fold: per-batch band-table appends find every pair ≡ batch recompute") {
     // The LSH half of the ingest lifecycle as foreachBatch: each batch is
     // exact-incrementally-deduped, its survivors probe the ACCUMULATED band
