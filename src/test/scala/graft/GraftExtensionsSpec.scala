@@ -15,7 +15,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "cosine_sim", "l2_dist", "dot_product", "fnv64", "simhash64",
       "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles",
       "top_ngram_run", "unicode_norm", "strip_accents",
-      "int8_encode", "int8_dot"))
+      "int8_encode", "int8_dot",
+      "kll_sketch_agg", "kll_union_agg", "kll_quantile", "kll_rank", "kll_n"))
   }
 
   test("every registered SQL function is runnable on a fresh session registry") {
