@@ -3265,6 +3265,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // Edit-distance similarity self-join (Dedup.editDistancePairs, the
+    // PassJoin partition filter): all part-name pairs within Levenshtein
+    // distance 2, with per-name row counts. The oracle is the brute
+    // definition — levenshtein over the full distinct×distinct square —
+    // which the pigeonhole candidate generation must reproduce exactly
+    // (any missing pair is a recall bug in the segment enumeration).
+    q("q_edit_join",
+      """WITH n AS (SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+        |  a.cnt AS n_a, b.cnt AS n_b
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin) { (s, d) =>
+      Dedup.editDistancePairs(Tables.part(s, d), "p_name", tau = 2)
+    },
+
     // Substring-level span dedup (ExactSubstr, Lee et al. 2021): maximal
     // cross-document verbatim runs of ≥ 12 tokens, found via a positional
     // 8-shingle inverted index + diagonal run-coalescing. The oracle

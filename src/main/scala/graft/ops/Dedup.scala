@@ -1088,6 +1088,108 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Edit-distance similarity self-join (PassJoin, Li/Deng/Feng/Wang,
+    * "PASS-JOIN: a partition-based method for similarity joins",
+    * VLDB 2011 — public paper): all UNORDERED pairs of distinct `strCol`
+    * values within Levenshtein distance `tau`, with full recall, no
+    * cartesian product.
+    *
+    * Mechanics — the pigeonhole partition filter:
+    *
+    *  1. collapse to the DISTINCT-string grain first (with row counts), so
+    *     a 100 TB corpus participates only through its signature table —
+    *     the same distinct-first stance as [[exact]];
+    *  2. INDEX side: each string of length l ≥ τ+1 is split into τ+1
+    *     contiguous segments (even split, longer segments first); each
+    *     emits (l, segment#, segment-text);
+    *  3. PROBE side: each string s of length m enumerates partner lengths
+    *     l ∈ [m−τ, m+τ], and for each segment of a length-l string the
+    *     substrings of s of that segment's length starting within ±τ of
+    *     the segment's home position — ≤ (2τ+1)²·(τ+1) keys per string,
+    *     a CONSTANT in corpus size;
+    *  4. candidates equi-join on (l, segment#, text) — a plain shuffle
+    *     join on short byte keys, never a theta join — and are verified
+    *     with one exact `levenshtein` call per candidate pair.
+    *
+    * Recall: if ed(s,r) ≤ τ, some segment of r is untouched by the ≤ τ
+    * edits (pigeonhole over τ+1 segments) and therefore occurs verbatim
+    * in s, displaced by at most the ≤ τ net indels before it — exactly
+    * the probe window. Strings shorter than τ+1 characters can't donate
+    * τ+1 non-empty segments; their partners all have length ≤ 2τ, so the
+    * short pool pairs against the (≤ 2τ)-length pool directly — a
+    * broadcast nested loop over a domain bounded by |Σ|^2τ, intrinsically
+    * tiny and independent of corpus size.
+    *
+    * Skew: a segment shared by d strings yields d² candidate rows — the
+    * inverted-index skew shared with [[jaccardPairs]]. Natural-language
+    * name domains keep d small; for machine-generated near-uniform
+    * domains (serial numbers sharing long constant prefixes) the
+    * production lever is PassJoin's multi-match-aware substring selection
+    * (§5 of the paper), which this implementation trades away for
+    * one-pass simplicity.
+    *
+    * Output: (name_a, name_b, dist INT, n_a, n_b) with name_a < name_b;
+    * n_* are source-row counts per name (the expand-back weights). */
+  def editDistancePairs(df: DataFrame, strCol: String, tau: Int): DataFrame = {
+    require(tau >= 1, s"tau must be ≥ 1: $tau")
+    val parts = tau + 1
+    val names = df.filter(col(strCol).isNotNull)
+      .groupBy(col(strCol).as("name")).agg(count(lit(1)).as("cnt"))
+    val named = names.select(col("name"), length(col("name")).as("_m"))
+    val longs = named.filter(col("_m") >= parts)
+
+    // Even segmentation of a length-l string: rem = l mod (τ+1) leading
+    // segments of length floor+1, the rest of length floor.
+    def segLen(l: Column, i: Column): Column =
+      floor(l / lit(parts)).cast("int") + when(i < l % lit(parts), 1).otherwise(0)
+    def segStart(l: Column, i: Column): Column =
+      (floor(l / lit(parts)).cast("int") * i + least(i, l % lit(parts))).cast("int")
+
+    val idx = longs
+      .select(col("name").as("_rname"), col("_m").as("_kl"),
+        explode(sequence(lit(0), lit(tau))).as("_ki"))
+      .select(col("_rname"), col("_kl"), col("_ki"),
+        col("_rname").substr(segStart(col("_kl"), col("_ki")) + 1,
+          segLen(col("_kl"), col("_ki"))).as("_ks"))
+
+    val probe = longs
+      .select(col("name").as("_sname"), col("_m"),
+        explode(sequence(col("_m") - tau, col("_m") + tau)).as("_kl"))
+      .filter(col("_kl") >= parts)
+      .select(col("_sname"), col("_m"), col("_kl"),
+        explode(sequence(lit(0), lit(tau))).as("_ki"))
+      .withColumn("_ln", segLen(col("_kl"), col("_ki")))
+      .withColumn("_lo", greatest(lit(0), segStart(col("_kl"), col("_ki")) - tau))
+      .withColumn("_hi", least(col("_m") - col("_ln"),
+        segStart(col("_kl"), col("_ki")) + tau))
+      .filter(col("_lo") <= col("_hi"))
+      .select(col("_sname"), col("_kl"), col("_ki"),
+        explode(sequence(col("_lo"), col("_hi"))).as("_p"),
+        col("_ln"))
+      .select(col("_sname"), col("_kl"), col("_ki"),
+        col("_sname").substr(col("_p") + 1, col("_ln")).as("_ks"))
+
+    val passPairs = probe.join(idx, Seq("_kl", "_ki", "_ks"))
+      .filter(col("_sname") < col("_rname"))
+      .select(col("_sname").as("name_a"), col("_rname").as("name_b"))
+
+    // Short pool: |s| ≤ τ ⇒ every partner has length ≤ 2τ. Both pools are
+    // alphabet-bounded; the broadcast nested loop is over O(|Σ|^2τ) rows.
+    val shorts = named.filter(col("_m") < parts).select(col("name").as("_sn"))
+    val pool = named.filter(col("_m") <= lit(2 * tau)).select(col("name").as("_pn"))
+    val shortPairs = shorts.join(broadcast(pool), col("_sn") =!= col("_pn"))
+      .select(least(col("_sn"), col("_pn")).as("name_a"),
+        greatest(col("_sn"), col("_pn")).as("name_b"))
+
+    passPairs.unionByName(shortPairs)
+      .dropDuplicates("name_a", "name_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= tau)
+      .join(names.select(col("name").as("name_a"), col("cnt").as("n_a")), Seq("name_a"))
+      .join(names.select(col("name").as("name_b"), col("cnt").as("n_b")), Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold (the oracle-able exact variant;
     * O(n²) — bounded corpora only, LSH variant is the scale path). */
   def embeddingNearDupsExact(df: DataFrame, vecCol: String, idCol: String,

@@ -1153,4 +1153,52 @@ class DedupKnnSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
   }
+
+  private def bruteLevenshtein(a: String, b: String): Int = {
+    val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 0 to a.length) d(i)(0) = i
+    for (j <- 0 to b.length) d(0)(j) = j
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("edit-distance join: full recall vs brute force on random domains") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 6; tau <- 1 to 2) {
+      // short alphabet + short strings → dense near-miss space, including
+      // strings below the τ+1 segment floor (the short-pool path)
+      val strs = (1 to 60).map { _ =>
+        val len = rnd.nextInt(9) // 0..8 — includes empty string
+        (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val df = strs.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }
+        .toDF("id", "name")
+      val expected = (for {
+        a <- strs; b <- strs if a < b
+        d = bruteLevenshtein(a, b) if d <= tau
+      } yield (a, b, d)).toSet
+      val got = Dedup.editDistancePairs(df, "name", tau)
+        .select("name_a", "name_b", "dist")
+        .as[(String, String, Int)].collect().toSet
+      assert(got === expected, s"trial=$trial tau=$tau strs=$strs")
+    }
+  }
+
+  test("edit-distance join: counts expand back to source-row multiplicities") {
+    val df = Seq("cat", "cat", "cat", "bat", "hat", "hat", "dog")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "name", tau = 1)
+      .as[(String, String, Int, Long, Long)].collect().toSet
+    assert(got === Set(("bat", "cat", 1, 1L, 3L), ("bat", "hat", 1, 1L, 2L),
+      ("cat", "hat", 1, 3L, 2L)))
+  }
+
+  test("edit-distance join plans equi-join candidates, no cartesian on the long-string path") {
+    val df = (1L to 50L).map(i => (i, s"partname-$i")).toDF("id", "name")
+    val plan = Dedup.editDistancePairs(df, "name", tau = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
 }
