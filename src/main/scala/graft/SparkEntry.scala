@@ -1904,6 +1904,69 @@ object SparkEntry {
         lookbackDays = 7, zThreshold = 3)
     },
 
+    // SCD Type-2 dimension history (Funnel.scd2History): one versioned row
+    // per run of equal event_type values per user, half-open validity
+    // intervals, valid_to NULL on the current version. Timestamps leave as
+    // formatted strings (the q_sessionize parquet-flavor lesson).
+    q("q_scd2",
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM c WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(CAST(ts AS TIMESTAMP)) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  CAST(row_number() OVER w AS INT) AS version
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin) { (s, d) =>
+      ops.Funnel.scd2History(Tables.events(s, d), "user_id", "event_type",
+          "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("version"))
+    },
+
+    // Integer-exact α=1/2 EWMA per user (Funnel.ewmaHalf): the stream fold
+    // s₁=x₁, sᵢ=⌊(sᵢ₋₁+xᵢ)/2⌋ over round(value·100) longs — bit-exact on
+    // any engine, no float accumulation. The oracle replays the identical
+    // fold via a RECURSIVE CTE stepping row_number-ordered events (NOT
+    // list_reduce — DuckDB 1.0.0 mis-evaluates multi-row batches, the
+    // q_funnel lesson); `//` and Spark's `div` agree on the non-negative
+    // scaled domain.
+    q("q_ewma",
+      """WITH RECURSIVE x AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS k
+        |  FROM events),
+        |n AS (SELECT user_id, max(k) AS nk FROM x GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, 1 AS k, v AS acc FROM x WHERE k = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.k + 1, (r.acc + x.v) // 2
+        |  FROM r JOIN x ON x.user_id = r.user_id AND x.k = r.k + 1)
+        |SELECT r.user_id, CAST(n.nk AS BIGINT) AS n_events,
+        |  CAST(r.acc AS DOUBLE) / 100 AS ewma
+        |FROM r JOIN n ON n.user_id = r.user_id AND r.k = n.nk""".stripMargin) { (s, d) =>
+      ops.Funnel.ewmaHalf(Tables.events(s, d), "user_id", "value",
+        "ts", "event_id", scale = 100)
+    },
+
+    // Salted two-phase aggregation (Skew.saltedCount): the deterministic
+    // skew-mitigation fallback when AQE can't split a hot GROUP BY key —
+    // partial counts per (key, salt) then a final per-key sum. The oracle
+    // is the plain GROUP BY the salting must be observationally equal to.
+    q("q_skew_salted",
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type") {
+      (s, d) => ops.Skew.saltedCount(Tables.events(s, d), "event_type", salt = 16)
+    },
+
     // Funnel analysis (ordered event-sequence matching): how deep does each
     // user get through view → click → purchase, with later stages only
     // counting AFTER earlier ones — a per-user state machine expressed as a
@@ -2156,6 +2219,36 @@ object SparkEntry {
     // pair materialized. Integer-exact on the 10⁻⁶-quantized unit sphere:
     // per-dim sums are LONG/HUGEINT, squares DECIMAL, so both engines
     // compute the identical rational before one final double division.
+    // Top-k collocations by PMI (CorpusStats.pmiCollocations), reported as
+    // lift = exp(PMI) so the score is pure integer-count arithmetic in one
+    // IEEE-identical expression — no ln whose libm could differ between
+    // engines. minCount 5 floors the classic singleton-pair pathology.
+    q("q_pmi",
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM tok)
+        |  GROUP BY w),
+        |bg AS (
+        |  SELECT tk[i+1] AS w1, tk[i+2] AS w2, count(*) AS c_xy
+        |  FROM tok, unnest(range(0, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2 GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS ntok,
+        |         CAST((SELECT sum(c_xy) FROM bg) AS BIGINT) AS nbg)
+        |SELECT w1, w2, c_xy, a.c AS c_x, b.c AS c_y,
+        |  round(CAST(c_xy AS DOUBLE) * CAST(ntok AS DOUBLE) * CAST(ntok AS DOUBLE)
+        |    / (CAST(nbg AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)),
+        |    6) AS lift
+        |FROM bg JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
+        |WHERE c_xy >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      ops.CorpusStats.pmiCollocations(Tables.documents(s, d), "text",
+        minCount = 5, topK = 20)
+    },
+
     q("q_corpus_diversity",
       """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
         |nr AS (SELECT * FROM (
@@ -4440,6 +4533,30 @@ object SparkEntry {
     // LM vocabulary is built over survivors only. MATERIALIZED hints keep
     // DuckDB from re-deriving shared stages (the q_corpus_curate fairness
     // note).
+    // 2-D Pareto frontier (Selection.paretoFront): orders not strictly
+    // dominated under (earliest o_orderdate, highest o_totalprice). Spark
+    // runs the O(n log n) collapsed-grain running-max shape; the oracle
+    // states the DEFINITION — brute quadratic dominance — on the per-day
+    // max table, where it is affordable (distinct days, not orders), so
+    // the two formulations are genuinely independent.
+    q("q_pareto",
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day, o_totalprice
+        |  FROM orders),
+        |d AS (SELECT day, max(o_totalprice) AS ymax FROM o GROUP BY day),
+        |f AS (
+        |  SELECT day, ymax FROM d a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM d b WHERE b.day < a.day AND b.ymax >= a.ymax))
+        |SELECT o.o_orderkey, o.day, o.o_totalprice
+        |FROM o JOIN f ON o.day = f.day AND o.o_totalprice = f.ymax""".stripMargin) { (s, d) =>
+      ops.Selection.paretoFront(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"), col("o_totalprice")),
+        "day", "o_totalprice")
+        .select(col("o_orderkey"), col("day"), col("o_totalprice"))
+    },
+
     q("q_curate_select",
       """WITH tk0 AS MATERIALIZED (
         |  SELECT doc_id,

@@ -341,4 +341,52 @@ object CorpusStats {
       .select(col(idCol), col("n_tokens"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
+
+  /** Top-k collocations by pointwise mutual information: adjacent word
+    * pairs whose corpus frequency most exceeds what their unigram
+    * frequencies predict (Church & Hanks 1990). Reported as LIFT =
+    * P(xy)/(P(x)·P(y)) = c_xy·N_tok²/(N_bg·c_x·c_y) — exp(PMI), the same
+    * ranking since ln is monotone — so the score is ONE arithmetic
+    * expression over exact integer counts, identical IEEE-double term
+    * order on any engine; no transcendental whose libm could differ.
+    *
+    * Output: (w1, w2, c_xy, c_x, c_y, lift), `topK` rows by lift DESC
+    * with (w1, w2) tie-break; pairs below `minCount` are noise-floored
+    * out BEFORE scoring (the classic PMI rare-pair pathology: a
+    * singleton pair of two singleton words scores N_tok²/N_bg — pure
+    * noise at maximal score).
+    *
+    * Scale shape: bigram and unigram counts are two map-side-combined
+    * aggregations over the token stream (bigrams via a slice-zip, no
+    * per-row array duplication); the scored join keys on single words —
+    * shuffle mass is the POST-minCount bigram vocabulary, not the corpus;
+    * totals ride along as a broadcast 1-row cross; top-k is
+    * TakeOrdered, never a global sort. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be ≥ 1: $minCount")
+    require(topK >= 1, s"topK must be ≥ 1: $topK")
+    val tk = df.select(Dedup.tokens(col(textCol)).as("_tk"))
+    val uni = tk.select(explode(col("_tk")).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    val bg = tk.filter(size(col("_tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1))).as("_p"))
+      .select(col("_p.0").as("w1"), col("_p.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val totals = uni.agg(sum(col("_c")).as("_ntok"))
+      .crossJoin(bg.agg(sum(col("c_xy")).as("_nbg")))
+    bg.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("_w").as("w1"), col("_c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("_w").as("w2"), col("_c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round(col("c_xy").cast("double") * col("_ntok").cast("double") *
+            col("_ntok").cast("double") /
+            (col("_nbg").cast("double") * col("c_x").cast("double") *
+             col("c_y").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

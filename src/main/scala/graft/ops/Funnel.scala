@@ -380,4 +380,81 @@ object Funnel {
           when(col("_dev") > 0, "spike").otherwise("dip"))
           .otherwise("none").as("direction"))
   }
+
+  /** Slowly-changing-dimension Type-2 history build: collapse an event
+    * stream into one VERSIONED row per run of equal `attrCol` values per
+    * entity — (entity, attr, valid_from, valid_to, version), half-open
+    * intervals [valid_from, valid_to), valid_to null on the current
+    * version. The standard warehouse dimension-history shape (Kimball's
+    * SCD Type 2), built here directly from the raw event log.
+    *
+    * Mechanics: one lag() marks rows where the attribute differs from the
+    * entity's previous row (null-safe, so the first row always opens
+    * version 1); surviving change rows get valid_to = next change's
+    * valid_from and version = row_number. Both windows and the filter
+    * share one (entity)-grain exchange — the filter preserves the sort,
+    * so the second window adds NO exchange and NO sort (asserted in
+    * PlanSpec). Ties inside one timestamp break on `tieCol` — without it
+    * the version sequence of a same-timestamp burst would be
+    * partitioning-dependent.
+    *
+    * Scale: the only pass over raw events is the first window; everything
+    * after operates on change rows only. An entity's full history never
+    * concentrates in memory (no collect_list) — pure streaming window
+    * evaluation, so a bot entity with 10⁸ events costs sort time, not
+    * buffer space. */
+  def scd2History(events: DataFrame, entityCol: String, attrCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(entityCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(!(col("_prev") <=> col(attrCol)))
+      .select(col(entityCol), col(attrCol),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(
+          W.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol)))
+          .as("valid_to"),
+        row_number().over(
+          W.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol)))
+          .cast("int").as("version"))
+  }
+
+  /** Integer-exact exponentially-weighted moving average (α = 1/2) of a
+    * fixed-scale value per entity: the stream fold
+    * s₁ = x₁, sᵢ = ⌊(sᵢ₋₁ + xᵢ)/2⌋ over events ordered by (ts, tie),
+    * with x = round(value·scale) — every step a LONG add and shift, so
+    * the result is reproducible bit-for-bit on any engine (the
+    * [[dailyAnomalies]] stance: no floating-point accumulation anywhere).
+    * α = 1/2 is the fold whose halving is exact in integers; arbitrary α
+    * would reintroduce per-step rounding drift between engines.
+    *
+    * Returns (entity, n_events, ewma DOUBLE) — ewma is the final state
+    * divided back by `scale`, one exact division.
+    *
+    * Scale shape: ONE entity-grain exchange; the fold is a codegen'd HOF
+    * over the entity's sorted values. The fold is order-sensitive, so the
+    * buffer holds the entity's scaled values (8 bytes each) — pre-filter
+    * or cap events per entity upstream for adversarial bot tails (the
+    * [[topPaths]] `maxEvents` treatment). A bounded-buffer segment
+    * composition à la [[segmentedDepthHistogram]] does NOT apply: under
+    * floor division the per-segment map is affine only up to ±1 per step,
+    * and this op's contract is exactness. */
+  def ewmaHalf(events: DataFrame, entityCol: String, valCol: String,
+               tsCol: String, tieCol: String, scale: Int = 100): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    events
+      .select(col(entityCol),
+        struct(col(tsCol), col(tieCol),
+          round(col(valCol) * scale).cast("long").as("_x")).as("_e"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_events"),
+        transform(sort_array(collect_list(col("_e"))), e => e.getField("_x"))
+          .as("_vals"))
+      .withColumn("_acc", expr(
+        "aggregate(slice(_vals, 2, size(_vals) - 1), _vals[0], (a, x) -> (a + x) div 2)"))
+      .select(col(entityCol), col("n_events"),
+        (col("_acc").cast("double") / scale).as("ewma"))
+  }
 }

@@ -326,4 +326,38 @@ object Selection {
       .select(col(idCol), col("n_feat"),
         round(col("_s").cast("double") / lit(1e6), 6).as("log_weight"))
   }
+
+  /** 2-D Pareto frontier (skyline): every row not STRICTLY dominated under
+    * (minimize `minCol`, maximize `maxCol`) — b dominates a iff b.min ≤
+    * a.min ∧ b.max ≥ a.max with at least one strict. The curation
+    * trade-off query ("cheapest document at every quality level", "best
+    * order at every date") that naive SQL states as an O(n²) NOT-EXISTS
+    * self-join.
+    *
+    * Shape: collapse to the distinct-`minCol` grain first (per-key max,
+    * one map-side-combined exchange — the only pass over the corpus),
+    * then a running-max window over that collapsed table keeps keys whose
+    * max strictly exceeds every earlier key's. A row survives iff its key
+    * is on the front AND its value equals the key's max — a broadcast
+    * equi-join back, since the front is at most |distinct minCol| rows.
+    * Total: one aggregate + one join; the global-order window runs on the
+    * COLLAPSED grain only (dates, price bands — thousands of rows at any
+    * corpus size; pre-bucket a continuous minCol before calling).
+    *
+    * Equivalence to the dominance definition: a is dominated ⟺ some
+    * earlier key has max ≥ a.max (strict-earlier dominance) or a's own
+    * key has max > a.max (same-key dominance) — exactly the two filters.
+    * Equal rows (same key, same max) don't dominate each other and are
+    * all kept. */
+  def paretoFront(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val dmax = df.groupBy(col(minCol).as("_x")).agg(max(col(maxCol)).as("_ymax"))
+    val front = dmax
+      .withColumn("_rm", max(col("_ymax")).over(
+        Window.orderBy(col("_x")).rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("_rm").isNull || col("_ymax") > col("_rm"))
+      .select(col("_x"), col("_ymax"))
+    df.join(broadcast(front),
+      df(minCol) === col("_x") && df(maxCol) === col("_ymax"))
+      .drop("_x", "_ymax")
+  }
 }

@@ -166,4 +166,17 @@ class CorpusStatsSpec extends AnyFunSuite {
       hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12)))).as[Long].collect().head
     assert(incr === full)
   }
+  test("pmi collocations: exact lift on a hand-computed corpus, deterministic tie order") {
+    val df = Seq("a b a b", "a b c").toDF("text")
+    val got = CorpusStats.pmiCollocations(df, "text", minCount = 1, topK = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // N_tok=7, N_bg=5; c(a)=3 c(b)=3 c(c)=1; c_ab=3 c_ba=1 c_bc=1
+    // lift(ab)=3*49/(5*9)=3.266667, lift(bc)=49/(5*3)=3.266667 (exact tie),
+    // lift(ba)=49/45=1.088889; tie breaks (a,b) < (b,c)
+    assert(got === Seq(
+      ("a", "b", 3L, 3L, 3L, 3.266667),
+      ("b", "c", 1L, 3L, 1L, 3.266667),
+      ("b", "a", 1L, 3L, 3L, 1.088889)))
+  }
+
 }

@@ -242,4 +242,51 @@ class FunnelSpec extends AnyFunSuite {
     // the corpus ends → no c rows at all
     assert(!out.exists(_._2 == "c"))
   }
+  test("scd2: runs collapse to versions, ties break on event_id, current version open") {
+    val df = Seq(
+      (1L, "a", "2024-01-01 00:00:01", 1L),
+      (1L, "a", "2024-01-01 00:00:02", 2L),
+      (1L, "b", "2024-01-01 00:00:03", 3L),
+      (1L, "a", "2024-01-01 00:00:04", 4L),
+      // same-timestamp burst: order must come from event_id
+      (2L, "y", "2024-01-01 00:00:10", 11L),
+      (2L, "x", "2024-01-01 00:00:10", 10L),
+      (2L, "y", "2024-01-01 00:00:10", 12L)
+    ).toDF("user_id", "event_type", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val got = Funnel.scd2History(df, "user_id", "event_type", "ts", "event_id")
+      .select($"user_id", $"event_type",
+        date_format($"valid_from", "ss").as("f"),
+        date_format($"valid_to", "ss").as("t"), $"version")
+      .as[(Long, String, String, String, Int)].collect().toSet
+    assert(got === Set(
+      (1L, "a", "01", "03", 1), (1L, "b", "03", "04", 2), (1L, "a", "04", null, 3),
+      (2L, "x", "10", "10", 1), (2L, "y", "10", null, 2)))
+  }
+
+  test("scd2: both windows and the change filter share ONE exchange") {
+    val df = Seq((1L, "a", "2024-01-01 00:00:01", 1L))
+      .toDF("user_id", "event_type", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val plan = Funnel.scd2History(df, "user_id", "event_type", "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("ewma: integer fold matches the hand computation, singletons pass through") {
+    val df = Seq(
+      (1L, 1.0, "2024-01-01 00:00:01", 1L),
+      (1L, 2.0, "2024-01-01 00:00:02", 2L),
+      (1L, 3.0, "2024-01-01 00:00:03", 3L),
+      (2L, 5.17, "2024-01-01 00:00:01", 4L)
+    ).toDF("user_id", "value", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val got = Funnel.ewmaHalf(df, "user_id", "value", "ts", "event_id")
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, n, e) => u -> ((n, e)) }.toMap
+    // s = 100 -> (100+200)/2 = 150 -> (150+300)/2 = 225
+    assert(got(1L) === ((3L, 2.25)))
+    assert(got(2L) === ((1L, 5.17)))
+  }
+
 }

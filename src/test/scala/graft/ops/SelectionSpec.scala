@@ -198,4 +198,19 @@ class SelectionSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+  test("pareto front equals brute-force strict dominance on random data with ties") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 200).map(i =>
+        (i.toLong, rnd.nextInt(15), rnd.nextInt(20).toDouble))
+      val brute = rows.filter { case (_, x, y) =>
+        !rows.exists { case (_, x2, y2) =>
+          x2 <= x && y2 >= y && (x2 < x || y2 > y) }
+      }.map(_._1).toSet
+      val got = Selection.paretoFront(rows.toDF("id", "x", "y"), "x", "y")
+        .select("id").as[Long].collect().toSet
+      assert(got === brute, s"trial=$trial")
+    }
+  }
+
 }
