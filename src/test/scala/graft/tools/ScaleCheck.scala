@@ -117,7 +117,23 @@ object ScaleCheck {
         when(pmod(col("doc_id"), lit(2)) === 0,
           concat(lit(boiler8 + " "), col("text"))).otherwise(col("text")))
 
+    // Per-replica Caesar rotation for the edit-join domain check: a
+    // BIJECTIVE char map preserves every within-replica edit distance,
+    // while any nonzero rotation changes every letter, pushing
+    // cross-replica distances to ≥ the name's letter count (≫ τ) — so
+    // distinct names, candidates, and true pairs all grow exactly ×k.
+    // Shifts 0,5,10,15,20 are distinct for k ≤ 5.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def replicateNames(df: DataFrame, k: Int): DataFrame =
+      (0 until k).map { r =>
+        val s = (r * 5) % 26
+        if (r == 0) df
+        else df.withColumn("p_name",
+          translate(col("p_name"), alpha, alpha.drop(s) + alpha.take(s)))
+      }.reduce(_ unionByName _)
+
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val partNames = graft.Tables.part(spark, sfDir).select("p_name")
     val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val events = graft.Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_id", "event_type", "value")
@@ -171,6 +187,12 @@ object ScaleCheck {
       graft.ops.Knn.kmeansFit(e0, "embedding", "vec_id", k = 4, iterations = 1).count()
       graft.ops.Funnel.topPaths(ev0, "user_id", "ts", "event_id", "event_type",
         gapMicros = 1800000000L, n = 15).count()
+      graft.ops.Dedup.editDistancePairs(partNames.limit(500), "p_name", tau = 2).count()
+      graft.ops.Funnel.scd2History(ev0, "user_id", "event_type", "ts", "event_id").count()
+      graft.ops.Funnel.ewmaHalf(ev0, "user_id", "value", "ts", "event_id").count()
+      graft.ops.Selection.paretoFront(
+        ev0.select(to_date(col("ts")).as("day"), col("value")), "day", "value").count()
+      graft.ops.CorpusStats.pmiCollocations(d0, "text", minCount = 2, topK = 10).count()
     }
     // Fixed delta for the incremental-dedup check: the 5th vowel alphabet is
     // never a replica alphabet at k ≤ 4 (replicas use maps 0..k-1), so the
@@ -383,6 +405,43 @@ object ScaleCheck {
       results(("kmeans", k)) = timed("kmeans", k, ne) {
         graft.ops.Knn.kmeansFit(e, "embedding", "vec_id",
           k = 8, iterations = 2).count()
+      }
+      // PassJoin with the name DOMAIN ×k (Caesar replicas, see
+      // replicateNames): index, probe, candidate join, and true pairs all
+      // scale with the domain — a super-linear factor here means a
+      // degenerate segment bucket (the uniform-prefix pathology)
+      if (opsFilter.forall(_.contains("edit_join"))) {
+        val pn = replicateNames(partNames, k).localCheckpoint(true)
+        val np = pn.count()
+        results(("edit_join", k)) = timed("edit_join", k, np) {
+          graft.ops.Dedup.editDistancePairs(pn, "p_name", tau = 2).count()
+        }
+        pn.unpersist()
+      }
+      // user-shifted event replicas: per-user history identical per
+      // replica, so versions/EWMA outputs grow ×k and both ops must track
+      // the single user-grain exchange linearly
+      results(("scd2", k)) = timed("scd2", k, nev) {
+        graft.ops.Funnel.scd2History(ev, "user_id", "event_type",
+          "ts", "event_id").count()
+      }
+      results(("ewma", k)) = timed("ewma", k, nev) {
+        graft.ops.Funnel.ewmaHalf(ev, "user_id", "value",
+          "ts", "event_id").count()
+      }
+      // pareto: the day domain is k-invariant under user-shift
+      // replication, so the collapsed window is constant work and the
+      // time must track the one corpus-pass aggregate
+      results(("pareto", k)) = timed("pareto", k, nev) {
+        graft.ops.Selection.paretoFront(
+          ev.select(to_date(col("ts")).as("day"), col("value")),
+          "day", "value").count()
+      }
+      // vowel-rotated doc replicas: vocab and bigram vocab ×k, token
+      // mass ×k, top-k output fixed — counts aggregates must stay linear
+      results(("pmi", k)) = timed("pmi", k, nd) {
+        graft.ops.CorpusStats.pmiCollocations(d, "text",
+          minCount = 5, topK = 20).count()
       }
       // near-dup increment, steady state: the band-table ARTIFACT is
       // prebuilt (as a standing pipeline would have it materialized) and
