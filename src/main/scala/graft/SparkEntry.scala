@@ -32,6 +32,85 @@ object SparkEntry {
   private def dec(c: Column, scale: Int = 2): Column =
     c.cast(DecimalType(28, scale)).cast("double")
 
+  /** DuckDB replay of [[ops.Graph.pageRank]] at damping 85/100, scale 10⁹,
+    * over the documents bigram graph: the identical integer recursion
+    * unrolled as chained CTEs, one (contribution join, rank rebuild) pair
+    * per iteration. Generated rather than hand-copied so the per-iteration
+    * arithmetic is character-identical across steps. */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT tk[i+1] AS w1, tk[i+2] AS w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok, unnest(range(0, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2 GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT DISTINCT w
+        |  FROM (SELECT w1 AS w FROM bg UNION SELECT w2 AS w FROM bg)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |ow AS (SELECT w1, sum(c) AS wout FROM bg GROUP BY 1),
+        |r0 AS (SELECT w AS node, 1000000000 // n AS r
+        |       FROM nodes CROSS JOIN nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |c$i AS (
+         |  SELECT bg.w2 AS node,
+         |    sum((85 * r${i - 1}.r * bg.c) // (100 * ow.wout)) AS contrib
+         |  FROM bg JOIN r${i - 1} ON r${i - 1}.node = bg.w1
+         |       JOIN ow ON ow.w1 = bg.w1 GROUP BY 1),
+         |r$i AS (
+         |  SELECT nodes.w AS node,
+         |    (15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+         |      + coalesce(c$i.contrib, 0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.node = nodes.w)""".stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r$iters"
+  }
+
+  /** DuckDB replay of [[ops.TextAnalysis.bpeMerges]]: the identical
+    * merge loop unrolled — per step one pair-count aggregate over the
+    * double-space symbol encoding, a (count DESC, lexicographic) top-1,
+    * and the same single `replace` that performs the greedy merge.
+    * Generated so every step's arithmetic is character-identical. */
+  private def bpeOracle(nMerges: Int): String = {
+    val head =
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents),
+        |wc AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+        |s0 AS (
+        |  SELECT ' ' || array_to_string(string_split_regex(w, ''), '  ') || ' '
+        |    AS s, cnt
+        |  FROM wc)""".stripMargin
+    val steps = (1 to nMerges).map { i =>
+      s""",
+         |p$i AS (
+         |  SELECT sym[j+1] AS left_sym, sym[j+2] AS right_sym, sum(cnt) AS c
+         |  FROM (SELECT string_split(trim(s), '  ') AS sym, cnt FROM s${i - 1}) x,
+         |       unnest(range(0, len(sym)-1)) u(j)
+         |  GROUP BY 1, 2),
+         |t$i AS (
+         |  SELECT left_sym, right_sym, c FROM p$i
+         |  ORDER BY c DESC, left_sym, right_sym LIMIT 1),
+         |s$i AS (
+         |  SELECT replace(s, ' ' || left_sym || '  ' || right_sym || ' ',
+         |                 ' ' || left_sym || right_sym || ' ') AS s, cnt
+         |  FROM s${i - 1} CROSS JOIN t$i)""".stripMargin
+    }.mkString
+    val out = (1 to nMerges)
+      .map(i => s"SELECT $i AS step, left_sym, right_sym, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM t$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    head + steps + out
+  }
+
   /** Order-independent exact sum of a fixed-scale value: accumulate
     * round(x·10^s) in LONG, assemble in DECIMAL once per group, divide back
     * at the end. Equivalent to the DECIMAL(28,s) sum both engines previously
@@ -1904,6 +1983,43 @@ object SparkEntry {
         lookbackDays = 7, zThreshold = 3)
     },
 
+    // Two-sided CUSUM changepoint statistics (Funnel.cusumChangepoints):
+    // sequential drift detection over daily volumes, scaled to LONG
+    // arithmetic by the type's day count so the recursion is bit-exact on
+    // any engine. The oracle replays the same recursion as a RECURSIVE
+    // CTE over row_number-ordered days (the q_ewma pattern — tiny spine,
+    // never the corpus).
+    q("q_cusum",
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |num AS (
+        |  SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS total
+        |  FROM daily GROUP BY 1),
+        |r AS (
+        |  SELECT n.event_type, n.day, n.x, n.k,
+        |    greatest(0, t.n * n.x - t.total - 5 * t.n) AS sp,
+        |    greatest(0, -t.n * n.x + t.total - 5 * t.n) AS sn
+        |  FROM num n JOIN tot t USING (event_type) WHERE n.k = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.day, n.x, n.k,
+        |    greatest(0, r.sp + t.n * n.x - t.total - 5 * t.n),
+        |    greatest(0, r.sn - t.n * n.x + t.total - 5 * t.n)
+        |  FROM r JOIN num n ON n.event_type = r.event_type AND n.k = r.k + 1
+        |       JOIN tot t ON t.event_type = n.event_type)
+        |SELECT r.event_type, r.day, CAST(r.x AS BIGINT) AS n_events,
+        |  round(CAST(r.sp AS DOUBLE) / t.n, 6) AS s_pos,
+        |  round(CAST(r.sn AS DOUBLE) / t.n, 6) AS s_neg,
+        |  (r.sp > 15 * t.n OR r.sn > 15 * t.n) AS is_change
+        |FROM r JOIN tot t USING (event_type)""".stripMargin) { (s, d) =>
+      ops.Funnel.cusumChangepoints(Tables.events(s, d), "ts", "event_type",
+        driftK = 5, thresholdH = 15)
+    },
+
     // SCD Type-2 dimension history (Funnel.scd2History): one versioned row
     // per run of equal event_type values per user, half-open validity
     // intervals, valid_to NULL on the current version. Timestamps leave as
@@ -2247,6 +2363,19 @@ object SparkEntry {
         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
       ops.CorpusStats.pmiCollocations(Tables.documents(s, d), "text",
         minCount = 5, topK = 20)
+    },
+
+    // Integer-exact damped PageRank (Graph.pageRank) over the word
+    // co-occurrence graph (adjacent-bigram counts as weighted edges,
+    // CorpusStats.bigramCounts). Ranks are scale-10⁹ longs with per-edge
+    // floored contributions, so all three iterations replay bit-for-bit;
+    // the oracle unrolls the identical recursion as chained CTEs (one
+    // edge-join + dst-aggregate pair per iteration — the same shape the
+    // Spark plan runs distributed).
+    q("q_pagerank", pageRankOracle(iters = 3)) { (s, d) =>
+      ops.Graph.pageRank(
+        ops.CorpusStats.bigramCounts(Tables.documents(s, d), "text"),
+        "w1", "w2", "c_xy", iterations = 3)
     },
 
     q("q_corpus_diversity",
@@ -3100,6 +3229,16 @@ object SparkEntry {
         |FROM st""".stripMargin) { (s, d) =>
       TextAnalysis.chunkPassages(Tables.documents(s, d), "text", "doc_id",
         size = 32, stride = 24)
+    },
+
+    // BPE merge TRAINING (TextAnalysis.bpeMerges): the first 8 learned
+    // merges over the corpus word-frequency table — each step one
+    // weighted pair-count aggregate, a deterministic top-1, and a greedy
+    // left-to-right merge via a single replace over the double-space
+    // symbol encoding. The oracle unrolls the identical loop (generated
+    // CTE chain, the q_pagerank pattern).
+    q("q_bpe_train", bpeOracle(nMerges = 8)) { (s, d) =>
+      ops.TextAnalysis.bpeMerges(Tables.documents(s, d), "text", nMerges = 8)
     },
 
     q("q_bpe_tokens",

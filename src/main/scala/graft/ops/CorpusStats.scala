@@ -362,6 +362,20 @@ object CorpusStats {
     * shuffle mass is the POST-minCount bigram vocabulary, not the corpus;
     * totals ride along as a broadcast 1-row cross; top-k is
     * TakeOrdered, never a global sort. */
+  /** Corpus-wide adjacent-bigram counts (w1, w2, c_xy): one
+    * map-side-combined aggregation over the token stream, bigrams via a
+    * slice-zip so the exploded rows carry two words, never the doc's
+    * whole token array. Shared by [[pmiCollocations]] and the word-graph
+    * consumers ([[Graph.pageRank]]). */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(Dedup.tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1))).as("_p"))
+      .select(col("_p.0").as("w1"), col("_p.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+
   def pmiCollocations(df: DataFrame, textCol: String,
                       minCount: Long, topK: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be ≥ 1: $minCount")
@@ -369,12 +383,7 @@ object CorpusStats {
     val tk = df.select(Dedup.tokens(col(textCol)).as("_tk"))
     val uni = tk.select(explode(col("_tk")).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
-    val bg = tk.filter(size(col("_tk")) >= 2)
-      .select(explode(arrays_zip(
-        slice(col("_tk"), lit(1), size(col("_tk")) - 1),
-        slice(col("_tk"), lit(2), size(col("_tk")) - 1))).as("_p"))
-      .select(col("_p.0").as("w1"), col("_p.1").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val bg = bigramCounts(df, textCol)
     val totals = uni.agg(sum(col("_c")).as("_ntok"))
       .crossJoin(bg.agg(sum(col("c_xy")).as("_nbg")))
     bg.filter(col("c_xy") >= minCount)

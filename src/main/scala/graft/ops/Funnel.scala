@@ -381,6 +381,69 @@ object Funnel {
           .otherwise("none").as("direction"))
   }
 
+  /** Two-sided CUSUM changepoint statistics (Page 1954) on the daily
+    * event volume per type: the sequential drift detector that catches
+    * SUSTAINED small shifts the [[dailyAnomalies]] z-test misses (a +10 %
+    * level change never trips a 3σ single-day test, but its cumulative
+    * sum grows linearly).
+    *
+    *   S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − k)),
+    *   S⁻_t = max(0, S⁻_{t-1} − (x_t − μ + k)),  flag when either > h
+    *
+    * with μ the type's own full-series mean, `driftK`/`thresholdH` in
+    * count units. Exactness: everything is scaled by the type's day
+    * count n, so μ·n = total is an integer and the whole recursion runs
+    * in LONG arithmetic — S values, comparisons, and flags are bit-exact
+    * on any engine; the reported s_pos/s_neg divide back by n once at
+    * the end (headroom: |S·n| ≤ n·Σx ≤ ~10¹⁵ at 10³ days × 10¹²-count
+    * days — far under 2⁶³).
+    *
+    * Scale shape: the corpus collapses to the (day, type) grain in one
+    * map-side-combined aggregation — the only pass over raw events. The
+    * fold is inherently sequential, but it runs per type over the DAY
+    * SPINE (thousands of rows at any corpus size), as an HOF scan over
+    * the type's sorted daily counts — the [[dailyAnomalies]]
+    * nothing-after-the-first-exchange-scales-with-the-corpus stance.
+    *
+    * Output: (event_type, day, n_events, s_pos, s_neg, is_change), one
+    * row per (type, day); s_pos/s_neg rounded to 1e-6. */
+  def cusumChangepoints(events: DataFrame, tsCol: String, typeCol: String,
+                        driftK: Int, thresholdH: Int): DataFrame = {
+    require(driftK >= 0, s"driftK must be ≥ 0: $driftK")
+    require(thresholdH > 0, s"thresholdH must be positive: $thresholdH")
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("_arr"),
+        count(lit(1)).as("_n"), sum(col("x")).as("_total"))
+    // scan with an array accumulator: each step appends (day, x, S⁺, S⁻);
+    // the lambda sees the per-type scalars via the enclosing row
+    val folded = series.withColumn("_out", expr(
+      """aggregate(
+        |  _arr,
+        |  named_struct('sp', cast(0 as long), 'sn', cast(0 as long),
+        |    'acc', cast(array() as array<struct<day:date,x:bigint,sp:bigint,sn:bigint>>)),
+        |  (a, e) -> named_struct(
+        |    'sp', greatest(cast(0 as long), a.sp + _n * e.x - _total - _drift * _n),
+        |    'sn', greatest(cast(0 as long), a.sn - _n * e.x + _total - _drift * _n),
+        |    'acc', concat(a.acc, array(named_struct(
+        |      'day', e.day,
+        |      'x', cast(e.x as bigint),
+        |      'sp', greatest(cast(0 as long), a.sp + _n * e.x - _total - _drift * _n),
+        |      'sn', greatest(cast(0 as long), a.sn - _n * e.x + _total - _drift * _n))))),
+        |  a -> a.acc)""".stripMargin
+        .replace("_drift", driftK.toString)))
+    folded
+      .select(col(typeCol), col("_n"), explode(col("_out")).as("_e"))
+      .select(col(typeCol), col("_e.day").as("day"), col("_e.x").as("n_events"),
+        round(col("_e.sp").cast("double") / col("_n"), 6).as("s_pos"),
+        round(col("_e.sn").cast("double") / col("_n"), 6).as("s_neg"),
+        (col("_e.sp") > lit(thresholdH.toLong) * col("_n") ||
+         col("_e.sn") > lit(thresholdH.toLong) * col("_n")).as("is_change"))
+  }
+
   /** Slowly-changing-dimension Type-2 history build: collapse an event
     * stream into one VERSIONED row per run of equal `attrCol` values per
     * entity — (entity, attr, valid_from, valid_to, version), half-open

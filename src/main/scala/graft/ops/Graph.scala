@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists.
+  *
+  * The connected-components half of the family lives in
+  * [[Dedup.clusterLabels]] (dedup clustering is its consumer); this object
+  * holds the rank-propagation half. Both follow the same distributed
+  * shape: the graph is an edge DataFrame, every iteration is an edge-grain
+  * equi-join + aggregate (never an adjacency matrix), and the driver holds
+  * nothing but the loop counter.
+  */
+object Graph {
+
+  /** Damped PageRank (Page/Brin 1998) over a weighted edge list, fixed
+    * iteration count, INTEGER-EXACT: ranks are longs scaled by `scale`,
+    * damping is the rational `dampNum/dampDen`, and every per-edge
+    * contribution is floored independently —
+    *
+    *   contrib(u→v) = ⌊dampNum · R(u) · w(u,v) / (dampDen · W(u))⌋,
+    *   R'(v) = ⌊(dampDen−dampNum) · scale / (dampDen · N)⌋ + Σ contrib
+    *
+    * — so the sum is order-independent and the trajectory reproduces
+    * bit-for-bit on any engine (the [[Knn.kmeansFit]] exact-replay
+    * stance). Floor-vs-exact drift is < 1/scale per edge per iteration —
+    * measurement noise for ranking, determinism for verification.
+    *
+    * Dangling nodes (no out-edges) contribute nothing — their mass decays
+    * to the base term rather than redistributing, a documented convention
+    * both engines share (redistribution would add an all-nodes broadcast
+    * term per iteration for no verification value).
+    *
+    * Overflow headroom: dampNum·R·w must fit a LONG. R is bounded by
+    * ~scale (total mass ≤ scale + N·base); with scale = 10⁹ and dampNum
+    * < 10², edge weights up to ~10⁸ are safe. Normalize heavier weight
+    * columns before calling (ranks depend only on weight RATIOS per
+    * source, so any per-source normalization is rank-neutral).
+    *
+    * Scale shape: each iteration is one equi-join of edges against the
+    * current rank table on the source key plus one dst-grain aggregate —
+    * the canonical shuffle pair every distributed PageRank pays. The
+    * out-weight table is computed once; nodes/out-weights/ranks are all
+    * node-grain (vocab-sized for word graphs, page-sized for web graphs),
+    * only the edge join scales with the graph. `iterations` chains the
+    * plan `iterations` deep — checkpoint between calls at web scale.
+    *
+    * Output: (node, rank_scaled LONG) — rank = rank_scaled/scale. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iterations: Int,
+               dampNum: Int = 85, dampDen: Int = 100,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < $dampNum < $dampDen")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+      col(weightCol).cast("long").as("_w"))
+    val nodes = e.select(col("_src").as("node"))
+      .unionByName(e.select(col("_dst").as("node"))).distinct()
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("_N")))
+    val outW = e.groupBy(col("_src")).agg(sum(col("_w")).as("_wout"))
+    val base = expr(s"(${dampDen - dampNum}L * ${scale}L) div (${dampDen}L * _N)")
+    var ranks = nodes.crossJoin(nRow)
+      .select(col("node"), expr(s"${scale}L div _N").as("_r"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
+        .join(outW, Seq("_src"))
+        .select(col("_dst"),
+          expr(s"(${dampNum}L * _r * _w) div (${dampDen}L * _wout)").as("_c"))
+        .groupBy(col("_dst")).agg(sum(col("_c")).as("_contrib"))
+      ranks = nodes.crossJoin(nRow)
+        .join(contribs.withColumnRenamed("_dst", "node"), Seq("node"), "left_outer")
+        .select(col("node"), (base + coalesce(col("_contrib"), lit(0L))).as("_r"))
+    }
+    ranks.select(col("node"), col("_r").as("rank_scaled"))
+  }
+}

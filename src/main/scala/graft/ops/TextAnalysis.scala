@@ -219,4 +219,59 @@ object TextAnalysis {
       .withColumn("punct_ratio", punctRatio(col(textCol)))
       .withColumn("lang_pred", langId(col(textCol)))
       .withColumn("quality", qualityScore(col(textCol)))
+
+  /** BPE merge training (Sennrich/Haddow/Birch 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn the first
+    * `nMerges` byte-pair merges from the corpus. The classic setup: the
+    * corpus collapses ONCE to the word-frequency table (the only
+    * corpus-scale pass — at 100 TB the merge loop then runs on a
+    * vocab-sized table, millions of rows, not the corpus), each word
+    * becomes its character-symbol sequence, and each step counts
+    * adjacent symbol pairs weighted by word frequency, picks the most
+    * frequent (count DESC, then lexicographic — a deterministic
+    * tie-break the reference algorithm leaves unspecified), and merges
+    * every non-overlapping occurrence greedily left-to-right.
+    *
+    * The symbol sequence is encoded as a string with every symbol wrapped
+    * in its own spaces (`" a  b  c "`), so one `replace(" l  r ", " lr ")`
+    * IS the greedy merge — adjacent matches chain because each
+    * replacement restores the wrapper invariant, and `replace`'s
+    * left-to-right non-overlapping scan is exactly BPE's within-word
+    * merge order on every engine. No UDF, no per-word loop.
+    *
+    * Each step is one shuffle (pair-count aggregate) + a TakeOrdered(1)
+    * + a 1-row broadcast back — the plan chains `nMerges` such stages;
+    * checkpoint every ~10 merges at vocab scale. Stops early (empty
+    * steps) if the corpus fully merges. Output: (step, left_sym,
+    * right_sym, pair_count), one row per learned merge. */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be ≥ 1: $nMerges")
+    val wc = df.select(explode(Dedup.tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_cnt"))
+    var s = wc.select(
+      concat(lit(" "), array_join(split(col("_w"), ""), "  "), lit(" ")).as("_s"),
+      col("_cnt"))
+    val steps = (1 to nMerges).map { i =>
+      val pairs = s
+        .select(split(trim(col("_s")), "  ").as("_sym"), col("_cnt"))
+        .filter(size(col("_sym")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("_sym"), lit(1), size(col("_sym")) - 1),
+          slice(col("_sym"), lit(2), size(col("_sym")) - 1))).as("_p"),
+          col("_cnt"))
+        .groupBy(col("_p.0").as("left_sym"), col("_p.1").as("right_sym"))
+        .agg(sum(col("_cnt")).as("pair_count"))
+      val top = pairs
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+      s = s.crossJoin(broadcast(top))
+        .select(replace(col("_s"),
+          concat(lit(" "), col("left_sym"), lit("  "), col("right_sym"), lit(" ")),
+          concat(lit(" "), col("left_sym"), col("right_sym"), lit(" "))).as("_s"),
+          col("_cnt"))
+      top.select(lit(i).as("step"), col("left_sym"), col("right_sym"),
+        col("pair_count"))
+    }
+    steps.reduce(_ unionByName _)
+  }
 }

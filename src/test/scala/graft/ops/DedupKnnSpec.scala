@@ -1201,4 +1201,24 @@ class DedupKnnSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
+  test("bpe merges: the Sennrich low/lower/newest example, ties break lexicographically") {
+    val df = Seq("low low low lower lower newest").toDF("text")
+    val got = TextAnalysis.bpeMerges(df, "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    // step1: lo and ow tie at 5 -> 'l' < 'o' picks (l,o)
+    // step2: (lo,w) at 5 beats we(3)/er(2)
+    // step3: (low,e) and (e,r) tie at 2 -> 'e' < 'low' picks (e,r)
+    assert(got === Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L)))
+  }
+
+  test("bpe merges: greedy within-word chaining merges adjacent repeats left-to-right") {
+    // counting is OVERLAPPING (Sennrich's get_stats: 'aaaa' has 3 a-a
+    // pairs × 3 words = 9) but the MERGE is greedy non-overlapping
+    // left-to-right, so step 2's top pair is (aa,aa), never (a,aa)
+    val df = Seq("aaaa aaaa aaaa").toDF("text")
+    val got = TextAnalysis.bpeMerges(df, "text", nMerges = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
+
 }

@@ -289,4 +289,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 5.17)))
   }
 
+  test("cusum: planted level shift matches a hand fold, both sides flag") {
+    // one event per (day, count) unit: day d gets x_d events of type 'a'
+    val xs = Seq(10, 10, 10, 10, 10, 20, 20, 20, 20, 20)
+    val rows = for {
+      (x, di) <- xs.zipWithIndex
+      j <- 0 until x
+    } yield (1L, "a", f"2024-01-${di + 1}%02d 12:00:00", (di * 100 + j).toLong)
+    val df = rows.toDF("user_id", "event_type", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val got = Funnel.cusumChangepoints(df, "ts", "event_type",
+        driftK = 2, thresholdH = 10)
+      .orderBy("day")
+      .select($"n_events", $"s_pos", $"s_neg", $"is_change")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    // hand fold: n=10, total=150; sp += 10x-170, sn += 130-10x, floor 0
+    var sp = 0L; var sn = 0L
+    val want = xs.map { x =>
+      sp = math.max(0L, sp + 10L * x - 150 - 2 * 10)
+      sn = math.max(0L, sn - 10L * x + 150 - 2 * 10)
+      (x.toLong, sp / 10.0, sn / 10.0, sp > 100 || sn > 100)
+    }
+    assert(got === want)
+    assert(got.count(_._4) === 4) // days 4,5 (dip side) and 9,10 (spike side)
+  }
+
 }

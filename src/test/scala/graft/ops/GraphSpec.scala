@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pagerank: hand-computed integer trajectory, dangling mass decays") {
+    // a→b, a→c, b→a; c dangling. damping 1/2, scale 1000:
+    // base = 1000/(2·3) = 166, r0 = 333 each
+    // iter1: a→b ⌊333/4⌋=83, a→c 83, b→a ⌊333/2⌋=166
+    //        → a=332, b=249, c=249
+    // iter2: a→b ⌊332/4⌋=83, a→c 83, b→a ⌊249/2⌋=124
+    //        → a=290, b=249, c=249 (c keeps only base+contrib; its own
+    //        mass decays — the documented dangling convention)
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    def run(iters: Int) =
+      Graph.pageRank(edges, "src", "dst", "w", iters,
+          dampNum = 1, dampDen = 2, scale = 1000L)
+        .as[(String, Long)].collect().toMap
+    assert(run(1) === Map("a" -> 332L, "b" -> 249L, "c" -> 249L))
+    assert(run(2) === Map("a" -> 290L, "b" -> 249L, "c" -> 249L))
+  }
+
+  test("pagerank: weights act only through per-source ratios") {
+    // doubling every weight of one source leaves its contributions
+    // unchanged — floor((R·2w)/(2W)) = floor((R·w)/W) per edge
+    val e1 = Seq(("a", "b", 1L), ("a", "c", 3L), ("b", "a", 5L)).toDF("src", "dst", "w")
+    val e2 = Seq(("a", "b", 2L), ("a", "c", 6L), ("b", "a", 5L)).toDF("src", "dst", "w")
+    val r1 = Graph.pageRank(e1, "src", "dst", "w", 3).as[(String, Long)].collect().toMap
+    val r2 = Graph.pageRank(e2, "src", "dst", "w", 3).as[(String, Long)].collect().toMap
+    assert(r1 === r2)
+  }
+}
