@@ -1983,6 +1983,102 @@ object SparkEntry {
         lookbackDays = 7, zThreshold = 3)
     },
 
+    // Two-proportion A/B z-test (Funnel.abTestConversion): user_id-parity
+    // arms, conversion = ever-purchased, and the z² > 1.96² decision
+    // cross-multiplied into DECIMAL(38,0) integers — the q_anomaly_days
+    // exact-boolean discipline applied to experiment analysis.
+    q("q_ab_test",
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT user_id % 2 AS arm, count(*) AS n, sum(conv) AS c
+        |  FROM pu GROUP BY 1),
+        |o AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_1
+        |  FROM arms),
+        |d AS (
+        |  SELECT n_0, n_1, conv_0, conv_1,
+        |    CAST(conv_0 AS HUGEINT) * n_1 - CAST(conv_1 AS HUGEINT) * n_0 AS D,
+        |    CAST(n_0 AS HUGEINT) + n_1 AS T,
+        |    CAST(conv_0 AS HUGEINT) + conv_1 AS C
+        |  FROM o)
+        |SELECT n_0, n_1, conv_0, conv_1,
+        |  round(CAST(conv_0 AS DOUBLE) / n_0, 6) AS rate_0,
+        |  round(CAST(conv_1 AS DOUBLE) / n_1, 6) AS rate_1,
+        |  10000 * D * D * T > 38416 * CAST(n_0 AS HUGEINT) * n_1 * C * (T - C)
+        |    AS significant,
+        |  CASE WHEN 10000 * D * D * T
+        |            > 38416 * CAST(n_0 AS HUGEINT) * n_1 * C * (T - C)
+        |       THEN CASE WHEN D > 0 THEN 'arm0' ELSE 'arm1' END
+        |       ELSE 'none' END AS direction
+        |FROM d""".stripMargin) { (s, d) =>
+      ops.Funnel.abTestConversion(Tables.events(s, d), "user_id", "event_type",
+        convType = "purchase", zT100 = 196)
+    },
+
+    // Item-item co-occurrence with lift (Retrieval.itemCooccurrence):
+    // "users who touched X also touched Y" over the props.k item id, with
+    // the per-user distinct-item cap that bounds a bot's pair mint. The
+    // oracle replays cap, supports, and the exact integer-ratio lift.
+    q("q_item_cooccur",
+      """WITH ui0 AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS i
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |ui AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+        |    FROM ui0)
+        |  WHERE rn <= 50),
+        |us AS (SELECT count(DISTINCT u) AS nu FROM ui),
+        |sup AS (SELECT i, count(*) AS n FROM ui GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(nu AS DOUBLE)
+        |    / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6) AS lift
+        |FROM p JOIN sup sa ON sa.i = item_a JOIN sup sb ON sb.i = item_b, us
+        |ORDER BY n_ab DESC, item_a, item_b LIMIT 30""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull)
+      ops.Retrieval.itemCooccurrence(ev, "user_id", "item",
+        maxItemsPerUser = 50, minPairCount = 5L, topK = 30)
+    },
+
+    // Blocked sorted-neighborhood candidates (Dedup.sortedNeighborPairs):
+    // the merge/purge blocking paradigm — sort locality, not hashing —
+    // with the full windowed candidate set and key distances as output.
+    q("q_snm_dedup",
+      """WITH s AS (
+        |  SELECT doc_id, substr(lower(trim(text)), 1, 32) AS k,
+        |    substr(lower(trim(text)), 1, 1) AS blk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, k, blk,
+        |    row_number() OVER (PARTITION BY blk ORDER BY k, doc_id) AS rn
+        |  FROM s)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS key_a, b.k AS key_b,
+        |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |FROM r a JOIN r b
+        |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 5""".stripMargin) { (s, d) =>
+      ops.Dedup.sortedNeighborPairs(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            substring(lower(trim(col("text"))), 1, 32).as("_key")),
+        "_key", "doc_id", window = 5)
+    },
+
     // Two-sided CUSUM changepoint statistics (Funnel.cusumChangepoints):
     // sequential drift detection over daily volumes, scaled to LONG
     // arithmetic by the type's day count so the recursion is bit-exact on

@@ -1088,6 +1088,50 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo 1995,
+    * the merge/purge method): sort records by a fuzzy blocking key and
+    * pair each record with its next `window` neighbors in sort order —
+    * the third blocking paradigm in this file next to hash blocks
+    * ([[minhashCandidates]]'s bands) and inverted indexes
+    * ([[jaccardPairs]]): candidates come from sort LOCALITY, which
+    * catches near-keys that hash to different buckets (typos in the
+    * key's tail, amount drift) at O(n·window) pairs with NO join.
+    *
+    * Distributed as BLOCKED sorted neighborhood: records partition by the
+    * key's first character and the sliding window runs per block via
+    * `window` lead() columns over the (key, id)-ordered block — an
+    * exchange + sort per block, never a global single-partition window.
+    * Pairs straddling a block boundary are not generated — the standard
+    * multi-pass answer (run again with a rotated key) rather than a
+    * boundary-overlap shuffle; with single-char blocks a straddling pair
+    * differs in the key's FIRST character, exactly the pairs a sorted
+    * key is worst at anyway.
+    *
+    * Output: (id_a, id_b, key_a, key_b, dist) for every candidate pair
+    * within the window, dist = levenshtein of the keys, id_a the earlier
+    * record in (key, id) order. Callers verify with whatever match
+    * predicate the linkage needs; [[editDistancePairs]] is the exhaustive
+    * alternative when full recall on a distance radius is required. */
+  def sortedNeighborPairs(df: DataFrame, keyCol: String, idCol: String,
+                          window: Int): DataFrame = {
+    require(window >= 1, s"window must be ≥ 1: $window")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_blk")).orderBy(col("_k"), col(idCol))
+    val keyed = df.select(col(idCol), col(keyCol).as("_k"))
+      .withColumn("_blk", substring(col("_k"), 1, 1))
+    val withLeads = keyed.withColumn("_nbrs", array(
+      (1 to window).map(i =>
+        struct(lead(col(idCol), i).over(W).as("_id"),
+          lead(col("_k"), i).over(W).as("_kk"))): _*))
+    withLeads
+      .select(col(idCol).as("id_a"), col("_k").as("key_a"),
+        explode(col("_nbrs")).as("_n"))
+      .filter(col("_n._id").isNotNull)
+      .select(col("id_a"), col("_n._id").as("id_b"),
+        col("key_a"), col("_n._kk").as("key_b"))
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+  }
+
   /** Edit-distance similarity self-join (PassJoin, Li/Deng/Feng/Wang,
     * "PASS-JOIN: a partition-based method for similarity joins",
     * VLDB 2011 — public paper): all UNORDERED pairs of distinct `strCol`

@@ -381,6 +381,64 @@ object Funnel {
           .otherwise("none").as("direction"))
   }
 
+  /** Two-proportion z-test for an A/B conversion experiment, decided in
+    * exact integer arithmetic (the [[dailyAnomalies]] stance — no
+    * floating point anywhere near the boolean).
+    *
+    * Users are assigned to arms by `user_id mod 2` (deterministic on any
+    * engine; swap in a salted hash upstream for real experiments), a user
+    * converts if they ever emit `convType`, and with n_i users / c_i
+    * conversions per arm, D = c₀n₁ − c₁n₀, T = n₀+n₁, C = c₀+c₁, the
+    * pooled two-proportion test z² > t² cross-multiplies to
+    *
+    *   10⁴ · D² · T  >  zT100² · n₀n₁ · C · (T−C)     (t = zT100/100)
+    *
+    * — every factor exact in DECIMAL(38,0) (D² alone overflows LONG at
+    * n ≈ 3·10⁹ users, so the decision runs in decimals with ~10³⁸
+    * headroom). Degenerate experiments (C = 0 or C = T) have zero pooled
+    * variance and D = 0 — not significant, a convention both engines
+    * derive rather than special-case.
+    *
+    * Scale shape: one user-grain aggregation (map-side combined) collapses
+    * the corpus, then a 2-row arm aggregate and a 1-row pivot — nothing
+    * after the first exchange scales with events. Output: one row
+    * (n_0, n_1, conv_0, conv_1, rate_0, rate_1, significant, direction).
+    */
+  def abTestConversion(events: DataFrame, userCol: String, typeCol: String,
+                       convType: String, zT100: Int = 196): DataFrame = {
+    require(zT100 > 0, s"zT100 must be positive: $zT100")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("_conv"))
+      .select(pmod(col(userCol), lit(2)).cast("int").as("_arm"), col("_conv"))
+    val arms = perUser.groupBy(col("_arm"))
+      .agg(count(lit(1)).as("_n"), sum(col("_conv")).as("_c"))
+    val one = arms
+      .agg(
+        sum(when(col("_arm") === 0, col("_n")).otherwise(0L)).as("n_0"),
+        sum(when(col("_arm") === 1, col("_n")).otherwise(0L)).as("n_1"),
+        sum(when(col("_arm") === 0, col("_c")).otherwise(0L)).as("conv_0"),
+        sum(when(col("_arm") === 1, col("_c")).otherwise(0L)).as("conv_1"))
+    one
+      .withColumn("_D", big(col("conv_0")) * big(col("n_1")) -
+        big(col("conv_1")) * big(col("n_0")))
+      .withColumn("_T", big(col("n_0")) + big(col("n_1")))
+      .withColumn("_C", big(col("conv_0")) + big(col("conv_1")))
+      .withColumn("_lhs", big(lit(10000)) * col("_D") * col("_D") * col("_T"))
+      .withColumn("_rhs",
+        big(lit(zT100.toLong * zT100)) * big(col("n_0")) * big(col("n_1")) *
+          col("_C") * (col("_T") - col("_C")))
+      .select(col("n_0"), col("n_1"), col("conv_0"), col("conv_1"),
+        round(col("conv_0").cast("double") / col("n_0"), 6).as("rate_0"),
+        round(col("conv_1").cast("double") / col("n_1"), 6).as("rate_1"),
+        (col("_lhs") > col("_rhs")).as("significant"),
+        when(col("_lhs") > col("_rhs"),
+          when(col("_D") > 0, "arm0").otherwise("arm1"))
+          .otherwise("none").as("direction"))
+  }
+
   /** Two-sided CUSUM changepoint statistics (Page 1954) on the daily
     * event volume per type: the sequential drift detector that catches
     * SUSTAINED small shifts the [[dailyAnomalies]] z-test misses (a +10 %

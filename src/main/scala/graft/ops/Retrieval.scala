@@ -279,4 +279,50 @@ object Retrieval {
     val w = org.apache.spark.sql.expressions.Window.orderBy(ord, col(idCol))
     topN.withColumn("rank", row_number().over(w))
   }
+
+  /** Item-item co-occurrence with lift — the "users who touched X also
+    * touched Y" recommendation table, the degenerate-but-distributed
+    * collaborative filter (item-based CF, Sarwar et al. 2001 /
+    * Amazon-style item-to-item).
+    *
+    * Per user, the DISTINCT items are capped at `maxItemsPerUser`
+    * (smallest item values win — deterministic, and the cap is what keeps
+    * a bot who touched the whole catalog from minting |catalog|² pairs;
+    * the [[Funnel.topPaths]] maxEvents stance). Pair counts come from the
+    * per-user self-join of that capped set — shuffle mass is
+    * Σ_user min(items, cap)², never |users|·|catalog|. `n_a`/`n_b` are
+    * item supports over the SAME capped set, so lift =
+    * n_ab·U/(n_a·n_b) — exp(PMI) over user-item incidence, the
+    * [[CorpusStats.pmiCollocations]] exact-integer-ratio discipline — is
+    * internally consistent. Output: top `topK` pairs by
+    * (n_ab DESC, item_a, item_b), with lift rounded to 1e-6. */
+  def itemCooccurrence(events: DataFrame, userCol: String, itemCol: String,
+                       maxItemsPerUser: Int, minPairCount: Long,
+                       topK: Int): DataFrame = {
+    require(maxItemsPerUser >= 2, s"maxItemsPerUser must be ≥ 2: $maxItemsPerUser")
+    val W = org.apache.spark.sql.expressions.Window
+    val ui = events.select(col(userCol).as("_u"), col(itemCol).as("_i"))
+      .distinct()
+      .withColumn("_rn", row_number().over(
+        W.partitionBy(col("_u")).orderBy(col("_i"))))
+      .filter(col("_rn") <= maxItemsPerUser)
+      .select(col("_u"), col("_i"))
+    val users = ui.agg(countDistinct(col("_u")).as("_U"))
+    val support = ui.groupBy(col("_i")).agg(count(lit(1)).as("_n"))
+    val pairs = ui.select(col("_u"), col("_i").as("item_a"))
+      .join(ui.select(col("_u"), col("_i").as("item_b")), Seq("_u"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(support.select(col("_i").as("item_a"), col("_n").as("n_a")), Seq("item_a"))
+      .join(support.select(col("_i").as("item_b"), col("_n").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(users))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") * col("_U").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

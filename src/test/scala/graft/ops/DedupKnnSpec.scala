@@ -1221,4 +1221,21 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(got === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("sorted neighborhood: window pairs in (key,id) order, blocks never straddle") {
+    val df = Seq(
+      (1L, "aaa"), (2L, "aab"), (3L, "aac"), (4L, "aad"),
+      (5L, "zzz") // different first char -> its own block, no pairs
+    ).toDF("id", "k")
+    val got = Dedup.sortedNeighborPairs(df, "k", "id", window = 2)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1), (2L, 4L, 1), (3L, 4L, 1)))
+    // sort-order ties break on id: equal keys pair deterministically
+    val ties = Seq((7L, "mm"), (5L, "mm"), (6L, "mm")).toDF("id", "k")
+    val tp = Dedup.sortedNeighborPairs(ties, "k", "id", window = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tp === Set((5L, 6L), (6L, 7L)))
+  }
+
 }

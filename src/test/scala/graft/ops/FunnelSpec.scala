@@ -314,4 +314,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(got.count(_._4) === 4) // days 4,5 (dip side) and 9,10 (spike side)
   }
 
+  test("ab test: planted uplift flips significance exactly at the z boundary") {
+    // arm0 = even users, arm1 = odd. 100 users/arm; arm0 converts 50,
+    // arm1 converts 26: D=24*100? -> z^2 = 100*D^2*T / (38416-scale...)
+    // decided in integers; this split is significant at 1.96 while
+    // 50 vs 37 is not (z = 1.86)
+    def events(conv0: Int, conv1: Int) = {
+      val rows = (0 until 200).map { u =>
+        val converts = if (u % 2 == 0) u / 2 < conv0 else u / 2 < conv1
+        (u.toLong, if (converts) "purchase" else "view")
+      }
+      rows.toDF("user_id", "event_type")
+    }
+    def sig(conv0: Int, conv1: Int) =
+      Funnel.abTestConversion(events(conv0, conv1), "user_id", "event_type",
+          "purchase")
+        .select($"significant", $"direction")
+        .as[(Boolean, String)].collect().head
+    assert(sig(50, 26) === ((true, "arm0")))
+    assert(sig(26, 50) === ((true, "arm1")))
+    assert(sig(50, 37) === ((false, "none")))
+    // degenerate: nobody converts / everybody converts -> never significant
+    assert(sig(0, 0) === ((false, "none")))
+    assert(sig(100, 100) === ((false, "none")))
+  }
+
 }

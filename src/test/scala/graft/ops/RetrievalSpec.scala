@@ -185,4 +185,24 @@ class RetrievalSpec extends AnyFunSuite {
     // broadcast — scoring itself must not shuffle the corpus
     assert(!plan.contains("rangepartitioning"))
   }
+  test("item cooccurrence: hand counts, per-user cap bounds a catalog bot") {
+    // users 1..4 share items; user 9 is a bot touching 100 items but the
+    // cap=3 keeps only its 3 smallest, so it mints 3 pairs, not 4950
+    val ev = Seq(
+      (1L, 10), (1L, 20), (2L, 10), (2L, 20), (3L, 10), (3L, 20),
+      (4L, 10), (4L, 30), (1L, 10) // duplicate touch — distinct'd
+    ).toDF("user_id", "item")
+    val bot = (0 until 100).map(i => (9L, i + 1000)).toDF("user_id", "item")
+    val got = Retrieval.itemCooccurrence(ev.unionByName(bot), "user_id", "item",
+        maxItemsPerUser = 3, minPairCount = 1L, topK = 10)
+      .as[(Int, Int, Long, Long, Long, Double)].collect().toSeq
+    // U = 5 capped users; supports: 10->4, 20->3, 30->1, bot items 1000..1002 -> 1
+    // pairs: (10,20)x3 lift=3*5/(4*3)=1.25; (10,30)x1 lift=5/4=1.25;
+    //        bot pairs (1000,1001),(1000,1002),(1001,1002) lift=5
+    assert(got.head === ((10, 20, 3L, 4L, 3L, 1.25)))
+    assert(got.length === 5)
+    assert(got.count(_._1 >= 1000) === 3)
+    assert(got.filter(_._1 >= 1000).forall(p => p._3 == 1L && p._6 == 5.0))
+  }
+
 }
