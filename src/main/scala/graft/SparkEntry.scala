@@ -43,16 +43,16 @@ object SparkEntry {
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |    t -> t <> '') AS tk
         |  FROM documents),
-        |bg AS (
+        |bg AS MATERIALIZED (
         |  SELECT tk[i+1] AS w1, tk[i+2] AS w2, CAST(count(*) AS BIGINT) AS c
         |  FROM tok, unnest(range(0, len(tk)-1)) u(i)
         |  WHERE len(tk) >= 2 GROUP BY 1, 2),
-        |nodes AS (
+        |nodes AS MATERIALIZED (
         |  SELECT DISTINCT w
         |  FROM (SELECT w1 AS w FROM bg UNION SELECT w2 AS w FROM bg)),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |ow AS (SELECT w1, sum(c) AS wout FROM bg GROUP BY 1),
-        |r0 AS (SELECT w AS node, 1000000000 // n AS r
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        |ow AS MATERIALIZED (SELECT w1, sum(c) AS wout FROM bg GROUP BY 1),
+        |r0 AS MATERIALIZED (SELECT w AS node, 1000000000 // n AS r
         |       FROM nodes CROSS JOIN nn)""".stripMargin
     val steps = (1 to iters).map { i =>
       s""",
@@ -61,7 +61,7 @@ object SparkEntry {
          |    sum((85 * r${i - 1}.r * bg.c) // (100 * ow.wout)) AS contrib
          |  FROM bg JOIN r${i - 1} ON r${i - 1}.node = bg.w1
          |       JOIN ow ON ow.w1 = bg.w1 GROUP BY 1),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nodes.w AS node,
          |    (15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
          |      + coalesce(c$i.contrib, 0) AS r
@@ -82,10 +82,10 @@ object SparkEntry {
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |    t -> t <> '') AS tk
         |  FROM documents),
-        |wc AS (
+        |wc AS MATERIALIZED (
         |  SELECT w, count(*) AS cnt
         |  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w),
-        |s0 AS (
+        |s0 AS MATERIALIZED (
         |  SELECT ' ' || array_to_string(string_split_regex(w, ''), '  ') || ' '
         |    AS s, cnt
         |  FROM wc)""".stripMargin
@@ -99,7 +99,7 @@ object SparkEntry {
          |t$i AS (
          |  SELECT left_sym, right_sym, c FROM p$i
          |  ORDER BY c DESC, left_sym, right_sym LIMIT 1),
-         |s$i AS (
+         |s$i AS MATERIALIZED (
          |  SELECT replace(s, ' ' || left_sym || '  ' || right_sym || ' ',
          |                 ' ' || left_sym || right_sym || ' ') AS s, cnt
          |  FROM s${i - 1} CROSS JOIN t$i)""".stripMargin

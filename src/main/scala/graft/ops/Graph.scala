@@ -54,8 +54,14 @@ object Graph {
     require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < $dampNum < $dampDen")
+    // Materialize the edge list once (localCheckpoint): each iteration
+    // joins against it, and without truncation Spark's lazy recomputation
+    // re-derives the upstream edge pipeline (e.g. a corpus bigram count)
+    // once per iteration. The same persist-the-graph move every iterative
+    // graph engine makes (GraphX caches its edge RDD).
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
       col(weightCol).cast("long").as("_w"))
+      .localCheckpoint(true)
     val nodes = e.select(col("_src").as("node"))
       .unionByName(e.select(col("_dst").as("node"))).distinct()
     val nRow = broadcast(nodes.agg(count(lit(1)).as("_N")))

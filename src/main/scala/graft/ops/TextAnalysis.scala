@@ -246,13 +246,24 @@ object TextAnalysis {
     * right_sym, pair_count), one row per learned merge. */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     require(nMerges >= 1, s"nMerges must be ≥ 1: $nMerges")
+    // The ONLY corpus-scale pass, materialized once (localCheckpoint —
+    // the iterative-trainer stance shared with Knn.kmeansFit): without it
+    // Spark's lazy recomputation re-runs the token explode for every
+    // merge step, turning n merges into n corpus scans.
     val wc = df.select(explode(Dedup.tokens(col(textCol))).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint(true)
     var s = wc.select(
       concat(lit(" "), array_join(split(col("_w"), ""), "  "), lit(" ")).as("_s"),
       col("_cnt"))
-    val steps = (1 to nMerges).map { i =>
-      val pairs = s
+    // Each step's chosen pair is ONE row — collected to the driver (the
+    // bounded artifact: nMerges rows total, the kmeans k·d convention) so
+    // the merge applies as a literal replace and step i's plan is i
+    // narrow maps over the checkpointed vocab, not a 2^i DAG.
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val top = s
         .select(split(trim(col("_s")), "  ").as("_sym"), col("_cnt"))
         .filter(size(col("_sym")) >= 2)
         .select(explode(arrays_zip(
@@ -261,17 +272,20 @@ object TextAnalysis {
           col("_cnt"))
         .groupBy(col("_p.0").as("left_sym"), col("_p.1").as("right_sym"))
         .agg(sum(col("_cnt")).as("pair_count"))
-      val top = pairs
         .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
         .limit(1)
-      s = s.crossJoin(broadcast(top))
-        .select(replace(col("_s"),
-          concat(lit(" "), col("left_sym"), lit("  "), col("right_sym"), lit(" ")),
-          concat(lit(" "), col("left_sym"), col("right_sym"), lit(" "))).as("_s"),
-          col("_cnt"))
-      top.select(lit(i).as("step"), col("left_sym"), col("right_sym"),
-        col("pair_count"))
+        .collect()
+      top.headOption match {
+        case None => exhausted = true
+        case Some(r) =>
+          val (l, rr, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((i, l, rr, c))
+          s = s.select(replace(col("_s"),
+            lit(" " + l + "  " + rr + " "), lit(" " + l + rr + " ")).as("_s"),
+            col("_cnt"))
+      }
     }
-    steps.reduce(_ unionByName _)
+    df.sparkSession.createDataFrame(merges.toSeq)
+      .toDF("step", "left_sym", "right_sym", "pair_count")
   }
 }
