@@ -188,6 +188,17 @@ object ScaleCheck {
       graft.ops.Funnel.topPaths(ev0, "user_id", "ts", "event_id", "event_type",
         gapMicros = 1800000000L, n = 15).count()
       graft.ops.Dedup.editDistancePairs(partNames.limit(500), "p_name", tau = 2).count()
+      graft.ops.Funnel.cusumChangepoints(ev0, "ts", "event_type", 5, 15).count()
+      graft.ops.Funnel.abTestConversion(ev0, "user_id", "event_type", "purchase").count()
+      graft.ops.Graph.pageRank(
+        graft.ops.CorpusStats.bigramCounts(d0, "text"), "w1", "w2", "c_xy", 2).count()
+      graft.ops.TextAnalysis.bpeMerges(d0, "text", nMerges = 4).count()
+      graft.ops.Retrieval.itemCooccurrence(
+        ev0.select(col("user_id"), pmod(col("event_id"), lit(100)).cast("int").as("item")),
+        "user_id", "item", maxItemsPerUser = 50, minPairCount = 2L, topK = 10).count()
+      graft.ops.Dedup.sortedNeighborPairs(
+        d0.select(col("doc_id"), substring(lower(col("text")), 1, 32).as("_key")),
+        "_key", "doc_id", window = 5).count()
       graft.ops.Funnel.scd2History(ev0, "user_id", "event_type", "ts", "event_id").count()
       graft.ops.Funnel.ewmaHalf(ev0, "user_id", "value", "ts", "event_id").count()
       graft.ops.Selection.paretoFront(
@@ -442,6 +453,44 @@ object ScaleCheck {
       results(("pmi", k)) = timed("pmi", k, nd) {
         graft.ops.CorpusStats.pmiCollocations(d, "text",
           minCount = 5, topK = 20).count()
+      }
+      // day spine fixed, per-day counts ×k: the sequential fold runs on
+      // the (type, day) grain, so only the corpus collapse may scale
+      results(("cusum", k)) = timed("cusum", k, nev) {
+        graft.ops.Funnel.cusumChangepoints(ev, "ts", "event_type", 5, 15).count()
+      }
+      // users ×k per replica: one user-grain exchange, 1-row output
+      results(("ab_test", k)) = timed("ab_test", k, nev) {
+        graft.ops.Funnel.abTestConversion(ev, "user_id", "event_type",
+          "purchase").count()
+      }
+      // bigram vocab, nodes, and edges all ×k under vowel rotation; each
+      // pagerank iteration is an edge-join + dst aggregate → linear
+      results(("pagerank", k)) = timed("pagerank", k, nd) {
+        graft.ops.Graph.pageRank(
+          graft.ops.CorpusStats.bigramCounts(d, "text"),
+          "w1", "w2", "c_xy", iterations = 2).count()
+      }
+      // word-frequency table ×k; merge steps run on it, corpus touched once
+      results(("bpe_train", k)) = timed("bpe_train", k, nd) {
+        graft.ops.TextAnalysis.bpeMerges(d, "text", nMerges = 4).count()
+      }
+      // users ×k over a fixed item catalog (event_id mod 100): pair grid
+      // fixed, per-pair counts ×k — the per-user self-join stays bounded
+      // by the cap and total work tracks users
+      results(("item_cooccur", k)) = timed("item_cooccur", k, nev) {
+        graft.ops.Retrieval.itemCooccurrence(
+          ev.select(col("user_id"),
+            pmod(col("event_id"), lit(100)).cast("int").as("item")),
+          "user_id", "item", maxItemsPerUser = 50, minPairCount = 2L,
+          topK = 10).count()
+      }
+      // rows ×k inside each first-char block: sort ~k·log k, pairs ×k
+      results(("snm_dedup", k)) = timed("snm_dedup", k, nd) {
+        graft.ops.Dedup.sortedNeighborPairs(
+          d.select(col("doc_id"),
+            substring(lower(col("text")), 1, 32).as("_key")),
+          "_key", "doc_id", window = 5).count()
       }
       // near-dup increment, steady state: the band-table ARTIFACT is
       // prebuilt (as a standing pipeline would have it materialized) and
