@@ -2144,6 +2144,39 @@ object SparkEntry {
           col("version"))
     },
 
+    // Incremental SCD2 maintenance (Funnel.scd2Merge): the history folds
+    // from a pre-split base plus a later delta WITHOUT rescanning base
+    // events; the oracle recomputes the whole history from scratch — a
+    // cross-engine proof that incremental ≡ batch (the
+    // q_incremental_dedup stance applied to dimension history).
+    q("q_scd2_merge",
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM c WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(CAST(ts AS TIMESTAMP)) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  CAST(row_number() OVER w AS INT) AS version
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val split = lit("2024-01-20").cast("timestamp")
+      val base = ops.Funnel.scd2History(ev.filter(col("ts") < split),
+        "user_id", "event_type", "ts", "event_id")
+      ops.Funnel.scd2Merge(base, ev.filter(col("ts") >= split),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("version"))
+    },
+
     // Integer-exact α=1/2 EWMA per user (Funnel.ewmaHalf): the stream fold
     // s₁=x₁, sᵢ=⌊(sᵢ₋₁+xᵢ)/2⌋ over round(value·100) longs — bit-exact on
     // any engine, no float accumulation. The oracle replays the identical

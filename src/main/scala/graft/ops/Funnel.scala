@@ -466,12 +466,29 @@ object Funnel {
     * Output: (event_type, day, n_events, s_pos, s_neg, is_change), one
     * row per (type, day); s_pos/s_neg rounded to 1e-6. */
   def cusumChangepoints(events: DataFrame, tsCol: String, typeCol: String,
-                        driftK: Int, thresholdH: Int): DataFrame = {
+                        driftK: Int, thresholdH: Int): DataFrame =
+    cusumFromDaily(dailyCounts(events, tsCol, typeCol), typeCol,
+      driftK, thresholdH)
+
+  /** The (type, day, x) daily-count table — the ADDITIVE ARTIFACT behind
+    * [[cusumChangepoints]]: a standing pipeline materializes one slice per
+    * micro-batch and folds with [[mergeDailyCounts]]; the monitor then
+    * re-derives CUSUM from the artifact alone, never rescanning events
+    * (the vocabCounts / bm25-stats lifecycle). */
+  def dailyCounts(events: DataFrame, tsCol: String, typeCol: String): DataFrame =
+    events.groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+
+  /** Fold accumulated daily-count slices: counts are additive over
+    * disjoint event slices, so a plain keyed sum is the exact merge. */
+  def mergeDailyCounts(slices: DataFrame, typeCol: String): DataFrame =
+    slices.groupBy(col(typeCol), col("day")).agg(sum(col("x")).as("x"))
+
+  /** [[cusumChangepoints]] from a prebuilt daily-count table. */
+  def cusumFromDaily(daily: DataFrame, typeCol: String,
+                     driftK: Int, thresholdH: Int): DataFrame = {
     require(driftK >= 0, s"driftK must be ≥ 0: $driftK")
     require(thresholdH > 0, s"thresholdH must be positive: $thresholdH")
-    val daily = events
-      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("x"))
     val series = daily
       .groupBy(col(typeCol))
       .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("_arr"),
@@ -540,6 +557,56 @@ object Funnel {
         row_number().over(
           W.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol)))
           .cast("int").as("version"))
+  }
+
+  /** Incremental maintenance for [[scd2History]]: merge a DELTA of events
+    * (all strictly later than every already-folded event for their
+    * entity — the watermark contract an append-only ingest provides) into
+    * an existing history WITHOUT rescanning old events. Exactness
+    * contract: `scd2Merge(scd2History(old), delta) ≡ scd2History(old ∪
+    * delta)` row-for-row (unit-tested as that property, and driver-gated
+    * by q_scd2_merge whose oracle recomputes from scratch).
+    *
+    * Mechanics: the delta folds to its own versions per entity; per
+    * affected entity the OPEN history row (valid_to null) stitches
+    * against the delta's first version — same attribute ⇒ the delta's
+    * first run extends the open version (its rows vanish into it), new
+    * attribute ⇒ the open version closes at the delta's first
+    * valid_from; delta versions renumber from the entity's last version.
+    * Shuffle mass: the delta plus ONE open row per affected entity —
+    * closed history rows stream through untouched (at 100 TB the history
+    * is partition-pruned on entity and never rewritten, the
+    * merge-on-read pattern). */
+  def scd2Merge(history: DataFrame, delta: DataFrame, entityCol: String,
+                attrCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val dv = scd2History(delta, entityCol, attrCol, tsCol, tieCol)
+    // per entity: the delta's first run (decides how the open row
+    // stitches) and the history's open row (attr + last version)
+    val firstRun = dv.filter(col("version") === 1)
+      .select(col(entityCol), col(attrCol).as("_a1"),
+        col("valid_from").as("_f1"), col("valid_to").as("_t1"))
+    val open = history.filter(col("valid_to").isNull)
+    val closed = history.filter(col("valid_to").isNotNull)
+    // open rows: untouched entity → stays open; first delta run has the
+    // same attr → the run CONTINUES, close at the run's own end (null if
+    // the delta ends inside it); new attr → close at the delta's start
+    val openAdj = open.join(firstRun, Seq(entityCol), "left_outer")
+      .select(col(entityCol), col(attrCol), col("valid_from"),
+        when(col("_a1").isNull, lit(null).cast(open.schema("valid_to").dataType))
+          .when(col(attrCol) <=> col("_a1"), col("_t1"))
+          .otherwise(col("_f1")).as("valid_to"),
+        col("version"))
+    // delta rows: an absorbed first run vanishes; the rest renumber after
+    // the entity's last version (minus one when run 1 was absorbed)
+    val deltaAdj = dv
+      .join(open.select(col(entityCol), col(attrCol).as("_ao"),
+        col("version").as("_V")), Seq(entityCol), "left_outer")
+      .join(firstRun.select(col(entityCol), col("_a1")), Seq(entityCol))
+      .filter(!(col("version") === 1 && col("_ao") <=> col("_a1")))
+      .select(col(entityCol), col(attrCol), col("valid_from"), col("valid_to"),
+        (col("version") + coalesce(col("_V"), lit(0)) -
+          when(col("_ao") <=> col("_a1"), 1).otherwise(0)).as("version"))
+    closed.unionByName(openAdj).unionByName(deltaAdj)
   }
 
   /** Integer-exact exponentially-weighted moving average (α = 1/2) of a

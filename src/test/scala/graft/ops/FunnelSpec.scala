@@ -339,4 +339,39 @@ class FunnelSpec extends AnyFunSuite {
     assert(sig(100, 100) === ((false, "none")))
   }
 
+  test("scd2 merge: incremental ≡ batch recompute on random split streams") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val rows = (1 to 300).map { i =>
+        (rnd.nextInt(8).toLong, Seq("a", "b", "c")(rnd.nextInt(3)),
+          i.toLong, i.toLong)
+      }
+      def df(xs: Seq[(Long, String, Long, Long)]) =
+        xs.toDF("user_id", "attr", "t", "event_id")
+          .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+      val (old, delta) = rows.splitAt(200)
+      def rowsOf(d: org.apache.spark.sql.DataFrame) = d
+        .select($"user_id", $"attr",
+          date_format($"valid_from", "HH:mm:ss").as("f"),
+          date_format($"valid_to", "HH:mm:ss").as("t"), $"version")
+        .as[(Long, String, String, String, Int)].collect().toSet
+      val batch = Funnel.scd2History(df(rows), "user_id", "attr", "ts", "event_id")
+      val incr = Funnel.scd2Merge(
+        Funnel.scd2History(df(old), "user_id", "attr", "ts", "event_id"),
+        df(delta), "user_id", "attr", "ts", "event_id")
+      assert(rowsOf(incr) === rowsOf(batch), s"trial=$trial")
+    }
+    // edge: delta contains only entities the history has never seen
+    val h = Funnel.scd2History(
+      Seq((1L, "a", 1L, 1L)).toDF("user_id", "attr", "t", "event_id")
+        .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t"),
+      "user_id", "attr", "ts", "event_id")
+    val d2 = Seq((2L, "b", 5L, 5L)).toDF("user_id", "attr", "t", "event_id")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val m = Funnel.scd2Merge(h, d2, "user_id", "attr", "ts", "event_id")
+      .select($"user_id", $"attr", $"version")
+      .as[(Long, String, Int)].collect().toSet
+    assert(m === Set((1L, "a", 1), (2L, "b", 1)))
+  }
+
 }

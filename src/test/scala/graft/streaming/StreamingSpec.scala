@@ -823,4 +823,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 11L)) && pairs.contains((11L, 21L)) &&
       pairs.contains((13L, 22L)), "planted cross-batch near dups found")
   }
+  test("daily-count artifact fold: per-batch slices merge ≡ batch CUSUM") {
+    // The monitoring member of the additive-artifact family: each
+    // micro-batch contributes one (type, day, x) slice; the accumulated
+    // artifact re-derives the FULL exact CUSUM trajectory without ever
+    // rescanning events — counts are additive over disjoint slices, and
+    // cusumFromDaily is a pure function of the folded table.
+    import graft.ops.Funnel
+    val batches: Seq[Seq[(Long, String, Long)]] = Seq(
+      (1 to 40).map(i => (i.toLong, "a", (i % 5).toLong + 1)),
+      (41 to 80).map(i => (i.toLong, "a", (i % 3).toLong + 1)),
+      (81 to 120).map(i => (i.toLong, if (i % 4 == 0) "b" else "a",
+        (i % 7).toLong + 1))
+    )
+    def toDf(xs: Seq[(Long, String, Long)]) =
+      xs.toDF("event_id", "event_type", "d")
+        .withColumn("ts", expr("timestamp_micros(d * 86400000000)")).drop("d")
+    val ms = MemoryStream[(Long, String, Long)](spark)
+    var slices = spark.emptyDataset[(String, java.sql.Date, Long)]
+      .toDF("event_type", "day", "x")
+    val q = ms.toDF().toDF("event_id", "event_type", "d").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.withColumn("ts",
+          expr("timestamp_micros(d * 86400000000)")).drop("d")
+        slices = slices.unionByName(
+          Funnel.dailyCounts(b, "ts", "event_type").localCheckpoint(true))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def canon(d: DataFrame) = d
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_events", $"s_pos", $"s_neg", $"is_change")
+      .as[(String, String, Long, Double, Double, Boolean)].collect().toSet
+    val folded = Funnel.cusumFromDaily(
+      Funnel.mergeDailyCounts(slices, "event_type"), "event_type", 1, 2)
+    val batchRun = Funnel.cusumChangepoints(
+      toDf(batches.flatten), "ts", "event_type", 1, 2)
+    assert(canon(folded) === canon(batchRun))
+    assert(canon(batchRun).exists(_._6), "planted drift must flag")
+  }
+
+  test("scd2 history fold: per-batch merges ≡ batch recompute") {
+    // Dimension history maintained one micro-batch at a time: each batch
+    // scd2Merges into the standing history (closed versions never touched,
+    // the open row per affected entity stitches), and after the last batch
+    // the folded history must equal the single-shot build — the
+    // scd2Merge exactness contract driven through foreachBatch.
+    import graft.ops.Funnel
+    val rnd = new scala.util.Random(23)
+    val all = (1 to 240).map { i =>
+      (rnd.nextInt(6).toLong, Seq("x", "y", "z")(rnd.nextInt(3)),
+        i.toLong, i.toLong)
+    }
+    def toDf(xs: Seq[(Long, String, Long, Long)]) =
+      xs.toDF("user_id", "attr", "t", "event_id")
+        .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val ms = MemoryStream[(Long, String, Long, Long)](spark)
+    var history = Funnel.scd2History(toDf(Seq.empty),
+      "user_id", "attr", "ts", "event_id").localCheckpoint(true)
+    val q = ms.toDF().toDF("user_id", "attr", "t", "event_id").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.withColumn("ts",
+          expr("timestamp_micros(t * 1000000)")).drop("t")
+        history = Funnel.scd2Merge(history, b,
+          "user_id", "attr", "ts", "event_id").localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      all.grouped(80).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def canon(d: DataFrame) = d
+      .select($"user_id", $"attr", date_format($"valid_from", "HH:mm:ss").as("f"),
+        date_format($"valid_to", "HH:mm:ss").as("t"), $"version")
+      .as[(Long, String, String, String, Int)].collect().toSet
+    assert(canon(history) ===
+      canon(Funnel.scd2History(toDf(all), "user_id", "attr", "ts", "event_id")))
+  }
+
 }
