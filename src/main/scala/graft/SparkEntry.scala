@@ -1983,6 +1983,50 @@ object SparkEntry {
         lookbackDays = 7, zThreshold = 3)
     },
 
+    // Multi-touch attribution (Funnel.attribution): first/last/linear
+    // credit per channel for every purchase, over the touches since the
+    // user's previous purchase. Linear credit is exact micro-unit
+    // arithmetic — each conversion distributes precisely 10⁶ units with
+    // the remainder on the last touch — so channel totals hash-match.
+    q("q_attribution",
+      """WITH m AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM events),
+        |nc AS (
+        |  SELECT user_id, count(*) AS n_conv FROM m
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |t AS (
+        |  SELECT m.user_id, m.event_type, m.ts, m.event_id, m.s
+        |  FROM m JOIN nc ON nc.user_id = m.user_id
+        |  WHERE m.event_type <> 'purchase' AND m.s < nc.n_conv),
+        |pos AS (
+        |  SELECT event_type,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY user_id, s) AS n
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id, s
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |cr AS (
+        |  SELECT event_type,
+        |    CASE WHEN rn = 1 THEN 1 ELSE 0 END AS f,
+        |    CASE WHEN rn = n THEN 1 ELSE 0 END AS l,
+        |    1000000 // n + CASE WHEN rn = n
+        |      THEN 1000000 - n * (1000000 // n) ELSE 0 END AS lin
+        |  FROM pos)
+        |SELECT event_type AS channel,
+        |  CAST(sum(f) AS BIGINT) AS first_touch,
+        |  CAST(sum(l) AS BIGINT) AS last_touch,
+        |  round(CAST(sum(lin) AS DOUBLE) / 1000000, 6) AS linear_credit
+        |FROM cr GROUP BY event_type""".stripMargin) { (s, d) =>
+      ops.Funnel.attribution(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", convType = "purchase")
+    },
+
     // Two-proportion A/B z-test (Funnel.abTestConversion): user_id-parity
     // arms, conversion = ever-purchased, and the z² > 1.96² decision
     // cross-multiplied into DECIMAL(38,0) integers — the q_anomaly_days
@@ -2505,6 +2549,36 @@ object SparkEntry {
       ops.Graph.pageRank(
         ops.CorpusStats.bigramCounts(Tables.documents(s, d), "text"),
         "w1", "w2", "c_xy", iterations = 3)
+    },
+
+    // Per-node triangle counts (Graph.triangleCounts) on the word
+    // co-occurrence graph. Spark runs the degree-ordered wedge algorithm
+    // (each triangle found once at its min-rank apex); the oracle is the
+    // independent lexicographic triple-join — different algorithm, same
+    // exact counts.
+    q("q_triangles",
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT tk[i+1] AS w1, tk[i+2] AS w2
+        |  FROM tok, unnest(range(0, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |e AS (
+        |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+        |  FROM bg WHERE w1 <> w2),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        |GROUP BY node""".stripMargin) { (s, d) =>
+      ops.Graph.triangleCounts(
+        ops.CorpusStats.bigramCounts(Tables.documents(s, d), "text"),
+        "w1", "w2")
     },
 
     q("q_corpus_diversity",

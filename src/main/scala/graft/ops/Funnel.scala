@@ -439,6 +439,61 @@ object Funnel {
           .otherwise("none").as("direction"))
   }
 
+  /** Multi-touch conversion attribution: split each conversion's credit over
+    * the touches (non-conversion events) since the user's PREVIOUS
+    * conversion, under the three standard models at once — first-touch,
+    * last-touch, and linear. Touches after a user's final conversion are
+    * unattributed; a conversion with no preceding touches carries no
+    * credit (both documented conventions, shared by the oracle).
+    *
+    * Linear credit is EXACT: each touch gets ⌊10⁶/n⌋ micro-units and the
+    * last touch absorbs the remainder, so every conversion distributes
+    * precisely 10⁶ units and channel totals are order-independent integer
+    * sums (the decSum discipline applied to fractional credit — naive
+    * 1.0/n doubles would drift by accumulation order).
+    *
+    * Scale shape: one user-grain exchange drives the conversion-counting
+    * window; the (user, segment) windows EXTEND that partition key, so
+    * Spark plans the whole credit assignment on the same exchange; the
+    * final channel aggregate is a map-side-combined rollup to |channels|
+    * rows. Nothing after the first exchange scales with the corpus.
+    *
+    * Output: (channel, first_touch, last_touch, linear_credit), one row
+    * per channel with any credit. */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, typeCol: String, convType: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wUser = W.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val marked = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol),
+        // the first row's preceding frame is EMPTY → sum null, not 0
+        coalesce(sum(when(col(typeCol) === convType, 1L).otherwise(0L))
+          .over(wUser.rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("_s"))
+    val nConvs = marked.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(count(lit(1)).as("_nc"))
+    val touches = marked.filter(col(typeCol) =!= convType)
+      .join(nConvs, Seq(userCol))
+      .filter(col("_s") < col("_nc"))
+    val wSeg = W.partitionBy(col(userCol), col("_s"))
+      .orderBy(col(tsCol), col(tieCol))
+    val credited = touches
+      .select(col(typeCol),
+        row_number().over(wSeg).as("_rn"),
+        count(lit(1)).over(W.partitionBy(col(userCol), col("_s"))).as("_n"))
+      .select(col(typeCol),
+        when(col("_rn") === 1, 1L).otherwise(0L).as("_first"),
+        when(col("_rn") === col("_n"), 1L).otherwise(0L).as("_last"),
+        (expr("1000000L div _n") +
+          when(col("_rn") === col("_n"),
+            lit(1000000L) - col("_n") * expr("1000000L div _n"))
+            .otherwise(0L)).as("_lin"))
+    credited
+      .groupBy(col(typeCol).as("channel"))
+      .agg(sum(col("_first")).as("first_touch"),
+        sum(col("_last")).as("last_touch"),
+        round(sum(col("_lin")).cast("double") / 1e6, 6).as("linear_credit"))
+  }
+
   /** Two-sided CUSUM changepoint statistics (Page 1954) on the daily
     * event volume per type: the sequential drift detector that catches
     * SUSTAINED small shifts the [[dailyAnomalies]] z-test misses (a +10 %

@@ -82,4 +82,53 @@ object Graph {
     }
     ranks.select(col("node"), col("_r").as("rank_scaled"))
   }
+
+  /** Per-node triangle counts over an undirected graph, by the
+    * degree-ordered wedge algorithm (Schank & Wagner 2005 /
+    * Suri & Vassilvitskii's MapReduce formulation): orient every edge
+    * from its lower-rank endpoint to its higher-rank endpoint under the
+    * total order (degree, node), enumerate wedges b ← a → c with
+    * rank(b) < rank(c) at the LOW-rank apex, and close each wedge
+    * against the oriented edge set. Each triangle is found exactly once
+    * (its minimum-rank vertex is the apex), and the wedge count is
+    * Σ_v outdeg(v)² with outdeg ≤ O(√m) on any graph — the
+    * high-degree-hub explosion (Σ deg² on a star = n²) never happens,
+    * which is the entire reason to pay the degree ranking.
+    *
+    * Input edges may be directed/duplicated/self-looped; they normalize
+    * to a distinct undirected simple edge set first. Everything is two
+    * aggregations and three equi-joins on node keys — no cartesian, no
+    * driver state. Output: (node, n_tri LONG), one row per node in at
+    * least one triangle; each triangle credits all three vertices. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, node): rank(x) < rank(y) ⇔ (d_x, x) < (d_y, y)
+    val ranked = und
+      .join(deg.select(col("n").as("a"), col("d").as("_da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("_db")), Seq("b"))
+      .select(
+        when(col("_da") < col("_db") ||
+          (col("_da") === col("_db") && col("a") < col("b")),
+          struct(col("a").as("lo"), col("b").as("hi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("_e"))
+      .select(col("_e.lo").as("lo"), col("_e.hi").as("hi"))
+    val wedges = ranked.select(col("lo").as("apex"), col("hi").as("x"))
+      .join(ranked.select(col("lo").as("apex"), col("hi").as("y")), Seq("apex"))
+      .filter(col("x") < col("y"))
+    // a wedge closes iff (x, y) is an oriented edge in EITHER direction —
+    // x < y lexicographically, but the orientation is by rank
+    val tris = wedges.join(
+      ranked.select(col("lo").as("x"), col("hi").as("y"))
+        .unionByName(ranked.select(col("hi").as("x"), col("lo").as("y"))),
+      Seq("x", "y"))
+    tris
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
 }

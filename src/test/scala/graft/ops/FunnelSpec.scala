@@ -374,4 +374,33 @@ class FunnelSpec extends AnyFunSuite {
     assert(m === Set((1L, "a", 1), (2L, "b", 1)))
   }
 
+  test("attribution: hand-checked credit under all three models") {
+    // user 1: view, click, PURCHASE, view, PURCHASE, click (trailing
+    //         click unattributed)
+    //   conv1 touches: view(1), click(2) -> first=view last=click
+    //     linear: view 0.5, click 0.5
+    //   conv2 touches: view(4) alone -> first=last=view, linear 1.0
+    // user 2: click, view, click, PURCHASE
+    //   touches click,view,click -> first=click last=click
+    //     linear: 3 touches -> 0.333333+0.333333+0.333334 (remainder last)
+    //     = click 0.666667, view 0.333333
+    // user 3: view only, never converts -> nothing
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (1L, 4L, "view"), (1L, 5L, "purchase"), (1L, 6L, "click"),
+      (2L, 1L, "click"), (2L, 2L, "view"), (2L, 3L, "click"), (2L, 4L, "purchase"),
+      (3L, 1L, "view")
+    ).map { case (u, t, et) => (u, t, t, et) }
+      .toDF("user_id", "t", "event_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val got = Funnel.attribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // firsts: conv1 view, conv2 view, user2 click; lasts: click, view, click
+    assert(got === Map(
+      "view" -> ((2L, 1L, 1.833333)),   // 0.5 + 1.0 + 0.333333
+      "click" -> ((1L, 2L, 1.166667)))) // 0.5 + 0.666667 (incl remainder)
+  }
+
 }

@@ -34,4 +34,40 @@ class GraphSpec extends AnyFunSuite {
     val r2 = Graph.pageRank(e2, "src", "dst", "w", 3).as[(String, Long)].collect().toMap
     assert(r1 === r2)
   }
+  test("triangles: 4-clique counts, stars are triangle-free, input normalizes") {
+    val clique = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d") if x != y
+    } yield (x, y)  // both directions + later dups exercise normalization
+    val edges = (clique ++ Seq(("a", "e"), ("e", "a"), ("a", "a")))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .as[(String, Long)].collect().toMap
+    // 4-clique: C(4,3)=4 triangles, each vertex in C(3,2)=3; pendant e in 0
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    val star = (1 to 6).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    assert(Graph.triangleCounts(star, "src", "dst").count() === 0L)
+  }
+
+  test("triangles: random graphs match a brute-force triple scan") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val n = 12
+      val es = (for {
+        x <- 0 until n; y <- 0 until n if x < y && rnd.nextDouble() < 0.35
+      } yield (s"n$x", s"n$y"))
+      val brute = scala.collection.mutable.Map.empty[String, Long]
+      val eset = es.toSet
+      def has(x: Int, y: Int) =
+        eset.contains((s"n$x", s"n$y")) || eset.contains((s"n$y", s"n$x"))
+      for {
+        i <- 0 until n; j <- i + 1 until n; k <- j + 1 until n
+        if has(i, j) && has(j, k) && has(i, k)
+        v <- Seq(i, j, k)
+      } brute(s"n$v") = brute.getOrElse(s"n$v", 0L) + 1L
+      val got = Graph.triangleCounts(es.toDF("src", "dst"), "src", "dst")
+        .as[(String, Long)].collect().toMap
+      assert(got === brute.toMap, s"trial=$trial")
+    }
+  }
+
 }
