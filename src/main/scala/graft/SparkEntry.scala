@@ -1983,6 +1983,61 @@ object SparkEntry {
         lookbackDays = 7, zThreshold = 3)
     },
 
+    // Per-type daily-volume OLS trend (Funnel.trendSlopes): the slope of
+    // counts vs day offset with numerator/denominator exact integers and
+    // ONE final division — the growth monitor next to anomaly/CUSUM.
+    q("q_trend",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |wx AS (
+        |  SELECT event_type, y,
+        |    CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT) AS x
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM wx GROUP BY 1)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_days * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+        |  CASE WHEN n_days * sxy - sx * sy > 0 THEN 'rising'
+        |       WHEN n_days * sxy - sx * sy < 0 THEN 'falling'
+        |       ELSE 'flat' END AS direction
+        |FROM s WHERE n_days * sxx - sx * sx <> 0""".stripMargin) { (s, d) =>
+      ops.Funnel.trendSlopes(Tables.events(s, d), "ts", "event_type")
+    },
+
+    // Weekly cohort LTV matrix (Funnel.cohortLtv): cohort by first-event
+    // week, cumulative cent-exact value by age week over the
+    // (cohort × age) grid.
+    q("q_cohort_ltv",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cw
+        |  FROM events GROUP BY user_id),
+        |sz AS (SELECT cw, count(*) AS cohort_users FROM f GROUP BY cw),
+        |cells AS (
+        |  SELECT f.cw,
+        |    CAST((CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+        |      - f.cw) / 7 AS INT) AS age_weeks,
+        |    count(DISTINCT e.user_id) AS n_active,
+        |    sum(CAST(round(e.value * 100) AS BIGINT)) AS wv
+        |  FROM events e JOIN f ON f.user_id = e.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cw AS cohort_week, age_weeks,
+        |  CAST(cohort_users AS BIGINT) AS cohort_users,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(wv AS DOUBLE) / 100 AS week_value,
+        |  CAST(sum(wv) OVER (PARTITION BY cw ORDER BY age_weeks
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+        |    AS cum_value
+        |FROM cells JOIN sz USING (cw)""".stripMargin) { (s, d) =>
+      ops.Funnel.cohortLtv(Tables.events(s, d), "user_id", "ts", "value")
+    },
+
     // Multi-touch attribution (Funnel.attribution): first/last/linear
     // credit per channel for every purchase, over the touches since the
     // user's previous purchase. Linear credit is exact micro-unit

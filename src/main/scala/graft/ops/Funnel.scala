@@ -439,6 +439,93 @@ object Funnel {
           .otherwise("none").as("direction"))
   }
 
+  /** Per-type daily-volume TREND: the ordinary-least-squares slope of
+    * daily event counts against the day offset from the type's first
+    * day — the "is this stream growing or shrinking, and how fast"
+    * monitor next to [[dailyAnomalies]] (level breaks) and
+    * [[cusumChangepoints]] (sustained shifts).
+    *
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x the integer day
+    * offset and y the daily count — numerator and denominator are EXACT
+    * DECIMAL(38,0) integers (y up to ~10¹² daily rows and spines to 10⁴
+    * days stay far inside 38 digits), and the only floating-point step
+    * is the final single division both engines perform on identical
+    * operands. Types observed on one distinct day have an undefined
+    * slope and are omitted (den = 0).
+    *
+    * Scale shape: the corpus collapses to the (type, day) grain in one
+    * map-side-combined pass; the five sums reduce per type in a second
+    * spine-sized aggregate. Output: (event_type, n_days, slope_per_day,
+    * direction 'rising'|'falling'|'flat'). */
+  def trendSlopes(events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val daily = dailyCounts(events, tsCol, typeCol)
+    val withX = daily
+      .withColumn("_x",
+        datediff(col("day"),
+          min(col("day")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col(typeCol))))
+          .cast("long"))
+    withX
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(big(col("_x"))).as("_sx"),
+        sum(big(col("x"))).as("_sy"),
+        sum(big(col("_x")) * big(col("x"))).as("_sxy"),
+        sum(big(col("_x")) * big(col("_x"))).as("_sxx"))
+      .withColumn("_num",
+        big(col("n_days")) * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_den",
+        big(col("n_days")) * col("_sxx") - col("_sx") * col("_sx"))
+      .filter(col("_den") =!= lit(0))
+      .select(col(typeCol), col("n_days"),
+        round(col("_num").cast("double") / col("_den").cast("double"), 6)
+          .as("slope_per_day"),
+        when(col("_num") > 0, "rising").when(col("_num") < 0, "falling")
+          .otherwise("flat").as("direction"))
+  }
+
+  /** Weekly cohort LTV matrix: users cohort by the week of their first
+    * event; each later week of activity adds its value to the cohort's
+    * running total at that age. The retention-revenue curve every
+    * subscription/marketplace dashboard draws, computed exactly —
+    * per-event values round to cents ONCE (scaled longs, the decSum
+    * stance), so cohort cells are order-independent integer sums and the
+    * cumulative curve is a prefix sum over a (cohorts × ages) grid.
+    *
+    * Scale shape: one user-grain aggregate finds cohorts, one
+    * (cohort, age)-grain aggregate collapses the corpus (the join that
+    * tags events with their user's cohort is the only corpus-scale
+    * shuffle), and the cumulative window runs over the tiny grid.
+    * Output: (cohort_week DATE, age_weeks INT, cohort_users, n_active,
+    * week_value, cum_value). */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val firsts = events.groupBy(col(userCol))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("_cw"))
+    val sized = firsts.groupBy(col("_cw")).agg(count(lit(1)).as("cohort_users"))
+    val cells = events
+      .join(firsts, Seq(userCol))
+      .select(col("_cw"),
+        (datediff(to_date(date_trunc("week", col(tsCol))), col("_cw")) / 7)
+          .cast("int").as("age_weeks"),
+        col(userCol),
+        round(col(valueCol) * 100).cast("long").as("_v"))
+      .groupBy(col("_cw"), col("age_weeks"))
+      .agg(countDistinct(col(userCol)).as("n_active"), sum(col("_v")).as("_wv"))
+    cells
+      .withColumn("_cum", sum(col("_wv")).over(
+        W.partitionBy(col("_cw")).orderBy(col("age_weeks"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .join(sized, Seq("_cw"))
+      .select(col("_cw").as("cohort_week"), col("age_weeks"),
+        col("cohort_users"), col("n_active"),
+        (col("_wv").cast("double") / 100).as("week_value"),
+        (col("_cum").cast("double") / 100).as("cum_value"))
+  }
+
   /** Multi-touch conversion attribution: split each conversion's credit over
     * the touches (non-conversion events) since the user's PREVIOUS
     * conversion, under the three standard models at once — first-touch,

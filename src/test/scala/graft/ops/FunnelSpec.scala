@@ -403,4 +403,45 @@ class FunnelSpec extends AnyFunSuite {
       "click" -> ((1L, 2L, 1.166667)))) // 0.5 + 0.666667 (incl remainder)
   }
 
+  test("trend: planted linear series recovers the exact slope; single-day types drop") {
+    // type 'up': counts 2,4,6,8 on days 0..3 -> slope exactly 2
+    // type 'noisy': 5,1,5 -> slope 0 (symmetric) -> 'flat'
+    // type 'once': one day only -> undefined, omitted
+    val rows =
+      (for (d <- 0 to 3; j <- 0 until 2 * (d + 1)) yield ("up", d, j)) ++
+      (for ((c, d) <- Seq(5, 1, 5).zipWithIndex; j <- 0 until c) yield ("noisy", d, j)) ++
+      Seq(("once", 0, 0))
+    val ev = rows.zipWithIndex.map { case ((t, d, _), i) => (t, d.toLong, i.toLong) }
+      .toDF("event_type", "d", "event_id")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)")).drop("d")
+    val got = Funnel.trendSlopes(ev, "ts", "event_type")
+      .as[(String, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "up" -> ((4L, 2.0, "rising")),
+      "noisy" -> ((3L, 0.0, "flat"))))
+  }
+
+  test("cohort ltv: cent-exact cumulative values over the cohort grid") {
+    // cohort W0: users 1,2 (first events in week 0); user 1 returns in
+    // week 1. cohort W1: user 3.
+    val ev = Seq(
+      (1L, 0L, 10.10), (2L, 1L, 5.25),      // week 0, cohort W0
+      (1L, 8L, 2.40),                        // week 1 activity, cohort W0
+      (3L, 7L, 7.77)                         // cohort W1
+    ).zipWithIndex.map { case ((u, d, v), i) => (u, d, v, i.toLong) }
+      .toDF("user_id", "d", "value", "event_id")
+      // day 0 = Monday 2024-01-01, so weeks align with date_trunc
+      .withColumn("ts",
+        expr("timestamp_micros((19723 + d) * 86400000000)")).drop("d")
+    val got = Funnel.cohortLtv(ev, "user_id", "ts", "value")
+      .select($"cohort_week".cast("string"), $"age_weeks", $"cohort_users",
+        $"n_active", $"week_value", $"cum_value")
+      .as[(String, Int, Long, Long, Double, Double)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0, 2L, 2L, 15.35, 15.35),
+      ("2024-01-01", 1, 2L, 1L, 2.40, 17.75),
+      ("2024-01-08", 0, 1L, 1L, 7.77, 7.77)))
+  }
+
 }

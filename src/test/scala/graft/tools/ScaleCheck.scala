@@ -199,6 +199,16 @@ object ScaleCheck {
       graft.ops.Dedup.sortedNeighborPairs(
         d0.select(col("doc_id"), substring(lower(col("text")), 1, 32).as("_key")),
         "_key", "doc_id", window = 5).count()
+      graft.ops.Graph.triangleCounts(
+        graft.ops.CorpusStats.bigramCounts(d0, "text"), "w1", "w2").count()
+      graft.ops.Funnel.attribution(ev0, "user_id", "ts", "event_id",
+        "event_type", "purchase").count()
+      graft.ops.Funnel.trendSlopes(ev0, "ts", "event_type").count()
+      graft.ops.Funnel.cohortLtv(ev0, "user_id", "ts", "value").count()
+      graft.ops.Funnel.scd2Merge(
+        graft.ops.Funnel.scd2History(ev0, "user_id", "event_type", "ts", "event_id"),
+        ev0.withColumn("ts", expr("ts + interval 400 days")),
+        "user_id", "event_type", "ts", "event_id").count()
       graft.ops.Funnel.scd2History(ev0, "user_id", "event_type", "ts", "event_id").count()
       graft.ops.Funnel.ewmaHalf(ev0, "user_id", "value", "ts", "event_id").count()
       graft.ops.Selection.paretoFront(
@@ -491,6 +501,43 @@ object ScaleCheck {
           d.select(col("doc_id"),
             substring(lower(col("text")), 1, 32).as("_key")),
           "_key", "doc_id", window = 5).count()
+      }
+      // every vocab word carries a vowel, so rotated replica graphs are
+      // DISJOINT: nodes, edges, wedges, and triangles all ×k
+      results(("triangles", k)) = timed("triangles", k, nd) {
+        graft.ops.Graph.triangleCounts(
+          graft.ops.CorpusStats.bigramCounts(d, "text"), "w1", "w2").count()
+      }
+      // users ×k: segment windows extend the user exchange, output fixed
+      // at |channels| rows
+      results(("attribution", k)) = timed("attribution", k, nev) {
+        graft.ops.Funnel.attribution(ev, "user_id", "ts", "event_id",
+          "event_type", "purchase").count()
+      }
+      results(("trend", k)) = timed("trend", k, nev) {
+        graft.ops.Funnel.trendSlopes(ev, "ts", "event_type").count()
+      }
+      results(("cohort_ltv", k)) = timed("cohort_ltv", k, nev) {
+        graft.ops.Funnel.cohortLtv(ev, "user_id", "ts", "value").count()
+      }
+      // SCD2 merge with the base ×k and the DELTA FIXED (replica-0 users,
+      // after the base range): the open-row stitch join scales with base
+      // entities, closed rows stream through — time must stay ≤ linear
+      if (opsFilter.forall(_.contains("scd2_merge"))) {
+        val baseHist = graft.ops.Funnel.scd2History(ev, "user_id",
+          "event_type", "ts", "event_id").localCheckpoint(true)
+        val deltaFixedEv = spark.range(1000).select(
+          (col("id") % 200).as("user_id"),
+          expr("timestamp_micros(cast(1893456000000000 + id * 1000000 as long))")
+            .as("ts"),
+          (col("id") + 700000000L).as("event_id"),
+          when(col("id") % 3 === 0, "view").otherwise("click").as("event_type"),
+          lit(1.0).as("value"))
+        results(("scd2_merge", k)) = timed("scd2_merge", k, nev) {
+          graft.ops.Funnel.scd2Merge(baseHist, deltaFixedEv,
+            "user_id", "event_type", "ts", "event_id").count()
+        }
+        baseHist.unpersist()
       }
       // near-dup increment, steady state: the band-table ARTIFACT is
       // prebuilt (as a standing pipeline would have it materialized) and
