@@ -71,6 +71,40 @@ object SparkEntry {
       s"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r$iters"
   }
 
+  /** DuckDB replay of [[ops.Graph.kCore]] over the strong item
+    * co-occurrence graph: the identical fixed-round peel unrolled — per
+    * round one degree aggregate, a keep-list, and a two-sided semi-join.
+    * Generated so every round is character-identical. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      """WITH ui AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS i
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e1 AS MATERIALIZED (
+        |  SELECT a.i AS a, b.i AS b
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 40)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""",
+         |d$r AS MATERIALIZED (
+         |  SELECT n, count(*) AS d
+         |  FROM (SELECT a AS n FROM e$r UNION ALL SELECT b AS n FROM e$r)
+         |  GROUP BY n),
+         |k$r AS (SELECT n FROM d$r WHERE d >= $k),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e$r e
+         |  JOIN k$r ka ON ka.n = e.a JOIN k$r kb ON kb.n = e.b)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |SELECT n AS node, CAST(d AS BIGINT) AS degree
+         |FROM (SELECT n, count(*) AS d
+         |      FROM (SELECT a AS n FROM e${rounds + 1}
+         |            UNION ALL SELECT b AS n FROM e${rounds + 1})
+         |      GROUP BY n)""".stripMargin
+  }
+
   /** DuckDB replay of [[ops.TextAnalysis.bpeMerges]]: the identical
     * merge loop unrolled — per step one pair-count aggregate over the
     * double-space symbol encoding, a (count DESC, lexicographic) top-1,
@@ -2591,6 +2625,25 @@ object SparkEntry {
         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
       ops.CorpusStats.pmiCollocations(Tables.documents(s, d), "text",
         minCount = 5, topK = 20)
+    },
+
+    // Fixed-round k-core peel (Graph.kCore) over the STRONG item
+    // co-occurrence graph (pairs sharing ≥ 40 capped users): repeatedly
+    // delete items with < 15 strong partners — the dense heart of the
+    // catalog. Rounds = 3 covers this graph's full peel cascade (the
+    // third round is a verified no-op); the oracle unrolls the identical
+    // peel.
+    q("q_kcore", kCoreOracle(k = 15, rounds = 3)) { (s, d) =>
+      val ui = Tables.events(s, d)
+        .select(col("user_id").as("_u"),
+          get_json_object(col("props"), "$.k").cast("int").as("_i"))
+        .filter(col("_i").isNotNull).distinct()
+      val e = ui.select(col("_u"), col("_i").as("item_a"))
+        .join(ui.select(col("_u"), col("_i").as("item_b")), Seq("_u"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") >= 40)
+      ops.Graph.kCore(e, "item_a", "item_b", k = 15, rounds = 3)
     },
 
     // Integer-exact damped PageRank (Graph.pageRank) over the word

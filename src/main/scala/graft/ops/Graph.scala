@@ -131,4 +131,37 @@ object Graph {
       .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Fixed-round k-core peeling (Seidman 1983; the Batagelj-Zaveršnik
+    * peel distributed): repeatedly delete nodes of degree < k, `rounds`
+    * times. With rounds ≥ the peel depth this IS the k-core — the
+    * maximal subgraph where every node keeps ≥ k neighbors — and a
+    * fixed round count keeps the operator a pure deterministic function
+    * (same-shaped plan every run, and an oracle can replay it as an
+    * unrolled CTE chain rather than a fixpoint loop). Each round is one
+    * degree aggregate + one semi-join per endpoint — edge-grain shuffles,
+    * node-grain state, no driver data.
+    *
+    * Input normalizes like [[triangleCounts]] (undirected, simple).
+    * Output: (node, degree LONG) over the surviving subgraph. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1: $k")
+    require(rounds >= 1, s"rounds must be ≥ 1: $rounds")
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).filter(col("d") >= k).select(col("n"))
+      und = und
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+    }
+    degrees(und).select(col("n").as("node"), col("d").as("degree"))
+  }
 }

@@ -70,4 +70,20 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core: cascade peel matches hand analysis, converged rounds are no-ops") {
+    // triangle abc each deg 2 + chain c-d-e: k=2 peels e (deg1) then d
+    // (deg drops to 1 after e leaves) then c keeps 2 -> core = {a,b,c}
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, "src", "dst", k = 2, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(core === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // extra rounds after convergence change nothing
+    val more = Graph.kCore(edges, "src", "dst", k = 2, rounds = 5)
+      .as[(String, Long)].collect().toMap
+    assert(more === core)
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges, "src", "dst", k = 3, rounds = 2).count() === 0L)
+  }
+
 }
