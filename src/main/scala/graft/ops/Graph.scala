@@ -148,11 +148,18 @@ object Graph {
             k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be ≥ 1: $k")
     require(rounds >= 1, s"rounds must be ≥ 1: $rounds")
+    // Materialize the surviving edge set every round (localCheckpoint —
+    // the iterative-op stance of pageRank/bpeMerges): each round's plan
+    // references the previous edge set three times (degrees + two
+    // semi-joins), so a lazy chain re-evaluates the upstream edge build
+    // 3^rounds times. The peel state is edge-grain and SHRINKS
+    // monotonically — exactly what an iterative engine persists.
     var und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -161,6 +168,7 @@ object Graph {
       und = und
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
     }
     degrees(und).select(col("n").as("node"), col("d").as("degree"))
   }
