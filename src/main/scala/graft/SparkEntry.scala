@@ -2072,6 +2072,44 @@ object SparkEntry {
       ops.Funnel.cohortLtv(Tables.events(s, d), "user_id", "ts", "value")
     },
 
+    // Exact Mann-Whitney ROC-AUC (Funnel.aucScoreVsLabel): does a user's
+    // total cent-exact spend predict heavy-purchaser status (purchase
+    // share above 1/5 — a scale-free label; "ever purchased" saturates
+    // to all-positive on this data)? Midrank tie handling on the
+    // collapsed distinct-score grain, one exact integer division.
+    q("q_auc",
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+        |      > count(*) AS label
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT score AS s, count(*) AS n,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS np
+        |  FROM pu GROUP BY score),
+        |r AS (
+        |  SELECT s, n, np,
+        |    coalesce(sum(n) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |    sum(CAST(np AS HUGEINT) * (2 * cb + n + 1)) AS r2
+        |  FROM r)
+        |SELECT n_pos, n_neg,
+        |  round(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+        |    / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 6) AS auc
+        |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin) { (s, d) =>
+      val pu = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("score"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5
+            > count(lit(1))).as("label"))
+      ops.Funnel.aucScoreVsLabel(pu, "score", "label")
+    },
+
     // Multi-touch attribution (Funnel.attribution): first/last/linear
     // credit per channel for every purchase, over the touches since the
     // user's previous purchase. Linear credit is exact micro-unit
@@ -2597,6 +2635,29 @@ object SparkEntry {
     // pair materialized. Integer-exact on the 10⁻⁶-quantized unit sphere:
     // per-dim sums are LONG/HUGEINT, squares DECIMAL, so both engines
     // compute the identical rational before one final double division.
+    // Exact Gini concentration (CorpusStats.giniConcentration) of the
+    // character mass across documents — the tie-safe rank identity on the
+    // collapsed distinct-value grain, one integer division.
+    q("q_gini",
+      """WITH g AS (
+        |  SELECT n_chars AS v, count(*) AS m FROM documents GROUP BY n_chars),
+        |r AS (
+        |  SELECT v, m,
+        |    coalesce(sum(m) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(m) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(v AS HUGEINT) * m) AS BIGINT) AS total,
+        |    sum(CAST(v AS HUGEINT) * m * (2 * a + m + 1)) AS rs
+        |  FROM r)
+        |SELECT n_rows, total,
+        |  round(CAST(rs - (CAST(n_rows AS HUGEINT) + 1) * total AS DOUBLE)
+        |    / CAST(CAST(n_rows AS HUGEINT) * total AS DOUBLE), 6) AS gini
+        |FROM s WHERE total > 0""".stripMargin) { (s, d) =>
+      ops.CorpusStats.giniConcentration(Tables.documents(s, d), "n_chars")
+    },
+
     // Top-k collocations by PMI (CorpusStats.pmiCollocations), reported as
     // lift = exp(PMI) so the score is pure integer-count arithmetic in one
     // IEEE-identical expression — no ln whose libm could differ between

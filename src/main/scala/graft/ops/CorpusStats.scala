@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
@@ -340,6 +340,41 @@ object CorpusStats {
         sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col(idCol), col("n_tokens"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  /** Exact Gini coefficient of a non-negative LONG measure across rows —
+    * the concentration audit ("is 1 % of documents carrying 50 % of the
+    * token mass?") every curation pipeline should run before sampling
+    * decisions. Rank formulation with the tie-safe identity: within a
+    * tie group of value v, count m, and cumBefore a strictly-smaller
+    * rows, Σ rank·x over the group is v·m·(2a+m+1)/2 regardless of
+    * intra-group order, so the whole statistic computes on the COLLAPSED
+    * distinct-value grain — G = (Σ_v v·m·(2a+m+1) − (n+1)·T) / (n·T),
+    * every term an exact DECIMAL(38,0) integer, ONE final division.
+    *
+    * Scale shape: one map-side-combined aggregate to the distinct-value
+    * grain, a running-sum window over that bounded table, a 1-row
+    * reduce. Output: (n_rows, total, gini), empty if the total is 0. */
+  def giniConcentration(df: DataFrame, valueCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val W = org.apache.spark.sql.expressions.Window
+    val grain = df.groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_m"))
+    val ranked = grain.withColumn("_a",
+      coalesce(sum(col("_m")).over(
+        W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    ranked
+      .agg(sum(col("_m")).as("n_rows"),
+        sum(big(col("_v")) * big(col("_m"))).cast("long").as("total"),
+        sum(big(col("_v")) * big(col("_m")) *
+          (big(lit(2)) * big(col("_a")) + big(col("_m")) + big(lit(1))))
+          .as("_rs"))
+      .filter(col("total") > 0)
+      .select(col("n_rows"), col("total"),
+        round((col("_rs") - (big(col("n_rows")) + big(lit(1))) * big(col("total")))
+          .cast("double") /
+          (big(col("n_rows")) * big(col("total"))).cast("double"), 6).as("gini"))
   }
 
   /** Top-k collocations by pointwise mutual information: adjacent word

@@ -581,6 +581,50 @@ object Funnel {
         round(sum(col("_lin")).cast("double") / 1e6, 6).as("linear_credit"))
   }
 
+  /** Exact ROC-AUC of a score against a binary label, by the
+    * Mann-Whitney rank formulation with midrank tie handling —
+    * AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) — the standard evaluation for
+    * "does engagement predict conversion", computed EXACTLY: with the
+    * distinct-score grain's (n_all, n_pos) counts and cumBefore the
+    * running count of strictly-lower scores, twice the positive rank sum
+    * is the integer Σ n_pos·(2·cumBefore + n_all + 1), and
+    * AUC = (2R⁺ − 2·n⁺(n⁺+1)/2) / (2·n⁺·n⁻) is ONE division of exact
+    * DECIMAL(38,0) integers (2R⁺ overflows LONG at ~3·10⁹ entities).
+    * No sort of the corpus, no per-row ranks: the running sum lives on
+    * the COLLAPSED distinct-score table.
+    *
+    * Scale shape: one entity-grain pass produces (score, label); one
+    * map-side-combined aggregate collapses to the distinct-score grain;
+    * the rank arithmetic is a window over that bounded table. Degenerate
+    * single-class inputs (n⁺ = 0 or n⁻ = 0) are omitted (AUC undefined).
+    * Output: one row (n_pos, n_neg, auc). */
+  def aucScoreVsLabel(scored: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val W = org.apache.spark.sql.expressions.Window
+    val grain = scored
+      .groupBy(col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("_np"))
+    val ranked = grain.withColumn("_cumBefore",
+      coalesce(sum(col("_n")).over(
+        W.orderBy(col("_s")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    ranked
+      .agg(
+        sum(col("_np")).as("n_pos"),
+        sum(col("_n") - col("_np")).as("n_neg"),
+        sum(big(col("_np")) *
+          (big(lit(2)) * big(col("_cumBefore")) + big(col("_n")) + big(lit(1))))
+          .as("_r2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("n_pos"), col("n_neg"),
+        round((col("_r2") - big(col("n_pos")) * (big(col("n_pos")) + big(lit(1))))
+          .cast("double") /
+          (big(lit(2)) * big(col("n_pos")) * big(col("n_neg"))).cast("double"), 6)
+          .as("auc"))
+  }
+
   /** Two-sided CUSUM changepoint statistics (Page 1954) on the daily
     * event volume per type: the sequential drift detector that catches
     * SUSTAINED small shifts the [[dailyAnomalies]] z-test misses (a +10 %

@@ -179,4 +179,17 @@ class CorpusStatsSpec extends AnyFunSuite {
       ("b", "a", 1L, 3L, 3L, 1.088889)))
   }
 
+  test("gini: hand-computed concentration, ties exact, uniform is 0") {
+    def gini(xs: Seq[Long]) =
+      CorpusStats.giniConcentration(xs.toDF("v"), "v")
+        .as[(Long, Long, Double)].collect().toSeq
+    // [1,1,2,4]: 2*sum(i*x)=50, G=(50-5*8)/(4*8)=0.3125
+    assert(gini(Seq(1L, 1L, 2L, 4L)) === Seq((4L, 8L, 0.3125)))
+    assert(gini(Seq(7L, 7L, 7L)) === Seq((3L, 21L, 0.0)))
+    // all mass on one row of n=4 -> (n-1)/n = 0.75
+    assert(gini(Seq(0L, 0L, 0L, 10L)) === Seq((4L, 10L, 0.75)))
+    // zero-total input is undefined -> empty
+    assert(gini(Seq(0L, 0L)).isEmpty)
+  }
+
 }

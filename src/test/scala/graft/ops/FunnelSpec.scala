@@ -444,4 +444,20 @@ class FunnelSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L, 1L, 7.77, 7.77)))
   }
 
+  test("auc: hand pair-counting with ties, perfect and inverted separation") {
+    def auc(rows: Seq[(Long, Boolean)]) =
+      Funnel.aucScoreVsLabel(rows.toDF("score", "label"), "score", "label")
+        .as[(Long, Long, Double)].collect().toSeq
+    // pos {3,2} vs neg {1,2}: pairs 3>1, 3>2, 2>1 full + tie 2=2 half
+    // -> 3.5/4 = 0.875
+    assert(auc(Seq((3L, true), (2L, true), (1L, false), (2L, false))) ===
+      Seq((2L, 2L, 0.875)))
+    assert(auc(Seq((9L, true), (8L, true), (1L, false))) === Seq((2L, 1L, 1.0)))
+    assert(auc(Seq((1L, true), (8L, false), (9L, false))) === Seq((1L, 2L, 0.0)))
+    // all ties -> exactly 0.5
+    assert(auc(Seq((5L, true), (5L, false), (5L, false))) === Seq((1L, 2L, 0.5)))
+    // degenerate single-class -> empty
+    assert(auc(Seq((1L, true), (2L, true))).isEmpty)
+  }
+
 }
