@@ -393,4 +393,33 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("bloom_filter_agg"), p)
     } finally before.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+  test("round-8 analytics shapes: collapsed-grain windows, broadcast join-backs, no cartesian") {
+    // pareto: the front joins BACK to the corpus as a broadcast hash join
+    // (the front is |distinct minCol| rows), and the global-order window
+    // runs on the collapsed grain — exactly one SinglePartition exchange
+    val pareto = plan("q_pareto")
+    assert(pareto.contains("BroadcastHashJoin"), pareto)
+    assert(!pareto.contains("CartesianProduct"), pareto)
+    assert("SinglePartition".r.findAllIn(pareto).size === 1, pareto)
+    // auc / gini: the rank windows run on the distinct-score/value grain
+    // AFTER a hash aggregate — one SinglePartition exchange each, and the
+    // corpus-scale pass is the partial-aggregated groupBy, never a sort
+    for (q <- Seq("q_auc", "q_gini")) {
+      val p = plan(q)
+      assert("SinglePartition".r.findAllIn(p).size === 1, s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // edit-distance join: candidates come from an equi-join (shuffle or
+    // broadcast hash), and the only nested-loop is the bounded short-pool
+    // broadcast — never a cartesian product
+    val ej = plan("q_edit_join")
+    assert(!ej.contains("CartesianProduct"), ej)
+    // attribution: the (user, segment) windows EXTEND the user partition,
+    // so the whole credit pipeline adds no exchange beyond the user grain
+    // + the per-user conversion-count aggregate + the final channel rollup
+    val attr = plan("q_attribution")
+    assert(!attr.contains("CartesianProduct"), attr)
+    assert("hashpartitioning".r.findAllIn(attr).size <= 4, attr)
+  }
+
 }
