@@ -84,5 +84,15 @@ object GraftExtensions {
     f("kll_rank", "kll_rank(sketch, v) — normalized rank of v") {
       xs => KllRank(xs(0), xs(1)) },
     f("kll_n", "kll_n(sketch) — values absorbed (exact)") {
-      xs => KllCount(xs(0)) })
+      xs => KllCount(xs(0)) },
+    f("theta_sketch_agg", "theta_sketch_agg(x, lgK) — mergeable theta set sketch") {
+      xs => ThetaSketchAgg(xs(0), xs(1)) },
+    f("theta_union_agg", "theta_union_agg(sketch, lgK) — union theta sketches") {
+      xs => ThetaUnionAgg(xs(0), xs(1)) },
+    f("theta_intersect", "theta_intersect(a, b) — sketch of A ∩ B") {
+      xs => ThetaIntersect(xs(0), xs(1)) },
+    f("theta_a_not_b", "theta_a_not_b(a, b) — sketch of A \\ B") {
+      xs => ThetaANotB(xs(0), xs(1)) },
+    f("theta_estimate", "theta_estimate(sketch) — distinct estimate") {
+      xs => ThetaEstimate(xs(0)) })
 }

@@ -2072,6 +2072,54 @@ object SparkEntry {
       ops.Funnel.cohortLtv(Tables.events(s, d), "user_id", "ts", "value")
     },
 
+    // Week-over-week audience overlap from THETA sketch artifacts
+    // (theta_sketch_agg / theta_intersect / theta_a_not_b): retention,
+    // churn, and new-user counts per consecutive-week pair — the set
+    // INTERSECTION/DIFFERENCE capability HLL sketches lack, answered
+    // from per-week artifacts alone. Below 2^lgK users/week the sketches
+    // are exact-mode, so the oracle's true set counts hash-match.
+    q("q_audience_overlap",
+      """WITH wu AS (
+        |  SELECT DISTINCT
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |    user_id
+        |  FROM events),
+        |wk AS (SELECT DISTINCT week FROM wu),
+        |p AS (SELECT week, lead(week) OVER (ORDER BY week) AS nw FROM wk),
+        |c AS (SELECT week, count(*) AS n FROM wu GROUP BY week),
+        |ret AS (
+        |  SELECT p.week, count(*) AS n
+        |  FROM p JOIN wu a ON a.week = p.week
+        |       JOIN wu b ON b.week = p.nw AND b.user_id = a.user_id
+        |  GROUP BY p.week)
+        |SELECT p.week,
+        |  CAST(ca.n AS BIGINT) AS n_cur, CAST(cb.n AS BIGINT) AS n_next,
+        |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_retained,
+        |  CAST(ca.n - coalesce(r.n, 0) AS BIGINT) AS n_churned,
+        |  CAST(cb.n - coalesce(r.n, 0) AS BIGINT) AS n_new
+        |FROM p JOIN c ca ON ca.week = p.week JOIN c cb ON cb.week = p.nw
+        |LEFT JOIN ret r ON r.week = p.week
+        |WHERE p.nw IS NOT NULL""".stripMargin) { (s, d) =>
+      import graft.functions.ThetaExpressions._
+      val wk = Tables.events(s, d).select(
+        to_date(date_trunc("week", col("ts"))).as("week"), col("user_id"))
+      val sk = wk.groupBy(col("week"))
+        .agg(thetaSketchAgg(col("user_id")).as("_sk"))
+      val w = Window.orderBy(col("week"))
+      sk.withColumn("_nsk", lead(col("_sk"), 1).over(w))
+        .withColumn("_nweek", lead(col("week"), 1).over(w))
+        .filter(col("_nsk").isNotNull)
+        .select(col("week"),
+          round(thetaEstimate(col("_sk"))).cast("long").as("n_cur"),
+          round(thetaEstimate(col("_nsk"))).cast("long").as("n_next"),
+          round(thetaEstimate(thetaIntersect(col("_sk"), col("_nsk"))))
+            .cast("long").as("n_retained"),
+          round(thetaEstimate(thetaANotB(col("_sk"), col("_nsk"))))
+            .cast("long").as("n_churned"),
+          round(thetaEstimate(thetaANotB(col("_nsk"), col("_sk"))))
+            .cast("long").as("n_new"))
+    },
+
     // Exact Mann-Whitney ROC-AUC (Funnel.aucScoreVsLabel): does a user's
     // total cent-exact spend predict heavy-purchaser status (purchase
     // share above 1/5 — a scale-free label; "ever purchased" saturates

@@ -16,7 +16,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles",
       "top_ngram_run", "unicode_norm", "strip_accents",
       "int8_encode", "int8_dot",
-      "kll_sketch_agg", "kll_union_agg", "kll_quantile", "kll_rank", "kll_n"))
+      "kll_sketch_agg", "kll_union_agg", "kll_quantile", "kll_rank", "kll_n",
+      "theta_sketch_agg", "theta_union_agg", "theta_intersect",
+      "theta_a_not_b", "theta_estimate"))
   }
 
   test("every registered SQL function is runnable on a fresh session registry") {
