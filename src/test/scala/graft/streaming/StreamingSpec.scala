@@ -904,4 +904,40 @@ class StreamingSpec extends AnyFunSuite {
       canon(Funnel.scd2History(toDf(all), "user_id", "attr", "ts", "event_id")))
   }
 
+  test("theta sketch-slice fold: per-batch set sketches answer overlap ≡ exact sets") {
+    // The set-algebra member of the additive-artifact family as a stream:
+    // one theta sketch row per (micro-batch, week); the accumulated rows
+    // union per week, and week-over-week intersections answer retention
+    // from artifacts alone. Cardinalities are exact-mode, so the folded
+    // answers equal the true set counts.
+    import graft.functions.ThetaExpressions._
+    val batches: Seq[Seq[(Long, Int)]] = Seq(
+      (1L to 60L).map(u => (u, 0)) ++ (30L to 80L).map(u => (u, 1)),
+      (40L to 90L).map(u => (u, 0)),      // late arrivals for week 0
+      (81L to 120L).map(u => (u, 1))
+    )
+    val ms = MemoryStream[(Long, Int)](spark)
+    var slices = spark.emptyDataset[(Int, Array[Byte])].toDF("week", "sk")
+    val q = ms.toDF().toDF("user_id", "week").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        slices = slices.unionByName(
+          batch.groupBy($"week").agg(thetaSketchAgg($"user_id").as("sk"))
+            .localCheckpoint(true))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val weekly = slices.groupBy($"week").agg(thetaUnionAgg($"sk").as("sk"))
+    val w0 = weekly.filter($"week" === 0).select($"sk").head().getAs[Array[Byte]](0)
+    val w1 = weekly.filter($"week" === 1).select($"sk").head().getAs[Array[Byte]](0)
+    val r = spark.range(1).select(
+        round(thetaEstimate(thetaIntersect(lit(w0), lit(w1)))).cast("long"),
+        round(thetaEstimate(thetaANotB(lit(w0), lit(w1)))).cast("long"))
+      .as[(Long, Long)].head()
+    // week0 = 1..90, week1 = 30..120 → ∩ = 30..90 (61), w0\w1 = 1..29 (29)
+    assert(r === ((61L, 29L)))
+  }
+
 }
