@@ -2909,6 +2909,62 @@ object SparkEntry {
       ops.CorpusStats.oovRate(Tables.documents(s, d), "text", "doc_id", 500)
     },
 
+    // Referential-integrity audit across the star schema: per FK
+    // relationship, row/null-FK/orphan counts via left-outer probes
+    // against the distinct key set (dimension keys broadcast; the fact
+    // side never shuffles). The data-quality gate a warehouse runs before
+    // trusting a snapshot — all counts exact.
+    q("q_integrity",
+      """SELECT 'lineitem->orders' AS relationship,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_fk,
+        |  CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON o.o_orderkey = l.l_orderkey
+        |UNION ALL
+        |SELECT 'lineitem->part', count(*),
+        |  CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |  ON p.p_partkey = l.l_partkey
+        |UNION ALL
+        |SELECT 'orders->customer', count(*),
+        |  CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON c.c_custkey = o.o_custkey
+        |UNION ALL
+        |SELECT 'customer->nation', count(*),
+        |  CAST(sum(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        |  ON n.n_nationkey = c.c_nationkey""".stripMargin) { (s, d) =>
+      def audit(rel: String, fact: DataFrame, fk: String,
+                dim: DataFrame, pk: String): DataFrame =
+        fact.select(col(fk).cast("long").as("_fk"))
+          .join(broadcast(dim.select(col(pk).cast("long").as("_fk")).distinct()
+            .withColumn("_hit", lit(1))), Seq("_fk"), "left_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("_fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+            sum(when(col("_fk").isNotNull && col("_hit").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
+          .select(lit(rel).as("relationship"), col("n_rows"),
+            col("n_null_fk"), col("n_orphans"))
+      audit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionByName(audit("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(audit("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .unionByName(audit("customer->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+    },
+
     q("q_profile",
       """SELECT count(*) AS n_rows,
         |  CAST(count(*) - count(l_partkey) AS BIGINT) AS partkey_nulls,
