@@ -94,5 +94,8 @@ object GraftExtensions {
     f("theta_a_not_b", "theta_a_not_b(a, b) — sketch of A \\ B") {
       xs => ThetaANotB(xs(0), xs(1)) },
     f("theta_estimate", "theta_estimate(sketch) — distinct estimate") {
-      xs => ThetaEstimate(xs(0)) })
+      xs => ThetaEstimate(xs(0)) },
+    f("sorted_intersect_count",
+      "sorted_intersect_count(a, b) — set-intersection size of two sorted string arrays") {
+      xs => SortedIntersectCount(xs(0), xs(1)) })
 }

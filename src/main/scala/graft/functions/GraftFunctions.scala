@@ -24,6 +24,8 @@ object GraftFunctions {
   def winnow_fingerprint(text: Column, ngram: Int, window: Int): Column =
     col(WinnowFingerprint(e(text), ngram, window))
   def word_shingles(tokens: Column, n: Int): Column = col(WordShingles(e(tokens), n))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    col(SortedIntersectCount(e(a), e(b)))
   def top_ngram_run(tokens: Column, n: Int): Column = col(TopNgramRun(e(tokens), n))
   def unicode_norm(text: Column, form: String): Column = col(UnicodeNormalize(e(text), form))
   def strip_accents(text: Column): Column = col(StripAccents(e(text)))

@@ -308,6 +308,26 @@ case class MinHashBands(child: Expression, k: Int, bands: Int) extends UnaryExpr
 object TextShingling {
   private val SPACE: UTF8String = UTF8String.fromString(" ")
 
+  /** Two-pointer set-intersection size of two ascending-sorted string
+    * arrays (see [[SortedIntersectCount]]). Equal runs advance both
+    * pointers past the whole run, so duplicates count once per side. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c == 0) {
+        n += 1
+        val v = x
+        i += 1; while (i < na && a.getUTF8String(i).compareTo(v) == 0) i += 1
+        j += 1; while (j < nb && b.getUTF8String(j).compareTo(v) == 0) j += 1
+      } else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** Distinct word n-gram shingles (insertion order) of a token array.
     * n = 1 → distinct tokens; fewer than n tokens → empty. Windows
     * containing a null token are skipped. */
@@ -379,6 +399,42 @@ object TextShingling {
   * document — it made MinHash banding ~1.2 ms/doc on 300-char docs). Here
   * the token array is evaluated once and shingled in one JVM pass.
   */
+/** sorted_intersect_count(a, b) → INT size of the set intersection of two
+  * string arrays that are BOTH sorted ascending in Spark's string order
+  * (the caller's contract — `sort_array` output qualifies). A two-pointer
+  * merge: O(|a|+|b|) UTF8String binary comparisons, zero allocation —
+  * versus `array_intersect`'s per-row hash-set build, which measured as
+  * ~85 % of the PPJoin verify stage at sf0.1. Inputs are treated as sets
+  * (duplicates counted once), matching `array_intersect` semantics on
+  * distinct-element arrays. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<string>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextShingling.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextShingling.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0 && n <= 64, s"shingle n out of range: $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -18,7 +18,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "int8_encode", "int8_dot",
       "kll_sketch_agg", "kll_union_agg", "kll_quantile", "kll_rank", "kll_n",
       "theta_sketch_agg", "theta_union_agg", "theta_intersect",
-      "theta_a_not_b", "theta_estimate"))
+      "theta_a_not_b", "theta_estimate", "sorted_intersect_count"))
   }
 
   test("every registered SQL function is runnable on a fresh session registry") {

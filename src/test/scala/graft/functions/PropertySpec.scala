@@ -187,4 +187,33 @@ class PropertySpec extends AnyFunSuite {
       assert(adc.eval(null).asInstanceOf[Double] === expected)
     }
   }
+  test("sortedIntersectCount kernel equals set intersection on random sorted arrays") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 300) {
+      val a = List.fill(rnd.nextInt(30))(words(rnd.nextInt(words.length))).sorted
+      val b = List.fill(rnd.nextInt(30))(words(rnd.nextInt(words.length))).sorted
+      val got = TextShingling.sortedIntersectCount(toArrayData(a), toArrayData(b))
+      // set semantics: duplicates count once per side
+      assert(got === (a.toSet intersect b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("sorted_intersect_count: codegen and interpreted paths agree through SQL") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("m"), Seq("m"))
+    ).toDF("a", "b")
+    val viaExpr = df.select(
+        GraftFunctions.sorted_intersect_count($"a", $"b"))
+      .as[Int].collect().toSeq
+    assert(viaExpr === Seq(2, 0, 1))
+    // interpreted fallback must agree (array_intersect as the reference)
+    val ref = df.select(size(array_intersect($"a", $"b"))).as[Int].collect().toSeq
+    assert(viaExpr === ref)
+  }
+
 }
