@@ -278,11 +278,16 @@ object Dedup {
   /** Exact Jaccard over shingle sets for a pair DataFrame (id_a, id_b). */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, textCol: String,
                     idCol: String, shingleN: Int): DataFrame = {
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("_sh"))
+    // sorted once per doc row so the verify is the codegen'd two-pointer
+    // merge (the prefixJaccardPairs kernel), not a per-pair hash set
+    val sh = df.select(col(idCol),
+      sort_array(shingles(col(textCol), shingleN)).as("_sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      .withColumn("inter",
+        graft.functions.GraftFunctions.sorted_intersect_count(
+          col("_sh_a"), col("_sh_b")))
       .withColumn("uni", size(col("_sh_a")) + size(col("_sh_b")) - col("inter"))
       .withColumn("jaccard",
         when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
@@ -749,9 +754,10 @@ object Dedup {
     val cand = minhashBands(trOk, textCol, idCol, shingleN, numHashes, bands)
       .join(broadcast(teB), Seq("band_idx", "band_hash"))
       .select(col(idCol), col("_hid")).distinct()
-    val trSh = trOk.select(col(idCol), shingles(col(textCol), shingleN).as("_sh_a"))
+    val trSh = trOk.select(col(idCol),
+      sort_array(shingles(col(textCol), shingleN)).as("_sh_a"))
     val teSh = teOk.select(col(idCol).as("_hid"),
-      shingles(col(textCol), shingleN).as("_sh_b"))
+      sort_array(shingles(col(textCol), shingleN)).as("_sh_b"))
     // attach holdout shingle sets to the candidate ids FIRST and broadcast
     // the result (bounded: candidates ≈ true hits + the 0.2^48-rare band
     // FPs, each carrying one holdout set) — joining cand to trSh the other
@@ -760,7 +766,9 @@ object Dedup {
     // to do
     val candSh = cand.join(broadcast(teSh), Seq("_hid"))
     trSh.join(broadcast(candSh), Seq(idCol))
-      .withColumn("_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      .withColumn("_inter",
+        graft.functions.GraftFunctions.sorted_intersect_count(
+          col("_sh_a"), col("_sh_b")))
       .withColumn("_j",
         col("_inter") / (size(col("_sh_a")) + size(col("_sh_b")) - col("_inter")))
       .filter(col("_j") >= threshold)

@@ -128,7 +128,8 @@ class PlanSpec extends AnyFunSuite {
     // scanned, never shuffled, which is the whole point of the increment
     assert(p.contains("BroadcastHashJoin"), p)
     // the exact-Jaccard verify joins shingle sets back by candidate id
-    assert(p.contains("array_intersect"), p)
+    // (two-pointer sorted-intersect kernel since r8)
+    assert(p.contains("sorted_intersect_count"), p)
   }
 
   test("TPC-H shapes: dims broadcast (by hint), facts sort-merge, top-k bounded") {
