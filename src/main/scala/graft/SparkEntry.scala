@@ -2342,12 +2342,14 @@ object SparkEntry {
     q("q_scd2",
       """WITH c AS (
         |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
         |    lag(event_type) OVER (PARTITION BY user_id
         |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
         |  FROM events),
         |ch AS (
         |  SELECT user_id, event_type, ts, event_id
-        |  FROM c WHERE prev IS DISTINCT FROM event_type)
+        |  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  strftime(lead(CAST(ts AS TIMESTAMP)) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
@@ -2371,12 +2373,14 @@ object SparkEntry {
     q("q_scd2_merge",
       """WITH c AS (
         |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
         |    lag(event_type) OVER (PARTITION BY user_id
         |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
         |  FROM events),
         |ch AS (
         |  SELECT user_id, event_type, ts, event_id
-        |  FROM c WHERE prev IS DISTINCT FROM event_type)
+        |  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  strftime(lead(CAST(ts AS TIMESTAMP)) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
@@ -2401,8 +2405,9 @@ object SparkEntry {
     // any engine, no float accumulation. The oracle replays the identical
     // fold via a RECURSIVE CTE stepping row_number-ordered events (NOT
     // list_reduce — DuckDB 1.0.0 mis-evaluates multi-row batches, the
-    // q_funnel lesson); `//` and Spark's `div` agree on the non-negative
-    // scaled domain.
+    // q_funnel lesson); Spark's shiftright(·,1) and DuckDB's `//` are
+    // both FLOOR division, so the fold agrees for every sign of the
+    // scaled value, refunds included.
     q("q_ewma",
       """WITH RECURSIVE x AS (
         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,

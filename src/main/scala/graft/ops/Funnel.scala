@@ -460,7 +460,10 @@ object Funnel {
   def trendSlopes(events: DataFrame, tsCol: String, typeCol: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def big(c: Column): Column = c.cast(dec38)
-    val daily = dailyCounts(events, tsCol, typeCol)
+    // dailyCounts' count column is named "x" — alias it to the
+    // regression's y up front so the OLS sums read sx/sy/sxy/sxx over
+    // matching names (x = day offset, y = daily count, as in the oracle)
+    val daily = dailyCounts(events, tsCol, typeCol).withColumnRenamed("x", "_y")
     val withX = daily
       .withColumn("_x",
         datediff(col("day"),
@@ -471,8 +474,8 @@ object Funnel {
       .groupBy(col(typeCol))
       .agg(count(lit(1)).as("n_days"),
         sum(big(col("_x"))).as("_sx"),
-        sum(big(col("x"))).as("_sy"),
-        sum(big(col("_x")) * big(col("x"))).as("_sxy"),
+        sum(big(col("_y"))).as("_sy"),
+        sum(big(col("_x")) * big(col("_y"))).as("_sxy"),
         sum(big(col("_x")) * big(col("_x"))).as("_sxx"))
       .withColumn("_num",
         big(col("n_days")) * col("_sxy") - col("_sx") * col("_sy"))
@@ -670,39 +673,45 @@ object Funnel {
   def mergeDailyCounts(slices: DataFrame, typeCol: String): DataFrame =
     slices.groupBy(col(typeCol), col("day")).agg(sum(col("x")).as("x"))
 
-  /** [[cusumChangepoints]] from a prebuilt daily-count table. */
+  /** [[cusumChangepoints]] from a prebuilt daily-count table.
+    *
+    * The one-sided CUSUM recurrence s_i = max(0, s_{i−1} + z_i) has the
+    * exact closed form s_i = P_i − min(0, min_{j≤i} P_j) with P the
+    * prefix sum of z (the max-subarray-suffix identity: s_i is the best
+    * sum ending at i, floored at the empty suffix). So instead of an
+    * array-accumulator fold (which buffered each type's whole series in
+    * one row and paid O(days²) element copies in per-step `concat`),
+    * the scan is two window passes over the (type, day) spine — prefix
+    * sum, then running min — sharing ONE exchange and ONE sort. No
+    * collect_list anywhere; memory per row is constant regardless of
+    * spine length, so the op now holds at fine-grained time buckets too.
+    *
+    * Exactness: all LONG — z_i = n·x_i − Σx − k·n, so |P_i| ≤
+    * days·max|z| ≈ 10³·10¹⁵ = 10¹⁸ at 10³ days × 10¹²-count days,
+    * inside 2⁶³ ≈ 9.2·10¹⁸ (tighter headroom than the fold's |S·n| but
+    * still exact through every realistic spine). */
   def cusumFromDaily(daily: DataFrame, typeCol: String,
                      driftK: Int, thresholdH: Int): DataFrame = {
     require(driftK >= 0, s"driftK must be ≥ 0: $driftK")
     require(thresholdH > 0, s"thresholdH must be positive: $thresholdH")
-    val series = daily
-      .groupBy(col(typeCol))
-      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("_arr"),
-        count(lit(1)).as("_n"), sum(col("x")).as("_total"))
-    // scan with an array accumulator: each step appends (day, x, S⁺, S⁻);
-    // the lambda sees the per-type scalars via the enclosing row
-    val folded = series.withColumn("_out", expr(
-      """aggregate(
-        |  _arr,
-        |  named_struct('sp', cast(0 as long), 'sn', cast(0 as long),
-        |    'acc', cast(array() as array<struct<day:date,x:bigint,sp:bigint,sn:bigint>>)),
-        |  (a, e) -> named_struct(
-        |    'sp', greatest(cast(0 as long), a.sp + _n * e.x - _total - _drift * _n),
-        |    'sn', greatest(cast(0 as long), a.sn - _n * e.x + _total - _drift * _n),
-        |    'acc', concat(a.acc, array(named_struct(
-        |      'day', e.day,
-        |      'x', cast(e.x as bigint),
-        |      'sp', greatest(cast(0 as long), a.sp + _n * e.x - _total - _drift * _n),
-        |      'sn', greatest(cast(0 as long), a.sn - _n * e.x + _total - _drift * _n))))),
-        |  a -> a.acc)""".stripMargin
-        .replace("_drift", driftK.toString)))
-    folded
-      .select(col(typeCol), col("_n"), explode(col("_out")).as("_e"))
-      .select(col(typeCol), col("_e.day").as("day"), col("_e.x").as("n_events"),
-        round(col("_e.sp").cast("double") / col("_n"), 6).as("s_pos"),
-        round(col("_e.sn").cast("double") / col("_n"), 6).as("s_neg"),
-        (col("_e.sp") > lit(thresholdH.toLong) * col("_n") ||
-         col("_e.sn") > lit(thresholdH.toLong) * col("_n")).as("is_change"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(col(typeCol))
+    val wRun = W.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val zp = col("_n") * col("x") - col("_total") - lit(driftK.toLong) * col("_n")
+    val zn = -col("_n") * col("x") + col("_total") - lit(driftK.toLong) * col("_n")
+    daily
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_total", sum(col("x")).over(wAll))
+      .withColumn("_pp", sum(zp).over(wRun))
+      .withColumn("_pn", sum(zn).over(wRun))
+      .withColumn("_sp", col("_pp") - least(lit(0L), min(col("_pp")).over(wRun)))
+      .withColumn("_sn", col("_pn") - least(lit(0L), min(col("_pn")).over(wRun)))
+      .select(col(typeCol), col("day"), col("x").cast("long").as("n_events"),
+        round(col("_sp").cast("double") / col("_n"), 6).as("s_pos"),
+        round(col("_sn").cast("double") / col("_n"), 6).as("s_neg"),
+        (col("_sp") > lit(thresholdH.toLong) * col("_n") ||
+         col("_sn") > lit(thresholdH.toLong) * col("_n")).as("is_change"))
   }
 
   /** Slowly-changing-dimension Type-2 history build: collapse an event
@@ -731,10 +740,17 @@ object Funnel {
                   tsCol: String, tieCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    // row 1 opens version 1 UNCONDITIONALLY, guarded by row_number — a
+    // bare `!(lag <=> attr)` silently drops the first run when its attr
+    // is null, because lag's "no previous row" null is indistinguishable
+    // from a null previous VALUE (the scd2Merge presence-marker lesson,
+    // one level down). Both window functions share the one (entity)-grain
+    // Window operator, so this adds no exchange and no sort.
     events
       .select(col(entityCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("_rn", row_number().over(w))
       .withColumn("_prev", lag(col(attrCol), 1).over(w))
-      .filter(!(col("_prev") <=> col(attrCol)))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attrCol)))
       .select(col(entityCol), col(attrCol),
         col(tsCol).as("valid_from"),
         lead(col(tsCol), 1).over(
@@ -767,10 +783,15 @@ object Funnel {
                 attrCol: String, tsCol: String, tieCol: String): DataFrame = {
     val dv = scd2History(delta, entityCol, attrCol, tsCol, tieCol)
     // per entity: the delta's first run (decides how the open row
-    // stitches) and the history's open row (attr + last version)
+    // stitches) and the history's open row (attr + last version).
+    // Presence is an EXPLICIT marker (_hasDelta/_hasOpen), never attr
+    // nullness — scd2History itself supports null attribute values
+    // (null-safe lag compare), so "attr is null after the outer join"
+    // is ambiguous between "row absent" and "row present, attr null".
     val firstRun = dv.filter(col("version") === 1)
       .select(col(entityCol), col(attrCol).as("_a1"),
-        col("valid_from").as("_f1"), col("valid_to").as("_t1"))
+        col("valid_from").as("_f1"), col("valid_to").as("_t1"),
+        lit(1).as("_hasDelta"))
     val open = history.filter(col("valid_to").isNull)
     val closed = history.filter(col("valid_to").isNotNull)
     // open rows: untouched entity → stays open; first delta run has the
@@ -778,20 +799,26 @@ object Funnel {
     // the delta ends inside it); new attr → close at the delta's start
     val openAdj = open.join(firstRun, Seq(entityCol), "left_outer")
       .select(col(entityCol), col(attrCol), col("valid_from"),
-        when(col("_a1").isNull, lit(null).cast(open.schema("valid_to").dataType))
+        when(col("_hasDelta").isNull,
+            lit(null).cast(open.schema("valid_to").dataType))
           .when(col(attrCol) <=> col("_a1"), col("_t1"))
           .otherwise(col("_f1")).as("valid_to"),
         col("version"))
     // delta rows: an absorbed first run vanishes; the rest renumber after
-    // the entity's last version (minus one when run 1 was absorbed)
+    // the entity's last version (minus one when run 1 was absorbed).
+    // Absorption requires an open row to EXIST (_hasOpen) — without the
+    // marker, a brand-new entity whose first run has a null attr would
+    // match `null <=> null` against the nonexistent open row and vanish.
+    val absorbed = col("_hasOpen").isNotNull && (col("_ao") <=> col("_a1"))
     val deltaAdj = dv
       .join(open.select(col(entityCol), col(attrCol).as("_ao"),
-        col("version").as("_V")), Seq(entityCol), "left_outer")
+        col("version").as("_V"), lit(1).as("_hasOpen")),
+        Seq(entityCol), "left_outer")
       .join(firstRun.select(col(entityCol), col("_a1")), Seq(entityCol))
-      .filter(!(col("version") === 1 && col("_ao") <=> col("_a1")))
+      .filter(!(col("version") === 1 && absorbed))
       .select(col(entityCol), col(attrCol), col("valid_from"), col("valid_to"),
         (col("version") + coalesce(col("_V"), lit(0)) -
-          when(col("_ao") <=> col("_a1"), 1).otherwise(0)).as("version"))
+          when(absorbed, 1).otherwise(0)).as("version"))
     closed.unionByName(openAdj).unionByName(deltaAdj)
   }
 
@@ -803,6 +830,14 @@ object Funnel {
     * [[dailyAnomalies]] stance: no floating-point accumulation anywhere).
     * α = 1/2 is the fold whose halving is exact in integers; arbitrary α
     * would reintroduce per-step rounding drift between engines.
+    *
+    * ⌊·⌋ is FLOOR division for every sign, implemented as the arithmetic
+    * shift `shiftright(s + x, 1)` — NOT SQL's `div`, which truncates
+    * toward zero and diverges from a floor-dividing engine (DuckDB `//`,
+    * Python) as soon as a scaled value is negative (refunds,
+    * adjustments). Signed value columns are therefore fully supported
+    * and engine-portable; EwmaSignSpec pins the negative-domain fold
+    * against a JVM Math.floorDiv replay.
     *
     * Returns (entity, n_events, ewma DOUBLE) — ewma is the final state
     * divided back by `scale`, one exact division.
@@ -827,7 +862,7 @@ object Funnel {
         transform(sort_array(collect_list(col("_e"))), e => e.getField("_x"))
           .as("_vals"))
       .withColumn("_acc", expr(
-        "aggregate(slice(_vals, 2, size(_vals) - 1), _vals[0], (a, x) -> (a + x) div 2)"))
+        "aggregate(slice(_vals, 2, size(_vals) - 1), _vals[0], (a, x) -> shiftright(a + x, 1))"))
       .select(col(entityCol), col("n_events"),
         (col("_acc").cast("double") / scale).as("ewma"))
   }

@@ -289,6 +289,22 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 5.17)))
   }
 
+  test("ewma: signed values fold with FLOOR division, matching Math.floorDiv replay") {
+    // refund-shaped stream: the fold must floor (shiftright), not
+    // truncate toward zero — (-3 + 0)/2 is -2 floored, -1 truncated
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(-0.03, 0.0, -5.25, 2.0, -1.01) ++
+      (1 to 40).map(_ => rnd.nextInt(2001) / 100.0 - 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, v, i.toLong, i.toLong) }
+      .toDF("user_id", "value", "t", "event_id")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val got = Funnel.ewmaHalf(df, "user_id", "value", "ts", "event_id")
+      .as[(Long, Long, Double)].collect().head
+    val scaled = vals.map(v => Math.round(v * 100))
+    val expect = scaled.tail.foldLeft(scaled.head)((a, x) => Math.floorDiv(a + x, 2L))
+    assert(got === ((1L, vals.size.toLong, expect.toDouble / 100)))
+  }
+
   test("cusum: planted level shift matches a hand fold, both sides flag") {
     // one event per (day, count) unit: day d gets x_d events of type 'a'
     val xs = Seq(10, 10, 10, 10, 10, 20, 20, 20, 20, 20)
@@ -342,8 +358,13 @@ class FunnelSpec extends AnyFunSuite {
   test("scd2 merge: incremental ≡ batch recompute on random split streams") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 4) {
+      // null is a legal attribute VALUE (null-safe run compare in
+      // scd2History) — the merge must not confuse it with row absence, so
+      // ~1/4 of attrs are null, including entities whose very first delta
+      // run is null and entities the history has never seen
       val rows = (1 to 300).map { i =>
-        (rnd.nextInt(8).toLong, Seq("a", "b", "c")(rnd.nextInt(3)),
+        (rnd.nextInt(8).toLong,
+          Seq("a", "b", "c", null)(rnd.nextInt(4)).asInstanceOf[String],
           i.toLong, i.toLong)
       }
       def df(xs: Seq[(Long, String, Long, Long)]) =
@@ -361,6 +382,30 @@ class FunnelSpec extends AnyFunSuite {
         df(delta), "user_id", "attr", "ts", "event_id")
       assert(rowsOf(incr) === rowsOf(batch), s"trial=$trial")
     }
+    // edge (the null-sentinel traps, pinned deterministically): a NEW
+    // entity whose first delta run has a null attr keeps its version-1
+    // row, and an existing entity whose delta starts with a null-attr
+    // run closes the open row — exactly one open version each
+    locally {
+      val oldN = Seq((Some(1L), Option("a"), 1L, 1L))
+      val delN = Seq((Some(1L), Option.empty[String], 5L, 5L),
+        (Some(2L), Option.empty[String], 6L, 6L))
+      def dfo(xs: Seq[(Option[Long], Option[String], Long, Long)]) =
+        xs.toDF("user_id", "attr", "t", "event_id")
+          .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+      val batchN = Funnel.scd2History(dfo(oldN ++ delN),
+        "user_id", "attr", "ts", "event_id")
+      val incrN = Funnel.scd2Merge(
+        Funnel.scd2History(dfo(oldN), "user_id", "attr", "ts", "event_id"),
+        dfo(delN), "user_id", "attr", "ts", "event_id")
+      def setOf(d: org.apache.spark.sql.DataFrame) = d
+        .select($"user_id", $"attr", $"valid_to".isNull.as("open"), $"version")
+        .as[(Long, Option[String], Boolean, Int)].collect().toSet
+      assert(setOf(incrN) === setOf(batchN))
+      assert(setOf(incrN).count(r => r._1 == 1L && r._3) === 1)
+      assert(setOf(incrN).exists(r => r._1 == 2L && r._2.isEmpty && r._4 == 1))
+    }
+
     // edge: delta contains only entities the history has never seen
     val h = Funnel.scd2History(
       Seq((1L, "a", 1L, 1L)).toDF("user_id", "attr", "t", "event_id")
