@@ -97,5 +97,8 @@ object GraftExtensions {
       xs => ThetaEstimate(xs(0)) },
     f("sorted_intersect_count",
       "sorted_intersect_count(a, b) — set-intersection size of two sorted string arrays") {
-      xs => SortedIntersectCount(xs(0), xs(1)) })
+      xs => SortedIntersectCount(xs(0), xs(1)) },
+    f("bpe_encode",
+      "bpe_encode(tokens, merges) — apply learned BPE merges ('left right' entries, priority order)") {
+      xs => BpeEncode(xs(0), xs(1)) })
 }

@@ -110,7 +110,7 @@ object SparkEntry {
     * double-space symbol encoding, a (count DESC, lexicographic) top-1,
     * and the same single `replace` that performs the greedy merge.
     * Generated so every step's arithmetic is character-identical. */
-  private def bpeOracle(nMerges: Int): String = {
+  private def bpeTrainChain(nMerges: Int): String = {
     val head =
       """WITH tok AS (
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -138,11 +138,56 @@ object SparkEntry {
          |                 ' ' || left_sym || right_sym || ' ') AS s, cnt
          |  FROM s${i - 1} CROSS JOIN t$i)""".stripMargin
     }.mkString
+    head + steps
+  }
+
+  private def bpeOracle(nMerges: Int): String = {
     val out = (1 to nMerges)
       .map(i => s"SELECT $i AS step, left_sym, right_sym, " +
         s"CAST(c AS BIGINT) AS pair_count FROM t$i")
       .mkString("\n", "\nUNION ALL\n", "")
-    head + steps + out
+    bpeTrainChain(nMerges) + out
+  }
+
+  /** DuckDB replay of train→ENCODE ([[graft.functions.BpeCodec.encode]]):
+    * the learned merge table t1..tN comes from the identical unrolled
+    * train chain, then each DISTINCT word encodes through the SAME
+    * per-step `replace` the trainer applies to its vocabulary — one
+    * replace per learned merge, in learned order — and per-document
+    * subword sequences reassemble by joining words back in position
+    * order. Character-identical arithmetic on both sides: the Spark
+    * kernel's array scan was derived from (and unit-pinned to) the
+    * double-space replace semantics. */
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val enc = (1 to nMerges).map { i =>
+      s""",
+         |e$i AS MATERIALIZED (
+         |  SELECT w, replace(s, ' ' || left_sym || '  ' || right_sym || ' ',
+         |                    ' ' || left_sym || right_sym || ' ') AS s
+         |  FROM e${i - 1} CROSS JOIN t$i)""".stripMargin
+    }.mkString
+    bpeTrainChain(nMerges) +
+      s""",
+         |tokd AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    t -> t <> '') AS tk
+         |  FROM documents),
+         |wrds AS (
+         |  SELECT doc_id, i AS pos, tk[i+1] AS w
+         |  FROM tokd, unnest(range(0, len(tk))) u(i)),
+         |e0 AS MATERIALIZED (
+         |  SELECT w, ' ' || array_to_string(string_split_regex(w, ''), '  ') || ' ' AS s
+         |  FROM (SELECT DISTINCT w FROM wrds))$enc,
+         |enc AS (
+         |  SELECT w, string_split(trim(s), '  ') AS syms FROM e$nMerges),
+         |perdoc AS (
+         |  SELECT wr.doc_id, flatten(list(e.syms ORDER BY wr.pos)) AS syms
+         |  FROM wrds wr JOIN enc e USING (w)
+         |  GROUP BY wr.doc_id)
+         |SELECT doc_id, CAST(len(syms) AS INT) AS n_sub,
+         |  array_to_string(syms[1:10], ' ') AS sub_prefix,
+         |  md5(array_to_string(syms, ' ')) AS sub_md5
+         |FROM perdoc""".stripMargin
   }
 
   /** Order-independent exact sum of a fixed-scale value: accumulate
@@ -3720,6 +3765,32 @@ object SparkEntry {
     // CTE chain, the q_pagerank pattern).
     q("q_bpe_train", bpeOracle(nMerges = 8)) { (s, d) =>
       ops.TextAnalysis.bpeMerges(Tables.documents(s, d), "text", nMerges = 8)
+    },
+
+    // BPE merge APPLICATION (functions.BpeEncode) — the train→encode
+    // lifecycle in one registered row: the distributed trainer's merge
+    // table is collected (nMerges-bounded artifact, memoized like every
+    // index artifact), baked into the codegen kernel as a plan-time
+    // literal, and applied per document in ONE scan-side pass — the
+    // actual tokenizer a training pipeline runs per document at 100 TB
+    // (no shuffle; merges broadcast). Verified EXACTLY: per-doc subword
+    // count, the first-10-symbol prefix, and an md5 over the full
+    // subword sequence, against a DuckDB oracle that replays the same
+    // merges through the trainer's own replace chain per distinct word.
+    q("q_bpe_encode", bpeEncodeOracle(nMerges = 8)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = indexArtifact(s"bpe-merges:8:$d") {
+        ops.TextAnalysis.bpeMerges(docs, "text", nMerges = 8)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      }
+      docs.select(col("doc_id"),
+          bpe_encode(Dedup.tokens(col("text")), merges).as("_syms"))
+        .filter(size(col("_syms")) > 0)
+        .select(col("doc_id"),
+          size(col("_syms")).as("n_sub"),
+          concat_ws(" ", slice(col("_syms"), 1, 10)).as("sub_prefix"),
+          md5(concat_ws(" ", col("_syms"))).as("sub_md5"))
     },
 
     q("q_bpe_tokens",

@@ -27,6 +27,14 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(e(a), e(b)))
   def top_ngram_run(tokens: Column, n: Int): Column = col(TopNgramRun(e(tokens), n))
+  def bpe_encode(tokens: Column, merges: Column): Column =
+    col(BpeEncode(e(tokens), e(merges)))
+  /** bpe_encode with the trainer's collected (left, right) merge artifact
+    * baked in as a literal — the production shape: nMerges-bounded
+    * broadcast, parsed once at plan time. */
+  def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
+    bpe_encode(tokens,
+      org.apache.spark.sql.functions.lit(merges.map { case (l, r) => s"$l $r" }.toArray))
   def unicode_norm(text: Column, form: String): Column = col(UnicodeNormalize(e(text), form))
   def strip_accents(text: Column): Column = col(StripAccents(e(text)))
   def int8_encode(vec: Column): Column = col(Int8Encode(e(vec)))
