@@ -384,6 +384,65 @@ object SparkEntry {
       |  CAST(1 AS BOOLEAN) AS scores_exact
       |FROM sims ORDER BY sim DESC, vec_id LIMIT 1""".stripMargin
 
+  /** DuckDB replay of [[ops.Knn.kmeansFit]] (k, `iters` unrolled Lloyd
+    * iterations on the 10⁻⁶ integer grid: k-smallest-id init, exact
+    * integer argmin with smaller-cid ties, remainder-based
+    * round-half-away means, empty-cell carry) followed by
+    * [[ops.Knn.kmeansAssign]] serve-time assignment and the SemDeDup
+    * within-cell pair stage — the trainer's whole trajectory is
+    * bit-reproducible, so the emitted PAIR SET is an exact cross-engine
+    * oracle, not a contract. */
+  private def kmeansSemdedupOracle(k: Int, iters: Int, threshold: String): String = {
+    val head =
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |a$i AS MATERIALIZED (
+         |  SELECT vec_id, qv,
+         |    (SELECT c.cid FROM c${i - 1} c
+         |     ORDER BY list_sum(list_transform(range(1, len(qv) + 1),
+         |       j -> (qv[j] - c.cv[j]) * (qv[j] - c.cv[j]))), c.cid
+         |     LIMIT 1) AS cell
+         |  FROM q),
+         |s$i AS (
+         |  SELECT cell, j, sum(qv[j]) AS s, count(*) AS n
+         |  FROM (SELECT cell, qv, unnest(range(1, len(qv) + 1)) AS j FROM a$i)
+         |  GROUP BY cell, j),
+         |m$i AS (
+         |  SELECT cell, j, CAST(CASE WHEN s < 0 THEN -u ELSE u END AS BIGINT) AS v
+         |  FROM (SELECT cell, j,
+         |          (abs(s) // n) + CASE WHEN (abs(s) % n) * 2 >= n THEN 1 ELSE 0 END AS u,
+         |          s
+         |        FROM s$i)),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cell AS cid, list(v ORDER BY j) AS cv FROM m$i GROUP BY cell) u
+         |  ON u.cid = p.cid)""".stripMargin
+    }.mkString
+    head + steps +
+      s""",
+         |af AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    (SELECT c.cid FROM c$iters c
+         |     ORDER BY list_sum(list_transform(range(1, len(qv) + 1),
+         |       j -> (qv[j] - c.cv[j]) * (qv[j] - c.cv[j]))), c.cid
+         |     LIMIT 1) AS cell
+         |  FROM q)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+         |FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= $threshold""".stripMargin
+  }
+
   /** Shared ANN-probe contract aggregate (see the q_ivf_knn/q_lsh_knn
     * oracle comment): one row of (n_in_bounds, top1_id, top1_score,
     * scores_exact) over an ANN result of (ann_id, score). The join back to
@@ -4295,6 +4354,29 @@ object SparkEntry {
       // cells, where one mega-cell genuinely serializes (Dedup scaladoc).
       Dedup.semanticNearDupsSeeded(emb, "embedding", "vec_id",
         seeds, threshold = 0.35)
+    },
+
+    // SemDeDup over CORPUS-TRAINED cells — the production wiring the
+    // seeded variant above stands in for: the distributed Lloyd trainer
+    // (Knn.kmeansFit, exact integer trajectory) produces the quantizer,
+    // Knn.kmeansAssign routes every vector to its cell with the trainer's
+    // own metric and tie rules (one scan-side projection, centroids a k×d
+    // literal), and the pair stage runs within cells only. The oracle is
+    // EXACT, not a contract: DuckDB replays the full 2-iteration training
+    // trajectory plus assignment, so the pair sets must match
+    // row-for-row. Threshold 0.3: this corpus's pair-cosine ceiling is
+    // ~0.51 and 16 trained cells slice it finer than the 8 seeded ones,
+    // so the gate keeps a non-trivial pair set at every SF.
+    q("q_kmeans_semdedup",
+      kmeansSemdedupOracle(k = 16, iters = 2, threshold = "0.3")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = indexArtifact(s"kmeans-semdedup-centroids:$d") {
+        Knn.kmeansFit(emb, "embedding", "vec_id", k = 16, iterations = 2)
+          .orderBy("cell").collect().map(_.getSeq[Long](2)).toSeq
+      }
+      Dedup.semanticNearDupsAssigned(
+        Knn.kmeansAssign(emb, "embedding", cents),
+        "embedding", "vec_id", "_cell", threshold = 0.3)
     },
 
     // Int8 scalar quantization + quantized top-k probe: per-vector max-abs

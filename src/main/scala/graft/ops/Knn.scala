@@ -133,21 +133,8 @@ object Knn {
       if (s < 0) -up else up
     }
     for (_ <- 0 until iterations) {
-      val cLit = array(centroids.zipWithIndex.map { case (cv, cid) =>
-        struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
-      }: _*)
-      // fold over the centroid structs: carry (best d², best cid); strict <
-      // keeps the earlier (smaller) cid on ties since cLit is cid-ascending
       val assigned = q.select(col(idCol), col("_qv"),
-        aggregate(cLit,
-          struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid")),
-          (acc, c) => {
-            val d2 = aggregate(
-              zip_with(col("_qv"), c.getField("cv"), (a, b) => (a - b) * (a - b)),
-              lit(0L), (s, x) => s + x)
-            when(d2 < acc.getField("d"),
-              struct(d2.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-          }).getField("cid").as("_cell"))
+        gridArgminCell(col("_qv"), centroids.map(_.toSeq).toSeq).as("_cell"))
       val aggs = (0 until dim).map(i =>
         sum(element_at(col("_qv"), i + 1)).as(s"_s$i")) :+ count(lit(1)).as("_n")
       val rows = assigned.groupBy(col("_cell")).agg(aggs.head, aggs.tail: _*)
@@ -178,6 +165,45 @@ object Knn {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType, containsNull = false),
           nullable = false))))
+  }
+
+  /** argmin exact integer squared distance over k grid centroids riding
+    * as a plan-time literal: a per-row codegen'd HOF fold carrying
+    * (best d², best cid) — strict < keeps the earlier (smaller) cid on
+    * ties since the literal is cid-ascending. NO join, NO shuffle, no
+    * n×k row blowup — the assignment expression [[kmeansFit]] trains
+    * with and [[kmeansAssign]] serves with, shared so the two can never
+    * disagree. */
+  private def gridArgminCell(qv: Column, centroids: Seq[Seq[Long]]): Column = {
+    val cLit = array(centroids.zipWithIndex.map { case (cv, cid) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    aggregate(cLit,
+      struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid")),
+      (acc, c) => {
+        val d2 = aggregate(
+          zip_with(qv, c.getField("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x)
+        when(d2 < acc.getField("d"),
+          struct(d2.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
+  }
+
+  /** Serve-time cell assignment for a [[kmeansFit]] artifact: quantize
+    * each vector with the trainer's round(v·quantScale) and argmin the
+    * exact integer squared distance over the k grid centroids, ties to
+    * the smaller cell id — the trainer's own metric and conventions, so
+    * train-time and serve-time assignments agree bit-for-bit (the
+    * SemDeDup / IVF-routing wiring). One scan-side projection; the
+    * centroid table is a k×d literal. */
+  def kmeansAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Long]],
+                   quantScale: Long = 1000000L,
+                   cellCol: String = "_cell"): DataFrame = {
+    require(centroids.nonEmpty, "kmeansAssign needs at least one centroid")
+    df.withColumn("_kq",
+        transform(col(vecCol), x => round(x.cast("double") * quantScale).cast("long")))
+      .withColumn(cellCol, gridArgminCell(col("_kq"), centroids))
+      .drop("_kq")
   }
 
   /** Deterministic Lloyd k-means over a driver-side sample — the coarse

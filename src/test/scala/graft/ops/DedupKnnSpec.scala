@@ -220,6 +220,38 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(k3.map(_._1).sorted.toSeq === Seq(0, 1, 2))
   }
 
+  test("kmeansAssign: serve-time cells match a brute integer argmin, ties to smaller cid") {
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)), (3L, Array(0.0f, 0.1f)),
+      (4L, Array(5.0f, 5.0f)), (5L, Array(5.1f, 5.0f)), (6L, Array(5.0f, 5.1f)),
+      (7L, Array(2.5f, 2.5f))  // exactly equidistant from symmetric centroids
+    ).toDF("vec_id", "embedding")
+    val cents: Seq[Seq[Long]] =
+      Seq(Seq(0L, 0L), Seq(5000000L, 5000000L), Seq(0L, 0L)) // cid 2 duplicates cid 0
+    val got = Knn.kmeansAssign(pts, "embedding", cents)
+      .select($"vec_id", $"_cell").as[(Long, Int)].collect().toMap
+    def d2(v: Seq[Long], c: Seq[Long]) =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val brute = Seq(1L -> Seq(0L, 0L), 2L -> Seq(100000L, 0L), 3L -> Seq(0L, 100000L),
+      4L -> Seq(5000000L, 5000000L), 5L -> Seq(5100000L, 5000000L),
+      6L -> Seq(5000000L, 5100000L), 7L -> Seq(2500000L, 2500000L))
+      .map { case (id, qv) =>
+        id -> cents.zipWithIndex.minBy { case (c, cid) => (d2(qv, c), cid) }._2
+      }.toMap
+    assert(got === brute)
+    assert(got(7L) === 0)   // tie (cid 0 vs 1 equidistant) → smaller cid
+    assert(!got.values.exists(_ == 2)) // duplicate centroid never wins a tie
+    // serve-time assignment of the trainer's OWN final update reproduces
+    // the fit trajectory: assigning under fit centroids and re-running
+    // one more update step changes nothing once converged
+    val fit = Knn.kmeansFit(pts, "embedding", "vec_id", k = 2, iterations = 4)
+      .orderBy("cell").as[(Int, Long, Seq[Long])].collect()
+    val served = Knn.kmeansAssign(pts, "embedding", fit.map(_._3).toSeq)
+      .groupBy("_cell").count().orderBy("_cell")
+      .as[(Int, Long)].collect().toMap
+    fit.foreach { case (cell, n, _) => assert(served.getOrElse(cell, 0L) === n) }
+  }
+
   test("knn topK matches brute force on real embeddings") {
     val e = graft.Tables.embeddings(spark, TestSpark.sf)
     val probe = e.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0).toArray
