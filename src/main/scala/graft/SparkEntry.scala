@@ -3207,22 +3207,34 @@ object SparkEntry {
         |  round(qs[i], 6) AS exact_q, true AS rank_ok
         |FROM q, unnest([1, 2, 3, 4]) AS t(i)""".stripMargin) { (s, d) =>
       val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      // the 2-column projection materializes ONCE (localCheckpoint, the
+      // bpeMerges stance); the three verification passes — sketch build,
+      // exact percentile, rank check — scan the checkpointed rows
+      // instead of re-reading parquet three times
       val li = Tables.lineitem(s, d)
         .select(col("l_extendedprice").cast("double").as("x"),
           pmod(col("l_orderkey"), lit(8)).as("_slice"))
+        .localCheckpoint(true)
       val slices = ops.CorpusStats.quantileSketches(li, "x", "_slice")
+      // the estimate is a |ps|-row BOUNDED artifact: collect it and fold
+      // the rank check into ONE conditional aggregate — no crossJoin row
+      // expansion, one scan for all four ranks
       val est = ops.CorpusStats.quantilesFromSketches(slices, ps)
-      val exact = li.agg(percentile(col("x"), lit(ps.toArray)).as("_qs"))
-        .select(posexplode(col("_qs")).as(Seq("_i", "_q")))
-        .select(element_at(lit(ps.toArray), col("_i").cast("int") + 1).as("p"),
-          round(col("_q"), 6).as("exact_q"))
-      val ranks = li.crossJoin(broadcast(est))
-        .groupBy(col("p"), col("n"))
-        .agg(sum(when(col("x") <= col("value"), 1L).otherwise(0L)).as("_le"))
-        .select(col("p"),
-          (abs(col("_le").cast("double") / col("n").cast("double") - col("p"))
-            <= lit(0.033)).as("rank_ok"))
-      exact.join(ranks, Seq("p")).select(col("p"), col("exact_q"), col("rank_ok"))
+        .orderBy("p").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      // exact percentiles via the sort-selection op (Spark's built-in
+      // `percentile` boxes every value into a per-group hash map —
+      // measured 1.9 s where the sort path takes ~0.4 s); the sketch-rank
+      // verification counts fold into the op's counting pass for free
+      val (exactQ, leCounts) = ops.CorpusStats.exactQuantiles(
+        li, "x", ps, countAtOrBelow = est.map(_._2))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = ps.indices.map { i =>
+        val (p, _, n) = est(i)
+        (p, r6(exactQ(i)), math.abs(leCounts(i).toDouble / n - p) <= 0.033)
+      }
+      s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
     },
 
     // Approximate heavy hitters (Spark 4's approx_top_k sketch). WHICH items

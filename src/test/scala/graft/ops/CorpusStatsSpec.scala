@@ -8,6 +8,30 @@ class CorpusStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("exactQuantiles: bit-identical to Spark percentile, fused counts exact") {
+    val rnd = new scala.util.Random(31)
+    val vals = Seq.fill(5000)(rnd.nextDouble() * 1000 - 200) ++
+      Seq.fill(50)(42.0) ++ Seq(-1e9, 1e9)   // heavy tie run + extremes
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+      .repartition(7)
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 0.999, 1.0)
+    val thr = Seq(-500.0, 0.0, 42.0, 900.0)
+    val (qs, les) = CorpusStats.exactQuantiles(df, "x", ps, countAtOrBelow = thr)
+    val ref = df.agg(percentile(col("x"), lit(ps.toArray))).head().getSeq[Double](0)
+    // BIT-identical, not approximately: same order statistics, same
+    // two-sided interpolation with the same operation order
+    assert(qs.map(java.lang.Double.doubleToLongBits) ===
+      ref.map(java.lang.Double.doubleToLongBits))
+    val refLe = thr.map(t => vals.count(_ <= t).toLong)
+    assert(les === refLe)
+    // degenerate inputs: single row, all-equal rows
+    val one = Seq((1L, 7.5)).toDF("id", "x")
+    assert(CorpusStats.exactQuantiles(one, "x", Seq(0.0, 0.5, 1.0))._1 ===
+      Seq(7.5, 7.5, 7.5))
+    val same = (1 to 100).map(i => (i.toLong, 3.25)).toDF("id", "x")
+    assert(CorpusStats.exactQuantiles(same, "x", Seq(0.33))._1 === Seq(3.25))
+  }
+
   test("corpus diversity: matches hand-computed mean pairwise cosine") {
     // (1,0), (0,1), (1,0): ordered pairs average = 2·(0+1+0)/(3·2) = 1/3
     val e = Seq(
