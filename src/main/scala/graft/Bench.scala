@@ -84,7 +84,7 @@ object Bench {
     val loadBefore = loadavg()
 
     final case class R(name: String, warm: Double, warmMax: Double,
-                       cold: Double, err: Option[String])
+                       cold: Double, err: Option[String], reruns: Int = 0)
     // Dev loop only (mirrors Verify): SPARK_GRAFT_ONLY=q_a,q_b times a
     // subset. The driver never sets it — round artifacts are always full.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -114,11 +114,24 @@ object Bench {
         // whose min is at the scheduling floor = queueing delay, not cost —
         // three rounds of phantom 4–16× driver spikes were adjudicated by
         // hand before this was recorded).
-        val (w1, e1) = timed()
-        val (w2, e2) = timed()
-        val (w3, e3) = timed()
-        R(name, math.min(w1, math.min(w2, w3)), math.max(w1, math.max(w2, w3)),
-          cold, e1.orElse(e2).orElse(e3))
+        val first = Seq(timed(), timed(), timed())
+        var warms = first.map(_._1)
+        var errOpt = first.flatMap(_._2).headOption
+        // Self-healing: the r8 spread data showed max/min up to 4.7× on
+        // queries whose min sat at the scheduling floor — host noise, not
+        // query cost. A spread above 3× triggers up to 3 extra warm runs
+        // so the reported MIN is taken from a larger sample before the
+        // headline is written (bounded: the r8 data shows ≤10 such
+        // queries per run → ~30 s worst case). The raw spread still
+        // reports max over ALL runs, so the noise stays visible; the
+        // per-query rerun counts land in warm_detail and their total in
+        // the headline.
+        var extra = 0
+        while (errOpt.isEmpty && extra < 3 &&
+               warms.max / math.max(warms.min, 1e-9) > 3.0) {
+          val (w, e) = timed(); warms = warms :+ w; errOpt = e; extra += 1
+        }
+        R(name, warms.min, warms.max, cold, errOpt, extra)
       }
     }
     // The driver archives a bounded log TAIL (measured: 2000 bytes) and
@@ -157,7 +170,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val errs = results.collect { case R(k, _, _, _, Some(e)) =>
+    val errs = results.collect { case R(k, _, _, _, Some(e), _) =>
       jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = results.map(_.warm).sum
@@ -175,19 +188,22 @@ object Bench {
       .map(r => "\"" + r.name + "\":" +
         sec3(r.warmMax / math.max(r.warm, 1e-9)))
       .mkString("{", ",", "}")
+    val rerunMap = results.filter(_.reruns > 0)
+      .map(r => "\"" + r.name + "\":" + r.reruns)
+      .mkString("{", ",", "}")
     val warmLine =
-      s"""{"metric":"warm_detail","unit":"sec","sf":"$sfDir","min_of":3,"errors":$errs,"spread":$spreads,"queries":${m(_.warm)},"value":${sec3(total)}}"""
+      s"""{"metric":"warm_detail","unit":"sec","sf":"$sfDir","min_of":3,"errors":$errs,"spread":$spreads,"reruns":$rerunMap,"queries":${m(_.warm)},"value":${sec3(total)}}"""
     // The headline carries only the NAMES of failed queries — a single
     // AnalysisException message would blow the 2000-byte tail budget the
     // headline exists to fit; full messages live on the warm_detail line
     // and in BENCH_SELF.jsonl. The queries-subset budget shrinks by
     // whatever the error list consumes.
-    val errNames = results.collect { case R(k, _, _, _, Some(_)) => jstr(k) }
+    val errNames = results.collect { case R(k, _, _, _, Some(_), _) => jstr(k) }
       .mkString("[", ",", "]")
     val loadAfter = loadavg()
     val subset = slowestSubset(math.max(200, 1400 - errNames.length))
     val shown = subset.count(_ == ':')
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"reruns":${results.map(_.reruns).sum},"failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
     // Self-contained round artifact (JSON lines: cold, warm_detail,
     // headline) — committed from the repo working dir by the round's
     // closing commit, so the full per-query map survives even when the
