@@ -4010,6 +4010,171 @@ object SparkEntry {
     // and integer-valued double sums, all exact), so the probe must hash-
     // match. The streaming (multi-micro-batch) form of this exact fold is
     // StreamingSpec's "incremental ingest lifecycle" case.
+    // Unified ingest-lifecycle ARTIFACT DASHBOARD — one registered row
+    // answering from EVERY maintained additive artifact at once, each
+    // answer proven ≡ its global recompute. The standing-pipeline story:
+    // events arrive in 8 ingest slices (pmod(event_id, 8); slice 7 is
+    // the delta batch folded in last), documents in 3 snapshots
+    // (doc_id % 3; slice 0 is the delta). Maintained artifacts: HLL
+    // distinct-user sketches per slice, KLL value-quantile sketches per
+    // slice, Theta per-(week, slice) audience sketches, and the
+    // vocab-count table per snapshot. The dashboard answers: corpus
+    // distinct users (exact + HLL with fold≡rebuild and envelope
+    // booleans), p50/p95 of value (EXACT via the sort-selection op, with
+    // the folded KLL's rank checks fused into its counting pass),
+    // week-over-week retained/churned/new for the LAST week pair from
+    // the FOLDED theta sketches (exact-mode at gate scale, so the
+    // numbers must equal DuckDB's true set counts), and base→delta
+    // vocabulary drift as total-variation distance (exact integer
+    // cross-multiplication, one final division). Every boolean is
+    // Spark-proven (fold vs rebuild on the same artifacts); the oracle
+    // recomputes every VALUE from scratch in SQL.
+    q("q_artifact_dashboard",
+      """WITH users AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+        |q AS (SELECT quantile_cont(value, [0.5, 0.95]) AS qs FROM events),
+        |wu AS (
+        |  SELECT DISTINCT
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |    user_id
+        |  FROM events),
+        |wk AS (SELECT DISTINCT week FROM wu),
+        |p AS (SELECT week, lead(week) OVER (ORDER BY week) AS nw FROM wk),
+        |lastp AS (SELECT week, nw FROM p WHERE nw IS NOT NULL
+        |          ORDER BY week DESC LIMIT 1),
+        |ret AS (
+        |  SELECT count(*) AS n FROM lastp
+        |  JOIN wu a ON a.week = lastp.week
+        |  JOIN wu b ON b.week = lastp.nw AND b.user_id = a.user_id),
+        |ccur AS (SELECT count(*) AS n FROM wu, lastp WHERE wu.week = lastp.week),
+        |cnext AS (SELECT count(*) AS n FROM wu, lastp WHERE wu.week = lastp.nw),
+        |tok AS (
+        |  SELECT doc_id % 3 = 0 AS is_delta,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')) AS w
+        |  FROM documents),
+        |vc AS (
+        |  SELECT w, sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS c,
+        |    sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS dc
+        |  FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS n1, sum(dc) AS n2 FROM vc),
+        |tv AS (
+        |  SELECT round(CAST(sum(abs(CAST(c AS HUGEINT) * n2
+        |    - CAST(dc AS HUGEINT) * n1)) AS DOUBLE) / (2.0 * n1 * n2), 6) AS tv
+        |  FROM vc, tot GROUP BY n1, n2)
+        |SELECT CAST(users.nu AS BIGINT) AS n_users,
+        |  true AS hll_fold_eq, true AS hll_est_ok,
+        |  round(q.qs[1], 6) AS p50, round(q.qs[2], 6) AS p95,
+        |  true AS kll_fold_eq, true AS kll_rank_ok,
+        |  CAST(ret.n AS BIGINT) AS wk_retained,
+        |  CAST(ccur.n - ret.n AS BIGINT) AS wk_churned,
+        |  CAST(cnext.n - ret.n AS BIGINT) AS wk_new,
+        |  true AS theta_fold_eq,
+        |  tv.tv AS vocab_tv,
+        |  true AS vocab_fold_eq
+        |FROM users, q, ret, ccur, cnext, tv""".stripMargin) { (s, d) =>
+      import graft.functions.ThetaExpressions._
+      import graft.ops.CorpusStats
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ev = Tables.events(s, d).withColumn("_slice", pmod(col("event_id"), lit(8)))
+      val base = ev.filter(col("_slice") =!= 7)
+      val delta = ev.filter(col("_slice") === 7)
+
+      // --- HLL distinct users: base slices + delta slice appended vs rebuild
+      val hllFolded = CorpusStats.distinctSketches(base, "user_id", "_slice")
+        .unionByName(CorpusStats.distinctSketches(delta, "user_id", "_slice"))
+      val hllEst = CorpusStats.distinctFromSketches(hllFolded).head.getLong(0)
+      val hllRebuild = CorpusStats.distinctFromSketches(
+        CorpusStats.distinctSketches(ev, "user_id", "_slice")).head.getLong(0)
+      val nUsers = ev.agg(count_distinct(col("user_id"))).head.getLong(0)
+      val hllFoldEq = hllEst == hllRebuild
+      val hllEstOk = math.abs(hllEst - nUsers).toDouble / nUsers <= 0.05
+
+      // --- KLL p50/p95: folded slices vs rebuild; rank checks fused into
+      // the exact sort-selection pass
+      val ps = Seq(0.5, 0.95)
+      val kllSlicesFolded = CorpusStats.quantileSketches(base, "value", "_slice")
+        .unionByName(CorpusStats.quantileSketches(delta, "value", "_slice"))
+      // fold ≡ rebuild at the ARTIFACT grain, stated as what a KLL sketch
+      // actually guarantees: per slice the absorbed count n is EXACT
+      // (must match the rebuild's bit-for-bit), and each build's
+      // quantiles agree within the rank envelope — the sketch's internal
+      // compaction is merge-order-sensitive, so value-level equality
+      // between two independent builds is not the contract (the
+      // distinctSketches scaladoc's HIP/composite caveat, KLL edition)
+      val kllFoldEq = locally {
+        import graft.functions.KllExpressions._
+        val a = kllSlicesFolded.select(col("_slice"), col("sketch").as("_ska"))
+        val b = CorpusStats.quantileSketches(ev, "value", "_slice")
+          .select(col("_slice"), col("sketch").as("_skb"))
+        a.join(b, Seq("_slice"))
+          .agg(bool_and(kllCount(col("_ska")) === kllCount(col("_skb")) &&
+            abs(kllRank(col("_skb"), kllQuantile(col("_ska"), lit(0.5))) - 0.5) <= 0.05 &&
+            abs(kllRank(col("_skb"), kllQuantile(col("_ska"), lit(0.95))) - 0.95) <= 0.05))
+          .head.getBoolean(0)
+      }
+      val kllFolded = CorpusStats.quantilesFromSketches(kllSlicesFolded, ps)
+        .orderBy("p").collect().map(r => (r.getDouble(1), r.getLong(2)))
+      val (exactQ, leCounts) = CorpusStats.exactQuantiles(
+        ev, "value", ps, countAtOrBelow = kllFolded.map(_._1).toSeq)
+      val kllRankOk = ps.indices.forall { i =>
+        math.abs(leCounts(i).toDouble / kllFolded(i)._2 - ps(i)) <= 0.033 }
+
+      // --- Theta weekly audience: per-(week, slice) sketches fold to
+      // per-week; exact-mode ⇒ folded numbers equal true set counts
+      val wkEv = ev.select(to_date(date_trunc("week", col("ts"))).as("week"),
+        col("user_id"), col("_slice"))
+      val wkFolded = wkEv.groupBy(col("week"), col("_slice"))
+        .agg(thetaSketchAgg(col("user_id")).as("_s0"))
+        .groupBy(col("week")).agg(thetaUnionAgg(col("_s0")).as("_sk"))
+      val wkSingle = wkEv.groupBy(col("week"))
+        .agg(thetaSketchAgg(col("user_id")).as("_sk2"))
+      val thetaFoldEq = wkFolded.join(wkSingle, Seq("week"))
+        .agg(bool_and(round(thetaEstimate(col("_sk"))) ===
+          round(thetaEstimate(col("_sk2"))))).head.getBoolean(0)
+      val pr = wkFolded
+        .withColumn("_nsk", lead(col("_sk"), 1).over(Window.orderBy(col("week"))))
+        .filter(col("_nsk").isNotNull)
+        .orderBy(col("week").desc).limit(1)
+        .select(round(thetaEstimate(col("_sk"))).cast("long"),
+          round(thetaEstimate(col("_nsk"))).cast("long"),
+          round(thetaEstimate(thetaIntersect(col("_sk"), col("_nsk")))).cast("long"))
+        .head
+      val (wCur, wNext, wRet) = (pr.getLong(0), pr.getLong(1), pr.getLong(2))
+
+      // --- Vocab drift: per-snapshot count tables, delta fold ≡ rebuild
+      // (row-identical), base→delta drift as exact-integer TV distance
+      val docs = Tables.documents(s, d)
+      val snaps = (0 to 2).map(i =>
+        CorpusStats.vocabCounts(docs.filter(col("doc_id") % 3 === i), "text"))
+      val vocabFolded = CorpusStats.mergeVocabCounts(
+        snaps.reduce(_ unionByName _)).localCheckpoint(true)
+      val vocabRebuild = CorpusStats.vocabCounts(docs, "text")
+      val vocabFoldEq =
+        vocabFolded.exceptAll(vocabRebuild).isEmpty &&
+        vocabRebuild.exceptAll(vocabFolded).isEmpty
+      val baseCounts = CorpusStats.mergeVocabCounts(snaps(1).unionByName(snaps(2)))
+      val joint = baseCounts.select(col("word"), col("cnt").as("_c"))
+        .join(snaps(0).select(col("word"), col("cnt").as("_dc")),
+          Seq("word"), "full_outer")
+        .select(coalesce(col("_c"), lit(0L)).as("_c"),
+          coalesce(col("_dc"), lit(0L)).as("_dc"))
+        .localCheckpoint(true)
+      val trow = joint.agg(sum(col("_c")), sum(col("_dc"))).head
+      val (n1, n2) = (trow.getLong(0), trow.getLong(1))
+      val dec38 = DecimalType(38, 0)
+      val tvNum = joint.agg(sum(abs(col("_c").cast(dec38) * lit(n2)
+        - col("_dc").cast(dec38) * lit(n1)))).head.getDecimal(0)
+      val vocabTv = r6(tvNum.doubleValue() / (2.0 * n1 * n2))
+
+      s.createDataFrame(Seq((nUsers, hllFoldEq, hllEstOk,
+          r6(exactQ(0)), r6(exactQ(1)), kllFoldEq, kllRankOk,
+          wRet, wCur - wRet, wNext - wRet, thetaFoldEq, vocabTv, vocabFoldEq)))
+        .toDF("n_users", "hll_fold_eq", "hll_est_ok", "p50", "p95",
+          "kll_fold_eq", "kll_rank_ok", "wk_retained", "wk_churned",
+          "wk_new", "theta_fold_eq", "vocab_tv", "vocab_fold_eq")
+    },
+
     q("q_ingest_bm25",
       """WITH nk AS (
         |  SELECT doc_id, array_to_string(list_filter(

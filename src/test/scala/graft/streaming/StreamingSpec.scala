@@ -940,4 +940,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(r === ((61L, 29L)))
   }
 
+  test("artifact dashboard topology: ONE stream maintains every additive artifact, each fold ≡ batch") {
+    // The q_artifact_dashboard lifecycle as a standing pipeline: one
+    // foreachBatch maintains ALL five artifact families per micro-batch —
+    // HLL distinct-user sketches, KLL value-quantile sketches, per-week
+    // theta audience sketches, daily counts, and vocab counts — and every
+    // corpus-wide answer then comes from the accumulated artifacts alone,
+    // equal to the batch build over the full replayed stream.
+    import graft.ops.{CorpusStats, Funnel}
+    import graft.functions.ThetaExpressions._
+    import graft.functions.KllExpressions._
+    val ms = MemoryStream[EventRow](spark)
+    var hll = spark.emptyDataset[(Long, Array[Byte])].toDF("_slice", "sketch")
+    var kll = spark.emptyDataset[(Long, Array[Byte])].toDF("_slice", "sketch")
+    var theta = spark.emptyDataset[(java.sql.Date, Array[Byte])].toDF("week", "sk")
+    var daily = spark.emptyDataset[(String, java.sql.Date, Long)].toDF("event_type", "day", "x")
+    var vocab = spark.emptyDataset[(String, Long)].toDF("word", "cnt")
+    var bid = 0L
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.withColumn("_slice", lit(bid)).localCheckpoint(true)
+        hll = hll.unionByName(
+          CorpusStats.distinctSketches(b, "user_id", "_slice").localCheckpoint(true))
+        kll = kll.unionByName(
+          CorpusStats.quantileSketches(b, "value", "_slice").localCheckpoint(true))
+        theta = theta.unionByName(
+          b.select(to_date(date_trunc("week", $"ts")).as("week"), $"user_id")
+            .groupBy($"week").agg(thetaSketchAgg($"user_id").as("sk"))
+            .localCheckpoint(true))
+        daily = daily.unionByName(
+          Funnel.dailyCounts(b, "ts", "event_type").localCheckpoint(true))
+        vocab = vocab.unionByName(
+          CorpusStats.vocabCounts(b, "event_type").localCheckpoint(true))
+        bid += 1
+        ()
+      }
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val all = allEvents.toDF()
+    // HLL: folded union == exact distinct (sparse-mode exact at this size)
+    val exactUsers = all.select(countDistinct($"user_id")).as[Long].head()
+    assert(CorpusStats.distinctFromSketches(hll).as[Long].head() === exactUsers)
+    // KLL: slices exceed k=200 so compaction runs and value-level
+    // equality between independent builds is not the contract — the
+    // folded union must answer within the rank envelope of the TRUE
+    // distribution (the q_artifact_dashboard stance), and its absorbed
+    // count must be exact
+    val foldedQ = CorpusStats.quantilesFromSketches(kll, Seq(0.5, 0.95))
+      .orderBy("p").as[(Double, Double, Long)].collect()
+    val nAll = allEvents.size.toLong
+    assert(foldedQ.forall(_._3 == nAll), "folded n must be exact")
+    foldedQ.foreach { case (p, v, _) =>
+      val rank = allEvents.count(_.value <= v).toDouble / nAll
+      assert(math.abs(rank - p) <= 0.05, s"p=$p est=$v rank=$rank")
+    }
+    // Theta: per-week folded estimates == exact per-week distinct counts
+    val wkExact = all.select(to_date(date_trunc("week", $"ts")).as("week"), $"user_id")
+      .distinct().groupBy($"week").count()
+      .as[(java.sql.Date, Long)].collect().toMap
+    val wkFolded = theta.groupBy($"week").agg(thetaUnionAgg($"sk").as("sk"))
+      .select($"week", round(thetaEstimate($"sk")).cast("long"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(wkFolded === wkExact)
+    // Daily counts: folded merge row-identical to the batch build
+    val dm = Funnel.mergeDailyCounts(daily, "event_type")
+      .as[(String, java.sql.Date, Long)].collect().sortBy(r => (r._1, r._2.toString))
+    val db = Funnel.dailyCounts(all, "ts", "event_type")
+      .as[(String, java.sql.Date, Long)].collect().sortBy(r => (r._1, r._2.toString))
+    assert(dm.toSeq === db.toSeq)
+    // Vocab counts: folded merge row-identical to the batch build
+    val vm = CorpusStats.mergeVocabCounts(vocab)
+      .as[(String, Long)].collect().sorted.toSeq
+    val vb = CorpusStats.vocabCounts(all, "event_type")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(vm === vb)
+  }
+
 }
