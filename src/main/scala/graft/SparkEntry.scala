@@ -4076,96 +4076,133 @@ object SparkEntry {
       import graft.ops.CorpusStats
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val ev = Tables.events(s, d).withColumn("_slice", pmod(col("event_id"), lit(8)))
+      // ~10 artifact builders consume the event stream and 4 consume the
+      // document snapshots — materialize each input ONCE (the
+      // q_quantile_sketch stance) so every pass scans memory, not parquet
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .withColumn("_slice", pmod(col("event_id"), lit(8)))
+        .localCheckpoint(true)
       val base = ev.filter(col("_slice") =!= 7)
       val delta = ev.filter(col("_slice") === 7)
 
+      // The dashboard is ~16 small jobs; run the four INDEPENDENT
+      // artifact groups as concurrent Spark jobs (threads submitting to
+      // one scheduler — the standard concurrent-jobs pattern a real
+      // dashboard service uses), so wall-clock is the slowest group, not
+      // the sum of every job's scheduling floor.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+
       // --- HLL distinct users: base slices + delta slice appended vs rebuild
-      val hllFolded = CorpusStats.distinctSketches(base, "user_id", "_slice")
-        .unionByName(CorpusStats.distinctSketches(delta, "user_id", "_slice"))
-      val hllEst = CorpusStats.distinctFromSketches(hllFolded).head.getLong(0)
-      val hllRebuild = CorpusStats.distinctFromSketches(
-        CorpusStats.distinctSketches(ev, "user_id", "_slice")).head.getLong(0)
-      val nUsers = ev.agg(count_distinct(col("user_id"))).head.getLong(0)
-      val hllFoldEq = hllEst == hllRebuild
-      val hllEstOk = math.abs(hllEst - nUsers).toDouble / nUsers <= 0.05
+      val fHll = Future {
+        val hllFolded = CorpusStats.distinctSketches(base, "user_id", "_slice")
+          .unionByName(CorpusStats.distinctSketches(delta, "user_id", "_slice"))
+        val hllEst = CorpusStats.distinctFromSketches(hllFolded).head.getLong(0)
+        val hllRebuild = CorpusStats.distinctFromSketches(
+          CorpusStats.distinctSketches(ev, "user_id", "_slice")).head.getLong(0)
+        val nUsers = ev.agg(count_distinct(col("user_id"))).head.getLong(0)
+        (nUsers, hllEst == hllRebuild,
+          math.abs(hllEst - nUsers).toDouble / nUsers <= 0.05)
+      }
 
       // --- KLL p50/p95: folded slices vs rebuild; rank checks fused into
       // the exact sort-selection pass
       val ps = Seq(0.5, 0.95)
-      val kllSlicesFolded = CorpusStats.quantileSketches(base, "value", "_slice")
-        .unionByName(CorpusStats.quantileSketches(delta, "value", "_slice"))
-      // fold ≡ rebuild at the ARTIFACT grain, stated as what a KLL sketch
-      // actually guarantees: per slice the absorbed count n is EXACT
-      // (must match the rebuild's bit-for-bit), and each build's
-      // quantiles agree within the rank envelope — the sketch's internal
-      // compaction is merge-order-sensitive, so value-level equality
-      // between two independent builds is not the contract (the
-      // distinctSketches scaladoc's HIP/composite caveat, KLL edition)
-      val kllFoldEq = locally {
-        import graft.functions.KllExpressions._
-        val a = kllSlicesFolded.select(col("_slice"), col("sketch").as("_ska"))
-        val b = CorpusStats.quantileSketches(ev, "value", "_slice")
-          .select(col("_slice"), col("sketch").as("_skb"))
-        a.join(b, Seq("_slice"))
-          .agg(bool_and(kllCount(col("_ska")) === kllCount(col("_skb")) &&
-            abs(kllRank(col("_skb"), kllQuantile(col("_ska"), lit(0.5))) - 0.5) <= 0.05 &&
-            abs(kllRank(col("_skb"), kllQuantile(col("_ska"), lit(0.95))) - 0.95) <= 0.05))
-          .head.getBoolean(0)
+      val fKll = Future {
+        // the folded slice artifact is 8 rows — checkpoint so its two
+        // consumers (fold check + union quantiles) don't re-scan the corpus
+        val kllSlicesFolded = CorpusStats.quantileSketches(base, "value", "_slice")
+          .unionByName(CorpusStats.quantileSketches(delta, "value", "_slice"))
+          .localCheckpoint(true)
+        // fold ≡ rebuild at the ARTIFACT grain, stated as what a KLL sketch
+        // actually guarantees: per slice the absorbed count n is EXACT
+        // (must match the rebuild's bit-for-bit), and each build's
+        // quantiles agree within the rank envelope — the sketch's internal
+        // compaction is merge-order-sensitive, so value-level equality
+        // between two independent builds is not the contract (the
+        // distinctSketches scaladoc's HIP/composite caveat, KLL edition)
+        val kllFoldEq = locally {
+          import graft.functions.KllExpressions._
+          val a = kllSlicesFolded.select(col("_slice"), col("sketch").as("_ska"))
+          val b = CorpusStats.quantileSketches(ev, "value", "_slice")
+            .select(col("_slice"), col("sketch").as("_skb"))
+          a.join(b, Seq("_slice"))
+            .agg(bool_and(kllCount(col("_ska")) === kllCount(col("_skb")) &&
+              abs(kllRank(col("_skb"), kllQuantile(col("_ska"), lit(0.5))) - 0.5) <= 0.05 &&
+              abs(kllRank(col("_skb"), kllQuantile(col("_ska"), lit(0.95))) - 0.95) <= 0.05))
+            .head.getBoolean(0)
+        }
+        val kllFolded = CorpusStats.quantilesFromSketches(kllSlicesFolded, ps)
+          .orderBy("p").collect().map(r => (r.getDouble(1), r.getLong(2)))
+        val (exactQ, leCounts) = CorpusStats.exactQuantiles(
+          ev, "value", ps, countAtOrBelow = kllFolded.map(_._1).toSeq)
+        val kllRankOk = ps.indices.forall { i =>
+          math.abs(leCounts(i).toDouble / kllFolded(i)._2 - ps(i)) <= 0.033 }
+        (kllFoldEq, exactQ, kllRankOk)
       }
-      val kllFolded = CorpusStats.quantilesFromSketches(kllSlicesFolded, ps)
-        .orderBy("p").collect().map(r => (r.getDouble(1), r.getLong(2)))
-      val (exactQ, leCounts) = CorpusStats.exactQuantiles(
-        ev, "value", ps, countAtOrBelow = kllFolded.map(_._1).toSeq)
-      val kllRankOk = ps.indices.forall { i =>
-        math.abs(leCounts(i).toDouble / kllFolded(i)._2 - ps(i)) <= 0.033 }
 
       // --- Theta weekly audience: per-(week, slice) sketches fold to
       // per-week; exact-mode ⇒ folded numbers equal true set counts
-      val wkEv = ev.select(to_date(date_trunc("week", col("ts"))).as("week"),
-        col("user_id"), col("_slice"))
-      val wkFolded = wkEv.groupBy(col("week"), col("_slice"))
-        .agg(thetaSketchAgg(col("user_id")).as("_s0"))
-        .groupBy(col("week")).agg(thetaUnionAgg(col("_s0")).as("_sk"))
-      val wkSingle = wkEv.groupBy(col("week"))
-        .agg(thetaSketchAgg(col("user_id")).as("_sk2"))
-      val thetaFoldEq = wkFolded.join(wkSingle, Seq("week"))
-        .agg(bool_and(round(thetaEstimate(col("_sk"))) ===
-          round(thetaEstimate(col("_sk2"))))).head.getBoolean(0)
-      val pr = wkFolded
-        .withColumn("_nsk", lead(col("_sk"), 1).over(Window.orderBy(col("week"))))
-        .filter(col("_nsk").isNotNull)
-        .orderBy(col("week").desc).limit(1)
-        .select(round(thetaEstimate(col("_sk"))).cast("long"),
-          round(thetaEstimate(col("_nsk"))).cast("long"),
-          round(thetaEstimate(thetaIntersect(col("_sk"), col("_nsk")))).cast("long"))
-        .head
-      val (wCur, wNext, wRet) = (pr.getLong(0), pr.getLong(1), pr.getLong(2))
+      val fTheta = Future {
+        val wkEv = ev.select(to_date(date_trunc("week", col("ts"))).as("week"),
+          col("user_id"), col("_slice"))
+        val wkFolded = wkEv.groupBy(col("week"), col("_slice"))
+          .agg(thetaSketchAgg(col("user_id")).as("_s0"))
+          .groupBy(col("week")).agg(thetaUnionAgg(col("_s0")).as("_sk"))
+          .localCheckpoint(true)   // weeks rows; two consumers below
+        val wkSingle = wkEv.groupBy(col("week"))
+          .agg(thetaSketchAgg(col("user_id")).as("_sk2"))
+        val thetaFoldEq = wkFolded.join(wkSingle, Seq("week"))
+          .agg(bool_and(round(thetaEstimate(col("_sk"))) ===
+            round(thetaEstimate(col("_sk2"))))).head.getBoolean(0)
+        val pr = wkFolded
+          .withColumn("_nsk", lead(col("_sk"), 1).over(Window.orderBy(col("week"))))
+          .filter(col("_nsk").isNotNull)
+          .orderBy(col("week").desc).limit(1)
+          .select(round(thetaEstimate(col("_sk"))).cast("long"),
+            round(thetaEstimate(col("_nsk"))).cast("long"),
+            round(thetaEstimate(thetaIntersect(col("_sk"), col("_nsk")))).cast("long"))
+          .head
+        (thetaFoldEq, pr.getLong(0), pr.getLong(1), pr.getLong(2))
+      }
 
       // --- Vocab drift: per-snapshot count tables, delta fold ≡ rebuild
       // (row-identical), base→delta drift as exact-integer TV distance
-      val docs = Tables.documents(s, d)
-      val snaps = (0 to 2).map(i =>
-        CorpusStats.vocabCounts(docs.filter(col("doc_id") % 3 === i), "text"))
-      val vocabFolded = CorpusStats.mergeVocabCounts(
-        snaps.reduce(_ unionByName _)).localCheckpoint(true)
-      val vocabRebuild = CorpusStats.vocabCounts(docs, "text")
-      val vocabFoldEq =
-        vocabFolded.exceptAll(vocabRebuild).isEmpty &&
-        vocabRebuild.exceptAll(vocabFolded).isEmpty
-      val baseCounts = CorpusStats.mergeVocabCounts(snaps(1).unionByName(snaps(2)))
-      val joint = baseCounts.select(col("word"), col("cnt").as("_c"))
-        .join(snaps(0).select(col("word"), col("cnt").as("_dc")),
-          Seq("word"), "full_outer")
-        .select(coalesce(col("_c"), lit(0L)).as("_c"),
-          coalesce(col("_dc"), lit(0L)).as("_dc"))
-        .localCheckpoint(true)
-      val trow = joint.agg(sum(col("_c")), sum(col("_dc"))).head
-      val (n1, n2) = (trow.getLong(0), trow.getLong(1))
-      val dec38 = DecimalType(38, 0)
-      val tvNum = joint.agg(sum(abs(col("_c").cast(dec38) * lit(n2)
-        - col("_dc").cast(dec38) * lit(n1)))).head.getDecimal(0)
-      val vocabTv = r6(tvNum.doubleValue() / (2.0 * n1 * n2))
+      val fVocab = Future {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+        val snaps = (0 to 2).map(i =>
+          CorpusStats.vocabCounts(docs.filter(col("doc_id") % 3 === i), "text"))
+        val vocabFolded = CorpusStats.mergeVocabCounts(
+          snaps.reduce(_ unionByName _)).localCheckpoint(true)
+        val vocabRebuild = CorpusStats.vocabCounts(docs, "text")
+        // row-identity via ONE full-outer join (null-safe count compare ≡
+        // exceptAll both ways on a keyed count table, at a third the jobs)
+        val vocabFoldEq = vocabFolded.select(col("word"), col("cnt").as("_ca"))
+          .join(vocabRebuild.select(col("word"), col("cnt").as("_cb")),
+            Seq("word"), "full_outer")
+          .agg(bool_and(col("_ca") <=> col("_cb"))).head.getBoolean(0)
+        val baseCounts = CorpusStats.mergeVocabCounts(snaps(1).unionByName(snaps(2)))
+        val joint = baseCounts.select(col("word"), col("cnt").as("_c"))
+          .join(snaps(0).select(col("word"), col("cnt").as("_dc")),
+            Seq("word"), "full_outer")
+          .select(coalesce(col("_c"), lit(0L)).as("_c"),
+            coalesce(col("_dc"), lit(0L)).as("_dc"))
+          .localCheckpoint(true)
+        val trow = joint.agg(sum(col("_c")), sum(col("_dc"))).head
+        val (n1, n2) = (trow.getLong(0), trow.getLong(1))
+        val dec38 = DecimalType(38, 0)
+        val tvNum = joint.agg(sum(abs(col("_c").cast(dec38) * lit(n2)
+          - col("_dc").cast(dec38) * lit(n1)))).head.getDecimal(0)
+        (vocabFoldEq, r6(tvNum.doubleValue() / (2.0 * n1 * n2)))
+      }
+
+      val (nUsers, hllFoldEq, hllEstOk) = Await.result(fHll, Duration.Inf)
+      val (kllFoldEq, exactQ, kllRankOk) = Await.result(fKll, Duration.Inf)
+      val (thetaFoldEq, wCur, wNext, wRet) = Await.result(fTheta, Duration.Inf)
+      val (vocabFoldEq, vocabTv) = Await.result(fVocab, Duration.Inf)
 
       s.createDataFrame(Seq((nUsers, hllFoldEq, hllEstOk,
           r6(exactQ(0)), r6(exactQ(1)), kllFoldEq, kllRankOk,
