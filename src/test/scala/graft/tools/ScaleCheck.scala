@@ -150,6 +150,15 @@ object ScaleCheck {
     val probeVec = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
     val funnelStages = Seq("view", "click", "purchase")
+    // train-once artifacts for the apply-side checks: the BPE merge table
+    // and the Lloyd quantizer ship with the pipeline and do NOT retrain
+    // because the corpus grew (the centroid/codebook convention above)
+    val bpeArt = graft.ops.TextAnalysis.bpeMerges(
+        graft.Tables.documents(spark, sfDir), "text", nMerges = 8)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val kmCents = graft.ops.Knn.kmeansFit(emb, "embedding", "vec_id",
+        k = 16, iterations = 2)
+      .orderBy("cell").collect().map(_.getSeq[Long](2)).toSeq
 
     // warm-up pass over every op shape so the first measured k does not
     // absorb codegen/classload compilation
@@ -519,6 +528,24 @@ object ScaleCheck {
       }
       results(("cohort_ltv", k)) = timed("cohort_ltv", k, nev) {
         graft.ops.Funnel.cohortLtv(ev, "user_id", "ts", "value").count()
+      }
+      // merges trained ONCE on the base corpus; encode is a scan-side
+      // codegen kernel, so time must track rows — no shuffle to bend it
+      results(("bpe_encode", k)) = timed("bpe_encode", k, nd) {
+        d.select(graft.functions.GraftFunctions.bpe_encode(
+            graft.ops.Dedup.tokens(col("text")), bpeArt).as("_s"))
+          .agg(sum(size(col("_s")))).head.getLong(0)
+      }
+      // range-sort + offset selection: sort is the only corpus-scale work
+      results(("exact_quantiles", k)) = timed("exact_quantiles", k, nev) {
+        graft.ops.CorpusStats.exactQuantiles(
+          ev, "value", Seq(0.25, 0.5, 0.95))._1.length.toLong
+      }
+      // serve-time cell routing under the train-once quantizer: a per-row
+      // literal argmin, the assign-at-ingest scan of the SemDeDup/IVF path
+      results(("kmeans_assign", k)) = timed("kmeans_assign", k, ne) {
+        graft.ops.Knn.kmeansAssign(e, "embedding", kmCents)
+          .groupBy("_cell").count().count()
       }
       // SCD2 merge with the base ×k and the DELTA FIXED (replica-0 users,
       // after the base range): the open-row stitch join scales with base
