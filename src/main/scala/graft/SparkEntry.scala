@@ -2692,6 +2692,52 @@ object SparkEntry {
           date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
     },
 
+    // Interval OVERLAP join (Interval.overlapJoin): per-(user, day)
+    // activity intervals × per-(type, day) activity intervals, matched on
+    // true time overlap. The naive `lS < rE AND rS < lE` predicate has no
+    // equi-key and nested-loops at scale; the operator bucketizes both
+    // sides into 1-hour buckets, equi-joins per bucket, and the
+    // first-common-bucket rule keeps each pair exactly once with no
+    // distinct pass (IntervalSpec pins ≡ brute force across widths and
+    // the no-nested-loop plan). Oracle: the same derived intervals
+    // through the plain overlap predicate.
+    q("q_interval_join",
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(min(CAST(ts AS TIMESTAMP))) AS ls,
+        |         epoch_us(max(CAST(ts AS TIMESTAMP))) + 1 AS le
+        |  FROM events WHERE user_id < 50
+        |  GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+        |r AS (
+        |  SELECT event_type, epoch_us(min(CAST(ts AS TIMESTAMP))) AS rs,
+        |         epoch_us(max(CAST(ts AS TIMESTAMP))) + 1 AS re
+        |  FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+        |o AS (
+        |  SELECT l.user_id, r.event_type,
+        |    least(le, re) - greatest(ls, rs) AS ov
+        |  FROM l JOIN r ON ls < re AND rs < le)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(ov) AS BIGINT) AS total_overlap_us,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM o GROUP BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val lefts = ev.filter(col("user_id") < 50)
+        .groupBy(col("user_id"), to_date(col("ts")).as("_ld"))
+        .agg(unix_micros(min(col("ts"))).as("ls"),
+          (unix_micros(max(col("ts"))) + 1L).as("le"))
+        .select(col("user_id"), col("ls"), col("le"))
+      val rights = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("_rd"))
+        .agg(unix_micros(min(col("ts"))).as("rs"),
+          (unix_micros(max(col("ts"))) + 1L).as("re"))
+        .select(col("event_type"), col("rs"), col("re"))
+      graft.ops.Interval.overlapJoinWithLength(
+          lefts, "ls", "le", rights, "rs", "re", bucketWidth = 3600L * 1000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("overlap_len")).as("total_overlap_us"),
+          count_distinct(col("event_type")).as("n_types"))
+    },
+
     q("q_pivot",
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

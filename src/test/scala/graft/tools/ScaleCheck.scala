@@ -529,6 +529,21 @@ object ScaleCheck {
       results(("cohort_ltv", k)) = timed("cohort_ltv", k, nev) {
         graft.ops.Funnel.cohortLtv(ev, "user_id", "ts", "value").count()
       }
+      // user-day intervals ×k against a FIXED set of type-day intervals:
+      // bucket replication is span-bounded, the join a pure equi-join, so
+      // candidates and true overlaps both track the left side linearly
+      results(("interval_join", k)) = timed("interval_join", k, nev) {
+        val lefts = ev.groupBy(col("user_id"), to_date(col("ts")).as("_d"))
+          .agg(unix_micros(min(col("ts"))).as("ls"),
+            (unix_micros(max(col("ts"))) + 1L).as("le"))
+          .select(col("user_id"), col("ls"), col("le"))
+        val rights = ev.groupBy(col("event_type"), to_date(col("ts")).as("_d"))
+          .agg(unix_micros(min(col("ts"))).as("rs"),
+            (unix_micros(max(col("ts"))) + 1L).as("re"))
+          .select(col("event_type"), col("rs"), col("re"))
+        graft.ops.Interval.overlapJoin(lefts, "ls", "le",
+          rights, "rs", "re", bucketWidth = 3600L * 1000000L).count()
+      }
       // merges trained ONCE on the base corpus; encode is a scan-side
       // codegen kernel, so time must track rows — no shuffle to bend it
       results(("bpe_encode", k)) = timed("bpe_encode", k, nd) {
