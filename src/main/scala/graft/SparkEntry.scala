@@ -3283,6 +3283,38 @@ object SparkEntry {
       s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
     },
 
+    // Equal-frequency bucketing (CorpusStats.quantileBuckets) — NTILE at
+    // scale: quartile cut points from ONE exactQuantiles pass broadcast
+    // as round-6 literals, assignment a stateless scan — never the
+    // single-task global sort `ntile() OVER (ORDER BY x)` implies. The
+    // boundaries are a reusable artifact (score a new batch into the same
+    // buckets with no recompute). Oracle derives identical cut points via
+    // quantile_cont and the same tie rule (<= → lower bucket).
+    q("q_value_buckets",
+      """WITH b AS (
+        |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |                       [0.25, 0.5, 0.75]) AS qs
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CASE WHEN CAST(l_extendedprice AS DOUBLE) <= round(qs[1], 6) THEN 1
+        |         WHEN CAST(l_extendedprice AS DOUBLE) <= round(qs[2], 6) THEN 2
+        |         WHEN CAST(l_extendedprice AS DOUBLE) <= round(qs[3], 6) THEN 3
+        |         ELSE 4 END AS bucket
+        |  FROM lineitem, b)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(x), 6) AS lo, round(max(x), 6) AS hi,
+        |  CAST(sum(CAST(round(x * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        |FROM a GROUP BY bucket""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("x"))
+      ops.CorpusStats.quantileBuckets(li, "x", nBuckets = 4)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("x")), 6).as("lo"), round(max(col("x")), 6).as("hi"),
+          decSum(col("x")).as("total"))
+    },
+
     // Approximate heavy hitters (Spark 4's approx_top_k sketch). WHICH items
     // a sketch emits under count ties is sketch-specific, so the oracle
     // compares what IS engine-independent: the item count, the k-th count

@@ -380,6 +380,38 @@ object CorpusStats {
     } finally { rdd.unpersist(false); () }
   }
 
+  /** Equal-frequency bucketing — NTILE at scale: `nBuckets−1` boundary
+    * values come from ONE [[exactQuantiles]] pass (rounded to `roundTo`
+    * decimals so the cut points are engine-portable), broadcast as
+    * literals, and every row is assigned by a scan-side when-chain —
+    * bucket i (1-based) is the first boundary ≥ x, else `nBuckets`.
+    *
+    * Contrast with `ntile(n) OVER (ORDER BY x)`: an unpartitioned window
+    * funnels the entire corpus through ONE task's sort. Here the only
+    * corpus-scale work is the quantile sort (range-partitioned) and a
+    * stateless scan — and the boundaries are a reusable artifact: score a
+    * NEW batch into the same buckets without recomputing anything.
+    * Boundary ties: every row equal to a cut point lands in the LOWER
+    * bucket (`<=`), so bucket populations are exactly reproducible —
+    * equal-frequency is approximate in the presence of ties, which is the
+    * standard NTILE-vs-cut distinction. */
+  def quantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
+                      roundTo: Int = 6): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be ≥ 2: $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val (qs, _) = exactQuantiles(df, valueCol, ps)
+    val bounds = qs.map(q => BigDecimal(q)
+      .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val x = col(valueCol).cast("double")
+    val chain = bounds.zipWithIndex.foldRight(lit(nBuckets)) {
+      case ((b, i), acc) => when(x <= b, lit(i + 1)).otherwise(acc)
+    }
+    // a null value would otherwise fall through every `when` into the
+    // last bucket — keep it null, like ntile over a null-last sort wouldn't
+    df.withColumn("bucket",
+      when(x.isNull, lit(null).cast("int")).otherwise(chain))
+  }
+
   /** Union per-slice KLL sketches and probe the requested normalized
     * ranks: one row per rank — (p DOUBLE, value DOUBLE, n LONG). Work is
     * O(slices · k log n), independent of corpus size. */

@@ -32,6 +32,25 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(CorpusStats.exactQuantiles(same, "x", Seq(0.33))._1 === Seq(3.25))
   }
 
+  test("quantileBuckets: quartiles of 1..100 split 25/25/25/25, ties go low, nulls stay null") {
+    val df = ((1 to 100).map(i => Some(i.toDouble)) :+ None)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val got = CorpusStats.quantileBuckets(df, "x", nBuckets = 4)
+    val sizes = got.filter($"x".isNotNull).groupBy($"bucket").count()
+      .as[(Int, Long)].collect().toMap
+    // quantile_cont boundaries of 1..100 at .25/.5/.75 = 25.75, 50.5, 75.25
+    assert(sizes === Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
+    assert(got.filter($"x".isNull).select($"bucket").head().isNullAt(0))
+    // a value exactly AT a cut point lands in the LOWER bucket
+    val tied = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")  // median boundary = 2.5; p25 = 1.75
+    val tb = CorpusStats.quantileBuckets(tied, "x", 2)
+      .as[(Double, Int)].collect().toMap
+    assert(tb === Map(1.0 -> 1, 2.0 -> 1, 3.0 -> 2, 4.0 -> 2))
+    val atCut = Seq(1.0, 2.5, 4.0).toDF("x")      // median = 2.5 exactly
+    assert(CorpusStats.quantileBuckets(atCut, "x", 2)
+      .filter($"x" === 2.5).select($"bucket").as[Int].head() === 1)
+  }
+
   test("corpus diversity: matches hand-computed mean pairwise cosine") {
     // (1,0), (0,1), (1,0): ordered pairs average = 2·(0+1+0)/(3·2) = 1/3
     val e = Seq(
