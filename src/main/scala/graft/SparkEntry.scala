@@ -158,7 +158,10 @@ object SparkEntry {
     * order. Character-identical arithmetic on both sides: the Spark
     * kernel's array scan was derived from (and unit-pinned to) the
     * double-space replace semantics. */
-  private def bpeEncodeOracle(nMerges: Int): String = {
+  /** The train chain plus the per-distinct-word encode chain, ending at a
+    * `perdoc(doc_id, syms)` CTE — shared by [[bpeEncodeOracle]] and the
+    * budget-composition oracle. */
+  private def bpeEncodeChain(nMerges: Int): String = {
     val enc = (1 to nMerges).map { i =>
       s""",
          |e$i AS MATERIALIZED (
@@ -183,12 +186,32 @@ object SparkEntry {
          |perdoc AS (
          |  SELECT wr.doc_id, flatten(list(e.syms ORDER BY wr.pos)) AS syms
          |  FROM wrds wr JOIN enc e USING (w)
-         |  GROUP BY wr.doc_id)
-         |SELECT doc_id, CAST(len(syms) AS INT) AS n_sub,
-         |  array_to_string(syms[1:10], ' ') AS sub_prefix,
-         |  md5(array_to_string(syms, ' ')) AS sub_md5
-         |FROM perdoc""".stripMargin
+         |  GROUP BY wr.doc_id)""".stripMargin
   }
+
+  private def bpeEncodeOracle(nMerges: Int): String =
+    bpeEncodeChain(nMerges) +
+      """
+        |SELECT doc_id, CAST(len(syms) AS INT) AS n_sub,
+        |  array_to_string(syms[1:10], ' ') AS sub_prefix,
+        |  md5(array_to_string(syms, ' ')) AS sub_md5
+        |FROM perdoc""".stripMargin
+
+  /** Budget selection over the TOKENIZER's own token counts: the encode
+    * chain's per-doc subword counts feed the same cumulative-window
+    * definition q_token_budget uses. */
+  private def bpeBudgetOracle(nMerges: Int, budget: Long): String =
+    bpeEncodeChain(nMerges) +
+      s""",
+         |bs AS (
+         |  SELECT p.doc_id, CAST(len(p.syms) AS BIGINT) AS n_tok,
+         |    CAST(length(d.text) AS BIGINT) AS score
+         |  FROM perdoc p JOIN documents d USING (doc_id)),
+         |bc AS (
+         |  SELECT doc_id, n_tok, score,
+         |    sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum
+         |  FROM bs)
+         |SELECT doc_id, n_tok, score FROM bc WHERE cum <= $budget""".stripMargin
 
   /** Order-independent exact sum of a fixed-scale value: accumulate
     * round(x·10^s) in LONG, assemble in DECIMAL once per group, divide back
@@ -3940,6 +3963,26 @@ object SparkEntry {
           size(col("_syms")).as("n_sub"),
           concat_ws(" ", slice(col("_syms"), 1, 10)).as("sub_prefix"),
           md5(concat_ws(" ", col("_syms"))).as("sub_md5"))
+    },
+
+    // The full tokenizer LIFECYCLE in one row: train (bpeMerges) →
+    // encode (bpe_encode, the memoized merge artifact shared with
+    // q_bpe_encode) → BUDGET — pretraining data selection counts the
+    // tokens the TOKENIZER will actually produce, not whitespace words,
+    // so the budget op consumes the encode kernel's counts directly.
+    q("q_bpe_budget", bpeBudgetOracle(nMerges = 8, budget = 30000L)) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val merges = indexArtifact(s"bpe-merges:8:$d") {
+        ops.TextAnalysis.bpeMerges(docs, "text", nMerges = 8)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      }
+      val proj = docs.select(col("doc_id"),
+          size(bpe_encode(Dedup.tokens(col("text")), merges)).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("score"))
+        .filter(col("n_tok") > 0)
+      ops.Selection.selectToTokenBudget(proj, "doc_id", "n_tok", "score",
+        budget = 30000L, buckets = 64)
     },
 
     q("q_bpe_tokens",
