@@ -3306,6 +3306,28 @@ object SparkEntry {
       s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
     },
 
+    // Per-group exact quantiles (CorpusStats.groupedQuantiles): p25/p50/
+    // p95 of value per event type via ONE keyed window — rank + group
+    // count share a single exchange, only the ≤2·|ps| rows per group at
+    // a target order statistic survive to the interpolation. No per-group
+    // value buffer (Spark's own `percentile` boxes every value into a
+    // per-group hash map).
+    q("q_grouped_quantiles",
+      """WITH q AS (
+        |  SELECT event_type, count(value) AS n,
+        |    quantile_cont(value, [0.25, 0.5, 0.95]) AS qs
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(CASE i WHEN 1 THEN 0.25 WHEN 2 THEN 0.5 ELSE 0.95 END AS DOUBLE) AS p,
+        |  round(qs[i], 6) AS value,
+        |  CAST(n AS BIGINT) AS n
+        |FROM q, unnest([1, 2, 3]) AS t(i)""".stripMargin) { (s, d) =>
+      ops.CorpusStats.groupedQuantiles(Tables.events(s, d),
+          "event_type", "value", Seq(0.25, 0.5, 0.95))
+        .select(col("event_type"), col("p"),
+          round(col("value"), 6).as("value"), col("n"))
+    },
+
     // Equal-frequency bucketing (CorpusStats.quantileBuckets) — NTILE at
     // scale: quartile cut points from ONE exactQuantiles pass broadcast
     // as round-6 literals, assignment a stateless scan — never the

@@ -380,6 +380,50 @@ object CorpusStats {
     } finally { rdd.unpersist(false); () }
   }
 
+  /** PER-GROUP exact interpolated quantiles (the grouped companion of
+    * [[exactQuantiles]], same `quantile_cont` two-sided formula): rank
+    * every value inside its group with ONE keyed window (row_number +
+    * group count share a single (group)-grain exchange and sort), keep
+    * only the ≤ 2·|ps| rows per group sitting at a target order
+    * statistic, and interpolate on that tiny remainder. No per-group
+    * value buffer — Spark's `percentile` builds a boxed hash map per
+    * group; here per-row state is a rank.
+    *
+    * Output: (groupCol, p, value, n) — n the group's non-null count.
+    * Scale note: a window partitioned by group sorts each group within
+    * one task (spillable, but serial per group) — the right shape when
+    * groups are plentiful; for a handful of mega-groups call
+    * [[exactQuantiles]] per group instead (range-partitioned sort). */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"ranks must be in [0,1]: $ps")
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy(col(groupCol)).orderBy(col("_x"))
+    val wAll = W.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol).cast("double").as("_x"))
+      .where(col("_x").isNotNull)
+      .withColumn("_rn", row_number().over(wOrd).cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(wAll))
+    val keep = ps.map { p =>
+      val h = (col("_n") - 1).cast("double") * lit(p)
+      col("_rn") === floor(h).cast("long") || col("_rn") === ceil(h).cast("long")
+    }.reduce(_ || _)
+    ranked.filter(keep)
+      .select(col(groupCol), col("_x"), col("_rn"), col("_n"),
+        explode(lit(ps.toArray)).as("p"))
+      .withColumn("_h", (col("_n") - 1).cast("double") * col("p"))
+      .filter(col("_rn") === floor(col("_h")).cast("long") ||
+        col("_rn") === ceil(col("_h")).cast("long"))
+      .groupBy(col(groupCol), col("p"), col("_n"), col("_h"))
+      .agg(min(col("_x")).as("_lo"), max(col("_x")).as("_hi"))
+      .select(col(groupCol), col("p"),
+        when(floor(col("_h")) === ceil(col("_h")), col("_lo"))
+          .otherwise((ceil(col("_h")) - col("_h")) * col("_lo") +
+            (col("_h") - floor(col("_h"))) * col("_hi")).as("value"),
+        col("_n").cast("long").as("n"))
+  }
+
   /** Equal-frequency bucketing — NTILE at scale: `nBuckets−1` boundary
     * values come from ONE [[exactQuantiles]] pass (rounded to `roundTo`
     * decimals so the cut points are engine-portable), broadcast as

@@ -32,6 +32,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(CorpusStats.exactQuantiles(same, "x", Seq(0.33))._1 === Seq(3.25))
   }
 
+  test("groupedQuantiles: bit-identical to Spark percentile per group, nulls excluded") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map { i =>
+      (Seq("a", "b", "c", "d")(rnd.nextInt(4)),
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextDouble() * 500 - 100))
+    } :+ (("e", Some(7.0)))   // singleton group
+    val df = rows.toDF("g", "x")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = CorpusStats.groupedQuantiles(df, "g", "x", ps)
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val ref = df.filter($"x".isNotNull).groupBy($"g")
+      .agg(percentile($"x", lit(ps.toArray)).as("qs"), count($"x").as("n"))
+      .as[(String, Seq[Double], Long)].collect()
+    for ((g, qs, n) <- ref; (p, i) <- ps.zipWithIndex) {
+      val (v, gn) = got((g, p))
+      assert(gn === n, s"g=$g")
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(qs(i)), s"g=$g p=$p $v vs ${qs(i)}")
+    }
+    assert(got(("e", 0.5)) === ((7.0, 1L)))
+  }
+
   test("quantileBuckets: quartiles of 1..100 split 25/25/25/25, ties go low, nulls stay null") {
     val df = ((1 to 100).map(i => Some(i.toDouble)) :+ None)
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
