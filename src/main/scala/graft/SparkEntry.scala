@@ -466,6 +466,40 @@ object SparkEntry {
          |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= $threshold""".stripMargin
   }
 
+  /** DuckDB restatement of [[ops.CorpusStats.exactCorrelation]]: identical
+    * scaled-LONG grid, HUGEINT sums (≡ the Spark side's split-LONG +
+    * DECIMAL(38,0) assembly), and the same final double expression
+    * operation-for-operation. Generated per column list so every pair's
+    * arithmetic is character-identical. */
+  private def corrOracle(table: String, cols: Seq[(String, Int)]): String = {
+    val names = cols.map(_._1)
+    val sel = cols.map { case (c, sc) =>
+      s"CAST(round($c * ${math.pow(10, sc).toLong}) AS BIGINT) AS v_$c" }
+    val notNull = names.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val pairs = for (i <- names.indices; j <- (i + 1) until names.size)
+      yield (names(i), names(j))
+    val sums =
+      names.map(c => s"sum(CAST(v_$c AS HUGEINT)) AS s_$c") ++
+      names.map(c => s"sum(CAST(v_$c AS HUGEINT) * v_$c) AS q_$c") ++
+      pairs.map { case (a, b) => s"sum(CAST(v_$a AS HUGEINT) * v_$b) AS p_${a}_$b" }
+    val branches = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |        sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE)
+         |           * CAST(n * q_$b - s_$b * s_$b AS DOUBLE)), 6) AS corr,
+         |  CAST(n AS BIGINT) AS n
+         |FROM g
+         |WHERE n * q_$a - s_$a * s_$a > 0 AND n * q_$b - s_$b * s_$b > 0""".stripMargin }
+    s"""WITH s AS (
+       |  SELECT ${sel.mkString(",\n    ")}
+       |  FROM $table WHERE $notNull),
+       |g AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM s)
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Shared ANN-probe contract aggregate (see the q_ivf_knn/q_lsh_knn
     * oracle comment): one row of (n_in_bounds, top1_id, top1_score,
     * scores_exact) over an ANN result of (ann_id, score). The join back to
@@ -3304,6 +3338,22 @@ object SparkEntry {
         (p, r6(exactQ(i)), math.abs(leCounts(i).toDouble / n - p) <= 0.033)
       }
       s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
+    },
+
+    // Exact Pearson correlation matrix (CorpusStats.exactCorrelation):
+    // every pairwise correlation of four lineitem measures from ONE scan
+    // — the five sums per pair are exact integers (scaled-LONG grid with
+    // the decSum hi/lo split), and only the final cast/multiply/sqrt/
+    // divide run in floating point, in the same operation order as the
+    // oracle's HUGEINT restatement. Spark's own corr() accumulates
+    // doubles (Welford) whose result is partition-order-dependent — this
+    // is the engine-portable form.
+    q("q_corr_matrix",
+      corrOracle("lineitem", Seq(("l_quantity", 2), ("l_extendedprice", 2),
+        ("l_discount", 2), ("l_tax", 2)))) { (s, d) =>
+      ops.CorpusStats.exactCorrelation(Tables.lineitem(s, d),
+        Seq(("l_quantity", 2), ("l_extendedprice", 2),
+          ("l_discount", 2), ("l_tax", 2)))
     },
 
     // Per-group exact quantiles (CorpusStats.groupedQuantiles): p25/p50/

@@ -380,6 +380,65 @@ object CorpusStats {
     } finally { rdd.unpersist(false); () }
   }
 
+  /** EXACT Pearson correlation matrix over fixed-scale numeric columns —
+    * the [[graft.ops.Funnel.trendSlopes]] integer discipline applied to
+    * correlation: values round ONCE onto their 10^scale grid (correlation
+    * is scale-invariant, so the grid only fixes rounding fidelity), all
+    * five sums per pair (n, Σx, Σy, Σx², Σy², Σxy) are exact integers,
+    * and the only floating-point steps are the final casts, one multiply,
+    * one sqrt and one divide — written in the same operation order on
+    * both engines, so results agree at round-6 everywhere.
+    *
+    * corr = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)), each
+    * parenthesized term assembled in DECIMAL(38,0). Per-row work stays
+    * codegen'd LONG arithmetic (products ≤ ~10¹⁴ at 10⁷-scaled values)
+    * via the decSum hi/lo split — Σlo wraps at 2⁴⁵ rows per group, Σhi
+    * at ~|product|/2¹⁸·rows ≈ 2⁴⁵ too, so exact to ~3.5·10¹³ rows; the
+    * assembled DECIMAL terms hold to ~10³⁸ (n·Σx² ≈ 10³⁸ at 10¹² rows —
+    * the documented ceiling). ONE scan, one 1-row aggregate; rows with a
+    * null in ANY column are excluded (pairwise-complete would make the
+    * pairs incomparable). Columns with zero variance drop their pairs.
+    * Output: (col_a, col_b, corr, n) for each unordered pair. */
+  def exactCorrelation(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns: $cols")
+    val spark = df.sparkSession
+    val dec38 = DecimalType(38, 0)
+    def splitSum(e: Column): Column =
+      sum(shiftright(e, 18)).cast(dec38) * lit(262144L).cast(dec38) +
+        sum(e.bitwiseAND(lit(262143L))).cast(dec38)
+    val nonNull = cols.map { case (c, _) => col(c).isNotNull }.reduce(_ && _)
+    val scaled = df.filter(nonNull).select(cols.map { case (c, sc) =>
+      graft.SparkEntry.roundAway(col(c).cast("double") * math.pow(10, sc).toLong)
+        .cast("long").as(s"_$c")
+    }: _*)
+    val names = cols.map(_._1)
+    val pairs = for (i <- names.indices; j <- (i + 1) until names.size) yield (i, j)
+    val aggs =
+      names.map(c => splitSum(col(s"_$c")).as(s"_s_$c")) ++
+      names.map(c => splitSum(col(s"_$c") * col(s"_$c")).as(s"_q_$c")) ++
+      pairs.map { case (i, j) =>
+        splitSum(col(s"_${names(i)}") * col(s"_${names(j)}"))
+          .as(s"_p_${names(i)}_${names(j)}") }
+    val row = scaled.agg(count(lit(1)).cast(dec38).as("_n"), aggs: _*).head
+    val n = row.getDecimal(0)
+    def d(name: String) = row.getDecimal(row.fieldIndex(name))
+    val out = pairs.flatMap { case (i, j) =>
+      val (a, b) = (names(i), names(j))
+      val da = n.multiply(d(s"_q_$a")).subtract(d(s"_s_$a").multiply(d(s"_s_$a")))
+      val db = n.multiply(d(s"_q_$b")).subtract(d(s"_s_$b").multiply(d(s"_s_$b")))
+      if (da.signum <= 0 || db.signum <= 0) None
+      else {
+        val num = n.multiply(d(s"_p_${a}_$b")).subtract(d(s"_s_$a").multiply(d(s"_s_$b")))
+        val corr = num.doubleValue() /
+          math.sqrt(da.doubleValue() * db.doubleValue())
+        Some((a, b,
+          BigDecimal(corr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          n.longValueExact()))
+      }
+    }
+    spark.createDataFrame(out).toDF("col_a", "col_b", "corr", "n")
+  }
+
   /** PER-GROUP exact interpolated quantiles (the grouped companion of
     * [[exactQuantiles]], same `quantile_cont` two-sided formula): rank
     * every value inside its group with ONE keyed window (row_number +

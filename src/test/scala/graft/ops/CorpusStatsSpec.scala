@@ -32,6 +32,36 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(CorpusStats.exactQuantiles(same, "x", Seq(0.33))._1 === Seq(3.25))
   }
 
+  test("exactCorrelation: hand cases and exact-integer replay on random data") {
+    // y = 2x -> corr 1; z = -x -> corr -1 with both; constant column drops
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0)).toDF("x", "y", "z", "k")
+    val got = CorpusStats.exactCorrelation(df,
+        Seq(("x", 2), ("y", 2), ("z", 2), ("k", 2)))
+      .as[(String, String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("x", "y") -> 1.0, ("x", "z") -> -1.0, ("y", "z") -> -1.0))
+    // random data with a null row (excluded): replay the integer sums
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 400).map { _ =>
+      (Some(rnd.nextDouble() * 10), Some(rnd.nextDouble() * 10 + rnd.nextInt(3)))
+    } :+ ((Option.empty[Double], Some(1.0)))
+    val df2 = rows.toDF("a", "b")
+    val res = CorpusStats.exactCorrelation(df2, Seq(("a", 6), ("b", 6)))
+      .as[(String, String, Double, Long)].collect().head
+    assert(res._4 === 400L, "null row excluded")
+    val xs = rows.collect { case (Some(a), Some(b)) =>
+      (math.round(a * 1e6), math.round(b * 1e6)) }
+    val n = BigInt(xs.size)
+    val (sa, sb) = (xs.map(v => BigInt(v._1)).sum, xs.map(v => BigInt(v._2)).sum)
+    val qa = xs.map(v => BigInt(v._1) * v._1).sum
+    val qb = xs.map(v => BigInt(v._2) * v._2).sum
+    val pab = xs.map(v => BigInt(v._1) * v._2).sum
+    val expect = (n * pab - sa * sb).toDouble /
+      math.sqrt((n * qa - sa * sa).toDouble * (n * qb - sb * sb).toDouble)
+    assert(math.abs(res._3 - expect) < 1e-6, s"${res._3} vs $expect")
+  }
+
   test("groupedQuantiles: bit-identical to Spark percentile per group, nulls excluded") {
     val rnd = new scala.util.Random(23)
     val rows = (1 to 3000).map { i =>
