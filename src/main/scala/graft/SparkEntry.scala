@@ -3340,6 +3340,43 @@ object SparkEntry {
       s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
     },
 
+    // MAD robust outliers (CorpusStats.madOutliers): per event type, how
+    // many values sit beyond 3 MADs of the median — integer-exact via
+    // DOUBLED medians (m2, mad2x) so no .5 and no float boundary exists
+    // anywhere; the flag is the pure integer comparison 2·d > 3·mad2x.
+    q("q_mad_outliers",
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r1 AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM b),
+        |m AS (
+        |  SELECT g, sum(CASE WHEN rn = (n-1)//2 THEN v END)
+        |         + sum(CASE WHEN rn = n//2 THEN v END) AS m2
+        |  FROM r1 WHERE rn = (n-1)//2 OR rn = n//2 GROUP BY g),
+        |d AS (
+        |  SELECT b.g, v, abs(2*v - m2) AS dd FROM b JOIN m USING (g)),
+        |r2 AS (
+        |  SELECT g, dd, row_number() OVER (PARTITION BY g ORDER BY dd) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM d),
+        |mm AS (
+        |  SELECT g, sum(CASE WHEN rn = (n-1)//2 THEN dd END)
+        |         + sum(CASE WHEN rn = n//2 THEN dd END) AS mad2x
+        |  FROM r2 WHERE rn = (n-1)//2 OR rn = n//2 GROUP BY g)
+        |SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(max(m.m2) AS DOUBLE) / 200.0, 6) AS median,
+        |  round(CAST(max(mm.mad2x) AS DOUBLE) / 400.0, 6) AS mad,
+        |  CAST(sum(CASE WHEN 2 * dd > 3 * mad2x THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN m USING (g) JOIN mm USING (g)
+        |GROUP BY d.g""".stripMargin) { (s, d) =>
+      ops.CorpusStats.madOutliers(Tables.events(s, d), "event_type", "value",
+        scale = 2, kNum = 3, kDen = 1)
+    },
+
     // Exact Pearson correlation matrix (CorpusStats.exactCorrelation):
     // every pairwise correlation of four lineitem measures from ONE scan
     // — the five sums per pair are exact integers (scaled-LONG grid with

@@ -380,6 +380,60 @@ object CorpusStats {
     } finally { rdd.unpersist(false); () }
   }
 
+  /** MAD-based robust outlier detection per group — the data-cleaning
+    * staple mean/stddev z-scores can't provide (one bot inflates the
+    * stddev that is supposed to catch it; the median and MAD have 50 %
+    * breakdown). Flags x with |x − median| > (kNum/kDen)·MAD, where
+    * MAD = median(|x − median|).
+    *
+    * INTEGER-EXACT throughout (the [[exactCorrelation]] discipline):
+    * values round once onto the 10^scale grid; medians are kept DOUBLED
+    * (m2 = v(⌊(n−1)/2⌋) + v(⌊n/2⌋), exact LONG — no .5 ever
+    * materializes), deviations as d = |2v − m2|, the MAD doubled again
+    * (mad2x = 2·median(d) = 4·MAD), and the flag |v−m| > k·MAD becomes
+    * the integer comparison 2·kDen·d > kNum·mad2x — bit-reproducible on
+    * any engine, no float boundary for a row to flip across.
+    *
+    * Shape: two keyed rank windows (value order, then deviation order)
+    * and two group-keyed joins of a per-group 2-long artifact — the
+    * [[groupedQuantiles]] single-exchange pattern twice. Output:
+    * (groupCol, n, median, mad, n_outliers). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  scale: Int = 2, kNum: Long = 3, kDen: Long = 1): DataFrame = {
+    require(kNum > 0 && kDen > 0, s"k must be positive: $kNum/$kDen")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(groupCol),
+        graft.SparkEntry.roundAway(col(valueCol).cast("double")
+          * math.pow(10, scale).toLong).cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+    // doubled median of column c per group: value-at-⌊(n−1)/2⌋ +
+    // value-at-⌊n/2⌋ over the group's ascending order (equal for odd n,
+    // so the sum double-counts the single median row — exactly 2·median)
+    def med2(in: DataFrame, c: String, out: String): DataFrame =
+      in.withColumn("_rn",
+          row_number().over(W.partitionBy(col(groupCol)).orderBy(col(c)))
+            .cast("long") - 1)
+        .withColumn("_n", count(lit(1)).over(W.partitionBy(col(groupCol))))
+        .filter(col("_rn") === expr("(_n - 1) div 2") ||
+          col("_rn") === expr("_n div 2"))
+        .groupBy(col(groupCol))
+        .agg((sum(when(col("_rn") === expr("(_n - 1) div 2"), col(c))) +
+          sum(when(col("_rn") === expr("_n div 2"), col(c)))).as(out))
+    val meds = med2(base, "_v", "_m2")
+    val dev = base.join(meds, Seq(groupCol))
+      .withColumn("_d", abs(lit(2L) * col("_v") - col("_m2")))
+    val mads = med2(dev.select(col(groupCol), col("_d")), "_d", "_mad2x")
+    val f = math.pow(10, scale)
+    dev.join(mads, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("_m2")).cast("double") / lit(2 * f), 6).as("median"),
+        round(max(col("_mad2x")).cast("double") / lit(4 * f), 6).as("mad"),
+        sum(when(lit(2 * kDen) * col("_d") > lit(kNum) * col("_mad2x"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** EXACT Pearson correlation matrix over fixed-scale numeric columns —
     * the [[graft.ops.Funnel.trendSlopes]] integer discipline applied to
     * correlation: values round ONCE onto their 10^scale grid (correlation

@@ -32,6 +32,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(CorpusStats.exactQuantiles(same, "x", Seq(0.33))._1 === Seq(3.25))
   }
 
+  test("madOutliers: hand-planted outliers flagged, odd/even medians exact") {
+    // group a (odd n): 1,2,3,4,100 -> median 3, d=|x-3|: 2,1,0,1,97 ->
+    // MAD 1 -> outliers: |x-3| > 3 -> only 100
+    // group b (even n): 10,20,30,40 -> median 25, d: 15,5,5,15 -> MAD 10
+    // -> |x-25| > 30 -> none
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) ++
+      Seq(10.0, 20.0, 30.0, 40.0).map(("b", _))).toDF("g", "x")
+    val got = CorpusStats.madOutliers(df, "g", "x", scale = 2)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") === ((5L, 3.0, 1.0, 1L)))
+    assert(got("b") === ((4L, 25.0, 10.0, 0L)))
+    // 50% breakdown: mean/stddev z at 3 sigma misses 100 in a tiny group
+    // where MAD catches it - and a constant group flags nothing
+    val const = Seq.fill(6)(("c", 7.0)).toDF("g", "x")
+    val gc = CorpusStats.madOutliers(const, "g", "x")
+      .as[(String, Long, Double, Double, Long)].collect().head
+    assert(gc === (("c", 6L, 7.0, 0.0, 0L)))
+  }
+
   test("exactCorrelation: hand cases and exact-integer replay on random data") {
     // y = 2x -> corr 1; z = -x -> corr -1 with both; constant column drops
     val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
