@@ -3340,6 +3340,32 @@ object SparkEntry {
       s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
     },
 
+    // Time-weighted average (Funnel.timeWeightedAvg): each value holds
+    // until the entity's next event — the telemetry-correct mean a plain
+    // avg() gets wrong under uneven reporting rates. Integer products in
+    // LONG, split-summed into DECIMAL(38,0); one entity-grain exchange.
+    q("q_time_weighted",
+      """WITH b AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, v,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS gap
+        |  FROM b),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(gap) AS BIGINT) AS span_us,
+        |    sum(CASE WHEN gap IS NOT NULL
+        |             THEN CAST(v AS HUGEINT) * gap ELSE 0 END) AS num
+        |  FROM g GROUP BY user_id)
+        |SELECT user_id, n_events, span_us,
+        |  round(CAST(num AS DOUBLE) / (CAST(span_us AS DOUBLE) * 100), 6) AS twa
+        |FROM a WHERE span_us > 0""".stripMargin) { (s, d) =>
+      ops.Funnel.timeWeightedAvg(Tables.events(s, d), "user_id", "ts",
+        "value", "event_id", scale = 2)
+    },
+
     // MAD robust outliers (CorpusStats.madOutliers): per event type, how
     // many values sit beyond 3 MADs of the median — integer-exact via
     // DOUBLED medians (m2, mad2x) so no .5 and no float boundary exists

@@ -822,6 +822,48 @@ object Funnel {
     closed.unionByName(openAdj).unionByName(deltaAdj)
   }
 
+  /** TIME-WEIGHTED average per entity — the telemetry-correct mean: each
+    * value holds from its event until the next event, so
+    * TWA = Σ vᵢ·gapᵢ / Σ gapᵢ over [first, last] (the last event has no
+    * holding period and contributes nothing; single-event entities have
+    * zero span and are dropped). A plain avg() over-weights chatty
+    * periods — a sensor that reports 1000×/s while idle and 1×/h under
+    * load averages to its idle value.
+    *
+    * Exactness: v = round(value·10^scale) LONG, gaps in LONG
+    * microseconds; per-row products v·gap stay in LONG to |v|·gap ≈
+    * 9·10¹⁸ (10⁷-scaled values × ~10¹¹ µs ≈ year-long gaps — document
+    * your domain if beyond), summed via the decSum hi/lo split into
+    * DECIMAL(38,0), one final double division. ONE entity-grain
+    * exchange; the lead() window and the aggregate share it.
+    * Output: (entity, n_events, span_us, twa). */
+  def timeWeightedAvg(events: DataFrame, entityCol: String, tsCol: String,
+                      valCol: String, tieCol: String,
+                      scale: Int = 2): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(entityCol)).orderBy(col("_t"), col(tieCol))
+    def splitSum(e: Column): Column =
+      sum(shiftright(e, 18)).cast(dec38) * lit(262144L).cast(dec38) +
+        sum(e.bitwiseAND(lit(262143L))).cast(dec38)
+    val f = math.pow(10, scale).toLong
+    events
+      .select(col(entityCol),
+        graft.SparkEntry.roundAway(col(valCol).cast("double") * f)
+          .cast("long").as("_v"),
+        unix_micros(col(tsCol)).as("_t"), col(tieCol))
+      .withColumn("_gap", lead(col("_t"), 1).over(w) - col("_t"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_gap")).as("_den"),
+        splitSum(when(col("_gap").isNotNull, col("_v") * col("_gap"))
+          .otherwise(0L)).as("_num"))
+      .filter(col("_den") > 0)
+      .select(col(entityCol), col("n_events"), col("_den").as("span_us"),
+        round(col("_num").cast("double")
+          / (col("_den").cast("double") * f), 6).as("twa"))
+  }
+
   /** Integer-exact exponentially-weighted moving average (α = 1/2) of a
     * fixed-scale value per entity: the stream fold
     * s₁ = x₁, sᵢ = ⌊(sᵢ₋₁ + xᵢ)/2⌋ over events ordered by (ts, tie),

@@ -305,6 +305,18 @@ class FunnelSpec extends AnyFunSuite {
     assert(got === ((1L, vals.size.toLong, expect.toDouble / 100)))
   }
 
+  test("time-weighted avg: holding periods weight values, chatty idle does not dominate") {
+    // sensor: value 100 held for 1s, then 0 held for 9s, then last event
+    // (no holding) -> TWA = (100*1 + 0*9) / 10 = 10.0; plain avg = 40
+    val df = Seq((1L, 100.0, 0L, 1L), (1L, 0.0, 1L, 2L), (1L, 20.0, 10L, 3L),
+      (2L, 5.0, 0L, 4L))  // single event -> zero span -> dropped
+      .toDF("user_id", "value", "t", "event_id")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val got = Funnel.timeWeightedAvg(df, "user_id", "ts", "value", "event_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 3L, 10000000L, 10.0)))
+  }
+
   test("cusum: planted level shift matches a hand fold, both sides flag") {
     // one event per (day, count) unit: day d gets x_d events of type 'a'
     val xs = Seq(10, 10, 10, 10, 10, 20, 20, 20, 20, 20)
