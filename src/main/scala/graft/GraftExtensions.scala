@@ -98,6 +98,10 @@ object GraftExtensions {
     f("sorted_intersect_count",
       "sorted_intersect_count(a, b) — set-intersection size of two sorted string arrays") {
       xs => SortedIntersectCount(xs(0), xs(1)) },
+    f("jaro_sim", "jaro_sim(a, b) — Jaro string similarity") {
+      xs => JaroSim(xs(0), xs(1)) },
+    f("jaro_winkler", "jaro_winkler(a, b) — Jaro-Winkler similarity (prefix boost)") {
+      xs => JaroWinklerSim(xs(0), xs(1)) },
     f("bpe_encode",
       "bpe_encode(tokens, merges) — apply learned BPE merges ('left right' entries, priority order)") {
       xs => BpeEncode(xs(0), xs(1)) })

@@ -3340,6 +3340,30 @@ object SparkEntry {
       s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
     },
 
+    // Jaro-Winkler record-linkage scoring (functions.JaroWinklerSim):
+    // fuzzy part-name pairs scored by the codegen kernel, verified
+    // against DuckDB's NATIVE jaro_winkler_similarity — an independent
+    // implementation, so semantic drift (byte vs codepoint comparison,
+    // boost threshold, prefix cap) fails the hash. The bounded self-join
+    // is the oracle instance; at corpus scale the blocking joins
+    // (PassJoin / sorted-neighborhood) produce the candidates this
+    // scorer ranks.
+    q("q_jaro_match",
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 300)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"), col("p_name"))
+      p.select(col("p_partkey").as("id_a"), col("p_name").as("_na"))
+        .crossJoin(p.select(col("p_partkey").as("id_b"), col("p_name").as("_nb")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jw", round(jaro_winkler(col("_na"), col("_nb")), 6))
+        .filter(col("jw") >= 0.88)
+        .select(col("id_a"), col("id_b"), col("jw"))
+    },
+
     // Time-weighted average (Funnel.timeWeightedAvg): each value holds
     // until the entity's next event — the telemetry-correct mean a plain
     // avg() gets wrong under uneven reporting rates. Integer products in
