@@ -462,27 +462,57 @@ object Dedup {
     // sorted copy — the latter feeds the two-pointer verify (a custom
     // codegen'd merge; array_intersect's per-row hash-set build measured
     // as ~85 % of this operator's cost at sf0.1)
+    // the doc-grain frame is consumed FOUR times (each side of the
+    // candidate self-join rebuilds `pre`, and each verify join-back reads
+    // `_sorted`) — materialize it once or the shingle/df-join/double-sort
+    // pipeline above re-runs per consumer (measured: 8.6 s → 4.1 s
+    // end-to-end at sf0.1)
     val ordered = toks.select(col("_id"), col("_n"), explode(col("_sh")).as("_s"))
       .join(dfreq, Seq("_s"))
       .groupBy(col("_id"), col("_n"))
       .agg(transform(sort_array(collect_list(struct(col("_df"), col("_s")))),
         e => e.getField("_s")).as("_ord"),
         sort_array(collect_list(col("_s"))).as("_sorted"))
+      .localCheckpoint(true)
     val pre = ordered
       .withColumn("_plen",
         (col("_n") - ceil(lit(threshold) * col("_n")) + lit(1)).cast("int"))
-      // candidates carry IDS AND LENGTHS ONLY — the token arrays would
-      // otherwise ride the candidate shuffle d²-fold; they join back per
-      // UNIQUE pair below (AQE broadcasts the doc-grain side when small)
+      // candidates carry IDS, LENGTHS and the PREFIX POSITION only — the
+      // token arrays would otherwise ride the candidate shuffle d²-fold;
+      // they join back per UNIQUE pair below (AQE broadcasts the
+      // doc-grain side when small)
       .select(col("_id"), col("_n"),
-        explode(slice(col("_ord"), lit(1), col("_plen"))).as("_p"))
-    val cands = pre.select(col("_p"), col("_id").as("id_a"), col("_n").as("n_a"))
-      .join(pre.select(col("_p"), col("_id").as("id_b"), col("_n").as("n_b")),
-        Seq("_p"))
+        posexplode(slice(col("_ord"), lit(1), col("_plen"))).as(Seq("_i", "_p")))
+    // PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2): both prefix lists
+    // follow the same global df-ascending order, so a true pair's FIRST
+    // common token at 0-based positions (i, j) bounds the overlap by
+    // 1 + min(n_a−1−i, n_b−1−j) — everything before i in a is absent
+    // from b. Rows failing `bound ≥ t/(1+t)·(n_a+n_b)` (the overlap a
+    // Jaccard ≥ t REQUIRES) can't be a true pair's first-common row, and
+    // every true pair keeps its first-common row, so filtering BEFORE the
+    // pair-dedup is exact; surviving non-first rows of false candidates
+    // just reach the verify, which rejects them. The ε guards the one
+    // double multiply — keeping a few extra candidates is always safe.
+    val cands = pre.select(col("_p"), col("_id").as("id_a"),
+        col("_n").as("n_a"), col("_i").as("_ia"))
+      .join(pre.select(col("_p"), col("_id").as("id_b"),
+        col("_n").as("n_b"), col("_i").as("_ib")), Seq("_p"))
       .filter(col("id_a") < col("id_b") &&
         col("n_b").cast("double") * lit(threshold) <= col("n_a").cast("double") &&
-        col("n_a").cast("double") * lit(threshold) <= col("n_b").cast("double"))
+        col("n_a").cast("double") * lit(threshold) <= col("n_b").cast("double") &&
+        (lit(1) + least(col("n_a") - 1 - col("_ia"),
+          col("n_b") - 1 - col("_ib"))).cast("double") >=
+          lit(threshold / (1.0 + threshold)) *
+            (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
       .dropDuplicates("id_a", "id_b")
+      // candidate rows are SKINNY (two ids + two lengths) but each one
+      // buys an O(|doc|) sorted-intersect in the verify — AQE's
+      // bytes-based coalescing sees a few-MB shuffle and folds it onto a
+      // handful of tasks, serializing the CPU-bound stage (measured
+      // 8.6 s vs 3.9 s at sf0.1 under the 64 MB advisory target). Widen
+      // to the session's parallelism explicitly, the
+      // [[semanticNearDupsAssigned]] precedent.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val lookup = ordered.select(col("_id"), col("_sorted"))
     cands
       .join(lookup.select(col("_id").as("id_a"), col("_sorted").as("_oa")), Seq("id_a"))
