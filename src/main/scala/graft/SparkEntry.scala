@@ -3340,6 +3340,41 @@ object SparkEntry {
       s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
     },
 
+    // Z-order layout key (functions.ZValue / Bucketing.zorderBy): the
+    // Morton interleave of (user bucket, hour bucket) — rows clustered by
+    // this key give per-file min/max pruning on EITHER dimension (the
+    // OPTIMIZE ZORDER recipe as a deterministic expression). The oracle
+    // replays the identical magic-mask spreading ladder in SQL bit
+    // arithmetic, so one wrong mask or shift fails the hash.
+    q("q_zorder",
+      """WITH b AS (
+        |  SELECT event_id,
+        |    user_id % 1024 AS x,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 4096 AS y
+        |  FROM events WHERE event_id % 17 = 0),
+        |sx AS (
+        |  SELECT event_id, y,
+        |    ((x | (x << 16)) & 281470681808895) AS x1 FROM b),
+        |sx2 AS (SELECT event_id, y, ((x1 | (x1 << 8)) & 71777214294589695) AS x2 FROM sx),
+        |sx3 AS (SELECT event_id, y, ((x2 | (x2 << 4)) & 1085102592571150095) AS x3 FROM sx2),
+        |sx4 AS (SELECT event_id, y, ((x3 | (x3 << 2)) & 3689348814741910323) AS x4 FROM sx3),
+        |sx5 AS (SELECT event_id, y, ((x4 | (x4 << 1)) & 6148914691236517205) AS xs FROM sx4),
+        |sy AS (
+        |  SELECT event_id, xs,
+        |    ((y | (y << 16)) & 281470681808895) AS y1 FROM sx5),
+        |sy2 AS (SELECT event_id, xs, ((y1 | (y1 << 8)) & 71777214294589695) AS y2 FROM sy),
+        |sy3 AS (SELECT event_id, xs, ((y2 | (y2 << 4)) & 1085102592571150095) AS y3 FROM sy2),
+        |sy4 AS (SELECT event_id, xs, ((y3 | (y3 << 2)) & 3689348814741910323) AS y4 FROM sy3),
+        |sy5 AS (SELECT event_id, xs, ((y4 | (y4 << 1)) & 6148914691236517205) AS ys FROM sy4)
+        |SELECT event_id, CAST(xs | (ys << 1) AS BIGINT) AS z
+        |FROM sy5""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 17 === 0)
+        .select(col("event_id"),
+          z_value(pmod(col("user_id"), lit(1024L)),
+            pmod(expr("unix_micros(ts) div 3600000000L"), lit(4096L))).as("z"))
+    },
+
     // Jaro-Winkler record-linkage scoring (functions.JaroWinklerSim):
     // fuzzy part-name pairs scored by the codegen kernel, verified
     // against DuckDB's NATIVE jaro_winkler_similarity — an independent

@@ -30,4 +30,28 @@ object Bucketing {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
                     key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Z-ORDER layout: cluster rows by the Morton interleave of two bucketed
+    * key columns (the Delta/Iceberg OPTIMIZE ZORDER recipe as a plain
+    * deterministic transform — `z_value` codegen expression + range
+    * repartition + in-partition sort). Rows near each other in EITHER
+    * dimension land in the same output files, so per-file min/max
+    * statistics prune scans filtered on either key — a single-column sort
+    * gives perfect pruning on one key and none on the other.
+    *
+    * `xBucket`/`yBucket` must be non-negative 32-bit grid coordinates
+    * (bucket real keys first: ids modulo a grid, timestamps to coarse
+    * units — interleaving is only meaningful over bounded grids). The
+    * range repartition samples z-values, so output files tile the
+    * z-curve evenly regardless of key skew. */
+  def zorderBy(df: DataFrame, xBucket: org.apache.spark.sql.Column,
+               yBucket: org.apache.spark.sql.Column,
+               partitions: Int): DataFrame = {
+    require(partitions >= 1, s"partitions must be ≥ 1: $partitions")
+    val z = graft.functions.GraftFunctions.z_value(xBucket, yBucket)
+    df.withColumn("_z", z)
+      .repartitionByRange(partitions, org.apache.spark.sql.functions.col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
 }
