@@ -3340,6 +3340,88 @@ object SparkEntry {
       s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
     },
 
+    // Benford first-digit audit (CorpusStats.benfordAudit) over lineitem
+    // prices: the fabricated-data detector. First digit from the scaled
+    // integer's decimal string (no log10 float edge); the nine expected
+    // shares are the SAME 17-digit literals on both engines.
+    q("q_benford", {
+      val pLits = ops.CorpusStats.benfordPLiterals
+      val pCase = pLits.zipWithIndex.map { case (p, i) =>
+        s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+      s"""WITH v AS (
+         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM lineitem WHERE round(l_extendedprice * 100) > 0),
+         |c AS (SELECT digit, count(*) AS n FROM v GROUP BY digit),
+         |sp AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+         |j AS (
+         |  SELECT sp.digit, coalesce(c.n, 0) AS n,
+         |    CAST(CASE sp.digit $pCase END AS DOUBLE) AS p
+         |  FROM sp LEFT JOIN c ON c.digit = sp.digit),
+         |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM j),
+         |pd AS (
+         |  SELECT digit, n, p, total,
+         |    (CAST(n AS DOUBLE) - total * p) * (CAST(n AS DOUBLE) - total * p)
+         |      / (total * p) AS contrib
+         |  FROM j, t)
+         |SELECT digit, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n AS DOUBLE) / total, 6) AS obs_p,
+         |  round(p, 6) AS exp_p, round(contrib, 6) AS chi2_contrib
+         |FROM pd
+         |UNION ALL
+         |SELECT 0, CAST(sum(n) AS BIGINT), round(CAST(sum(n) AS DOUBLE) / max(total), 6),
+         |  CAST(1.0 AS DOUBLE), round(sum(contrib), 6)
+         |FROM pd""".stripMargin
+    }) { (s, d) =>
+      ops.CorpusStats.benfordAudit(Tables.lineitem(s, d), "l_extendedprice",
+        scale = 2)
+    },
+
+    // Population Stability Index (CorpusStats.psi): value drift between
+    // the base slices and the delta batch over the BASE's own decile
+    // buckets — the production drift monitor (PSI < 0.1 stable). Cut
+    // points from one exactQuantiles pass (round-6, bit-matching
+    // quantile_cont), bucket counts exact integers, ≤ 11 float steps
+    // before round-6.
+    q("q_psi", {
+      val chain = (1 to 9).map(i =>
+        s"WHEN v <= round(qs[$i], 6) THEN $i").mkString(" ")
+      s"""WITH basev AS (
+         |  SELECT value AS v FROM events WHERE event_id % 8 <> 7 AND value IS NOT NULL),
+         |curv AS (
+         |  SELECT value AS v FROM events WHERE event_id % 8 = 7 AND value IS NOT NULL),
+         |qb AS (SELECT quantile_cont(v, [${(1 to 9).map(i => s"0.$i").mkString(", ")}]) AS qs
+         |       FROM basev),
+         |bb AS (SELECT CASE $chain ELSE 10 END AS bucket FROM basev, qb),
+         |cc AS (SELECT CASE $chain ELSE 10 END AS bucket FROM curv, qb),
+         |jb AS (SELECT bucket, count(*) AS n_base FROM bb GROUP BY bucket),
+         |jc AS (SELECT bucket, count(*) AS n_cur FROM cc GROUP BY bucket),
+         |j AS (
+         |  SELECT coalesce(jb.bucket, jc.bucket) AS bucket,
+         |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+         |  FROM jb FULL OUTER JOIN jc ON jb.bucket = jc.bucket),
+         |t AS (SELECT sum(n_base) AS tnb, sum(n_cur) AS tnc FROM j),
+         |pb AS (
+         |  SELECT bucket, n_base, n_cur,
+         |    CAST(n_base + 1 AS DOUBLE) / (tnb + 10) AS p,
+         |    CAST(n_cur + 1 AS DOUBLE) / (tnc + 10) AS q
+         |  FROM j, t)
+         |SELECT bucket, CAST(n_base AS BIGINT) AS n_base,
+         |  CAST(n_cur AS BIGINT) AS n_cur,
+         |  round((p - q) * (ln(p) - ln(q)), 6) AS contrib
+         |FROM pb
+         |UNION ALL
+         |SELECT 0, CAST(sum(n_base) AS BIGINT), CAST(sum(n_cur) AS BIGINT),
+         |  round(sum((p - q) * (ln(p) - ln(q))), 6)
+         |FROM pb""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      ops.CorpusStats.psi(
+        ev.filter(pmod(col("event_id"), lit(8)) =!= 7).select(col("value")),
+        ev.filter(pmod(col("event_id"), lit(8)) === 7).select(col("value")),
+        "value", nBuckets = 10)
+    },
+
     // Z-order layout key (functions.ZValue / Bucketing.zorderBy): the
     // Morton interleave of (user bucket, hour bucket) — rows clustered by
     // this key give per-file min/max pruning on EITHER dimension (the

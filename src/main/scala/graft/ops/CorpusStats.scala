@@ -380,6 +380,97 @@ object CorpusStats {
     } finally { rdd.unpersist(false); () }
   }
 
+  /** Population Stability Index — THE production drift monitor for a
+    * numeric feature between a baseline corpus and a new batch:
+    * PSI = Σᵢ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over the BASELINE's equal-frequency
+    * buckets (boundaries from ONE [[exactQuantiles]] pass, rounded — the
+    * reusable artifact [[assignByBounds]] scores any later batch
+    * against). Rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted. Laplace (+1) smoothing keeps empty buckets finite, the
+    * vocabKl convention.
+    *
+    * Cross-engine: bucket counts are exact integers from an exact-integer
+    * assignment (round-6 cut points, ties low), the per-bucket fractions
+    * are identical rationals cast to double, and only ≤ nBuckets+1
+    * ln/multiply/add steps run in floating point before round-6.
+    * Output: (bucket, n_base, n_cur, contrib) per bucket plus the total
+    * as bucket 0 with contrib = PSI. */
+  def psi(base: DataFrame, cur: DataFrame, valueCol: String,
+          nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be ≥ 2: $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val (qs, _) = exactQuantiles(base, valueCol, ps)
+    val bounds = qs.map(q => BigDecimal(q)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def counts(df: DataFrame, out: String) =
+      assignByBounds(df.where(col(valueCol).isNotNull), valueCol, bounds)
+        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    val joint = counts(base, "n_base")
+      .join(counts(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val t = joint.agg(sum(col("n_base")), sum(col("n_cur"))).head
+    val (nb, nc) = (t.getLong(0), t.getLong(1))
+    val p = (col("n_base") + 1).cast("double") / lit((nb + nBuckets).toDouble)
+    val q = (col("n_cur") + 1).cast("double") / lit((nc + nBuckets).toDouble)
+    val perBucket = joint
+      .withColumn("contrib", round((p - q) * (log(p) - log(q)), 6))
+    perBucket.unionByName(
+      perBucket.agg(lit(0).as("bucket"),
+        sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"),
+        round(sum((p - q) * (log(p) - log(q))), 6).as("contrib")))
+  }
+
+  /** Benford first-digit audit — the classic fabricated-data detector:
+    * organically-generated positive amounts follow P(d) = log10(1+1/d);
+    * synthetic or tampered figures usually don't. Reports per-digit
+    * observed vs expected shares and the χ² statistic (rule of thumb:
+    * χ² > 15.5 rejects Benford at α = 0.05 with 8 df).
+    *
+    * Portability: values round once to 10^scale-grid LONGs; the first
+    * significant digit is the first character of the positive integer's
+    * DECIMAL STRING (exact on any engine — no log10 float edge at powers
+    * of ten); the nine expected shares are shared 17-significant-digit
+    * literals, so only the final 9-term χ² accumulation is float.
+    * Output: (digit 1..9, n, obs_p, exp_p, chi2_contrib) + a digit-0
+    * total row whose chi2_contrib is the statistic. Non-positive values
+    * are excluded (Benford is defined on positive magnitudes). */
+  def benfordAudit(df: DataFrame, valueCol: String, scale: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val digits = df
+      .select(graft.SparkEntry.roundAway(col(valueCol).cast("double")
+        * math.pow(10, scale).toLong).cast("long").as("_v"))
+      .where(col("_v") > 0)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val joint = spine.join(digits, Seq("digit"), "left_outer")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+    val total = joint.agg(sum(col("n"))).head.getLong(0)
+    require(total > 0, "benfordAudit over an empty positive domain")
+    val expP = benfordP.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (p, i)) => when(col("digit") === i + 1, lit(p)).otherwise(acc) }
+    val contrib = {
+      val e = lit(total.toDouble) * expP
+      (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
+    }
+    val perDigit = joint.select(col("digit"), col("n"),
+      round(col("n").cast("double") / total, 6).as("obs_p"),
+      round(expP, 6).as("exp_p"),
+      round(contrib, 6).as("chi2_contrib"))
+    perDigit.unionByName(joint.agg(
+      lit(0).as("digit"), sum(col("n")).as("n"),
+      round(sum(col("n")).cast("double") / total, 6).as("obs_p"),
+      round(lit(1.0), 6).as("exp_p"),
+      round(sum(contrib), 6).as("chi2_contrib")))
+  }
+
+  /** log10(1 + 1/d) for d = 1..9 — the Benford expected shares, shared
+    * verbatim with the oracle SQL via [[benfordPLiterals]]. */
+  val benfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+  def benfordPLiterals: Seq[String] = benfordP.map(p => f"$p%.17g")
+
   /** MAD-based robust outlier detection per group — the data-cleaning
     * staple mean/stddev z-scores can't provide (one bot inflates the
     * stddev that is supposed to catch it; the median and MAD have 50 %
@@ -559,8 +650,20 @@ object CorpusStats {
     val (qs, _) = exactQuantiles(df, valueCol, ps)
     val bounds = qs.map(q => BigDecimal(q)
       .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assignByBounds(df, valueCol, bounds)
+  }
+
+  /** Scan-side bucket assignment against a PRE-COMPUTED ascending cut
+    * list (the reusable-artifact half of [[quantileBuckets]]: score a new
+    * batch into an existing bucketing, the [[psi]] consumer). Bucket i
+    * (1-based) = first bound ≥ x, else bounds.size+1; ties go low; null
+    * stays null. */
+  def assignByBounds(df: DataFrame, valueCol: String,
+                     bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted,
+      s"bounds must be non-empty ascending: $bounds")
     val x = col(valueCol).cast("double")
-    val chain = bounds.zipWithIndex.foldRight(lit(nBuckets)) {
+    val chain = bounds.zipWithIndex.foldRight(lit(bounds.size + 1)) {
       case ((b, i), acc) => when(x <= b, lit(i + 1)).otherwise(acc)
     }
     // a null value would otherwise fall through every `when` into the

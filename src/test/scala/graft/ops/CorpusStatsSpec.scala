@@ -52,6 +52,41 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(gc === (("c", 6L, 7.0, 0.0, 0L)))
   }
 
+  test("psi: identical distributions score ~0, a shifted batch scores high") {
+    val rnd = new scala.util.Random(47)
+    val base = Seq.fill(4000)(rnd.nextGaussian() * 10 + 50).map(Tuple1(_)).toDF("x")
+    val same = Seq.fill(1000)(rnd.nextGaussian() * 10 + 50).map(Tuple1(_)).toDF("x")
+    val shifted = Seq.fill(1000)(rnd.nextGaussian() * 10 + 80).map(Tuple1(_)).toDF("x")
+    def total(b: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      CorpusStats.psi(b, c, "x").filter($"bucket" === 0)
+        .select($"contrib").as[Double].head()
+    assert(total(base, same) < 0.1, "same distribution must read stable")
+    assert(total(base, shifted) > 0.25, "an 3-sigma mean shift must read shifted")
+    // per-bucket rows cover every decile and sum (unrounded) to the total
+    val rows = CorpusStats.psi(base, same, "x").collect()
+    assert(rows.length === 11)
+  }
+
+  test("benford: planted benford-ish data passes, uniform first digits fail") {
+    val rnd = new scala.util.Random(53)
+    // log-uniform magnitudes follow Benford closely
+    val benfordish = Seq.fill(5000)(math.pow(10, rnd.nextDouble() * 4))
+      .map(Tuple1(_)).toDF("x")
+    // scale 2: coarse scale-0 rounding would distort the [1,10) decade
+    // (1.5..2.5 all collapse to 2), which is a grid artifact, not a
+    // first-digit property
+    val chiB = CorpusStats.benfordAudit(benfordish, "x", scale = 2)
+      .filter($"digit" === 0).select($"chi2_contrib").as[Double].head()
+    assert(chiB < 30, s"log-uniform data should be near-Benford: $chiB")
+    // uniform [1, 2): every first digit is 1 -> chi2 explodes
+    val uni = Seq.fill(2000)(1.0 + rnd.nextDouble()).map(Tuple1(_)).toDF("x")
+    val chiU = CorpusStats.benfordAudit(uni, "x", scale = 2)
+      .filter($"digit" === 0).select($"chi2_contrib").as[Double].head()
+    assert(chiU > 1000, s"single-digit concentration must fail: $chiU")
+    // digit spine complete even when digits are missing
+    assert(CorpusStats.benfordAudit(uni, "x", scale = 2).count() === 10)
+  }
+
   test("exactCorrelation: hand cases and exact-integer replay on random data") {
     // y = 2x -> corr 1; z = -x -> corr -1 with both; constant column drops
     val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
