@@ -3340,6 +3340,51 @@ object SparkEntry {
       s.createDataFrame(out).toDF("p", "exact_q", "rank_ok")
     },
 
+    // Point-in-time join (Funnel.pointInTimeJoin): each purchase probe,
+    // shifted +30 minutes, enriched with the SCD2 version ACTIVE at that
+    // instant. The oracle is the DEFINITION — the interval join
+    // valid_from ≤ t < valid_to over an independently-built history —
+    // while Spark runs the collapsed as-of plan (one shuffle+sort, no
+    // interval machinery), a cross-engine proof the two are equivalent
+    // on a contiguous history.
+    q("q_pit_join",
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |h AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS vf,
+        |    lead(CAST(ts AS TIMESTAMP)) OVER w AS vt,
+        |    CAST(row_number() OVER w AS INT) AS version
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS pts,
+        |    event_id AS probe_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.probe_id,
+        |  h.event_type AS active_event_type, h.version
+        |FROM p JOIN h ON h.user_id = p.user_id
+        |  AND h.vf <= p.pts AND (h.vt IS NULL OR p.pts < h.vt)""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val history = ops.Funnel.scd2History(ev, "user_id", "event_type",
+        "ts", "event_id")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("ts"),
+          col("event_id").as("probe_id"))
+      ops.Funnel.pointInTimeJoin(probes, history, "user_id", "ts", "event_type")
+        .select(col("user_id"), col("probe_id"),
+          col("active_event_type"), col("version"))
+    },
+
     // Benford first-digit audit (CorpusStats.benfordAudit) over lineitem
     // prices: the fabricated-data detector. First digit from the scaled
     // integer's decimal string (no log10 float edge); the nine expected

@@ -822,6 +822,34 @@ object Funnel {
     closed.unionByName(openAdj).unionByName(deltaAdj)
   }
 
+  /** POINT-IN-TIME join — enrich each probe row with the [[scd2History]]
+    * version ACTIVE at its timestamp (the warehouse PIT-correctness
+    * query: "what was this entity's attribute when the event happened",
+    * never the current value). The naive encoding is the interval theta
+    * join `valid_from ≤ t < valid_to` — a range-pair explosion; but an
+    * SCD2 history tiles each entity's timeline contiguously, so the
+    * active version is exactly the LATEST version starting at-or-before
+    * the probe, and the whole query collapses to [[AsOf.asofJoin]] on
+    * `valid_from`: one shuffle + sort, join-free plan, no interval
+    * machinery at all.
+    *
+    * Zero-length versions (two changes at the same timestamp — the
+    * earlier one's interval is empty) are active at no instant and are
+    * dropped up front; that also restores the as-of precondition of one
+    * right row per (entity, time). Probes before an entity's first
+    * version drop (inner semantics, matching the interval definition).
+    * Output: every probe column + `asof_<ts>` (the active version's
+    * valid_from) + `active_<attr>` + `version`. */
+  def pointInTimeJoin(probes: DataFrame, history: DataFrame,
+                      entityCol: String, tsCol: String,
+                      attrCol: String): DataFrame = {
+    val live = history.filter(col("valid_to").isNull ||
+      col("valid_to") > col("valid_from"))
+    val h = live.select(col(entityCol), col("valid_from").as(tsCol),
+      col(attrCol).as(s"active_$attrCol"), col("version"))
+    AsOf.asofJoin(probes, h, entityCol, tsCol)
+  }
+
   /** TIME-WEIGHTED average per entity — the telemetry-correct mean: each
     * value holds from its event until the next event, so
     * TWA = Σ vᵢ·gapᵢ / Σ gapᵢ over [first, last] (the last event has no

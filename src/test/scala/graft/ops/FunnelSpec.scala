@@ -317,6 +317,31 @@ class FunnelSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 3L, 10000000L, 10.0)))
   }
 
+  test("point-in-time join: active version at edges, zero-length versions never match") {
+    // user 1: attr a@10, b@20, a@30 (open). Probes: t=10 (a v1, inclusive
+    // left edge), t=19 (a v1), t=20 (b v2 — left edge of next), t=99 (a v3)
+    // user 2: two changes at the SAME ts (a@10/b@10 by tie) -> version 1
+    // is zero-length and must never be the active match
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L),
+      (2L, "a", 10L, 4L), (2L, "b", 10L, 5L))
+      .toDF("user_id", "attr", "t", "event_id")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val hist = Funnel.scd2History(ev, "user_id", "attr", "ts", "event_id")
+    val probes = Seq((1L, 10L, 101L), (1L, 19L, 102L), (1L, 20L, 103L),
+      (1L, 99L, 104L), (2L, 10L, 105L), (1L, 5L, 106L))
+      .toDF("user_id", "t", "probe_id")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val got = Funnel.pointInTimeJoin(probes, hist, "user_id", "ts", "attr")
+      .select($"probe_id", $"active_attr", $"version")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      101L -> (("a", 1)), 102L -> (("a", 1)), 103L -> (("b", 2)),
+      104L -> (("a", 3)), 105L -> (("b", 2))))
+    // probe 106 (before any version) dropped by inner semantics
+    assert(!got.contains(106L))
+  }
+
   test("cusum: planted level shift matches a hand fold, both sides flag") {
     // one event per (day, count) unit: day d gets x_d events of type 'a'
     val xs = Seq(10, 10, 10, 10, 10, 20, 20, 20, 20, 20)
