@@ -402,11 +402,31 @@ object CorpusStats {
     val (qs, _) = exactQuantiles(base, valueCol, ps)
     val bounds = qs.map(q => BigDecimal(q)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    def counts(df: DataFrame, out: String) =
-      assignByBounds(df.where(col(valueCol).isNotNull), valueCol, bounds)
-        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
-    val joint = counts(base, "n_base")
-      .join(counts(cur, "n_cur"), Seq("bucket"), "full_outer")
+    psiFromCounts(bucketCounts(base, valueCol, bounds),
+      bucketCounts(cur, valueCol, bounds), nBuckets)
+  }
+
+  /** The ADDITIVE ARTIFACT behind [[psi]]: per-bucket counts against a
+    * fixed cut-point list — a standing pipeline keeps one (bucket, cnt)
+    * table per ingested slice ([[mergeBucketCounts]] folds them exactly,
+    * counts are additive over disjoint slices) and drift against any
+    * baseline is answered from the artifacts alone, never rescanning
+    * corpora — the dailyCounts / vocabCounts lifecycle. */
+  def bucketCounts(df: DataFrame, valueCol: String,
+                   bounds: Seq[Double]): DataFrame =
+    assignByBounds(df.where(col(valueCol).isNotNull), valueCol, bounds)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Fold accumulated bucket-count slices — a plain keyed sum. */
+  def mergeBucketCounts(slices: DataFrame): DataFrame =
+    slices.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** [[psi]] from two prebuilt (bucket, cnt) tables. */
+  def psiFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
+                    nBuckets: Int): DataFrame = {
+    val joint = baseCounts.select(col("bucket"), col("cnt").as("n_base"))
+      .join(curCounts.select(col("bucket"), col("cnt").as("n_cur")),
+        Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

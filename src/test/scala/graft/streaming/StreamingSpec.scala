@@ -1018,4 +1018,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(vm === vb)
   }
 
+  test("PSI bucket-count artifact fold: per-batch slices merge ≡ one-shot PSI") {
+    // cut points train ONCE on a baseline; the stream appends one
+    // (bucket, cnt) slice per micro-batch against those FIXED bounds, and
+    // psiFromCounts over the merged artifact must equal psi(baseline,
+    // everything-streamed) exactly — drift monitoring never rescans
+    import graft.ops.CorpusStats
+    val baseDf = chunks.head.toDF().select($"value")
+    val streamChunks = chunks.tail
+    val bounds = CorpusStats.exactQuantiles(baseDf, "value",
+        (1 until 10).map(_.toDouble / 10))._1
+      .map(q => BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val ms = MemoryStream[EventRow](spark)
+    var slices = spark.emptyDataset[(Int, Long)].toDF("bucket", "cnt")
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        slices = slices.unionByName(
+          CorpusStats.bucketCounts(batch.select($"value"), "value", bounds)
+            .localCheckpoint(true))
+        ()
+      }
+      .start()
+    try {
+      streamChunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val folded = CorpusStats.psiFromCounts(
+        CorpusStats.bucketCounts(baseDf, "value", bounds),
+        CorpusStats.mergeBucketCounts(slices), nBuckets = 10)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val oneShot = CorpusStats.psi(baseDf,
+        streamChunks.flatten.toDF().select($"value"), "value", nBuckets = 10)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(folded === oneShot)
+    assert(folded.exists(_._1 == 0), "total row present")
+  }
+
 }
