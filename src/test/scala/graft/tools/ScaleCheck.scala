@@ -529,6 +529,39 @@ object ScaleCheck {
       results(("cohort_ltv", k)) = timed("cohort_ltv", k, nev) {
         graft.ops.Funnel.cohortLtv(ev, "user_id", "ts", "value").count()
       }
+      // users ×k: two rank windows + artifact joins, all (type)-keyed —
+      // the hot user rides inside one group's sort
+      results(("mad_outliers", k)) = timed("mad_outliers", k, nev) {
+        graft.ops.CorpusStats.madOutliers(ev, "event_type", "value").count()
+      }
+      // value rows ×k on both sides of fixed decile cut points
+      results(("psi", k)) = timed("psi", k, nev) {
+        graft.ops.CorpusStats.psi(
+          ev.filter(col("event_id") % 2 === 0).select(col("value")),
+          ev.filter(col("event_id") % 2 === 1).select(col("value")),
+          "value").count()
+      }
+      results(("benford", k)) = timed("benford", k, nev) {
+        graft.ops.CorpusStats.benfordAudit(ev, "value").count()
+      }
+      // one entity-grain exchange; the bot user's 20k·k events stream
+      // through the lead window without buffering
+      results(("time_weighted", k)) = timed("time_weighted", k, nev) {
+        graft.ops.Funnel.timeWeightedAvg(ev, "user_id", "ts",
+          "value", "event_id").count()
+      }
+      // probes ×k against a history ×k: the as-of merge is one shuffle +
+      // sort of |probes| + |history|
+      results(("pit_join", k)) = timed("pit_join", k, nev) {
+        val hist = graft.ops.Funnel.scd2History(ev, "user_id", "event_type",
+          "ts", "event_id")
+        val probes = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("ts"),
+            col("event_id").as("probe_id"))
+        graft.ops.Funnel.pointInTimeJoin(probes, hist, "user_id", "ts",
+          "event_type").count()
+      }
       // user-day intervals ×k against a FIXED set of type-day intervals:
       // bucket replication is span-bounded, the join a pure equi-join, so
       // candidates and true overlaps both track the left side linearly
