@@ -3605,6 +3605,37 @@ object SparkEntry {
           ("l_discount", 2), ("l_tax", 2)))
     },
 
+    // Exact WEIGHTED quantiles (CorpusStats.exactWeightedQuantiles):
+    // "the price below which p of item VOLUME lives" — quantity-weighted,
+    // lower/type-1 convention, via the sort-selection machinery (one
+    // range sort, a weight-offset counting pass, threshold-crossing
+    // scans). The oracle states the definition directly: first x whose
+    // running weight reaches p·W.
+    q("q_weighted_quantiles",
+      """WITH s AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(round(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND round(l_quantity) > 0),
+        |c AS (
+        |  SELECT x, sum(w) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s),
+        |t AS (SELECT sum(w) AS total FROM s)
+        |SELECT CAST(p AS DOUBLE) AS p,
+        |  round((SELECT min(x) FROM c, t WHERE cum >= p * total), 6) AS value
+        |FROM unnest([0.25, 0.5, 0.75, 0.95]) u(p)""".stripMargin) { (s, d) =>
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val li = Tables.lineitem(s, d).select(
+        col("l_extendedprice").cast("double").as("x"),
+        round(col("l_quantity")).cast("long").as("w"))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val qs = ops.CorpusStats.exactWeightedQuantiles(li, "x", "w", ps)
+      s.createDataFrame(ps.zip(qs).map { case (p, v) => (p, r6(v)) })
+        .toDF("p", "value")
+    },
+
     // Per-group exact quantiles (CorpusStats.groupedQuantiles): p25/p50/
     // p95 of value per event type via ONE keyed window — rank + group
     // count share a single exchange, only the ≤2·|ps| rows per group at

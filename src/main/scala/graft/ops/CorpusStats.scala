@@ -604,6 +604,70 @@ object CorpusStats {
     spark.createDataFrame(out).toDF("col_a", "col_b", "corr", "n")
   }
 
+  /** EXACT WEIGHTED quantiles (lower / type-1 convention): the smallest
+    * value x whose cumulative weight over the ascending value order
+    * reaches p·W — "the document length below which half the TOKENS
+    * live", the curation stat plain quantiles get wrong (a million tiny
+    * docs ≠ a million tokens). Same distributed shape as
+    * [[exactQuantiles]]: range-sort once, ONE counting pass fixes each
+    * partition's cumulative-weight offset (driver traffic numPartitions
+    * longs), and the selection pass scans only the partitions where a
+    * p·W threshold crosses, stopping at its last crossing.
+    *
+    * Weights are LONGs (token counts, bytes — exact sums); the p·W
+    * thresholds are doubles computed identically on any engine from the
+    * same (p, W), so the ≥-crossing row is engine-reproducible even for
+    * non-dyadic p. Zero- and negative-weight rows are excluded (a
+    * zero-weight value carries no mass; negative mass is undefined). */
+  def exactWeightedQuantiles(df: DataFrame, valueCol: String,
+                             weightCol: String, ps: Seq[Double],
+                             partitions: Int = 0): Seq[Double] = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"ranks must be in (0,1]: $ps")
+    val spark = df.sparkSession
+    val nPart = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.select(col(valueCol).cast("double").as("_x"),
+        col(weightCol).cast("long").as("_w"))
+      .where(col("_x").isNotNull && col("_w") > 0)
+      .repartitionByRange(nPart, col("_x"))
+      .sortWithinPartitions("_x")
+    val rdd = sorted.rdd.map(r => (r.getDouble(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = rdd.mapPartitionsWithIndex { (i, it) =>
+        var w = 0L
+        while (it.hasNext) w += it.next()._2
+        Iterator((i, w))
+      }.collect().sortBy(_._1).map(_._2)
+      val total = sizes.sum
+      require(total > 0, "exactWeightedQuantiles over an empty/weightless input")
+      val offsets = sizes.scanLeft(0L)(_ + _)
+      val thresholds = ps.map(p => p * total).toArray
+      val found = rdd.mapPartitionsWithIndex { (i, it) =>
+        // thresholds crossed inside THIS partition: cumulative weight
+        // passes t strictly after offsets(i) and at-or-before the end
+        val want = thresholds.zipWithIndex.filter { case (t, _) =>
+          t > offsets(i) && t <= offsets(i) + sizes(i) }
+        if (want.isEmpty) Iterator.empty
+        else {
+          val res = new scala.collection.mutable.ArrayBuffer[(Int, Double)](want.length)
+          var cum = offsets(i)   // exact LONG cumulative weight
+          var wi = 0
+          while (it.hasNext && wi < want.length) {
+            val (x, w) = it.next()
+            cum += w
+            while (wi < want.length && cum.toDouble >= want(wi)._1) {
+              res += ((want(wi)._2, x)); wi += 1
+            }
+          }
+          res.iterator
+        }
+      }.collect().toMap
+      ps.indices.map(found(_))
+    } finally { rdd.unpersist(false); () }
+  }
+
   /** PER-GROUP exact interpolated quantiles (the grouped companion of
     * [[exactQuantiles]], same `quantile_cont` two-sided formula): rank
     * every value inside its group with ONE keyed window (row_number +

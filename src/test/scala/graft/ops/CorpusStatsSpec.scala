@@ -8,6 +8,34 @@ class CorpusStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("exactWeightedQuantiles: crossings match a sequential replay; weight dominance") {
+    val rnd = new scala.util.Random(61)
+    val rows = Seq.fill(2000)((rnd.nextDouble() * 100, 1L + rnd.nextInt(50))) ++
+      Seq((200.0, 100000L))   // one heavy row owns most of the mass
+    val df = rows.map { case (x, w) => (x, w.toLong) }.toDF("x", "w")
+      .repartition(9)
+    val ps = Seq(0.1, 0.5, 0.9, 0.95, 1.0)
+    val got = CorpusStats.exactWeightedQuantiles(df, "x", "w", ps)
+    // sequential reference: sort, accumulate, first crossing
+    val sortedRows = rows.sortBy(_._1)
+    val total = rows.map(_._2).sum
+    val ref = ps.map { p =>
+      val t = p * total
+      var cum = 0L
+      sortedRows.find { case (_, w) => cum += w; cum.toDouble >= t }.get._1
+    }
+    assert(got === ref)
+    // the heavy row owns >90% of mass -> every p >= 0.5 lands on it,
+    // where the UNWEIGHTED median would sit near 50
+    assert(got(1) === 200.0 && got(3) === 200.0)
+    val (uq, _) = CorpusStats.exactQuantiles(df, "x", Seq(0.5))
+    assert(uq.head < 110.0)
+    // zero/negative weights excluded
+    val z = Seq((1.0, 0L), (2.0, 5L), (3.0, -4L)).toDF("x", "w")
+    assert(CorpusStats.exactWeightedQuantiles(z, "x", "w", Seq(0.5, 1.0))
+      === Seq(2.0, 2.0))
+  }
+
   test("exactQuantiles: bit-identical to Spark percentile, fused counts exact") {
     val rnd = new scala.util.Random(31)
     val vals = Seq.fill(5000)(rnd.nextDouble() * 1000 - 200) ++
