@@ -423,4 +423,32 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(attr).size <= 4, attr)
   }
 
+  test("round-9 shapes: PIT as-of collapse, interval equi-join, keyed quantile windows") {
+    // point-in-time join must be the as-of MERGE plan: no join operator at
+    // all on the probe path — union + one entity-grain window
+    val pit = plan("q_pit_join")
+    assert(!pit.contains("CartesianProduct") &&
+      !pit.contains("BroadcastNestedLoopJoin"), pit)
+    assert(!pit.contains("SortMergeJoin") && !pit.contains("BroadcastHashJoin"),
+      "PIT must collapse to the join-free as-of merge:\n" + pit)
+    assert(pit.contains("Window"), pit)
+    // interval overlap join: bucketized EQUI-join, never a nested loop
+    val ij = plan("q_interval_join")
+    assert(!ij.contains("CartesianProduct") &&
+      !ij.contains("BroadcastNestedLoopJoin"), ij)
+    // grouped quantiles: both window functions and the final aggregate run
+    // keyed — no SinglePartition exchange anywhere (the ntile trap)
+    val gq = plan("q_grouped_quantiles")
+    assert(!gq.contains("SinglePartition"), gq)
+    // MAD outliers: two rank windows + artifact joins, all keyed; the
+    // group-grain artifacts broadcast back, nothing cartesian
+    val mad = plan("q_mad_outliers")
+    assert(!mad.contains("CartesianProduct") && !mad.contains("SinglePartition"),
+      mad)
+    // cusum closed form: the fold is two window passes over the day spine
+    // sharing the type partition — no collect_list aggregate in the plan
+    val cu = plan("q_cusum")
+    assert(!cu.contains("collect_list"), cu)
+  }
+
 }
