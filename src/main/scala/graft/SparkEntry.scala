@@ -3502,6 +3502,49 @@ object SparkEntry {
             pmod(expr("unix_micros(ts) div 3600000000L"), lit(4096L))).as("z"))
     },
 
+    // END-TO-END ENTITY RESOLUTION — the record-linkage lifecycle as one
+    // registered row: sorted-neighborhood BLOCKING (no all-pairs product)
+    // → Jaro-Winkler SCORING of the candidates (the codegen kernel) →
+    // connected-component CLUSTERING (min-label propagation) → canonical
+    // ids with member counts. The oracle recomputes every stage: the SNM
+    // window pairs, DuckDB's native jaro_winkler, and the recursive-CTE
+    // closure — so blocking recall, scorer semantics, and the component
+    // fold all verify in one hash.
+    q("q_entity_resolution",
+      """WITH RECURSIVE s AS (
+        |  SELECT p_partkey AS id, lower(trim(p_name)) AS k,
+        |    substr(lower(trim(p_name)), 1, 1) AS blk
+        |  FROM part),
+        |r AS (
+        |  SELECT id, k, blk, row_number() OVER (PARTITION BY blk ORDER BY k, id) AS rn
+        |  FROM s),
+        |sc AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 5
+        |  WHERE round(jaro_winkler_similarity(a.k, b.k), 6) >= 0.92),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM sc
+        |  UNION SELECT id_b, id_a FROM sc),
+        |reach(id, r2) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r2 FROM edges e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id, min(r2) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |FROM cl""".stripMargin) { (s, d) =>
+      val names = Tables.part(s, d)
+        .select(col("p_partkey").as("id"),
+          lower(trim(col("p_name"))).as("_key"))
+      val cand = Dedup.sortedNeighborPairs(names, "_key", "id", window = 5)
+      val matched = cand
+        .filter(round(jaro_winkler(col("key_a"), col("key_b")), 6) >= 0.92)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.clusterLabels(matched)
+      clusters.withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    },
+
     // Jaro-Winkler record-linkage scoring (functions.JaroWinklerSim):
     // fuzzy part-name pairs scored by the codegen kernel, verified
     // against DuckDB's NATIVE jaro_winkler_similarity — an independent
