@@ -904,6 +904,54 @@ class StreamingSpec extends AnyFunSuite {
       canon(Funnel.scd2History(toDf(all), "user_id", "attr", "ts", "event_id")))
   }
 
+  test("streaming PIT enrichment: per-batch probes against the folded history ≡ batch PIT") {
+    // The lookup side of the dimension lifecycle: each micro-batch FIRST
+    // folds into the standing history (scd2Merge), THEN its own probe
+    // rows point-in-time join against the history-so-far. Because the
+    // stream arrives in timestamp order (the scd2Merge watermark
+    // contract), no later batch can rewrite a version that was active at
+    // an earlier probe — so the concatenated per-batch enrichments must
+    // equal the one-shot PIT join of all probes against the full history.
+    import graft.ops.Funnel
+    val rnd = new scala.util.Random(29)
+    val all = (1 to 240).map { i =>
+      (rnd.nextInt(6).toLong, Seq("x", "y", "z")(rnd.nextInt(3)),
+        i.toLong, i.toLong)
+    }
+    def toDf(xs: Seq[(Long, String, Long, Long)]) =
+      xs.toDF("user_id", "attr", "t", "event_id")
+        .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val ms = MemoryStream[(Long, String, Long, Long)](spark)
+    var history = Funnel.scd2History(toDf(Seq.empty),
+      "user_id", "attr", "ts", "event_id").localCheckpoint(true)
+    var enriched = Seq.empty[(Long, Long, String, Int)]
+    val q = ms.toDF().toDF("user_id", "attr", "t", "event_id").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.withColumn("ts",
+          expr("timestamp_micros(t * 1000000)")).drop("t")
+        history = Funnel.scd2Merge(history, b,
+          "user_id", "attr", "ts", "event_id").localCheckpoint(true)
+        val probes = b.select($"user_id", $"ts", $"event_id".as("probe_id"))
+        enriched = enriched ++ Funnel
+          .pointInTimeJoin(probes, history, "user_id", "ts", "attr")
+          .select($"user_id", $"probe_id", $"active_attr", $"version")
+          .as[(Long, Long, String, Int)].collect()
+        ()
+      }
+      .start()
+    try {
+      all.grouped(60).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val batchPit = Funnel.pointInTimeJoin(
+        toDf(all).select($"user_id", $"ts", $"event_id".as("probe_id")),
+        Funnel.scd2History(toDf(all), "user_id", "attr", "ts", "event_id"),
+        "user_id", "ts", "attr")
+      .select($"user_id", $"probe_id", $"active_attr", $"version")
+      .as[(Long, Long, String, Int)].collect()
+    assert(enriched.toSet === batchPit.toSet)
+    assert(enriched.size === batchPit.length, "no duplicate enrichments")
+  }
+
   test("theta sketch-slice fold: per-batch set sketches answer overlap ≡ exact sets") {
     // The set-algebra member of the additive-artifact family as a stream:
     // one theta sketch row per (micro-batch, week); the accumulated rows
