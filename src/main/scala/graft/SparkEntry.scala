@@ -3502,6 +3502,51 @@ object SparkEntry {
             pmod(expr("unix_micros(ts) div 3600000000L"), lit(4096L))).as("z"))
     },
 
+    // Snapshot diff (Funnel.snapshotDiff): the CDC primitive when the
+    // upstream can't emit a change stream — classify every order key
+    // across two synthetic snapshots (old = keys %5≠0; new = keys %5≠1
+    // with prices doubled where key %7=0) as added/removed/changed/
+    // unchanged, column-wise null-safe, NO row hashing (a hash collision
+    // would silently mis-classify). Output: per-type exact count and key
+    // checksum.
+    q("q_snapshot_diff",
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |b AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |         THEN CAST(o_totalprice AS DOUBLE) * 2
+        |         ELSE CAST(o_totalprice AS DOUBLE) END AS price
+        |  FROM orders WHERE o_orderkey % 5 <> 1),
+        |d AS (
+        |  SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.st IS DISTINCT FROM b.st
+        |           OR a.price IS DISTINCT FROM b.price THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM d GROUP BY change_type""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val oldSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price"))
+      val newSnap = orders.filter(col("o_orderkey") % 5 =!= 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0,
+            col("o_totalprice").cast("double") * 2)
+            .otherwise(col("o_totalprice").cast("double")).as("price"))
+      ops.Funnel.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+          Seq("o_orderstatus", "price"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"))
+    },
+
     // END-TO-END ENTITY RESOLUTION — the record-linkage lifecycle as one
     // registered row: sorted-neighborhood BLOCKING (no all-pairs product)
     // → Jaro-Winkler SCORING of the candidates (the codegen kernel) →

@@ -822,6 +822,37 @@ object Funnel {
     closed.unionByName(openAdj).unionByName(deltaAdj)
   }
 
+  /** SNAPSHOT DIFF — the CDC primitive next to [[scd2History]]: compare
+    * two keyed snapshots of the same table and classify every key as
+    * `added` (only in the new snapshot), `removed` (only in the old),
+    * `changed` (present in both, any compared column differs — null-safe,
+    * so null→value and value→null both count), or `unchanged`. This is
+    * what an ingest runs when the upstream can't emit a change stream:
+    * diff the snapshots, feed `added ∪ changed` to [[scd2Merge]].
+    *
+    * One full-outer equi-join on the key — no row hashing (a hash can
+    * collide and silently mis-classify `changed` as `unchanged`; with
+    * column-wise null-safe comparisons the classification is exact), no
+    * shuffle beyond the join's. Output: key + `change_type` + the NEW
+    * snapshot's compared columns (old's for `removed`). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String, compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compared column")
+    val a = oldSnap.select(col(keyCol) +:
+      compareCols.map(c => col(c).as(s"_a_$c")) :+ lit(1).as("_inA"): _*)
+    val b = newSnap.select(col(keyCol) +:
+      compareCols.map(c => col(c).as(s"_b_$c")) :+ lit(1).as("_inB"): _*)
+    val differs = compareCols.map(c => !(col(s"_a_$c") <=> col(s"_b_$c")))
+      .reduce(_ || _)
+    a.join(b, Seq(keyCol), "full_outer")
+      .select(col(keyCol) +:
+        when(col("_inA").isNull, lit("added"))
+          .when(col("_inB").isNull, lit("removed"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type") +:
+        compareCols.map(c => coalesce(col(s"_b_$c"), col(s"_a_$c")).as(c)): _*)
+  }
+
   /** POINT-IN-TIME join — enrich each probe row with the [[scd2History]]
     * version ACTIVE at its timestamp (the warehouse PIT-correctness
     * query: "what was this entity's attribute when the event happened",

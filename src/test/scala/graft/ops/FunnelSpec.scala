@@ -317,6 +317,27 @@ class FunnelSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 3L, 10000000L, 10.0)))
   }
 
+  test("snapshotDiff: all four classes, null-safe change detection") {
+    val a = Seq((1L, Some("x"), Some(1.0)), (2L, Some("y"), Some(2.0)),
+      (3L, Option.empty[String], Some(3.0)), (4L, Some("z"), Some(4.0)))
+      .toDF("k", "st", "price")
+    val b = Seq((1L, Some("x"), Some(1.0)),          // unchanged
+      (2L, Some("y"), Some(9.0)),                    // changed (value)
+      (3L, Some("w"), Some(3.0)),                    // changed (null -> value)
+      (5L, Some("n"), Option.empty[Double]))         // added (with a null col)
+      .toDF("k", "st", "price")                      // 4 removed
+    val got = Funnel.snapshotDiff(a, b, "k", Seq("st", "price"))
+      .select($"k", $"change_type").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // the emitted columns come from the NEW snapshot (old's for removed)
+    val rows = Funnel.snapshotDiff(a, b, "k", Seq("st", "price"))
+      .as[(Long, String, Option[String], Option[Double])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(rows(2L) === ((Some("y"), Some(9.0))))
+    assert(rows(4L) === ((Some("z"), Some(4.0))))
+  }
+
   test("point-in-time join: active version at edges, zero-length versions never match") {
     // user 1: attr a@10, b@20, a@30 (open). Probes: t=10 (a v1, inclusive
     // left edge), t=19 (a v1), t=20 (b v2 — left edge of next), t=99 (a v3)
