@@ -3502,6 +3502,34 @@ object SparkEntry {
             pmod(expr("unix_micros(ts) div 3600000000L"), lit(4096L))).as("z"))
     },
 
+    // Vocabulary coverage curve (CorpusStats.vocabCoverage): how many
+    // vocab entries cover 50/90/99 % of token mass — the tokenizer-sizing
+    // stat, computed on the vocab grain (the corpus collapses once in
+    // vocabCounts; the ranking window is vocab-bounded).
+    q("q_vocab_coverage",
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t <> '')) AS w
+        |  FROM documents),
+        |vc AS (SELECT w AS word, count(*) AS cnt FROM tok GROUP BY w),
+        |r AS (
+        |  SELECT word, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, word) AS rn,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, word
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc),
+        |t AS (SELECT sum(cnt) AS total FROM vc)
+        |SELECT CAST(p AS DOUBLE) AS p, CAST(min(rn) AS BIGINT) AS vocab_size,
+        |  CAST(min(cum) AS BIGINT) AS covered_tokens,
+        |  CAST(max(total) AS BIGINT) AS total_tokens
+        |FROM r, t, unnest([0.5, 0.9, 0.99]) u(p)
+        |WHERE cum >= p * total
+        |GROUP BY p""".stripMargin) { (s, d) =>
+      ops.CorpusStats.vocabCoverage(
+        ops.CorpusStats.vocabCounts(Tables.documents(s, d), "text"),
+        Seq(0.5, 0.9, 0.99))
+    },
+
     // Snapshot diff (Funnel.snapshotDiff): the CDC primitive when the
     // upstream can't emit a change stream — classify every order key
     // across two synthetic snapshots (old = keys %5≠0; new = keys %5≠1

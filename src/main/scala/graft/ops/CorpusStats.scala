@@ -380,6 +380,37 @@ object CorpusStats {
     } finally { rdd.unpersist(false); () }
   }
 
+  /** Vocabulary COVERAGE CURVE — the tokenizer-sizing question: how many
+    * vocabulary entries (most-frequent-first, count-desc word-asc
+    * deterministic order) cover p of the corpus token mass? The smallest
+    * prefix whose cumulative count reaches p·total, per requested p —
+    * exact integers throughout (the crossing compare is LONG cum vs the
+    * engine-identical p·total double).
+    *
+    * Scale note: the ranking window runs on the VOCAB grain (the
+    * corpus collapses in the one vocabCounts pass), so the single-order
+    * window is vocab-bounded — the paretoFront collapsed-grain stance —
+    * never corpus-bounded. Output: (p, vocab_size, covered_tokens,
+    * total_tokens). */
+  def vocabCoverage(counts: DataFrame, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"ranks must be in (0,1]: $ps")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("cnt").desc, col("word"))
+    val ranked = counts
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val total = counts.agg(sum(col("cnt"))).head.getLong(0)
+    ranked.crossJoin(
+        broadcast(counts.sparkSession.createDataFrame(ps.map(Tuple1(_))).toDF("p")))
+      .filter(col("cum") >= col("p") * lit(total.toDouble))
+      .groupBy(col("p"))
+      .agg(min(col("rn")).as("vocab_size"),
+        min(col("cum")).as("covered_tokens"))
+      .withColumn("total_tokens", lit(total))
+  }
+
   /** Population Stability Index — THE production drift monitor for a
     * numeric feature between a baseline corpus and a new batch:
     * PSI = Σᵢ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over the BASELINE's equal-frequency

@@ -80,6 +80,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(gc === (("c", 6L, 7.0, 0.0, 0L)))
   }
 
+  test("vocabCoverage: hand-computed crossings on a skewed vocabulary") {
+    // counts: the 10, of 5, a 3, b 1, c 1 -> total 20
+    // p=0.5 -> cum 10 at rank 1; p=0.75 -> cum 15 at rank 2;
+    // p=0.95 -> 19 needed -> rank 4 (cum 19); p=1.0 -> rank 5
+    val docs = Seq((1L, ("the " * 10) + ("of " * 5) + "a a a b c"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.vocabCoverage(
+        CorpusStats.vocabCounts(docs, "text"), Seq(0.5, 0.75, 0.95, 1.0))
+      .as[(Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0.5) === ((1L, 10L, 20L)))
+    assert(got(0.75) === ((2L, 15L, 20L)))
+    assert(got(0.95) === ((4L, 19L, 20L)))
+    assert(got(1.0) === ((5L, 20L, 20L)))
+  }
+
   test("psi: identical distributions score ~0, a shifted batch scores high") {
     val rnd = new scala.util.Random(47)
     val base = Seq.fill(4000)(rnd.nextGaussian() * 10 + 50).map(Tuple1(_)).toDF("x")
