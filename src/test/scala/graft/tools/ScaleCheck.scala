@@ -562,6 +562,33 @@ object ScaleCheck {
         graft.ops.Funnel.pointInTimeJoin(probes, hist, "user_id", "ts",
           "event_type").count()
       }
+      // orders ×k on both snapshot sides: one full-outer equi-join
+      results(("snapshot_diff", k)) = timed("snapshot_diff", k, nev) {
+        val o = (0 until k).map(r =>
+          graft.Tables.orders(spark, sfDir)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(r * step)))
+          .reduce(_ unionByName _)
+        graft.ops.Funnel.snapshotDiff(
+          o.filter(col("o_orderkey") % 5 =!= 0)
+            .select(col("o_orderkey"), col("o_totalprice")),
+          o.filter(col("o_orderkey") % 5 =!= 1)
+            .select(col("o_orderkey"), col("o_totalprice")),
+          "o_orderkey", Seq("o_totalprice")).count()
+      }
+      // token mass ×k; the ranking window runs on the vocab grain (which
+      // also grows ~×k under vowel rotation — still far under corpus)
+      results(("vocab_coverage", k)) = timed("vocab_coverage", k, nd) {
+        graft.ops.CorpusStats.vocabCoverage(
+          graft.ops.CorpusStats.vocabCounts(d, "text"),
+          Seq(0.5, 0.9, 0.99)).count()
+      }
+      // rows ×k: one range sort + weight-offset selection
+      results(("weighted_quantiles", k)) = timed("weighted_quantiles", k, nev) {
+        graft.ops.CorpusStats.exactWeightedQuantiles(
+          ev.select(col("value").as("x"),
+            (pmod(col("event_id"), lit(50)) + 1).as("w")),
+          "x", "w", Seq(0.25, 0.5, 0.95)).length.toLong
+      }
       // user-day intervals ×k against a FIXED set of type-day intervals:
       // bucket replication is span-bounded, the join a pure equi-join, so
       // candidates and true overlaps both track the left side linearly
