@@ -904,6 +904,56 @@ class StreamingSpec extends AnyFunSuite {
       canon(Funnel.scd2History(toDf(all), "user_id", "attr", "ts", "event_id")))
   }
 
+  test("snapshot-diff → scd2Merge lifecycle: periodic snapshots fold to the change-log history") {
+    // The upstream can't emit changes — only periodic full snapshots.
+    // Each arriving snapshot diffs against the previous one; `added ∪
+    // changed` rows (stamped with the snapshot time) scd2Merge into the
+    // standing history. After the last snapshot the folded history must
+    // equal scd2History over the equivalent change log: one event per
+    // (entity, snapshot) at which its attribute appeared or changed.
+    import graft.ops.Funnel
+    // entity e's attribute at snapshot t (deterministic, with real runs)
+    def attrAt(e: Long, t: Long): String = Seq("x", "y", "z")(((e + t) / 3 % 3).toInt)
+    val entities = 0L until 12L
+    val snaps = (1L to 6L).map { t =>
+      t -> entities.filter(e => (e + t) % 11 != 0)  // some keys absent per snap
+        .map(e => (e, attrAt(e, t))).toSeq
+    }
+    def snapDf(rows: Seq[(Long, String)]) = rows.toDF("id", "attr")
+    var prev = snapDf(Seq.empty)
+    var history = Funnel.scd2History(
+      Seq.empty[(Long, String, Long, Long)].toDF("id", "attr", "t", "tie")
+        .withColumn("ts", expr("timestamp_micros(t)")).drop("t"),
+      "id", "attr", "ts", "tie").localCheckpoint(true)
+    for ((t, rows) <- snaps) {
+      val cur = snapDf(rows)
+      val delta = Funnel.snapshotDiff(prev, cur, "id", Seq("attr"))
+        .filter($"change_type".isin("added", "changed"))
+        .select($"id", $"attr",
+          expr(s"timestamp_micros(${t * 1000000L}L)").as("ts"),
+          $"id".as("tie"))
+      history = Funnel.scd2Merge(history, delta, "id", "attr", "ts", "tie")
+        .localCheckpoint(true)
+      prev = cur
+    }
+    // equivalent change log: for each snapshot, entities whose attr is new
+    // or different from their previous PRESENT state
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val state = scala.collection.mutable.Map.empty[Long, String]
+    for ((t, rows) <- snaps; (e, a) <- rows)
+      if (!state.get(e).contains(a)) { state(e) = a; log += ((e, a, t)) }
+    val batch = Funnel.scd2History(
+      log.toSeq.toDF("id", "attr", "t")
+        .withColumn("ts", expr("timestamp_micros(t * 1000000)"))
+        .withColumn("tie", $"id").drop("t"),
+      "id", "attr", "ts", "tie")
+    def canon(d: DataFrame) = d
+      .select($"id", $"attr", $"valid_from".cast("long"),
+        $"valid_to".cast("long"), $"version")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    assert(canon(history) === canon(batch))
+  }
+
   test("streaming PIT enrichment: per-batch probes against the folded history ≡ batch PIT") {
     // The lookup side of the dimension lifecycle: each micro-batch FIRST
     // folds into the standing history (scd2Merge), THEN its own probe
