@@ -98,6 +98,8 @@ object GraftExtensions {
     f("sorted_intersect_count",
       "sorted_intersect_count(a, b) — set-intersection size of two sorted string arrays") {
       xs => SortedIntersectCount(xs(0), xs(1)) },
+    f("token_entropy", "token_entropy(tokens) — Shannon entropy (nats) of the token distribution") {
+      xs => TokenEntropy(xs(0)) },
     f("z_value", "z_value(x, y) — 64-bit Morton interleave of two 32-bit keys") {
       xs => ZValue(xs(0), xs(1)) },
     f("jaro_sim", "jaro_sim(a, b) — Jaro string similarity") {

@@ -3502,6 +3502,33 @@ object SparkEntry {
             pmod(expr("unix_micros(ts) div 3600000000L"), lit(4096L))).as("z"))
     },
 
+    // Token entropy (functions.TokenEntropy): per-document Shannon
+    // entropy of the word distribution — the boilerplate/keyword-spam
+    // signal (templates score low, diverse prose near ln(n)). One
+    // codegen JVM pass per row; the oracle recomputes via per-doc word
+    // counts and the same −Σ(c/n)·ln(c/n).
+    q("q_entropy",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(tk) AS w, len(tk) AS n
+        |  FROM tok WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, w, max(n) AS n, count(*) AS c FROM w GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+        |    AS entropy,
+        |  CAST(count(*) AS BIGINT) AS n_distinct
+        |FROM c GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("_tk"))
+        .filter(size(col("_tk")) > 0)
+        .select(col("doc_id"),
+          round(token_entropy(col("_tk")), 6).as("entropy"),
+          size(word_shingles(col("_tk"), 1)).cast("long").as("n_distinct"))
+    },
+
     // Vocabulary coverage curve (CorpusStats.vocabCoverage): how many
     // vocab entries cover 50/90/99 % of token mass — the tokenizer-sizing
     // stat, computed on the vocab grain (the corpus collapses once in

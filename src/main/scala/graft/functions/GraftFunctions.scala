@@ -27,6 +27,7 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(e(a), e(b)))
   def top_ngram_run(tokens: Column, n: Int): Column = col(TopNgramRun(e(tokens), n))
+  def token_entropy(tokens: Column): Column = col(TokenEntropy(e(tokens)))
   def z_value(x: Column, y: Column): Column = col(ZValue(e(x), e(y)))
   def jaro_sim(a: Column, b: Column): Column = col(JaroSim(e(a), e(b)))
   def jaro_winkler(a: Column, b: Column): Column = col(JaroWinklerSim(e(a), e(b)))

@@ -354,6 +354,32 @@ object TextShingling {
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
 
+  /** Shannon entropy (nats) of a token array's word distribution — see
+    * [[graft.functions.TokenEntropy]]. Counts in a LinkedHashMap so the
+    * −Σ(c/n)·ln(c/n) accumulation runs in first-occurrence order, making
+    * the double result deterministic for a given token sequence. */
+  def tokenEntropy(arr: ArrayData): Double = {
+    val m = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    var n = 0L
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        counts.merge(arr.getUTF8String(i), 1L, (a, b) => a + b)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0) return 0.0
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * math.log(p)
+    }
+    h
+  }
+
   /** Max frequency of any word n-gram over NON-distinct windows (the mode
     * count — repetition scoring needs frequencies, [[wordShingles]]
     * deduplicates). Exact: n-grams sort as UTF8Strings and the longest
@@ -479,6 +505,34 @@ case class TopNgramRun(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextShingling.maxNgramRun($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** token_entropy(array<string> tokens) → DOUBLE Shannon entropy (nats) of
+  * the token distribution — the curation feature that separates natural
+  * prose from boilerplate and keyword spam: repeated-template documents
+  * score low, diverse vocabulary scores near ln(n_tokens). One JVM pass
+  * (hash-count then −Σ(c/n)·ln(c/n)); null tokens are skipped; fewer than
+  * one non-null token → 0.0. The accumulation sums in the tokens' FIRST-
+  * OCCURRENCE order so the float result is input-deterministic. */
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_entropy"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_entropy requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextShingling.tokenEntropy(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextShingling.tokenEntropy($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

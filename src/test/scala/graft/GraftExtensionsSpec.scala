@@ -15,7 +15,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "cosine_sim", "l2_dist", "dot_product", "fnv64", "simhash64",
       "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles",
       "top_ngram_run", "unicode_norm", "strip_accents", "bpe_encode",
-      "jaro_sim", "jaro_winkler", "z_value",
+      "jaro_sim", "jaro_winkler", "z_value", "token_entropy",
       "int8_encode", "int8_dot",
       "kll_sketch_agg", "kll_union_agg", "kll_quantile", "kll_rank", "kll_n",
       "theta_sketch_agg", "theta_union_agg", "theta_intersect",

@@ -24,6 +24,22 @@ class TextExpressionsSpec extends AnyFunSuite {
     got.foreach { case (s, h) => assert(h == TextHashing.fnv64(s)) }
   }
 
+  test("token_entropy: hand-computed distributions, determinism, degenerate inputs") {
+    def ent(tk: Seq[String]): Double =
+      Seq(Tuple1(tk)).toDF("t").select(token_entropy($"t")).as[Double].head()
+    assert(ent(Seq("a", "a", "a")) === 0.0)               // constant → 0
+    assert(math.abs(ent(Seq("a", "b")) - math.log(2)) < 1e-12)
+    assert(math.abs(ent(Seq("a", "b", "c", "d")) - math.log(4)) < 1e-12)
+    // 3/4-1/4 split: -(0.75 ln 0.75 + 0.25 ln 0.25)
+    val exp = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(ent(Seq("a", "a", "a", "b")) - exp) < 1e-12)
+    assert(ent(Seq.empty) === 0.0)
+    assert(ent(Seq(null)) === 0.0)                        // nulls skipped
+    // low-entropy boilerplate ranks below diverse prose
+    assert(ent(Seq.fill(50)("buy") ++ Seq("now")) <
+      ent((1 to 51).map(i => s"w$i")))
+  }
+
   test("simhash of near-identical token sets is near in Hamming distance") {
     val base = (1 to 60).map(i => s"token$i")
     val near = base.drop(1) :+ "tokenX"       // 2 tokens differ
