@@ -2363,6 +2363,58 @@ object SparkEntry {
         "event_type", convType = "purchase")
     },
 
+    // Time-decay attribution (Funnel.attributionDecay): the fourth
+    // standard model — a touch's credit halves per day of age at its
+    // conversion, decided in EXACT integers (bucket ⌊Δ/day⌋, weight
+    // 2^(30−b), micro-credits with remainder-to-last) so every credit
+    // reproduces bit-for-bit with no float decay anywhere.
+    q("q_attribution_decay",
+      """WITH m AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM events),
+        |nc AS (
+        |  SELECT user_id, count(*) AS n_conv FROM m
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |cv AS (
+        |  SELECT user_id, s, epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+        |  FROM m WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT m.user_id, m.event_type, m.ts, m.event_id, m.s, cv.cts
+        |  FROM m
+        |  JOIN nc ON nc.user_id = m.user_id
+        |  JOIN cv ON cv.user_id = m.user_id AND cv.s = m.s
+        |  WHERE m.event_type <> 'purchase' AND m.s < nc.n_conv),
+        |wt AS (
+        |  SELECT user_id, event_type, ts, event_id, s,
+        |    (CAST(1 AS BIGINT) << CAST(30 - least(30,
+        |      (cts - epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000) AS INT))
+        |      AS w
+        |  FROM t),
+        |cr0 AS (
+        |  SELECT user_id, event_type, ts, event_id, s,
+        |    (1000000 * w) // (sum(w) OVER (PARTITION BY user_id, s)) AS c0
+        |  FROM wt),
+        |cr AS (
+        |  SELECT event_type, c0,
+        |    sum(c0) OVER (PARTITION BY user_id, s) AS sumc,
+        |    row_number() OVER (PARTITION BY user_id, s
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, s) AS n
+        |  FROM cr0)
+        |SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  round(CAST(sum(c0 + CASE WHEN rn = n THEN 1000000 - sumc ELSE 0 END)
+        |    AS DOUBLE) / 1000000, 6) AS decay_credit
+        |FROM cr GROUP BY event_type""".stripMargin) { (s, d) =>
+      ops.Funnel.attributionDecay(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", convType = "purchase",
+        halfLifeUs = 86400000000L, capBuckets = 30)
+    },
+
     // Two-proportion A/B z-test (Funnel.abTestConversion): user_id-parity
     // arms, conversion = ever-purchased, and the z² > 1.96² decision
     // cross-multiplied into DECIMAL(38,0) integers — the q_anomaly_days

@@ -584,6 +584,57 @@ object Funnel {
         round(sum(col("_lin")).cast("double") / 1e6, 6).as("linear_credit"))
   }
 
+  /** TIME-DECAY multi-touch attribution — the fourth standard model next
+    * to [[attribution]]'s first/last/linear: a touch's credit halves for
+    * every `halfLifeUs` of age at its conversion. Decided in EXACT
+    * integers (the linear-credit convention, weighted): the decay bucket
+    * is b = ⌊Δ/halfLife⌋ capped at `capBuckets`, the raw weight the
+    * integer 2^(cap−b), each touch takes ⌊10⁶·w/ΣW⌋ micro-credits and
+    * the segment's LAST touch absorbs the remainder — so per-conversion
+    * credit sums to exactly 10⁶ and every number reproduces bit-for-bit
+    * on any engine (no pow(), no float decay anywhere).
+    *
+    * Same shape as [[attribution]]: one user-grain exchange for the
+    * conversion segmentation, segment-keyed windows extending it, plus
+    * one (user, segment) join attaching each conversion's timestamp.
+    * Output: (channel, n_touches, decay_credit). */
+  def attributionDecay(events: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String, convType: String,
+                       halfLifeUs: Long, capBuckets: Int = 30): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive: $halfLifeUs")
+    require(capBuckets >= 1 && capBuckets <= 60,
+      s"capBuckets in 1..60: $capBuckets")
+    val W = org.apache.spark.sql.expressions.Window
+    val wUser = W.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val marked = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol),
+        coalesce(sum(when(col(typeCol) === convType, 1L).otherwise(0L))
+          .over(wUser.rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("_s"))
+    val nConvs = marked.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(count(lit(1)).as("_nc"))
+    val convs = marked.filter(col(typeCol) === convType)
+      .select(col(userCol), col("_s"), unix_micros(col(tsCol)).as("_cts"))
+    val seg = W.partitionBy(col(userCol), col("_s"))
+    val wSeg = seg.orderBy(col(tsCol), col(tieCol))
+    val credited = marked.filter(col(typeCol) =!= convType)
+      .join(nConvs, Seq(userCol)).filter(col("_s") < col("_nc"))
+      .join(convs, Seq(userCol, "_s"))
+      .withColumn("_b", least(lit(capBuckets.toLong),
+        expr(s"(_cts - unix_micros(`$tsCol`)) div ${halfLifeUs}L")))
+      .withColumn("_w", expr(s"shiftleft(1L, cast($capBuckets - _b AS INT))"))
+      .withColumn("_T", sum(col("_w")).over(seg))
+      .withColumn("_c0", expr("(1000000L * _w) div _T"))
+      .withColumn("_sumc", sum(col("_c0")).over(seg))
+      .withColumn("_rn", row_number().over(wSeg))
+      .withColumn("_n", count(lit(1)).over(seg))
+      .withColumn("_credit", col("_c0") +
+        when(col("_rn") === col("_n"), lit(1000000L) - col("_sumc"))
+          .otherwise(0L))
+    credited.groupBy(col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("_credit")).cast("double") / 1e6, 6).as("decay_credit"))
+  }
+
   /** Exact ROC-AUC of a score against a binary label, by the
     * Mann-Whitney rank formulation with midrank tie handling —
     * AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) — the standard evaluation for

@@ -506,6 +506,31 @@ class FunnelSpec extends AnyFunSuite {
       "click" -> ((1L, 2L, 1.166667)))) // 0.5 + 0.666667 (incl remainder)
   }
 
+  test("attributionDecay: recency dominates, credits sum to exactly one per conversion") {
+    // user 1: view 3 days before, click 1 day before, purchase.
+    // weights: view b=3 -> 2^27, click b=1 -> 2^29; T = 2^27 + 2^29
+    // view = floor(1e6 * 2^27 / T) = floor(1e6/5) = 200000 -> 0.2
+    // click (last) = 1e6 - 200000 = 800000 -> 0.8
+    val day = 86400L
+    val ev = Seq(
+      (1L, "view", 0L, 1L), (1L, "click", 2 * day, 2L),
+      (1L, "purchase", 3 * day, 3L),
+      // user 2: two same-bucket touches (both < 1 half-life old) split
+      // evenly, remainder to last
+      (2L, "a", day - 10, 4L), (2L, "b", day - 5, 5L), (2L, "purchase", day, 6L))
+      .toDF("user_id", "event_type", "t", "event_id")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val got = Funnel.attributionDecay(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", halfLifeUs = day * 1000000L)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("view") === ((1L, 0.2)))
+    assert(got("click") === ((1L, 0.8)))
+    assert(got("a") === ((1L, 0.5)) && got("b") === ((1L, 0.5)))
+    // total credit across channels = number of conversions exactly
+    assert(math.abs(got.values.map(_._2).sum - 2.0) < 1e-9)
+  }
+
   test("trend: planted linear series recovers the exact slope; single-day types drop") {
     // type 'up': counts 2,4,6,8 on days 0..3 -> slope exactly 2
     // type 'noisy': 5,1,5 -> slope 0 (symmetric) -> 'flat'
