@@ -2363,6 +2363,44 @@ object SparkEntry {
         "event_type", convType = "purchase")
     },
 
+    // Calibration + Brier (Funnel.calibration): does "predicted 0.7"
+    // convert 70% of the time — the eval member AUC can't answer.
+    // Predictions enter as exact micro-rationals ((1e6·n⁺) div n, never
+    // a float), buckets are integer cuts, Brier accumulates split-LONG.
+    q("q_calibration",
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    (1000000 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END))
+        |      // count(*) AS p,
+        |    sum(CAST(round(value * 100) AS BIGINT)) > 10000 AS y
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT p, CASE WHEN y THEN 1 ELSE 0 END AS yy,
+        |    least(9, (p * 10) // 1000000) AS b,
+        |    p - (CASE WHEN y THEN 1 ELSE 0 END) * 1000000 AS d
+        |  FROM pu),
+        |per AS (
+        |  SELECT b, count(*) AS n, sum(p) AS sp, sum(yy) AS sy,
+        |    sum(CAST(d AS HUGEINT) * d) AS sq
+        |  FROM r GROUP BY b)
+        |SELECT CAST(b AS INT) AS bucket, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean_pred,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate,
+        |  round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0), 6) AS brier
+        |FROM per
+        |UNION ALL
+        |SELECT -1, CAST(sum(n) AS BIGINT),
+        |  round(CAST(sum(sp) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * 1000000.0), 6),
+        |  round(CAST(sum(sy) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6),
+        |  round(CAST(sum(sq) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * 1000000000000.0), 6)
+        |FROM per""".stripMargin) { (s, d) =>
+      val pu = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(expr("(1000000L * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)) div count(*)")
+          .as("p_micro"),
+          (sum(roundAway(col("value") * 100).cast("long")) > 10000L).as("y"))
+      ops.Funnel.calibration(pu, "p_micro", "y", nBuckets = 10)
+    },
+
     // Time-decay attribution (Funnel.attributionDecay): the fourth
     // standard model — a touch's credit halves per day of age at its
     // conversion, decided in EXACT integers (bucket ⌊Δ/day⌋, weight

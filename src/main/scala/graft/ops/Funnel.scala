@@ -635,6 +635,50 @@ object Funnel {
         round(sum(col("_credit")).cast("double") / 1e6, 6).as("decay_credit"))
   }
 
+  /** CALIBRATION table + Brier score — the eval-suite member next to
+    * [[aucScoreVsLabel]] (discrimination) and Gini (concentration): AUC
+    * can be perfect while probabilities are nonsense; calibration asks
+    * whether "predicted 0.7" converts 70 % of the time. Predictions
+    * arrive as MICRO-units (p·10⁶ as LONG — rationals like n⁺/n enter
+    * exactly via `(1e6·n⁺) div n`, never a float); equal-width buckets
+    * are exact integer cuts ⌊p_micro·B/10⁶⌋ capped at B−1, per-bucket
+    * mean prediction and observed rate are single divisions of exact
+    * sums, and the Brier score Σ(p_micro − y·10⁶)²/(n·10¹²) accumulates
+    * via the decSum hi/lo split (per-row squares ≤ 10¹², exact to ~10¹³
+    * rows). Output: (bucket 0..B−1, n, mean_pred, obs_rate,
+    * brier_contrib) + a bucket −1 total row whose brier_contrib is the
+    * score. */
+  def calibration(scored: DataFrame, microPredCol: String, labelCol: String,
+                  nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be ≥ 2: $nBuckets")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def splitSum(e: Column): Column =
+      sum(shiftright(e, 18)).cast(dec38) * lit(262144L).cast(dec38) +
+        sum(e.bitwiseAND(lit(262143L))).cast(dec38)
+    val rows = scored.select(
+      col(microPredCol).cast("long").as("_p"),
+      when(col(labelCol), 1L).otherwise(0L).as("_y"))
+      .where(col("_p").isNotNull && col("_p").between(0L, 1000000L))
+      .withColumn("_bkt",
+        least(lit(nBuckets - 1), expr(s"cast((_p * $nBuckets) div 1000000L AS INT)")))
+      .withColumn("_sq", (col("_p") - col("_y") * 1000000L) *
+        (col("_p") - col("_y") * 1000000L))
+    val per = rows.groupBy(col("_bkt").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("_sp"),
+        sum(col("_y")).as("_sy"), splitSum(col("_sq")).as("_sq2"))
+    val tot = per.agg(lit(-1).as("bucket"), sum(col("n")).as("n"),
+      sum(col("_sp")).as("_sp"), sum(col("_sy")).as("_sy"),
+      sum(col("_sq2")).as("_sq2"))
+    per.unionByName(tot)
+      .select(col("bucket"), col("n"),
+        round(col("_sp").cast("double") / (col("n").cast("double") * 1e6), 6)
+          .as("mean_pred"),
+        round(col("_sy").cast("double") / col("n").cast("double"), 6)
+          .as("obs_rate"),
+        round(col("_sq2").cast("double") / (col("n").cast("double") * 1e12), 6)
+          .as("brier"))
+  }
+
   /** Exact ROC-AUC of a score against a binary label, by the
     * Mann-Whitney rank formulation with midrank tie handling —
     * AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) — the standard evaluation for

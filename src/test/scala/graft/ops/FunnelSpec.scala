@@ -572,6 +572,28 @@ class FunnelSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L, 1L, 7.77, 7.77)))
   }
 
+  test("calibration: perfectly calibrated buckets read their own rate, Brier exact") {
+    // bucket 0.2: 5 rows p=0.2, one positive -> obs 0.2 == mean_pred
+    // bucket 0.8: 5 rows p=0.8, four positive -> obs 0.8
+    val rows = (Seq.fill(4)((200000L, false)) :+ ((200000L, true))) ++
+      (Seq.fill(4)((800000L, true)) :+ ((800000L, false)))
+    val df = rows.toDF("p_micro", "y")
+    val got = Funnel.calibration(df, "p_micro", "y", nBuckets = 10)
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(2) === ((5L, 0.2, 0.2, 0.16)))   // (0.2-0)^2*4/5 + (0.2-1)^2/5
+    assert(got(8) === ((5L, 0.8, 0.8, 0.16)))
+    assert(got(-1)._1 === 10L)
+    assert(got(-1)._4 === 0.16)                 // overall Brier
+    // p = 1.0 lands in the TOP bucket (the least() cap), out-of-range drops
+    val edge = Seq((1000000L, true), (-5L, true), (2000000L, false))
+      .toDF("p_micro", "y")
+    val e = Funnel.calibration(edge, "p_micro", "y", 10)
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(e === Map(9 -> 1L, -1 -> 1L))
+  }
+
   test("auc: hand pair-counting with ties, perfect and inverted separation") {
     def auc(rows: Seq[(Long, Boolean)]) =
       Funnel.aucScoreVsLabel(rows.toDF("score", "label"), "score", "label")
