@@ -3531,10 +3531,12 @@ object SparkEntry {
          |cc AS (SELECT CASE $chain ELSE 10 END AS bucket FROM curv, qb),
          |jb AS (SELECT bucket, count(*) AS n_base FROM bb GROUP BY bucket),
          |jc AS (SELECT bucket, count(*) AS n_cur FROM cc GROUP BY bucket),
+         |sp AS (SELECT CAST(range AS INT) AS bucket FROM range(1, 11)),
          |j AS (
-         |  SELECT coalesce(jb.bucket, jc.bucket) AS bucket,
+         |  SELECT sp.bucket,
          |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
-         |  FROM jb FULL OUTER JOIN jc ON jb.bucket = jc.bucket),
+         |  FROM sp LEFT JOIN jb ON sp.bucket = jb.bucket
+         |          LEFT JOIN jc ON sp.bucket = jc.bucket),
          |t AS (SELECT sum(n_base) AS tnb, sum(n_cur) AS tnc FROM j),
          |pb AS (
          |  SELECT bucket, n_base, n_cur,

@@ -452,12 +452,19 @@ object CorpusStats {
   def mergeBucketCounts(slices: DataFrame): DataFrame =
     slices.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
 
-  /** [[psi]] from two prebuilt (bucket, cnt) tables. */
+  /** [[psi]] from two prebuilt (bucket, cnt) tables. Counts are joined
+    * onto an EXPLICIT 1..nBuckets spine (the benfordAudit pattern), so a
+    * bucket empty on BOTH sides still contributes its nonzero smoothed
+    * term — the add-1 definition holds even under heavy baseline ties. */
   def psiFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
                     nBuckets: Int): DataFrame = {
-    val joint = baseCounts.select(col("bucket"), col("cnt").as("n_base"))
+    val spine = baseCounts.sparkSession.range(1, nBuckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+    val joint = spine
+      .join(baseCounts.select(col("bucket"), col("cnt").as("n_base")),
+        Seq("bucket"), "left_outer")
       .join(curCounts.select(col("bucket"), col("cnt").as("n_cur")),
-        Seq("bucket"), "full_outer")
+        Seq("bucket"), "left_outer")
       .select(col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
@@ -677,9 +684,11 @@ object CorpusStats {
       val thresholds = ps.map(p => p * total).toArray
       val found = rdd.mapPartitionsWithIndex { (i, it) =>
         // thresholds crossed inside THIS partition: cumulative weight
-        // passes t strictly after offsets(i) and at-or-before the end
+        // passes t strictly after offsets(i) and at-or-before the end.
+        // Scan ASCENDING regardless of caller order — results map back
+        // through the preserved original index.
         val want = thresholds.zipWithIndex.filter { case (t, _) =>
-          t > offsets(i) && t <= offsets(i) + sizes(i) }
+          t > offsets(i) && t <= offsets(i) + sizes(i) }.sortBy(_._1)
         if (want.isEmpty) Iterator.empty
         else {
           val res = new scala.collection.mutable.ArrayBuffer[(Int, Double)](want.length)

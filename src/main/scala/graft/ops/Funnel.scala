@@ -945,7 +945,8 @@ object Funnel {
           .when(col("_inB").isNull, lit("removed"))
           .when(differs, lit("changed"))
           .otherwise(lit("unchanged")).as("change_type") +:
-        compareCols.map(c => coalesce(col(s"_b_$c"), col(s"_a_$c")).as(c)): _*)
+        compareCols.map(c => when(col("_inB").isNotNull, col(s"_b_$c"))
+          .otherwise(col(s"_a_$c")).as(c)): _*)
   }
 
   /** POINT-IN-TIME join — enrich each probe row with the [[scd2History]]

@@ -34,6 +34,38 @@ class CorpusStatsSpec extends AnyFunSuite {
     val z = Seq((1.0, 0L), (2.0, 5L), (3.0, -4L)).toDF("x", "w")
     assert(CorpusStats.exactWeightedQuantiles(z, "x", "w", Seq(0.5, 1.0))
       === Seq(2.0, 2.0))
+    // caller order is NOT a contract: a descending/shuffled ps list must
+    // return the same per-rank values as the ascending call (r9 ADVICE —
+    // the in-partition scan crosses thresholds ascending and maps results
+    // back by original index)
+    val shuffled = Seq(0.95, 0.1, 1.0, 0.5, 0.9)
+    val gotShuffled = CorpusStats.exactWeightedQuantiles(df, "x", "w", shuffled)
+    val byRank = ps.zip(got).toMap
+    assert(gotShuffled === shuffled.map(byRank))
+  }
+
+  test("psiFromCounts: explicit spine keeps both-sides-empty buckets in the add-1 sum") {
+    // 5 buckets; bucket 3 observed in NEITHER table, bucket 4 only in cur.
+    // With unequal totals the smoothed fractions differ on EVERY bucket,
+    // so dropping an empty one changes the statistic (r9 ADVICE).
+    val baseC = Seq((1, 10L), (2, 30L), (5, 60L)).toDF("bucket", "cnt")
+    val curC = Seq((1, 5L), (2, 5L), (4, 20L), (5, 20L)).toDF("bucket", "cnt")
+    val out = CorpusStats.psiFromCounts(baseC, curC, nBuckets = 5)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(0, 1, 2, 3, 4, 5))  // spine + total row
+    def term(nb: Long, nc: Long): Double = {
+      val p = (nb + 1).toDouble / 105.0; val q = (nc + 1).toDouble / 55.0
+      (p - q) * (math.log(p) - math.log(q))
+    }
+    val byB = out.map(r => r._1 -> r._4).toMap
+    assert(byB(3) === BigDecimal(term(0, 0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byB(3) != 0.0)   // the dropped-bucket term is genuinely nonzero
+    val expectTotal = Seq((10L, 5L), (30L, 5L), (0L, 0L), (0L, 20L), (60L, 20L))
+      .map { case (nb, nc) => term(nb, nc) }.sum
+    assert(byB(0) === BigDecimal(expectTotal).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("exactQuantiles: bit-identical to Spark percentile, fused counts exact") {

@@ -1253,6 +1253,33 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(got === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("bpe driver-local trainer ≡ distributed, merge-for-merge, on a real corpus") {
+    // the production trainer (bpeMergesLocal: collected vocab artifact +
+    // incremental pair counts + lazy-invalidation heap) must replay the
+    // distributed trainer's exact trajectory — same pair, same count,
+    // every step — including tie-breaks and overlap counting
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .select($"text")
+    val dist = TextAnalysis.bpeMerges(docs, "text", nMerges = 12)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val local = TextAnalysis.bpeMergesLocal(docs, "text", nMerges = 12)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local === dist)
+    // the Sennrich cases hold for the local form too
+    val ex = Seq("low low low lower lower newest").toDF("text")
+    assert(TextAnalysis.bpeMergesLocal(ex, "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+      === Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L)))
+    val rep = Seq("aaaa aaaa aaaa").toDF("text")
+    assert(TextAnalysis.bpeMergesLocal(rep, "text", nMerges = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+      === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+    // exhaustion: a fully-merged corpus stops early instead of looping
+    val tiny = Seq("ab ab").toDF("text")
+    assert(TextAnalysis.bpeMergesLocal(tiny, "text", nMerges = 10)
+      .count() === 1L)
+  }
+
   test("sorted neighborhood: window pairs in (key,id) order, blocks never straddle") {
     val df = Seq(
       (1L, "aaa"), (2L, "aab"), (3L, "aac"), (4L, "aad"),

@@ -338,6 +338,23 @@ class FunnelSpec extends AnyFunSuite {
     assert(rows(4L) === ((Some("z"), Some(4.0))))
   }
 
+  test("snapshotDiff: value→null change reports the NEW null, not the stale old value") {
+    // k=1: price 7.0 -> null (changed); the payload must carry the NEW
+    // null — a coalesce() would resurrect 7.0 and corrupt the documented
+    // `added ∪ changed → scd2Merge` feed (r9 ADVICE). k=2: st "x" -> null
+    // with price unchanged — same rule on a string column.
+    val a = Seq((1L, Some("a"), Some(7.0)), (2L, Some("x"), Some(1.0)))
+      .toDF("k", "st", "price")
+    val b = Seq((1L, Some("a"), Option.empty[Double]),
+      (2L, Option.empty[String], Some(1.0)))
+      .toDF("k", "st", "price")
+    val rows = Funnel.snapshotDiff(a, b, "k", Seq("st", "price"))
+      .as[(Long, String, Option[String], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(1L) === (("changed", Some("a"), None)))
+    assert(rows(2L) === (("changed", None, Some(1.0))))
+  }
+
   test("point-in-time join: active version at edges, zero-length versions never match") {
     // user 1: attr a@10, b@20, a@30 (open). Probes: t=10 (a v1, inclusive
     // left edge), t=19 (a v1), t=20 (b v2 — left edge of next), t=99 (a v3)
