@@ -4526,6 +4526,19 @@ object SparkEntry {
       ops.TextAnalysis.bpeMerges(Tables.documents(s, d), "text", nMerges = 8)
     },
 
+    // The PRODUCTION trainer (TextAnalysis.bpeMergesLocal): same merge
+    // trajectory, but after the one corpus-scale vocab pass the merge
+    // loop runs driver-local over the vocab-bounded artifact —
+    // incremental pair counts + lazy-invalidation heap — so a 30k-merge
+    // tokenizer costs driver CPU, not one Spark job per merge (measured:
+    // 89 full-exhaustion merges on sf0.1 in 0.35 s vs 22.3 s distributed;
+    // 2000 merges over a 50k-word synthetic vocab in 1.6 s). Driver-gated
+    // against the SAME oracle as q_bpe_train — the cross-engine proof
+    // that local ≡ distributed.
+    q("q_bpe_train_local", bpeOracle(nMerges = 8)) { (s, d) =>
+      ops.TextAnalysis.bpeMergesLocal(Tables.documents(s, d), "text", nMerges = 8)
+    },
+
     // BPE merge APPLICATION (functions.BpeEncode) — the train→encode
     // lifecycle in one registered row: the distributed trainer's merge
     // table is collected (nMerges-bounded artifact, memoized like every
