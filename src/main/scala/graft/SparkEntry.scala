@@ -4470,6 +4470,100 @@ object SparkEntry {
         .select(col("doc_id").as("q_id"),
           concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5)).as("q_text"))
       Retrieval.bm25Join(queries, "q_id", "q_text", docs, "doc_id", "text", k = 15)
+    },
+
+    // Retrieval-quality EVAL (Retrieval.retrievalEval): recall@10,
+    // precision@10, MRR@10, graded nDCG@10 of the bm25 serving path
+    // against planted id-arithmetic relevance judgments (rel 3 for the
+    // query's own doc, 2/1 for +7/+14 — the q_image_neardup synthesis
+    // idiom), plus the macro row (q_id −1). Ranks and counts are exact
+    // integers; each metric is a round-half-away micro-LONG and the macro
+    // is sum(LONG)/n, so the oracle reproduces every digit. The oracle
+    // replays the q_bm25_join micro-integer scoring for the result lists,
+    // then the same metric arithmetic.
+    q("q_retrieval_eval",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM d),
+        |dt AS (
+        |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS w FROM d)
+        |  GROUP BY doc_id, dl, w),
+        |qt AS (
+        |  SELECT DISTINCT doc_id AS q_id, unnest(tk[1:5]) AS w
+        |  FROM tk WHERE doc_id % 997 = 3),
+        |dfr AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS dfw
+        |  FROM dt WHERE w IN (SELECT w FROM qt) GROUP BY w),
+        |sc AS (
+        |  SELECT qt.q_id, dt.doc_id,
+        |    CAST(round((ln(1.0 + (n - dfw + 0.5) / (dfw + 0.5)) * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))))
+        |      * 1000000.0) AS BIGINT) AS s
+        |  FROM dt JOIN dfr USING (w) JOIN qt USING (w), st),
+        |ag AS (SELECT q_id, doc_id, sum(s) AS score FROM sc GROUP BY q_id, doc_id),
+        |rk AS (
+        |  SELECT q_id, doc_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM ag),
+        |tr AS (
+        |  SELECT q.q_id, dd.doc_id,
+        |    CASE WHEN dd.doc_id = q.q_id THEN 3
+        |         WHEN dd.doc_id = q.q_id + 7 THEN 2 ELSE 1 END AS rel
+        |  FROM (SELECT DISTINCT q_id FROM qt) q
+        |  JOIN (SELECT doc_id FROM documents) dd
+        |    ON dd.doc_id IN (q.q_id, q.q_id + 7, q.q_id + 14)),
+        |ideal AS (
+        |  SELECT q_id, count(*) AS n_rel,
+        |    sum(CASE WHEN i <= 10 THEN (pow(2, rel) - 1.0) / log2(i + 1.0) ELSE 0 END) AS idcg
+        |  FROM (SELECT q_id, rel,
+        |          row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) AS i
+        |        FROM tr)
+        |  GROUP BY q_id),
+        |ht AS (
+        |  SELECT r.q_id, count(*) AS hits, min(r.rank) AS first_rank,
+        |    sum((pow(2, tr.rel) - 1.0) / log2(r.rank + 1.0)) AS dcg
+        |  FROM rk r JOIN tr ON r.q_id = tr.q_id AND r.doc_id = tr.doc_id
+        |  WHERE r.rank <= 10
+        |  GROUP BY r.q_id),
+        |pq AS (
+        |  SELECT ideal.q_id, n_rel, coalesce(hits, 0) AS hits,
+        |    CAST(round(coalesce(hits, 0) * 1000000.0 / n_rel) AS BIGINT) AS rec_m,
+        |    CAST(round(coalesce(hits, 0) * 1000000.0 / 10) AS BIGINT) AS prec_m,
+        |    CASE WHEN first_rank IS NULL THEN 0
+        |         ELSE CAST(round(1000000.0 / first_rank) AS BIGINT) END AS rr_m,
+        |    CASE WHEN dcg IS NULL OR idcg <= 0 THEN 0
+        |         ELSE CAST(round(1000000.0 * dcg / idcg) AS BIGINT) END AS ndcg_m
+        |  FROM ideal LEFT JOIN ht ON ideal.q_id = ht.q_id)
+        |SELECT q_id, CAST(n_rel AS BIGINT) AS n_rel, CAST(hits AS BIGINT) AS hits,
+        |  rec_m / 1000000.0 AS recall_k, prec_m / 1000000.0 AS precision_k,
+        |  rr_m / 1000000.0 AS rr, ndcg_m / 1000000.0 AS ndcg
+        |FROM pq
+        |UNION ALL
+        |SELECT -1, CAST(count(*) AS BIGINT), CAST(sum(hits) AS BIGINT),
+        |  CAST(round(sum(rec_m) * 1.0 / count(*)) AS BIGINT) / 1000000.0,
+        |  CAST(round(sum(prec_m) * 1.0 / count(*)) AS BIGINT) / 1000000.0,
+        |  CAST(round(sum(rr_m) * 1.0 / count(*)) AS BIGINT) / 1000000.0,
+        |  CAST(round(sum(ndcg_m) * 1.0 / count(*)) AS BIGINT) / 1000000.0
+        |FROM pq""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val qs = docs.filter(pmod(col("doc_id"), lit(997)) === 3)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5)).as("q_text"))
+      val results = Retrieval.bm25Join(qs, "q_id", "q_text", docs,
+        "doc_id", "text", k = 15)
+      val truth = qs.select(col("q_id"))
+        .select(col("q_id"), explode(array(
+          struct(col("q_id").as("doc_id"), lit(3).as("rel")),
+          struct((col("q_id") + 7).as("doc_id"), lit(2).as("rel")),
+          struct((col("q_id") + 14).as("doc_id"), lit(1).as("rel")))).as("_t"))
+        .select(col("q_id"), col("_t.doc_id").as("doc_id"), col("_t.rel").as("rel"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"))
+      Retrieval.retrievalEval(results, truth, "q_id", "doc_id", "rank", "rel",
+        k = 10)
     })
 
   // ------------------------------------------------- LLM-pipeline operators

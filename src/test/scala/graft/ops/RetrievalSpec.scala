@@ -205,4 +205,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.filter(_._1 >= 1000).forall(p => p._3 == 1L && p._6 == 5.0))
   }
 
+  test("retrievalEval: hand-computed recall/precision/MRR/nDCG and exact macro") {
+    // q=1: truth 10(rel3) 12(rel2) 11(rel1); ranked: 11@1, 99@2, 10@3.
+    //   hits@3 = {11,10} = 2; recall 2/3; precision 2/3; rr = 1/1.
+    //   DCG  = (2^1-1)/log2(2) + (2^3-1)/log2(4) = 1 + 3.5 = 4.5
+    //   IDCG = 7/log2(2) + 3/log2(3) + 1/log2(4)
+    // q=2: truth 20(rel1); ranked 5@1 only -> all zeros, hits 0.
+    val results = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 10L, 3), (2L, 5L, 1))
+      .toDF("q_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L, 3), (1L, 12L, 2), (1L, 11L, 1), (2L, 20L, 1))
+      .toDF("q_id", "doc_id", "rel")
+    val got = Retrieval.retrievalEval(results, truth, "q_id", "doc_id",
+        "rank", "rel", k = 3)
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def mic(x: Double): Double = math.round(x * 1e6) / 1e6
+    val idcg = 7.0 / 1.0 + 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    val ndcg1 = mic(4.5 / idcg)
+    assert(got(1L) === ((1L, 3L, 2L, 0.666667, 0.666667, 1.0, ndcg1)))
+    assert(got(2L) === ((2L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    // macro row: averages of the per-query micro-LONGs, exactly
+    val m = got(-1L)
+    assert(m._2 === 2L && m._3 === 2L)            // 2 queries, 2 total hits
+    assert(m._4 === 0.333334)   // (666667 + 0)/2 = 333333.5 -> half-away 333334
+    assert(m._6 === 0.5)
+    assert(m._7 === math.round(ndcg1 * 1e6 / 2).toDouble / 1e6)
+  }
+
 }
