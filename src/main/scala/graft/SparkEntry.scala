@@ -3737,6 +3737,72 @@ object SparkEntry {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
     },
 
+    // INCREMENTAL entity resolution (Dedup.snmIndex /
+    // incrementalSnmPairs / foldClusterLabels) — the base+delta
+    // production shape completing the lifecycle trio with
+    // incrementalDedup/incrementalNearDups: the base participates through
+    // its materialized sorted-key/bucket artifact (fetched by equi-join
+    // around each delta key, located via one as-of against the tiny
+    // bucket directory), SNM windows run over the delta±neighborhood
+    // frame only (pairs filtered on TRUE merged rank distance from the
+    // artifact's global _rn), and new matches fold into the standing
+    // labels with only TOUCHED clusters re-entering the component loop.
+    // Contract (linkage never unlinks): post-ingest components over
+    // (prior base pairs ∪ delta-touching merged pairs) — which the oracle
+    // recomputes directly.
+    q("q_incremental_er",
+      """WITH RECURSIVE s AS (
+        |  SELECT p_partkey AS id, lower(trim(p_name)) AS k,
+        |    substr(lower(trim(p_name)), 1, 1) AS blk,
+        |    CASE WHEN p_partkey % 9 = 0 THEN 1 ELSE 0 END AS isd
+        |  FROM part),
+        |rb AS (
+        |  SELECT id, k, blk, row_number() OVER (PARTITION BY blk ORDER BY k, id) AS rn
+        |  FROM s WHERE isd = 0),
+        |pb AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM rb a JOIN rb b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 5
+        |  WHERE round(jaro_winkler_similarity(a.k, b.k), 6) >= 0.92),
+        |rm AS (
+        |  SELECT id, k, blk, isd, row_number() OVER (PARTITION BY blk ORDER BY k, id) AS rn
+        |  FROM s),
+        |pm AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM rm a JOIN rm b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 5
+        |  WHERE (a.isd = 1 OR b.isd = 1)
+        |    AND round(jaro_winkler_similarity(a.k, b.k), 6) >= 0.92),
+        |pp AS (SELECT id_a, id_b FROM pb UNION SELECT id_a, id_b FROM pm),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pp
+        |          UNION SELECT id_b, id_a FROM pp),
+        |reach(id, r2) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r2 FROM edges e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id, min(r2) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |FROM cl""".stripMargin) { (s, d) =>
+      val names = Tables.part(s, d)
+        .select(col("p_partkey").as("id"),
+          lower(trim(col("p_name"))).as("_key"))
+      val base = names.filter(pmod(col("id"), lit(9)) =!= 0)
+      val delta = names.filter(pmod(col("id"), lit(9)) === 0)
+      // standing artifacts (in production: materialized once per snapshot)
+      val basePairs = Dedup.sortedNeighborPairs(base, "_key", "id", window = 5)
+        .filter(round(jaro_winkler(col("key_a"), col("key_b")), 6) >= 0.92)
+        .select(col("id_a"), col("id_b"))
+      val prior = Dedup.clusterLabels(basePairs)
+      val index = Dedup.snmIndex(base, "_key", "id", bucketSize = 64)
+      // the incremental path under test
+      val newPairs = Dedup.incrementalSnmPairs(index, delta, "_key", "id",
+          window = 5, bucketSize = 64)
+        .filter(round(jaro_winkler(col("key_a"), col("key_b")), 6) >= 0.92)
+        .select(col("id_a"), col("id_b"))
+      Dedup.foldClusterLabels(prior, newPairs)
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    },
+
     // Jaro-Winkler record-linkage scoring (functions.JaroWinklerSim):
     // fuzzy part-name pairs scored by the codegen kernel, verified
     // against DuckDB's NATIVE jaro_winkler_similarity — an independent

@@ -1280,6 +1280,77 @@ class DedupKnnSpec extends AnyFunSuite {
       .count() === 1L)
   }
 
+  test("incremental SNM: exactly the merged-corpus delta-touching pairs (hand case)") {
+    // delta keys before every base row (sentinel path), interleaved mid-block,
+    // adjacent delta-delta, and a delta-only block — all four shapes
+    val base = Seq((2L, "aab"), (4L, "aad"), (6L, "aaf"), (8L, "aah"),
+      (10L, "aaj"), (12L, "aal"), (14L, "ban"), (16L, "bap")).toDF("id", "k")
+    val delta = Seq((1L, "aaa"), (7L, "aag"), (9L, "aai"), (20L, "caa"),
+      (21L, "cab")).toDF("id", "k")
+    val idx = Dedup.snmIndex(base, "k", "id", bucketSize = 3)
+    val got = Dedup.incrementalSnmPairs(idx, delta, "k", "id",
+        window = 2, bucketSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val deltaIds = Set(1L, 7L, 9L, 20L, 21L)
+    val ref = Dedup.sortedNeighborPairs(base.unionByName(delta), "k", "id",
+        window = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(got === ref && got.nonEmpty)
+    // a fetch gap between two delta neighborhoods must NOT fake adjacency:
+    // distant deltas in one block pair with their own neighbors only
+    val base2 = (1L to 40L).map(i => (i, f"a$i%03d")).toDF("id", "k")
+    val delta2 = Seq((100L, "a0025"), (101L, "a0355")).toDF("id", "k")
+    val idx2 = Dedup.snmIndex(base2, "k", "id", bucketSize = 3)
+    val got2 = Dedup.incrementalSnmPairs(idx2, delta2, "k", "id",
+        window = 2, bucketSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ref2 = Dedup.sortedNeighborPairs(base2.unionByName(delta2), "k", "id",
+        window = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 >= 100L || p._2 >= 100L)
+    assert(got2 === ref2)
+  }
+
+  test("incremental SNM ≡ merged recompute on seeded random corpora") {
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 3) {
+      val n = 120 + trial * 40
+      val rows = (1L to n.toLong).map { i =>
+        val k = (1 to 3).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        (i, k)
+      }
+      val df = rows.toDF("id", "k")
+      val base = df.filter($"id" % 5 =!= 0)
+      val delta = df.filter($"id" % 5 === 0)
+      val deltaIds = rows.map(_._1).filter(_ % 5 == 0).toSet
+      val idx = Dedup.snmIndex(base, "k", "id", bucketSize = 4)
+      val got = Dedup.incrementalSnmPairs(idx, delta, "k", "id",
+          window = 3, bucketSize = 4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val ref = Dedup.sortedNeighborPairs(df, "k", "id", window = 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        .filter(p => deltaIds(p._1) || deltaIds(p._2))
+      assert(got === ref, s"trial $trial: ${got.size} vs ${ref.size}")
+    }
+  }
+
+  test("foldClusterLabels ≡ clusterLabels over the union; untouched labels pass through") {
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val prior = Dedup.clusterLabels(basePairs)
+    // one pair merges {1,2,3} with {10,11}; one creates a brand-new cluster;
+    // {20,21} is untouched and must not re-enter the loop
+    val newPairs = Seq((3L, 10L), (30L, 31L)).toDF("id_a", "id_b")
+    val got = Dedup.foldClusterLabels(prior, newPairs)
+      .as[(Long, Long)].collect().toSet
+    val ref = Dedup.clusterLabels(basePairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toSet
+    assert(got === ref)
+    assert(got.contains((11L, 1L)) && got.contains((20L, 20L)) &&
+      got.contains((31L, 30L)))
+  }
+
   test("sorted neighborhood: window pairs in (key,id) order, blocks never straddle") {
     val df = Seq(
       (1L, "aaa"), (2L, "aab"), (3L, "aac"), (4L, "aad"),
