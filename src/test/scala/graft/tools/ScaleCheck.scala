@@ -234,6 +234,24 @@ object ScaleCheck {
       .withColumn("doc_id", col("doc_id") + lit(9L * step))
       .withColumn("text", translate(col("text"), "aeiou", vowelMaps(4)))
       .localCheckpoint(true)
+    // Fixed delta for the incremental-ER check: the r=4 Caesar alphabet
+    // (shift 20) is never a base replica alphabet at k ≤ 4, so delta keys
+    // stay disjoint from every base replica — probe cost must track the
+    // base artifact scan (the deltaFixed stance, sorted-key edition)
+    val partKeyed = graft.Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("id"), lower(trim(col("p_name"))).as("_key"))
+    def replicateKeyedNames(k: Int): DataFrame = (0 until k).map { r =>
+      val sft = (r * 5) % 26
+      val b = partKeyed.withColumn("id", col("id") + lit(r * step))
+      if (r == 0) b
+      else b.withColumn("_key",
+        translate(col("_key"), alpha, alpha.drop(sft) + alpha.take(sft)))
+    }.reduce(_ unionByName _)
+    val erDelta = partKeyed.filter(col("id") % 9 === 0)
+      .withColumn("id", col("id") + lit(9L * step))
+      .withColumn("_key", translate(col("_key"), alpha,
+        alpha.drop(20) + alpha.take(20)))
+      .localCheckpoint(true)
     for (k <- ks) {
       val d = replicateDocs(docs, k).localCheckpoint(true)
       val e = replicateEmb(emb, 64, k).localCheckpoint(true)
@@ -640,6 +658,65 @@ object ScaleCheck {
             "user_id", "event_type", "ts", "event_id").count()
         }
         baseHist.unpersist()
+      }
+      // users ×k collapse to one score row each; the decile assignment and
+      // Brier sums are user-grain — linear through two keyed aggregates
+      results(("calibration", k)) = timed("calibration", k, nev) {
+        val pu = ev.groupBy(col("user_id"))
+          .agg(expr("(1000000L * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)) div count(*)")
+            .as("p_micro"),
+            (sum(col("value")) > 100.0).as("y"))
+        graft.ops.Funnel.calibration(pu, "p_micro", "y", nBuckets = 10).count()
+      }
+      // users ×k, one user-grain exchange; the bot's 20k·k-touch journey
+      // rides the capBuckets guard (credit ages cap at capBuckets
+      // half-lives), output fixed at |channels| rows
+      results(("attribution_decay", k)) = timed("attribution_decay", k, nev) {
+        graft.ops.Funnel.attributionDecay(ev, "user_id", "ts", "event_id",
+          "event_type", "purchase", halfLifeUs = 86400000000L).count()
+      }
+      // SNM under a planted HOT BLOCK (the top_paths-bot analogue): a
+      // third of all rows share one long constant key prefix, so they all
+      // sort into ONE first-char block, adjacent and Jaro-similar — the
+      // per-block window sort carries 0.33·n·k rows in one task and the
+      // matched chain folds into one giant component; time must stay
+      // ~k·log k, never k² (window pairs are O(n·window) by construction)
+      results(("er_snm_hotblock", k)) = timed("er_snm_hotblock", k, nd) {
+        val names = d.select(col("doc_id").as("id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("zqqhotblock"),
+              lpad(col("doc_id").cast("string"), 14, "0")))
+            .otherwise(substring(lower(col("text")), 1, 32)).as("_key"))
+        val pairs = graft.ops.Dedup.sortedNeighborPairs(names, "_key", "id",
+            window = 5)
+          .filter(round(graft.functions.GraftFunctions.jaro_winkler(
+            col("key_a"), col("key_b")), 6) >= 0.92)
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Dedup.clusterLabels(pairs).count()
+      }
+      // rows ×k through one range-repartition + in-partition sort on the
+      // interleaved key — the layout pass is a single ordered exchange
+      results(("zorder", k)) = timed("zorder", k, nev) {
+        graft.ops.Bucketing.zorderBy(ev,
+          pmod(col("user_id"), lit(1024L)),
+          pmod(expr("unix_micros(ts) div 3600000000L"), lit(4096L)),
+          partitions = 32).count()
+      }
+      // incremental ER, steady state: the sorted-key/bucket artifact is
+      // prebuilt (standing-pipeline stance) and the timed body is the
+      // probe — delta fixed, base ×k: cost must track the artifact scan
+      // (directory aggregate + bucket semi-join); the delta-neighborhood
+      // window frame is delta-sized and k-invariant
+      if (opsFilter.forall(_.contains("incremental_er"))) {
+        val erBase = replicateKeyedNames(k).localCheckpoint(true)
+        val nbase = erBase.count()
+        val erIdx = graft.ops.Dedup.snmIndex(erBase, "_key", "id",
+          bucketSize = 64).localCheckpoint(true)
+        results(("incremental_er", k)) = timed("incremental_er", k, nbase) {
+          graft.ops.Dedup.incrementalSnmPairs(erIdx, erDelta, "_key", "id",
+            window = 5, bucketSize = 64).count()
+        }
+        erIdx.unpersist(); erBase.unpersist()
       }
       // near-dup increment, steady state: the band-table ARTIFACT is
       // prebuilt (as a standing pipeline would have it materialized) and
