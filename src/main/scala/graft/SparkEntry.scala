@@ -5497,6 +5497,41 @@ object SparkEntry {
         emb.filter(col("vec_id") === 0), k = 10)
     },
 
+    // Binary (sign-bit) quantized retrieval (Quantize.signPack /
+    // hammingTopK): 64-dim floats pack into two 32-bit LONG words (32×
+    // compression) and top-10 per probe is XOR+popcount through the
+    // bounded TopKByScore partial aggregation — map-side k-bounded
+    // buffers, never a corpus window sort. Exact-integer distances, so
+    // the oracle replays the identical packing and bit arithmetic.
+    q("q_hamming_knn",
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(32),
+        |      i -> CASE WHEN embedding[i+1] >= 0 THEN (1::BIGINT << i)
+        |           ELSE 0::BIGINT END)) AS lo,
+        |    list_sum(list_transform(range(32),
+        |      i -> CASE WHEN embedding[i+33] >= 0 THEN (1::BIGINT << i)
+        |           ELSE 0::BIGINT END)) AS hi
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS q_id, lo AS plo, hi AS phi FROM b
+        |      WHERE vec_id % 997 = 5),
+        |d AS (
+        |  SELECT q_id, vec_id,
+        |    bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS hamming
+        |  FROM b, p),
+        |r AS (
+        |  SELECT q_id, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank
+        |  FROM d)
+        |SELECT q_id, vec_id, CAST(hamming AS INT) AS hamming,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Quantize.hammingTopK(emb, "embedding", "vec_id",
+        emb.filter(pmod(col("vec_id"), lit(997)) === 5), "vec_id",
+        k = 10, dim = 64)
+    },
+
     q("q_lang_quality",
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -78,4 +78,59 @@ object Quantize {
       corpus.withColumn(vecCol, slice(col(vecCol), 1, dims)),
       vecCol, idCol, queryVec.take(dims), k, "cosine")
   }
+
+  /** SIGN (1-bit) quantization — the extreme end of the compression
+    * ladder next to [[int8]]: dimension i contributes bit 1 iff
+    * `vec[i] ≥ 0`, packing the vector into ⌈dim/32⌉ LONG words of 32
+    * bits each (32, not 64 — a `1 << 63` overflows engines with checked
+    * shifts, and two `bit_count(xor)` words cost the same as one). A
+    * 64-dim float vector (256 B) becomes 2 longs (16 B): at 100 TB of
+    * embeddings the Hamming index fits where the float corpus cannot,
+    * and the scan is XOR+popcount — no FMA, no sqrt. Sign-of-dimension
+    * is the classic SimHash/LSH bit for RANDOM-projection-style
+    * embeddings; the exact-integer distance also makes the cross-engine
+    * oracle bit-exact. Output: input columns + `bits` ARRAY<LONG>. */
+  def signPack(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be ≥ 1: $dim")
+    val words = (dim + 31) / 32
+    val wordCols = (0 until words).map { w =>
+      val lo = w * 32
+      val n = math.min(32, dim - lo)
+      // Spark SQL array indexing is 0-based; shiftleft accepts a column
+      // shift amount in SQL (the Scala helper pins it to Int literals)
+      expr(s"aggregate(sequence(0, ${n - 1}), 0L, " +
+        s"(acc, i) -> acc + IF($vecCol[i + $lo] >= 0, shiftleft(1L, i), 0L))")
+    }
+    df.withColumn("bits", array(wordCols: _*))
+  }
+
+  /** Hamming-distance top-k retrieval over [[signPack]]ed vectors — the
+    * binary-embedding serving path: probes broadcast, ONE corpus scan
+    * computes per-word `bit_count(xor)` sums, and per-probe results
+    * reduce through the bounded [[graft.functions.TopKByScore]] partial
+    * aggregation (map-side k-bounded buffers — never a corpus-scale
+    * window sort; the [[Knn.knnJoin]] plan shape). Ties break by corpus
+    * id ascending (the aggregator's (score DESC, id ASC) order with
+    * score = −hamming). Output: (q_id, idCol, hamming INT, rank 1..k). */
+  def hammingTopK(corpus: DataFrame, vecCol: String, idCol: String,
+                  probes: DataFrame, pIdCol: String, k: Int,
+                  dim: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val c = signPack(corpus, vecCol, dim)
+      .select(col(idCol).cast("long").as("_cid"), col("bits"))
+    val p = signPack(probes, vecCol, dim)
+      .select(col(pIdCol).as("q_id"), col("bits").as("_pbits"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val ham = aggregate(
+      zip_with(col("bits"), col("_pbits"), (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+    c.crossJoin(broadcast(p))
+      .select(col("q_id"), col("_cid"), (-ham).cast("double").as("_score"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("_score"), col("_cid")).as("_top"))
+      .select(col("q_id"), posexplode(col("_top")))
+      .select(col("q_id"), col("col.id").as(idCol),
+        (-col("col.score")).cast("int").as("hamming"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -425,6 +425,39 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(dot === expected)
   }
 
+  test("sign-bit packing and Hamming top-k: hand bits, distances, tie order") {
+    import graft.ops.Quantize
+    // dim 8 → one word; alternating signs pack to 0b01010101 = 85
+    val alt = (0 until 8).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val one = Seq((1L, alt)).toDF("vec_id", "embedding")
+    assert(Quantize.signPack(one, "embedding", 8)
+      .select($"bits").as[Seq[Long]].head() === Seq(85L))
+    // dim 64 → two words; all-positive fills both 32-bit words; -0.0f and
+    // 0.0f both count as non-negative (>= 0)
+    val allPos = Seq((1L, Seq.fill(32)(0.0f) ++ Seq.fill(32)(-0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Quantize.signPack(allPos, "embedding", 64)
+      .select($"bits").as[Seq[Long]].head()
+      === Seq(4294967295L, 4294967295L))
+    // Hamming top-k: probe = all-positive; corpus distances 0, 1, 2, 2 —
+    // the distance-2 tie breaks by vec_id ascending
+    def vec(negIdx: Set[Int]): Seq[Float] =
+      (0 until 64).map(i => if (negIdx(i)) -1.0f else 1.0f)
+    val corpus = Seq(
+      (10L, vec(Set())),          // d=0
+      (11L, vec(Set(5))),         // d=1
+      (13L, vec(Set(2, 40))),     // d=2 (tie, higher id)
+      (12L, vec(Set(0, 63))),     // d=2 (tie, lower id)
+      (14L, vec((0 until 10).toSet))) // d=10
+    .toDF("vec_id", "embedding")
+    val probe = Seq((99L, vec(Set()))).toDF("vec_id", "embedding")
+    val got = Quantize.hammingTopK(corpus, "embedding", "vec_id",
+        probe, "vec_id", k = 4, dim = 64)
+      .orderBy($"rank").as[(Long, Long, Int, Int)].collect().toSeq
+    assert(got === Seq((99L, 10L, 0, 1), (99L, 11L, 1, 2),
+      (99L, 12L, 2, 3), (99L, 13L, 2, 4)))
+  }
+
   test("approx_count_distinct is within HLL tolerance of exact") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf)
     val row = li.agg(
