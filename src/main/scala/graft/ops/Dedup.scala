@@ -1298,16 +1298,21 @@ object Dedup {
     * [[clusterLabels]]: (id, cluster_id), cluster_id the minimum member
     * id of the merged component. */
   def foldClusterLabels(priorLabels: DataFrame, newPairs: DataFrame): DataFrame = {
-    val endpoints = newPairs.select(col("id_a").as("id"))
-      .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
-    val touched = priorLabels.join(endpoints, Seq("id"), "left_semi")
+    // both inputs fan out to 2–3 consumers below — lazy checkpoints keep
+    // the (possibly expensive) pair producer and prior-label plan from
+    // re-executing per consumer (the clusterLabels lineage stance)
+    val np = newPairs.localCheckpoint(false)
+    val prior = priorLabels.localCheckpoint(false)
+    val endpoints = np.select(col("id_a").as("id"))
+      .unionByName(np.select(col("id_b").as("id"))).distinct()
+    val touched = prior.join(endpoints, Seq("id"), "left_semi")
       .select(col("cluster_id")).distinct()
-    val touchedMembers = priorLabels.join(touched, Seq("cluster_id"), "left_semi")
-    val edges = newPairs.select(col("id_a"), col("id_b"))
+    val touchedMembers = prior.join(touched, Seq("cluster_id"), "left_semi")
+    val edges = np.select(col("id_a"), col("id_b"))
       .unionByName(touchedMembers
         .select(col("id").as("id_a"), col("cluster_id").as("id_b")))
     val recomputed = clusterLabels(edges)
-    priorLabels.join(touched, Seq("cluster_id"), "left_anti")
+    prior.join(touched, Seq("cluster_id"), "left_anti")
       .select(col("id"), col("cluster_id"))
       .unionByName(recomputed.select(col("id"), col("cluster_id")))
   }

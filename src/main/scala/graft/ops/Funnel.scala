@@ -1063,4 +1063,66 @@ object Funnel {
       .select(col(entityCol), col("n_events"),
         (col("_acc").cast("double") / scale).as("ewma"))
   }
+
+  /** ADDITIVE seasonal decomposition of the per-type daily series —
+    * classical decompose (the moving-average method behind STL's
+    * textbook predecessor): daily = trend + seasonal + residual, with
+    * trend the centered `period`-day moving average (only CALENDAR-
+    * contiguous full windows — a gap day voids the window rather than
+    * silently averaging 6 of 7), seasonal the per-(type, day-of-cycle)
+    * mean of the detrended series, residual the remainder. The monitoring
+    * companion of [[trendSlopes]]/[[cusumChangepoints]]: "is Monday's dip
+    * seasonal or a regression?" needs the season stripped first.
+    *
+    * Exactness discipline: daily sums are scaled LONGs; trend and
+    * seasonal are micro-scaled FLOOR divisions — floor on both engines
+    * (DuckDB `//` floors; here `floor(a/b)` in double, exact while
+    * |numerator| < 2⁵³ ≈ 9·10¹⁵ micro-scaled — i.e. period-window daily
+    * sums below ~10⁷ in value units at scale 2; document your domain
+    * beyond). Day-of-cycle is `datediff(epoch) % period` — no engine-
+    * specific weekday numbering. Two exchanges: the (type, date)
+    * aggregate + type-grain window, then the (type, season) window.
+    * Output: (event_type, d, daily, trend, seasonal, residual), the
+    * last three null on edge/gap days without a full centered window. */
+  def seasonalDecompose(events: DataFrame, typeCol: String, tsCol: String,
+                        valCol: String, scale: Int = 2,
+                        period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd ≥ 3 (centered MA): $period")
+    val W = org.apache.spark.sql.expressions.Window
+    val half = period / 2
+    val f = math.pow(10, scale).toLong
+    def fdiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    val daily = events
+      .select(col(typeCol).as("event_type"), to_date(col(tsCol)).as("d"),
+        graft.SparkEntry.roundAway(col(valCol).cast("double") * f)
+          .cast("long").as("_v"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("_v")).as("_dsum"))
+    val w7 = W.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-half, half)
+    val wS = W.partitionBy(col("event_type"), col("_season"))
+    val t = daily
+      .withColumn("_s7", sum(col("_dsum")).over(w7))
+      .withColumn("_c7", count(lit(1)).over(w7))
+      .withColumn("_span",
+        datediff(max(col("d")).over(w7), min(col("d")).over(w7)))
+      .withColumn("_trend_m",
+        when(col("_c7") === period && col("_span") === period - 1,
+          fdiv(lit(1000000L) * col("_s7"), lit(period))))
+      .withColumn("_det_m", lit(1000000L) * col("_dsum") - col("_trend_m"))
+      .withColumn("_season",
+        pmod(datediff(col("d"), to_date(lit("1970-01-01"))), lit(period)))
+    val se = t.withColumn("_seas_m",
+      when(col("_det_m").isNotNull,
+        fdiv(sum(col("_det_m")).over(wS), count(col("_det_m")).over(wS))))
+    val den = 1e6 * f
+    se.select(col("event_type"), col("d"),
+      round(col("_dsum") / lit(f.toDouble), 6).as("daily"),
+      round(col("_trend_m").cast("double") / lit(den), 6).as("trend"),
+      round(col("_seas_m").cast("double") / lit(den), 6).as("seasonal"),
+      round((col("_det_m") - col("_seas_m")).cast("double") / lit(den), 6)
+        .as("residual"))
+  }
 }

@@ -317,6 +317,37 @@ class FunnelSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 3L, 10000000L, 10.0)))
   }
 
+  test("seasonal decomposition: planted weekly spike separates into seasonal, residual 0") {
+    // 21 contiguous days, one event/day: value 14 on day-of-cycle 0
+    // (datediff-epoch % 7), else 7. Centered MA(7) = exactly 8 for every
+    // full window; detrended = +6 / −1; per-cycle means equal those, so
+    // residuals vanish. Edge days (first/last 3) carry no trend.
+    val df = (0 until 21).map { i =>
+      (1L + i, "a", 86400L * i, if (i % 7 == 0) 14.0 else 7.0)
+    }.toDF("event_id", "event_type", "t", "value")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val got = Funnel.seasonalDecompose(df, "event_type", "ts", "value")
+      .orderBy($"d")
+      .as[(String, java.sql.Date, Double, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(got.length === 21)
+    assert(got.take(3).forall(r => r._4.isEmpty && r._5.isEmpty && r._6.isEmpty))
+    assert(got.takeRight(3).forall(_._4.isEmpty))
+    val mid = got.slice(3, 18)
+    assert(mid.forall(r => r._4 === Some(8.0) && r._6 === Some(0.0)))
+    assert(got(7) === (("a", java.sql.Date.valueOf("1970-01-08"), 14.0,
+      Some(8.0), Some(6.0), Some(0.0))))
+    assert(got(8)._5 === Some(-1.0))
+    // a GAP voids the window: drop day 10 — days 7..13 lose their full
+    // contiguous window, day 10±3 spans 7 calendar days only when intact
+    val gappy = df.filter($"event_id" =!= 11L)
+    val g2 = Funnel.seasonalDecompose(gappy, "event_type", "ts", "value")
+      .where($"trend".isNotNull).select($"d")
+      .as[java.sql.Date].collect().map(_.toString).toSet
+    assert(!g2.contains("1970-01-08") && !g2.contains("1970-01-14") &&
+      g2.contains("1970-01-15"))
+  }
+
   test("snapshotDiff: all four classes, null-safe change detection") {
     val a = Seq((1L, Some("x"), Some(1.0)), (2L, Some("y"), Some(2.0)),
       (3L, Option.empty[String], Some(3.0)), (4L, Some("z"), Some(4.0)))
