@@ -105,6 +105,38 @@ object SparkEntry {
          |      GROUP BY n)""".stripMargin
   }
 
+  /** DuckDB replay of [[ops.Graph.bfsDistances]] over the strong item
+    * co-occurrence graph: the level-synchronous expansion unrolled — per
+    * hop one join of the symmetrized edge set against the previous
+    * frontier minus everything already settled (the q_pagerank unrolled-
+    * recursion pattern; a fixed maxHops keeps it exact without a
+    * recursive CTE). */
+  private def bfsOracle(maxHops: Int): String = {
+    val head =
+      """WITH ui AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS i
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e1 AS MATERIALIZED (
+        |  SELECT a.i AS a, b.i AS b
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 40),
+        |und AS MATERIALIZED (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+        |f0 AS MATERIALIZED (
+        |  SELECT DISTINCT a AS id FROM und WHERE a % 10 = 3)""".stripMargin
+    val steps = (1 to maxHops).map { h =>
+      val prevs = (0 until h).map(i => s"SELECT id FROM f$i").mkString(" UNION ")
+      s""",
+         |f$h AS MATERIALIZED (
+         |  SELECT DISTINCT und.b AS id
+         |  FROM und JOIN f${h - 1} ON und.a = f${h - 1}.id
+         |  WHERE und.b NOT IN ($prevs))""".stripMargin
+    }.mkString
+    val sel = (0 to maxHops)
+      .map(h => s"SELECT id, $h AS dist FROM f$h").mkString(" UNION ALL ")
+    head + steps + "\n" + sel
+  }
+
   /** DuckDB replay of [[ops.TextAnalysis.bpeMerges]]: the identical
     * merge loop unrolled — per step one pair-count aggregate over the
     * double-space symbol encoding, a (count DESC, lexicographic) top-1,
@@ -3055,6 +3087,28 @@ object SparkEntry {
         .groupBy(col("item_a"), col("item_b"))
         .agg(count(lit(1)).as("_n")).filter(col("_n") >= 40)
       ops.Graph.kCore(e, "item_a", "item_b", k = 15, rounds = 3)
+    },
+
+    // Multi-source BFS hop distance (Graph.bfsDistances) over the same
+    // strong co-occurrence graph: distance from the seed items
+    // (item % 10 = 3) by level-synchronous frontier expansion — one
+    // edge-vs-frontier equi-join + settled anti-join per hop, node-grain
+    // state, no transitive-closure pair explosion. maxHops = 3; the
+    // oracle unrolls the identical expansion.
+    q("q_bfs_distance", bfsOracle(maxHops = 3)) { (s, d) =>
+      val ui = Tables.events(s, d)
+        .select(col("user_id").as("_u"),
+          get_json_object(col("props"), "$.k").cast("int").as("_i"))
+        .filter(col("_i").isNotNull).distinct()
+      val e = ui.select(col("_u"), col("_i").as("item_a"))
+        .join(ui.select(col("_u"), col("_i").as("item_b")), Seq("_u"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") >= 40)
+      val nodes = e.select(col("item_a").as("id"))
+        .unionByName(e.select(col("item_b").as("id"))).distinct()
+      ops.Graph.bfsDistances(e, "item_a", "item_b",
+        nodes.filter(pmod(col("id"), lit(10)) === 3), "id", maxHops = 3)
     },
 
     // Integer-exact damped PageRank (Graph.pageRank) over the word

@@ -172,4 +172,47 @@ object Graph {
     }
     degrees(und).select(col("n").as("node"), col("d").as("degree"))
   }
+
+  /** Multi-source BFS hop distance — "how many hops from the seed set is
+    * each node" (influence radius, fraud-ring proximity, the graph
+    * feature next to [[pageRank]]'s centrality and [[kCore]]'s density).
+    * Level-synchronous frontier expansion over the undirected edge set:
+    * each hop is ONE equi-join of the edge table against the (shrinking)
+    * frontier plus an anti-join against the settled set — never a
+    * transitive-closure pair explosion, and state is node-grain (one
+    * (id, dist) row per reached node). Frontier and settled sets
+    * localCheckpoint per level (the kCore/clusterLabels lineage stance).
+    * Stops at `maxHops` or an empty frontier, whichever first; unreached
+    * nodes are absent from the output (distance ∞). */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be ≥ 0: $maxHops")
+    val und = edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .unionByName(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d")))
+      .distinct()
+      .localCheckpoint(true)
+    var settled = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = settled.select(col("id"))
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
+      val next = und
+        .join(frontier.withColumnRenamed("id", "_s"), Seq("_s"), "left_semi")
+        .select(col("_d").as("id")).distinct()
+        .join(settled.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        settled = settled
+          .unionByName(next.withColumn("dist", lit(hop)))
+          .localCheckpoint(true)
+        frontier = next
+        hop += 1
+      }
+    }
+    settled
+  }
 }

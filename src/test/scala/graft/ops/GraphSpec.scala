@@ -86,4 +86,22 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, "src", "dst", k = 3, rounds = 2).count() === 0L)
   }
 
+  test("bfs distances: multi-seed levels, undirected expansion, unreachable absent") {
+    // component A: 1-2-3-4-5 chain with a 2-6 branch; component B: 8-9
+    // (unreachable). Seeds {1, 4}: dist(2)=1 (via 1), dist(3)=1 (via 4),
+    // dist(5)=1 (via 4), dist(6)=2 (via 2) — BOTH seeds expand at once,
+    // and edge direction must not matter (5-4 stored reversed).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L), (2L, 6L),
+      (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val got = Graph.bfsDistances(edges, "src", "dst", seeds, "id", maxHops = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 1, 5L -> 1, 6L -> 2))
+    // maxHops truncates: from seed 1 only, node 5 is 4 hops out
+    val one = Graph.bfsDistances(edges, "src", "dst",
+        Seq(1L).toDF("id"), "id", maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(one === Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3))
+  }
+
 }
