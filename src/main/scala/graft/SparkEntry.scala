@@ -3996,6 +3996,66 @@ object SparkEntry {
         scale = 2, kNum = 3, kDen = 1)
     },
 
+    // Theil–Sen robust slope (Funnel.theilSenSlopes): median of all
+    // pairwise daily-value slopes per type — OLS flips on one corrupted
+    // day, the pairwise median doesn't (29% breakdown point). Each slope
+    // is one double division of exact integers (bit-identical across
+    // engines); the median uses the doubled lo+hi selection, halved once.
+    // Pair join at the daily-spine grain: days², never events².
+    q("q_theil_sen",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS dv
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(b.dv - a.dv AS DOUBLE) / (CAST(b.d - a.d AS DOUBLE) * 100) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.d > a.d),
+        |r AS (
+        |  SELECT event_type, s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY s) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM p),
+        |m AS (
+        |  SELECT event_type, max(n) AS n_pairs,
+        |    (sum(CASE WHEN rn = (n-1)//2 THEN s ELSE 0 END)
+        |     + sum(CASE WHEN rn = n//2 THEN s ELSE 0 END)) / 2 AS mm
+        |  FROM r WHERE rn = (n-1)//2 OR rn = n//2 GROUP BY event_type),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY event_type)
+        |SELECT nd.event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs, round(mm, 6) AS slope_per_day
+        |FROM nd JOIN m USING (event_type)""".stripMargin) { (s, d) =>
+      ops.Funnel.theilSenSlopes(Tables.events(s, d), "ts", "event_type",
+        "value", scale = 2)
+    },
+
+    // Trimmed mean (CorpusStats.trimmedMean): per type, drop the k
+    // smallest/largest values (k = ⌊n·permille/1000⌋ — an exact integer
+    // on every engine, where a double fraction can straddle the floor)
+    // and average the rest; plain mean alongside for the contrast. One
+    // keyed rank window, scaled-LONG sums, one division.
+    q("q_trimmed_mean",
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM b),
+        |k AS (SELECT g, v, rn, n, (n * 100) // 1000 AS k FROM r)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(k) AS BIGINT) AS k_trimmed,
+        |  round(CAST(sum(v) AS DOUBLE) / (max(n) * 100.0), 6) AS mean,
+        |  round(CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v ELSE 0 END) AS DOUBLE)
+        |    / (sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) * 100.0), 6)
+        |    AS trimmed_mean
+        |FROM k GROUP BY g""".stripMargin) { (s, d) =>
+      ops.CorpusStats.trimmedMean(Tables.events(s, d), "event_type", "value",
+        trimPermille = 100, scale = 2)
+    },
+
     // Exact Pearson correlation matrix (CorpusStats.exactCorrelation):
     // every pairwise correlation of four lineitem measures from ONE scan
     // — the five sums per pair are exact integers (scaled-LONG grid with

@@ -547,6 +547,49 @@ object CorpusStats {
     * and two group-keyed joins of a per-group 2-long artifact — the
     * [[groupedQuantiles]] single-exchange pattern twice. Output:
     * (groupCol, n, median, mad, n_outliers). */
+  /** TRIMMED mean — the third robust-location member next to
+    * [[madOutliers]]' median and [[exactQuantiles]]: per group, drop the
+    * k smallest and k largest values (k = ⌊n·trimPermille/1000⌋) and
+    * average the remainder — the standard heavy-tail-resistant mean for
+    * latency/price aggregates where a handful of sentinel or bot values
+    * poison avg(). Trim depth is a PERMILLE integer, so k is an exact
+    * integer on every engine (a double trimFrac·n can straddle the floor
+    * boundary). Ties at the trim edge: ranked by value then arbitrary —
+    * any k of equal values leaves the same surviving multiset, so the
+    * result is tie-order-independent. One keyed rank window; sums are
+    * scaled LONGs, one final division. Output: (groupCol, n, k_trimmed,
+    * mean, trimmed_mean) — groups left empty by trimming are absent. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimPermille: Int = 100, scale: Int = 2): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"trimPermille in [0, 500): $trimPermille")
+    val W = org.apache.spark.sql.expressions.Window
+    val f = math.pow(10, scale).toLong
+    val ranked = df
+      .select(col(groupCol),
+        graft.SparkEntry.roundAway(col(valueCol).cast("double") * f)
+          .cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+      .withColumn("_rn", row_number().over(
+        W.partitionBy(col(groupCol)).orderBy(col("_v"))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(W.partitionBy(col(groupCol))))
+      .withColumn("_k",
+        floor((col("_n") * trimPermille).cast("double") / 1000.0).cast("long"))
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n"), max(col("_k")).as("k_trimmed"),
+        sum(col("_v")).as("_s"),
+        sum(when(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"),
+          col("_v")).otherwise(lit(0L))).as("_st"),
+        sum(when(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"),
+          1L).otherwise(0L)).as("_nt"))
+      .filter(col("_nt") > 0)
+      .select(col(groupCol), col("n"), col("k_trimmed"),
+        round(col("_s").cast("double") / (col("n") * f).cast("double"), 6)
+          .as("mean"),
+        round(col("_st").cast("double") / (col("_nt") * f).cast("double"), 6)
+          .as("trimmed_mean"))
+  }
+
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   scale: Int = 2, kNum: Long = 3, kDen: Long = 1): DataFrame = {
     require(kNum > 0 && kDen > 0, s"k must be positive: $kNum/$kDen")

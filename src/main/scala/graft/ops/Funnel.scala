@@ -489,6 +489,64 @@ object Funnel {
           .otherwise("flat").as("direction"))
   }
 
+  /** Theil–Sen slope — the ROBUST companion of [[trendSlopes]]: the
+    * median of all pairwise day-to-day slopes of the per-(type, day)
+    * VALUE series (daily sums of scaled-LONG cents). OLS flips sign on a
+    * single corrupted day; the pairwise median shrugs off up to ~29 %
+    * outliers (the estimator's breakdown point) — the right trend reading
+    * for telemetry with ingestion hiccups.
+    *
+    * Exactness: each pairwise slope is ONE double division of exact
+    * integers — bit-identical across engines — and the median uses the
+    * doubled-median selection (lo + hi, halved once at the end), so no
+    * engine-ordering effect exists even at even pair counts; ties among
+    * equal slopes are value-identical whichever row ranks first. Scale:
+    * the pair join is at the DAILY-SPINE grain (days², not events²) —
+    * a year is ~66k pairs per type; the corpus-scale work is the one
+    * (type, day) aggregate. Types with a single day have no pairs and
+    * are absent. Output: (typeCol, n_days, n_pairs, slope_per_day). */
+  def theilSenSlopes(events: DataFrame, tsCol: String, typeCol: String,
+                     valCol: String, scale: Int = 2): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val f = math.pow(10, scale).toLong
+    val daily = events
+      .select(col(typeCol), to_date(col(tsCol)).as("_day"),
+        graft.SparkEntry.roundAway(col(valCol).cast("double") * f)
+          .cast("long").as("_v"))
+      .groupBy(col(typeCol), col("_day"))
+      .agg(sum(col("_v")).as("_dv"))
+      .withColumn("_d", datediff(col("_day"), to_date(lit("1970-01-01"))))
+      .localCheckpoint(false)   // two consumers: pair join probes it twice
+    val a = daily.select(col(typeCol), col("_d").as("_d1"), col("_dv").as("_v1"))
+    val b = daily.select(col(typeCol), col("_d").as("_d2"), col("_dv").as("_v2"))
+    val slopes = a.join(b, Seq(typeCol.replace("`", "")), "inner")
+      .filter(col("_d2") > col("_d1"))
+      .select(col(typeCol),
+        ((col("_v2") - col("_v1")).cast("double") /
+          ((col("_d2") - col("_d1")).cast("double") * f)).as("_slope"))
+    val wOrd = W.partitionBy(col(typeCol)).orderBy(col("_slope"))
+    val wAll = W.partitionBy(col(typeCol))
+    val ranked = slopes
+      .withColumn("_rn", row_number().over(wOrd).cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(wAll))
+    // doubled-median (the madOutliers idiom): lo + hi summed separately so
+    // an odd count adds the middle row TWICE, then one halving — shiftright
+    // for floor-by-2 (long `/` would be double division)
+    val med = ranked
+      .filter(col("_rn") === shiftright(col("_n") - 1, 1) ||
+        col("_rn") === shiftright(col("_n"), 1))
+      .groupBy(col(typeCol))
+      .agg(max(col("_n")).as("n_pairs"),
+        ((sum(when(col("_rn") === shiftright(col("_n") - 1, 1), col("_slope"))
+            .otherwise(lit(0.0))) +
+          sum(when(col("_rn") === shiftright(col("_n"), 1), col("_slope"))
+            .otherwise(lit(0.0)))) / 2).as("_m"))
+    val nDays = daily.groupBy(col(typeCol)).agg(count(lit(1)).as("n_days"))
+    nDays.join(med, Seq(typeCol.replace("`", "")))
+      .select(col(typeCol), col("n_days"), col("n_pairs"),
+        round(col("_m"), 6).as("slope_per_day"))
+  }
+
   /** Weekly cohort LTV matrix: users cohort by the week of their first
     * event; each later week of activity adds its value to the cohort's
     * running total at that age. The retention-revenue curve every

@@ -44,6 +44,19 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(gotShuffled === shuffled.map(byRank))
   }
 
+  test("trimmed mean: symmetric outliers drop, plain mean stays poisoned") {
+    val vals = (1 to 8).map(_.toDouble) ++ Seq(1000.0, -1000.0)
+    val df = vals.map(v => ("a", v)).toDF("g", "x")
+    val got = CorpusStats.trimmedMean(df, "g", "x", trimPermille = 100)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    // n=10, k=1: drop -1000 and 1000 -> mean(1..8) = 4.5; raw mean 3.6
+    assert(got === (("a", 10L, 1L, 3.6, 4.5)))
+    // trim depth 0 = plain mean; groups fully trimmed away are absent
+    val g0 = CorpusStats.trimmedMean(df, "g", "x", trimPermille = 0)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(g0._4 === g0._5 && g0._3 === 0L)
+  }
+
   test("psiFromCounts: explicit spine keeps both-sides-empty buckets in the add-1 sum") {
     // 5 buckets; bucket 3 observed in NEITHER table, bucket 4 only in cur.
     // With unequal totals the smoothed fractions differ on EVERY bucket,

@@ -317,6 +317,26 @@ class FunnelSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 3L, 10000000L, 10.0)))
   }
 
+  test("theil-sen: one corrupted day cannot move the median slope; single pair exact") {
+    // days 0..4, daily sums 1,2,3,4 then a 100 outlier: 6 of 10 pairwise
+    // slopes are exactly 1 -> median 1.0 (OLS would report ~19)
+    val df = (0 until 5).map { i =>
+      (1L + i, "a", 86400L * i, if (i == 4) 100.0 else 1.0 + i)
+    }.toDF("event_id", "event_type", "t", "value")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val got = Funnel.theilSenSlopes(df, "ts", "event_type", "value")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(got === (("a", 5L, 10L, 1.0)))
+    // two days -> ONE pair: lo and hi are the same row, median = its slope
+    // (the doubled-median must count it twice, not halve it)
+    val two = Seq((1L, "b", 0L, 3.0), (2L, "b", 86400L, 8.0))
+      .toDF("event_id", "event_type", "t", "value")
+      .withColumn("ts", expr("timestamp_micros(t * 1000000)")).drop("t")
+    val g2 = Funnel.theilSenSlopes(two, "ts", "event_type", "value")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(g2 === (("b", 2L, 1L, 5.0)))
+  }
+
   test("seasonal decomposition: planted weekly spike separates into seasonal, residual 0") {
     // 21 contiguous days, one event/day: value 14 on day-of-cycle 0
     // (datediff-epoch % 7), else 7. Centered MA(7) = exactly 8 for every
