@@ -3613,6 +3613,58 @@ object SparkEntry {
         "value", nBuckets = 10)
     },
 
+    // Embedding-centroid drift (CorpusStats.embeddingDrift): the vector
+    // companion of q_psi — per-dimension micro-LONG sums per slice,
+    // cosine computed scale-invariantly on the SUM vectors, mean shifts
+    // on common-denominator integers sb·nc − sc·nb; DECIMAL(38)/HUGEINT
+    // exact until one final sqrt/divide. One posexplode scan per slice
+    // into a dim-grain broadcast-sized artifact.
+    q("q_embedding_drift",
+      """WITH ev AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (
+        |  SELECT vec_id % 8 = 7 AS isc, i - 1 AS dim,
+        |    CAST(round(v[i] * 1000000.0) AS BIGINT) AS m
+        |  FROM ev, unnest(range(1, len(v)+1)) u(i)),
+        |d AS (
+        |  SELECT dim,
+        |    sum(CASE WHEN NOT isc THEN m ELSE 0 END) AS sb,
+        |    sum(CASE WHEN isc THEN m ELSE 0 END) AS sc
+        |  FROM m GROUP BY dim),
+        |n AS (
+        |  SELECT sum(CASE WHEN vec_id % 8 <> 7 THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN vec_id % 8 = 7 THEN 1 ELSE 0 END) AS nc
+        |  FROM ev),
+        |t AS (
+        |  SELECT dim, sb, sc,
+        |    CAST(sb AS HUGEINT) * nc - CAST(sc AS HUGEINT) * nb AS dnum
+        |  FROM d, n),
+        |a AS (
+        |  SELECT max(nb) AS n_base, max(nc) AS n_cur,
+        |    sum(CAST(sb AS HUGEINT) * sc) AS dot,
+        |    sum(CAST(sb AS HUGEINT) * sb) AS b2,
+        |    sum(CAST(sc AS HUGEINT) * sc) AS c2,
+        |    sum(dnum * dnum) AS l2n,
+        |    max(abs(dnum)) AS mx
+        |  FROM t, n),
+        |am AS (SELECT min(dim) AS drift_dim FROM t, a WHERE abs(dnum) = mx)
+        |SELECT CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(b2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))), 6) AS centroid_cos,
+        |  round(sqrt(CAST(l2n AS DOUBLE)) /
+        |    (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE) * 1000000.0), 6) AS centroid_l2,
+        |  round(CAST(mx AS DOUBLE) /
+        |    (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE) * 1000000.0), 6) AS max_dim_shift,
+        |  CAST(drift_dim AS INT) AS drift_dim
+        |FROM a, am""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      ops.CorpusStats.embeddingDrift(
+        emb.filter(pmod(col("vec_id"), lit(8)) =!= 7).select(col("embedding")),
+        emb.filter(pmod(col("vec_id"), lit(8)) === 7).select(col("embedding")),
+        "embedding")
+    },
+
     // Z-order layout key (functions.ZValue / Bucketing.zorderBy): the
     // Morton interleave of (user bucket, hour bucket) — rows clustered by
     // this key give per-file min/max pruning on EITHER dimension (the

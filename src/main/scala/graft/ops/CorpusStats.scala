@@ -547,6 +547,69 @@ object CorpusStats {
     * and two group-keyed joins of a per-group 2-long artifact — the
     * [[groupedQuantiles]] single-exchange pattern twice. Output:
     * (groupCol, n, median, mad, n_outliers). */
+  /** EMBEDDING-distribution drift between two corpus slices — the vector
+    * companion of [[psi]]'s scalar drift: compare the per-dimension MEAN
+    * vectors (centroids) of base vs current. Reports centroid cosine
+    * (≈1 = same direction — retraining/provider swaps show up here
+    * first), centroid L2 shift, and the single most-drifted dimension.
+    * This is the cheap standing monitor a 100 TB embedding pipeline runs
+    * per ingest batch before anything expensive (recall evals, re-index).
+    *
+    * Exactness: elements round once to micro-LONGs; per-dim sums are
+    * exact; cosine is computed on the SUM vectors directly (scale-
+    * invariance makes the n divisions unnecessary), mean differences on
+    * the common-denominator integers sb·nc − sc·nb — every comparison and
+    * accumulation is DECIMAL(38,0)-exact, with one sqrt/divide in double
+    * at the end. Shape: one posexplode scan per slice into a dim-grain
+    * aggregate (dim rows, broadcast-sized), everything after is over that
+    * artifact. Output: ONE row (n_base, n_cur, centroid_cos, centroid_l2,
+    * max_dim_shift, drift_dim — 0-based, min dim on ties). */
+  def embeddingDrift(base: DataFrame, cur: DataFrame,
+                     vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dimSums(df: DataFrame, name: String): DataFrame = df
+      .where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)))
+      .select(col("pos").as("dim"),
+        graft.SparkEntry.roundAway(col("col").cast("double") * 1000000.0)
+          .cast("long").as("_m"))
+      .groupBy(col("dim")).agg(sum(col("_m")).as(name))
+    val counts = base.where(col(vecCol).isNotNull)
+      .agg(count(lit(1)).as("_nb"))
+      .crossJoin(cur.where(col(vecCol).isNotNull)
+        .agg(count(lit(1)).as("_nc")))
+    val t = dimSums(base, "_sb").join(dimSums(cur, "_sc"), Seq("dim"), "full_outer")
+      .select(col("dim"),
+        coalesce(col("_sb"), lit(0L)).as("_sb"),
+        coalesce(col("_sc"), lit(0L)).as("_sc"))
+      .crossJoin(counts)
+      .withColumn("_dnum",
+        col("_sb").cast(dec) * col("_nc").cast(dec) -
+          col("_sc").cast(dec) * col("_nb").cast(dec))
+      .localCheckpoint(false)   // dim-grain artifact; two consumers below
+    val a = t.agg(max(col("_nb")).as("n_base"), max(col("_nc")).as("n_cur"),
+      sum(col("_sb").cast(dec) * col("_sc").cast(dec)).as("_dot"),
+      sum(col("_sb").cast(dec) * col("_sb").cast(dec)).as("_b2"),
+      sum(col("_sc").cast(dec) * col("_sc").cast(dec)).as("_c2"),
+      sum(col("_dnum") * col("_dnum")).as("_l2n"),
+      max(abs(col("_dnum"))).as("_mx"))
+    val argmax = t.crossJoin(a.select(col("_mx").as("_mx2")))
+      .filter(abs(col("_dnum")) === col("_mx2"))
+      .agg(min(col("dim")).as("drift_dim"))
+    a.crossJoin(argmax).select(
+      col("n_base"), col("n_cur"),
+      round(col("_dot").cast("double") /
+        (sqrt(col("_b2").cast("double")) * sqrt(col("_c2").cast("double"))), 6)
+        .as("centroid_cos"),
+      round(sqrt(col("_l2n").cast("double")) /
+        (col("n_base").cast("double") * col("n_cur").cast("double") *
+          lit(1000000.0)), 6).as("centroid_l2"),
+      round(col("_mx").cast("double") /
+        (col("n_base").cast("double") * col("n_cur").cast("double") *
+          lit(1000000.0)), 6).as("max_dim_shift"),
+      col("drift_dim"))
+  }
+
   /** TRIMMED mean — the third robust-location member next to
     * [[madOutliers]]' median and [[exactQuantiles]]: per group, drop the
     * k smallest and k largest values (k = ⌊n·trimPermille/1000⌋) and

@@ -44,6 +44,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(gotShuffled === shuffled.map(byRank))
   }
 
+  test("embedding drift: orthogonal centroid shift, tie on drift dim takes min") {
+    val base = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)).map(Tuple1(_)).toDF("embedding")
+    val cur = Seq(Seq(0.0f, 1.0f)).map(Tuple1(_)).toDF("embedding")
+    val got = CorpusStats.embeddingDrift(base, cur, "embedding")
+      .as[(Long, Long, Double, Double, Double, Int)].collect().head
+    // means (1,0) vs (0,1): cos 0, L2 sqrt(2), both dims shift 1.0 -> dim 0
+    assert(got._1 === 2L && got._2 === 1L)
+    assert(got._3 === 0.0)
+    assert(got._4 === BigDecimal(math.sqrt(2.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._5 === 1.0 && got._6 === 0)
+    // identical slices: cos 1, zero shift
+    val same = CorpusStats.embeddingDrift(base, base, "embedding")
+      .as[(Long, Long, Double, Double, Double, Int)].collect().head
+    assert(same._3 === 1.0 && same._4 === 0.0 && same._5 === 0.0)
+  }
+
   test("trimmed mean: symmetric outliers drop, plain mean stays poisoned") {
     val vals = (1 to 8).map(_.toDouble) ++ Seq(1000.0, -1000.0)
     val df = vals.map(v => ("a", v)).toDF("g", "x")
