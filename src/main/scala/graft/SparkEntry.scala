@@ -4011,6 +4011,76 @@ object SparkEntry {
         "value", scale = 2, period = 7)
     },
 
+    // The monitoring LIFECYCLE composition: seasonal decomposition →
+    // robust anomaly flag — "is Monday's dip seasonal or real" answered
+    // end-to-end: residuals from q_seasonal_decompose's exact pipeline
+    // feed madOutliers at micro-scale (round-6 residuals ×10⁶ are exact
+    // integers), so the anomaly count is engine-exact. One registered row
+    // chaining both oracles.
+    q("q_seasonal_anomaly",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS dsum
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, d, dsum,
+        |    sum(dsum) OVER w7 AS s7, count(*) OVER w7 AS c7,
+        |    date_diff('day', min(d) OVER w7, max(d) OVER w7) AS span
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t AS (
+        |  SELECT event_type, d, dsum,
+        |    CASE WHEN c7 = 7 AND span = 6
+        |         THEN (1000000 * s7) // 7 END AS trend_m
+        |  FROM w),
+        |det AS (
+        |  SELECT event_type, d, dsum, trend_m,
+        |    1000000 * dsum - trend_m AS det_m,
+        |    date_diff('day', DATE '1970-01-01', d) % 7 AS season
+        |  FROM t),
+        |se AS (
+        |  SELECT event_type, det_m,
+        |    CASE WHEN det_m IS NOT NULL THEN
+        |      sum(det_m) OVER ws // count(det_m) OVER ws END AS seas_m
+        |  FROM det
+        |  WINDOW ws AS (PARTITION BY event_type, season)),
+        |b AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(round(CAST(det_m - seas_m AS DOUBLE) / 100000000.0, 6)
+        |      * 1000000.0) AS BIGINT) AS v
+        |  FROM se WHERE det_m IS NOT NULL AND seas_m IS NOT NULL),
+        |r1 AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM b),
+        |m AS (
+        |  SELECT g, sum(CASE WHEN rn = (n-1)//2 THEN v END)
+        |         + sum(CASE WHEN rn = n//2 THEN v END) AS m2
+        |  FROM r1 WHERE rn = (n-1)//2 OR rn = n//2 GROUP BY g),
+        |dd AS (
+        |  SELECT b.g, v, abs(2*v - m2) AS dv FROM b JOIN m USING (g)),
+        |r2 AS (
+        |  SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM dd),
+        |mm AS (
+        |  SELECT g, sum(CASE WHEN rn = (n-1)//2 THEN dv END)
+        |         + sum(CASE WHEN rn = n//2 THEN dv END) AS mad2x
+        |  FROM r2 WHERE rn = (n-1)//2 OR rn = n//2 GROUP BY g)
+        |SELECT dd.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(max(m.m2) AS DOUBLE) / 2000000.0, 6) AS median,
+        |  round(CAST(max(mm.mad2x) AS DOUBLE) / 4000000.0, 6) AS mad,
+        |  CAST(sum(CASE WHEN 2 * dv > 3 * mad2x THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dd JOIN m USING (g) JOIN mm USING (g)
+        |GROUP BY dd.g""".stripMargin) { (s, d) =>
+      val dec = ops.Funnel.seasonalDecompose(Tables.events(s, d),
+        "event_type", "ts", "value", scale = 2, period = 7)
+      ops.CorpusStats.madOutliers(dec.where(col("residual").isNotNull),
+        "event_type", "residual", scale = 6, kNum = 3, kDen = 1)
+    },
+
     // MAD robust outliers (CorpusStats.madOutliers): per event type, how
     // many values sit beyond 3 MADs of the median — integer-exact via
     // DOUBLED medians (m2, mad2x) so no .5 and no float boundary exists

@@ -458,6 +458,47 @@ class DedupKnnSpec extends AnyFunSuite {
       (99L, 12L, 2, 3), (99L, 13L, 2, 4)))
   }
 
+  test("ANN recall eval: exhaustive-probe IVF scores perfect recall; partial probe bounded") {
+    // retrievalEval measuring the ANN stack against brute-force truth —
+    // the standard index-quality loop. With nProbe = nCells the IVF scan
+    // IS exhaustive and shares topK's (score DESC, id) order, so every
+    // metric must be exactly 1.0; a partial probe stays a valid bounded
+    // result list.
+    import graft.ops.{Knn, Retrieval}
+    val W = org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select($"vec_id", $"embedding")
+    val sample = emb.select("embedding").limit(256).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cents = Knn.trainCentroids(sample, nCells = 8)
+    val assigned = Knn.ivfAssign(emb, "embedding", cents).localCheckpoint(true)
+    val probes = emb.filter($"vec_id".isin(3L, 7L, 11L)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def resultsFor(nProbe: Int) = probes.map { case (qid, v) =>
+      Knn.ivfSearch(assigned, "embedding", "vec_id", cents, v,
+          k = 10, nProbe = nProbe)
+        .select(lit(qid).as("q_id"), $"vec_id", $"score")
+        .withColumn("rank", row_number().over(
+          W.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")))
+        .select($"q_id", $"vec_id", $"rank")
+    }.reduce(_ unionByName _)
+    val truth = probes.map { case (qid, v) =>
+      Knn.topK(emb, "embedding", "vec_id", v, k = 10, "cosine")
+        .select(lit(qid).as("q_id"), $"vec_id", lit(1).as("rel"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val full = Retrieval.retrievalEval(resultsFor(8), truth,
+        "q_id", "vec_id", "rank", "rel", k = 10)
+      .filter($"q_id" === -1L)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(full === ((-1L, 3L, 30L, 1.0, 1.0, 1.0, 1.0)))
+    val part = Retrieval.retrievalEval(resultsFor(2), truth,
+        "q_id", "vec_id", "rank", "rel", k = 10)
+      .filter($"q_id" === -1L)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(part._4 <= 1.0 && part._4 >= 0.0 && part._2 === 3L)
+    assigned.unpersist()
+  }
+
   test("approx_count_distinct is within HLL tolerance of exact") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf)
     val row = li.agg(
