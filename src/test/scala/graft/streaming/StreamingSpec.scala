@@ -954,6 +954,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(history) === canon(batch))
   }
 
+  test("incremental ER lifecycle: repeated label folds ≡ one-shot components over all pairs") {
+    // Entity batches land one at a time: each fold pairs the delta against
+    // the accumulated base through the sorted-key artifact, scores, and
+    // folds into the STANDING labels. After the last batch, the repeatedly-
+    // folded label table must equal clusterLabels run once over every pair
+    // ever found — the associativity a production linkage pipeline rests on.
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(19)
+    val all = (1L to 150L).map { i =>
+      (i, (1 to 3).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    val batches = all.grouped(50).toSeq
+    def matched(pairs: DataFrame) = pairs
+      .filter(levenshtein($"key_a", $"key_b") <= 1)
+      .select($"id_a", $"id_b")
+    var base = batches.head.toDF("id", "k")
+    val first = matched(Dedup.sortedNeighborPairs(base, "k", "id", window = 3))
+      .localCheckpoint(true)
+    var labels = Dedup.clusterLabels(first)
+    var allPairs = first.as[(Long, Long)].collect().toSet
+    for (b <- batches.tail) {
+      val delta = b.toDF("id", "k")
+      val idx = Dedup.snmIndex(base, "k", "id", bucketSize = 4)
+      val newPairs = matched(Dedup.incrementalSnmPairs(idx, delta, "k", "id",
+        window = 3, bucketSize = 4)).localCheckpoint(true)
+      labels = Dedup.foldClusterLabels(labels, newPairs).localCheckpoint(true)
+      allPairs ++= newPairs.as[(Long, Long)].collect()
+      base = base.unionByName(delta).localCheckpoint(true)
+    }
+    val oneShot = Dedup.clusterLabels(
+      allPairs.toSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(labels.as[(Long, Long)].collect().toSet === oneShot)
+  }
+
   test("streaming PIT enrichment: per-batch probes against the folded history ≡ batch PIT") {
     // The lookup side of the dimension lifecycle: each micro-batch FIRST
     // folds into the standing history (scd2Merge), THEN its own probe
