@@ -3918,6 +3918,61 @@ object SparkEntry {
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
     },
 
+    // BLOCKING-quality eval — the measurement member for the blocking
+    // half of entity resolution (retrievalEval's role, linkage edition):
+    // plant one known duplicate per part (id + 10⁷, key + ' x' — same
+    // sort neighborhood, edit distance 2), run sorted-neighborhood
+    // blocking, and report pairs completeness (found/true — blocking
+    // recall) and reduction ratio (1 − candidates/allpairs — the whole
+    // point of blocking). Counts exact; two round-6 ratios of exact ints.
+    q("q_blocking_eval",
+      """WITH p AS (SELECT p_partkey AS id, lower(trim(p_name)) AS k FROM part),
+        |c AS (SELECT id, k FROM p
+        |      UNION ALL SELECT id + 10000000, k || ' x' FROM p),
+        |r AS (SELECT id, k, substr(k, 1, 1) AS blk,
+        |        row_number() OVER (PARTITION BY substr(k, 1, 1)
+        |                           ORDER BY k, id) AS rn
+        |      FROM c),
+        |cand AS (
+        |  SELECT least(a.id, b.id) AS lo, greatest(a.id, b.id) AS hi
+        |  FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 5),
+        |tr AS (SELECT id AS lo, id + 10000000 AS hi FROM p),
+        |f AS (SELECT count(*) AS nf FROM cand JOIN tr
+        |      ON cand.lo = tr.lo AND cand.hi = tr.hi),
+        |n AS (SELECT count(*) AS nr FROM c),
+        |cc AS (SELECT count(*) AS ncand FROM cand),
+        |nt AS (SELECT count(*) AS ntrue FROM tr)
+        |SELECT CAST(nr AS BIGINT) AS n_records,
+        |  CAST(ncand AS BIGINT) AS n_candidates,
+        |  CAST(ntrue AS BIGINT) AS n_true, CAST(nf AS BIGINT) AS true_found,
+        |  round(CAST(nf AS DOUBLE) / ntrue, 6) AS pairs_completeness,
+        |  round(1.0 - CAST(ncand AS DOUBLE) /
+        |    (CAST(nr AS DOUBLE) * (nr - 1) / 2), 6) AS reduction_ratio
+        |FROM n, cc, nt, f""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("id"), lower(trim(col("p_name"))).as("_key"))
+      val corpus = p.unionByName(p.select((col("id") + 10000000L).as("id"),
+        concat(col("_key"), lit(" x")).as("_key")))
+      val cand = Dedup.sortedNeighborPairs(corpus, "_key", "id", window = 5)
+        .select(least(col("id_a"), col("id_b")).as("lo"),
+          greatest(col("id_a"), col("id_b")).as("hi"))
+        .localCheckpoint(false)   // consumed by the count and the truth join
+      val truth = p.select(col("id").as("lo"), (col("id") + 10000000L).as("hi"))
+      val nRec = corpus.agg(count(lit(1)).as("n_records"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nFound = cand.join(truth, Seq("lo", "hi"), "left_semi")
+        .agg(count(lit(1)).as("true_found"))
+      nRec.crossJoin(nCand).crossJoin(nTrue).crossJoin(nFound)
+        .select(col("n_records"), col("n_candidates"), col("n_true"),
+          col("true_found"),
+          round(col("true_found").cast("double") / col("n_true"), 6)
+            .as("pairs_completeness"),
+          round(lit(1.0) - col("n_candidates").cast("double") /
+            (col("n_records").cast("double") * (col("n_records") - 1) / 2), 6)
+            .as("reduction_ratio"))
+    },
+
     // Jaro-Winkler record-linkage scoring (functions.JaroWinklerSim):
     // fuzzy part-name pairs scored by the codegen kernel, verified
     // against DuckDB's NATIVE jaro_winkler_similarity — an independent
