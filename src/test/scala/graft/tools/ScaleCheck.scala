@@ -702,6 +702,32 @@ object ScaleCheck {
           pmod(expr("unix_micros(ts) div 3600000000L"), lit(4096L)),
           partitions = 32).count()
       }
+      // vectors ×k through one XOR+popcount scan into the k-bounded
+      // TopKByScore partial aggregation; probes fixed
+      results(("hamming_knn", k)) = timed("hamming_knn", k, ne) {
+        graft.ops.Quantize.hammingTopK(e, "embedding", "vec_id",
+          emb.filter(col("vec_id").isin(3L, 7L, 11L)), "vec_id",
+          k = 10, dim = 64).count()
+      }
+      // vectors ×k through one posexplode scan per slice into the
+      // dim-grain (64-row) artifact; everything after is artifact-sized
+      results(("embedding_drift", k)) = timed("embedding_drift", k, ne) {
+        graft.ops.CorpusStats.embeddingDrift(
+          e.filter(col("vec_id") % 2 === 0).select(col("embedding")),
+          e.filter(col("vec_id") % 2 === 1).select(col("embedding")),
+          "embedding").count()
+      }
+      // events ×k collapse onto the FIXED daily spine (replicas shift
+      // users, not dates): the pair join stays days², only the daily
+      // aggregate scales — near-flat is the pass
+      results(("theil_sen", k)) = timed("theil_sen", k, nev) {
+        graft.ops.Funnel.theilSenSlopes(ev, "ts", "event_type",
+          "value").count()
+      }
+      results(("seasonal_decompose", k)) = timed("seasonal_decompose", k, nev) {
+        graft.ops.Funnel.seasonalDecompose(ev, "event_type", "ts",
+          "value").count()
+      }
       // incremental ER, steady state: the sorted-key/bucket artifact is
       // prebuilt (standing-pipeline stance) and the timed body is the
       // probe — delta fixed, base ×k: cost must track the artifact scan
