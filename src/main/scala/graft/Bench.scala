@@ -177,16 +177,21 @@ object Bench {
       prior.get(r.name) match {
         case Some(p) if r.err.isEmpty && r.warm > 0.3 && r.warm > 3.0 * p =>
           val fn = selected(r.name)
-          def t(): Double = {
+          // A failed re-run is guard collateral, not a timing: its elapsed
+          // time (possibly a fast crash) must never become the headline min
+          // via `re.min`. Only successful samples count — the extraFailed
+          // convention of the spread reruns above.
+          def t(): Option[Double] = {
             val t0 = System.nanoTime()
-            try run(fn) catch { case _: Throwable => }
-            (System.nanoTime() - t0) / 1e9
+            val ok = try { run(fn); true } catch { case _: Throwable => false }
+            if (ok) Some((System.nanoTime() - t0) / 1e9) else None
           }
-          val re = Seq(t(), t(), t())
-          val after = math.min(r.warm, re.min)
+          val re = Seq(t(), t(), t()).flatten
+          val after = if (re.isEmpty) r.warm else math.min(r.warm, re.min)
           regressionLog ::= ((r.name, p, r.warm, after))
-          r.copy(warm = after, warmMax = math.max(r.warmMax, re.max),
-            reruns = r.reruns + 3)
+          r.copy(warm = after,
+            warmMax = if (re.isEmpty) r.warmMax else math.max(r.warmMax, re.max),
+            reruns = r.reruns + re.size)
         case _ => r
       }
     }

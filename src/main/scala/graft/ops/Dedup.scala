@@ -1191,7 +1191,11 @@ object Dedup {
     * composite sort key `key + U+0001 + zero-padded id` — lexicographic on
     * `_cs` ≡ the (key, id) merge/purge order, and unique per record, which
     * is what lets a delta batch locate its insertion point exactly.
-    * Requires non-negative ids (the zero-pad) and keys without U+0001. */
+    * Requires non-negative long-castable ids (the zero-pad) and keys
+    * without U+0000/U+0001 — both RUNTIME-enforced by
+    * [[snmCompositeKey]]: a violating row fails the job loudly instead
+    * of silently corrupting the (key, id) order the merged-rank
+    * argument rests on. */
   def snmIndex(base: DataFrame, keyCol: String, idCol: String,
                bucketSize: Int): DataFrame = {
     require(bucketSize >= 1, s"bucketSize must be ≥ 1: $bucketSize")
@@ -1199,10 +1203,46 @@ object Dedup {
       .partitionBy(col("_blk")).orderBy(col("_cs"))
     base.select(col(idCol), col(keyCol).as("_k"))
       .withColumn("_blk", substring(col("_k"), 1, 1))
-      .withColumn("_cs", concat(col("_k"), lit("\u0001"),
-        lpad(col(idCol).cast("string"), 19, "0")))
+      .withColumn("_cs", snmCompositeKey(col("_k"), col(idCol)))
       .withColumn("_rn", row_number().over(W))
       .withColumn("_bkt", floor((col("_rn") - 1) / bucketSize).cast("int"))
+  }
+
+  /** The order-preserving composite sort key `key + U+0001 + 19-digit
+    * zero-padded id` shared by [[snmIndex]] and [[incrementalSnmPairs]],
+    * with the two preconditions the merged-rank proof needs enforced AT
+    * RUNTIME on the data path (a driver-side `require` can't see data):
+    *
+    *  - the id must cast to a non-negative LONG. Long.MaxValue has 19
+    *    decimal digits, so `lpad(..., 19)` never truncates a valid id --
+    *    but lpad silently TRUNCATES longer strings, so an arbitrary
+    *    string id (or a negative one, whose '-' sorts above digits)
+    *    would corrupt the (key, id) order without this guard;
+    *  - the key must contain neither U+0001 (the separator -- an embedded
+    *    one makes `_cs` ambiguous) nor U+0000 (sorts BELOW the
+    *    separator, so a key extending another key by U+0000... would
+    *    order before it in `_cs` while ordering after it as a plain
+    *    key -- composite order would diverge from (key, id) order).
+    *
+    * Violations `raise_error` with the offending value; a null key or id
+    * yields a null `_cs` (the pre-guard behavior -- nulls never reach
+    * the pairing logic). */
+  private[ops] def snmCompositeKey(key: Column, id: Column): Column = {
+    // try_cast, not cast: under ANSI mode a malformed id would throw
+    // CAST_INVALID_INPUT before the guard fires — try_cast yields null
+    // and routes every malformed shape through the curated raise_error.
+    val asLong = id.try_cast("long")
+    when(id.isNotNull && (asLong.isNull || asLong < 0),
+        raise_error(concat(
+          lit("snm composite key: id must be a non-negative long, got "),
+          id.cast("string"))))
+      .when(key.isNotNull &&
+            (instr(key, "\u0001") > 0 || instr(key, "\u0000") > 0),
+        raise_error(concat(
+          lit("snm composite key: key must not contain U+0000/U+0001: "),
+          key)))
+      .otherwise(concat(key, lit("\u0001"),
+        lpad(asLong.cast("string"), 19, "0")))
   }
 
   /** INCREMENTAL sorted-neighborhood candidates — the base+delta
@@ -1243,8 +1283,7 @@ object Dedup {
     val W = org.apache.spark.sql.expressions.Window
     val dKeyed = delta.select(col(idCol), col(keyCol).as("_k"))
       .withColumn("_blk", substring(col("_k"), 1, 1))
-      .withColumn("_cs", concat(col("_k"), lit("\u0001"),
-        lpad(col(idCol).cast("string"), 19, "0")))
+      .withColumn("_cs", snmCompositeKey(col("_k"), col(idCol)))
     // bucket directory + per-delta-block sentinel (bucket 0 at cs "")
     val dir = index.groupBy(col("_blk"), col("_bkt"))
       .agg(min(col("_cs")).as("_lo"))

@@ -116,9 +116,14 @@ object Quantize {
                   probes: DataFrame, pIdCol: String, k: Int,
                   dim: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val c = signPack(corpus, vecCol, dim)
+    // Null embeddings (a real condition in any 100 TB corpus: failed
+    // embed calls, late backfills) would produce a null `bits` → null
+    // `_score` feeding TopKByScore's non-nullable ScoredId.score — a
+    // runtime crash. Drop them up front on BOTH sides, the
+    // [[graft.ops.CorpusStats.embeddingDrift]] convention.
+    val c = signPack(corpus.where(col(vecCol).isNotNull), vecCol, dim)
       .select(col(idCol).cast("long").as("_cid"), col("bits"))
-    val p = signPack(probes, vecCol, dim)
+    val p = signPack(probes.where(col(vecCol).isNotNull), vecCol, dim)
       .select(col(pIdCol).as("q_id"), col("bits").as("_pbits"))
     val topk = udaf(new graft.functions.TopKByScore(k))
     val ham = aggregate(

@@ -1442,4 +1442,50 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(tp === Set((5L, 6L), (6L, 7L)))
   }
 
+  test("snm composite key: runtime guards on id castability/sign and key charset") {
+    // valid long-range ids (incl. Long.MaxValue, 19 digits) pass untruncated
+    val ok = Seq((Long.MaxValue, "aaa"), (0L, "aab")).toDF("id", "k")
+    val cs = Dedup.snmIndex(ok, "k", "id", bucketSize = 2)
+      .orderBy("_cs").select("_cs").as[String].collect()
+    assert(cs(0).endsWith("9223372036854775807") && cs(1).endsWith("0000000000000000000"))
+    def mustFail(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val e = intercept[Exception] {
+        Dedup.snmIndex(df, "k", "id", bucketSize = 2).collect()
+      }
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("snm composite key")), s"$what: $e")
+    }
+    // a 20-digit string id would previously lpad-TRUNCATE silently
+    mustFail(Seq(("99999999999999999999", "aaa"), ("1", "aab")).toDF("id", "k"),
+      "20-digit id")
+    mustFail(Seq((-1L, "aaa"), (1L, "aab")).toDF("id", "k"), "negative id")
+    mustFail(Seq(("not-a-number", "aaa")).toDF("id", "k"), "non-numeric id")
+    // keys containing the separator or U+0000 corrupt composite order
+    mustFail(Seq((1L, "aa\u0001b")).toDF("id", "k"), "U+0001 in key")
+    mustFail(Seq((1L, "aa\u0000b")).toDF("id", "k"), "U+0000 in key")
+    // null key/id: null _cs, no error (pre-guard behavior)
+    val withNull = Seq((Some(1L), Some("aaa")), (None, Some("aab")),
+      (Some(3L), None)).toDF("id", "k")
+    assert(Dedup.snmIndex(withNull, "k", "id", bucketSize = 2)
+      .filter(col("_cs").isNull).count() === 2L)
+  }
+
+  test("hammingTopK: null embeddings dropped on both sides, not a crash") {
+    import graft.ops.Quantize
+    def vec(negIdx: Set[Int]): Seq[Float] =
+      (0 until 64).map(i => if (negIdx(i)) -1.0f else 1.0f)
+    val corpus = Seq(
+      (10L, Some(vec(Set()))),
+      (11L, None),                       // failed embed call -> null vector
+      (12L, Some(vec(Set(5))))
+    ).toDF("vec_id", "embedding")
+    val probes = Seq((99L, Some(vec(Set()))), (98L, None))
+      .toDF("vec_id", "embedding")
+    val got = Quantize.hammingTopK(corpus, "embedding", "vec_id",
+        probes, "vec_id", k = 3, dim = 64)
+      .orderBy("rank").as[(Long, Long, Int, Int)].collect().toSeq
+    assert(got === Seq((99L, 10L, 0, 1), (99L, 12L, 1, 2)))
+  }
+
 }
