@@ -761,6 +761,18 @@ object ScaleCheck {
         }
         bandArt.unpersist()
       }
+      // bigram graphs of rotated replicas are DISJOINT (every vocab word
+      // carries a vowel): nodes, edges, and the hash-selected seed set all
+      // ×k; each hop is one edge-vs-frontier equi-join + settled anti-join
+      // at NODE grain — linear per hop, hop count fixed, no pair explosion
+      results(("bfs_distance", k)) = timed("bfs_distance", k, nd) {
+        val g = graft.ops.CorpusStats.bigramCounts(d, "text")
+        val nodes = g.select(col("w1").as("id"))
+          .unionByName(g.select(col("w2").as("id"))).distinct()
+        graft.ops.Graph.bfsDistances(g, "w1", "w2",
+          nodes.filter(pmod(abs(hash(col("id"))), lit(10)) === 3), "id",
+          maxHops = 3).count()
+      }
     }
     // growth factors per doubling-pair of k values
     for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted
