@@ -3613,6 +3613,43 @@ object SparkEntry {
         "value", nBuckets = 10)
     },
 
+    // Two-sample Kolmogorov-Smirnov drift (CorpusStats.ksStatistic) over
+    // the SAME base/current split as q_psi -- the bucket-free shape test
+    // next to PSI's binned divergence. Values quantize to the cents grid
+    // (roundAway, the benford convention) so the distinct-value grain is
+    // bounded; D is maximized in exact DECIMAL(38) cross-products, one
+    // double division at the end.
+    q("q_ks_test",
+      """WITH av AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE event_id % 8 <> 7 AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE event_id % 8 = 7 AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v, sum(ma) AS ma, sum(mb) AS mb FROM (
+        |    SELECT v, 1 AS ma, 0 AS mb FROM av
+        |    UNION ALL SELECT v, 0 AS ma, 1 AS mb FROM bv)
+        |  GROUP BY v),
+        |c AS (
+        |  SELECT
+        |    sum(ma) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(mb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    sum(ma) OVER () AS na, sum(mb) OVER () AS nb
+        |  FROM g)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CAST(max(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
+        |    / CAST(CAST(max(na) AS HUGEINT) * max(nb) AS DOUBLE), 6) AS ks
+        |FROM c""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          roundAway(col("value") * 100).cast("long").as("v_cents"))
+      ops.CorpusStats.ksStatistic(
+        ev.filter(pmod(col("event_id"), lit(8)) =!= 7).select(col("v_cents")),
+        ev.filter(pmod(col("event_id"), lit(8)) === 7).select(col("v_cents")),
+        "v_cents")
+    },
+
     // Embedding-centroid drift (CorpusStats.embeddingDrift): the vector
     // companion of q_psi — per-dimension micro-LONG sums per slice,
     // cosine computed scale-invariantly on the SUM vectors, mean shifts
@@ -4837,6 +4874,82 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(keyword, vector), "doc_id", k = 20)
     },
 
+    // Score-NORMALIZED hybrid fusion (Retrieval.normalizedFuse) over the
+    // same BM25 + cosine top-50 lists as q_hybrid_rrf: min-max per list,
+    // 0.7/0.3 weighted sum -- OpenSearch's normalization-processor
+    // combiner, keeping score magnitude where RRF keeps only rank. Both
+    // engines normalize the identical round-6 scores with the identical
+    // IEEE expression; the two-term weighted add is commutative, so the
+    // round-6 fused score is drift-free.
+    q("q_hybrid_norm",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(tk, x -> x = 'dup')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE) AS tf2,
+        |    (CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS m,
+        |    dl, n, sumdl, df0, df1, df2
+        |  FROM d, st),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0))
+        |        / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+        |        / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+        |        / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))), 6) AS s
+        |  FROM sc WHERE m > 0
+        |  ORDER BY s DESC, doc_id LIMIT 50),
+        |probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+        |vs AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS s
+        |  FROM embeddings, probe
+        |  ORDER BY s DESC, doc_id LIMIT 50),
+        |bmn AS (
+        |  SELECT doc_id,
+        |    0.7 * (CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+        |           ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+        |           END) AS ns
+        |  FROM bm),
+        |vsn AS (
+        |  SELECT doc_id,
+        |    0.3 * (CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+        |           ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+        |           END) AS ns
+        |  FROM vs),
+        |u AS (SELECT doc_id, ns FROM bmn UNION ALL SELECT doc_id, ns FROM vsn)
+        |SELECT doc_id, round(sum(ns), 6) AS fused, CAST(count(*) AS INT) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val keyword = Retrieval.bm25TopK(docs, "text", "doc_id",
+          Seq("dup", "spark", "merge"), k = 50)
+        .select(col("doc_id"), col("bm25").as("score"))
+      val probe = e.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+      val vector = e.crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+      Retrieval.normalizedFuse(Seq((keyword, 0.7), (vector, 0.3)),
+        "doc_id", "score", k = 20)
+    },
+
     // Multi-query BM25 retrieval join (the keyword knnJoin): a query TABLE
     // (first-5-token prefixes of docs 0–2, derived identically in both
     // engines) scores against the corpus through one inverted-index pass.
@@ -5928,6 +6041,53 @@ object SparkEntry {
         .withColumn("_toks", Dedup.tokens(col("text")))
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langIdFromTokens(col("_toks")).as("lang_pred"))
+    },
+
+    // Cohen's kappa (CorpusStats.cohenKappa) between the corpus's
+    // annotated `lang` column and the n-gram language-ID prediction --
+    // chance-corrected annotation-vs-classifier agreement, the label
+    // quality gate. All terms exact DECIMAL(38) integers; the oracle
+    // replays the identical langid heuristic then the same closed form.
+    q("q_cohen_kappa",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, t -> list_contains(['der','die','das','und','zu'], t))) AS de_h,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','of','to'], t))) AS en_h,
+        |    len(list_filter(tk, t -> list_contains(['el','la','los','y','de'], t))) AS es_h,
+        |    len(list_filter(tk, t -> list_contains(['le','la','et','les','de'], t))) AS fr_h
+        |  FROM toks),
+        |pred AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+        |         WHEN fr_h = greatest(de_h, en_h, es_h, fr_h) THEN 'fr'
+        |         WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
+        |         WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
+        |         ELSE 'de' END AS b
+        |  FROM hits),
+        |f AS (SELECT a, b FROM pred WHERE a IS NOT NULL AND b IS NOT NULL),
+        |ra AS (SELECT a, count(*) AS na FROM f GROUP BY a),
+        |rb AS (SELECT b, count(*) AS nb FROM f GROUP BY b),
+        |pe AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * nb), 0) AS pe
+        |       FROM ra JOIN rb ON ra.a = rb.b),
+        |t AS (SELECT count(*) AS n,
+        |        coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END), 0) AS agree
+        |      FROM f)
+        |SELECT CAST(n AS BIGINT) AS n_items, CAST(agree AS BIGINT) AS n_agree,
+        |  CASE WHEN CAST(n AS HUGEINT) * n = pe THEN NULL
+        |       ELSE round(CAST(CAST(n AS HUGEINT) * agree - pe AS DOUBLE)
+        |              / CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE), 6)
+        |  END AS kappa
+        |FROM t, pe""".stripMargin) { (s, d) =>
+      ops.CorpusStats.cohenKappa(
+        Tables.documents(s, d)
+          .withColumn("_toks", Dedup.tokens(col("text")))
+          .select(col("lang"),
+            TextAnalysis.langIdFromTokens(col("_toks")).as("lang_pred")),
+        "lang", "lang_pred")
     },
 
     q("q_quality_score",

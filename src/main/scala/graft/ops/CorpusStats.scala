@@ -480,6 +480,91 @@ object CorpusStats {
         round(sum((p - q) * (log(p) - log(q))), 6).as("contrib")))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the DISTRIBUTION-SHAPE
+    * drift test next to [[psi]]'s binned divergence: D = max_x
+    * |F_a(x) − F_b(x)| over the pooled empirical CDFs, sensitive to ANY
+    * shape change (location, spread, tails) without choosing buckets.
+    * The classic pre-/post-deploy feature-drift gate.
+    *
+    * Exactness: both samples collapse to the shared DISTINCT-VALUE grain
+    * (the [[giniConcentration]] convention — pre-quantize a continuous
+    * column to a grid if its value grain is unbounded), cumulative counts
+    * come from one ordered window over that grain, and the maximized
+    * quantity is the INTEGER cross-product |c_a·n_b − c_b·n_a| in
+    * DECIMAL(38) — the max is found in exact arithmetic; one double
+    * division + round-6 at the very end. Output: (n_a, n_b, ks).
+    *
+    * Scale shape: one map-side-combined aggregate to value grain, one
+    * ordered window over the collapsed grain (value-grain-sized, not
+    * row-grain), one 1-row reduce. */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val W = org.apache.spark.sql.expressions.Window
+    val grain = a.where(col(valueCol).isNotNull)
+      .select(col(valueCol).as("_v"), lit(1L).as("_ma"), lit(0L).as("_mb"))
+      .unionByName(b.where(col(valueCol).isNotNull)
+        .select(col(valueCol).as("_v"), lit(0L).as("_ma"), lit(1L).as("_mb")))
+      .groupBy(col("_v"))
+      .agg(sum(col("_ma")).as("_ma"), sum(col("_mb")).as("_mb"))
+    val wCum = W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    grain
+      .select(sum(col("_ma")).over(wCum).as("_ca"),
+        sum(col("_mb")).over(wCum).as("_cb"),
+        sum(col("_ma")).over(wAll).as("_na"),
+        sum(col("_mb")).over(wAll).as("_nb"))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(abs(big(col("_ca")) * big(col("_nb"))
+          - big(col("_cb")) * big(col("_na")))).as("_d"))
+      .select(col("n_a"), col("n_b"),
+        round(col("_d").cast("double")
+          / (big(col("n_a")) * big(col("n_b"))).cast("double"), 6).as("ks"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * assignments over the same items (two annotators, or an annotation
+    * vs a classifier): κ = (p_o − p_e)/(1 − p_e), the standard
+    * label-quality gate before training on human or model-generated
+    * labels (κ < 0.4 = don't trust the labels).
+    *
+    * Integer-exact formulation: with n items, `agree` diagonal matches,
+    * and per-label marginals ra_k/rb_k, κ = (n·agree − Σ_k ra_k·rb_k) /
+    * (n² − Σ_k ra_k·rb_k) — every term an exact DECIMAL(38) integer, one
+    * double division + round-6 at the end. Degenerate case (both raters
+    * constant on the same single label → denominator 0) yields NULL, the
+    * undefined-κ convention. Rows with either label null are excluded.
+    *
+    * Scale shape: two label-grain aggregates + a |labels|-grain equi-join
+    * for p_e and one global count-sum — nothing beyond label cardinality
+    * ever shuffles. Output: (n_items, n_agree, kappa). */
+  def cohenKappa(ratings: DataFrame, raterACol: String,
+                 raterBCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val r = ratings
+      .where(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).as("_a"), col(raterBCol).as("_b"))
+    val ra = r.groupBy(col("_a")).agg(count(lit(1)).as("_na"))
+    val rb = r.groupBy(col("_b")).agg(count(lit(1)).as("_nb"))
+    val pe = ra.join(rb, col("_a") === col("_b"))
+      .agg(coalesce(sum(big(col("_na")) * big(col("_nb"))),
+        big(lit(0))).as("_pe"))
+    r.agg(count(lit(1)).as("n_items"),
+        coalesce(sum(when(col("_a") === col("_b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_agree"),
+        when(big(col("n_items")) * big(col("n_items")) === col("_pe"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (big(col("n_items")) * big(col("n_agree")) - col("_pe"))
+              .cast("double")
+            / (big(col("n_items")) * big(col("n_items")) - col("_pe"))
+              .cast("double"), 6)).as("kappa"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-data detector:
     * organically-generated positive amounts follow P(d) = log10(1+1/d);
     * synthetic or tampered figures usually don't. Reports per-digit

@@ -215,6 +215,47 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Score-NORMALIZED hybrid fusion — the other production hybrid
+    * combiner next to [[rrfFuse]] (OpenSearch's `normalization-processor`
+    * default: min–max per list, weighted arithmetic sum). Unlike RRF it
+    * keeps score MAGNITUDE: a doc that wins its list by a mile outranks
+    * one that wins by a hair, which rank-only fusion erases.
+    *
+    * Each input is an already-reduced top-n list carrying
+    * (`idCol`, `scoreCol`) plus a caller weight. Per list:
+    * norm = (s − min)/(max − min), a degenerate single-score list
+    * normalizing to 1.0 (the OpenSearch convention); fused(d) =
+    * Σ_lists w_l · norm_l(d), a missing doc contributing nothing.
+    * Output (id, fused ROUND 6, n_lists INT), ordered fused DESC then id,
+    * limited to `k`.
+    *
+    * Scale shape: inputs are top-n bounded by construction, so each
+    * min/max is a 1-row aggregate broadcast back over its own tiny list —
+    * nothing here touches a corpus. Determinism: norms are IEEE-identical
+    * expressions over round-6 input scores, and the two-list weighted sum
+    * is a commutative two-term add, so round-6 output matches any engine
+    * evaluating the same formula. */
+  def normalizedFuse(lists: Seq[(DataFrame, Double)], idCol: String,
+                     scoreCol: String, k: Int): DataFrame = {
+    require(lists.nonEmpty, "need at least one scored list")
+    require(k > 0, s"k must be positive: $k")
+    val normed = lists.map { case (df, w) =>
+      val s = df.select(col(idCol), col(scoreCol).cast("double").as("_s"))
+      val mm = s.agg(min(col("_s")).as("_lo"), max(col("_s")).as("_hi"))
+      s.crossJoin(broadcast(mm))
+        .select(col(idCol),
+          (lit(w) * when(col("_hi") === col("_lo"), lit(1.0))
+            .otherwise((col("_s") - col("_lo")) / (col("_hi") - col("_lo"))))
+            .as("_ns"))
+    }
+    normed.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_ns")), 6).as("fused"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .orderBy(col("fused").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Maximal-Marginal-Relevance re-rank of a retrieval SHORTLIST — the
     * serving-side diversity stage: greedily pick the candidate maximizing
     * λ·rel − (1−λ)·max-sim-to-already-picked, so near-duplicate hits

@@ -449,4 +449,41 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(gini(Seq(0L, 0L)).isEmpty)
   }
 
+  test("ksStatistic: hand ECDF max, identical samples 0, disjoint samples 1") {
+    def ks(a: Seq[Long], b: Seq[Long]) =
+      CorpusStats.ksStatistic(a.toDF("v"), b.toDF("v"), "v")
+        .as[(Long, Long, Double)].collect().head
+    // a = {1,2,3,4}, b = {3,4,5,6}: max |F_a - F_b| at v=2 (or 4): |2/4 - 0/4| = 0.5
+    assert(ks(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)) === ((4L, 4L, 0.5)))
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) === ((3L, 3L, 0.0)))
+    assert(ks(Seq(1L, 2L), Seq(8L, 9L, 10L)) === ((2L, 3L, 1.0)))
+    // ties + unequal sizes: a={1,1,2}, b={1,2}: at v=1 |2/3-1/2|=1/6; at v=2 0
+    assert(ks(Seq(1L, 1L, 2L), Seq(1L, 2L)) === ((3L, 2L, 0.166667)))
+    // nulls excluded
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("v")
+    assert(CorpusStats.ksStatistic(withNull, Seq(1L, 2L).toDF("v"), "v")
+      .as[(Long, Long, Double)].collect().head === ((2L, 2L, 0.0)))
+  }
+
+  test("cohenKappa: textbook 2x2 table, perfect and chance agreement, degenerate null") {
+    def kap(pairs: Seq[(String, String)]) =
+      CorpusStats.cohenKappa(pairs.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Option[Double])].collect().head
+    // classic example: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    // po=35/50, pe=(25*30 + 25*20)/2500 = 0.5, kappa = (0.7-0.5)/0.5 = 0.4
+    val tbl = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    assert(kap(tbl) === ((50L, 35L, Some(0.4))))
+    // perfect agreement on 2+ labels -> 1.0
+    assert(kap(Seq(("x", "x"), ("y", "y"))) === ((2L, 2L, Some(1.0))))
+    // both raters constant on one label: pe = 1 -> undefined (null)
+    assert(kap(Seq(("x", "x"), ("x", "x"))) === ((2L, 2L, None)))
+    // null labels excluded; the surviving single row is itself the
+    // degenerate constant-label case (pe = 1 -> null kappa)
+    val withNull = Seq((Some("x"), Some("x")), (None, Some("y")),
+      (Some("y"), None)).toDF("a", "b")
+    assert(CorpusStats.cohenKappa(withNull, "a", "b")
+      .as[(Long, Long, Option[Double])].collect().head === ((1L, 1L, None)))
+  }
+
 }

@@ -232,4 +232,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(m._7 === math.round(ndcg1 * 1e6 / 2).toDouble / 1e6)
   }
 
+  test("normalizedFuse: min-max per list, weights, missing docs, degenerate list") {
+    // list A scores: 10 -> 1.0, 5 -> 0.5, 0 -> 0.0 after min-max
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("doc_id", "score")
+    // list B scores: 2 -> 1.0, 1 -> 0.0; doc 4 only in B
+    val b = Seq((2L, 2.0), (4L, 1.0)).toDF("doc_id", "score")
+    val got = Retrieval.normalizedFuse(Seq((a, 0.7), (b, 0.3)),
+        "doc_id", "score", k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    // fused: d1 = 0.7*1.0 = 0.7; d2 = 0.7*0.5 + 0.3*1.0 = 0.65;
+    //        d4 = 0.3*0.0 = 0.0; d3 = 0.7*0.0 = 0.0 (tie -> id order)
+    assert(got === Seq((1L, 0.7, 1), (2L, 0.65, 2), (3L, 0.0, 1), (4L, 0.0, 1)))
+    // single-score list normalizes to 1.0 (max == min convention)
+    val single = Seq((9L, 42.0)).toDF("doc_id", "score")
+    assert(Retrieval.normalizedFuse(Seq((single, 1.0)), "doc_id", "score", 5)
+      .as[(Long, Double, Int)].collect().toSeq === Seq((9L, 1.0, 1)))
+    // k caps the output by (fused DESC, id)
+    assert(Retrieval.normalizedFuse(Seq((a, 1.0)), "doc_id", "score", 2)
+      .as[(Long, Double, Int)].collect().map(_._1).toSeq === Seq(1L, 2L))
+  }
+
 }
