@@ -4286,6 +4286,80 @@ object SparkEntry {
           ("l_discount", 2), ("l_tax", 2)))
     },
 
+    // Spearman rank correlation (CorpusStats.spearmanCorrelation) between
+    // quantity and extended price on the cents grid -- Pearson on DOUBLED
+    // midranks (2*cum_before + m + 1, always integer), five exact
+    // DECIMAL38/HUGEINT sums into the identical closed form, one double
+    // divide + sqrt at the end.
+    q("q_spearman",
+      """WITH base AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |gx AS (SELECT x, count(*) AS m FROM base GROUP BY x),
+        |rx AS (
+        |  SELECT x, 2 * coalesce(sum(m) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + m + 1 AS r2x
+        |  FROM gx),
+        |gy AS (SELECT y, count(*) AS m FROM base GROUP BY y),
+        |ry AS (
+        |  SELECT y, 2 * coalesce(sum(m) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + m + 1 AS r2y
+        |  FROM gy),
+        |j AS (SELECT r2x, r2y FROM base JOIN rx USING (x) JOIN ry USING (y)),
+        |sm AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(r2x AS HUGEINT)) AS sx, sum(CAST(r2y AS HUGEINT)) AS sy,
+        |    sum(CAST(r2x AS HUGEINT) * r2x) AS qx,
+        |    sum(CAST(r2y AS HUGEINT) * r2y) AS qy,
+        |    sum(CAST(r2x AS HUGEINT) * r2y) AS pxy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * pxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * qx - sx * sx AS DOUBLE)
+        |         * CAST(n * qy - sy * sy AS DOUBLE)), 6) AS rho
+        |FROM sm""".stripMargin) { (s, d) =>
+      ops.CorpusStats.spearmanCorrelation(
+        Tables.lineitem(s, d).select(
+          roundAway(col("l_quantity") * 100).cast("long").as("x"),
+          roundAway(col("l_extendedprice") * 100).cast("long").as("y")),
+        "x", "y")
+    },
+
+    // Wilson 95% score interval (CorpusStats.wilsonInterval) for the
+    // per-source quality pass rate (n_chars >= 400) -- the binomial CI
+    // that stays inside [0,1] at small n; one group-grain aggregate, the
+    // bound one fixed-shape IEEE expression over exact (n, k).
+    q("q_wilson",
+      """WITH g AS (
+        |  SELECT source, count(*) AS n,
+        |    sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS k
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |e AS (
+        |  SELECT source, n, k,
+        |    CAST(k AS DOUBLE) / n AS p,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g)
+        |SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  round(p, 6) AS p_hat,
+        |  round((p + 1.96 * 1.96 / (2.0 * nd)
+        |    - 1.96 * sqrt(p * (1.0 - p) / nd
+        |        + 1.96 * 1.96 / (4.0 * nd * nd)))
+        |    / (1.0 + 1.96 * 1.96 / nd), 6) AS lo,
+        |  round((p + 1.96 * 1.96 / (2.0 * nd)
+        |    + 1.96 * sqrt(p * (1.0 - p) / nd
+        |        + 1.96 * 1.96 / (4.0 * nd * nd)))
+        |    / (1.0 + 1.96 * 1.96 / nd), 6) AS hi
+        |FROM e""".stripMargin) { (s, d) =>
+      ops.CorpusStats.wilsonInterval(
+        Tables.documents(s, d)
+          .select(col("source"), (col("n_chars") >= 400).as("pass")),
+        "source", "pass")
+    },
+
     // Exact WEIGHTED quantiles (CorpusStats.exactWeightedQuantiles):
     // "the price below which p of item VOLUME lives" — quantity-weighted,
     // lower/type-1 convention, via the sort-selection machinery (one

@@ -523,6 +523,115 @@ object CorpusStats {
           / (big(col("n_a")) * big(col("n_b"))).cast("double"), 6).as("ks"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the LOCATION-shift companion
+    * to [[ksStatistic]]'s any-shape test: "does sample A tend to produce
+    * larger values than sample B", robust to outliers and any monotone
+    * transform. The A/B gate for skewed metrics (latencies, lengths,
+    * scores) where the t-test's normality assumption is junk.
+    *
+    * Exactness: both samples collapse to the shared distinct-value grain;
+    * DOUBLED pooled midranks 2·cum_before + m + 1 (always integer, the
+    * [[spearmanCorrelation]] device) come from one ordered window over
+    * that grain, so 2·R_a = Σ m_a·r2 and 2·U_a = 2·R_a − n_a(n_a+1) are
+    * exact DECIMAL(38) integers, as is the tie term Σ(t³−t). The
+    * normal approximation z = (U_a − n_a·n_b/2) / σ with the standard
+    * tie-corrected σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))) is ONE
+    * fixed-shape IEEE expression over those exact integers, evaluated
+    * identically on any engine before round-6. All-tied degenerate input
+    * (σ = 0) yields null z. Output: (n_a, n_b, u_a, z) with u_a exact
+    * (2·U_a halved — at most one .5, exact in a double to n ≈ 2⁵²).
+    *
+    * Scale shape: identical to [[ksStatistic]] — one map-side-combined
+    * aggregate to value grain, one ordered window over the COLLAPSED
+    * grain, one 1-row reduce. */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val W = org.apache.spark.sql.expressions.Window
+    val grain = a.where(col(valueCol).isNotNull)
+      .select(col(valueCol).as("_v"), lit(1L).as("_ma"), lit(0L).as("_mb"))
+      .unionByName(b.where(col(valueCol).isNotNull)
+        .select(col(valueCol).as("_v"), lit(0L).as("_ma"), lit(1L).as("_mb")))
+      .groupBy(col("_v"))
+      .agg(sum(col("_ma")).as("_ma"), sum(col("_mb")).as("_mb"))
+    val m = col("_ma") + col("_mb")
+    val r2 = (lit(2L) * coalesce(sum(m).over(
+        W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+      + m + lit(1L)).as("_r2")
+    val sums = grain
+      .select(col("_ma"), col("_mb"), r2, (big(m) * m * m - m).as("_t3"))
+      .agg(coalesce(sum(col("_ma")), lit(0L)).as("n_a"),
+        coalesce(sum(col("_mb")), lit(0L)).as("n_b"),
+        coalesce(sum(big(col("_ma")) * col("_r2")), big(lit(0))).as("_ra2"),
+        coalesce(sum(col("_t3")), big(lit(0))).as("_ties"))
+    val na = big(col("n_a")); val nb = big(col("n_b"))
+    val n = na + nb
+    val u2 = col("_ra2") - na * (na + 1)   // 2·U_a, exact
+    val mu2 = na * nb                       // 2·μ = n_a·n_b
+    val varD = (na * nb).cast("double") / 12.0
+    val tieD = (n + 1).cast("double")
+      - col("_ties").cast("double") / (n * (n - 1)).cast("double")
+    val sigma = sqrt(varD * tieD)
+    sums.select(col("n_a"), col("n_b"),
+      (u2.cast("double") / 2.0).as("u_a"),
+      when(col("n_a") === 0 || col("n_b") === 0 || sigma === 0.0,
+        lit(null).cast("double"))
+        .otherwise(round((u2 - mu2).cast("double") / (lit(2.0) * sigma), 6))
+        .as("z"))
+  }
+
+  /** 1-D Wasserstein-1 distance (earth mover's distance) — "how much
+    * work to morph distribution A into B": the MAGNITUDE-aware drift
+    * measure next to [[ksStatistic]] (max ECDF gap, scale-free) and
+    * [[psi]] (binned). Two distributions can have tiny KS but huge EMD
+    * (a long shifted tail) — this is the stat that sees it. Standard in
+    * embedding/score drift monitoring.
+    *
+    * W₁ = ∫|F_a − F_b| dx over an INTEGER-valued column (pre-quantize to
+    * a grid — cents, micro — the ksStatistic convention): on the sorted
+    * distinct-value grain, Σ_i |c_a·n_b − c_b·n_a|·(v_{i+1} − v_i) is an
+    * exact DECIMAL(38) integer (bounded by n_a·n_b·range — inside 38
+    * digits to n ≈ 10¹² at range 10¹²), divided once by n_a·n_b at the
+    * end. Output: (n_a, n_b, emd) in the column's value units.
+    *
+    * Scale shape: identical to [[ksStatistic]] plus one `lead` over the
+    * same collapsed-grain window. */
+  def wasserstein1(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val W = org.apache.spark.sql.expressions.Window
+    val grain = a.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"),
+        lit(1L).as("_ma"), lit(0L).as("_mb"))
+      .unionByName(b.where(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("long").as("_v"),
+          lit(0L).as("_ma"), lit(1L).as("_mb")))
+      .groupBy(col("_v"))
+      .agg(sum(col("_ma")).as("_ma"), sum(col("_mb")).as("_mb"))
+    val wOrd = W.orderBy(col("_v"))
+    val wCum = wOrd.rowsBetween(W.unboundedPreceding, 0)
+    // totals as a separate 1-row aggregate so a ≤1-distinct-value input
+    // (every gap null) still reports its counts with emd = 0
+    val totals = grain.agg(
+      coalesce(sum(col("_ma")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_mb")), lit(0L)).as("n_b"))
+    val area = grain
+      .select(sum(col("_ma")).over(wCum).as("_ca"),
+        sum(col("_mb")).over(wCum).as("_cb"),
+        (lead(col("_v"), 1).over(wOrd) - col("_v")).as("_gap"))
+      .where(col("_gap").isNotNull)   // last grain point carries no area
+      .crossJoin(broadcast(totals))
+      .agg(coalesce(sum(abs(big(col("_ca")) * big(col("n_b"))
+            - big(col("_cb")) * big(col("n_a")))
+          * big(col("_gap"))), big(lit(0))).as("_w"))
+    totals.crossJoin(broadcast(area))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+          .otherwise(round(col("_w").cast("double")
+            / (big(col("n_a")) * big(col("n_b"))).cast("double"), 6))
+          .as("emd"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two label
     * assignments over the same items (two annotators, or an annotation
     * vs a classifier): κ = (p_o − p_e)/(1 − p_e), the standard
@@ -563,6 +672,95 @@ object CorpusStats {
               .cast("double")
             / (big(col("n_items")) * big(col("n_items")) - col("_pe"))
               .cast("double"), 6)).as("kappa"))
+  }
+
+  /** Spearman rank correlation — [[exactCorrelation]]'s Pearson run on
+    * midranks: monotone-association strength that outlier magnitudes and
+    * nonlinear (but monotone) relationships can't distort, the robust
+    * companion every metric-vs-metric eval dashboard wants next to
+    * Pearson. Ties get midranks (the standard tie convention).
+    *
+    * Exactness: midranks are kept DOUBLED (2·midrank = 2·cum_before +
+    * m + 1 — always an integer, never a .5), each column's rank table is
+    * built on its distinct-value grain and joined back by value, and the
+    * five Pearson sums over doubled ranks are exact DECIMAL(38) integers
+    * assembled to the closed form driver-side in BigDecimal (the
+    * exactCorrelation convention) — one double divide + sqrt at the end.
+    * Doubled ranks ≤ 2n keep n·Σr² ≈ 4n³ inside DECIMAL(38)/HUGEINT to
+    * n ≈ 10¹². Rows with a null in either column are excluded; zero
+    * variance (a constant column) yields a null rho.
+    *
+    * Scale shape: two value-grain aggregates + ordered windows over the
+    * COLLAPSED grains (the [[giniConcentration]] stance), two value-keyed
+    * equi-joins back, one 1-row aggregate. Output: (n, rho). */
+  def spearmanCorrelation(df: DataFrame, colA: String,
+                          colB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec38 = DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.where(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("_x"), col(colB).as("_y"))
+    def doubledRanks(c: String, out: String): DataFrame =
+      base.groupBy(col(c)).agg(count(lit(1)).as("_m"))
+        .select(col(c),
+          (lit(2L) * coalesce(sum(col("_m")).over(
+            W.orderBy(col(c)).rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+            + col("_m") + lit(1L)).as(out))
+    val j = base
+      .join(doubledRanks("_x", "_rx"), Seq("_x"))
+      .join(doubledRanks("_y", "_ry"), Seq("_y"))
+    val row = j.agg(count(lit(1)).cast(dec38).as("_n"),
+      sum(big(col("_rx"))).as("_sx"), sum(big(col("_ry"))).as("_sy"),
+      sum(big(col("_rx")) * big(col("_rx"))).as("_qx"),
+      sum(big(col("_ry")) * big(col("_ry"))).as("_qy"),
+      sum(big(col("_rx")) * big(col("_ry"))).as("_pxy")).head
+    val n = row.getDecimal(0)
+    if (n == null || n.signum == 0)
+      return Seq.empty[(Long, Option[Double])].toDF("n", "rho")
+    def d(i: Int) = row.getDecimal(i)
+    val da = n.multiply(d(3)).subtract(d(1).multiply(d(1)))
+    val db = n.multiply(d(4)).subtract(d(2).multiply(d(2)))
+    val rho =
+      if (da.signum <= 0 || db.signum <= 0) None
+      else {
+        val num = n.multiply(d(5)).subtract(d(1).multiply(d(2)))
+        Some(BigDecimal(num.doubleValue()
+            / math.sqrt(da.doubleValue() * db.doubleValue()))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    Seq((n.longValueExact(), rho)).toDF("n", "rho")
+  }
+
+  /** Wilson score interval per group — the confidence interval for a
+    * binomial rate that stays honest at small n and extreme p̂ (where the
+    * naive normal interval collapses or escapes [0,1]): the quality-gate
+    * dashboard stat for per-source pass rates. z defaults to 1.96 (95 %).
+    *
+    * lo/hi = (p̂ + z²/2n ∓ z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+    * Cross-engine: n and k are exact integers, and the bound is ONE
+    * fixed-shape IEEE expression (shared literal z, correctly-rounded
+    * sqrt) evaluated identically on any engine before round-6. One
+    * group-grain aggregate; output (group, n, k, p_hat, lo, hi), rows
+    * with null group or null success excluded. */
+  def wilsonInterval(df: DataFrame, groupCol: String, successCol: String,
+                     z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val g = df.where(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z) * lit(z)
+    val center = p + z2 / (lit(2.0) * nD)
+    val rad = lit(z) * sqrt(p * (lit(1.0) - p) / nD
+      + z2 / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + z2 / nD
+    g.select(col(groupCol), col("n"), col("k"), round(p, 6).as("p_hat"),
+      round((center - rad) / denom, 6).as("lo"),
+      round((center + rad) / denom, 6).as("hi"))
   }
 
   /** Benford first-digit audit — the classic fabricated-data detector:

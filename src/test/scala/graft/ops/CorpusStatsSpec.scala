@@ -486,4 +486,78 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double])].collect().head === ((1L, 1L, None)))
   }
 
+  test("spearmanCorrelation: monotone invariance, ties, replay vs midranks") {
+    def rho(rows: Seq[(Long, Long)]): (Long, Option[Double]) =
+      CorpusStats.spearmanCorrelation(rows.toDF("x", "y"), "x", "y")
+        .as[(Long, Option[Double])].collect().head
+    // any strictly increasing map of x -> rho 1 regardless of magnitudes
+    assert(rho(Seq((1L, 10L), (2L, 1000L), (3L, 1001L), (4L, 999999L)))
+      === ((4L, Some(1.0))))
+    // strictly decreasing -> -1 (outlier magnitude irrelevant)
+    assert(rho(Seq((1L, 50L), (2L, 3L), (3L, -999999L))) === ((3L, Some(-1.0))))
+    // constant column -> zero rank variance -> null rho
+    assert(rho(Seq((1L, 7L), (2L, 7L), (3L, 7L))) === ((3L, None)))
+    // null in either column excluded
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(9L)),
+      (Some(3L), None), (Some(2L), Some(4L))).toDF("x", "y")
+    assert(CorpusStats.spearmanCorrelation(withNull, "x", "y")
+      .as[(Long, Option[Double])].collect().head === ((2L, Some(1.0))))
+    // tied data: replay Pearson over hand-computed midranks.
+    // x: 1,1,2,3  -> midranks 1.5,1.5,3,4 ; y: 5,6,6,6 -> 1,3,3,3
+    val tied = Seq((1L, 5L), (1L, 6L), (2L, 6L), (3L, 6L))
+    val rx = Seq(1.5, 1.5, 3.0, 4.0); val ry = Seq(1.0, 3.0, 3.0, 3.0)
+    val n = 4.0
+    val (sx, sy) = (rx.sum, ry.sum)
+    val (qx, qy) = (rx.map(v => v * v).sum, ry.map(v => v * v).sum)
+    val pxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val expect = (n * pxy - sx * sy) /
+      math.sqrt((n * qx - sx * sx) * (n * qy - sy * sy))
+    val got = rho(tied)
+    assert(got._1 === 4L)
+    assert(math.abs(got._2.get - expect) < 1e-6, s"${got._2} vs $expect")
+    // random replay: midrank Pearson computed naively driver-side
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 300).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(15).toLong))
+    def midranks(vs: Seq[Long]): Map[Long, Double] = {
+      val grouped = vs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+      var cum = 0L
+      grouped.map { case (v, m) =>
+        val r = cum + (m + 1) / 2.0; cum += m; v -> r
+      }.toMap
+    }
+    val mx = midranks(rows.map(_._1)); val my = midranks(rows.map(_._2))
+    val rxs = rows.map(r => mx(r._1)); val rys = rows.map(r => my(r._2))
+    val nn = rows.size.toDouble
+    val ex = (nn * rxs.zip(rys).map { case (a, b) => a * b }.sum
+        - rxs.sum * rys.sum) /
+      math.sqrt((nn * rxs.map(v => v * v).sum - rxs.sum * rxs.sum)
+        * (nn * rys.map(v => v * v).sum - rys.sum * rys.sum))
+    val gr = rho(rows)
+    assert(gr._1 === 300L)
+    assert(math.abs(gr._2.get - ex) < 1e-6, s"${gr._2} vs $ex")
+  }
+
+  test("wilsonInterval: hand-checked bounds, edge rates, null exclusion") {
+    def wi(rows: Seq[(String, Boolean)]): Map[String, (Long, Long, Double, Double, Double)] =
+      CorpusStats.wilsonInterval(rows.toDF("g", "ok"), "g", "ok")
+        .as[(String, Long, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // textbook case: n=10, k=7, z=1.96 -> (0.3968, 0.8922) (4dp refs)
+    val g = wi(Seq.fill(7)(("a", true)) ++ Seq.fill(3)(("a", false)))("a")
+    assert(g._1 === 10L && g._2 === 7L && g._3 === 0.7)
+    assert(math.abs(g._4 - 0.396847) < 1e-4, s"lo ${g._4}")
+    assert(math.abs(g._5 - 0.892188) < 1e-4, s"hi ${g._5}")
+    // p=0 and p=1 stay inside [0,1] (the whole point vs the naive CI)
+    val zeros = wi(Seq.fill(5)(("z", false)))("z")
+    assert(zeros._4 === 0.0 && zeros._5 > 0.0 && zeros._5 < 1.0)
+    val ones = wi(Seq.fill(5)(("o", true)))("o")
+    assert(ones._4 > 0.0 && ones._4 < 1.0 && ones._5 === 1.0)
+    // null group / null success excluded
+    val withNull = Seq((Some("a"), Some(true)), (None, Some(true)),
+      (Some("a"), None)).toDF("g", "ok")
+    val r = CorpusStats.wilsonInterval(withNull, "g", "ok")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(r.length === 1 && r.head._2 === 1L && r.head._3 === 1L)
+  }
+
 }
