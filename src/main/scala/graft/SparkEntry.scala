@@ -3650,6 +3650,92 @@ object SparkEntry {
         "v_cents")
     },
 
+    // Mann-Whitney U (CorpusStats.mannWhitneyU) on q_ks_test's split --
+    // the location-shift rank test next to KS's any-shape test: doubled
+    // pooled midranks on the shared value grain, 2*U_a and the tie term
+    // sum(t^3 - t) exact DECIMAL38/HUGEINT, the tie-corrected normal z
+    // one fixed-shape IEEE expression over those integers.
+    q("q_mann_whitney",
+      """WITH av AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE event_id % 8 <> 7 AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE event_id % 8 = 7 AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v, sum(ma) AS ma, sum(mb) AS mb FROM (
+        |    SELECT v, 1 AS ma, 0 AS mb FROM av
+        |    UNION ALL SELECT v, 0 AS ma, 1 AS mb FROM bv)
+        |  GROUP BY v),
+        |r AS (
+        |  SELECT ma, mb,
+        |    2 * coalesce(sum(ma + mb) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (ma + mb) + 1 AS r2,
+        |    CAST(ma + mb AS HUGEINT) * (ma + mb) * (ma + mb) - (ma + mb) AS t3
+        |  FROM g),
+        |s AS (
+        |  SELECT sum(ma) AS na, sum(mb) AS nb,
+        |    sum(CAST(ma AS HUGEINT) * r2) AS ra2, sum(t3) AS ties
+        |  FROM r)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(ra2 - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+        |  round(CAST(ra2 - CAST(na AS HUGEINT) * (na + 1)
+        |        - CAST(na AS HUGEINT) * nb AS DOUBLE)
+        |    / (2.0 * sqrt((CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) / 12.0)
+        |      * (CAST(na + nb + 1 AS DOUBLE)
+        |        - CAST(ties AS DOUBLE)
+        |          / CAST(CAST(na + nb AS HUGEINT) * (na + nb - 1) AS DOUBLE)))),
+        |    6) AS z
+        |FROM s""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          roundAway(col("value") * 100).cast("long").as("v_cents"))
+      ops.CorpusStats.mannWhitneyU(
+        ev.filter(pmod(col("event_id"), lit(8)) =!= 7).select(col("v_cents")),
+        ev.filter(pmod(col("event_id"), lit(8)) === 7).select(col("v_cents")),
+        "v_cents")
+    },
+
+    // 1-D Wasserstein-1 / EMD (CorpusStats.wasserstein1): magnitude-aware
+    // drift between the web-source and non-web n_chars distributions --
+    // sum |c_a*n_b - c_b*n_a| * gap over the sorted distinct-length grain,
+    // exact DECIMAL38/HUGEINT, one divide by n_a*n_b at the end.
+    q("q_emd",
+      """WITH av AS (
+        |  SELECT n_chars AS v FROM documents
+        |  WHERE source = 'web' AND n_chars IS NOT NULL),
+        |bv AS (
+        |  SELECT n_chars AS v FROM documents
+        |  WHERE source <> 'web' AND n_chars IS NOT NULL),
+        |g AS (
+        |  SELECT v, sum(ma) AS ma, sum(mb) AS mb FROM (
+        |    SELECT v, 1 AS ma, 0 AS mb FROM av
+        |    UNION ALL SELECT v, 0 AS ma, 1 AS mb FROM bv)
+        |  GROUP BY v),
+        |t AS (SELECT sum(ma) AS na, sum(mb) AS nb FROM g),
+        |c AS (
+        |  SELECT
+        |    sum(ma) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(mb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    lead(v) OVER (ORDER BY v) - v AS gap
+        |  FROM g),
+        |w AS (
+        |  SELECT coalesce(sum(abs(CAST(ca AS HUGEINT) * nb
+        |      - CAST(cb AS HUGEINT) * na) * gap), 0) AS w
+        |  FROM c, t WHERE gap IS NOT NULL)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(CAST(w AS DOUBLE)
+        |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6) AS emd
+        |FROM t, w""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"))
+      ops.CorpusStats.wasserstein1(
+        docs.filter(col("source") === "web").select(col("n_chars")),
+        docs.filter(col("source") =!= "web").select(col("n_chars")),
+        "n_chars")
+    },
+
     // Embedding-centroid drift (CorpusStats.embeddingDrift): the vector
     // companion of q_psi — per-dimension micro-LONG sums per slice,
     // cosine computed scale-invariantly on the SUM vectors, mean shifts
@@ -4358,6 +4444,41 @@ object SparkEntry {
         Tables.documents(s, d)
           .select(col("source"), (col("n_chars") >= 400).as("pass")),
         "source", "pass")
+    },
+
+    // Quantile normalization (CorpusStats.quantileNormalize): per-source
+    // n_chars mapped onto the GLOBAL length quantile function (type-1) --
+    // integer-exact end to end: target rank t = (cg*N + ng - 1) div ng in
+    // DECIMAL38, mapped value = smallest global value with c >= t via the
+    // AsOf merge on negated ranks. One row per distinct (source, n_chars).
+    q("q_quantile_norm",
+      """WITH base AS (
+        |  SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |gg AS (SELECT g, v, count(*) AS m FROM base GROUP BY g, v),
+        |gcum AS (
+        |  SELECT g, v, m,
+        |    sum(m) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg,
+        |    sum(m) OVER (PARTITION BY g) AS ng
+        |  FROM gg),
+        |gl AS (SELECT v, count(*) AS mg FROM base GROUP BY v),
+        |glcum AS (
+        |  SELECT v, sum(mg) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM gl),
+        |tot AS (SELECT sum(mg) AS n FROM gl),
+        |tgt AS (
+        |  SELECT g, v, m,
+        |    (CAST(cg AS HUGEINT) * (SELECT n FROM tot) + ng - 1) // ng AS t
+        |  FROM gcum)
+        |SELECT t.g AS source, t.v AS n_chars,
+        |  (SELECT min(x.v) FROM glcum x WHERE x.c >= t.t) AS norm_value,
+        |  CAST(t.m AS BIGINT) AS n
+        |FROM tgt t""".stripMargin) { (s, d) =>
+      ops.CorpusStats.quantileNormalize(
+        Tables.documents(s, d).select(col("source"), col("n_chars")),
+        "source", "n_chars")
     },
 
     // Exact WEIGHTED quantiles (CorpusStats.exactWeightedQuantiles):

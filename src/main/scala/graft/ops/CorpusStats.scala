@@ -569,8 +569,11 @@ object CorpusStats {
     val u2 = col("_ra2") - na * (na + 1)   // 2·U_a, exact
     val mu2 = na * nb                       // 2·μ = n_a·n_b
     val varD = (na * nb).cast("double") / 12.0
-    val tieD = (n + 1).cast("double")
-      - col("_ties").cast("double") / (n * (n - 1)).cast("double")
+    // NB: parens are load-bearing — a leading `-` on a continuation line
+    // is parsed as a new unary-minus statement, silently dropping the
+    // tie-correction term
+    val tieD = ((n + 1).cast("double")
+      - col("_ties").cast("double") / (n * (n - 1)).cast("double"))
     val sigma = sqrt(varD * tieD)
     sums.select(col("n_a"), col("n_b"),
       (u2.cast("double") / 2.0).as("u_a"),
@@ -761,6 +764,56 @@ object CorpusStats {
     g.select(col(groupCol), col("n"), col("k"), round(p, 6).as("p_hat"),
       round((center - rad) / denom, 6).as("lo"),
       round((center + rad) / denom, 6).as("hi"))
+  }
+
+  /** Quantile normalization — map every group's value distribution onto
+    * the GLOBAL quantile function: a value at within-group rank fraction
+    * q is replaced by the global q-quantile (type-1/lower convention).
+    * The cross-source score calibrator: after it, "top 10 % by quality
+    * score" means the same thing in every source even when one source's
+    * scorer runs hot — the curation counterpart of per-model score
+    * normalization in retrieval fusion.
+    *
+    * ENTIRELY integer-exact — no floating point anywhere: within-group
+    * cumulative counts c_g and group sizes n_g live on the collapsed
+    * (group, value) grain, global cumulatives c on the value grain, the
+    * target global rank is t = ⌈c_g·N / n_g⌉ = (c_g·N + n_g − 1) div n_g
+    * (DECIMAL(38) product, integral division), and the mapped value is
+    * the smallest global value with c ≥ t — an [[graft.ops.AsOf]] merge
+    * on negated ranks (largest −c ≤ −t), never a pair expansion. t ∈
+    * [1, N] always, so every row matches.
+    *
+    * Scale shape: two map-side-combined aggregates to the (group, value)
+    * and value grains, one group-partitioned window + one ordered window
+    * over the COLLAPSED grains, and one as-of merge of the two grains
+    * (shuffle + sort of grain-sized inputs, the AsOf floor). Output one
+    * row per distinct (group, value): (group, value, norm_value, n). */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+    val gg = base.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_m"))
+    val wg = W.partitionBy(col("_g")).orderBy(col("_v"))
+    val gcum = gg.select(col("_g"), col("_v"), col("_m"),
+      sum(col("_m")).over(wg.rowsBetween(W.unboundedPreceding, 0)).as("_cg"),
+      sum(col("_m")).over(
+        wg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).as("_ng"))
+    val gl = base.groupBy(col("_v")).agg(count(lit(1)).as("_mg"))
+    val glcum = gl.select(col("_v").as("_normv"),
+      sum(col("_mg")).over(
+        W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, 0)).as("_c"))
+    val nTot = gl.agg(coalesce(sum(col("_mg")), lit(0L)).as("_N"))
+    val tgt = gcum.crossJoin(broadcast(nTot))
+      .withColumn("_t",
+        expr("(CAST(_cg AS DECIMAL(38,0)) * _N + _ng - 1) div _ng"))
+    val left = tgt.select(col("_g"), col("_v"), col("_m"),
+      lit(0).as("_k"), (-col("_t")).as("_ord"))
+    val right = glcum.select(lit(0).as("_k"),
+      (-col("_c")).as("_ord"), col("_normv"))
+    AsOf.asofJoin(left, right, "_k", "_ord")
+      .select(col("_g").as(groupCol), col("_v").as(valueCol),
+        col("_normv").as("norm_value"), col("_m").as("n"))
   }
 
   /** Benford first-digit audit — the classic fabricated-data detector:

@@ -537,6 +537,99 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(math.abs(gr._2.get - ex) < 1e-6, s"${gr._2} vs $ex")
   }
 
+  test("mannWhitneyU: hand U and z, ties, symmetry, degenerate") {
+    def mw(a: Seq[Long], b: Seq[Long]): (Long, Long, Double, Option[Double]) =
+      CorpusStats.mannWhitneyU(a.toDF("v"), b.toDF("v"), "v")
+        .as[(Long, Long, Double, Option[Double])].collect().head
+    // disjoint a < b: R_a = 6, U_a = 0; z = -4.5/sqrt(5.25)
+    val lo = mw(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))
+    assert(lo._1 === 3L && lo._2 === 3L && lo._3 === 0.0)
+    assert(math.abs(lo._4.get - (-4.5 / math.sqrt(5.25))) < 1e-6)
+    // swapped: U_a = n_a*n_b = 9, z mirrors positive
+    val hi = mw(Seq(4L, 5L, 6L), Seq(1L, 2L, 3L))
+    assert(hi._3 === 9.0 && math.abs(hi._4.get + lo._4.get) < 1e-9)
+    // all values tied across both samples: sigma = 0 -> null z, U = mu
+    val tied = mw(Seq(5L, 5L), Seq(5L, 5L))
+    assert(tied._3 === 2.0 && tied._4 === None)
+    // tie-corrected replay on random data with heavy ties
+    val rnd = new scala.util.Random(47)
+    val as = (1 to 200).map(_ => rnd.nextInt(12).toLong)
+    val bs = (1 to 150).map(_ => rnd.nextInt(12).toLong + 2)
+    val pooled = as ++ bs
+    val mr: Map[Long, Double] = {
+      val grouped = pooled.groupBy(identity).view.mapValues(_.size)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      grouped.map { case (v, m) =>
+        val r = cum + (m + 1) / 2.0; cum += m; v -> r }.toMap
+    }
+    val ra = as.map(mr).sum
+    val ua = ra - as.size.toDouble * (as.size + 1) / 2.0
+    val n = pooled.size.toDouble
+    val ties = pooled.groupBy(identity).values
+      .map(g => g.size.toDouble).map(t => t * t * t - t).sum
+    val sigma = math.sqrt(as.size.toDouble * bs.size / 12.0
+      * ((n + 1) - ties / (n * (n - 1))))
+    val ez = (ua - as.size.toDouble * bs.size / 2.0) / sigma
+    val got = mw(as, bs)
+    assert(got._3 === ua, s"${got._3} vs $ua")
+    assert(math.abs(got._4.get - ez) < 1e-6, s"${got._4} vs $ez")
+  }
+
+  test("wasserstein1: hand areas, identity, single value, replay") {
+    def emd(a: Seq[Long], b: Seq[Long]): (Long, Long, Option[Double]) =
+      CorpusStats.wasserstein1(a.toDF("v"), b.toDF("v"), "v")
+        .as[(Long, Long, Option[Double])].collect().head
+    // point masses 10 apart -> distance 10
+    assert(emd(Seq(0L), Seq(10L)) === ((1L, 1L, Some(10.0))))
+    // a = {0,0}, b = {5,10}: |F| = 1 on [0,5), 0.5 on [5,10) -> 7.5
+    assert(emd(Seq(0L, 0L), Seq(5L, 10L)) === ((2L, 2L, Some(7.5))))
+    // identical distributions -> 0 (multiple grains, all gaps cancel)
+    assert(emd(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) === ((3L, 3L, Some(0.0))))
+    // single shared distinct value: no gaps at all, still 0 with counts
+    assert(emd(Seq(7L, 7L), Seq(7L)) === ((2L, 1L, Some(0.0))))
+    // one side empty -> null emd (undefined), counts preserved
+    assert(emd(Seq(1L, 2L), Seq.empty[Long]) === ((2L, 0L, None)))
+    // replay vs naive sorted-ECDF area on random integer data
+    val rnd = new scala.util.Random(53)
+    val as = (1 to 180).map(_ => rnd.nextInt(40).toLong)
+    val bs = (1 to 140).map(_ => rnd.nextInt(40).toLong + 5)
+    val grid = (as ++ bs).distinct.sorted
+    val naive = grid.zip(grid.tail).map { case (v, nx) =>
+      val fa = as.count(_ <= v).toDouble / as.size
+      val fb = bs.count(_ <= v).toDouble / bs.size
+      math.abs(fa - fb) * (nx - v)
+    }.sum
+    val got = emd(as, bs)
+    assert(math.abs(got._3.get - naive) < 1e-6, s"${got._3} vs $naive")
+  }
+
+  test("quantileNormalize: hand mapping, identity, ties, null exclusion") {
+    def qn(rows: Seq[(String, Long)]): Map[(String, Long), (Long, Long)] =
+      CorpusStats.quantileNormalize(rows.toDF("g", "v"), "g", "v")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // g1=[1,2,3,4], g2=[100,200]; global sorted [1,2,3,4,100,200], N=6
+    // g1: t = ceil(c*6/4) = 2,3,5,6 -> Q = 2,3,100,200
+    // g2: t = ceil(c*6/2) = 3,6     -> Q = 3,200
+    val two = qn(Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 4L),
+      ("g2", 100L), ("g2", 200L)))
+    assert(two === Map(
+      ("g1", 1L) -> ((2L, 1L)), ("g1", 2L) -> ((3L, 1L)),
+      ("g1", 3L) -> ((100L, 1L)), ("g1", 4L) -> ((200L, 1L)),
+      ("g2", 100L) -> ((3L, 1L)), ("g2", 200L) -> ((200L, 1L))))
+    // single group: the map is the identity (t = c -> Q(c) = v)
+    val one = qn(Seq(("g", 5L), ("g", 9L), ("g", 9L), ("g", 30L)))
+    assert(one === Map(("g", 5L) -> ((5L, 1L)), ("g", 9L) -> ((9L, 2L)),
+      ("g", 30L) -> ((30L, 1L))))
+    // nulls in group or value excluded
+    val withNull = Seq((Some("a"), Some(1L)), (None, Some(2L)),
+      (Some("a"), None)).toDF("g", "v")
+    val r = CorpusStats.quantileNormalize(withNull, "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(("a", 1L, 1L, 1L)))
+  }
+
   test("wilsonInterval: hand-checked bounds, edge rates, null exclusion") {
     def wi(rows: Seq[(String, Boolean)]): Map[String, (Long, Long, Double, Double, Double)] =
       CorpusStats.wilsonInterval(rows.toDF("g", "ok"), "g", "ok")
