@@ -2558,6 +2558,50 @@ object SparkEntry {
         maxItemsPerUser = 50, minPairCount = 5L, topK = 30)
     },
 
+    // Association rules (Retrieval.associationRules): q_item_cooccur made
+    // directional -- both antecedent->consequent rules per frequent pair
+    // with support n_ab/U, confidence n_ab/n_ant, lift; top-k by rounded
+    // confidence with a total-order tiebreak both engines sort alike.
+    q("q_assoc_rules",
+      """WITH ui0 AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS i
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |ui AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+        |    FROM ui0)
+        |  WHERE rn <= 50),
+        |us AS (SELECT count(DISTINCT u) AS nu FROM ui),
+        |sup AS (SELECT i, count(*) AS n FROM ui GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS ia, b.i AS ib, count(*) AS n_ab
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |pj AS (
+        |  SELECT ia, ib, n_ab, sa.n AS na, sb.n AS nb
+        |  FROM p JOIN sup sa ON sa.i = ia JOIN sup sb ON sb.i = ib),
+        |dir AS (
+        |  SELECT ia AS antecedent, ib AS consequent, n_ab, na AS n_ant,
+        |    nb AS n_cons FROM pj
+        |  UNION ALL
+        |  SELECT ib, ia, n_ab, nb, na FROM pj)
+        |SELECT antecedent, consequent, n_ab, n_ant, n_cons,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(nu AS DOUBLE), 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n_ant AS DOUBLE), 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(nu AS DOUBLE)
+        |    / (CAST(n_ant AS DOUBLE) * CAST(n_cons AS DOUBLE)), 6) AS lift
+        |FROM dir, us
+        |ORDER BY confidence DESC, antecedent, consequent LIMIT 40""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull)
+      ops.Retrieval.associationRules(ev, "user_id", "item",
+        maxItemsPerUser = 50, minPairCount = 5L, topK = 40)
+    },
+
     // Blocked sorted-neighborhood candidates (Dedup.sortedNeighborPairs):
     // the merge/purge blocking paradigm — sort locality, not hashing —
     // with the full windowed candidate set and key distances as output.
@@ -3648,6 +3692,83 @@ object SparkEntry {
         ev.filter(pmod(col("event_id"), lit(8)) =!= 7).select(col("v_cents")),
         ev.filter(pmod(col("event_id"), lit(8)) === 7).select(col("v_cents")),
         "v_cents")
+    },
+
+    // Per-source one-vs-rest KS + Benjamini-Hochberg FDR (CorpusStats.
+    // ksStatisticBy -> bhAdjust): which sources' n_chars distributions
+    // diverge from the rest, FDR-0.05-controlled. D maximized in exact
+    // DECIMAL38 over the dense |groups| x |values| collapsed-grain frame;
+    // asymptotic p micro-rounded; the BH reject rule is the EXACT integer
+    // comparison p_micro*m <= i*alpha_micro; adjusted p a suffix running
+    // min over exact longs.
+    q("q_fdr_drift",
+      """WITH base AS (
+        |  SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |gv AS (SELECT g, v, count(*) AS mg FROM base GROUP BY g, v),
+        |vals AS (
+        |  SELECT v, sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM (SELECT v, count(*) AS cnt FROM base GROUP BY v)),
+        |groups AS (SELECT g, count(*) AS ng FROM base GROUP BY g),
+        |tot AS (SELECT count(*) AS n FROM base),
+        |dense AS (
+        |  SELECT gr.g, va.v, va.c, gr.ng, coalesce(gv.mg, 0) AS mg
+        |  FROM vals va CROSS JOIN groups gr
+        |  LEFT JOIN gv ON gv.g = gr.g AND gv.v = va.v),
+        |cum AS (
+        |  SELECT g, ng, c,
+        |    sum(mg) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+        |  FROM dense),
+        |per AS (
+        |  SELECT g, ng,
+        |    max(abs(CAST(cg AS HUGEINT) * ((SELECT n FROM tot) - ng)
+        |      - (CAST(c AS HUGEINT) - cg) * ng)) AS d
+        |  FROM cum GROUP BY g, ng),
+        |stat AS (
+        |  SELECT g, ng AS n_a, (SELECT n FROM tot) - ng AS n_b,
+        |    CAST(d AS DOUBLE) / CAST(CAST(ng AS HUGEINT)
+        |      * ((SELECT n FROM tot) - ng) AS DOUBLE) AS ksraw
+        |  FROM per WHERE (SELECT n FROM tot) - ng > 0),
+        |pv AS (
+        |  SELECT g, n_a, n_b, ksraw,
+        |    CAST(round(least(1.0, 2.0 * exp(-2.0 * ksraw * ksraw
+        |      * CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE))) * 1e6) AS BIGINT) AS p_micro
+        |  FROM stat),
+        |mm AS (SELECT count(*) AS m FROM pv),
+        |rk AS (
+        |  SELECT g, n_a, n_b, ksraw, p_micro,
+        |    row_number() OVER (ORDER BY p_micro, g) AS i
+        |  FROM pv),
+        |k2 AS (
+        |  SELECT rk.*, (SELECT m FROM mm) AS m,
+        |    CASE WHEN p_micro * (SELECT m FROM mm) <= i * 50000
+        |      THEN i END AS passi
+        |  FROM rk),
+        |kstar AS (SELECT max(passi) AS ks FROM k2),
+        |adj AS (
+        |  SELECT g, n_a, n_b, ksraw, p_micro, i,
+        |    least(1000000,
+        |      min(CAST(round(CAST(p_micro * m AS DOUBLE) / i) AS BIGINT))
+        |        OVER (ORDER BY p_micro, g
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS adjm
+        |  FROM k2)
+        |SELECT g AS source, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, round(ksraw, 6) AS ks,
+        |  round(CAST(p_micro AS DOUBLE) / 1e6, 6) AS p,
+        |  round(CAST(adjm AS DOUBLE) / 1e6, 6) AS p_adj,
+        |  ((SELECT ks FROM kstar) IS NOT NULL
+        |    AND i <= (SELECT ks FROM kstar)) AS rejected
+        |FROM adj""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      val stats = ops.CorpusStats.ksStatisticBy(docs, "source", "n_chars")
+      val bh = ops.CorpusStats.bhAdjust(stats, "source", "p_micro",
+        alphaMicro = 50000L)
+      stats.join(bh, Seq("source"))
+        .select(col("source"), col("n_a"), col("n_b"), col("ks"),
+          col("p"), col("p_adj"), col("rejected"))
     },
 
     // Mann-Whitney U (CorpusStats.mannWhitneyU) on q_ks_test's split --
@@ -6283,6 +6404,41 @@ object SparkEntry {
           .select(col("lang"),
             TextAnalysis.langIdFromTokens(col("_toks")).as("lang_pred")),
         "lang", "lang_pred")
+    },
+
+    // Chi-square independence + Cramer's V (CorpusStats.
+    // chiSquareIndependence) on the source x lang contingency: per-cell
+    // (o*n - r*c)^2/(n*r*c) over exact DECIMAL38 integers, micro-rounded
+    // to LONG before the cross-cell sum (no float-sum order dependence),
+    // V = sqrt(chi2/(n*min(R-1,C-1))).
+    q("q_chisq",
+      """WITH base AS (
+        |  SELECT source AS a, lang AS b FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+        |ra AS (SELECT a, count(*) AS r FROM base GROUP BY a),
+        |cb AS (SELECT b, count(*) AS c FROM base GROUP BY b),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT a) AS rl,
+        |          count(DISTINCT b) AS cl FROM base),
+        |m AS (
+        |  SELECT CAST(round(
+        |      CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE)
+        |      * CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS micro,
+        |    n, rl, cl
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b), tot)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(rl AS BIGINT) AS r_levels,
+        |  CAST(cl AS BIGINT) AS c_levels,
+        |  CAST(coalesce(sum(micro), 0) AS DOUBLE) / 1e6 AS chi2,
+        |  CASE WHEN least(rl, cl) <= 1 THEN NULL
+        |    ELSE round(sqrt((CAST(coalesce(sum(micro), 0) AS DOUBLE) / 1e6)
+        |      / (CAST(n AS DOUBLE) * CAST(least(rl, cl) - 1 AS DOUBLE))), 6)
+        |  END AS cramers_v
+        |FROM m GROUP BY n, rl, cl""".stripMargin) { (s, d) =>
+      ops.CorpusStats.chiSquareIndependence(
+        Tables.documents(s, d).select(col("source"), col("lang")),
+        "source", "lang")
     },
 
     q("q_quality_score",

@@ -523,6 +523,109 @@ object CorpusStats {
           / (big(col("n_a")) * big(col("n_b"))).cast("double"), 6).as("ks"))
   }
 
+  /** Per-group one-vs-rest Kolmogorov–Smirnov — [[ksStatistic]] run for
+    * EVERY group against its complement in one pass: "which sources'
+    * value distributions diverge from everything else", the fan-out form
+    * the per-source drift dashboard wants (feed the p-values to
+    * [[bhAdjust]] for an FDR-controlled reject set).
+    *
+    * Exactness: the value grain carries global cumulative counts c(v);
+    * the dense (group × value) frame (both grains COLLAPSED and bounded —
+    * D must be evaluated at every pooled value, including values the
+    * group never takes) carries per-group cumulatives c_g(v); D's
+    * numerator max|c_g·n_b − (c − c_g)·n_g| is maximized in exact
+    * DECIMAL(38). The asymptotic two-sample p-value
+    * min(1, 2·exp(−2·D²·n_a·n_b/(n_a+n_b))) is one fixed-shape IEEE
+    * expression, micro-rounded. Groups with an empty complement (one
+    * group total) yield null ks/p.
+    *
+    * Scale shape: one (group, value)-grain aggregate + one value-grain
+    * aggregate, a |groups|×|values| crossJoin of two broadcast-sized
+    * collapsed grains, per-group ordered windows over that frame, one
+    * group-grain reduce. Output: (group, n_a, n_b, ks, p_micro). */
+  def ksStatisticBy(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+    val gv = base.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_mg"))
+    val vals = base.groupBy(col("_v")).agg(count(lit(1)).as("_m"))
+      .select(col("_v"),
+        sum(col("_m")).over(
+          W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, 0)).as("_c"))
+    val groups = base.groupBy(col("_g")).agg(count(lit(1)).as("_ng"))
+    val tot = base.agg(count(lit(1)).as("_N"))
+    val dense = vals.crossJoin(groups)
+      .join(gv, Seq("_g", "_v"), "left_outer")
+      .select(col("_g"), col("_v"), col("_c"), col("_ng"),
+        coalesce(col("_mg"), lit(0L)).as("_mg"))
+      .withColumn("_cg", sum(col("_mg")).over(
+        W.partitionBy(col("_g")).orderBy(col("_v"))
+          .rowsBetween(W.unboundedPreceding, 0)))
+    val perGroup = dense
+      .crossJoin(broadcast(tot))
+      .groupBy(col("_g"), col("_ng"), col("_N"))
+      .agg(max(abs(big(col("_cg")) * (big(col("_N")) - col("_ng"))
+        - (big(col("_c")) - col("_cg")) * big(col("_ng")))).as("_d"))
+    val na = col("_ng"); val nb = col("_N") - col("_ng")
+    val ks = (col("_d").cast("double")
+      / (big(na) * big(nb)).cast("double"))
+    val p = least(lit(1.0), lit(2.0) * exp(lit(-2.0) * ks * ks
+      * (big(na) * big(nb)).cast("double") / col("_N").cast("double")))
+    perGroup.select(col("_g").as(groupCol), na.as("n_a"), nb.as("n_b"),
+      when(nb === 0, lit(null).cast("double")).otherwise(round(ks, 6))
+        .as("ks"),
+      when(nb === 0, lit(null).cast("long"))
+        .otherwise(round(p * lit(1e6)).cast("long")).as("p_micro"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment — turn a table of
+    * per-hypothesis p-values (one per source/segment, e.g. from
+    * [[ksStatisticBy]]) into an FDR-α-controlled reject set plus
+    * adjusted p-values: the multiple-testing guard without which a
+    * 50-source drift dashboard "finds" 2-3 drifting sources by chance
+    * every refresh.
+    *
+    * p-values arrive as micro-integers (the engine-reproducibility
+    * contract). Ranks are assigned by (p_micro, key) — a total order.
+    * The reject rule p_(i) ≤ i·α/m is evaluated as the EXACT integer
+    * comparison p_micro·m ≤ i·α_micro; the largest passing rank k*
+    * rejects ranks 1..k* (step-up). Adjusted p: raw_i = round(p_micro·m
+    * / i) (one IEEE divide on exact longs), then a running MIN over
+    * ranks ≥ i (integer min over the suffix window), clamped at 1.
+    *
+    * Scale: the hypothesis table is group-grain (tens to thousands of
+    * rows); one global sort window over it is the algorithm's floor.
+    * Output: (key, p, p_adj, rejected). */
+  def bhAdjust(pvals: DataFrame, keyCol: String, pMicroCol: String,
+               alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6]: $alphaMicro")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = pvals
+      .where(col(keyCol).isNotNull && col(pMicroCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(pMicroCol).cast("long").as("_p"))
+    val m = base.agg(count(lit(1)).as("_m"))
+    val ranked = base.crossJoin(broadcast(m))
+      .withColumn("_i", row_number().over(
+        W.orderBy(col("_p"), col("_k"))))
+      .withColumn("_pass", col("_p") * col("_m") <= col("_i") * lit(alphaMicro))
+      .withColumn("_kstar", max(when(col("_pass"), col("_i"))).over(
+        W.orderBy(col("_p"), col("_k"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("_raw", round((col("_p") * col("_m")).cast("double")
+        / col("_i").cast("double")).cast("long"))
+      .withColumn("_adj", least(lit(1000000L),
+        min(col("_raw")).over(W.orderBy(col("_p"), col("_k"))
+          .rowsBetween(W.currentRow, W.unboundedFollowing))))
+    ranked.select(col("_k").as(keyCol),
+      round(col("_p").cast("double") / 1e6, 6).as("p"),
+      round(col("_adj").cast("double") / 1e6, 6).as("p_adj"),
+      (col("_kstar").isNotNull && col("_i") <= col("_kstar")).as("rejected"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) — the LOCATION-shift companion
     * to [[ksStatistic]]'s any-shape test: "does sample A tend to produce
     * larger values than sample B", robust to outliers and any monotone
@@ -814,6 +917,60 @@ object CorpusStats {
     AsOf.asofJoin(left, right, "_k", "_ord")
       .select(col("_g").as(groupCol), col("_v").as(valueCol),
         col("_normv").as("norm_value"), col("_m").as("n"))
+  }
+
+  /** Chi-square test of independence + Cramér's V — "are these two
+    * categorical columns related, and how strongly": the
+    * composition-drift gate for label × source, lang × domain,
+    * quality-bucket × time-slice tables. χ² says whether the association
+    * could be chance; V = √(χ²/(n·min(R−1, C−1))) ∈ [0,1] says how big
+    * it is independently of n (the effect size the raw χ² hides).
+    *
+    * Determinism discipline: per cell, o·n − r·c and n·r·c are EXACT
+    * DECIMAL(38) integers (≤ n²·max(o) and n³ — inside 38 digits to
+    * n ≈ 10¹²); each cell's (o·n − r·c)²/(n·r·c) is ONE fixed-shape IEEE
+    * expression over those integers, immediately micro-rounded to a LONG
+    * (the vocab-KL device) so the cross-cell SUM is exact integer
+    * arithmetic — no float-sum order dependence. Zero-marginal cells
+    * can't occur (cells only exist where o ≥ 1). Single-level rows or
+    * columns (min(R−1, C−1) = 0) yield χ² = 0 and null V.
+    *
+    * Scale shape: one (a,b)-grain aggregate + two marginal-grain
+    * aggregates joined back by key + a broadcast 1-row total; nothing
+    * beyond cell cardinality shuffles. Output: (n, r_levels, c_levels,
+    * chi2, cramers_v). */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val base = df.where(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("_a"), col(colB).as("_b"))
+    val cells = base.groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+    val ra = base.groupBy(col("_a")).agg(count(lit(1)).as("_r"))
+    val cb = base.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+    val tot = base.agg(count(lit(1)).as("_n"),
+      countDistinct(col("_a")).as("r_levels"),
+      countDistinct(col("_b")).as("c_levels"))
+    val diff = big(col("_o")) * col("_n") - big(col("_r")) * col("_c")
+    val den = big(col("_n")) * col("_r") * col("_c")
+    val contrib = cells
+      .join(ra, Seq("_a")).join(cb, Seq("_b"))
+      .crossJoin(broadcast(tot))
+      .select(round(diff.cast("double") * diff.cast("double")
+          / den.cast("double") * lit(1e6)).cast("long").as("_micro"),
+        col("_n"), col("r_levels"), col("c_levels"))
+    contrib
+      .groupBy(col("_n"), col("r_levels"), col("c_levels"))
+      .agg(coalesce(sum(col("_micro")), lit(0L)).as("_chi2m"))
+      .select(col("_n").as("n"), col("r_levels"), col("c_levels"),
+        (col("_chi2m").cast("double") / 1e6).as("chi2"),
+        when(least(col("r_levels"), col("c_levels")) <= 1,
+          lit(null).cast("double"))
+          .otherwise(round(sqrt((col("_chi2m").cast("double") / 1e6)
+            / (col("_n").cast("double")
+              * (least(col("r_levels"), col("c_levels")) - 1)
+                .cast("double"))), 6))
+          .as("cramers_v"))
   }
 
   /** Benford first-digit audit — the classic fabricated-data detector:

@@ -339,7 +339,22 @@ object Retrieval {
     * (n_ab DESC, item_a, item_b), with lift rounded to 1e-6. */
   def itemCooccurrence(events: DataFrame, userCol: String, itemCol: String,
                        maxItemsPerUser: Int, minPairCount: Long,
-                       topK: Int): DataFrame = {
+                       topK: Int): DataFrame =
+    basketPairs(events, userCol, itemCol, maxItemsPerUser, minPairCount)
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") * col("_U").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+
+  /** Shared basket machinery for [[itemCooccurrence]] and
+    * [[associationRules]]: distinct (user, item), baskets capped at
+    * `maxItemsPerUser` (the skew guard — pair count is quadratic in
+    * basket size), unordered co-occurrence counts with per-item supports
+    * and the basket total `_U` riding along. */
+  private def basketPairs(events: DataFrame, userCol: String,
+                          itemCol: String, maxItemsPerUser: Int,
+                          minPairCount: Long): DataFrame = {
     require(maxItemsPerUser >= 2, s"maxItemsPerUser must be ≥ 2: $maxItemsPerUser")
     val W = org.apache.spark.sql.expressions.Window
     val ui = events.select(col(userCol).as("_u"), col(itemCol).as("_i"))
@@ -350,20 +365,52 @@ object Retrieval {
       .select(col("_u"), col("_i"))
     val users = ui.agg(countDistinct(col("_u")).as("_U"))
     val support = ui.groupBy(col("_i")).agg(count(lit(1)).as("_n"))
-    val pairs = ui.select(col("_u"), col("_i").as("item_a"))
+    ui.select(col("_u"), col("_i").as("item_a"))
       .join(ui.select(col("_u"), col("_i").as("item_b")), Seq("_u"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
-    pairs
       .join(support.select(col("_i").as("item_a"), col("_n").as("n_a")), Seq("item_a"))
       .join(support.select(col("_i").as("item_b"), col("_n").as("n_b")), Seq("item_b"))
       .crossJoin(broadcast(users))
-      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+  }
+
+  /** Association rules — [[itemCooccurrence]] made DIRECTIONAL: each
+    * frequent pair emits both `antecedent → consequent` rules with
+    * support = n_ab/U, confidence = n_ab/n_ant (the direction-dependent
+    * stat lift can't give), and lift. The classic market-basket /
+    * next-item-suggestion miner; in a training-data pipeline it's the
+    * "which labels/topics co-occur and which way does the implication
+    * run" audit.
+    *
+    * Determinism: counts are exact integers; support/confidence/lift are
+    * one divide each, round-6. Top-k by (confidence DESC, antecedent,
+    * consequent) on the ROUNDED value — a total order both engines sort
+    * identically. Scale shape: identical to itemCooccurrence (capped
+    * baskets, pair-grain shuffle); the direction union doubles the
+    * pair-grain rows only. */
+  def associationRules(events: DataFrame, userCol: String, itemCol: String,
+                       maxItemsPerUser: Int, minPairCount: Long,
+                       topK: Int): DataFrame = {
+    val p = basketPairs(events, userCol, itemCol, maxItemsPerUser, minPairCount)
+    val fwd = p.select(col("item_a").as("antecedent"),
+      col("item_b").as("consequent"), col("n_ab"),
+      col("n_a").as("n_ant"), col("n_b").as("n_cons"), col("_U"))
+    val rev = p.select(col("item_b").as("antecedent"),
+      col("item_a").as("consequent"), col("n_ab"),
+      col("n_b").as("n_ant"), col("n_a").as("n_cons"), col("_U"))
+    fwd.unionByName(rev)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_ant"), col("n_cons"),
+        round(col("n_ab").cast("double") / col("_U").cast("double"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_ant").cast("double"), 6)
+          .as("confidence"),
         round(col("n_ab").cast("double") * col("_U").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
-      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+          (col("n_ant").cast("double") * col("n_cons").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))
       .limit(topK)
   }
 

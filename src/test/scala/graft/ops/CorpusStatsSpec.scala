@@ -537,6 +537,66 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(math.abs(gr._2.get - ex) < 1e-6, s"${gr._2} vs $ex")
   }
 
+  test("ksStatisticBy: one-vs-rest equals pairwise ksStatistic per group") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 300).map { i =>
+      val g = s"g${i % 3}"
+      (g, (rnd.nextInt(30) + (i % 3) * 8).toLong) // shifted per group
+    }
+    val df = rows.toDF("g", "v")
+    val got = CorpusStats.ksStatisticBy(df, "g", "v")
+      .as[(String, Long, Long, Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val a = rows.filter(_._1 == g).map(_._2).toDF("v")
+      val b = rows.filter(_._1 != g).map(_._2).toDF("v")
+      val exp = CorpusStats.ksStatistic(a, b, "v")
+        .as[(Long, Long, Double)].collect().head
+      assert(got(g)._2 === exp._1 && got(g)._3 === exp._2)
+      assert(got(g)._4.get === exp._3, s"group $g")
+    }
+    // D attained at a value the group does NOT take: g=[10], rest=[1..5]
+    // F_a jumps at 10; max gap is at v=5 (F_a=0, F_b=1) -> D=1
+    val gap = Seq(("a", 10L), ("b", 1L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val ga = CorpusStats.ksStatisticBy(gap, "g", "v")
+      .as[(String, Long, Long, Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> r._4.get).toMap
+    assert(ga("a") === 1.0)
+    // single group: empty complement -> null ks and p
+    val solo = CorpusStats.ksStatisticBy(
+      Seq(("only", 1L), ("only", 2L)).toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Option[Double], Option[Long])].collect().head
+    assert(solo._3 === 0L && solo._4 === None && solo._5 === None)
+  }
+
+  test("bhAdjust: textbook step-up, adjusted p suffix-min, edges") {
+    def bh(ps: Seq[(String, Long)], alpha: Long = 50000L)
+        : Map[String, (Double, Double, Boolean)] =
+      CorpusStats.bhAdjust(ps.toDF("k", "p_micro"), "k", "p_micro", alpha)
+        .as[(String, Double, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // classic: p=[.01,.02,.03,.04,.2], alpha=.05, m=5 -> reject first 4;
+    // adjusted = [.05,.05,.05,.05,.2]
+    val g = bh(Seq(("a", 10000L), ("b", 20000L), ("c", 30000L),
+      ("d", 40000L), ("e", 200000L)))
+    assert(g("a") === ((0.01, 0.05, true)) && g("d") === ((0.04, 0.05, true)))
+    assert(g("e") === ((0.2, 0.2, false)))
+    // step-up: a later passing rank rescues earlier failures.
+    // p=[.03,.04], m=2: i=1 threshold .025 fails, i=2 threshold .05
+    // passes -> BOTH rejected
+    val up = bh(Seq(("x", 30000L), ("y", 40000L)))
+    assert(up("x")._3 && up("y")._3)
+    // nothing passes -> kstar null -> all false; adjusted p is the
+    // suffix min of raw m*p/i (clamped at 1): min(1.8->1.0, 0.99) = 0.99
+    val none = bh(Seq(("x", 900000L), ("y", 990000L)))
+    assert(!none("x")._3 && !none("y")._3)
+    assert(none("x")._2 === 0.99 && none("y")._2 === 0.99)
+    // deterministic tie order: equal p ranks by key
+    val tie = bh(Seq(("b", 25000L), ("a", 25000L)))
+    assert(tie("a")._3 && tie("b")._3) // both under i*alpha/m at i=2
+  }
+
   test("mannWhitneyU: hand U and z, ties, symmetry, degenerate") {
     def mw(a: Seq[Long], b: Seq[Long]): (Long, Long, Double, Option[Double]) =
       CorpusStats.mannWhitneyU(a.toDF("v"), b.toDF("v"), "v")
@@ -602,6 +662,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     }.sum
     val got = emd(as, bs)
     assert(math.abs(got._3.get - naive) < 1e-6, s"${got._3} vs $naive")
+  }
+
+  test("chiSquareIndependence: textbook 2x2, independence, degenerate") {
+    def chi(rows: Seq[(String, String)])
+        : (Long, Long, Long, Double, Option[Double]) =
+      CorpusStats.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    // 2x2 [[20,5],[10,15]]: chi2 = n(ad-bc)^2 / (r1 r2 c1 c2)
+    //   = 50*(300-50)^2/(25*25*30*20) = 8.3333; V = sqrt(8.3333/50)
+    val tbl = Seq.fill(20)(("x", "p")) ++ Seq.fill(5)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(15)(("y", "q"))
+    val got = chi(tbl)
+    assert(got._1 === 50L && got._2 === 2L && got._3 === 2L)
+    assert(math.abs(got._4 - 50.0 * 250 * 250 / (25.0 * 25 * 30 * 20)) < 1e-4)
+    assert(math.abs(got._5.get - math.sqrt(got._4 / 50.0)) < 1e-4)
+    // perfectly proportional table -> chi2 = 0, V = 0
+    val ind = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(5)(("y", "p")) ++ Seq.fill(10)(("y", "q"))
+    val gi = chi(ind)
+    assert(gi._4 === 0.0 && gi._5.get === 0.0)
+    // single-level column -> chi2 0, V undefined (null)
+    val deg = chi(Seq(("x", "p"), ("x", "q"), ("x", "p")))
+    assert(deg._2 === 1L && deg._4 === 0.0 && deg._5 === None)
+    // nulls excluded
+    val withNull = Seq((Some("x"), Some("p")), (None, Some("q")),
+      (Some("y"), None), (Some("y"), Some("q"))).toDF("a", "b")
+    assert(CorpusStats.chiSquareIndependence(withNull, "a", "b")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head._1 === 2L)
   }
 
   test("quantileNormalize: hand mapping, identity, ties, null exclusion") {

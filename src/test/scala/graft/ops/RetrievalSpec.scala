@@ -205,6 +205,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.filter(_._1 >= 1000).forall(p => p._3 == 1L && p._6 == 5.0))
   }
 
+  test("associationRules: directional confidence, hand stats, top-k order") {
+    // users 1..4: supports 10->4, 20->3, 30->1; pair (10,20)x3, (10,30)x1
+    val ev = Seq(
+      (1L, 10), (1L, 20), (2L, 10), (2L, 20), (3L, 10), (3L, 20),
+      (4L, 10), (4L, 30)
+    ).toDF("user_id", "item")
+    val got = Retrieval.associationRules(ev, "user_id", "item",
+        maxItemsPerUser = 10, minPairCount = 1L, topK = 10)
+      .as[(Int, Int, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.length === 4) // two pairs, both directions
+    val byRule = got.map(r => (r._1, r._2) -> r).toMap
+    // 20 -> 10: conf 3/3 = 1.0; 30 -> 10: conf 1/1 = 1.0
+    // 10 -> 20: conf 3/4 = 0.75; 10 -> 30: conf 1/4 = 0.25
+    assert(byRule((20, 10))._7 === 1.0 && byRule((30, 10))._7 === 1.0)
+    assert(byRule((10, 20))._7 === 0.75 && byRule((10, 30))._7 === 0.25)
+    // support n_ab/U, lift symmetric: (10,20): 3*4/(4*3)=1; (10,30): 4/4=1
+    assert(byRule((10, 20))._6 === 0.75 && byRule((10, 20))._8 === 1.0)
+    assert(byRule((10, 30))._6 === 0.25 && byRule((30, 10))._8 === 1.0)
+    // deterministic order: conf desc, then antecedent, consequent
+    assert(got.map(r => (r._1, r._2)) ===
+      Seq((20, 10), (30, 10), (10, 20), (10, 30)))
+    // topK truncation happens on the sorted stream
+    val top1 = Retrieval.associationRules(ev, "user_id", "item",
+        maxItemsPerUser = 10, minPairCount = 1L, topK = 1)
+      .as[(Int, Int, Long, Long, Long, Double, Double, Double)].collect()
+    assert(top1.map(r => (r._1, r._2)).toSeq === Seq((20, 10)))
+  }
+
   test("retrievalEval: hand-computed recall/precision/MRR/nDCG and exact macro") {
     // q=1: truth 10(rel3) 12(rel2) 11(rel1); ranked: 11@1, 99@2, 10@3.
     //   hits@3 = {11,10} = 2; recall 2/3; precision 2/3; rr = 1/1.
