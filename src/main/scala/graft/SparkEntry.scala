@@ -3249,6 +3249,47 @@ object SparkEntry {
         col("lang") === "en")
     },
 
+    // Jensen-Shannon divergence (CorpusStats.vocabJs): q_vocab_kl's
+    // symmetric bounded sibling over the same en-vs-rest split -- per-word
+    // micro-log LONGs against the MIXTURE m = (p+q)/2, two exact
+    // DECIMAL38 side sums, each divided once by its smoothed mass in
+    // integer micro-units, averaged.
+    q("q_vocab_js",
+      """WITH ex AS (
+        |  SELECT lang = 'en' AS p,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, sum(CASE WHEN p THEN 1 ELSE 0 END) AS cp,
+        |             sum(CASE WHEN p THEN 0 ELSE 1 END) AS cq
+        |      FROM ex GROUP BY w),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(cp) AS BIGINT) AS tp,
+        |             CAST(sum(cq) AS BIGINT) AS tq FROM c),
+        |l AS (SELECT cp, cq,
+        |    CAST(round(ln((CAST(cp AS DOUBLE)+1.0)
+        |       /(CAST(tp AS DOUBLE)+CAST(v AS DOUBLE)))*1000000.0) AS BIGINT) AS lp,
+        |    CAST(round(ln((CAST(cq AS DOUBLE)+1.0)
+        |       /(CAST(tq AS DOUBLE)+CAST(v AS DOUBLE)))*1000000.0) AS BIGINT) AS lq,
+        |    CAST(round(ln(((CAST(cp AS DOUBLE)+1.0)
+        |         /(CAST(tp AS DOUBLE)+CAST(v AS DOUBLE))
+        |       + (CAST(cq AS DOUBLE)+1.0)
+        |         /(CAST(tq AS DOUBLE)+CAST(v AS DOUBLE))) / 2.0)
+        |      *1000000.0) AS BIGINT) AS lm
+        |  FROM c, t),
+        |s AS (SELECT sum((cp + 1)::HUGEINT * (lp - lm)::HUGEINT) AS ssp,
+        |             sum((cq + 1)::HUGEINT * (lq - lm)::HUGEINT) AS ssq
+        |      FROM l)
+        |SELECT t.v AS n_vocab, t.tp AS p_tokens, t.tq AS q_tokens,
+        |  (CAST(round(CAST(ssp AS DOUBLE)
+        |      /(CAST(tp AS DOUBLE)+CAST(v AS DOUBLE))) AS BIGINT)
+        |   + CAST(round(CAST(ssq AS DOUBLE)
+        |      /(CAST(tq AS DOUBLE)+CAST(v AS DOUBLE))) AS BIGINT)) / 2000000.0
+        |    AS js_nats
+        |FROM s, t""".stripMargin) { (s, d) =>
+      ops.CorpusStats.vocabJs(Tables.documents(s, d), "text",
+        col("lang") === "en")
+    },
+
     // Vocabulary drift through MATERIALIZED count-table artifacts
     // (CorpusStats.vocabCounts / vocabKlFromCounts): the ingest-lifecycle
     // question "has the delta drifted from the base?" answered from two

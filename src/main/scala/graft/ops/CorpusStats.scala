@@ -250,6 +250,77 @@ object CorpusStats {
           .cast("long").cast("double") / lit(1e6)).as("kl_nats"))
   }
 
+  /** Jensen–Shannon divergence between two sub-corpora's unigram
+    * distributions — [[vocabKl]]'s SYMMETRIC, BOUNDED sibling (0 ≤ JS ≤
+    * ln 2): the drift metric to publish on a dashboard, because unlike KL
+    * it doesn't explode when one side has mass the other lacks and it
+    * doesn't change when you swap "base" and "current". Same add-1
+    * smoothing over the joint vocabulary, same predicate split.
+    *
+    * Exactness (the [[vocabKl]] micro-log discipline, per side): with
+    * smoothed p_w, q_w and mixture m_w = (p_w + q_w)/2, ln p_w, ln q_w,
+    * ln m_w quantize to round(ln·10⁶) LONGs; Σ(c_p+1)·(L_p − L_m) and
+    * Σ(c_q+1)·(L_q − L_m) are exact DECIMAL(38) integer sums; each
+    * divides once by its smoothed mass in integer micro-units and the
+    * final JS = (half_p + half_q)/2 is one fixed-shape step. Output:
+    * (n_vocab, p_tokens, q_tokens, js_nats).
+    *
+    * Scale shape: identical to vocabKl — token-grain explode into a
+    * vocab-bounded count table; everything after is vocab-grain. */
+  def vocabJs(df: DataFrame, textCol: String,
+              pPred: org.apache.spark.sql.Column): DataFrame = {
+    val ex = df.select(pPred.as("_p"),
+      explode(Dedup.tokens(col(textCol))).as("_w"))
+    val counts = ex.groupBy(col("_w"))
+      .agg(sum(when(col("_p"), 1L).otherwise(0L)).as("_cp"),
+        sum(when(col("_p"), 0L).otherwise(1L)).as("_cq"))
+      .localCheckpoint(false)
+    jsFromJointCounts(counts)
+  }
+
+  /** [[vocabJs]] from two MATERIALIZED count tables ([[vocabCounts]]) —
+    * the standing-artifact form; identical math and output. */
+  def vocabJsFromCounts(p: DataFrame, q: DataFrame): DataFrame =
+    jsFromJointCounts(
+      p.select(col("word").as("_w"), col("cnt").as("_cp"))
+        .join(q.select(col("word").as("_w"), col("cnt").as("_cq")),
+          Seq("_w"), "full_outer")
+        .select(col("_w"), coalesce(col("_cp"), lit(0L)).as("_cp"),
+          coalesce(col("_cq"), lit(0L)).as("_cq"))
+        .localCheckpoint(false))
+
+  /** Shared JS tail over a joint (_w, _cp, _cq) count table. */
+  private def jsFromJointCounts(counts: DataFrame): DataFrame = {
+    val totals = counts.agg(count(lit(1)).as("_v"),
+      sum(col("_cp")).as("_tp"), sum(col("_cq")).as("_tq"))
+    def micLog(c: Column): Column =
+      round(log(c) * lit(1e6)).cast("long")
+    val pw = (col("_cp").cast("double") + lit(1.0))
+    val qw = (col("_cq").cast("double") + lit(1.0))
+    val tp = (col("_tp").cast("double") + col("_v").cast("double"))
+    val tq = (col("_tq").cast("double") + col("_v").cast("double"))
+    val lp = micLog(pw / tp)
+    val lq = micLog(qw / tq)
+    val lm = micLog((pw / tp + qw / tq) / lit(2.0))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(col("_v"), col("_tp"), col("_tq"),
+        ((col("_cp") + lit(1L)).cast(DecimalType(38, 0)) *
+          (lp - lm).cast(DecimalType(38, 0))).as("_sp"),
+        ((col("_cq") + lit(1L)).cast(DecimalType(38, 0)) *
+          (lq - lm).cast(DecimalType(38, 0))).as("_sq"))
+      .groupBy(col("_v"), col("_tp"), col("_tq"))
+      .agg(sum(col("_sp")).as("_ssp"), sum(col("_sq")).as("_ssq"))
+      .select(col("_v").as("n_vocab"), col("_tp").as("p_tokens"),
+        col("_tq").as("q_tokens"),
+        ((round(col("_ssp").cast("double")
+            / (col("_tp").cast("double") + col("_v").cast("double")))
+            .cast("long").cast("double")
+          + round(col("_ssq").cast("double")
+            / (col("_tq").cast("double") + col("_v").cast("double")))
+            .cast("long").cast("double")) / lit(2e6)).as("js_nats"))
+  }
+
   /** Per-slice mergeable distinct-count sketches (Apache DataSketches HLL,
     * Spark's built-in `hll_sketch_agg`) — the cardinality analogue of the
     * additive [[graft.ops.Retrieval.bm25Stats]] row and the

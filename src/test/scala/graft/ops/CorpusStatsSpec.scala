@@ -392,6 +392,39 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(merged === direct)
   }
 
+  test("vocabJs: symmetric, bounded by ln2, zero on identical, artifact ≡ one-pass") {
+    val en = Seq((1L, "the cat sat on the mat"), (2L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val de = Seq((3L, "der hund lief schnell"), (4L, "die katze sass"))
+      .toDF("doc_id", "text")
+    val both = en.withColumn("lang", lit("en"))
+      .unionByName(de.withColumn("lang", lit("de")))
+    def js(pred: org.apache.spark.sql.Column): (Long, Long, Long, Double) =
+      CorpusStats.vocabJs(both, "text", pred)
+        .as[(Long, Long, Long, Double)].collect().head
+    val fwd = js(col("lang") === "en")
+    val rev = js(col("lang") === "de")
+    // symmetric up to the swapped token totals; bounded by ln 2
+    assert(fwd._4 === rev._4, s"$fwd vs $rev")
+    assert(fwd._4 > 0.0 && fwd._4 <= math.log(2.0))
+    // identical sub-corpora -> lp = lq = lm -> exactly 0
+    val same = en.withColumn("lang", lit("en"))
+      .unionByName(en.withColumn("doc_id", col("doc_id") + 10)
+        .withColumn("lang", lit("de")))
+    assert(CorpusStats.vocabJs(same, "text", col("lang") === "en")
+      .as[(Long, Long, Long, Double)].collect().head._4 === 0.0)
+    // artifact form ≡ one-pass form (the vocabKl contract)
+    val viaArtifacts = CorpusStats.vocabJsFromCounts(
+      CorpusStats.vocabCounts(en, "text"),
+      CorpusStats.vocabCounts(de, "text")).collect().toSeq
+    assert(viaArtifacts ===
+      CorpusStats.vocabJs(both, "text", col("lang") === "en").collect().toSeq)
+    // KL relation sanity: JS well below the asymmetric KL on this split
+    val kl = CorpusStats.vocabKl(both, "text", col("lang") === "en")
+      .as[(Long, Long, Long, Double)].collect().head._4
+    assert(fwd._4 < kl)
+  }
+
   test("distinct sketches: slice-union estimate ≡ global build, near exact") {
     // 10k rows, 1000 distinct values spread across 4 slices with overlap.
     // At this cardinality (< 2^lgK registers) the sketch is in sparse/exact
