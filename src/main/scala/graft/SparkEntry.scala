@@ -2237,6 +2237,51 @@ object SparkEntry {
       ops.Funnel.trendSlopes(Tables.events(s, d), "ts", "event_type")
     },
 
+    // Mann-Kendall trend test (Funnel.mannKendall): the significance
+    // companion to q_trend/q_theil_sen -- S = sum of sign(x_j - x_i) over
+    // day pairs (exact integer), tie-corrected Var(S) in DECIMAL38,
+    // continuity-corrected z one IEEE expression; direction from the
+    // ROUNDED z vs +-1.96 so both engines call it identically.
+    q("q_mann_kendall",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    coalesce(sum(CAST(sign(b.x - a.x) AS BIGINT)), 0) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day > a.day
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0) AS tt
+        |  FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT n.event_type, n.n_days, coalesce(s.s, 0) AS s, ties.tt,
+        |    CAST(CAST(n_days AS HUGEINT) * (n_days - 1) * (2 * n_days + 5)
+        |      - tt AS DOUBLE) / 18.0 AS vard
+        |  FROM n LEFT JOIN s ON s.event_type = n.event_type
+        |  JOIN ties ON ties.event_type = n.event_type)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(s AS BIGINT) AS s,
+        |  round(CASE WHEN s = 0 THEN 0.0
+        |    WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vard)
+        |    ELSE CAST(s + 1 AS DOUBLE) / sqrt(vard) END, 6) AS z,
+        |  CASE WHEN round(CASE WHEN s = 0 THEN 0.0
+        |      WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vard)
+        |      ELSE CAST(s + 1 AS DOUBLE) / sqrt(vard) END, 6) > 1.96
+        |    THEN 'rising'
+        |  WHEN round(CASE WHEN s = 0 THEN 0.0
+        |      WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vard)
+        |      ELSE CAST(s + 1 AS DOUBLE) / sqrt(vard) END, 6) < -1.96
+        |    THEN 'falling'
+        |  ELSE 'flat' END AS direction
+        |FROM j""".stripMargin) { (s, d) =>
+      ops.Funnel.mannKendall(Tables.events(s, d), "ts", "event_type")
+    },
+
     // Weekly cohort LTV matrix (Funnel.cohortLtv): cohort by first-event
     // week, cumulative cent-exact value by age week over the
     // (cohort × age) grid.
@@ -6507,6 +6552,29 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")).as("quality"))
     },
 
+    // Flesch reading-ease (TextAnalysis.fleschScore): the text-difficulty
+    // axis next to q_quality_score's junk axis -- regexp-only counting
+    // contract (whitespace words, [.!?]+ sentence runs min 1, [aeiouy]+
+    // vowel runs min words) and ONE fixed-shape IEEE expression, round-6.
+    // Per-row, no shuffle.
+    q("q_readability",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t <> '')) AS w,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN w = 0 THEN NULL
+        |    ELSE round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |      - 84.6 * (CAST(greatest(w, vr) AS DOUBLE) / CAST(w AS DOUBLE)), 6)
+        |  END AS flesch
+        |FROM base""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        ops.TextAnalysis.fleschScore(col("text")).as("flesch"))
+    },
+
     // Perplexity-proxy quality score: per-doc mean token log-probability
     // under the corpus's own unigram LM (the CCNet recipe's degenerate
     // distributed case — no external model artifact). Per-token ln values
@@ -6596,6 +6664,64 @@ object SparkEntry {
         |GROUP BY doc_id""".stripMargin) { (s, d) =>
       ops.Selection.dsirLogWeights(Tables.documents(s, d), "text", "doc_id",
         targetPred = col("lang") =!= "en", buckets = 256)
+    },
+
+    // Effective sample size of the DSIR importance weights, per source
+    // (Selection.effectiveSampleSize): ESS = (sum w)^2 / sum w^2 with
+    // w = exp(log_weight) quantized to micro-LONGs immediately, both sums
+    // exact DECIMAL38 integers (scale factors cancel), one divide at the
+    // end. The "did reweighting leave us any data" gate.
+    q("q_ess",
+      s"""WITH RECURSIVE tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang <> 'en' AS in_t, tk[s+1] || ' ' || tk[s+2] AS bg
+        |  FROM (SELECT * FROM tk WHERE len(tk) >= 2), unnest(range(0, len(tk)-1)) u(s)),
+        |bgv AS (SELECT DISTINCT bg FROM big),
+        |${fnvFoldCtes("bfold", "bgv", "bg", "bg")},
+        |bmap AS (SELECT k AS bg, CAST(ch % 256 AS BIGINT) AS b FROM bfold),
+        |f AS (SELECT doc_id, in_t, b FROM big JOIN bmap USING (bg)),
+        |rc AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+        |tc AS (SELECT b, count(*) AS ct FROM f WHERE in_t GROUP BY b),
+        |tot AS (SELECT (SELECT sum(cr) FROM rc) AS r,
+        |               (SELECT coalesce(sum(ct), 0) FROM tc) AS t),
+        |lr AS (
+        |  SELECT rc.b,
+        |    CAST(round((ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / CAST(t + 256 AS DOUBLE))
+        |              - ln(CAST(rc.cr + 1 AS DOUBLE) / CAST(r + 256 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS lr
+        |  FROM rc LEFT JOIN tc ON tc.b = rc.b, tot),
+        |dw AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(lr) AS DOUBLE) / 1000000.0, 6) AS log_weight
+        |  FROM f JOIN lr USING (b)
+        |  GROUP BY doc_id),
+        |jw AS (
+        |  SELECT d.source AS g,
+        |    CAST(round(exp(dw.log_weight) * 1e6) AS BIGINT) AS wm
+        |  FROM dw JOIN documents d USING (doc_id)
+        |  WHERE d.source IS NOT NULL),
+        |a AS (
+        |  SELECT g, count(*) AS n, sum(CAST(wm AS HUGEINT)) AS sw,
+        |    sum(CAST(wm AS HUGEINT) * wm) AS sw2
+        |  FROM jw GROUP BY g)
+        |SELECT g AS source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sw2 = 0 THEN NULL
+        |    ELSE round(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 6)
+        |  END AS ess,
+        |  CASE WHEN sw2 = 0 THEN NULL
+        |    ELSE round(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 6)
+        |  END AS ess_ratio
+        |FROM a""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dw = ops.Selection.dsirLogWeights(docs, "text", "doc_id",
+        targetPred = col("lang") =!= "en", buckets = 256)
+      ops.Selection.effectiveSampleSize(
+        dw.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source", "log_weight")
     },
 
     // Token-budget assembly: keep the best documents — (score DESC,

@@ -812,6 +812,70 @@ object Funnel {
     cusumFromDaily(dailyCounts(events, tsCol, typeCol), typeCol,
       driftK, thresholdH)
 
+  /** Mann–Kendall trend test over per-type daily volumes — the
+    * SIGNIFICANCE companion to [[trendSlopes]] (OLS magnitude) and
+    * [[theilSenSlopes]] (robust magnitude): S = Σ_{i<j} sign(x_j − x_i)
+    * over day-ordered counts asks "is there ANY monotone trend", immune
+    * to outliers and to the series' scale, with the tie-corrected normal
+    * z for significance. The standard seasonal-free trend gate on
+    * operational volume series.
+    *
+    * Exactness: S is an exact integer (sum of ±1/0 over day pairs); the
+    * tie term Σ t(t−1)(2t+5) and n(n−1)(2n+5) are exact DECIMAL(38)
+    * integers; Var(S) = (n(n−1)(2n+5) − Σ…)/18 and the
+    * continuity-corrected z = (S ∓ 1)/√Var are ONE fixed-shape IEEE
+    * expression each (z = 0 exactly when S = 0, which also covers the
+    * all-tied Var = 0 degenerate — sign pairs are all 0 there).
+    * Direction calls use the ROUNDED z against ±1.96 so both engines
+    * agree bit-for-bit.
+    *
+    * Scale shape: the corpus collapses to the (type, day) grain in one
+    * map-side-combined pass ([[dailyCounts]]); the pair join runs at
+    * days² PER TYPE (the [[theilSenSlopes]] stance — spine-sized, never
+    * events²); ties come from one (type, value)-grain aggregate. Output:
+    * (event_type, n_days, s, z, direction). */
+  def mannKendall(events: DataFrame, tsCol: String,
+                  typeCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val daily = dailyCounts(events, tsCol, typeCol)
+      .withColumn("_d", datediff(col("day"), to_date(lit("1970-01-01"))))
+      .localCheckpoint(false)   // three consumers: pair join twice + ties
+    val a = daily.select(col(typeCol), col("_d").as("_d1"), col("x").as("_v1"))
+    val b = daily.select(col(typeCol), col("_d").as("_d2"), col("x").as("_v2"))
+    val sTab = a.join(b, Seq(typeCol.replace("`", "")))
+      .filter(col("_d2") > col("_d1"))
+      .groupBy(col(typeCol))
+      .agg(coalesce(sum(signum(col("_v2") - col("_v1")).cast("long")),
+        lit(0L)).as("_s"))
+    val nTab = daily.groupBy(col(typeCol)).agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col(typeCol), col("x"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col(typeCol))
+      .agg(coalesce(sum(big(col("_t")) * (col("_t") - 1)
+        * (lit(2L) * col("_t") + 5)), big(lit(0))).as("_tt"))
+    val n = big(col("n_days"))
+    val varNum = (n * (n - 1) * (lit(2L) * n + 5) - col("_tt"))
+    val varD = varNum.cast("double") / lit(18.0)
+    // types observed on a single day have no pairs: left join keeps them
+    // with S = 0, z = 0, direction 'flat'
+    nTab
+      .join(sTab, Seq(typeCol.replace("`", "")), "left_outer")
+      .join(ties, Seq(typeCol.replace("`", "")))
+      .select(col(typeCol), col("n_days"),
+        coalesce(col("_s"), lit(0L)).as("s"),
+        col("_tt"))
+      .select(col(typeCol), col("n_days"), col("s"),
+        round(when(col("s") === 0, lit(0.0)).otherwise(
+          when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varD))
+            .otherwise((col("s") + 1).cast("double") / sqrt(varD))), 6)
+          .as("z"))
+      .withColumn("direction",
+        when(col("z") > 1.96, "rising")
+          .when(col("z") < -1.96, "falling")
+          .otherwise(lit("flat")))
+  }
+
   /** The (type, day, x) daily-count table — the ADDITIVE ARTIFACT behind
     * [[cusumChangepoints]]: a standing pipeline materializes one slice per
     * micro-batch and folds with [[mergeDailyCounts]]; the monitor then

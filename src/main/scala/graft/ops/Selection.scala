@@ -327,6 +327,43 @@ object Selection {
         round(col("_s").cast("double") / lit(1e6), 6).as("log_weight"))
   }
 
+  /** Effective sample size of importance weights, per group — the
+    * diagnostic that tells you whether [[dsirLogWeights]]-style
+    * reweighting left you any data: ESS = (Σw)²/Σw² collapses toward 1
+    * when a handful of documents dominate the weight mass (your "1M-doc
+    * corpus" is statistically a dozen documents) and equals n when
+    * weights are uniform. Report ess_ratio = ESS/n; below ~0.1 the
+    * weighted sample is too degenerate to train on.
+    *
+    * Determinism: log-weights arrive on the round-6 grid (the dsir
+    * output contract); w = exp(lw) quantizes immediately to
+    * w_micro = round(w·10⁶) LONG, and both sums are exact DECIMAL(38)
+    * integer sums of w_micro and w_micro² — order-independent; the 10¹²
+    * scale factors cancel in (Σw)²/Σw², so ESS is one double division at
+    * the end. Weights micro-rounding to 0 (lw < −14) contribute nothing;
+    * a group whose every weight underflows yields null.
+    *
+    * Scale shape: one group-grain aggregate — nothing else. Output:
+    * (group, n, ess, ess_ratio). */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          logWeightCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val wm = round(exp(col(logWeightCol)) * lit(1e6)).cast("long")
+    val g = df.where(col(groupCol).isNotNull && col(logWeightCol).isNotNull)
+      .select(col(groupCol).as("_g"), wm.as("_wm"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(big(col("_wm"))).as("_sw"),
+        sum(big(col("_wm")) * col("_wm")).as("_sw2"))
+    val ess = ((col("_sw") * col("_sw")).cast("double")
+      / col("_sw2").cast("double"))
+    g.select(col("_g").as(groupCol), col("n"),
+      when(col("_sw2") === 0, lit(null).cast("double"))
+        .otherwise(round(ess, 6)).as("ess"),
+      when(col("_sw2") === 0, lit(null).cast("double"))
+        .otherwise(round(ess / col("n").cast("double"), 6)).as("ess_ratio"))
+  }
+
   /** 2-D Pareto frontier (skyline): every row not STRICTLY dominated under
     * (minimize `minCol`, maximize `maxCol`) — b dominates a iff b.min ≤
     * a.min ∧ b.max ≥ a.max with at least one strict. The curation

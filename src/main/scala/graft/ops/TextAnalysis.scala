@@ -84,6 +84,31 @@ object TextAnalysis {
     round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
   }
 
+  /** Flesch reading-ease per document — the classic readability score
+    * (206.835 − 1.015·words/sentences − 84.6·syllables/words), the
+    * text-difficulty axis of the curation dashboard next to
+    * [[qualityScore]]'s junk axis: ~90 = grade-school prose, ~30 =
+    * academic, negative = legalese/garbage. Useful both as a quality
+    * floor and as a curriculum signal (easy→hard ordering).
+    *
+    * Counting contract (deterministic, regexp-only, identical in any
+    * engine): words = whitespace tokens; sentences = max(1, runs of
+    * [.!?]); syllables = max(words, runs of [aeiouy]+ in the lowercased
+    * text) — vowel-group counting with the per-word minimum of one
+    * applied in aggregate. One fixed-shape IEEE expression over the
+    * three exact integers, round-6. Empty/whitespace-only docs yield
+    * null. Embarrassingly parallel — per-row expressions, no shuffle. */
+  def fleschScore(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = greatest(lit(1L),
+      regexp_count(text, lit("[.!?]+"))).cast("double")
+    val syl = greatest(tokenCount(text),
+      regexp_count(lower(text), lit("[aeiouy]+"))).cast("double")
+    when(tokenCount(text) === 0, lit(null).cast("double"))
+      .otherwise(round(lit(206.835) - lit(1.015) * (w / s)
+        - lit(84.6) * (syl / w), 6))
+  }
+
   /** Repetition signals for training-data curation (the Gopher /
     * MassiveText repetition rules): per document, the duplicate-word
     * fraction and the fraction of bigrams taken by the single most

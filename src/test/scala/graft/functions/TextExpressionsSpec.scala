@@ -109,4 +109,28 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(overlap > 0.7, s"contained doc should share most fingerprints: $overlap")
     assert(fps(0).intersect(fps(2)).isEmpty)
   }
+
+  test("fleschScore: hand counts, sentence/syllable minimums, empty null") {
+    def f(texts: String*): Seq[Option[Double]] =
+      texts.toDF("t")
+        .select(graft.ops.TextAnalysis.fleschScore(col("t")))
+        .as[Option[Double]].collect().toSeq
+    // "The cat sat. The dog ran." w=6 s=2 vowel-runs=6 (one per word)
+    // F = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    val hand = f("The cat sat. The dog ran.").head.get
+    assert(math.abs(hand - (206.835 - 1.015 * 3 - 84.6)) < 1e-6)
+    // no terminal punctuation -> sentence floor of 1 (w/s = w)
+    val noDot = f("the cat sat on a mat").head.get
+    assert(math.abs(noDot - (206.835 - 1.015 * 6 - 84.6)) < 1e-6)
+    // vowelless tokens pull syllables up to the word floor: "psst grr hmm."
+    // w=3 s=1 runs=0 -> syl=3 -> ratio 1
+    val dry = f("psst grr hmm.").head.get
+    assert(math.abs(dry - (206.835 - 1.015 * 3 - 84.6)) < 1e-6)
+    // polysyllabic words score lower than monosyllabic at equal w/s
+    val easy = f("the cat sat now.").head.get
+    val hard = f("undeniable equivocation materiality hyperbolically.").head.get
+    assert(hard < easy)
+    // empty / whitespace-only -> null
+    assert(f("", "   ") === Seq(None, None))
+  }
 }

@@ -662,6 +662,44 @@ class FunnelSpec extends AnyFunSuite {
     assert(e === Map(9 -> 1L, -1 -> 1L))
   }
 
+  test("mannKendall: monotone series, ties replay, constant flat, single day") {
+    def mk(counts: Seq[(String, Int)]): Map[String, (Long, Long, Double, String)] = {
+      // counts = (type, events-on-day-i) in day order; expand to events
+      val rows = counts.zipWithIndex.flatMap { case ((t, c), i) =>
+        Seq.fill(c)((t, f"2024-01-${i + 1}%02d 10:00:00"))
+      }
+      Funnel.mannKendall(
+        rows.toDF("event_type", "tss")
+          .select(col("event_type"), col("tss").cast("timestamp").as("ts")),
+        "ts", "event_type")
+        .as[(String, Long, Long, Double, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    }
+    // strictly increasing daily volume 1..6: S = 15 pairs all +1
+    // var = 6*5*17/18 - ties(all t=1 -> 0) = 28.333; z = 14/sqrt(28.333)
+    val up = mk((1 to 6).map(c => ("a", c)))("a")
+    assert(up._1 === 6L && up._2 === 15L)
+    assert(math.abs(up._3 - 14.0 / math.sqrt(6.0 * 5 * 17 / 18.0)) < 1e-6)
+    assert(up._4 === "rising")
+    // strictly decreasing mirrors negative
+    val dn = mk((1 to 6).map(c => ("d", 7 - c)))("d")
+    assert(dn._2 === -15L && dn._4 === "falling")
+    assert(math.abs(dn._3 + up._3) < 1e-9)
+    // constant volume: all sign pairs 0 -> S = 0, z = 0 (covers Var = 0)
+    val fl = mk(Seq.fill(4)(("f", 3)))("f")
+    assert(fl === ((4L, 0L, 0.0, "flat")))
+    // tied replay: volumes 1,2,2,3 -> S = 5 (pairs: +1*5, 0 for the tie)
+    // ties: t=2 for value 2 -> tt = 2*1*9 = 18
+    // var = (4*3*13 - 18)/18 = 7.6667; z = 4/sqrt(7.6667) = 1.4446 -> flat
+    val tied = mk(Seq(("t", 1), ("t", 2), ("t", 2), ("t", 3)))("t")
+    assert(tied._2 === 5L)
+    assert(math.abs(tied._3 - 4.0 / math.sqrt((4.0 * 3 * 13 - 18) / 18.0)) < 1e-6)
+    assert(tied._4 === "flat")
+    // a type seen on a single day: no pairs, S = 0, flat
+    val solo = mk(Seq(("s", 2)))("s")
+    assert(solo === ((1L, 0L, 0.0, "flat")))
+  }
+
   test("auc: hand pair-counting with ties, perfect and inverted separation") {
     def auc(rows: Seq[(Long, Boolean)]) =
       Funnel.aucScoreVsLabel(rows.toDF("score", "label"), "score", "label")

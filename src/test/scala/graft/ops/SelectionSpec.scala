@@ -213,4 +213,30 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("effectiveSampleSize: uniform = n, dominance collapses, underflow null") {
+    def ess(rows: Seq[(String, Double)]): Map[String, (Long, Option[Double], Option[Double])] =
+      Selection.effectiveSampleSize(rows.toDF("g", "lw"), "g", "lw")
+        .as[(String, Long, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // uniform weights (any shared log-weight) -> ESS = n, ratio 1
+    val u = ess(Seq.fill(5)(("u", -2.5)))("u")
+    assert(u === ((5L, Some(5.0), Some(1.0))))
+    // one dominant weight: lw = [ln 1e6, 0, 0] -> w = [1e6, 1, 1]
+    // ESS ~ 1 (ratio ~ 1/3): the corpus is effectively one document
+    val d = ess(Seq(("d", math.log(1e6)), ("d", 0.0), ("d", 0.0)))("d")
+    assert(d._1 === 3L && d._2.get < 1.001 && d._2.get >= 1.0)
+    // hand case: w = [2, 1] -> ESS = 9/5 = 1.8, ratio 0.9
+    val h = ess(Seq(("h", math.log(2.0)), ("h", 0.0)))("h")
+    assert(h === ((2L, Some(1.8), Some(0.9))))
+    // every weight underflows the micro grid (lw << -14) -> null
+    val z = ess(Seq(("z", -40.0), ("z", -50.0)))("z")
+    assert(z === ((2L, None, None)))
+    // null group / null weight rows excluded
+    val withNull = Seq((Some("a"), Some(0.0)), (None, Some(0.0)),
+      (Some("a"), None)).toDF("g", "lw")
+    assert(Selection.effectiveSampleSize(withNull, "g", "lw")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .head._2 === 1L)
+  }
+
 }
