@@ -851,6 +851,63 @@ object CorpusStats {
               .cast("double"), 6)).as("kappa"))
   }
 
+  /** DOUBLED pooled midranks (2·midrank = 2·cum_before + m + 1, always
+    * integer) for every distinct value of `vCol` in `base` — computed at
+    * ANY grain size, including value grains the size of the corpus
+    * (prices, scores): an unpartitioned cumulative window here would
+    * funnel the whole grain through ONE task, the single-partition shape
+    * a 100 TB rank table cannot survive. Instead the [[exactQuantiles]]
+    * partition-offset scheme: range-partition the collapsed grain, one
+    * counting pass fixes each partition's global mass offset (driver
+    * traffic: numPartitions longs — the bounded-collect class), and the
+    * cumulative is offset + a WITHIN-partition window, P-way parallel.
+    * The lazy localCheckpoint pins the range partitioning so the offset
+    * pass and the window pass see identical partitions (repartitionByRange
+    * samples nondeterministically across recomputes). Rank VALUES are
+    * partitioning-independent, so results are bit-identical to the
+    * single-window formulation. */
+  private def distributedDoubledRanks(base: DataFrame, vCol: String,
+                                      out: String): DataFrame =
+    distributedCumCounts(
+      base.groupBy(col(vCol)).agg(count(lit(1)).as("_m")), vCol)
+      .select(col(vCol),
+        (lit(2L) * col("_cum_before") + col("_m") + lit(1L)).as(out))
+
+  /** Cumulative mass over a sorted (value, _m) grain table, distributed:
+    * range-partition the grain, one counting pass fixes each partition's
+    * global mass offset (driver traffic: numPartitions longs — the
+    * bounded-collect class), cumulative = offset + a WITHIN-partition
+    * window, P-way parallel. The lazy localCheckpoint pins the range
+    * partitioning so the offset pass and the window pass see identical
+    * partitions (repartitionByRange samples nondeterministically across
+    * recomputes). Values are partitioning-independent. Output: every
+    * grain column plus `_cum_before` (mass strictly below the value);
+    * inclusive cumulative = `_cum_before` + `_m`. */
+  private[ops] def distributedCumCounts(grains0: DataFrame,
+                                        vCol: String): DataFrame = {
+    val spark = grains0.sparkSession
+    val W = org.apache.spark.sql.expressions.Window
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val grains = grains0
+      .repartitionByRange(nPart, col(vCol).asc)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val ptot = grains.groupBy(col("_pid")).agg(sum(col("_m")).as("_pt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = ptot.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, pt)) => (pid, acc + pt)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+      .toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("_pid", "_off")
+    val w = W.partitionBy(col("_pid")).orderBy(col(vCol).asc)
+    grains.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_cum_before",
+        coalesce(sum(col("_m")).over(
+          w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)) + col("_off"))
+      .drop("_pid", "_off")
+  }
+
   /** Spearman rank correlation — [[exactCorrelation]]'s Pearson run on
     * midranks: monotone-association strength that outlier magnitudes and
     * nonlinear (but monotone) relationships can't distort, the robust
@@ -876,18 +933,11 @@ object CorpusStats {
     import spark.implicits._
     val dec38 = DecimalType(38, 0)
     def big(c: Column): Column = c.cast(dec38)
-    val W = org.apache.spark.sql.expressions.Window
     val base = df.where(col(colA).isNotNull && col(colB).isNotNull)
       .select(col(colA).as("_x"), col(colB).as("_y"))
-    def doubledRanks(c: String, out: String): DataFrame =
-      base.groupBy(col(c)).agg(count(lit(1)).as("_m"))
-        .select(col(c),
-          (lit(2L) * coalesce(sum(col("_m")).over(
-            W.orderBy(col(c)).rowsBetween(W.unboundedPreceding, -1)), lit(0L))
-            + col("_m") + lit(1L)).as(out))
     val j = base
-      .join(doubledRanks("_x", "_rx"), Seq("_x"))
-      .join(doubledRanks("_y", "_ry"), Seq("_y"))
+      .join(distributedDoubledRanks(base, "_x", "_rx"), Seq("_x"))
+      .join(distributedDoubledRanks(base, "_y", "_ry"), Seq("_y"))
     val row = j.agg(count(lit(1)).cast(dec38).as("_n"),
       sum(big(col("_rx"))).as("_sx"), sum(big(col("_ry"))).as("_sy"),
       sum(big(col("_rx")) * big(col("_rx"))).as("_qx"),
@@ -973,11 +1023,14 @@ object CorpusStats {
       sum(col("_m")).over(wg.rowsBetween(W.unboundedPreceding, 0)).as("_cg"),
       sum(col("_m")).over(
         wg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).as("_ng"))
-    val gl = base.groupBy(col("_v")).agg(count(lit(1)).as("_mg"))
-    val glcum = gl.select(col("_v").as("_normv"),
-      sum(col("_mg")).over(
-        W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, 0)).as("_c"))
-    val nTot = gl.agg(coalesce(sum(col("_mg")), lit(0L)).as("_N"))
+    // global cumulative via the partition-offset scheme — a score-grain
+    // the size of the corpus must not funnel through one window task
+    val gl = base.groupBy(col("_v")).agg(count(lit(1)).as("_m"))
+      .localCheckpoint(false)   // two consumers: cum table + total
+    val glcum = distributedCumCounts(gl, "_v")
+      .select(col("_v").as("_normv"),
+        (col("_cum_before") + col("_m")).as("_c"))
+    val nTot = gl.agg(coalesce(sum(col("_m")), lit(0L)).as("_N"))
     val tgt = gcum.crossJoin(broadcast(nTot))
       .withColumn("_t",
         expr("(CAST(_cg AS DECIMAL(38,0)) * _N + _ng - 1) div _ng"))

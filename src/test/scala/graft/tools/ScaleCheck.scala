@@ -773,6 +773,28 @@ object ScaleCheck {
           nodes.filter(pmod(abs(hash(col("id"))), lit(10)) === 3), "id",
           maxHops = 3).count()
       }
+      // spearman: lineitem (quantity, price) pairs with per-replica value
+      // shifts into DISJOINT ranges — rows AND both value grains ×k (the
+      // y grain is already ≈ corpus-sized, the shape the partition-offset
+      // distributed rank exists for); the rank join and the five sums are
+      // row-linear, so time must track the 2× data ratio per doubling
+      if (opsFilter.forall(_.contains("spearman"))) {
+        val li = graft.Tables.lineitem(spark, sfDir)
+          .select(col("l_quantity"), col("l_extendedprice"))
+        val vstep = 1000000000L
+        val pairs = (0 until k).map { r =>
+          li.select(
+            (graft.SparkEntry.roundAway(col("l_quantity") * 100)
+              .cast("long") + lit(r * vstep)).as("x"),
+            (graft.SparkEntry.roundAway(col("l_extendedprice") * 100)
+              .cast("long") + lit(r * vstep)).as("y"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val np = pairs.count()
+        results(("spearman", k)) = timed("spearman", k, np) {
+          graft.ops.CorpusStats.spearmanCorrelation(pairs, "x", "y").count()
+        }
+        pairs.unpersist()
+      }
     }
     // growth factors per doubling-pair of k values
     for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted
