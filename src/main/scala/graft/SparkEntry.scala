@@ -3849,7 +3849,11 @@ object SparkEntry {
         |    AND i <= (SELECT ks FROM kstar)) AS rejected
         |FROM adj""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      // group-grain stage boundary: the stats frame feeds both the BH
+      // adjuster and the final join — without it the whole one-vs-rest
+      // KS plan runs twice
       val stats = ops.CorpusStats.ksStatisticBy(docs, "source", "n_chars")
+        .localCheckpoint(false)
       val bh = ops.CorpusStats.bhAdjust(stats, "source", "p_micro",
         alphaMicro = 50000L)
       stats.join(bh, Seq("source"))
