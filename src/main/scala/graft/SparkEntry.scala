@@ -6531,6 +6531,57 @@ object SparkEntry {
         "source", "lang")
     },
 
+    // Mutual information + Theil's U (CorpusStats.mutualInformation) on
+    // the same source x lang table: micro-log LONGs per cell/marginal,
+    // exact DECIMAL38 sums divided once by n in integer micro-units;
+    // U(A|B) = MI/H(A), U(B|A) = MI/H(B) -- the DIRECTIONAL association
+    // Cramer's V can't express.
+    q("q_mutual_info",
+      """WITH base AS (
+        |  SELECT source AS a, lang AS b FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+        |ra AS (SELECT a, count(*) AS r FROM base GROUP BY a),
+        |cb AS (SELECT b, count(*) AS c FROM base GROUP BY b),
+        |tot AS (SELECT count(*) AS n FROM base),
+        |mi AS (
+        |  SELECT coalesce(sum(CAST(o AS HUGEINT)
+        |    * CAST(round(ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE)
+        |        / CAST(CAST(r AS HUGEINT) * c AS DOUBLE)) * 1e6) AS BIGINT)),
+        |    0) AS mi
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b), tot),
+        |ha AS (
+        |  SELECT coalesce(sum(CAST(r AS HUGEINT)
+        |    * CAST(round(ln(CAST(n AS DOUBLE) / CAST(r AS DOUBLE)) * 1e6)
+        |        AS BIGINT)), 0) AS ha
+        |  FROM ra, tot),
+        |hb AS (
+        |  SELECT coalesce(sum(CAST(c AS HUGEINT)
+        |    * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6)
+        |        AS BIGINT)), 0) AS hb
+        |  FROM cb, tot),
+        |m AS (
+        |  SELECT n,
+        |    CAST(round(CAST(ha AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS ham,
+        |    CAST(round(CAST(hb AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS hbm,
+        |    CAST(round(CAST(mi AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mim
+        |  FROM tot, mi, ha, hb)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(ham AS DOUBLE) / 1e6 AS h_a,
+        |  CAST(hbm AS DOUBLE) / 1e6 AS h_b,
+        |  CAST(mim AS DOUBLE) / 1e6 AS mi_nats,
+        |  CASE WHEN ham = 0 THEN NULL
+        |    ELSE round(CAST(mim AS DOUBLE) / CAST(ham AS DOUBLE), 6)
+        |  END AS u_ab,
+        |  CASE WHEN hbm = 0 THEN NULL
+        |    ELSE round(CAST(mim AS DOUBLE) / CAST(hbm AS DOUBLE), 6)
+        |  END AS u_ba
+        |FROM m""".stripMargin) { (s, d) =>
+      ops.CorpusStats.mutualInformation(
+        Tables.documents(s, d).select(col("source"), col("lang")),
+        "source", "lang")
+    },
+
     q("q_quality_score",
       """WITH base AS (
         |  SELECT doc_id,

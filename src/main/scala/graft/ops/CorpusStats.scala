@@ -1097,6 +1097,65 @@ object CorpusStats {
           .as("cramers_v"))
   }
 
+  /** Mutual information + Theil's uncertainty coefficients between two
+    * categorical columns — the information-theoretic completion of the
+    * association triangle next to [[chiSquareIndependence]] (significance
+    * / effect size) and [[cohenKappa]] (agreement on a SHARED label
+    * space): MI says how many nats knowing one label tells you about the
+    * other; U(A|B) = MI/H(A) and U(B|A) = MI/H(B) normalize it per
+    * DIRECTION (asymmetric — "source determines lang" and "lang
+    * determines source" are different claims, which Cramér's V can't
+    * distinguish).
+    *
+    * The [[vocabKl]] micro-log discipline: each cell's ln(o·n/(r·c)) and
+    * each marginal's ln(n/r) quantize to round(ln·10⁶) LONGs; Σ o·L and
+    * Σ r·L are exact DECIMAL(38) integer sums (order-independent), each
+    * divided ONCE by n in integer micro-units. Degenerate single-level
+    * marginals (H = 0) yield null for that direction's U. Output:
+    * (n, h_a, h_b, mi_nats, u_ab, u_ba).
+    *
+    * Scale shape: identical to chiSquareIndependence — one cell-grain
+    * aggregate, two marginal joins, broadcast total. */
+  def mutualInformation(df: DataFrame, colA: String,
+                        colB: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    def micLog(c: Column): Column = round(log(c) * lit(1e6)).cast("long")
+    def micOut(sum38: Column): Column =
+      round(sum38.cast("double") / col("_n").cast("double")).cast("long")
+    val base = df.where(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("_a"), col(colB).as("_b"))
+    val cells = base.groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+    val ra = base.groupBy(col("_a")).agg(count(lit(1)).as("_r"))
+    val cb = base.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+    val tot = base.agg(count(lit(1)).as("_n"))
+    val miSum = cells
+      .join(ra, Seq("_a")).join(cb, Seq("_b")).crossJoin(broadcast(tot))
+      .select(col("_n"),
+        (big(col("_o")) * micLog((big(col("_o")) * col("_n")).cast("double")
+          / (big(col("_r")) * col("_c")).cast("double"))).as("_t"))
+      .groupBy(col("_n")).agg(coalesce(sum(col("_t")), big(lit(0))).as("_mi"))
+    def entropy(marg: DataFrame, cnt: String, out: String): DataFrame =
+      marg.crossJoin(broadcast(tot))
+        .select(col("_n"),
+          (big(col(cnt)) * micLog(col("_n").cast("double")
+            / col(cnt).cast("double"))).as("_t"))
+        .groupBy(col("_n")).agg(coalesce(sum(col("_t")), big(lit(0))).as(out))
+    val j = miSum
+      .join(entropy(ra, "_r", "_ha"), Seq("_n"))
+      .join(entropy(cb, "_c", "_hb"), Seq("_n"))
+    j.select(col("_n").as("n"),
+      (micOut(col("_ha")).cast("double") / 1e6).as("h_a"),
+      (micOut(col("_hb")).cast("double") / 1e6).as("h_b"),
+      (micOut(col("_mi")).cast("double") / 1e6).as("mi_nats"),
+      when(micOut(col("_ha")) === 0, lit(null).cast("double"))
+        .otherwise(round(micOut(col("_mi")).cast("double")
+          / micOut(col("_ha")).cast("double"), 6)).as("u_ab"),
+      when(micOut(col("_hb")) === 0, lit(null).cast("double"))
+        .otherwise(round(micOut(col("_mi")).cast("double")
+          / micOut(col("_hb")).cast("double"), 6)).as("u_ba"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-data detector:
     * organically-generated positive amounts follow P(d) = log10(1+1/d);
     * synthetic or tampered figures usually don't. Reports per-digit

@@ -725,6 +725,41 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double, Option[Double])].collect().head._1 === 2L)
   }
 
+  test("mutualInformation: perfect dependence, independence, degenerate, replay") {
+    def mi(rows: Seq[(String, String)])
+        : (Long, Double, Double, Double, Option[Double], Option[Double]) =
+      CorpusStats.mutualInformation(rows.toDF("a", "b"), "a", "b")
+        .as[(Long, Double, Double, Double, Option[Double], Option[Double])]
+        .collect().head
+    // perfect 1:1 dependence -> MI = H(A) = H(B), both U = 1
+    val dep = mi(Seq.fill(3)(("x", "p")) ++ Seq.fill(3)(("y", "q")))
+    assert(dep._1 === 6L && dep._2 === dep._3 && dep._4 === dep._2)
+    assert(dep._5 === Some(1.0) && dep._6 === Some(1.0))
+    assert(math.abs(dep._2 - math.log(2.0)) < 1e-5)
+    // exact proportional independence -> every cell ratio is 1 -> MI = 0
+    val ind = mi(Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(2)(("y", "p")) ++ Seq.fill(2)(("y", "q")))
+    assert(ind._4 === 0.0 && ind._5 === Some(0.0))
+    // single-level A -> H(A) = 0 -> u_ab null; u_ba = 0/H(B) = 0
+    val deg = mi(Seq(("x", "p"), ("x", "q")))
+    assert(deg._2 === 0.0 && deg._5 === None && deg._6 === Some(0.0))
+    // replay on a skewed 2x3 table vs the direct formula
+    val rows = Seq.fill(5)(("x", "p")) ++ Seq.fill(1)(("x", "q")) ++
+      Seq.fill(2)(("x", "s")) ++ Seq.fill(1)(("y", "p")) ++
+      Seq.fill(4)(("y", "q")) ++ Seq.fill(3)(("y", "s"))
+    val got = mi(rows)
+    val n = rows.size.toDouble
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toDouble)
+    val rm = rows.groupBy(_._1).view.mapValues(_.size.toDouble)
+    val cm = rows.groupBy(_._2).view.mapValues(_.size.toDouble)
+    val exp = cells.map { case ((a, b), o) =>
+      o / n * math.log(o * n / (rm(a) * cm(b))) }.sum
+    assert(math.abs(got._4 - exp) < 1e-4, s"${got._4} vs $exp")
+    val expHa = rm.values.map(r => r / n * math.log(n / r)).sum
+    assert(math.abs(got._2 - expHa) < 1e-4)
+    assert(math.abs(got._5.get - got._4 / got._2) < 1e-4)
+  }
+
   test("quantileNormalize: hand mapping, identity, ties, null exclusion") {
     def qn(rows: Seq[(String, Long)]): Map[(String, Long), (Long, Long)] =
       CorpusStats.quantileNormalize(rows.toDF("g", "v"), "g", "v")
