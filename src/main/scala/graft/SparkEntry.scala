@@ -6846,6 +6846,41 @@ object SparkEntry {
     // re-derives it via the recursive FNV fold with the q_split_by_hash
     // sign shim (10⁶ is not a power of two), so copy COUNTS and epoch
     // indices hash-compare exactly.
+    // Exactly-balanced stratified k-fold (Mixing.stratifiedKFold): per
+    // stratum every fold's size differs by at most one (hash-mod splits
+    // are only binomially balanced); fold = (global hash-rank within
+    // stratum - 1) mod k, computed WITHOUT stratum-sized windows -- ranks
+    // are (stratum, bucket)-bounded windows plus a cumulative offset over
+    // the tiny (stratum x 1024-bucket) count grain.
+    q("q_kfold",
+      s"""WITH RECURSIVE docs0 AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |${fnvFoldCtes("kf", "docs0", "doc_id", "CAST(doc_id AS VARCHAR)")},
+        |hh AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
+        |         THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT)
+        |      AS hs
+        |  FROM docs0 d JOIN kf ON kf.k = d.doc_id),
+        |hb AS (SELECT doc_id, lang, hs,
+        |         ((hs % 1024) + 1024) % 1024 AS b FROM hh),
+        |counts AS (SELECT lang, b, count(*) AS c FROM hb GROUP BY 1, 2),
+        |offs AS (
+        |  SELECT lang, b, coalesce(sum(c) OVER (PARTITION BY lang ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        |  FROM counts),
+        |rk AS (
+        |  SELECT doc_id, lang, b, hs,
+        |    row_number() OVER (PARTITION BY lang, b ORDER BY hs, doc_id) AS rn
+        |  FROM hb)
+        |SELECT rk.doc_id, rk.lang, CAST((o + rn - 1) % 5 AS INT) AS fold
+        |FROM rk JOIN offs ON offs.lang = rk.lang AND offs.b = rk.b""".stripMargin) { (s, d) =>
+      ops.Mixing.stratifiedKFold(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", k = 5)
+    },
+
     q("q_epoch_mix",
       s"""WITH RECURSIVE docs0 AS (
         |  SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),

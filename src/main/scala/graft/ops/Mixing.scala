@@ -93,6 +93,51 @@ object Mixing {
     df.withColumn(splitCol, assigned)
   }
 
+  /** EXACTLY-balanced stratified k-fold assignment — the
+    * cross-validation splitter [[splitByHash]] can't be: a hash-mod
+    * split is only binomially balanced (a 5-fold over a 1 000-doc
+    * stratum routinely lands 180/220 folds, and rare strata can miss a
+    * fold entirely), while model comparison wants every fold to carry
+    * the SAME stratum composition. Here fold = (global rank of the row's
+    * hash within its stratum − 1) mod k, so per stratum every fold's
+    * size differs by at most one — and the hash order makes the folds
+    * pseudo-random with respect to any data attribute.
+    *
+    * Scale shape: NO stratum-sized window (row_number over a corpus-
+    * scale stratum is the single-task OOM shape). Rows hash-bucket into
+    * `buckets` sub-blocks per stratum; within-(stratum, bucket) ranks
+    * are bucket-bounded windows, and the bucket's global offset comes
+    * from a cumulative window over the tiny (stratum × buckets) count
+    * grain — the [[graft.ops.CorpusStats]] partition-offset idea with
+    * hash buckets instead of range partitions. Global rank = offset +
+    * local rank: exact, deterministic, partitioning-independent.
+    * Output: (idCol, stratumCol, fold 0..k−1); null id/stratum rows
+    * excluded. */
+  def stratifiedKFold(df: DataFrame, idCol: String, stratumCol: String,
+                      k: Int, buckets: Int = 1024): DataFrame = {
+    require(k >= 2, s"k must be ≥ 2: $k")
+    require(buckets >= 1, s"buckets must be ≥ 1: $buckets")
+    val W = org.apache.spark.sql.expressions.Window
+    val h = graft.functions.GraftFunctions.fnv64(col(idCol).cast("string"))
+    val base = df.where(col(idCol).isNotNull && col(stratumCol).isNotNull)
+      .select(col(idCol), col(stratumCol),
+        h.as("_h"), pmod(h, lit(buckets.toLong)).as("_b"))
+    val counts = base.groupBy(col(stratumCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(
+        W.partitionBy(col(stratumCol)).orderBy(col("_b"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .drop("_c")
+    base
+      .withColumn("_rn", row_number().over(
+        W.partitionBy(col(stratumCol), col("_b"))
+          .orderBy(col("_h"), col(idCol))))
+      .join(counts, Seq(stratumCol.replace("`", ""), "_b"))
+      .select(col(idCol), col(stratumCol),
+        pmod(col("_off") + col("_rn") - 1, lit(k.toLong)).cast("int")
+          .as("fold"))
+  }
+
   /** Deterministic EXACT-k sample per group — the fraction-free sibling of
     * [[mixByTemperature]] (a `sampleBy` fraction only hits its target size
     * in expectation; eval-set carving and per-domain caps need exactly k).

@@ -747,6 +747,39 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(out === Set((0L, 4L, 1), (0L, 2L, 2)))
   }
 
+  test("stratifiedKFold: exact per-stratum balance, repartition-invariant, tiny strata") {
+    // uneven strata, sizes not multiples of k, plus a stratum smaller than k
+    val rows = (1 to 503).map(i => (i.toLong, "s" + (i % 3))) ++
+      (1000L to 1001L).map(i => (i, "tiny"))
+    val df = rows.toDF("id", "g")
+    val got = Mixing.stratifiedKFold(df, "id", "g", k = 5)
+    val sizes = got.groupBy(col("g"), col("fold")).count()
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    for ((g, ss) <- sizes)
+      assert(ss.max - ss.min <= 1, s"stratum $g folds ${ss.toSeq}")
+    // every row assigned exactly once, folds in range
+    val all = got.as[(Long, String, Int)].collect()
+    assert(all.length === rows.size)
+    assert(all.forall(r => r._3 >= 0 && r._3 < 5))
+    // a 2-row stratum lands in 2 distinct folds (balance at n < k)
+    assert(all.filter(_._2 == "tiny").map(_._3).distinct.length === 2)
+    // deterministic and partitioning-independent
+    val again = Mixing.stratifiedKFold(df.repartition(7), "id", "g", 5)
+      .as[(Long, String, Int)].collect().toSet
+    assert(again === all.toSet)
+    // few buckets (forced collisions) still balance exactly
+    val small = Mixing.stratifiedKFold(df, "id", "g", 5, buckets = 4)
+      .groupBy(col("g"), col("fold")).count()
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    for ((g, ss) <- small) assert(ss.max - ss.min <= 1, s"buckets=4 $g")
+    // null id / stratum excluded
+    val withNull = Seq((Some(1L), Some("a")), (None, Some("a")),
+      (Some(2L), None)).toDF("id", "g")
+    assert(Mixing.stratifiedKFold(withNull, "id", "g", 5).count() === 1)
+  }
+
   test("sample k per group: exact k, window-equivalent, prefix-stable, repartition-invariant") {
     val docs = graft.Tables.documents(spark, TestSpark.sf).select("lang", "doc_id")
     val s5 = Mixing.sampleKPerGroup(docs, "lang", "doc_id", 5)
