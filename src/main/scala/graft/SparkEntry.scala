@@ -2237,6 +2237,52 @@ object SparkEntry {
       ops.Funnel.trendSlopes(Tables.events(s, d), "ts", "event_type")
     },
 
+    // Kaplan-Meier survival over user activity lifetimes (Funnel.
+    // kaplanMeier): right-censoring-honest churn curve -- users whose last
+    // event is within 7 days of corpus end leave the risk set without
+    // counting as churned; per churn time, ln(1 - d/n) quantizes to a
+    // micro-LONG and the product is an exact integer prefix sum, one
+    // shared exp at the end.
+    q("q_kaplan_meier",
+      """WITH u AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |mx AS (SELECT max(l) AS maxd FROM u),
+        |sp AS (
+        |  SELECT l - f AS t, (l <= maxd - INTERVAL 7 DAY) AS dead
+        |  FROM u, mx),
+        |g AS (
+        |  SELECT t, sum(CASE WHEN dead THEN 1 ELSE 0 END) AS d,
+        |    count(*) AS c
+        |  FROM sp GROUP BY t),
+        |e AS (
+        |  SELECT t, d, c,
+        |    coalesce(sum(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |    sum(c) OVER () AS total
+        |  FROM g),
+        |k AS (
+        |  SELECT t, d, total - below AS n,
+        |    CASE WHEN total - below > d
+        |      THEN CAST(round(ln(CAST(total - below - d AS DOUBLE)
+        |        / CAST(total - below AS DOUBLE)) * 1e6) AS BIGINT)
+        |      ELSE 0 END AS lmic
+        |  FROM e WHERE d > 0),
+        |s AS (
+        |  SELECT t, n, d,
+        |    sum(lmic) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM k)
+        |SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  CASE WHEN n = d THEN 0.0
+        |    ELSE round(exp(CAST(cum AS DOUBLE) / 1e6), 6) END AS s_hat
+        |FROM s""".stripMargin) { (s, d) =>
+      ops.Funnel.kaplanMeier(Tables.events(s, d), "ts", "user_id",
+        censorDays = 7)
+    },
+
     // Mann-Kendall trend test (Funnel.mannKendall): the significance
     // companion to q_trend/q_theil_sen -- S = sum of sign(x_j - x_i) over
     // day pairs (exact integer), tie-corrected Var(S) in DECIMAL38,

@@ -876,6 +876,67 @@ object Funnel {
           .otherwise(lit("flat")))
   }
 
+  /** Kaplan–Meier survival over user activity lifetimes — the
+    * right-censoring-honest churn curve: S(t) = Π_{t_i ≤ t}
+    * (1 − d_i/n_i) over observed churn times, where a user whose last
+    * event falls within `censorDays` of the corpus end is CENSORED (we
+    * only know they lived ≥ their observed span — counting them as
+    * churned is the classic retention-dashboard bias this estimator
+    * exists to fix; they leave the risk set without adding a death).
+    *
+    * Per user: span = datediff(last, first); churned iff last event ≤
+    * corpus-max − censorDays. Per distinct churn time t: d = churns at
+    * t, n_risk = users (churned OR censored) with span ≥ t. Exactness:
+    * d and n_risk are exact integers from two grain-level cumulative
+    * windows; ln(1 − d/n) = ln((n−d)/n) quantizes to a round(ln·10⁶)
+    * LONG per step and the product becomes an EXACT integer prefix sum
+    * over the time grain; S = exp(cum/10⁶) round-6 (one fixed-shape
+    * IEEE exp both engines share — the [[graft.ops.CorpusStats]]
+    * p-value discipline). Output one row per distinct churn time:
+    * (t_days, n_risk, n_events, s_hat), S monotone non-increasing.
+    *
+    * Scale shape: one user-grain aggregate over events (the only
+    * corpus-scale pass), then everything lives on the ≤ spine-sized
+    * distinct-span grain: two ordered windows + one prefix sum. */
+  def kaplanMeier(events: DataFrame, tsCol: String, userCol: String,
+                  censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be ≥ 0: $censorDays")
+    val W = org.apache.spark.sql.expressions.Window
+    val users = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("_first"),
+        to_date(max(col(tsCol))).as("_last"))
+    val maxLast = users.agg(max(col("_last")).as("_maxd"))
+    val spans = users.crossJoin(broadcast(maxLast))
+      .select(datediff(col("_last"), col("_first")).as("_t"),
+        (col("_last") <= date_sub(col("_maxd"), censorDays)).as("_dead"))
+    val grain = spans.groupBy(col("_t"))
+      .agg(sum(when(col("_dead"), 1L).otherwise(0L)).as("_d"),
+        count(lit(1)).as("_c"))
+    val wOrd = W.orderBy(col("_t"))
+    val enriched = grain
+      .withColumn("_below", coalesce(sum(col("_c")).over(
+        wOrd.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_total", sum(col("_c")).over(
+        wOrd.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .where(col("_d") > 0)
+      .withColumn("_n", col("_total") - col("_below"))
+      // n = d can only happen on the LAST death time (the whole remaining
+      // risk set churns): S steps to exactly 0 there — guard the ln(0)
+      .withColumn("_l", when(col("_n") > col("_d"),
+        round(log((col("_n") - col("_d")).cast("double")
+          / col("_n").cast("double")) * lit(1e6)).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("_cum", sum(col("_l")).over(
+        W.orderBy(col("_t")).rowsBetween(W.unboundedPreceding, 0)))
+    enriched.select(col("_t").as("t_days"), col("_n").as("n_risk"),
+      col("_d").as("n_events"),
+      when(col("_n") === col("_d"), lit(0.0))
+        .otherwise(round(exp(col("_cum").cast("double") / lit(1e6)), 6))
+        .as("s_hat"))
+  }
+
   /** The (type, day, x) daily-count table — the ADDITIVE ARTIFACT behind
     * [[cusumChangepoints]]: a standing pipeline materializes one slice per
     * micro-batch and folds with [[mergeDailyCounts]]; the monitor then

@@ -700,6 +700,43 @@ class FunnelSpec extends AnyFunSuite {
     assert(solo === ((1L, 0L, 0.0, "flat")))
   }
 
+  test("kaplanMeier: hand curve, censoring leaves risk set silently, S=0 edge") {
+    def ev(rows: (Long, Int, Int)*): org.apache.spark.sql.DataFrame =
+      rows.flatMap { case (u, f, l) => Seq((u, f), (u, l)) }
+        .map { case (u, day) => (u, f"2024-01-${day}%02d 12:00:00") }
+        .toDF("user_id", "tss")
+        .select(col("user_id"), col("tss").cast("timestamp").as("ts"))
+    def mic(x: Double): Long = math.round(math.log(x) * 1e6)
+    def s(cum: Long): Double = math.round(math.exp(cum / 1e6) * 1e6) / 1e6
+    // corpus max = day 28; censor cutoff day 21. spans: u1 1d(dead),
+    // u2 2d(censored, last 27), u3 3d(dead), u4 3d(dead),
+    // u5 5d(censored, last 28)
+    val km = Funnel.kaplanMeier(
+      ev((1L, 2, 3), (2L, 25, 27), (3L, 10, 13), (4L, 15, 18), (5L, 23, 28)),
+      "ts", "user_id", censorDays = 7)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    // t=1: n=5 d=1 -> S=0.8; t=3: risk {u3,u4,u5}=3, d=2 -> S=0.8*(1/3)
+    assert(km.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1, 5L, 1L), (3, 3L, 2L)))
+    assert(km(0)._4 === s(mic(4.0 / 5)))
+    assert(km(1)._4 === s(mic(4.0 / 5) + mic(1.0 / 3)))
+    // counting censored users as churned (the naive dashboard) would have
+    // put u2 in the deaths — here it only shrinks the t=3 risk set
+    assert(km(1)._2 === 3L)
+    // everyone dead, all remaining die at the last time -> S hits exactly 0
+    val all = Funnel.kaplanMeier(
+      ev((1L, 1, 2), (2L, 1, 3), (3L, 1, 3)), "ts", "user_id",
+      censorDays = 0)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(all.map(r => (r._1, r._2, r._3, r._4)).toSeq ===
+      Seq((1, 3L, 1L, s(mic(2.0 / 3))), (2, 2L, 2L, 0.0)))
+    // single-event users have span 0 and enter the risk set at t=0
+    val z = Funnel.kaplanMeier(
+      ev((1L, 1, 1), (2L, 2, 20)), "ts", "user_id", censorDays = 7)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(z.map(r => (r._1, r._2, r._3)).toSeq === Seq((0, 2L, 1L)))
+  }
+
   test("auc: hand pair-counting with ties, perfect and inverted separation") {
     def auc(rows: Seq[(Long, Boolean)]) =
       Funnel.aucScoreVsLabel(rows.toDF("score", "label"), "score", "label")
