@@ -2237,6 +2237,72 @@ object SparkEntry {
       ops.Funnel.trendSlopes(Tables.events(s, d), "ts", "event_type")
     },
 
+    // CUPED variance reduction (Funnel.cupedAdjust): per-arm post-period
+    // means adjusted by the pre-period covariate, theta = cov/var from
+    // exact DECIMAL38 cross-products, arm means via the CLOSED FORM over
+    // integer sums (never per-row float adjustment); pre/post split at
+    // the spine midpoint, arm = user_id % 2.
+    q("q_cuped",
+      """WITH b AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |sp AS (SELECT min(day) AS mn, max(day) AS mx FROM b),
+        |cut AS (SELECT mn + CAST((mx - mn) // 2 AS INTEGER) AS c FROM sp),
+        |u AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS arm,
+        |    sum(CASE WHEN day <= c THEN v ELSE 0 END) AS x,
+        |    sum(CASE WHEN day > c THEN v ELSE 0 END) AS y
+        |  FROM b, cut GROUP BY user_id),
+        |p AS (
+        |  SELECT count(*) AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+        |    sum(x::HUGEINT * y) AS sxy
+        |  FROM u),
+        |a AS (
+        |  SELECT arm, count(*) AS n_users,
+        |    sum(x::HUGEINT) AS ax, sum(y::HUGEINT) AS ay
+        |  FROM u GROUP BY 1),
+        |t AS (
+        |  SELECT n, sx,
+        |    CASE WHEN n * sxx - sx * sx <= 0 THEN 0.0
+        |      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+        |      THEN 0.0
+        |      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |          * CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |          * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho2
+        |  FROM p)
+        |SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+        |  round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0, 6)
+        |    AS raw_mean,
+        |  round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0
+        |    - theta * (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6)
+        |    AS adj_mean,
+        |  round(theta, 6) AS theta, round(rho2, 6) AS rho2
+        |FROM a, t""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("_day"),
+          roundAway(col("value") * 100).cast("long").as("_v"))
+      val cut = ev.agg(min(col("_day")).as("_mn"), max(col("_day")).as("_mx"))
+        .select(date_add(col("_mn"),
+          shiftright(datediff(col("_mx"), col("_mn")), 1).cast("int"))
+          .as("_c"))
+      val u = ev.crossJoin(broadcast(cut)).groupBy(col("user_id"))
+        .agg(sum(when(col("_day") <= col("_c"), col("_v")).otherwise(0L))
+            .as("x"),
+          sum(when(col("_day") > col("_c"), col("_v")).otherwise(0L))
+            .as("y"))
+        .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+          col("x"), col("y"))
+      ops.Funnel.cupedAdjust(u, "arm", "x", "y", scale = 100L)
+    },
+
     // Kaplan-Meier survival over user activity lifetimes (Funnel.
     // kaplanMeier): right-censoring-honest churn curve -- users whose last
     // event is within 7 days of corpus end leave the risk set without

@@ -876,6 +876,68 @@ object Funnel {
           .otherwise(lit("flat")))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013) — the standard
+    * experimentation trick next to [[abTestConversion]]: adjust each
+    * arm's post-period metric by its pre-period covariate,
+    * ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled across arms, so
+    * between-user variance that existed BEFORE the experiment stops
+    * drowning the treatment effect (sample-size-equivalent gain ≈
+    * 1/(1−ρ²)).
+    *
+    * Exactness: inputs arrive as integer-scaled user-grain values (the
+    * cents/micro contract); all five pooled sums and the per-arm sums
+    * are exact DECIMAL(38) integers, θ is ONE double division of exact
+    * cross-products n·Σxy − Σx·Σy over n·Σx² − (Σx)², and each arm's
+    * adjusted mean uses the CLOSED FORM adj = ȳ_a − θ·(x̄_a − x̄) over
+    * those integers — never a per-row float sum, so results are
+    * order-independent. ρ² = (n·Σxy − ΣxΣy)²/((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+    * rides the same integers. Zero pre-period variance (or a single
+    * user) degrades to θ = 0 — CUPED becomes a no-op, not a crash.
+    *
+    * Scale shape: one arm-grain aggregate + one 1-row pooled aggregate
+    * broadcast back; nothing beyond arm cardinality shuffles. Output:
+    * (arm, n_users, raw_mean, adj_mean, theta, rho2) — means in input
+    * units via `scale`. */
+  def cupedAdjust(users: DataFrame, armCol: String, preCol: String,
+                  postCol: String, scale: Long = 100L): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val base = users.where(col(armCol).isNotNull &&
+        col(preCol).isNotNull && col(postCol).isNotNull)
+      .select(col(armCol).as("_a"), col(preCol).as("_x"), col(postCol).as("_y"))
+    val pooled = base.agg(count(lit(1)).cast(dec38).as("_n"),
+      coalesce(sum(big(col("_x"))), big(lit(0))).as("_sx"),
+      coalesce(sum(big(col("_y"))), big(lit(0))).as("_sy"),
+      coalesce(sum(big(col("_x")) * col("_x")), big(lit(0))).as("_sxx"),
+      coalesce(sum(big(col("_y")) * col("_y")), big(lit(0))).as("_syy"),
+      coalesce(sum(big(col("_x")) * col("_y")), big(lit(0))).as("_sxy"))
+    val arms = base.groupBy(col("_a"))
+      .agg(count(lit(1)).as("n_users"),
+        coalesce(sum(big(col("_x"))), big(lit(0))).as("_ax"),
+        coalesce(sum(big(col("_y"))), big(lit(0))).as("_ay"))
+    val covN = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val varXN = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val varYN = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val theta = when(varXN <= 0, lit(0.0))
+      .otherwise(covN.cast("double") / varXN.cast("double"))
+    val rho2 = when(varXN <= 0 || varYN <= 0, lit(0.0))
+      .otherwise(covN.cast("double") * covN.cast("double")
+        / (varXN.cast("double") * varYN.cast("double")))
+    val sD = lit(scale.toDouble)
+    val rawMean = (col("_ay").cast("double")
+      / col("n_users").cast("double") / sD)
+    val adjMean = (rawMean - theta
+      * (col("_ax").cast("double") / col("n_users").cast("double")
+        - col("_sx").cast("double") / col("_n").cast("double")) / sD)
+    arms.crossJoin(broadcast(pooled))
+      .select(col("_a").as(armCol), col("n_users"),
+        round(rawMean, 6).as("raw_mean"),
+        round(adjMean, 6).as("adj_mean"),
+        round(theta, 6).as("theta"),
+        round(rho2, 6).as("rho2"))
+  }
+
   /** Kaplan–Meier survival over user activity lifetimes — the
     * right-censoring-honest churn curve: S(t) = Π_{t_i ≤ t}
     * (1 − d_i/n_i) over observed churn times, where a user whose last

@@ -700,6 +700,35 @@ class FunnelSpec extends AnyFunSuite {
     assert(solo === ((1L, 0L, 0.0, "flat")))
   }
 
+  test("cupedAdjust: perfect covariate collapses arms, effect preserved, degenerate") {
+    def cuped(rows: Seq[(Int, Long, Long)]): Map[Int, (Long, Double, Double, Double, Double)] =
+      Funnel.cupedAdjust(rows.toDF("arm", "x", "y"), "arm", "x", "y",
+          scale = 1L)
+        .as[(Int, Long, Double, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // y = 2x exactly: theta = 2, rho2 = 1, and BOTH arms' adjusted means
+    // collapse to 2*pooled-mean — all between-arm difference was
+    // pre-existing covariate imbalance
+    val perfect = cuped(Seq((0, 1L, 2L), (0, 2L, 4L), (1, 5L, 10L), (1, 6L, 12L)))
+    assert(perfect(0)._4 === 2.0 && perfect(0)._5 === 1.0)
+    val pooledMean2 = 2.0 * (1 + 2 + 5 + 6) / 4.0
+    assert(perfect(0)._3 === pooledMean2 && perfect(1)._3 === pooledMean2)
+    assert(perfect(0)._2 === 3.0 && perfect(1)._2 === 11.0) // raw means differ
+    // treatment effect orthogonal to the covariate survives adjustment:
+    // symmetric x across arms, arm1 y = x + 10 -> adj diff exactly 10
+    val eff = cuped(Seq((0, 1L, 1L), (0, 3L, 3L), (1, 1L, 11L), (1, 3L, 13L)))
+    assert(eff(1)._3 - eff(0)._3 === 10.0)
+    assert(eff(1)._2 - eff(0)._2 === 10.0)
+    // zero pre-period variance -> theta = 0, CUPED is a no-op
+    val deg = cuped(Seq((0, 7L, 1L), (0, 7L, 3L), (1, 7L, 5L)))
+    assert(deg(0)._4 === 0.0 && deg(0)._5 === 0.0)
+    assert(deg(0)._3 === deg(0)._2 && deg(1)._3 === deg(1)._2)
+    // nulls excluded
+    val withNull = Seq((Some(0), Some(1L), Some(2L)), (None, Some(1L), Some(2L)),
+      (Some(1), None, Some(2L))).toDF("arm", "x", "y")
+    assert(Funnel.cupedAdjust(withNull, "arm", "x", "y", 1L).count() === 1)
+  }
+
   test("kaplanMeier: hand curve, censoring leaves risk set silently, S=0 edge") {
     def ev(rows: (Long, Int, Int)*): org.apache.spark.sql.DataFrame =
       rows.flatMap { case (u, f, l) => Seq((u, f), (u, l)) }
