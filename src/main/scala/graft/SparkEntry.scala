@@ -2349,6 +2349,75 @@ object SparkEntry {
         censorDays = 7)
     },
 
+    // Two-group log-rank test (Funnel.logRank over Funnel.userSpans):
+    // "do even and odd user cohorts churn at different rates" -- O_A
+    // exact integer, per-time E and hypergeometric V terms micro-rounded
+    // LONGs before the cross-time sums, chi-square on the rounded values.
+    q("q_logrank",
+      """WITH u AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |mx AS (SELECT max(l) AS maxd FROM u),
+        |sp AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS g, l - f AS t,
+        |    (l <= maxd - INTERVAL 7 DAY) AS dd
+        |  FROM u, mx),
+        |gv AS (
+        |  SELECT g, t, sum(CASE WHEN dd THEN 1 ELSE 0 END) AS dg,
+        |    count(*) AS cg
+        |  FROM sp GROUP BY 1, 2),
+        |times AS (SELECT DISTINCT t FROM sp),
+        |groups AS (SELECT g, count(*) AS ng FROM sp GROUP BY 1),
+        |dense AS (
+        |  SELECT gr.g, ti.t, gr.ng, coalesce(gv.dg, 0) AS dg,
+        |    coalesce(gv.cg, 0) AS cg
+        |  FROM times ti CROSS JOIN groups gr
+        |  LEFT JOIN gv ON gv.g = gr.g AND gv.t = ti.t),
+        |cum AS (
+        |  SELECT g, t, dg,
+        |    ng - coalesce(sum(cg) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nrisk
+        |  FROM dense),
+        |bt AS (
+        |  SELECT t,
+        |    sum(CASE WHEN g = 0 THEN dg ELSE 0 END) AS da, sum(dg) AS d,
+        |    sum(CASE WHEN g = 0 THEN nrisk ELSE 0 END) AS na,
+        |    sum(nrisk) AS n
+        |  FROM cum GROUP BY t HAVING sum(dg) > 0 AND sum(nrisk) > 1),
+        |terms AS (
+        |  SELECT da,
+        |    CAST(round(CAST(d AS DOUBLE) * CAST(na AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS em,
+        |    CAST(round(CAST(d AS DOUBLE)
+        |      * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(n - na AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS vm
+        |  FROM bt),
+        |s AS (SELECT coalesce(sum(da), 0) AS oa, coalesce(sum(em), 0) AS e,
+        |        coalesce(sum(vm), 0) AS v FROM terms),
+        |naa AS (SELECT ng AS n_a FROM groups WHERE g = 0),
+        |nbb AS (SELECT ng AS n_b FROM groups WHERE g = 1)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(oa AS BIGINT) AS o_a,
+        |  round(CAST(e AS DOUBLE) / 1e6, 6) AS e_a,
+        |  CASE WHEN v = 0 THEN NULL
+        |    ELSE round((CAST(oa AS DOUBLE) - CAST(e AS DOUBLE) / 1e6)
+        |      * (CAST(oa AS DOUBLE) - CAST(e AS DOUBLE) / 1e6)
+        |      / (CAST(v AS DOUBLE) / 1e6), 6) END AS chi2,
+        |  CASE WHEN v = 0 THEN NULL
+        |    ELSE round((CAST(oa AS DOUBLE) - CAST(e AS DOUBLE) / 1e6)
+        |      * (CAST(oa AS DOUBLE) - CAST(e AS DOUBLE) / 1e6)
+        |      / (CAST(v AS DOUBLE) / 1e6), 6) > 3.841 END AS significant
+        |FROM s, naa, nbb""".stripMargin) { (s, d) =>
+      val spans = ops.Funnel.userSpans(Tables.events(s, d), "ts", "user_id",
+          censorDays = 7)
+        .select(pmod(col("user_id"), lit(2)).cast("int").as("g"),
+          col("_t"), col("_dead"))
+      ops.Funnel.logRank(spans, "g", "_t", "_dead")
+    },
+
     // Mann-Kendall trend test (Funnel.mannKendall): the significance
     // companion to q_trend/q_theil_sen -- S = sum of sign(x_j - x_i) over
     // day pairs (exact integer), tie-corrected Var(S) in DECIMAL38,

@@ -876,6 +876,108 @@ object Funnel {
           .otherwise(lit("flat")))
   }
 
+  /** Per-user observed activity span + churn status — the shared input
+    * grain of [[kaplanMeier]] and [[logRank]]: span = datediff(last,
+    * first) event date; churned iff the last event is at least
+    * `censorDays` before the corpus's max date (otherwise the user is
+    * right-censored — still alive as far as the data can say). One
+    * user-grain aggregate over events + a broadcast 1-row max. Output:
+    * (userCol, _t, _dead). */
+  def userSpans(events: DataFrame, tsCol: String, userCol: String,
+                censorDays: Int): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be ≥ 0: $censorDays")
+    val users = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("_first"),
+        to_date(max(col(tsCol))).as("_last"))
+    val maxLast = users.agg(max(col("_last")).as("_maxd"))
+    users.crossJoin(broadcast(maxLast))
+      .select(col(userCol), datediff(col("_last"), col("_first")).as("_t"),
+        (col("_last") <= date_sub(col("_maxd"), censorDays)).as("_dead"))
+  }
+
+  /** Two-group log-rank test — "do these two cohorts churn at different
+    * rates", the hypothesis-test companion to [[kaplanMeier]]'s curve
+    * (eyeballing two KM curves is not a test): at every pooled churn
+    * time, compare group A's observed deaths to its expectation under
+    * the null that both groups share one hazard, O_A − E_A =
+    * Σ_t (d_At − d_t·n_At/n_t), with the hypergeometric variance
+    * V = Σ_t d_t·(n_At/n_t)·(n_Bt/n_t)·(n_t − d_t)/(n_t − 1); χ² =
+    * (O−E)²/V is 1-df chi-square under the null (3.841 = 95 %).
+    *
+    * Determinism: O is an exact integer; each E_t and V_t term is ONE
+    * fixed-shape IEEE expression over exact integers, micro-rounded to
+    * a LONG before the cross-time sums (the χ² per-cell discipline) —
+    * order-independent; χ² and the 3.841 call use the ROUNDED values so
+    * both engines agree. Risk counts come from a dense (time × group)
+    * frame (the [[graft.ops.CorpusStats.ksStatisticBy]] device — n_At
+    * must exist at pooled times where A has no span). Times with
+    * n_t ≤ 1 or d_t = 0 contribute nothing; V = 0 (no comparable
+    * times) yields null χ².
+    *
+    * Scale shape: the user-grain span table collapses to the (time,
+    * group) grain; the dense frame is ≤ spine × 2 rows. Output:
+    * (n_a, n_b, o_a, e_a, chi2, significant). */
+  def logRank(spans: DataFrame, groupCol: String, timeCol: String,
+              deadCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = spans.where(col(groupCol).isNotNull &&
+        col(timeCol).isNotNull && col(deadCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(timeCol).as("_t"),
+        col(deadCol).cast("boolean").as("_dd"))
+    val gv = base.groupBy(col("_g"), col("_t"))
+      .agg(sum(when(col("_dd"), 1L).otherwise(0L)).as("_dg"),
+        count(lit(1)).as("_cg"))
+    val times = base.groupBy(col("_t")).agg(lit(1).as("_one")).drop("_one")
+    val groups = base.groupBy(col("_g")).agg(count(lit(1)).as("_ng"))
+    val dense = times.crossJoin(groups.select(col("_g"), col("_ng")))
+      .join(gv, Seq("_g", "_t"), "left_outer")
+      .select(col("_g"), col("_t"), col("_ng"),
+        coalesce(col("_dg"), lit(0L)).as("_dg"),
+        coalesce(col("_cg"), lit(0L)).as("_cg"))
+      .withColumn("_below", coalesce(sum(col("_cg")).over(
+        W.partitionBy(col("_g")).orderBy(col("_t"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_nrisk", col("_ng") - col("_below"))
+    // two-group pivot on the time grain: smallest group value = A
+    val gVals = groups.select(col("_g")).orderBy(col("_g"))
+      .collect().map(_.get(0))
+    require(gVals.length == 2,
+      s"logRank requires exactly 2 groups, got ${gVals.length}")
+    val byTime = dense.groupBy(col("_t"))
+      .agg(sum(when(col("_g") === gVals(0), col("_dg")).otherwise(0L)).as("_da"),
+        sum(col("_dg")).as("_d"),
+        sum(when(col("_g") === gVals(0), col("_nrisk")).otherwise(0L)).as("_na"),
+        sum(col("_nrisk")).as("_n"))
+      .where(col("_d") > 0 && col("_n") > 1)
+    val eMic = round(col("_d").cast("double") * col("_na").cast("double")
+      / col("_n").cast("double") * lit(1e6)).cast("long")
+    val vMic = round(col("_d").cast("double")
+      * (col("_na").cast("double") / col("_n").cast("double"))
+      * ((col("_n") - col("_na")).cast("double") / col("_n").cast("double"))
+      * ((col("_n") - col("_d")).cast("double")
+        / (col("_n") - 1).cast("double")) * lit(1e6)).cast("long")
+    val sums = byTime
+      .agg(coalesce(sum(col("_da")), lit(0L)).as("_oa"),
+        coalesce(sum(eMic), lit(0L)).as("_e"),
+        coalesce(sum(vMic), lit(0L)).as("_v"))
+    val nA = groups.where(col("_g") === gVals(0))
+      .select(col("_ng").as("n_a"))
+    val nB = groups.where(col("_g") === gVals(1))
+      .select(col("_ng").as("n_b"))
+    val chi2 = ((col("_oa").cast("double") - col("_e").cast("double") / 1e6)
+      * (col("_oa").cast("double") - col("_e").cast("double") / 1e6)
+      / (col("_v").cast("double") / 1e6))
+    sums.crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+      .select(col("n_a"), col("n_b"), col("_oa").as("o_a"),
+        round(col("_e").cast("double") / 1e6, 6).as("e_a"),
+        when(col("_v") === 0, lit(null).cast("double"))
+          .otherwise(round(chi2, 6)).as("chi2"),
+        when(col("_v") === 0, lit(null).cast("boolean"))
+          .otherwise(round(chi2, 6) > 3.841).as("significant"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013) — the standard
     * experimentation trick next to [[abTestConversion]]: adjust each
     * arm's post-period metric by its pre-period covariate,
@@ -962,17 +1064,9 @@ object Funnel {
     * distinct-span grain: two ordered windows + one prefix sum. */
   def kaplanMeier(events: DataFrame, tsCol: String, userCol: String,
                   censorDays: Int = 7): DataFrame = {
-    require(censorDays >= 0, s"censorDays must be ≥ 0: $censorDays")
     val W = org.apache.spark.sql.expressions.Window
-    val users = events
-      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .groupBy(col(userCol))
-      .agg(to_date(min(col(tsCol))).as("_first"),
-        to_date(max(col(tsCol))).as("_last"))
-    val maxLast = users.agg(max(col("_last")).as("_maxd"))
-    val spans = users.crossJoin(broadcast(maxLast))
-      .select(datediff(col("_last"), col("_first")).as("_t"),
-        (col("_last") <= date_sub(col("_maxd"), censorDays)).as("_dead"))
+    val spans = userSpans(events, tsCol, userCol, censorDays)
+      .select(col("_t"), col("_dead"))
     val grain = spans.groupBy(col("_t"))
       .agg(sum(when(col("_dead"), 1L).otherwise(0L)).as("_d"),
         count(lit(1)).as("_c"))

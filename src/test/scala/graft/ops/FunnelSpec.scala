@@ -700,6 +700,47 @@ class FunnelSpec extends AnyFunSuite {
     assert(solo === ((1L, 0L, 0.0, "flat")))
   }
 
+  test("logRank: identical curves chi2 ~ 0, separated curves significant, replay") {
+    def lr(rows: Seq[(Int, Long, Boolean)])
+        : (Long, Long, Long, Double, Option[Double], Option[Boolean]) =
+      Funnel.logRank(rows.toDF("g", "t", "dd"), "g", "t", "dd")
+        .as[(Long, Long, Long, Double, Option[Double], Option[Boolean])]
+        .collect().head
+    // identical span/death structure in both groups -> O = E, chi2 = 0
+    val same = (1 to 20).flatMap(i => Seq((0, i.toLong % 5, i % 3 == 0),
+      (1, i.toLong % 5, i % 3 == 0)))
+    val gs = lr(same)
+    assert(gs._1 === 20L && gs._2 === 20L)
+    assert(gs._5.get === 0.0 && gs._6 === Some(false))
+    // group 0 all dies at t=1, group 1 survives (censored) far out
+    val sep = Seq.fill(10)((0, 1L, true)) ++ Seq.fill(10)((1, 9L, false))
+    val gsep = lr(sep)
+    assert(gsep._3 === 10L && gsep._5.get > 3.841 && gsep._6 === Some(true))
+    // hand replay on a small mixed case (micro-exact E and V terms)
+    val rows = Seq((0, 1L, true), (0, 2L, true), (0, 3L, false),
+      (1, 1L, false), (1, 2L, true), (1, 3L, true))
+    val got = lr(rows)
+    // pooled death times: t=1 (d=1: g0), t=2 (d=2: one each), t=3 (d=1: g1)
+    // t=1: na=3, n=6; t=2: na=2, n=4; t=3: na=1, n=2
+    def em(d: Long, na: Long, n: Long): Long =
+      math.round(d.toDouble * na / n * 1e6)
+    def vm(d: Long, na: Long, n: Long): Long =
+      math.round(d.toDouble * (na.toDouble / n) * ((n - na).toDouble / n)
+        * ((n - d).toDouble / (n - 1)) * 1e6)
+    val e = em(1, 3, 6) + em(2, 2, 4) + em(1, 1, 2)
+    val v = vm(1, 3, 6) + vm(2, 2, 4) + vm(1, 1, 2)
+    val oa = 2.0
+    val chi = (oa - e / 1e6) * (oa - e / 1e6) / (v / 1e6)
+    assert(got._3 === 2L)
+    assert(got._4 === math.round(e / 1e6 * 1e6) / 1e6)
+    assert(math.abs(got._5.get - chi) < 1e-5, s"${got._5} vs $chi")
+    // exactly two groups required
+    intercept[IllegalArgumentException] {
+      Funnel.logRank(Seq((0, 1L, true), (1, 1L, true), (2, 1L, true))
+        .toDF("g", "t", "dd"), "g", "t", "dd").collect()
+    }
+  }
+
   test("cupedAdjust: perfect covariate collapses arms, effect preserved, degenerate") {
     def cuped(rows: Seq[(Int, Long, Long)]): Map[Int, (Long, Double, Double, Double, Double)] =
       Funnel.cupedAdjust(rows.toDF("arm", "x", "y"), "arm", "x", "y",
