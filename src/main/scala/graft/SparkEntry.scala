@@ -2577,6 +2577,86 @@ object SparkEntry {
       ops.Funnel.aucScoreVsLabel(pu, "score", "label")
     },
 
+    // Lorenz concentration curve (CorpusStats.lorenzCurve): the decile
+    // curve behind q_gini's scalar -- tie-exact via value-grain rank
+    // interval overlaps (partition-offset cumulative, no per-row decile
+    // assignment), counts and value sums exact DECIMAL38, one divide per
+    // share.
+    q("q_lorenz",
+      """WITH pu AS (
+        |  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |g AS (SELECT v, count(*) AS m FROM pu GROUP BY v),
+        |c AS (
+        |  SELECT v, m, coalesce(sum(m) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g),
+        |t AS (SELECT sum(m) AS n, sum(CAST(v AS HUGEINT) * m) AS tv FROM g),
+        |x AS (
+        |  SELECT c.v, c.m, c.cb, t.n, t.tv, CAST(d.d AS INT) AS decile
+        |  FROM c, t, (SELECT unnest(range(1, 11)) AS d) d),
+        |o AS (
+        |  SELECT decile, v, tv,
+        |    greatest(0, least(cb + m, (CAST(decile AS HUGEINT) * n) // 10)
+        |      - greatest(cb, (CAST(decile - 1 AS HUGEINT) * n) // 10)) AS ov
+        |  FROM x),
+        |a AS (
+        |  SELECT decile, max(tv) AS tv, sum(ov) AS n_rows,
+        |    coalesce(sum(CAST(ov AS HUGEINT) * v), 0) AS dv
+        |  FROM o WHERE ov > 0 GROUP BY decile)
+        |SELECT decile, CAST(n_rows AS BIGINT) AS n_rows,
+        |  round(CAST(dv AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS value_share,
+        |  round(CAST(sum(dv) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(tv AS DOUBLE), 6) AS cum_share
+        |FROM a""".stripMargin) { (s, d) =>
+      val pu = Tables.events(s, d)
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(roundAway(col("value") * 100).cast("long")).as("v"))
+      ops.CorpusStats.lorenzCurve(pu, "v", buckets = 10)
+    },
+
+    // Per-segment AUC (Funnel.aucByGroup): q_auc's score/label sliced by
+    // user cohort (user_id % 4) -- the fairness/robustness eval slice;
+    // identical doubled-midrank rank-sum arithmetic with every window
+    // partitioned by the segment; single-class segments dropped.
+    q("q_auc_by_segment",
+      """WITH pu AS (
+        |  SELECT CAST(user_id % 4 AS INT) AS seg,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+        |      > count(*) AS label
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT seg, score AS s, count(*) AS n,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS np
+        |  FROM pu GROUP BY seg, score),
+        |r AS (
+        |  SELECT seg, s, n, np,
+        |    coalesce(sum(n) OVER (PARTITION BY seg ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g),
+        |a AS (
+        |  SELECT seg, CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |    sum(CAST(np AS HUGEINT) * (2 * cb + n + 1)) AS r2
+        |  FROM r GROUP BY seg)
+        |SELECT seg, n_pos, n_neg,
+        |  round(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+        |    / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 6) AS auc
+        |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin) { (s, d) =>
+      val pu = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("score"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5
+            > count(lit(1))).as("label"))
+        .select(pmod(col("user_id"), lit(4)).cast("int").as("seg"),
+          col("score"), col("label"))
+      ops.Funnel.aucByGroup(pu, "seg", "score", "label")
+    },
+
     // Multi-touch attribution (Funnel.attribution): first/last/linear
     // credit per channel for every purchase, over the touches since the
     // user's previous purchase. Linear credit is exact micro-unit

@@ -908,6 +908,58 @@ object CorpusStats {
       .drop("_pid", "_off")
   }
 
+  /** Lorenz concentration curve — the decile curve BEHIND
+    * [[giniConcentration]]'s scalar: "the bottom 50 % of users hold 9 %
+    * of the value, the top decile holds 44 %" — the shape the gini
+    * number summarizes away, and the dashboard view every whale-risk /
+    * data-concentration conversation actually needs.
+    *
+    * Tie-exact without any per-row decile assignment: rows collapse to
+    * the value grain with [[distributedCumCounts]] rank intervals
+    * (partition-offset, no single-task window); decile d covers ranks
+    * ((d−1)·n) div B + 1 … (d·n) div B, and each grain row contributes
+    * its INTEGER rank-interval overlap × its value — tied rows straddle
+    * a boundary deterministically because every unit of overlap carries
+    * the same value. Counts and value sums are exact DECIMAL(38)
+    * integers; shares are one divide each, round-6; the cumulative runs
+    * over the B-row result. Output: (decile 1..B, n_rows, value_share,
+    * cum_share) with cum_share(B) = 1.
+    *
+    * Scale shape: one value-grain aggregate + the partition-offset
+    * cumulative + a ≤ B-per-grain-row explode; the B-row tail is free. */
+  def lorenzCurve(df: DataFrame, valueCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be ≥ 2: $buckets")
+    val dec38 = DecimalType(38, 0)
+    def big(c: Column): Column = c.cast(dec38)
+    val W = org.apache.spark.sql.expressions.Window
+    val grains = distributedCumCounts(
+      df.where(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as("_m")), "_v")
+    val totals = grains.agg(
+      coalesce(sum(col("_m")), lit(0L)).as("_n"),
+      coalesce(sum(big(col("_v")) * col("_m")), big(lit(0))).as("_tv"))
+    val contrib = grains.crossJoin(broadcast(totals))
+      .select(col("_v"), col("_m"), col("_cum_before"), col("_n"), col("_tv"),
+        explode(sequence(lit(1), lit(buckets))).as("decile"))
+      .withColumn("_bLo", expr(s"(CAST(decile - 1 AS BIGINT) * _n) div $buckets"))
+      .withColumn("_bHi", expr(s"(CAST(decile AS BIGINT) * _n) div $buckets"))
+      .withColumn("_ov", greatest(lit(0L),
+        least(col("_cum_before") + col("_m"), col("_bHi"))
+          - greatest(col("_cum_before"), col("_bLo"))))
+      .where(col("_ov") > 0)
+    contrib.groupBy(col("decile"))
+      .agg(max(col("_tv")).as("_tv"),
+        sum(col("_ov")).as("n_rows"),
+        coalesce(sum(big(col("_ov")) * col("_v")), big(lit(0))).as("_dv"))
+      .select(col("decile"), col("n_rows"),
+        round(col("_dv").cast("double") / col("_tv").cast("double"), 6)
+          .as("value_share"),
+        round(sum(col("_dv")).over(
+            W.orderBy(col("decile")).rowsBetween(W.unboundedPreceding, 0))
+          .cast("double") / col("_tv").cast("double"), 6).as("cum_share"))
+  }
+
   /** Spearman rank correlation — [[exactCorrelation]]'s Pearson run on
     * midranks: monotone-association strength that outlier magnitudes and
     * nonlinear (but monotone) relationships can't distort, the robust

@@ -725,6 +725,33 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double, Option[Double])].collect().head._1 === 2L)
   }
 
+  test("lorenzCurve: uniform flat, whale concentration, boundary ties exact") {
+    def lz(vals: Seq[Long], b: Int = 10): Seq[(Int, Long, Double, Double)] =
+      CorpusStats.lorenzCurve(vals.toDF("v"), "v", b)
+        .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // 20 equal values: every decile holds 2 rows and exactly 0.1 share
+    val flat = lz(Seq.fill(20)(5L))
+    assert(flat.map(_._2) === Seq.fill(10)(2L))
+    assert(flat.forall(r => r._3 === 0.1))
+    assert(flat.last._4 === 1.0)
+    // 99 rows of value 1 + one whale of 9901: top decile = 0.9901 + 9/10000
+    val whale = lz(Seq.fill(99)(1L) :+ 9901L)
+    assert(whale.map(_._2).sum === 100L)
+    assert(whale.last._3 === (9901.0 + 9) / 10000.0)
+    assert(whale.take(9).forall(r => r._3 === 10.0 / 10000.0))
+    assert(whale.last._4 === 1.0)
+    // a tie block straddling a boundary splits deterministically: 15 rows
+    // over 10 deciles -> sizes floor-interval pattern, total preserved
+    val tied = lz((1 to 5).map(_.toLong) ++ Seq.fill(10)(3L))
+    assert(tied.map(_._2).sum === 15L)
+    assert(tied.map(_._2).max - tied.map(_._2).min <= 1)
+    assert(tied.last._4 === 1.0)
+    // cum_share is the running sum of value_share (round-6 consistent)
+    val cums = tied.scanLeft(0.0)((a, r) => a + r._3).tail
+    tied.zip(cums).foreach { case (r, c) =>
+      assert(math.abs(r._4 - c) < 5e-6, s"decile ${r._1}") }
+  }
+
   test("mutualInformation: perfect dependence, independence, degenerate, replay") {
     def mi(rows: Seq[(String, String)])
         : (Long, Double, Double, Double, Option[Double], Option[Double]) =

@@ -823,4 +823,31 @@ class FunnelSpec extends AnyFunSuite {
     assert(auc(Seq((1L, true), (2L, true))).isEmpty)
   }
 
+  test("aucByGroup: per-group equals ungrouped per slice, single-class dropped") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 400).map { i =>
+      val g = s"g${i % 3}"
+      val label = rnd.nextBoolean()
+      val score = (rnd.nextInt(30) + (if (label) i % 3 * 4 else 0)).toLong
+      (g, score, label)
+    }
+    val got = Funnel.aucByGroup(rows.toDF("g", "score", "label"),
+        "g", "score", "label")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = rows.filter(_._1 == g).map(r => (r._2, r._3))
+      val exp = Funnel.aucScoreVsLabel(slice.toDF("score", "label"),
+          "score", "label")
+        .as[(Long, Long, Double)].collect().head
+      assert(got(g) === ((exp._1, exp._2, exp._3)), s"group $g")
+    }
+    // a single-class group is dropped; the others survive
+    val mixed = rows ++ Seq.fill(5)(("onlypos", 9L, true))
+    val m = Funnel.aucByGroup(mixed.toDF("g", "score", "label"),
+        "g", "score", "label")
+      .as[(String, Long, Long, Double)].collect().map(_._1).toSet
+    assert(m === Set("g0", "g1", "g2"))
+  }
+
 }
