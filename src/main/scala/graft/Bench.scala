@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints THREE JSON lines — full cold detail,
   * full warm detail (incl. the full error map), then the headline
   * `{"metric":"total","unit":"sec","sf":…,"failed":[names],
-  * "cold_value":…,"oracle_value":…,"n_queries":…,
+  * "stale_adjudications":[…],"cold_value":…,"oracle_value":…,
+  * "n_queries":…,
   * "queries":{slowest-first subset},"value":…}` LAST, sized to survive
   * the driver's 2000-byte log-tail capture (a full 100+-entry map cannot).
   * All three lines are also written to `BENCH_SELF.jsonl` in the working
@@ -268,10 +269,47 @@ object Bench {
     // whatever the error list consumes.
     val errNames = results.collect { case R(k, _, _, _, Some(_), _) => jstr(k) }
       .mkString("[", ",", "]")
+    // Stale-adjudication detector (r12 verdict item 2): three rounds
+    // running, the judge found by hand queries whose CARRIED performance
+    // adjudication no longer described reality (q_psi: adjudicated 0.84×
+    // in r8, drifted to 5.0× by r12 on unchanged code). The signature is
+    // mechanical — current warm exceeds 2× the committed DuckDB-baseline
+    // time (the pairing threshold) AND exceeds 2× the prior round's own
+    // warm entry (round-over-round drift, so stable named floors like a
+    // 38× tiny-grain query never fire) — so the artifact now names the
+    // drifters itself instead of relying on a judge sweep. Floor guard:
+    // warms under 0.3 s are scheduling noise, never a stale adjudication.
+    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_BASELINE",
+      "DUCKDB_BASELINE.json")
+    val duck: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(duckPath)), "UTF-8")
+      """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .flatMap { mt =>
+          try Some(mt.group(1) -> mt.group(2).toDouble)
+          catch { case _: Throwable => None }
+        }.toMap
+    } catch { case _: Throwable => Map.empty }
+    val staleList = results
+      .filter(r => r.err.isEmpty && r.warm > 0.3)
+      .flatMap { r =>
+        (duck.get(r.name), prior.get(r.name)) match {
+          case (Some(d), Some(p)) if d > 0 && p > 0 &&
+              r.warm > 2.0 * d && r.warm > 2.0 * p =>
+            Some((r.name, r.warm, p, d, r.warm / d))
+          case _ => None
+        }
+      }
+      .sortBy(-_._5).take(10)
+    val staleJson = staleList.map { case (n, w, p, d, rt) =>
+      "{\"q\":" + jstr(n) + ",\"warm\":" + sec3(w) + ",\"prior\":" + sec3(p) +
+        ",\"duckdb\":" + sec3(d) + ",\"ratio\":" + sec3(rt) + "}"
+    }.mkString("[", ",", "]")
     val loadAfter = loadavg()
-    val subset = slowestSubset(math.max(200, 1400 - errNames.length))
+    val subset = slowestSubset(
+      math.max(200, 1400 - errNames.length - staleJson.length))
     val shown = subset.count(_ == ':')
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"reruns":${results.map(_.reruns).sum},"regressions":${regressionLog.size},"failed":$errNames,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"reruns":${results.map(_.reruns).sum},"regressions":${regressionLog.size},"failed":$errNames,"stale_adjudications":$staleJson,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
     // Self-contained round artifact (JSON lines: cold, warm_detail,
     // headline) — committed from the repo working dir by the round's
     // closing commit, so the full per-query map survives even when the

@@ -539,6 +539,10 @@ object CorpusStats {
       .select(col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      // nBuckets-row artifact pinned eagerly: the totals .head, the
+      // per-bucket frame and the PSI union otherwise each replay both
+      // corpus-sized bucket-count scans (3× each side)
+      .localCheckpoint(true)
     val t = joint.agg(sum(col("n_base")), sum(col("n_cur"))).head
     val (nb, nc) = (t.getLong(0), t.getLong(1))
     val p = (col("n_base") + 1).cast("double") / lit((nb + nBuckets).toDouble)
@@ -1231,8 +1235,11 @@ object CorpusStats {
       .select(substring(col("_v").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    // 9-row artifact pinned eagerly: the total .head, the per-digit frame
+    // and the chi² union otherwise each replay the full corpus scan (3×)
     val joint = spine.join(digits, Seq("digit"), "left_outer")
       .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint(true)
     val total = joint.agg(sum(col("n"))).head.getLong(0)
     require(total > 0, "benfordAudit over an empty positive domain")
     val expP = benfordP.zipWithIndex.foldLeft(lit(null).cast("double")) {
@@ -1403,12 +1410,16 @@ object CorpusStats {
         .groupBy(col(groupCol))
         .agg((sum(when(col("_rn") === expr("(_n - 1) div 2"), col(c))) +
           sum(when(col("_rn") === expr("_n div 2"), col(c)))).as(out))
-    val meds = med2(base, "_v", "_m2")
-    val dev = base.join(meds, Seq(groupCol))
+    // group-grain 2-long artifacts pinned eagerly: dev (and through it the
+    // meds window subtree) is consumed by BOTH the MAD pass and the final
+    // aggregate — unpinned, the corpus scan + rank window replay per use
+    val meds = med2(base, "_v", "_m2").localCheckpoint(true)
+    val dev = base.join(broadcast(meds), Seq(groupCol))
       .withColumn("_d", abs(lit(2L) * col("_v") - col("_m2")))
     val mads = med2(dev.select(col(groupCol), col("_d")), "_d", "_mad2x")
+      .localCheckpoint(true)
     val f = math.pow(10, scale)
-    dev.join(mads, Seq(groupCol))
+    dev.join(broadcast(mads), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         round(max(col("_m2")).cast("double") / lit(2 * f), 6).as("median"),
