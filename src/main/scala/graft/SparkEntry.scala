@@ -5617,6 +5617,125 @@ object SparkEntry {
         "doc_id", "score", k = 20)
     },
 
+    // Retrieval context assembly (Retrieval.assembleContext): the last RAG
+    // serving step — hybrid-RRF top-20 shortlist → SimHash near-dup drop
+    // (worse rank loses; Hamming ≤ 7 = the blocking's exact-recall range,
+    // so the oracle's brute-force 20×20 pairing equals the operator's
+    // chunk-blocked pairs) → next-fit token pack against a 400-token
+    // budget (bin 0 = rank-1 always + the maximal prefix whose running
+    // token sum fits). The oracle recomputes the fnv64/simhash signatures
+    // independently (the q_simhash_neardup machinery, restricted to the
+    // 20-doc shortlist vocabulary).
+    q("q_context_pack", {
+      s"""WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(sum(CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(tk, x -> x = 'dup')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE) AS tf2,
+        |    (CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END) AS m,
+        |    dl, n, sumdl, df0, df1, df2
+        |  FROM d, st),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0))
+        |        / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+        |        / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+        |        / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl / n))), 6) AS bm25
+        |  FROM sc WHERE m > 0
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |bmr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        |  FROM bm),
+        |probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+        |vs AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS sim
+        |  FROM embeddings, probe
+        |  ORDER BY sim DESC, doc_id LIMIT 50),
+        |vsr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rk
+        |  FROM vs),
+        |u AS (SELECT doc_id, rk FROM bmr UNION ALL SELECT doc_id, rk FROM vsr),
+        |fz AS (
+        |  SELECT doc_id, round(sum(1.0 / (60.0 + CAST(rk AS DOUBLE))), 6) AS rrf
+        |  FROM u GROUP BY doc_id
+        |  ORDER BY rrf DESC, doc_id LIMIT 20),
+        |fr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+        |  FROM fz),
+        |cd AS MATERIALIZED (
+        |  SELECT f.doc_id, f.rk, t.tk, len(t.tk) AS nt
+        |  FROM fr f JOIN tk t ON t.doc_id = f.doc_id),
+        |occ AS (SELECT doc_id, w, count(*)::BIGINT AS cnt
+        |        FROM (SELECT doc_id, unnest(tk) AS w FROM cd) GROUP BY doc_id, w),
+        |vocab AS (SELECT DISTINCT w FROM occ),
+        |${fnvFoldCtes("wfold", "vocab", "w", "w")},
+        |whs AS (
+        |  SELECT k AS w, CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
+        |                 THEN ch - 18446744073709551616::HUGEINT ELSE ch END AS BIGINT) AS hs
+        |  FROM wfold),
+        |votes AS (
+        |  SELECT o.doc_id, sum(o.cnt)::BIGINT AS n,
+        |$simhashVoteCols
+        |  FROM occ o JOIN whs ON whs.w = o.w
+        |  GROUP BY o.doc_id),
+        |sims AS (
+        |  SELECT doc_id,
+        |   ($simhashSimTerms) AS sh
+        |  FROM votes),
+        |cds AS MATERIALIZED (
+        |  SELECT c.doc_id, c.rk, c.nt, coalesce(s.sh, 0) AS sh
+        |  FROM cd c LEFT JOIN sims s ON s.doc_id = c.doc_id),
+        |dr AS (
+        |  SELECT DISTINCT CASE WHEN a.rk < b.rk THEN b.doc_id ELSE a.doc_id END AS doc_id
+        |  FROM cds a JOIN cds b
+        |    ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 7),
+        |sv AS (SELECT * FROM cds WHERE doc_id NOT IN (SELECT doc_id FROM dr)),
+        |po AS (
+        |  SELECT doc_id, nt, row_number() OVER (ORDER BY rk) AS pos,
+        |    sum(nt) OVER (ORDER BY rk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sv)
+        |SELECT doc_id, CAST(pos AS INT) AS ctx_pos, CAST(nt AS INT) AS n_tokens,
+        |  CAST(cum AS BIGINT) AS cum_tokens, nt > 400 AS oversized
+        |FROM po WHERE pos = 1 OR cum <= 400
+        |ORDER BY ctx_pos""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val keyword = Retrieval.ranked(
+        Retrieval.bm25TopK(docs, "text", "doc_id",
+          Seq("dup", "spark", "merge"), k = 50),
+        "doc_id", "bm25")
+      val probe = e.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+      val vecTop = e.crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id"))
+        .limit(50)
+      val vector = Retrieval.ranked(vecTop, "doc_id", "sim")
+      val fused = Retrieval.rrfFuse(Seq(keyword, vector), "doc_id", k = 20)
+      val shortlist = Retrieval.ranked(fused, "doc_id", "rrf")
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      Retrieval.assembleContext(shortlist, "doc_id", "text", "rank",
+        budgetTokens = 400, maxHamming = 7)
+    },
+
     // Multi-query BM25 retrieval join (the keyword knnJoin): a query TABLE
     // (first-5-token prefixes of docs 0–2, derived identically in both
     // engines) scores against the corpus through one inverted-index pass.

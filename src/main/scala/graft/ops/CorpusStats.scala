@@ -619,19 +619,49 @@ object CorpusStats {
     * collapsed grains, per-group ordered windows over that frame, one
     * group-grain reduce. Output: (group, n_a, n_b, ks, p_micro). */
   def ksStatisticBy(df: DataFrame, groupCol: String,
-                    valueCol: String): DataFrame = {
+                    valueCol: String): DataFrame =
+    ksStatisticByFromCounts(
+      valueCountSlice(df, groupCol, valueCol), groupCol, valueCol, "cnt")
+
+  /** The per-batch ADDITIVE ARTIFACT behind [[ksStatisticByFromCounts]]:
+    * one (group, value, cnt) slice at the collapsed value grain — counts
+    * are additive over disjoint slices, so a standing pipeline appends
+    * one slice per ingested micro-batch and answers the per-source drift
+    * dashboard from the accumulated slices alone, never rescanning
+    * corpora (the [[bucketCounts]]/[[mergeBucketCounts]] lifecycle at
+    * value grain, for the bucket-free KS test). */
+  def valueCountSlice(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame =
+    df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[ksStatisticBy]] from prebuilt (group, value, cnt) rows. Slices
+    * need NOT be pre-merged: the first aggregate folds repeated
+    * (group, value) rows exactly, so accumulated [[valueCountSlice]]
+    * appends feed straight in — the streaming drift monitor's read path.
+    * Everything downstream of that fold is identical to the raw-row
+    * form: same dense frame, same DECIMAL(38) max, same p-value. */
+  def ksStatisticByFromCounts(counts: DataFrame, groupCol: String,
+                              valueCol: String, cntCol: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def big(c: Column): Column = c.cast(dec38)
     val W = org.apache.spark.sql.expressions.Window
-    val base = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).as("_g"), col(valueCol).as("_v"))
-    val gv = base.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_mg"))
-    val vals = base.groupBy(col("_v")).agg(count(lit(1)).as("_m"))
+    // value×group collapsed grain with FOUR consumers below (vals, groups,
+    // tot, dense) — pin it lazily so the corpus-sized slice aggregation
+    // runs once per action, not four times
+    val gv = counts
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"),
+        col(cntCol).cast("long").as("_cnt"))
+      .groupBy(col("_g"), col("_v")).agg(sum(col("_cnt")).as("_mg"))
+      .localCheckpoint(false)
+    val vals = gv.groupBy(col("_v")).agg(sum(col("_mg")).as("_m"))
       .select(col("_v"),
         sum(col("_m")).over(
           W.orderBy(col("_v")).rowsBetween(W.unboundedPreceding, 0)).as("_c"))
-    val groups = base.groupBy(col("_g")).agg(count(lit(1)).as("_ng"))
-    val tot = base.agg(count(lit(1)).as("_N"))
+    val groups = gv.groupBy(col("_g")).agg(sum(col("_mg")).as("_ng"))
+    val tot = gv.agg(sum(col("_mg")).as("_N"))
     val dense = vals.crossJoin(groups)
       .join(gv, Seq("_g", "_v"), "left_outer")
       .select(col("_g"), col("_v"), col("_c"), col("_ng"),

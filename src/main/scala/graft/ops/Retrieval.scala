@@ -310,6 +310,80 @@ object Retrieval {
       .map { case (id, i) => (id, i + 1) }.toSeq.toDF(idCol, "rn")
   }
 
+  /** Retrieval CONTEXT ASSEMBLY — the last serving step between a fused
+    * shortlist and the LLM call: near-dup-drop then token-budget pack,
+    * composing three already-oracled operators (a fusion ranker upstream,
+    * [[Dedup.hammingNearDups]] on SimHash passage signatures,
+    * [[Packing.packNextFit]] for the budget cut). A RAG caller does
+    * exactly this with the reference's index output — fused hits are
+    * rife with near-identical passages, and the context window is a hard
+    * token budget (`…/DataStreamJob.java:172-193` writes the vectors;
+    * this is what the query side does with them).
+    *
+    * Semantics:
+    *  1. Each shortlist row gets a 64-bit SimHash signature of its
+    *     whitespace tokens (null text = empty tokens = signature 0).
+    *  2. Near-dup pairs within the shortlist (Hamming ≤ `maxHamming`)
+    *     drop their WORSE-ranked member — so any two surviving passages
+    *     are ≥ maxHamming apart (the completeness contract; a chain
+    *     a~b~c with a best keeps only the members with no better-ranked
+    *     partner, a deliberate conservative over-drop that stays
+    *     SQL-expressible without recursion).
+    *  3. Survivors pack NEXT-FIT in rank order against `budgetTokens`;
+    *     the context is bin 0 — the maximal rank-prefix whose token sum
+    *     fits, except the top survivor always enters (oversized flag
+    *     true when it alone exceeds the budget — caller truncates).
+    *
+    * Keep `maxHamming` ≤ 7: the 8×8-bit chunk blocking underneath is
+    * recall-EXACT through Hamming 7, so a brute-force oracle and the
+    * blocked operator agree bit-for-bit (and a ≤ top-n shortlist can
+    * never saturate buckets). Scale shape: everything here is top-n
+    * bounded — the corpus-scale work (retrieval, fusion) happened
+    * upstream; the single-partition pack is over the survivors of a
+    * bounded list, never a corpus.
+    *
+    * Output: (idCol, ctx_pos 1.., n_tokens, cum_tokens, oversized),
+    * ordered by ctx_pos — the concatenation order of the final context. */
+  def assembleContext(shortlist: DataFrame, idCol: String, textCol: String,
+                      rankCol: String, budgetTokens: Int,
+                      maxHamming: Int = 7): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be 0..7 (exact-recall blocking range): $maxHamming")
+    val W = org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.simhash64
+    val base = shortlist.select(col(idCol), col(rankCol).cast("int").as("_rk"),
+        when(col(textCol).isNotNull, Dedup.tokens(col(textCol)))
+          .otherwise(array().cast("array<string>")).as("_tk"))
+      .withColumn("_h64", simhash64(col("_tk")))
+      .withColumn("_nt", size(col("_tk")))
+      // shortlist-sized artifact with three consumers (pair join both
+      // sides + survivor pack) — pin it, don't replay the fusion upstream
+      .localCheckpoint(true)
+    val pairs = Dedup.hammingNearDups(
+      base.select(col(idCol), col("_h64")), idCol, "_h64", maxHamming)
+    val drops = pairs
+      .join(base.select(col(idCol).as("id_a"), col("_rk").as("_ra")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("_rk").as("_rb")), "id_b")
+      .select(when(col("_ra") < col("_rb"), col("id_b"))
+        .otherwise(col("id_a")).as(idCol))
+      .distinct()
+    val survivors = base.join(drops, Seq(idCol), "left_anti")
+    val packed = Packing.packNextFit(
+        survivors.select(col("_rk"), col("_nt")), "_rk", "_nt",
+        budgetTokens, partitions = 1)
+      .filter(col("bin_id") === 0)
+      .select(col("_rk").cast("int").as("_rk"), col("oversized"))
+    val wR = W.orderBy(col("_rk"))
+    survivors.join(packed, "_rk")
+      .withColumn("ctx_pos", row_number().over(wR))
+      .withColumn("cum_tokens",
+        sum(col("_nt")).over(wR.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col(idCol), col("ctx_pos"), col("_nt").as("n_tokens"),
+        col("cum_tokens"), col("oversized"))
+      .orderBy(col("ctx_pos"))
+  }
+
   /** Attach 1-based `rank` to an already-reduced top-n list by
     * `(orderCol [DESC], idCol)` — deterministic tie-break by id. The input
     * is expected to be small (a top-n result); the single-partition window

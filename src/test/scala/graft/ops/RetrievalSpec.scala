@@ -82,6 +82,62 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pure === Seq(1L, 2L, 3L))
   }
 
+  test("assembleContext: near-dup drops worse rank, budget packs a prefix, oversized flags") {
+    // ranks 1..5; doc 30 is a token-identical copy of rank-1 doc 10 (hamming
+    // 0 → dropped); doc 50 differs in every token (survives). Budget 9:
+    // survivors 10(4 tok) + 20(4 tok) fit (cum 8), 40 (4 tok) overflows and
+    // closes the context — 50 stays out even though it would fit alone
+    // (next-fit, not best-fit).
+    val shortlist = Seq(
+      (10L, "alpha beta gamma delta", 1),
+      (20L, "epsilon zeta eta theta", 2),
+      (30L, "alpha beta gamma delta", 3), // near-dup of 10, worse rank
+      (40L, "iota kappa lambda mu", 4),
+      (50L, "nu xi omicron pi", 5)
+    ).toDF("doc_id", "text", "rank")
+    val out = Retrieval.assembleContext(shortlist, "doc_id", "text", "rank",
+        budgetTokens = 9, maxHamming = 3)
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSeq
+    assert(out === Seq((10L, 1, 4, 4L, false), (20L, 2, 4, 8L, false)))
+    // rank-1 oversized doc still enters alone, flagged
+    val big = Seq(
+      (1L, (1 to 20).map("w" + _).mkString(" "), 1),
+      (2L, "short text", 2)
+    ).toDF("doc_id", "text", "rank")
+    val out2 = Retrieval.assembleContext(big, "doc_id", "text", "rank",
+        budgetTokens = 5, maxHamming = 3)
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSeq
+    assert(out2 === Seq((1L, 1, 20, 20L, true)))
+  }
+
+  test("retrievalEval: MMR beats plain top-k on a redundancy-planted judgment set") {
+    // Corpus: three near-identical copies of the best passage (vectors
+    // collinear) + two distinct relevant passages. Plain cosine top-3 is
+    // the three clones — only ONE counts as relevant (clones share one
+    // judged doc's content but only doc 1 is judged relevant; 2,3 are
+    // judged 0). MMR at λ=0.5 picks 1, then the diverse 4 and 5.
+    val shortlist = Seq(
+      (1L, Array(1.00f, 0.00f, 0f), 0.99),
+      (2L, Array(0.999f, 0.01f, 0f), 0.98),
+      (3L, Array(0.998f, 0.02f, 0f), 0.97),
+      (4L, Array(0.0f, 1.0f, 0f), 0.60),
+      (5L, Array(0.0f, 0.0f, 1f), 0.55)
+    ).toDF("doc_id", "embedding", "score")
+    val truth = Seq((7L, 1L, 1), (7L, 4L, 1), (7L, 5L, 1))
+      .toDF("q_id", "doc_id", "rel")
+    def evalOf(results: org.apache.spark.sql.DataFrame): Double =
+      Retrieval.retrievalEval(results, truth, "q_id", "doc_id", "rank", "rel", k = 3)
+        .filter($"q_id" === 7L).select($"recall_k").as[Double].head()
+    val plain = Retrieval.ranked(shortlist, "doc_id", "score")
+      .select(lit(7L).as("q_id"), $"doc_id", $"rank")
+    val mmr = Retrieval.mmrRerank(shortlist, "doc_id", "embedding", "score",
+        k = 3, lambdaTenths = 5)
+      .select(lit(7L).as("q_id"), $"doc_id", $"rn".as("rank"))
+    val (rPlain, rMmr) = (evalOf(plain), evalOf(mmr))
+    assert(math.abs(rPlain - 1.0 / 3.0) < 1e-5) // clones crowd out 4 and 5
+    assert(rMmr === 1.0)                        // diversity recovers full recall
+  }
+
   test("bm25 equals a naive reference on random corpora (seeded)") {
     val vocab = Array("u", "v", "w", "xx", "yy")
     val rnd = new scala.util.Random(23)

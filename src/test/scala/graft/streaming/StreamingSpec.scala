@@ -687,6 +687,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged.toMap.apply("beta") === 4L, "cross-batch counts must add")
   }
 
+  test("streaming drift monitor: KS value-count fold and PSI bucket fold ≡ batch stats") {
+    // The r12 drift stack run where the reference's topology actually
+    // lives — streaming: each micro-batch appends ONE collapsed-grain
+    // slice (valueCountSlice for the bucket-free KS dashboard,
+    // bucketCounts against FIXED baseline bounds for PSI), and the
+    // monitor's read path answers from the accumulated artifacts alone.
+    // Spark-diff contract: the folded stats must equal the single-shot
+    // batch stats on the same data EXACTLY — counts are additive over
+    // disjoint slices and everything downstream is a pure function of
+    // the merged grain.
+    import graft.ops.CorpusStats
+    val baseline = (1L to 200L).map(i => ("s" + (i % 4), (i % 23).toDouble))
+    val batches: Seq[Seq[(String, Double)]] = Seq(
+      (1L to 80L).map(i => ("s" + (i % 4), (i % 19).toDouble)),
+      (1L to 70L).map(i => ("s" + (i % 3), (i % 29).toDouble)),
+      (1L to 50L).map(i => ("s" + (i % 4), ((i * 7) % 23).toDouble))
+    )
+    val bounds = {
+      val (qs, _) = CorpusStats.exactQuantiles(
+        baseline.toDF("source", "value"), "value", (1 to 9).map(_ / 10.0))
+      qs.map(q => BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val ms = MemoryStream[(String, Double)](spark)
+    var ksSlices = spark.emptyDataset[(String, Double, Long)]
+      .toDF("source", "value", "cnt")
+    var psiSlices = spark.emptyDataset[(Int, Long)].toDF("bucket", "cnt")
+    val q = ms.toDF().toDF("source", "value").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // settle both slices before the batch frame goes out of scope
+        ksSlices = ksSlices.unionByName(
+          CorpusStats.valueCountSlice(batch, "source", "value")
+            .localCheckpoint(true))
+        psiSlices = psiSlices.unionByName(
+          CorpusStats.bucketCounts(batch, "value", bounds)
+            .localCheckpoint(true))
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val allRows = batches.flatten.toDF("source", "value")
+    // KS: fold over UN-merged slices ≡ batch ksStatisticBy
+    val ksFold = CorpusStats.ksStatisticByFromCounts(
+        ksSlices, "source", "value", "cnt")
+      .orderBy("source").collect().toSeq
+    val ksBatch = CorpusStats.ksStatisticBy(allRows, "source", "value")
+      .orderBy("source").collect().toSeq
+    assert(ksFold === ksBatch)
+    assert(ksFold.nonEmpty && ksFold.forall(r => !r.isNullAt(3)))
+    // PSI: merged bucket fold vs baseline ≡ batch psi over the same bounds
+    val baseCounts = CorpusStats.bucketCounts(
+      baseline.toDF("source", "value"), "value", bounds)
+    val psiFold = CorpusStats.psiFromCounts(baseCounts,
+        CorpusStats.mergeBucketCounts(psiSlices), nBuckets = 10)
+      .orderBy("bucket").collect().toSeq
+    val psiBatch = CorpusStats.psi(baseline.toDF("source", "value"),
+        allRows, "value", nBuckets = 10)
+      .orderBy("bucket").collect().toSeq
+    assert(psiFold === psiBatch)
+  }
+
   test("HLL sketch-slice fold: per-batch sketches union ≡ global sketch ≡ exact distinct") {
     // The cardinality member of the additive-artifact family as a stream:
     // one HLL sketch row per micro-batch (slice = batch id), corpus-wide
