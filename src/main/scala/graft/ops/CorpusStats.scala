@@ -1089,15 +1089,19 @@ object CorpusStats {
     * (group, value) grain, global cumulatives c on the value grain, the
     * target global rank is t = ⌈c_g·N / n_g⌉ = (c_g·N + n_g − 1) div n_g
     * (DECIMAL(38) product, integral division), and the mapped value is
-    * the smallest global value with c ≥ t — an [[graft.ops.AsOf]] merge
-    * on negated ranks (largest −c ≤ −t), never a pair expansion. t ∈
-    * [1, N] always, so every row matches.
+    * the smallest global value with c ≥ t — equivalently, the value whose
+    * rank interval (c_before, c] contains t (intervals partition [1, N],
+    * so every row matches exactly once), resolved by a fixed-width
+    * rank-BUCKET equi-join: never a pair expansion, never a global sort.
     *
     * Scale shape: two map-side-combined aggregates to the (group, value)
-    * and value grains, one group-partitioned window + one ordered window
-    * over the COLLAPSED grains, and one as-of merge of the two grains
-    * (shuffle + sort of grain-sized inputs, the AsOf floor). Output one
-    * row per distinct (group, value): (group, value, norm_value, n). */
+    * and value grains, one group-partitioned window over the collapsed
+    * group grain, the partition-offset cumulative pass for the global
+    * grain, and one hash join on 256 rank buckets (right intervals
+    * replicate only into buckets they overlap — Σ widths = N bounds the
+    * replication at grain + 256 rows). Every stage is partition-parallel;
+    * no single-task window or merge anywhere. Output one row per
+    * distinct (group, value): (group, value, norm_value, n). */
   def quantileNormalize(df: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
@@ -1113,18 +1117,33 @@ object CorpusStats {
     // the size of the corpus must not funnel through one window task
     val gl = base.groupBy(col("_v")).agg(count(lit(1)).as("_m"))
       .localCheckpoint(false)   // two consumers: cum table + total
-    val glcum = distributedCumCounts(gl, "_v")
-      .select(col("_v").as("_normv"),
-        (col("_cum_before") + col("_m")).as("_c"))
     val nTot = gl.agg(coalesce(sum(col("_m")), lit(0L)).as("_N"))
+    // Rank-range-bucketed interval lookup (r12 ADVICE: the previous
+    // single-constant-key AsOf merge sorted BOTH corpus-sized grains in
+    // one task — the exact shape distributedCumCounts exists to avoid).
+    // The global value with smallest c ≥ t is the one whose rank interval
+    // (c_before, c] CONTAINS t — intervals partition [1, N] — so the
+    // lookup is an equi-join on fixed-width rank buckets: left rows hash
+    // by bucket(t), each right interval replicates into every bucket it
+    // overlaps (Σ interval widths = N ⇒ total replication ≤ grain + nB
+    // rows, bounded), and the containment filter runs bucket-locally.
+    // 256 buckets spread the rank axis across the cluster; no global
+    // sort, no single-task stage anywhere in this operator.
+    val nB = 256L
+    val widthExpr = s"greatest(CAST(1 AS BIGINT), (_N + ${nB - 1}) div $nB)"
     val tgt = gcum.crossJoin(broadcast(nTot))
       .withColumn("_t",
-        expr("(CAST(_cg AS DECIMAL(38,0)) * _N + _ng - 1) div _ng"))
-    val left = tgt.select(col("_g"), col("_v"), col("_m"),
-      lit(0).as("_k"), (-col("_t")).as("_ord"))
-    val right = glcum.select(lit(0).as("_k"),
-      (-col("_c")).as("_ord"), col("_normv"))
-    AsOf.asofJoin(left, right, "_k", "_ord")
+        expr("CAST((CAST(_cg AS DECIMAL(38,0)) * _N + _ng - 1) div _ng AS BIGINT)"))
+      .withColumn("_bkt", expr(s"(_t - 1) div ($widthExpr)"))
+    val rightB = distributedCumCounts(gl, "_v")
+      .crossJoin(broadcast(nTot))
+      .select(col("_v").as("_normv"), col("_cum_before").as("_cb"),
+        (col("_cum_before") + col("_m")).as("_c"), col("_N"))
+      .withColumn("_bkt",
+        explode(expr(s"sequence(_cb div ($widthExpr), (_c - 1) div ($widthExpr))")))
+      .select(col("_bkt"), col("_cb"), col("_c"), col("_normv"))
+    tgt.join(rightB, Seq("_bkt"))
+      .where(col("_cb") < col("_t") && col("_t") <= col("_c"))
       .select(col("_g").as(groupCol), col("_v").as(valueCol),
         col("_normv").as("norm_value"), col("_m").as("n"))
   }

@@ -1231,10 +1231,18 @@ object Dedup {
     // try_cast, not cast: under ANSI mode a malformed id would throw
     // CAST_INVALID_INPUT before the guard fires — try_cast yields null
     // and routes every malformed shape through the curated raise_error.
+    // The round-trip string compare closes the SILENT-TRUNCATION class
+    // the long-cast guard alone missed (r12 ADVICE): a fractional
+    // DOUBLE/DECIMAL id truncates (5.7 and 5.3 both → 5) and a
+    // non-canonical string id ("05", "+5", " 5") collapses onto the
+    // canonical one — distinct ids colliding in _cs, the exact (key, id)
+    // merge-order corruption this guard exists to prevent. Only ids whose
+    // own string form IS the canonical long string pass.
     val asLong = id.try_cast("long")
-    when(id.isNotNull && (asLong.isNull || asLong < 0),
+    when(id.isNotNull && (asLong.isNull || asLong < 0 ||
+         asLong.cast("string") =!= id.cast("string")),
         raise_error(concat(
-          lit("snm composite key: id must be a non-negative long, got "),
+          lit("snm composite key: id must be a canonical non-negative long, got "),
           id.cast("string"))))
       .when(key.isNotNull &&
             (instr(key, "\u0001") > 0 || instr(key, "\u0000") > 0),

@@ -349,7 +349,17 @@ object Selection {
                           logWeightCol: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def big(c: Column): Column = c.cast(dec38)
-    val wm = round(exp(col(logWeightCol)) * lit(1e6)).cast("long")
+    // Overflow guard (r12 ADVICE): beyond lw ≈ 29.8526, exp(lw)·10⁶
+    // exceeds Long.MaxValue — Spark's cast would silently saturate where
+    // the DuckDB oracle's CAST raises, and a few saturated weights push
+    // sum(wm²) past DECIMAL(38) into null: divergent/NULL ESS instead of
+    // a loud failure. A round-6 dsir log-weight anywhere near e³⁰ is an
+    // upstream bug; fail it identically on every engine.
+    val wm = when(col(logWeightCol) > lit(29.8526),
+        raise_error(concat(
+          lit("effectiveSampleSize: log_weight overflows the micro-LONG weight grid (> 29.8526): "),
+          col(logWeightCol).cast("string"))))
+      .otherwise(round(exp(col(logWeightCol)) * lit(1e6)).cast("long"))
     val g = df.where(col(groupCol).isNotNull && col(logWeightCol).isNotNull)
       .select(col(groupCol).as("_g"), wm.as("_wm"))
       .groupBy(col("_g"))
