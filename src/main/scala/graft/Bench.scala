@@ -281,6 +281,9 @@ object Bench {
     // warms under 0.3 s are scheduling noise, never a stale adjudication.
     val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_BASELINE",
       "DUCKDB_BASELINE.json")
+    // ADVICE r13: a swallowed read/parse failure must NOT masquerade as a
+    // clean (empty) stale list — emit baseline_loaded:false in the headline
+    // so a missing/renamed baseline is loudly distinguishable.
     val duck: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(duckPath)), "UTF-8")
@@ -290,6 +293,7 @@ object Bench {
           catch { case _: Throwable => None }
         }.toMap
     } catch { case _: Throwable => Map.empty }
+    val baselineLoaded = duck.nonEmpty
     val staleList = results
       .filter(r => r.err.isEmpty && r.warm > 0.3)
       .flatMap { r =>
@@ -309,7 +313,7 @@ object Bench {
     val subset = slowestSubset(
       math.max(200, 1400 - errNames.length - staleJson.length))
     val shown = subset.count(_ == ':')
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"reruns":${results.map(_.reruns).sum},"regressions":${regressionLog.size},"failed":$errNames,"stale_adjudications":$staleJson,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"reruns":${results.map(_.reruns).sum},"regressions":${regressionLog.size},"failed":$errNames,"baseline_loaded":$baselineLoaded,"stale_adjudications":$staleJson,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
     // Self-contained round artifact (JSON lines: cold, warm_detail,
     // headline) — committed from the repo working dir by the round's
     // closing commit, so the full per-query map survives even when the

@@ -1461,14 +1461,21 @@ object CorpusStats {
           sum(when(col("_rn") === expr("_n div 2"), col(c)))).as(out))
     // group-grain 2-long artifacts pinned eagerly: dev (and through it the
     // meds window subtree) is consumed by BOTH the MAD pass and the final
-    // aggregate — unpinned, the corpus scan + rank window replay per use
-    val meds = med2(base, "_v", "_m2").localCheckpoint(true)
-    val dev = base.join(broadcast(meds), Seq(groupCol))
+    // aggregate — unpinned, the corpus scan + rank window replay per use.
+    // The broadcast hint is GATED on group count (ADVICE r13): at per-user
+    // grain the meds artifact can exceed the broadcast/driver limit, where
+    // a shuffle join scales fine — the count is free, the frame is pinned.
+    val bcastMaxGroups = 2000000L
+    def pinAndHint(d: DataFrame): DataFrame = {
+      val pinned = d.localCheckpoint(true)
+      if (pinned.count() <= bcastMaxGroups) broadcast(pinned) else pinned
+    }
+    val meds = pinAndHint(med2(base, "_v", "_m2"))
+    val dev = base.join(meds, Seq(groupCol))
       .withColumn("_d", abs(lit(2L) * col("_v") - col("_m2")))
-    val mads = med2(dev.select(col(groupCol), col("_d")), "_d", "_mad2x")
-      .localCheckpoint(true)
+    val mads = pinAndHint(med2(dev.select(col(groupCol), col("_d")), "_d", "_mad2x"))
     val f = math.pow(10, scale)
-    dev.join(broadcast(mads), Seq(groupCol))
+    dev.join(mads, Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         round(max(col("_m2")).cast("double") / lit(2 * f), 6).as("median"),

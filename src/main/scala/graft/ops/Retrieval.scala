@@ -352,9 +352,13 @@ object Retrieval {
       s"maxHamming must be 0..7 (exact-recall blocking range): $maxHamming")
     val W = org.apache.spark.sql.expressions.Window
     import graft.functions.GraftFunctions.simhash64
-    val base = shortlist.select(col(idCol), col(rankCol).cast("int").as("_rk"),
-        when(col(textCol).isNotNull, Dedup.tokens(col(textCol)))
-          .otherwise(array().cast("array<string>")).as("_tk"))
+    // Null-text shortlist rows are dropped outright (matching the DuckDB
+    // oracle's `WHERE text IS NOT NULL` inner join): an empty token list
+    // would simhash to 0 and make any two text-less docs Hamming-0
+    // "near-dups" of each other, which is noise, not dedup.
+    val base = shortlist.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(rankCol).cast("int").as("_rk"),
+        Dedup.tokens(col(textCol)).as("_tk"))
       .withColumn("_h64", simhash64(col("_tk")))
       .withColumn("_nt", size(col("_tk")))
       // shortlist-sized artifact with three consumers (pair join both

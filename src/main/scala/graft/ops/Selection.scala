@@ -349,17 +349,25 @@ object Selection {
                           logWeightCol: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def big(c: Column): Column = c.cast(dec38)
-    // Overflow guard (r12 ADVICE): beyond lw ≈ 29.8526, exp(lw)·10⁶
-    // exceeds Long.MaxValue — Spark's cast would silently saturate where
-    // the DuckDB oracle's CAST raises, and a few saturated weights push
-    // sum(wm²) past DECIMAL(38) into null: divergent/NULL ESS instead of
-    // a loud failure. A round-6 dsir log-weight anywhere near e³⁰ is an
-    // upstream bug; fail it identically on every engine.
-    val wm = when(col(logWeightCol) > lit(29.8526),
+    // Overflow guard (r12 ADVICE, exactified r13 ADVICE): when
+    // round(exp(lw)·10⁶) exceeds Long.MaxValue, Spark's cast would
+    // silently saturate where the DuckDB oracle's CAST raises, and a few
+    // saturated weights push sum(wm²) past DECIMAL(38) into null:
+    // divergent/NULL ESS instead of a loud failure. Guard on the EXACT
+    // quantity the cast consumes — round(exp(lw)·1e6) as a double vs
+    // Long.MaxValue — rather than a hand-rounded log-space constant
+    // (29.8526 was a hair below ln(Long.MaxValue/1e6) ≈ 29.85268, leaving
+    // a narrow band where Spark raised but DuckDB's CAST still fit).
+    val wRounded = round(exp(col(logWeightCol)) * lit(1e6))
+    // (>= not >: Long.MaxValue.toDouble rounds UP to exactly 2⁶³, and a
+    // double at exactly 2⁶³ still saturates on the long cast. Doubles near
+    // 2⁶³ are 1024 apart, so the next value down, 2⁶³−1024, casts cleanly
+    // on both engines — >= is exact.)
+    val wm = when(wRounded >= lit(Long.MaxValue.toDouble),
         raise_error(concat(
-          lit("effectiveSampleSize: log_weight overflows the micro-LONG weight grid (> 29.8526): "),
+          lit("effectiveSampleSize: log_weight overflows the micro-LONG weight grid: "),
           col(logWeightCol).cast("string"))))
-      .otherwise(round(exp(col(logWeightCol)) * lit(1e6)).cast("long"))
+      .otherwise(wRounded.cast("long"))
     val g = df.where(col(groupCol).isNotNull && col(logWeightCol).isNotNull)
       .select(col(groupCol).as("_g"), wm.as("_wm"))
       .groupBy(col("_g"))

@@ -60,7 +60,7 @@ def main():
             except OSError:
                 continue
             n_files += 1
-            n_bytes += len(text)
+            n_bytes += os.path.getsize(path)  # file bytes, not decoded chars
             rel = os.path.relpath(path, root)
             for cat, rx in CATEGORIES.items():
                 for m in rx.finditer(text):
