@@ -410,6 +410,22 @@ object SparkEntry {
   private def indexArtifact[T <: AnyRef](key: String)(build: => T): T =
     artifactCache.computeIfAbsent(key, _ => build).asInstanceOf[T]
 
+  /** Month-partitioned orders layout for a dataset dir — written once per
+    * dataset via [[ops.Bucketing.writePartitioned]] (a layout artifact,
+    * like the ANN quantizers) and read back for the dynamic-partition-
+    * pruning probe. The path is deterministic per dataset so repeated
+    * sessions in one JVM reuse the directory. */
+  private def ordersByMonthLayout(s: SparkSession, d: String): String =
+    indexArtifact(s"dpp-orders-layout:$d") {
+      val path = "/tmp/graft-layout/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_") + "/orders_by_month"
+      ops.Bucketing.writePartitioned(
+        Tables.orders(s, d).withColumn("o_month",
+          date_format(col("o_orderdate"), "yyyy-MM")),
+        path, "o_month")
+      path
+    }
+
   /** The ANN probe vector (vec_id 0's embedding) for a dataset dir. */
   private def probeVector(s: SparkSession, d: String): Array[Float] =
     indexArtifact(s"probe:$d") {
@@ -4293,6 +4309,36 @@ object SparkEntry {
         .select(col("event_id"),
           z_value(pmod(col("user_id"), lit(1024L)),
             pmod(expr("unix_micros(ts) div 3600000000L"), lit(4096L))).as("z"))
+    },
+
+    // Dynamic partition pruning through a real partitioned layout
+    // (Bucketing.writePartitioned): orders land partitioned by order
+    // month (84 directories), the month dimension carries the year
+    // attribute, and the selective dim filter (o_year = 1996) reaches the
+    // fact scan only at RUNTIME via the broadcast's
+    // DynamicPruningExpression — 12 of 84 partitions read (PlanSpec pins
+    // the expression and the pruned partition count; this query pins the
+    // RESULT equality against the unpartitioned original table). The
+    // layout is written once per dataset (an index artifact, like the ANN
+    // quantizers) — the measured path is the pruned probe, not the write.
+    q("q_dpp_prune",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+        |    AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val factPath = ordersByMonthLayout(s, d)
+      val fact = s.read.parquet(factPath)
+      val dim = Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+          year(col("o_orderdate")).as("o_year"))
+        .distinct()
+      fact.join(broadcast(dim.filter(col("o_year") === 1996)), Seq("o_month"))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("revenue"))
     },
 
     // Token entropy (functions.TokenEntropy): per-document Shannon

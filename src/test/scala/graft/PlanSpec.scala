@@ -72,6 +72,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("dynamic partition pruning: dim filter prunes the partitioned fact scan at runtime") {
+    val df = SparkEntry.queries("q_dpp_prune")(spark, TestSpark.sf)
+    df.collect() // finalize the adaptive plan + populate scan metrics
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    // the fact scan must carry the runtime DynamicPruningExpression in its
+    // PartitionFilters — the dim broadcast reused as the pruning IN-list
+    assert(finalPlan.toString.toLowerCase.contains("dynamicpruningexpression"),
+      finalPlan.toString)
+    // AQE leaves are QueryStageExec wrappers — unwrap them (and nested
+    // adaptive plans) manually; collectWithSubqueries stops at leaves
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val scan = scans(finalPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("orders_by_month")))
+      .head
+    // runtime evidence: partitions actually read < partitions in the layout
+    val layoutDirs = new java.io.File(
+        "/tmp/graft-layout/" +
+          TestSpark.sf.replaceAll("[^A-Za-z0-9._-]", "_") + "/orders_by_month")
+      .listFiles().count(_.getName.startsWith("o_month="))
+    val read = scan.metrics("numPartitions").value
+    assert(read == 12, s"expected the 12 months of 1996, read $read")
+    assert(read < layoutDirs, s"no pruning: read $read of $layoutDirs")
+  }
+
   test("vector table time-bounded reads prune date_day partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vt-prune").toString
     val docs = Tables.documents(spark, TestSpark.sf).limit(20)
