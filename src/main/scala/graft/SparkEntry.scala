@@ -8290,6 +8290,52 @@ object SparkEntry {
       annContract(ann, e, probe, k = 10)
     },
 
+    // Metadata-filtered ANN probe (Knn.ivfSearchFiltered): the tenant/date
+    // filter every production RAG probe carries, pushed BELOW the
+    // shortlist so the top-k contract holds over the FILTERED corpus. The
+    // oracle recomputes the exact filtered argmax independently (vec 0
+    // itself passes the filter — its label is the filter target — so the
+    // filtered top-1 must surface from the probed cells with cosine 1.0);
+    // every emitted id must carry its true cosine AND satisfy the filter
+    // (all_match_filter via the same join-back). Pre-vs-post-filter recall
+    // is DedupKnnSpec's job.
+    q("q_filtered_knn",
+      """WITH t AS (SELECT label FROM embeddings WHERE vec_id = 0),
+        |probe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6) AS sim
+        |  FROM embeddings e, probe, t WHERE e.label = t.label)
+        |SELECT CAST(1 AS BOOLEAN) AS n_in_bounds,
+        |  vec_id AS top1_id, sim AS top1_score,
+        |  CAST(1 AS BOOLEAN) AS scores_exact,
+        |  CAST(1 AS BOOLEAN) AS all_match_filter
+        |FROM sims ORDER BY sim DESC, vec_id LIMIT 1""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val centroids = indexArtifact(s"ivf-centroids:$d") {
+        Knn.trainCentroids(sampleVectors(s, d), nCells = 16)
+      }
+      val probe = probeVector(s, d)
+      val lbl = indexArtifact(s"probe-label:$d") {
+        java.lang.Integer.valueOf(
+          e.filter(col("vec_id") === 0).select(col("label")).head().getInt(0))
+      }.intValue()
+      val ann = Knn.ivfSearchFiltered(Knn.ivfAssign(e, "embedding", centroids),
+          "embedding", "vec_id", centroids, probe, 10, nProbe = 4,
+          predicate = col("label") === lbl)
+        .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
+      ann.join(e.select(col("vec_id").as("_cid"), col("embedding"),
+          col("label").as("_clab")), col("ann_id") === col("_cid"))
+        .select(col("ann_id"), col("score"), col("_clab"),
+          round(cosine_sim(col("embedding"), typedLit(probe)), 6).as("_true"))
+        .agg(
+          count(lit(1)).between(1, 10).as("n_in_bounds"),
+          max_by(col("ann_id"), struct(col("score"), -col("ann_id"))).as("top1_id"),
+          max(col("score")).as("top1_score"),
+          bool_and(col("score") === col("_true")).as("scores_exact"),
+          bool_and(col("_clab") === lbl).as("all_match_filter"))
+    },
+
     // IVF probe over a coarse quantizer trained by the DISTRIBUTED Lloyd
     // trainer (Knn.kmeansFit) instead of the driver-side sample trainer —
     // the wiring that makes the full-corpus-trained quantizer a consumed

@@ -301,6 +301,31 @@ object Knn {
       vecCol, idCol, queryVec, k, "cosine").drop("_cell")
   }
 
+  /** Metadata-filtered IVF probe — every production RAG deployment filters
+    * by tenant/date/ACL at query time (the reference's own index stores a
+    * `date` field next to the vector for exactly this,
+    * `index-creation-function/lambda_function.py:82-84`). The predicate is
+    * applied BEFORE the shortlist (pre-filter pushdown into the cell scan),
+    * which preserves the top-k contract over the filtered corpus: the
+    * result is the exact top-k of {rows in probed cells satisfying
+    * `predicate`}. The naive alternative — post-filtering an unfiltered
+    * top-k — silently under-returns whenever non-matching rows occupy
+    * shortlist slots (k results shrink to however many matches happened to
+    * rank; DedupKnnSpec demonstrates the recall loss). Catalyst merges the
+    * predicate with the cell IN-filter into one scan-side Filter, so at
+    * 100 TB a cell-partitioned layout still prunes partitions first and
+    * the metadata predicate (on scan-pushable columns) lands in
+    * PushedFilters next to it — filter-then-score, never score-then-drop. */
+  def ivfSearchFiltered(assigned: DataFrame, vecCol: String, idCol: String,
+                        centroids: Array[Array[Float]], queryVec: Array[Float],
+                        k: Int, nProbe: Int,
+                        predicate: Column): DataFrame = {
+    val probeCells = nearestCells(centroids, queryVec, nProbe)
+    topK(assigned.filter(col("_cell").isin(probeCells.map(Integer.valueOf): _*))
+           .filter(predicate),
+      vecCol, idCol, queryVec, k, "cosine").drop("_cell")
+  }
+
   /** knn join: for every row of `queries`, its top-k nearest corpus rows
     * (cosine; `cIdCol` must be integral). Plan shape: broadcast the (small)
     * query set against the (huge) corpus — one corpus scan, no shuffle of

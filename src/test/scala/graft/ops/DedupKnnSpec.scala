@@ -575,6 +575,38 @@ class DedupKnnSpec extends AnyFunSuite {
     assigned.unpersist()
   }
 
+  test("filtered ivf probe: pre-filter = exact filtered top-k; post-filter demonstrably under-returns") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val sample = e.select("embedding").limit(256).collect().map(_.getSeq[Float](0).toArray)
+    val centroids = Knn.trainCentroids(sample, nCells = 8, iterations = 5)
+    val assigned = Knn.ivfAssign(e, "embedding", centroids).cache()
+    val probe = e.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+    val lbl = e.filter($"vec_id" === 0).select("label").head().getInt(0)
+    val k = 5
+    // exhaustive probe (nProbe = nCells) with the pre-filter ≡ brute-force
+    // top-k over the filtered corpus — the preserved contract
+    val pre = Knn.ivfSearchFiltered(assigned, "embedding", "vec_id",
+        centroids, probe, k, nProbe = 8, predicate = $"label" === lbl)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Knn.topK(e.filter($"label" === lbl), "embedding", "vec_id",
+        probe, k, "cosine")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pre === brute)
+    assert(pre.length === k)
+    // the naive post-filter: unfiltered top-k, THEN drop non-matching rows —
+    // non-matching rows occupied shortlist slots, so it returns fewer than
+    // k matches (labels are spread, so the global top-5 is never all-lbl)
+    val post = Knn.ivfSearch(assigned, "embedding", "vec_id", centroids,
+        probe, k, nProbe = 8)
+      .filter($"label" === lbl)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(post.length < k,
+      s"post-filter returned $post — expected recall loss vs pre-filter $pre")
+    // and everything the post-filter did find, the pre-filter also has
+    assert(post.toSet.subsetOf(pre.toSet))
+    assigned.unpersist()
+  }
+
   test("salted join and salted count match their unsalted equivalents on skewed data") {
     // planted skew: one hot key with 2000 rows, 50 cold keys
     val big = spark.range(0, 2050).select(
