@@ -8437,6 +8437,32 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     },
 
+    // Multimodal audio near-dup, oracle-checkable end to end (the
+    // q_image_neardup recipe for sound): ids become REAL WAVs whose
+    // family (id % nFam) fixes a 24-of-64 tone chord while each id gets
+    // its own volume and noise — Spark earns every pair through WAV
+    // decode → 64-band DFT → perceptual hash → the chunk-blocked Hamming
+    // join, while the SQL side restates the pair set from pure id
+    // arithmetic. Construction guarantees within-family Hamming 0
+    // (band shares 1/24 vs threshold 1/64, gain-invariant) and
+    // cross-family ~30, so maxHamming=2 has wide margin on both sides.
+    q("q_audio_neardup",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND a.doc_id % (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT)
+        |                 FROM documents)
+        |   = b.doc_id % (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT)
+        |                 FROM documents)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nFam = indexArtifact(s"aud-nfam:$d") {
+        java.lang.Long.valueOf(math.max(1L, docs.count() / 10))
+      }.longValue()
+      val media = graft.multimodal.Multimodal.syntheticWavFamilies(docs, "doc_id", nFam)
+      graft.multimodal.Multimodal.audioNearDups(media, maxHamming = 2)
+        .select(col("id_a"), col("id_b"))
+    },
+
     // Multimodal video frame-sampling, oracle-checkable end to end: ids
     // become REAL animated GIFs (3 + id%5 solid-gray frames, levels 64
     // apart), Spark earns every row through encode → frame decode → even

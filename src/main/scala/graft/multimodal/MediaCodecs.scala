@@ -271,6 +271,27 @@ object AudioCodec {
     out
   }
 
+  /** 64-bit perceptual audio fingerprint — the audio member of the
+    * dedup-signature family next to text SimHash and image dHash: bit `b`
+    * is set iff band `b`'s share of the [[spectralFeatures]] magnitude
+    * spectrum exceeds the uniform share 1/64 ("is band b louder than
+    * average"). The comparison is a RATIO of magnitudes, so the hash is
+    * invariant to volume (gain rescaling multiplies every band equally)
+    * and robust to additive noise far below the band margins — re-encoded,
+    * re-scaled and lightly-noised copies hash identically, distinct
+    * spectral content flips ~half the populated bands. Feed through
+    * [[graft.ops.Dedup.hammingNearDups]] exactly like a text simhash. */
+  def perceptualHash(pcm: Pcm): Long = {
+    val spec = spectralFeatures(pcm, 64)
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (spec(b) > 1.0f / 64) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Frequency-domain descriptor: normalized magnitude at `bins` evenly
     * spaced frequencies in (0, Nyquist], plus the spectral centroid in Hz
     * as the last element. Direct DFT per bin — O(n·bins), deterministic,

@@ -169,6 +169,62 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-WAV audio corpus with planted near-dup FAMILIES —
+    * what makes the audio perceptual-dedup path ORACLE-CHECKABLE (the
+    * [[syntheticImages]] recipe for sound): ids in the same family
+    * (`id % nFamilies`) share a chord of exactly 24 of the 64 DFT-bin
+    * frequencies (band centers of [[AudioCodec.spectralFeatures]] at
+    * n = 512 / 8 kHz, so every tone completes an integer cycle count —
+    * zero spectral leakage), while each ID gets its own volume (gain
+    * 0.6–1.4) and additive noise (±10⁻³) — the re-scaled/noisy-copy
+    * perturbations a perceptual hash must see through. Chord bands carry
+    * a 1/24 share of the magnitude spectrum vs the 1/64 hash threshold
+    * (2.7× margin); non-chord bands carry only noise (≪ 1/64), so
+    * within-family [[AudioCodec.perceptualHash]] Hamming distance is 0 by
+    * construction and cross-family ~30 (independent 24-of-64 chords) —
+    * the expected pair set is pure id arithmetic a SQL oracle recomputes. */
+  def syntheticWavFamilies(docs: DataFrame, idCol: String,
+                           nFamilies: Long): Dataset[MediaRecord] = {
+    require(nFamilies > 0, "nFamilies must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.TextHashing.splitmix64
+    val n = 512
+    val rate = 8000
+    widen(docs.select(col(idCol).cast("long")).as[Long]).map { id =>
+      val fam = id % nFamilies
+      // exactly 24 distinct chord bands from the family hash (the
+      // deterministic distinct-pick loop trainCentroids uses)
+      val bands = scala.collection.mutable.LinkedHashSet.empty[Int]
+      var s = fam * 0x9E3779B97F4A7C15L + 1
+      while (bands.size < 24) {
+        s = splitmix64(s)
+        bands += java.lang.Math.floorMod(s, 64L).toInt
+      }
+      val gain = 0.6 + 0.8 * ((splitmix64(id * 7919L + 17) >>> 40).toDouble / (1 << 24))
+      val amp = 0.02 * gain
+      val bandArr = bands.toArray
+      val omega = bandArr.map(b => 2.0 * math.Pi * (62.5 * (b + 1)) / rate)
+      val phase = bandArr.map(b => 2.0 * math.Pi *
+        ((splitmix64(fam * 131L + b) >>> 40).toDouble / (1 << 24)))
+      val samples = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        var v = 0.0
+        var t = 0
+        while (t < bandArr.length) {
+          v += amp * math.sin(omega(t) * i + phase(t))
+          t += 1
+        }
+        val noise = ((splitmix64(id * 31L + i) >>> 40).toDouble / (1 << 24) - 0.5) * 2e-3
+        samples(i) = (v + noise).toFloat
+        i += 1
+      }
+      MediaRecord(id, AudioCodec.encodeWavPcm16(samples, rate),
+        MediaMeta("audio", 0, 0, rate, n * 1000L / rate, "wav"))
+    }
+  }
+
   /** STUB decode+feature-extract: batch-shaped mapPartitions. A real
     * implementation decodes `batch` payloads with a codec library and runs
     * a vision/audio model; the stub derives `dim` deterministic floats
@@ -305,6 +361,28 @@ object Multimodal {
       })
     }.toDF("media_id", "dhash")
     graft.ops.Dedup.hammingNearDups(hashed, "media_id", "dhash", maxHamming)
+  }
+
+  /** Perceptual audio near-dup pairs — completes the multimodal dedup
+    * triangle (text SimHash, image dHash, audio band-signature): WAV
+    * decode → 64-bit [[AudioCodec.perceptualHash]] per clip → the SAME
+    * chunk-blocked Hamming join the text and image paths use
+    * ([[graft.ops.Dedup.hammingNearDups]], recall-exact through
+    * Hamming 7). Volume-rescaled / re-encoded / lightly-noised copies
+    * hash identically (the hash thresholds band RATIOS); payload bytes
+    * never shuffle — only (id, hash64) rows reach the exchange.
+    * Undecodable clips are skipped (dead-letter semantics). */
+  def audioNearDups(media: Dataset[MediaRecord], maxHamming: Int = 2,
+                    batchSize: Int = 64): org.apache.spark.sql.DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.filter(_.meta.media_type == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        try Some((r.media_id, AudioCodec.perceptualHash(AudioCodec.decodeWav(r.payload))))
+        catch { case scala.util.control.NonFatal(_) => None }
+      })
+    }.toDF("media_id", "phash")
+    graft.ops.Dedup.hammingNearDups(hashed, "media_id", "phash", maxHamming)
   }
 
   /** REAL frequency-domain audio features: per-band spectrum + spectral

@@ -211,6 +211,51 @@ class MultimodalSpec extends AnyFunSuite {
       s"distinct images must not pair: $pairs")
   }
 
+  test("perceptual audio near-dups: noisy/re-scaled copies pair, distinct chords don't") {
+    val n = 512
+    val rate = 8000
+    def chordWav(bands: Seq[Int], gain: Double, noiseSeed: Int): Array[Byte] = {
+      val rnd = new java.util.Random(noiseSeed)
+      val samples = Array.tabulate(n) { i =>
+        var v = 0.0
+        bands.foreach(b => v += 0.02 * gain * math.sin(2 * math.Pi * 62.5 * (b + 1) * i / rate))
+        (v + (rnd.nextDouble() - 0.5) * 2e-3).toFloat
+      }
+      AudioCodec.encodeWavPcm16(samples, rate)
+    }
+    val chordA = (0 until 48 by 2).toSeq // 24 even bands
+    val chordB = (1 until 48 by 2).toSeq // 24 odd bands — disjoint, Hamming 48
+    def rec(id: Long, wav: Array[Byte]) =
+      Multimodal.MediaRecord(id, wav, Multimodal.MediaMeta("audio", 0, 0, rate, 64L, "wav"))
+    // volume invariance of the hash itself: same chord at gain 1.0 vs a
+    // decoded-and-halved copy hashes identically
+    val base = AudioCodec.decodeWav(chordWav(chordA, 1.0, 7))
+    val halved = AudioCodec.Pcm(base.samples.map(_ * 0.5f), base.sampleRate)
+    assert(AudioCodec.perceptualHash(base) === AudioCodec.perceptualHash(halved))
+    val records = Seq(
+      rec(0L, chordWav(chordA, 1.0, 7)),
+      rec(100L, chordWav(chordA, 0.4, 99)),  // quiet, differently-noised copy
+      rec(1L, chordWav(chordB, 1.0, 7)),
+      rec(101L, chordWav(chordB, 1.3, 123))) // loud copy of the other chord
+    val pairs = Multimodal.audioNearDups(records.toDS(), maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), s"re-scaled noisy copy must pair: $pairs")
+    assert(pairs.contains((1L, 101L)), s"re-scaled copy must pair: $pairs")
+    assert(!pairs.exists { case (a, b) => (a % 100) != (b % 100) },
+      s"distinct chords must not pair: $pairs")
+  }
+
+  test("synthetic WAV families: within-family Hamming 0, expected pair set is id arithmetic") {
+    val docs = spark.range(0, 40).select($"id".as("doc_id"))
+    val media = Multimodal.syntheticWavFamilies(docs, "doc_id", nFamilies = 4)
+    val pairs = Multimodal.audioNearDups(media, maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L; if a % 4 == b % 4
+    } yield (a, b)).toSet
+    assert(pairs === expected)
+  }
+
   test("real video frames: animated GIF decodes to per-frame pixels, sampled evenly") {
     // 9-frame animated GIF, frame f filled with a distinct gray level
     val gifFrames = (0 until 9).map { f =>
