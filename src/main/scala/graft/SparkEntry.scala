@@ -4368,6 +4368,69 @@ object SparkEntry {
           size(word_shingles(col("_tk"), 1)).cast("long").as("n_distinct"))
     },
 
+    // C4-style line-level cleaning (TextAnalysis.c4CleanLines): documents
+    // group into 10-line pages (page = doc_id div 10, line = doc_id mod
+    // 10) whose lines deterministically exercise every public C4 rule —
+    // doc_id%7 picks terminal punct / no punct / a 2-word stub / an
+    // "All Rights Reserved" boilerplate tail, and doc_id%11=0 plants the
+    // same canonical line corpus-wide so the cross-document line dedup
+    // has real work. Spark earns the result through split → trim → the
+    // three predicates → the line-grain dedup shuffle → ordered rebuild;
+    // the oracle restates line construction AND rules independently.
+    q("q_c4_clean",
+      """WITH l AS (
+        |  SELECT doc_id // 10 AS page_id, doc_id % 10 AS line_no,
+        |    CASE WHEN doc_id % 11 = 0
+        |           THEN 'the quick brown fox jumps over the lazy dog.'
+        |         WHEN doc_id % 7 = 5
+        |           THEN array_to_string(string_split(text, ' ')[1:2], ' ') || '.'
+        |         WHEN doc_id % 7 = 4 THEN text || '. All Rights Reserved.'
+        |         WHEN doc_id % 7 = 1 THEN text
+        |         WHEN doc_id % 7 = 2 THEN text || '!'
+        |         WHEN doc_id % 7 = 3 THEN text || '?'
+        |         ELSE text || '.' END AS line0
+        |  FROM documents),
+        |t AS (SELECT page_id, line_no, trim(line0) AS line FROM l),
+        |k AS (
+        |  SELECT * FROM t
+        |  WHERE right(line, 1) IN ('.', '!', '?', '"')
+        |    AND (CASE WHEN line = '' THEN 0
+        |         ELSE len(string_split_regex(line, '\s+')) END) >= 3
+        |    AND NOT contains(lower(line), 'javascript')
+        |    AND NOT contains(lower(line), 'cookie')
+        |    AND NOT contains(lower(line), 'privacy policy')
+        |    AND NOT contains(lower(line), 'terms of use')
+        |    AND NOT contains(lower(line), 'all rights reserved')
+        |    AND NOT contains(lower(line), 'lorem ipsum')
+        |    AND NOT contains(lower(line), '{')),
+        |d AS (
+        |  SELECT page_id, line_no, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY page_id, line_no) AS rn
+        |  FROM k)
+        |SELECT page_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+        |  string_agg(line, chr(10) ORDER BY line_no) AS text_clean
+        |FROM d WHERE rn = 1
+        |GROUP BY page_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val line0 = when(col("doc_id") % 11 === 0,
+          lit("the quick brown fox jumps over the lazy dog."))
+        .when(col("doc_id") % 7 === 5,
+          concat(array_join(slice(split(col("text"), " "), 1, 2), " "), lit(".")))
+        .when(col("doc_id") % 7 === 4, concat(col("text"), lit(". All Rights Reserved.")))
+        .when(col("doc_id") % 7 === 1, col("text"))
+        .when(col("doc_id") % 7 === 2, concat(col("text"), lit("!")))
+        .when(col("doc_id") % 7 === 3, concat(col("text"), lit("?")))
+        .otherwise(concat(col("text"), lit(".")))
+      val pages = docs
+        .select(expr("doc_id div 10").as("page_id"),
+          (col("doc_id") % 10).as("_ln"), line0.as("_l0"))
+        .groupBy(col("page_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("_ln"), col("_l0")))),
+            x => x.getField("_l0")), "\n").as("text"))
+      TextAnalysis.c4CleanLines(pages, "page_id", "text")
+    },
+
     // Vocabulary coverage curve (CorpusStats.vocabCoverage): how many
     // vocab entries cover 50/90/99 % of token mass — the tokenizer-sizing
     // stat, computed on the vocab grain (the corpus collapses once in

@@ -179,6 +179,61 @@ object TextAnalysis {
           .as("n_tok"): _*)
   }
 
+  /** Line-level boilerplate markers (C4, Raffel et al. 2020 §2.2 — public
+    * rules): a line mentioning any of these is navigation/legal/template
+    * chrome, not prose. Shared with the oracle so the two engines can
+    * never disagree on the list. Lowercase; matched with `contains` on
+    * the lowercased line. */
+  val BoilerplatePhrases: Seq[String] = Seq(
+    "javascript", "cookie", "privacy policy", "terms of use",
+    "all rights reserved", "lorem ipsum", "{")
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, public rules) —
+    * the line-grain curation pass document-level quality scoring misses.
+    * Documents split on newlines; a line survives iff it
+    *
+    *  1. ends in terminal punctuation (`. ! ? "` after trim),
+    *  2. has ≥ `minWords` whitespace-separated words, and
+    *  3. contains no [[BoilerplatePhrases]] marker (lowercased contains);
+    *
+    * then surviving lines dedup EXACTLY across the whole corpus — only
+    * the first occurrence by (`idCol`, line position) keeps its slot (the
+    * cross-document boilerplate C4 removes by three-sentence-span dedup,
+    * done here at line grain) — and each document's surviving lines
+    * rebuild in original order.
+    *
+    * Scale shape: rules 1–3 are scan-side codegen predicates (no
+    * shuffle); the dedup is ONE line-grain shuffle keyed on the line
+    * text (Spark hashes the key for the exchange — at 100 TB the shuffle
+    * carries (line, id, pos) rows once, never pairs); the rebuild is a
+    * document-grain aggregate. Documents with zero surviving lines are
+    * dropped (the caller's dead-letter decision, as in chunkPassages).
+    *
+    * Output: (idCol, n_lines_kept, text_clean). */
+  def c4CleanLines(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 3): DataFrame = {
+    require(minWords >= 1, s"minWords must be ≥ 1: $minWords")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_raw")))
+      .select(col(idCol), col("_pos"), trim(col("_raw")).as("_line"))
+    val terminal = substring(col("_line"), -1, 1).isin(".", "!", "?", "\"")
+    val wc = when(col("_line") === "", lit(0))
+      .otherwise(org.apache.spark.sql.functions.size(split(col("_line"), "\\s+")))
+    val boiler = BoilerplatePhrases
+      .map(p => lower(col("_line")).contains(lit(p)))
+      .reduce(_ || _)
+    val kept = lines.filter(terminal && wc >= minWords && !boiler)
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_line")).orderBy(col(idCol), col("_pos"))
+    kept.withColumn("_rn", row_number().over(W)).filter(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x.getField("_line")),
+          "\n").as("text_clean"))
+  }
+
   /** PII patterns shared by the scrubber and its oracle — deliberately
     * restricted to syntax with IDENTICAL semantics in Java regex (Spark)
     * and RE2 (DuckDB): explicit character classes, bounded repetition, no

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.functions.GraftFunctions._
+import graft.ops.TextAnalysis
 
 class TextExpressionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -132,5 +133,37 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(hard < easy)
     // empty / whitespace-only -> null
     assert(f("", "   ") === Seq(None, None))
+  }
+
+  test("c4CleanLines: each rule drops its line, cross-doc dedup keeps first, order preserved") {
+    val docs = Seq(
+      (1L, Seq(
+        "This line survives the cleaning pass.",   // kept
+        "no terminal punctuation here",            // dropped: rule 1
+        "Too short.",                              // dropped: rule 2 (2 words)
+        "Please accept our cookie banner policy.", // dropped: rule 3 (boilerplate)
+        "Copyright notice. All Rights Reserved.",  // dropped: rule 3
+        "Enable JavaScript to view this content.", // dropped: rule 3 (case-folded)
+        "var x = { a: 1 };",                       // dropped: rule 3 ('{' = code)
+        "A shared boilerplate footer line.",       // kept (first occurrence)
+        "The final line also survives!"            // kept
+      ).mkString("\n")),
+      (2L, Seq(
+        "A shared boilerplate footer line.",       // dropped: dedup (doc 1 owns it)
+        "Doc two keeps its own prose line."        // kept
+      ).mkString("\n")),
+      (3L, Seq(
+        "no punct", "{ }"                          // nothing survives → doc dropped
+      ).mkString("\n"))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4CleanLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, Seq(
+        "This line survives the cleaning pass.",
+        "A shared boilerplate footer line.",
+        "The final line also survives!").mkString("\n")),
+      (2L, 1L, "Doc two keeps its own prose line.")))
   }
 }
