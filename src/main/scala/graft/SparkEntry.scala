@@ -137,6 +137,39 @@ object SparkEntry {
     head + steps + "\n" + sel
   }
 
+  /** DuckDB replay of [[ops.Graph.lpaCommunities]] over the strong item
+    * co-occurrence graph: the fixed-round synchronous propagation
+    * unrolled — per round one label join + (node, label) count + argmax
+    * window with the identical (count DESC, label ASC) tie-break.
+    * Generated so every round is character-identical (the q_pagerank
+    * unrolled-recursion pattern). */
+  private def lpaOracle(rounds: Int): String = {
+    val head =
+      """WITH ui AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS i
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e1 AS MATERIALIZED (
+        |  SELECT a.i AS a, b.i AS b
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 40),
+        |und AS MATERIALIZED (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM und)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""",
+         |c$r AS (
+         |  SELECT und.a AS node, l.lab AS lab, count(*) AS c
+         |  FROM und JOIN l${r - 1} l ON l.node = und.b
+         |  GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+         |    FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString
+    head + steps + s"\nSELECT node, lab AS community FROM l$rounds"
+  }
+
   /** DuckDB replay of [[ops.TextAnalysis.bpeMerges]]: the identical
     * merge loop unrolled — per step one pair-count aggregate over the
     * double-space symbol encoding, a (count DESC, lexicographic) top-1,
@@ -3475,6 +3508,25 @@ object SparkEntry {
         .unionByName(e.select(col("item_b").as("id"))).distinct()
       ops.Graph.bfsDistances(e, "item_a", "item_b",
         nodes.filter(pmod(col("id"), lit(10)) === 3), "id", maxHops = 3)
+    },
+
+    // Fixed-round synchronous label propagation (Graph.lpaCommunities)
+    // over the same strong co-occurrence graph: every node adopts its
+    // neighbors' most frequent label, ties to the SMALLEST label — the
+    // deterministic tie-break that lets the oracle unroll the identical
+    // propagation (the q_pagerank stance; random-tie LPA would be
+    // unverifiable). Three rounds; communities are label values.
+    q("q_lpa", lpaOracle(rounds = 3)) { (s, d) =>
+      val ui = Tables.events(s, d)
+        .select(col("user_id").as("_u"),
+          get_json_object(col("props"), "$.k").cast("int").as("_i"))
+        .filter(col("_i").isNotNull).distinct()
+      val e = ui.select(col("_u"), col("_i").as("item_a"))
+        .join(ui.select(col("_u"), col("_i").as("item_b")), Seq("_u"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") >= 40)
+      ops.Graph.lpaCommunities(e, "item_a", "item_b", rounds = 3)
     },
 
     // Integer-exact damped PageRank (Graph.pageRank) over the word

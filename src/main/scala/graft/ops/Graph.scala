@@ -173,6 +173,59 @@ object Graph {
     degrees(und).select(col("n").as("node"), col("d").as("degree"))
   }
 
+  /** Fixed-round synchronous label propagation (Raghavan et al. 2007) —
+    * the modularity-style community member of the family next to
+    * components (connectivity), k-core (density) and triangles (local
+    * clustering). Every node starts labeled with itself; each round,
+    * every node adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — the deterministic tie-break
+    * that makes the whole trajectory replayable (classic LPA breaks
+    * ties randomly; a fixed rule costs nothing and buys an exact
+    * unrolled-CTE oracle, the [[pageRank]] stance). Synchronous update:
+    * round r reads only round r−1's labels, so the result is
+    * partition-count- and order-independent.
+    *
+    * Scale shape per round: one edge-grain equi-join of the symmetrized
+    * edge set against the node-grain label table, one
+    * (node, neighbor-label) count aggregate — bounded by Σ deg(v) — and
+    * one per-node argmax window (partitioned by node: grain = a node's
+    * DISTINCT neighbor labels ≤ its degree, never corpus-wide). Label
+    * state localCheckpoints per round (the kCore/bfs lineage stance —
+    * lazy chaining would replay the upstream edge build 2^rounds times).
+    *
+    * Input normalizes like [[triangleCounts]] (undirected, simple);
+    * isolated nodes don't exist in an edge-derived node set. Output:
+    * (node, community) — community ids are node values, so two nodes
+    * share a community iff they carry the same label after `rounds`. */
+  def lpaCommunities(edges: DataFrame, srcCol: String, dstCol: String,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be ≥ 1: $rounds")
+    val W = org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("_u"), col("b").as("_v"))
+      .unionByName(und.select(col("b").as("_u"), col("a").as("_v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("_u").as("node")).distinct()
+      .withColumn("_lab", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = sym
+        .join(labels.select(col("node").as("_v"), col("_lab").as("_nl")), Seq("_v"))
+        .groupBy(col("_u"), col("_nl")).agg(count(lit(1)).as("_c"))
+      labels = counts
+        .withColumn("_rn", row_number().over(
+          W.partitionBy(col("_u")).orderBy(col("_c").desc, col("_nl").asc)))
+        .filter(col("_rn") === 1)
+        .select(col("_u").as("node"), col("_nl").as("_lab"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("_lab").as("community"))
+  }
+
   /** Multi-source BFS hop distance — "how many hops from the seed set is
     * each node" (influence radius, fraud-ring proximity, the graph
     * feature next to [[pageRank]]'s centrality and [[kCore]]'s density).

@@ -104,4 +104,25 @@ class GraphSpec extends AnyFunSuite {
     assert(one === Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3))
   }
 
+  test("lpa communities: two planted cliques split across the bridge, trajectory hand-checked") {
+    // two 5-cliques bridged by (5, 11). Hand trajectory with the
+    // (most-frequent, ties-to-min) rule: round 1 is all-distinct neighbor
+    // labels → min neighbor (node 1→2, others in A→1; node 11→5, others
+    // in B→11); round 2 consolidates (A all→1, B all→11 — node 5's
+    // bridge neighbor is outvoted 3:1, node 11's 4:1); round 3 is stable.
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      clique(Seq(11L, 12L, 13L, 14L, 15L)) :+ ((5L, 11L)))
+      .toDF("src", "dst")
+    val got = Graph.lpaCommunities(edges, "src", "dst", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1,
+      11L -> 11, 12L -> 11, 13L -> 11, 14L -> 11, 15L -> 11))
+    // synchronous determinism: a repartitioned input replays identically
+    val got2 = Graph.lpaCommunities(edges.repartition(7), "src", "dst", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === got)
+  }
+
 }

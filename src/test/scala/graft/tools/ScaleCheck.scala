@@ -508,6 +508,14 @@ object ScaleCheck {
           graft.ops.CorpusStats.bigramCounts(d, "text"),
           "w1", "w2", "c_xy", iterations = 2).count()
       }
+      // disjoint vowel-rotated bigram graphs (see triangles): nodes,
+      // edges, and per-round (node, neighbor-label) pairs all ×k; each
+      // LPA round is one edge-join + count + per-node window → linear
+      results(("lpa", k)) = timed("lpa", k, nd) {
+        graft.ops.Graph.lpaCommunities(
+          graft.ops.CorpusStats.bigramCounts(d, "text"),
+          "w1", "w2", rounds = 2).count()
+      }
       // word-frequency table ×k; merge steps run on it, corpus touched once
       results(("bpe_train", k)) = timed("bpe_train", k, nd) {
         graft.ops.TextAnalysis.bpeMerges(d, "text", nMerges = 4).count()
