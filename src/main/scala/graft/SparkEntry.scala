@@ -4393,6 +4393,38 @@ object SparkEntry {
           decSum(col("o_totalprice")).as("revenue"))
     },
 
+    // Runtime bloom-filter join pushdown — the ROW-level runtime-filter
+    // dual of q_dpp_prune's partition-level pruning: the selective dim
+    // filter (o_orderpriority = '1-URGENT', ~1/5 of orders) builds a
+    // bloom filter at runtime that Catalyst injects on the fact side
+    // BELOW the shuffle (might_contain(l_orderkey) in the lineitem scan
+    // stage), so ~4/5 of fact rows drop before the sort-merge exchange —
+    // at 100 TB that is the shuffle-volume story for every
+    // selective-dim × fact join that is too big to broadcast. Isolated
+    // session: the injection thresholds are tuned for test-scale data
+    // and must not leak into other queries' plans (broadcast disabled so
+    // the join actually shuffles — the bloom path's production shape).
+    q("q_bloom_join",
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.lineitem(s2, d)
+        .join(Tables.orders(s2, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          decSum(col("l_extendedprice")).as("revenue"))
+    },
+
     // Token entropy (functions.TokenEntropy): per-document Shannon
     // entropy of the word distribution — the boilerplate/keyword-spam
     // signal (templates score low, diverse prose near ln(n)). One

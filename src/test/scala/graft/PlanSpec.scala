@@ -108,6 +108,20 @@ class PlanSpec extends AnyFunSuite {
     assert(read < layoutDirs, s"no pruning: read $read of $layoutDirs")
   }
 
+  test("runtime bloom filter lands on the fact side below the shuffle") {
+    val df = SparkEntry.queries("q_bloom_join")(spark, TestSpark.sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the injected runtime filter: bloom built from the filtered dim side,
+    // probed as might_contain(l_orderkey) on the fact side — row-level
+    // runtime filtering, the DPP complement
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("bloom_filter_agg"), p)
+    // and it must actually shuffle (no broadcast): the bloom path's
+    // production shape for joins too big to broadcast
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastHashJoin"), phys)
+  }
+
   test("vector table time-bounded reads prune date_day partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vt-prune").toString
     val docs = Tables.documents(spark, TestSpark.sf).limit(20)
