@@ -4452,6 +4452,66 @@ object SparkEntry {
           size(word_shingles(col("_tk"), 1)).cast("long").as("n_distinct"))
     },
 
+    // Gopher quality rules (TextAnalysis.gopherRules; Rae et al. 2021
+    // Appendix A): documents get deterministic decorations so every rule
+    // has both passers and failers — doc_id%5 plants extra stop words,
+    // %7 plants '#' symbol spam, %3 plants bullet lines, %4 plants an
+    // ellipsis-ending line — and both engines evaluate the seven rules in
+    // the same integer cross-multiplied form (no float-division booleans).
+    q("q_gopher_rules",
+      """WITH t AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' of and that' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' ' || repeat('# ', 10) ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet line one'
+        |         || chr(10) || '- bullet line two' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'a cliffhanger line...'
+        |         ELSE '' END AS tx
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, tx,
+        |    list_filter(string_split_regex(lower(trim(tx)), '\s+'), w -> w <> '') AS tk,
+        |    list_filter(list_transform(string_split(tx, chr(10)), l -> trim(l)),
+        |      l -> l <> '') AS ln
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n,
+        |    CAST(list_sum(list_transform(tk, w -> CAST(len(w) AS BIGINT))) AS BIGINT) AS sumlen,
+        |    CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS nalpha,
+        |    CAST(len(list_intersect(list_distinct(tk),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS nstop,
+        |    CAST(len(tx) - len(replace(tx, '#', ''))
+        |      + (len(tx) - len(replace(tx, '...', ''))) // 3 AS BIGINT) AS nsym,
+        |    CAST(len(ln) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(ln, l -> starts_with(l, '-') OR starts_with(l, '*')
+        |      OR starts_with(l, '•'))) AS BIGINT) AS nbullet,
+        |    CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS BIGINT) AS nell
+        |  FROM f)
+        |SELECT doc_id, n AS n_words,
+        |  n >= 50 AND n <= 100000 AS wc_ok,
+        |  n > 0 AND sumlen >= 3 * n AND sumlen <= 10 * n AS wordlen_ok,
+        |  10 * nsym <= n AS symbol_ok,
+        |  10 * nbullet <= nl AS bullet_ok,
+        |  10 * nell <= 3 * nl AS ellipsis_ok,
+        |  5 * nalpha >= 4 * n AS alpha_ok,
+        |  nstop >= 2 AS stopword_ok,
+        |  (n >= 50 AND n <= 100000) AND (n > 0 AND sumlen >= 3 * n AND sumlen <= 10 * n)
+        |    AND 10 * nsym <= n AND 10 * nbullet <= nl AND 10 * nell <= 3 * nl
+        |    AND 5 * nalpha >= 4 * n AND nstop >= 2 AS gopher_pass
+        |FROM m""".stripMargin) { (s, d) =>
+      val decorated = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" of and that")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" "), repeat(lit("# "), 10)))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\n- bullet line one\n- bullet line two")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("\na cliffhanger line..."))
+            .otherwise(lit(""))).as("tx"))
+      TextAnalysis.gopherRules(decorated, "doc_id", "tx")
+    },
+
     // C4-style line-level cleaning (TextAnalysis.c4CleanLines): documents
     // group into 10-line pages (page = doc_id div 10, line = doc_id mod
     // 10) whose lines deterministically exercise every public C4 rule —

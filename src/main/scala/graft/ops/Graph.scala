@@ -188,10 +188,13 @@ object Graph {
     * Scale shape per round: one edge-grain equi-join of the symmetrized
     * edge set against the node-grain label table, one
     * (node, neighbor-label) count aggregate — bounded by Σ deg(v) — and
-    * one per-node argmax window (partitioned by node: grain = a node's
-    * DISTINCT neighbor labels ≤ its degree, never corpus-wide). Label
-    * state localCheckpoints per round (the kCore/bfs lineage stance —
-    * lazy chaining would replay the upstream edge build 2^rounds times).
+    * one node-grain `max_by(label, (count, −label))` aggregate for the
+    * argmax (a second partial+final hash aggregate over rows already
+    * clustered by node — no sort, no window, and the tie-break rides in
+    * the comparison key; a per-node rank window here would add a full
+    * sort per round for the same answer). Label state localCheckpoints
+    * per round (the kCore/bfs lineage stance — lazy chaining would
+    * replay the upstream edge build 2^rounds times).
     *
     * Input normalizes like [[triangleCounts]] (undirected, simple);
     * isolated nodes don't exist in an edge-derived node set. Output:
@@ -200,7 +203,6 @@ object Graph {
   def lpaCommunities(edges: DataFrame, srcCol: String, dstCol: String,
                      rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be ≥ 1: $rounds")
-    val W = org.apache.spark.sql.expressions.Window
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -216,11 +218,14 @@ object Graph {
       val counts = sym
         .join(labels.select(col("node").as("_v"), col("_lab").as("_nl")), Seq("_v"))
         .groupBy(col("_u"), col("_nl")).agg(count(lit(1)).as("_c"))
+      // argmax by (count DESC, label ASC) as min_by over (−count, label):
+      // label types are generic (word graphs carry strings), so the
+      // tie-break negates the COUNT, never the label
       labels = counts
-        .withColumn("_rn", row_number().over(
-          W.partitionBy(col("_u")).orderBy(col("_c").desc, col("_nl").asc)))
-        .filter(col("_rn") === 1)
-        .select(col("_u").as("node"), col("_nl").as("_lab"))
+        .groupBy(col("_u"))
+        .agg(min_by(col("_nl"),
+          struct((-col("_c")).as("_negc"), col("_nl").as("_l"))).as("_lab"))
+        .select(col("_u").as("node"), col("_lab"))
         .localCheckpoint(true)
     }
     labels.select(col("node"), col("_lab").as("community"))

@@ -179,6 +179,78 @@ object TextAnalysis {
           .as("n_tok"): _*)
   }
 
+  /** Gopher stop words (Rae et al. 2021, Appendix A — public rules):
+    * a document passing the stop-word rule contains ≥ 2 DISTINCT members.
+    * Shared with the oracle. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rules (Rae et al. 2021, Appendix A — the public
+    * heuristic filter set MassiveText/Gopher used before model-based
+    * filtering; the standard companion to C4's line rules at corpus
+    * curation time). Per document, the seven published document-level
+    * rules, each emitted as its own boolean plus the composite:
+    *
+    *  1. word count in [minWords, maxWords]              (50..100,000)
+    *  2. mean word length in [3, 10] characters
+    *  3. symbol-to-word ratio ≤ 0.1  ('#' and '...' are the symbols)
+    *  4. ≤ 10 % of lines start with a bullet ('-' '*' '•')
+    *  5. ≤ 30 % of lines end with an ellipsis
+    *  6. ≥ 80 % of words contain ≥ 1 alphabetic character
+    *  7. ≥ 2 distinct [[GopherStopWords]] present
+    *
+    * Every ratio threshold is evaluated in INTEGER cross-multiplied form
+    * (3·n ≤ Σlen ≤ 10·n, 10·sym ≤ n, 10·bullets ≤ nl, 10·ell ≤ 3·nl,
+    * 5·alpha ≥ 4·n) — booleans computed through float division are
+    * exactly the kind of cross-engine coin flip the oracle discipline
+    * forbids. One scan, all codegen expressions, no shuffle; compose
+    * with [[qualityScore]] (soft score) and [[c4CleanLines]] (line
+    * grain) for the full curation stack.
+    *
+    * Output: (idCol, n_words, wc_ok, wordlen_ok, symbol_ok, bullet_ok,
+    * ellipsis_ok, alpha_ok, stopword_ok, gopher_pass). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 ≤ minWords ≤ maxWords: $minWords/$maxWords")
+    val sz = (c: Column) => org.apache.spark.sql.functions.size(c)
+    val tk = Dedup.tokens(col(textCol))
+    val n = sz(col("_tk")).cast("long")
+    val sumLen = aggregate(col("_tk"), lit(0L), (a, x) => a + length(x))
+    val nAlpha = sz(filter(col("_tk"), w => w.rlike("[a-z]"))).cast("long")
+    val nStop = sz(array_intersect(array_distinct(col("_tk")),
+      typedLit(GopherStopWords))).cast("long")
+    // '#' and '...' counts via replace-length arithmetic — identical
+    // non-overlapping semantics on both engines
+    val nHash = length(col(textCol)) - length(replace(col(textCol), lit("#"), lit("")))
+    val nEllip = (length(col(textCol)) -
+      length(replace(col(textCol), lit("..."), lit("")))) / lit(3)
+    val nSym = (nHash + nEllip).cast("long")
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => l =!= "")
+    val nl = sz(col("_ln")).cast("long")
+    // prefix/suffix predicates, not substring arithmetic — short lines
+    // have engine-divergent negative-index substring semantics
+    val nBullet = sz(filter(col("_ln"),
+      l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("long")
+    val nEllLine = sz(filter(col("_ln"), l => l.endsWith("..."))).cast("long")
+    df.select(col(idCol), col(textCol))
+      .withColumn("_tk", tk).withColumn("_ln", lines)
+      .select(col(idCol),
+        n.as("n_words"),
+        (n >= minWords && n <= maxWords).as("wc_ok"),
+        (n > 0 && sumLen >= lit(3L) * n && sumLen <= lit(10L) * n).as("wordlen_ok"),
+        (lit(10L) * nSym <= n).as("symbol_ok"),
+        (lit(10L) * nBullet <= nl).as("bullet_ok"),
+        (lit(10L) * nEllLine <= lit(3L) * nl).as("ellipsis_ok"),
+        (lit(5L) * nAlpha >= lit(4L) * n).as("alpha_ok"),
+        (nStop >= 2L).as("stopword_ok"))
+      .withColumn("gopher_pass",
+        col("wc_ok") && col("wordlen_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+          col("stopword_ok"))
+  }
+
   /** Line-level boilerplate markers (C4, Raffel et al. 2020 §2.2 — public
     * rules): a line mentioning any of these is navigation/legal/template
     * chrome, not prose. Shared with the oracle so the two engines can

@@ -135,6 +135,37 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(f("", "   ") === Seq(None, None))
   }
 
+  test("gopherRules: each rule trips on its planted violation, integer thresholds exact at the boundary") {
+    val prose = (1 to 60).map(i => s"word$i").mkString(" ") + " the and of"
+    val docs = Seq(
+      (1L, prose),                                       // passes everything
+      (2L, "too short the and"),                         // wc fails (4 words)
+      (3L, prose + " " + Seq.fill(8)("#").mkString(" ")),// 8 syms vs 71 words: 80>71 symbol fails
+      (4L, prose + "\n- a\n- b\n- c\n- d\n- e\n- f"),    // 6 bullet lines of 7: fails
+      (5L, prose + "\nto be continued..."),              // 1 ellipsis line of 2: 10>6 fails
+      (6L, (1 to 63).map(_ => "12345").mkString(" ") + " the and"), // 63 numeric of 65: alpha fails
+      (7L, (1 to 60).map(i => s"word$i").mkString(" ") + " the"),   // 1 stop word: fails
+      (8L, (1 to 50).map(_ => "supercalifragilistic").mkString(" ") + " the and") // mean len > 10
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getAs[Boolean]("gopher_pass"))
+    assert(!row(1).getAs[Boolean]("wc_ok") && row(1).getAs[Boolean]("stopword_ok"))
+    assert(!row(2).getAs[Boolean]("symbol_ok") && row(2).getAs[Boolean]("wc_ok"))
+    assert(!row(3).getAs[Boolean]("bullet_ok") && row(3).getAs[Boolean]("symbol_ok"))
+    assert(!row(4).getAs[Boolean]("ellipsis_ok"))
+    assert(!row(5).getAs[Boolean]("alpha_ok"))
+    assert(!row(6).getAs[Boolean]("stopword_ok") && row(6).getAs[Boolean]("alpha_ok"))
+    assert(!row(7).getAs[Boolean]("wordlen_ok"))
+    // boundary exactness: exactly 10% symbols passes (10*sym == n), 1 over fails
+    val b = Seq((1L, (1 to 54).map(i => s"w$i").mkString(" ") + " the and of # # # # # #"))
+      .toDF("doc_id", "text") // 57 words + 6 hashes = 63 tokens? recompute below
+    val r = TextAnalysis.gopherRules(b, "doc_id", "text").collect().head
+    val nw = r.getAs[Long]("n_words")
+    assert(r.getAs[Boolean]("symbol_ok") === (10 * 6 <= nw))
+  }
+
   test("c4CleanLines: each rule drops its line, cross-doc dedup keeps first, order preserved") {
     val docs = Seq(
       (1L, Seq(
