@@ -8670,6 +8670,30 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     },
 
+    // Multimodal video near-dup — the last side of the perceptual-dedup
+    // square (text/image/audio/video over one shared Hamming machinery):
+    // ids (every 2nd doc) become REAL animated GIFs whose family fixes
+    // the frame-pattern SEQUENCE and frame count while each id carries
+    // its own pixel noise; Spark earns every pair through GIF encode →
+    // frame decode → per-frame dHash → majority-bit signature → the
+    // chunk-blocked Hamming join, while the SQL side restates the pair
+    // set from id arithmetic (within-family Hamming 0 by construction —
+    // ≥64 luminance margin per dHash cell, lossless GIF grays).
+    q("q_video_neardup",
+      """WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+        |n AS (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT) AS nf FROM v)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM v a JOIN v b ON a.doc_id < b.doc_id, n
+        |WHERE a.doc_id % nf = b.doc_id % nf""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      val nFam = indexArtifact(s"vid-nfam:$d") {
+        java.lang.Long.valueOf(math.max(1L, docs.count() / 10))
+      }.longValue()
+      val media = graft.multimodal.Multimodal.syntheticGifFamilies(docs, "doc_id", nFam)
+      graft.multimodal.Multimodal.videoNearDups(media, maxHamming = 6)
+        .select(col("id_a"), col("id_b"))
+    },
+
     // Multimodal video frame-sampling, oracle-checkable end to end: ids
     // become REAL animated GIFs (3 + id%5 solid-gray frames, levels 64
     // apart), Spark earns every row through encode → frame decode → even

@@ -78,44 +78,79 @@ object Multimodal {
     * the ±3 noise: within-family Hamming is 0 by construction, cross-family
     * ~32 (independent patterns). Each 8×8 pixel block maps to exactly one
     * dHash cell (72×64 → 9×8 downscale). */
+  /** The 72×64 9×8-block luminance renderer behind every oracle-checkable
+    * visual corpus: block levels from `patternKey` (4 levels 64 apart,
+    * horizontally-adjacent blocks forced to differ → every dHash bit has
+    * ≥64 margin), per-pixel ±3 noise from `noiseKey`. Same patternKey ⇒
+    * dHash-identical images regardless of noiseKey. */
+  private def blockImage(patternKey: Long, noiseKey: Long): BufferedImage = {
+    import graft.functions.TextHashing.splitmix64
+    val img = new BufferedImage(72, 64, BufferedImage.TYPE_INT_RGB)
+    val levels = Array(16, 80, 144, 208)
+    var by = 0
+    while (by < 8) {
+      var prev = -1
+      var bx = 0
+      while (bx < 9) {
+        var li = (splitmix64(patternKey + by * 9 + bx) >>> 32).toInt & 3
+        if (li == prev) li = (li + 1) & 3 // adjacent blocks must differ
+        prev = li
+        val base = levels(li)
+        var py = 0
+        while (py < 8) {
+          var px = 0
+          while (px < 8) {
+            val x = bx * 8 + px
+            val y = by * 8 + py
+            val noise = ((splitmix64(noiseKey + y * 72 + x) >>> 32) % 7).toInt - 3
+            val v = math.max(0, math.min(255, base + noise))
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            px += 1
+          }
+          py += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    img
+  }
+
   def syntheticImages(docs: DataFrame, idCol: String,
                       nFamilies: Long): Dataset[MediaRecord] = {
     require(nFamilies > 0, "nFamilies must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    import graft.functions.TextHashing.splitmix64
     widen(docs.select(col(idCol).cast("long")).as[Long]).map { id =>
       val fam = id % nFamilies
-      val img = new BufferedImage(72, 64, BufferedImage.TYPE_INT_RGB)
-      val levels = Array(16, 80, 144, 208)
-      var by = 0
-      while (by < 8) {
-        var prev = -1
-        var bx = 0
-        while (bx < 9) {
-          var li = (splitmix64(fam * 1000003L + by * 9 + bx) >>> 32).toInt & 3
-          if (li == prev) li = (li + 1) & 3 // adjacent blocks must differ
-          prev = li
-          val base = levels(li)
-          var py = 0
-          while (py < 8) {
-            var px = 0
-            while (px < 8) {
-              val x = bx * 8 + px
-              val y = by * 8 + py
-              val noise = ((splitmix64(id * 7919L + y * 72 + x) >>> 32) % 7).toInt - 3
-              val v = math.max(0, math.min(255, base + noise))
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
-              px += 1
-            }
-            py += 1
-          }
-          bx += 1
-        }
-        by += 1
-      }
-      MediaRecord(id, ImageCodec.encodePng(img),
+      MediaRecord(id, ImageCodec.encodePng(blockImage(fam * 1000003L, id * 7919L)),
         MediaMeta("image", 72, 64, 0, 0L, "png"))
+    }
+  }
+
+  /** Deterministic animated-GIF corpus with planted near-dup FAMILIES —
+    * the [[syntheticImages]] recipe extended to the time axis for the
+    * video member of the perceptual-dedup family: ids in the same family
+    * (`id % nFamilies`) share a SEQUENCE of block patterns (frame j's
+    * pattern keyed by (family, j)) and the family fixes the frame count
+    * (3 + fam % 3), while each ID carries its own per-pixel noise — so
+    * the per-frame dHashes are family-identical (≥64 luminance margin vs
+    * ±3 noise, GIF's 256-entry palette holds every gray exactly) and the
+    * majority-bit video signature has within-family Hamming 0, cross-
+    * family ~32. Expected pair set = pure id arithmetic. */
+  def syntheticGifFamilies(docs: DataFrame, idCol: String,
+                           nFamilies: Long): Dataset[MediaRecord] = {
+    require(nFamilies > 0, "nFamilies must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    widen(docs.select(col(idCol).cast("long")).as[Long]).map { id =>
+      val fam = id % nFamilies
+      val n = (3 + fam % 3).toInt
+      val frames = (0 until n).map { j =>
+        blockImage((fam * 97L + j) * 1000003L, (id * 53L + j) * 7919L)
+      }
+      MediaRecord(id, VideoCodec.encodeGif(frames),
+        MediaMeta("video", 72, 64, 0, n * 100L, "gif"))
     }
   }
 
@@ -383,6 +418,47 @@ object Multimodal {
       })
     }.toDF("media_id", "phash")
     graft.ops.Dedup.hammingNearDups(hashed, "media_id", "phash", maxHamming)
+  }
+
+  /** Perceptual video near-dup pairs — the last side of the multimodal
+    * dedup square (text SimHash, image dHash, audio band signature,
+    * video majority-dHash): decode frames → sample ≤ `sampleN` evenly →
+    * 64-bit dHash per frame → MAJORITY bit across sampled frames (strict
+    * > k/2, ties → 0 — deterministic) → the shared chunk-blocked
+    * [[graft.ops.Dedup.hammingNearDups]]. The majority vote makes the
+    * signature robust to a minority of perturbed/re-encoded frames while
+    * identical frame sequences collapse to identical signatures; payload
+    * bytes never shuffle. Undecodable videos are skipped. */
+  def videoNearDups(media: Dataset[MediaRecord], maxHamming: Int = 6,
+                    sampleN: Int = 4, batchSize: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(sampleN >= 1, s"sampleN must be ≥ 1: $sampleN")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.filter(_.meta.media_type == "video").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        try {
+          val frames = VideoCodec.decodeFrames(r.payload)
+          if (frames.isEmpty) None
+          else {
+            val k = math.min(sampleN, frames.length)
+            val hashes = (0 until k).map { i =>
+              val idx = if (k <= 1) 0 else (i.toLong * (frames.length - 1) / (k - 1)).toInt
+              ImageCodec.dHash(frames(idx))
+            }
+            var sig = 0L
+            var b = 0
+            while (b < 64) {
+              var ones = 0
+              hashes.foreach(h => if (((h >>> b) & 1L) == 1L) ones += 1)
+              if (2 * ones > k) sig |= (1L << b)
+              b += 1
+            }
+            Some((r.media_id, sig))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      })
+    }.toDF("media_id", "vhash")
+    graft.ops.Dedup.hammingNearDups(hashed, "media_id", "vhash", maxHamming)
   }
 
   /** REAL frequency-domain audio features: per-band spectrum + spectral

@@ -256,6 +256,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === expected)
   }
 
+  test("perceptual video near-dups: noisy family copies pair, distinct sequences don't") {
+    val docs = spark.range(0, 30).select($"id".as("doc_id"))
+    val media = Multimodal.syntheticGifFamilies(docs, "doc_id", nFamilies = 3)
+    val pairs = Multimodal.videoNearDups(media, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L; if a % 3 == b % 3
+    } yield (a, b)).toSet
+    assert(pairs === expected)
+    // family frame counts survive the codec round-trip (3 + fam % 3)
+    import spark.implicits._
+    val lens = media.map(r => (r.media_id,
+      VideoCodec.decodeFrames(r.payload).length)).collect().toMap
+    assert((0L until 30L).forall(id => lens(id) == 3 + (id % 3).toInt))
+  }
+
   test("real video frames: animated GIF decodes to per-frame pixels, sampled evenly") {
     // 9-frame animated GIF, frame f filled with a distinct gray level
     val gifFrames = (0 until 9).map { f =>
