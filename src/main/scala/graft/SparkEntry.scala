@@ -170,6 +170,57 @@ object SparkEntry {
     head + steps + s"\nSELECT node, lab AS community FROM l$rounds"
   }
 
+  /** DuckDB replay of [[ops.Spectral.dominantProjection]]: the exact
+    * integer Gram matrix, then the identical power-iteration trajectory
+    * unrolled — per step one matrix-vector join-aggregate, max-abs
+    * normalization with the same remainder-based round-half-away, and
+    * the same sign convention — then the per-row projection join.
+    * Generated so every step's arithmetic is character-identical. */
+  private def powerIterOracle(iters: Int): String = {
+    val head =
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |g AS MATERIALIZED (
+        |  SELECT u.i - 1 AS i, w.j - 1 AS j,
+        |    sum(CAST(qv[u.i] AS HUGEINT) * qv[w.j]) AS g
+        |  FROM q, unnest(range(1, len(qv) + 1)) u(i),
+        |       unnest(range(1, len(qv) + 1)) w(j)
+        |  GROUP BY 1, 2),
+        |d0 AS (SELECT i AS d FROM g WHERE i = j ORDER BY g DESC, i LIMIT 1),
+        |v0 AS MATERIALIZED (
+        |  SELECT u.i AS d,
+        |    CASE WHEN u.i = (SELECT d FROM d0)
+        |         THEN CAST(1000000 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS val
+        |  FROM unnest(range(0, 64)) u(i))""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s""",
+         |w$r AS (
+         |  SELECT g.i AS d, sum(g.g * v.val) AS w
+         |  FROM g JOIN v${r - 1} v ON v.d = g.j GROUP BY 1),
+         |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+         |u$r AS (
+         |  SELECT d, w,
+         |    ((abs(w) * 1000000) // m)
+         |      + CASE WHEN ((abs(w) * 1000000) % m) * 2 >= m THEN 1 ELSE 0 END AS uu
+         |  FROM w$r, m$r),
+         |s$r AS (SELECT d, CASE WHEN w < 0 THEN -uu ELSE uu END AS val FROM u$r),
+         |dm$r AS (SELECT d FROM s$r ORDER BY abs(val) DESC, d LIMIT 1),
+         |f$r AS (
+         |  SELECT CASE WHEN (SELECT val FROM s$r WHERE d = (SELECT d FROM dm$r)) < 0
+         |         THEN -1 ELSE 1 END AS f),
+         |v$r AS MATERIALIZED (SELECT d, val * f AS val FROM s$r, f$r)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |SELECT q.vec_id,
+         |  round(CAST(sum(CAST(qv[v.d + 1] AS HUGEINT) * v.val) AS DOUBLE)
+         |    / 1000000000000.0, 6) AS proj
+         |FROM q, v$iters v
+         |GROUP BY q.vec_id""".stripMargin
+  }
+
   /** DuckDB replay of [[ops.TextAnalysis.bpeMerges]]: the identical
     * merge loop unrolled — per step one pair-count aggregate over the
     * double-space symbol encoding, a (count DESC, lexicographic) top-1,
@@ -8495,6 +8546,19 @@ object SparkEntry {
           "embedding", "vec_id", centroids, probe, 10, nProbe = 4)
         .select(col("vec_id").as("ann_id"), round(col("score"), 6).as("score"))
       annContract(ann, e, probe, k = 10)
+    },
+
+    // Dominant principal direction by exact-integer power iteration
+    // (Spectral.dominantProjection) — the PCA/whitening/all-but-the-top
+    // primitive for embedding corpora: one d²-bounded Gram scan, a
+    // driver-side BigInt power trajectory on the 10⁶ grid (init at the
+    // largest diagonal, max-abs renormalization with remainder-based
+    // round-half-away, deterministic sign), one projection scan with the
+    // direction as a plan-time literal. The oracle replays the IDENTICAL
+    // trajectory as unrolled CTEs — per-row projections hash-compare.
+    q("q_power_iteration", powerIterOracle(iters = 3)) { (s, d) =>
+      ops.Spectral.dominantProjection(Tables.embeddings(s, d),
+        "embedding", "vec_id", dim = 64, iterations = 3)
     },
 
     // Metadata-filtered ANN probe (Knn.ivfSearchFiltered): the tenant/date

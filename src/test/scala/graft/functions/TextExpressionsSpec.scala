@@ -166,6 +166,36 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("symbol_ok") === (10 * 6 <= nw))
   }
 
+  test("c4CleanLines is idempotent and repartition-invariant; gopherRules repartition-invariant") {
+    // surviving lines all end in terminal punct, have >=3 words, carry no
+    // boilerplate, and are globally unique — so cleaning a cleaned corpus
+    // must be the identity (same kept lines, same order)
+    val base = graft.Tables.documents(spark, TestSpark.sf).limit(200)
+      .select($"doc_id", concat_ws("\n",
+        concat($"text", lit(".")),
+        lit("no terminal punct line"),
+        lit("Shared footer line across all docs.")).as("text"))
+    val once = TextAnalysis.c4CleanLines(base, "doc_id", "text")
+    val twice = TextAnalysis.c4CleanLines(
+      once.select($"doc_id", $"text_clean".as("text")), "doc_id", "text")
+    val a = once.select("doc_id", "n_lines_kept", "text_clean").collect().toSet
+    val b = twice.select("doc_id", "n_lines_kept", "text_clean").collect().toSet
+    assert(a === b)
+    // dedup keeps exactly ONE copy of the planted shared footer
+    val foot = once.collect()
+      .count(_.getAs[String]("text_clean").contains("Shared footer line"))
+    assert(foot === 1)
+    // repartition invariance (the window orders by (id, pos) — total order)
+    val rep = TextAnalysis.c4CleanLines(base.repartition(13), "doc_id", "text")
+      .select("doc_id", "n_lines_kept", "text_clean").collect().toSet
+    assert(rep === a)
+    val g1 = TextAnalysis.gopherRules(base, "doc_id", "text").collect()
+      .map(_.toSeq).toSet
+    val g2 = TextAnalysis.gopherRules(base.repartition(13), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(g1 === g2)
+  }
+
   test("c4CleanLines: each rule drops its line, cross-doc dedup keeps first, order preserved") {
     val docs = Seq(
       (1L, Seq(
