@@ -516,6 +516,38 @@ object ScaleCheck {
           graft.ops.CorpusStats.bigramCounts(d, "text"),
           "w1", "w2", rounds = 2).count()
       }
+      // vowel-rotated lines never collide across replicas, so the C4
+      // cross-corpus line-dedup key space grows ×k — rules are scan-side,
+      // the one line-grain shuffle must stay linear
+      results(("c4_clean", k)) = timed("c4_clean", k, nd) {
+        graft.ops.TextAnalysis.c4CleanLines(
+          d.select(col("doc_id"), concat(col("text"), lit(".")).as("text")),
+          "doc_id", "text").count()
+      }
+      // pure scan-side integer predicates — no shuffle at all
+      results(("gopher_rules", k)) = timed("gopher_rules", k, nd) {
+        graft.ops.TextAnalysis.gopherRules(d, "doc_id", "text").count()
+      }
+      // families derive from replicated ids with nFam ∝ rows, so the
+      // planted pair count grows linearly while per-row codec work
+      // (WAV synth + DFT / GIF encode + frame dHash) dominates
+      results(("audio_neardup", k)) = timed("audio_neardup", k, nd) {
+        graft.multimodal.Multimodal.audioNearDups(
+          graft.multimodal.Multimodal.syntheticWavFamilies(
+            d, "doc_id", math.max(1L, nd / 10)), maxHamming = 2).count()
+      }
+      results(("video_neardup", k)) = timed("video_neardup", k, nd) {
+        graft.multimodal.Multimodal.videoNearDups(
+          graft.multimodal.Multimodal.syntheticGifFamilies(
+            d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id",
+            math.max(1L, nd / 20)), maxHamming = 6).count()
+      }
+      // one d²-bounded Gram aggregate + one projection scan — both linear;
+      // the BigInt trajectory is driver-side constant work
+      results(("power_iteration", k)) = timed("power_iteration", k, ne) {
+        graft.ops.Spectral.dominantProjection(e, "embedding", "vec_id",
+          dim = 64, iterations = 2).count()
+      }
       // word-frequency table ×k; merge steps run on it, corpus touched once
       results(("bpe_train", k)) = timed("bpe_train", k, nd) {
         graft.ops.TextAnalysis.bpeMerges(d, "text", nMerges = 4).count()
