@@ -8695,9 +8695,9 @@ object SparkEntry {
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id
-        | AND a.doc_id % (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT)
+        | AND a.doc_id % (SELECT CAST(greatest(count(*) // 10, 1) AS BIGINT)
         |                 FROM documents)
-        |   = b.doc_id % (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT)
+        |   = b.doc_id % (SELECT CAST(greatest(count(*) // 10, 1) AS BIGINT)
         |                 FROM documents)""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val nFam = indexArtifact(s"img-nfam:$d") {
@@ -8721,9 +8721,9 @@ object SparkEntry {
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id
-        | AND a.doc_id % (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT)
+        | AND a.doc_id % (SELECT CAST(greatest(count(*) // 10, 1) AS BIGINT)
         |                 FROM documents)
-        |   = b.doc_id % (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT)
+        |   = b.doc_id % (SELECT CAST(greatest(count(*) // 10, 1) AS BIGINT)
         |                 FROM documents)""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val nFam = indexArtifact(s"aud-nfam:$d") {
@@ -8745,7 +8745,7 @@ object SparkEntry {
     // ≥64 luminance margin per dHash cell, lossless GIF grays).
     q("q_video_neardup",
       """WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
-        |n AS (SELECT CAST(greatest(count(*) / 10, 1) AS BIGINT) AS nf FROM v)
+        |n AS (SELECT CAST(greatest(count(*) // 10, 1) AS BIGINT) AS nf FROM v)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM v a JOIN v b ON a.doc_id < b.doc_id, n
         |WHERE a.doc_id % nf = b.doc_id % nf""".stripMargin) { (s, d) =>

@@ -321,8 +321,10 @@ object Retrieval {
     * this is what the query side does with them).
     *
     * Semantics:
-    *  1. Each shortlist row gets a 64-bit SimHash signature of its
-    *     whitespace tokens (null text = empty tokens = signature 0).
+    *  1. Null-text shortlist rows are DROPPED up front (they carry
+    *     nothing packable and would otherwise all be Hamming-0 dups of
+    *     each other); every surviving row gets a 64-bit SimHash
+    *     signature of its whitespace tokens.
     *  2. Near-dup pairs within the shortlist (Hamming ≤ `maxHamming`)
     *     drop their WORSE-ranked member — so any two surviving passages
     *     are ≥ maxHamming apart (the completeness contract; a chain

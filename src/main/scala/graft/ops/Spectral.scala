@@ -43,7 +43,7 @@ object Spectral {
     q.select(posexplode(col("_qv")).as(Seq("i", "_qi")), col("_qv"))
       .select(col("i"), col("_qi"), posexplode(col("_qv")).as(Seq("j", "_qj")))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("_qi") * col("_qj")).cast(dec38)).as("g"))
+      .agg(sum(col("_qi").cast(dec38) * col("_qj")).as("g"))
   }
 
   /** Driver-side exact-integer power iteration over a collected Gram

@@ -275,11 +275,16 @@ object TextAnalysis {
     * rebuild in original order.
     *
     * Scale shape: rules 1–3 are scan-side codegen predicates (no
-    * shuffle); the dedup is ONE line-grain shuffle keyed on the line
-    * text (Spark hashes the key for the exchange — at 100 TB the shuffle
-    * carries (line, id, pos) rows once, never pairs); the rebuild is a
-    * document-grain aggregate. Documents with zero surviving lines are
-    * dropped (the caller's dead-letter decision, as in chunkPassages).
+    * shuffle); the dedup is ONE line-grain aggregate whose keeper
+    * `min(struct(id, pos))` is MAP-SIDE COMBINED — a boilerplate line
+    * duplicated 10⁸ times across the corpus (cookie banners, legal
+    * footers: exactly this operator's target data) reduces to one
+    * partial row per map task before the exchange, instead of
+    * serializing every occurrence into a single task's window sort.
+    * The aggregate output already carries (line, keeper id, keeper pos),
+    * so there is no join-back at all; the rebuild is a document-grain
+    * aggregate. Documents with zero surviving lines are dropped (the
+    * caller's dead-letter decision, as in chunkPassages).
     *
     * Output: (idCol, n_lines_kept, text_clean). */
   def c4CleanLines(df: DataFrame, idCol: String, textCol: String,
@@ -295,9 +300,14 @@ object TextAnalysis {
       .map(p => lower(col("_line")).contains(lit(p)))
       .reduce(_ || _)
     val kept = lines.filter(terminal && wc >= minWords && !boiler)
-    val W = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_line")).orderBy(col(idCol), col("_pos"))
-    kept.withColumn("_rn", row_number().over(W)).filter(col("_rn") === 1)
+    // first occurrence by (id, pos) as a keeper AGGREGATE, not a window:
+    // min(struct) partial-aggregates map-side, so a corpus-wide hot line
+    // never concentrates in one task, and the aggregate row itself is the
+    // surviving (id, pos, line) — no join back to the line set needed
+    kept.groupBy(col("_line"))
+      .agg(min(struct(col(idCol), col("_pos"))).as("_k"))
+      .select(col("_k").getField(idCol).as(idCol),
+        col("_k").getField("_pos").as("_pos"), col("_line"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines_kept"),
         array_join(

@@ -196,6 +196,34 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(g1 === g2)
   }
 
+  test("c4CleanLines hot line: corpus-wide duplicate aggregates map-side, no window") {
+    // the 100 TB skew case this operator targets: ONE boilerplate line
+    // replicated into every document (cookie banner / legal footer). The
+    // r14-verdict de-skew replaced the per-line row_number window with a
+    // map-side-combined min(struct(id, pos)) keeper aggregate — assert the
+    // plan shape (no Window node anywhere) and the exact keeper semantics
+    // (minimal (doc_id, pos) owns the line; everyone else loses it).
+    val hot = "This exact footer repeats in every single document."
+    val docs = (1L to 300L).map { id =>
+      (id, Seq(hot, s"Document number $id keeps its own prose line.", hot)
+        .mkString("\n"))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.c4CleanLines(docs, "doc_id", "text")
+    val hasWindow = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty
+    assert(!hasWindow, "hot-line dedup must not route through a window")
+    val rows = out.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines_kept"), r.getAs[String]("text_clean"))).toMap
+    assert(rows.size === 300)
+    assert(rows(1L) === ((2L,
+      hot + "\nDocument number 1 keeps its own prose line.")))
+    (2L to 300L).foreach { id =>
+      assert(rows(id) === ((1L, s"Document number $id keeps its own prose line.")))
+    }
+  }
+
   test("c4CleanLines: each rule drops its line, cross-doc dedup keeps first, order preserved") {
     val docs = Seq(
       (1L, Seq(

@@ -510,7 +510,8 @@ object ScaleCheck {
       }
       // disjoint vowel-rotated bigram graphs (see triangles): nodes,
       // edges, and per-round (node, neighbor-label) pairs all ×k; each
-      // LPA round is one edge-join + count + per-node window → linear
+      // LPA round is one edge-join + count + per-node min_by/argmax
+      // aggregate (no window — see Graph.lpaCommunities) → linear
       results(("lpa", k)) = timed("lpa", k, nd) {
         graft.ops.Graph.lpaCommunities(
           graft.ops.CorpusStats.bigramCounts(d, "text"),
