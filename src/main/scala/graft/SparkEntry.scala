@@ -3580,6 +3580,32 @@ object SparkEntry {
       ops.Graph.lpaCommunities(e, "item_a", "item_b", rounds = 3)
     },
 
+    // Two-phase star connected components (Graph.componentsStar;
+    // Kiveris et al. 2014) on a planted LONG-CHAIN graph — the shape
+    // min-label propagation pays O(diameter) rounds on and the star
+    // contraction collapses in O(log): documents chain consecutively
+    // inside groups of 50 (plus a shortcut edge per group and a
+    // self-pair per id so every id participates). Labels at convergence
+    // are structure-determined — cluster_id = the group's base id — so
+    // the oracle is an INDEPENDENT arithmetic restatement, not a
+    // replay: stronger than trajectory-matching, still hash-exact.
+    q("q_components_star",
+      """SELECT doc_id AS id, doc_id - doc_id % 50 AS cluster_id
+        |FROM documents""".stripMargin) { (s, d) =>
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val chain = ids.select(col("doc_id").as("id_a"))
+        .filter(pmod(col("id_a"), lit(50)) =!= 49)
+        .join(ids.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      val shortcut = ids.select(col("doc_id").as("id_a"))
+        .filter(pmod(col("id_a"), lit(50)) === 9)
+        .select(col("id_a"), (col("id_a") - 9L).as("id_b"))
+      val selfPairs = ids.select(col("doc_id").as("id_a"),
+        col("doc_id").as("id_b"))
+      ops.Graph.componentsStar(
+        chain.unionByName(shortcut).unionByName(selfPairs))
+    },
+
     // Integer-exact damped PageRank (Graph.pageRank) over the word
     // co-occurrence graph (adjacent-bigram counts as weighted edges,
     // CorpusStats.bigramCounts). Ranks are scale-10⁹ longs with per-edge

@@ -273,4 +273,90 @@ object Graph {
     }
     settled
   }
+  /** Connected components by TWO-PHASE STAR contraction (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond" — public
+    * algorithm): alternating large-star / small-star rounds over a
+    * canonical (big → small) edge set until fixpoint. Semantics are
+    * identical to [[Dedup.clusterLabels]] — (id, cluster_id) with
+    * cluster_id = the minimum id reachable through any pair chain, one
+    * row per id appearing in `pairs` — but the round count is
+    * O(log²) in the worst case REGARDLESS of component diameter, where
+    * min-label propagation pays O(diameter)-ish rounds. This is the
+    * scale form for long-chain components (web-graph-shaped near-dup
+    * chains: page A ~ page B ~ page C … with no short-cut pairs), the
+    * one place label propagation's round count can blow up at 100 TB.
+    *
+    * Per round (both stars): one symmetric-neighborhood union, one
+    * map-side-combined `min` aggregate, one equi-join back, one
+    * `distinct` — all edge-grain, nothing driver-side but the loop
+    * counter and the convergence counts. Late rounds concentrate a
+    * component's edges onto its center id; that hot join key is
+    * 1:1-joinable against the unique-per-src min table, so AQE's skew
+    * split handles partition imbalance (no pair amplification exists
+    * anywhere — emitted rows ≤ input rows per star).
+    *
+    * Convergence check is EXACT, not probabilistic: the round output is
+    * accepted as final iff it has the same row count as the previous
+    * round's edge set AND their union-distinct count equals it (new ⊆
+    * old ∧ |new| = |old| ⇒ sets equal). A fixpoint of small∘large is
+    * provably a forest of stars pointing at component minima, so the
+    * first unchanged round is the answer.
+    *
+    * Input contract mirrors [[Dedup.clusterLabels]]: columns `id_a`,
+    * `id_b`; self-pairs label themselves; ids absent from `pairs` are
+    * absent from the output. */
+  def componentsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be ≥ 1: $maxRounds")
+    val ids = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint(false)
+    // canonical star-edge set: (src, dst) with src > dst, no self-loops
+    var e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      // LARGE-STAR: every node v links its LARGER neighbors to
+      // m(v) = min(Γ(v) ∪ {v}). Emitted (u, m) always has u > v ≥ m,
+      // so the (big, small) invariant is preserved with no self-loops.
+      val nbrs = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy(col("src"))
+        .agg(min(col("dst")).as("_m"))
+        .select(col("src"), least(col("_m"), col("src")).as("_m"))
+      val large = nbrs.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .distinct()
+      // SMALL-STAR: every node v re-links its SMALLER neighborhood
+      // Γ⁻(v) (all of it, by the invariant) plus itself to
+      // m = min(Γ⁻(v)); emitted pairs keep first > second since
+      // u, v > m strictly.
+      val mins2 = large.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+      val small = large.join(mins2, Seq("src"))
+        .filter(col("dst") =!= col("_m"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .unionByName(mins2.select(col("src"), col("_m").as("dst")))
+        .distinct()
+        .localCheckpoint(false)
+      val cNew = small.count()
+      converged = cNew == eCount &&
+        small.unionByName(e).distinct().count() == eCount
+      e = small
+      eCount = cNew
+    }
+    // stars: members carry their center; centers (and self-pair-only
+    // ids) have no outgoing edge and label themselves
+    ids.join(e.select(col("src").as("id"), col("dst").as("_c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("cluster_id"))
+  }
+
 }

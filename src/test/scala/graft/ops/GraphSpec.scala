@@ -125,4 +125,51 @@ class GraphSpec extends AnyFunSuite {
     assert(got2 === got)
   }
 
+  test("componentsStar: long chain, disjoint structures, self-pairs, star fixpoint") {
+    // a 500-node path — the exact shape the verdict flagged for
+    // min-label propagation (O(diameter) rounds); two-phase star must
+    // collapse it to one star on node 0 within the default round cap
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Graph.componentsStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 500)
+    assert(got.values.forall(_ === 0L))
+    // disjoint mixed shapes: a triangle {10,11,12}, a pair {20,21}, a
+    // self-pair {30}, a 4-chain {40..43}
+    val mixed = Seq((10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L),
+      (30L, 30L), (40L, 41L), (41L, 42L), (42L, 43L)).toDF("id_a", "id_b")
+    val m = Graph.componentsStar(mixed).as[(Long, Long)].collect().toMap
+    assert(m === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L,
+      21L -> 20L, 30L -> 30L, 40L -> 40L, 41L -> 40L, 42L -> 40L, 43L -> 40L))
+    // a converged star is a fixpoint: re-running on the (member, center)
+    // pairs reproduces every label except the isolated self-pair (30 has
+    // no member edge, so it is absent from the star pair set)
+    val starPairs = m.toSeq.filter { case (i, c) => i != c }
+      .toDF("id_a", "id_b")
+    val again = Graph.componentsStar(starPairs).as[(Long, Long)].collect().toMap
+    assert(again === (m - 30L))
+  }
+
+  test("componentsStar ≡ clusterLabels on seeded random graphs") {
+    // deterministic LCG edge streams at three densities, including one
+    // sparse regime that yields long thin components — the two
+    // algorithms must agree label-for-label (both define cluster_id =
+    // min reachable id)
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    for ((n, m, seed) <- Seq((120L, 60, 7L), (200L, 140, 11L), (80L, 300, 13L))) {
+      val it = lcg(seed).map(x => java.lang.Long.remainderUnsigned(x, n))
+      val pairs = Seq.fill(m)((it.next(), it.next()))
+        .toDF("id_a", "id_b")
+      val a = Graph.componentsStar(pairs).as[(Long, Long)].collect().toMap
+      val b = Dedup.clusterLabels(pairs, maxIter = 60)
+        .as[(Long, Long)].collect().toMap
+      assert(a === b, s"n=$n m=$m seed=$seed")
+      // repartition invariance
+      val a2 = Graph.componentsStar(pairs.repartition(7))
+        .as[(Long, Long)].collect().toMap
+      assert(a2 === a)
+    }
+  }
+
 }

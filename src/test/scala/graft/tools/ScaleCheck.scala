@@ -517,6 +517,17 @@ object ScaleCheck {
           graft.ops.CorpusStats.bigramCounts(d, "text"),
           "w1", "w2", rounds = 2).count()
       }
+      // LONG-CHAIN graph (the componentsStar target shape): chain count
+      // ×k at FIXED length 512, so the star contraction's round count —
+      // a function of chain length only — is k-invariant and each round
+      // is edge-grain joins + map-side-combined min aggregates → linear
+      results(("components_star", k)) = timed("components_star", k, 40L * k * 512L) {
+        val L = 512L
+        val pairs = spark.range(40L * k * L)
+          .filter(pmod(col("id"), lit(L)) =!= (L - 1))
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        graft.ops.Graph.componentsStar(pairs).count()
+      }
       // vowel-rotated lines never collide across replicas, so the C4
       // cross-corpus line-dedup key space grows ×k — rules are scan-side,
       // the one line-grain shuffle must stay linear
