@@ -8587,6 +8587,49 @@ object SparkEntry {
         "embedding", "vec_id", dim = 64, iterations = 3)
     },
 
+    // Streaming centroid maintenance (Knn.centroidBatchState / fold /
+    // refreshCentroids / reassignmentAudit): the REPAIR arm for the
+    // quantizer staleness embeddingDrift detects. Corpus splits into a
+    // base (vec_id % 4 ≠ 3) and an arriving batch; per-slice k×d states
+    // fold additively and the refresh equals one kmeansFit step over the
+    // grown corpus (fold_matches_direct, checked exactly driver-side).
+    // Cross-engine the oracle races the REAL quantities: n_total (the
+    // audit scan's row count vs count(*)) and sum0 (the folded state's
+    // Σ_cells grid-sum of dimension 0 vs the corpus-wide SQL sum — the
+    // additivity property, restated independently). state_covers_corpus
+    // compares the driver artifact's Σn against the audit scan's count
+    // (two independent scans meeting in one boolean).
+    q("q_centroid_refresh",
+      """SELECT count(*) AS n_total,
+        |  CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum0,
+        |  CAST(1 AS BOOLEAN) AS fold_matches_direct,
+        |  CAST(1 AS BOOLEAN) AS state_covers_corpus,
+        |  CAST(1 AS BOOLEAN) AS audit_in_bounds
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).where(col("embedding").isNotNull)
+      val standing = indexArtifact(s"cm-standing:$d") {
+        Knn.kmeansFit(e.filter(pmod(col("vec_id"), lit(4)) =!= 3),
+            "embedding", "vec_id", k = 8, iterations = 1)
+          .orderBy("cell").collect()
+          .map(_.getSeq[Long](2).toIndexedSeq).toIndexedSeq: Seq[Seq[Long]]
+      }
+      val sBase = Knn.centroidBatchState(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 3), "embedding", standing)
+      val sBatch = Knn.centroidBatchState(
+        e.filter(pmod(col("vec_id"), lit(4)) === 3), "embedding", standing)
+      val folded = sBase.fold(sBatch)
+      val direct = Knn.centroidBatchState(e, "embedding", standing)
+      val refreshed = Knn.refreshCentroids(folded, standing)
+      Knn.reassignmentAudit(e, "embedding", standing,
+          refreshed.map(_.toSeq).toIndexedSeq)
+        .select(col("n_total"),
+          lit(folded.sums.map(_(0)).sum).as("sum0"),
+          lit(folded.sameAs(direct)).as("fold_matches_direct"),
+          (lit(folded.counts.sum) === col("n_total")).as("state_covers_corpus"),
+          (col("n_changed") >= 0L && col("n_changed") <= col("n_total"))
+            .as("audit_in_bounds"))
+    },
+
     // Metadata-filtered ANN probe (Knn.ivfSearchFiltered): the tenant/date
     // filter every production RAG probe carries, pushed BELOW the
     // shortlist so the top-k contract holds over the FILTERED corpus. The

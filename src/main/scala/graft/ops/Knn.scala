@@ -23,6 +23,42 @@ import graft.functions.GraftFunctions._
   */
 object Knn {
 
+  /** The bounded k×d maintenance artifact of [[centroidBatchState]]:
+    * per-cell member counts and per-dimension exact grid sums. Additive —
+    * [[fold]] of two disjoint slices' states is the union's state, the
+    * property that makes one-scan-per-micro-batch quantizer maintenance
+    * exact. Value equality is deep (array contents). */
+  final case class CentroidState(counts: Array[Long], sums: Array[Array[Long]]) {
+    def fold(other: CentroidState): CentroidState = {
+      require(counts.length == other.counts.length,
+        s"cell count mismatch: ${counts.length} vs ${other.counts.length}")
+      CentroidState(
+        Array.tabulate(counts.length)(c => counts(c) + other.counts(c)),
+        Array.tabulate(counts.length)(c =>
+          Array.tabulate(sums(c).length)(i => sums(c)(i) + other.sums(c)(i))))
+    }
+    def sameAs(other: CentroidState): Boolean =
+      counts.sameElements(other.counts) &&
+        sums.length == other.sums.length &&
+        sums.indices.forall(c => sums(c).sameElements(other.sums(c)))
+  }
+
+  /** Round-half-away-from-zero mean on the grid, exact integer
+    * arithmetic. Remainder-based (NOT the (2·|s|+n)/(2·n) form, whose
+    * doubling halves the usable LONG range and would wrap silently at
+    * |s| > 2⁶²): quotient + round-up when the remainder reaches half of
+    * n — r and n−r are both < n, so no intermediate exceeds |s|, and the
+    * documented ~9·10¹² row bound holds over the FULL LONG range. Shared
+    * by [[kmeansFit]] and [[refreshCentroids]] so the incremental
+    * maintenance path reproduces the trainer bit-for-bit. */
+  private def meanQ(s: Long, n: Long): Long = {
+    val a = math.abs(s)
+    val m = a / n
+    val r = a - m * n
+    val up = if (r >= n - r) m + 1 else m
+    if (s < 0) -up else up
+  }
+
   /** Exact top-k by metric ("cosine" → highest similarity first,
     * "l2" → smallest distance first). Deterministic tiebreak on `idCol`. */
   def topK(corpus: DataFrame, vecCol: String, idCol: String,
@@ -119,19 +155,6 @@ object Knn {
     val dim = init.head.length
     var centroids: Array[Array[Long]] = init
     var counts: Array[Long] = Array.fill(centroids.length)(0L)
-    // round-half-away-from-zero mean on the grid, exact integer
-    // arithmetic. Remainder-based (NOT the (2·|s|+n)/(2·n) form, whose
-    // doubling halves the usable LONG range and would wrap silently at
-    // |s| > 2⁶²): quotient + round-up when the remainder reaches half of
-    // n — r and n−r are both < n, so no intermediate exceeds |s|, and the
-    // documented ~9·10¹² row bound holds over the FULL LONG range.
-    def meanQ(s: Long, n: Long): Long = {
-      val a = math.abs(s)
-      val m = a / n
-      val r = a - m * n
-      val up = if (r >= n - r) m + 1 else m
-      if (s < 0) -up else up
-    }
     for (_ <- 0 until iterations) {
       val assigned = q.select(col(idCol), col("_qv"),
         gridArgminCell(col("_qv"), centroids.map(_.toSeq).toSeq).as("_cell"))
@@ -205,6 +228,77 @@ object Knn {
       .withColumn(cellCol, gridArgminCell(col("_kq"), centroids))
       .drop("_kq")
   }
+
+  /** Additive per-cell Lloyd-update state: member counts and per-dimension
+    * GRID SUMS of a corpus slice assigned to standing centroids with the
+    * trainer's own literal-argmin metric ([[kmeansFit]]/[[kmeansAssign]]),
+    * so maintenance and training can never disagree on a cell. ONE
+    * distributed scan — per-row codegen argmin, map-side-combined
+    * `groupBy(cell)` — collecting a k×(d+1) LONG artifact to the driver.
+    *
+    * States of DISJOINT slices are additive ([[CentroidState.fold]]):
+    * base-corpus state + Σ micro-batch states = the grown corpus's state
+    * exactly, so a streaming vector index repairs the quantizer drift
+    * [[CorpusStats.embeddingDrift]] detects — fold each arriving batch's
+    * state into the standing artifact and [[refreshCentroids]] — without
+    * ever rescanning the base corpus. The same LONG-sum bound as
+    * kmeansFit applies (~9·10¹² rows at |v| ≤ 1 on the 10⁶ grid). */
+  def centroidBatchState(df: DataFrame, vecCol: String,
+                         centroids: Seq[Seq[Long]],
+                         quantScale: Long = 1000000L): CentroidState = {
+    require(centroids.nonEmpty, "centroidBatchState needs standing centroids")
+    val dim = centroids.head.length
+    val q = df.where(col(vecCol).isNotNull)
+      .select(transform(col(vecCol),
+        x => round(x.cast("double") * quantScale).cast("long")).as("_qv"))
+      .select(col("_qv"), gridArgminCell(col("_qv"), centroids).as("_cell"))
+    val aggs = (0 until dim).map(i =>
+      sum(element_at(col("_qv"), i + 1)).as(s"_s$i")) :+ count(lit(1)).as("_n")
+    val rows = q.groupBy(col("_cell")).agg(aggs.head, aggs.tail: _*).collect()
+    val counts = Array.fill(centroids.length)(0L)
+    val sums = Array.fill(centroids.length, dim)(0L)
+    rows.foreach { r =>
+      val cell = r.getInt(0)
+      counts(cell) = r.getLong(dim + 1)
+      var i = 0
+      while (i < dim) { sums(cell)(i) = r.getLong(i + 1); i += 1 }
+    }
+    CentroidState(counts, sums)
+  }
+
+  /** The kmeansFit update step applied to an accumulated [[CentroidState]]:
+    * each non-empty cell moves to the exact round-half-away grid mean of
+    * its members; empty cells KEEP their previous centroid (kmeansFit's
+    * own convention). Driver arithmetic on the bounded k×d artifact. */
+  def refreshCentroids(state: CentroidState,
+                       prev: Seq[Seq[Long]]): Array[Array[Long]] = {
+    require(state.counts.length == prev.length,
+      s"state is ${state.counts.length} cells, prev is ${prev.length}")
+    prev.indices.map { c =>
+      val n = state.counts(c)
+      if (n == 0L) prev(c).toArray
+      else state.sums(c).map(s => meanQ(s, n))
+    }.toArray
+  }
+
+  /** Reassignment audit for a quantizer refresh: of the corpus rows, how
+    * many would land in a DIFFERENT cell under the refreshed centroids?
+    * One scan carrying BOTH literal argmins — no join, no shuffle beyond
+    * the 1-row aggregate. High `n_changed`/`n_total` means the cell
+    * routing (IVF lists, SemDeDup cells, [[VectorIndex]] buckets) must be
+    * re-encoded; low means the refresh was cosmetic. */
+  def reassignmentAudit(df: DataFrame, vecCol: String,
+                        oldCentroids: Seq[Seq[Long]],
+                        newCentroids: Seq[Seq[Long]],
+                        quantScale: Long = 1000000L): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(transform(col(vecCol),
+        x => round(x.cast("double") * quantScale).cast("long")).as("_qv"))
+      .select(gridArgminCell(col("_qv"), oldCentroids).as("_a"),
+        gridArgminCell(col("_qv"), newCentroids).as("_b"))
+      .agg(count(lit(1)).as("n_total"),
+        coalesce(sum(when(col("_a") =!= col("_b"), 1L).otherwise(0L)),
+          lit(0L)).as("n_changed"))
 
   /** Deterministic Lloyd k-means over a driver-side sample — the coarse
     * quantizer of an IVF index. The sample is bounded (caller controls it);

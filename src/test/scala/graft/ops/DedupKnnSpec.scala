@@ -220,6 +220,44 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(k3.map(_._1).sorted.toSeq === Seq(0, 1, 2))
   }
 
+  test("centroid maintenance: batch-state fold ≡ one kmeansFit iteration over the grown corpus") {
+    val base = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(5.0f, 5.0f)), (3L, Array(0.0f, 0.1f)),
+      (4L, Array(5.1f, 5.0f))).toDF("vec_id", "embedding")
+    val b1 = Seq((5L, Array(0.2f, 0.1f)), (6L, Array(5.0f, 5.2f)))
+      .toDF("vec_id", "embedding")
+    val b2 = Seq((7L, Array(0.1f, 0.3f)), (8L, Array(4.8f, 5.1f)))
+      .toDF("vec_id", "embedding")
+    // standing centroids = kmeansFit's init over the GROWN corpus (first
+    // k by id: ids 1, 2) — so fold-then-refresh must reproduce
+    // kmeansFit(grown, iterations = 1) bit-for-bit
+    val standing: Seq[Seq[Long]] = Seq(Seq(0L, 0L), Seq(5000000L, 5000000L))
+    val grown = base.unionByName(b1).unionByName(b2)
+    val folded = Knn.centroidBatchState(base, "embedding", standing)
+      .fold(Knn.centroidBatchState(b1, "embedding", standing))
+      .fold(Knn.centroidBatchState(b2, "embedding", standing))
+    val direct = Knn.centroidBatchState(grown, "embedding", standing)
+    assert(folded.sameAs(direct))
+    val refreshed = Knn.refreshCentroids(folded, standing)
+    val fit = Knn.kmeansFit(grown, "embedding", "vec_id", k = 2, iterations = 1)
+      .orderBy("cell").as[(Int, Long, Seq[Long])].collect()
+    assert(fit.map(_._3.toSeq).toSeq === refreshed.map(_.toSeq).toSeq)
+    assert(fit.map(_._2).toSeq === folded.counts.toSeq)
+    // an empty cell keeps its previous centroid through the refresh
+    val phantom: Seq[Seq[Long]] = standing :+ Seq(99000000L, 99000000L)
+    val st = Knn.centroidBatchState(grown, "embedding", phantom)
+    assert(st.counts(2) === 0L)
+    assert(Knn.refreshCentroids(st, phantom)(2).toSeq === Seq(99000000L, 99000000L))
+    // reassignment audit: the refresh moves no point across the two
+    // well-separated cells; a swapped quantizer flips every row
+    val audit = Knn.reassignmentAudit(grown, "embedding", standing,
+      refreshed.map(_.toSeq).toSeq).as[(Long, Long)].head()
+    assert(audit === ((8L, 0L)))
+    val swapped = Knn.reassignmentAudit(grown, "embedding", standing,
+      standing.reverse).as[(Long, Long)].head()
+    assert(swapped === ((8L, 8L)))
+  }
+
   test("kmeansAssign: serve-time cells match a brute integer argmin, ties to smaller cid") {
     val pts = Seq(
       (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)), (3L, Array(0.0f, 0.1f)),

@@ -470,6 +470,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream.contains(0L))
   }
 
+  test("streaming centroid maintenance: foreachBatch fold ≡ one-shot state over the grown corpus") {
+    import graft.ops.Knn
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+    val rows = emb.collect().sortBy(_._1)
+    // standing quantizer trained on the base slice the stream then grows
+    val base = rows.take(128).toSeq.toDF("vec_id", "embedding")
+    val standing: Seq[Seq[Long]] = Knn.kmeansFit(base, "embedding", "vec_id",
+        k = 8, iterations = 2)
+      .orderBy("cell").as[(Int, Long, Seq[Long])].collect().map(_._3).toSeq
+    // the maintenance loop: ONE bounded k×d artifact folded per
+    // micro-batch (foreachBatch runs on the driver), base never rescanned
+    var state = Knn.centroidBatchState(base, "embedding", standing)
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cm-ck").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = state.fold(Knn.centroidBatchState(batch, "embedding", standing))
+      }
+      .start()
+    try {
+      rows.drop(128).grouped(150).foreach { g =>
+        ms.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val grown = rows.toSeq.toDF("vec_id", "embedding")
+    assert(state.sameAs(Knn.centroidBatchState(grown, "embedding", standing)))
+    // refresh + audit: covers the grown corpus exactly once
+    val refreshed = Knn.refreshCentroids(state, standing)
+    val (nTot, nChg) = Knn.reassignmentAudit(grown, "embedding", standing,
+      refreshed.map(_.toSeq).toSeq).as[(Long, Long)].head()
+    assert(nTot === rows.length.toLong)
+    assert(nChg >= 0L && nChg <= nTot)
+  }
+
   test("generational compaction: probes racing a live compaction never see a half-compacted cell") {
     import graft.ops.{Knn, VectorIndex}
     val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
