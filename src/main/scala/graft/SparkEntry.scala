@@ -6066,6 +6066,72 @@ object SparkEntry {
         budgetTokens = 400, maxHamming = 7)
     },
 
+    // RAG grounding score (Retrieval.groundingScore) — the post-generation
+    // faithfulness check after assembleContext: fraction of the answer's
+    // distinct bigrams present in the cited context (public ROUGE-precision
+    // / RAGAS-faithfulness-proxy arithmetic, no LLM). Planted answers from
+    // id arithmetic: doc_id%3=0 quotes the context's first 12 tokens
+    // (grounded), %3=1 vowel-rotates them (hallucinated — only vowel-free
+    // adjacent pairs can still match), %3=2 quotes 6 and rotates 6. The
+    // oracle restates construction AND bigram-set scoring independently.
+    q("q_grounding",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN array_to_string(toks[1:12], ' ')
+        |      WHEN 1 THEN translate(array_to_string(toks[1:12], ' '),
+        |                            'aeiou', 'eioua')
+        |      ELSE array_to_string(toks[1:6], ' ') || ' ' ||
+        |           translate(array_to_string(toks[7:12], ' '), 'aeiou', 'eioua')
+        |    END AS answer,
+        |    array_to_string(toks, ' ') AS context
+        |  FROM tk),
+        |ng AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(trim(answer), '\s+')), 1)),
+        |      i -> string_split_regex(trim(answer), '\s+')[i] || ' ' ||
+        |           string_split_regex(trim(answer), '\s+')[i + 1])) AS ang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split_regex(trim(context), '\s+')), 1)),
+        |      i -> string_split_regex(trim(context), '\s+')[i] || ' ' ||
+        |           string_split_regex(trim(context), '\s+')[i + 1])) AS cng
+        |  FROM pairs WHERE answer <> ''),
+        |scored AS (
+        |  SELECT doc_id, len(ang) AS n_ngrams,
+        |    len(list_filter(ang, x -> list_contains(cng, x))) AS n_grounded
+        |  FROM ng)
+        |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        |  CAST(n_grounded AS BIGINT) AS n_grounded,
+        |  CASE WHEN n_ngrams > 0
+        |       THEN round(n_grounded / CAST(n_ngrams AS DOUBLE), 6)
+        |       ELSE 0.0 END AS grounding_score
+        |FROM scored""".stripMargin) { (s, d) =>
+      val toks = ops.Dedup.tokens(col("text"))
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("_toks"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            array_join(slice(col("_toks"), 1, 12), " "))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            translate(array_join(slice(col("_toks"), 1, 12), " "),
+              "aeiou", "eioua"))
+          .otherwise(concat(array_join(slice(col("_toks"), 1, 6), " "),
+            lit(" "),
+            translate(array_join(slice(col("_toks"), 7, 6), " "),
+              "aeiou", "eioua"))).as("answer"),
+          array_join(col("_toks"), " ").as("context"))
+        .filter(col("answer") =!= "")
+      ops.Retrieval.groundingScore(pairs, "answer", "context", n = 2)
+        .select(col("doc_id"), col("n_ngrams"), col("n_grounded"),
+          col("grounding_score"))
+    },
+
     // Multi-query BM25 retrieval join (the keyword knnJoin): a query TABLE
     // (first-5-token prefixes of docs 0–2, derived identically in both
     // engines) scores against the corpus through one inverted-index pass.

@@ -568,4 +568,41 @@ object Retrieval {
         (micLong(col("_sn") * 1.0 / col("_nq")) / mic).as("ndcg"))
     perOut.unionByName(macroRow)
   }
+  /** RAG grounding / attribution score — the post-generation check after
+    * [[assembleContext]] hands the packed context to the model: what
+    * fraction of the ANSWER's distinct word n-grams appear in the cited
+    * context? Public ROUGE-precision / RAGAS-faithfulness-proxy
+    * arithmetic (n-gram support, no LLM judge): a grounded answer reuses
+    * the context's phrasing, a hallucinated one introduces n-grams the
+    * context never contained. n = 2 (bigrams) is the standard
+    * specificity/robustness trade — unigrams over-credit stopwords,
+    * n ≥ 3 over-penalizes light paraphrase.
+    *
+    * Per row: `n_ngrams` (distinct answer n-grams), `n_grounded` (those
+    * present among the context's n-grams — DISTINCT set semantics both
+    * sides), `grounding_score` = n_grounded / n_ngrams rounded to 6
+    * (0.0 when the answer has no n-gram). Null answer or context counts
+    * as empty. Tokenization is [[Dedup.tokens]] (lowercase, whitespace);
+    * n-grams are [[Dedup.shingles]] — ONE codegen pass per side, so the
+    * whole score is scan-side: no shuffle, no join, linear in corpus
+    * size, embarrassingly parallel at 100 TB. Thresholding (e.g. flag
+    * answers under 0.5) is the caller's policy knob.
+    */
+  def groundingScore(df: DataFrame, answerCol: String, contextCol: String,
+                     n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, s"n-gram order out of range: $n")
+    df.withColumn("_ang",
+        coalesce(Dedup.shingles(col(answerCol), n), array()))
+      .withColumn("_cng",
+        coalesce(Dedup.shingles(col(contextCol), n), array()))
+      .withColumn("n_ngrams", size(col("_ang")).cast("long"))
+      .withColumn("n_grounded",
+        size(array_intersect(col("_ang"), col("_cng"))).cast("long"))
+      .withColumn("grounding_score",
+        when(col("n_ngrams") > 0,
+          round(col("n_grounded").cast("double") / col("n_ngrams"), 6))
+          .otherwise(lit(0.0)))
+      .drop("_ang", "_cng")
+  }
+
 }

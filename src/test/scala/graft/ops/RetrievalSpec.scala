@@ -337,4 +337,35 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(Long, Double, Int)].collect().map(_._1).toSeq === Seq(1L, 2L))
   }
 
+  test("groundingScore: exact bigram coverage, hallucination penalized, edge cases") {
+    val rows = Seq(
+      // fully grounded: all 4 answer bigrams appear in the context
+      (1L, "the quick brown fox jumps", "the quick brown fox jumps over the lazy dog"),
+      // fully hallucinated: 0 of 3
+      (2L, "purple elephants dance tonight", "the quick brown fox"),
+      // partial: "the quick" grounded, "quick purple"/"purple fox" not → 1/3
+      (3L, "the quick purple fox", "the quick brown fox"),
+      // one-token answer → no bigram → score 0.0 by convention
+      (4L, "single", "anything goes here"),
+      // null answer → empty → 0
+      (5L, null: String, "some context text"),
+      // DISTINCT set semantics: repeated bigram counts once on both sides
+      (6L, "the the the the", "the the")
+    ).toDF("id", "answer", "context")
+    val got = Retrieval.groundingScore(rows, "answer", "context", n = 2)
+      .select("id", "n_ngrams", "n_grounded", "grounding_score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 4L, 4L, 1.0),
+      (2L, 3L, 0L, 0.0),
+      (3L, 3L, 1L, 0.333333),
+      (4L, 0L, 0L, 0.0),
+      (5L, 0L, 0L, 0.0),
+      (6L, 1L, 1L, 1.0)))
+    // unigram mode over-credits: row 3 scores 3/4 on tokens vs 1/3 on bigrams
+    val uni = Retrieval.groundingScore(rows, "answer", "context", n = 1)
+      .select("id", "grounding_score").as[(Long, Double)].collect().toMap
+    assert(uni(3L) === 0.75)
+  }
+
 }
