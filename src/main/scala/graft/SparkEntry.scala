@@ -4589,6 +4589,38 @@ object SparkEntry {
       TextAnalysis.gopherRules(decorated, "doc_id", "tx")
     },
 
+    // URL canonicalization + URL-grain dedup (TextAnalysis.canonicalizeUrl
+    // / urlDedup) — the C4/RefinedWeb fetch stage upstream of every text
+    // op: each doc_id spells its group's URL one of four ways (plain /
+    // uppercase-host+default-port+fragment / trailing-slash+tracking-params
+    // / a REAL extra param). The first three collapse to one canonical
+    // URL per group, the fourth stays distinct and falls out of the
+    // n_dups>1 cut; the oracle restates the expected groups from the
+    // surviving doc_ids directly — Spark must earn the same sets through
+    // the actual string surgery.
+    q("q_url_dedup",
+      """SELECT 'https://site' || (doc_id // 4) || '.com/p' || (doc_id // 4)
+        |         AS canonical_url,
+        |  count(*) AS n_dups, min(doc_id) AS keeper_id,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+        |FROM documents WHERE doc_id % 4 < 3
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      val g = shiftright(col("doc_id"), 2)
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("https://site"), g, lit(".com/p"), g))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("HTTPS://SITE"), g, lit(".COM:443/p"), g, lit("#section")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://site"), g, lit(".com/p"), g,
+            lit("/?utm_source=feed&fbclid=abc")))
+        .otherwise(concat(lit("https://site"), g, lit(".com/p"), g,
+          lit("?page=2"))).as("url"))
+      ops.TextAnalysis.urlDedup(urls, "url", "doc_id")
+        .select(col("canonical_url"), col("n_dups"), col("keeper_id"),
+          array_join(col("dup_ids"), ",").as("dup_ids"))
+    },
+
     // C4-style line-level cleaning (TextAnalysis.c4CleanLines): documents
     // group into 10-line pages (page = doc_id div 10, line = doc_id mod
     // 10) whose lines deterministically exercise every public C4 rule —

@@ -572,4 +572,63 @@ object TextAnalysis {
     df.sparkSession.createDataFrame(merges.toSeq)
       .toDF("step", "left_sym", "right_sym", "pair_count")
   }
+  /** URL canonicalization — the C4/RefinedWeb fetch-level stage UPSTREAM
+    * of every text operator here (public pipeline recipes dedup by
+    * canonical URL before ever reading a body): lowercase the scheme and
+    * host (path/query case is significant and preserved), strip the
+    * default port (http:80 / https:443; other ports kept), strip the
+    * fragment, drop tracking parameters (`utm_*`, `gclid`, `fbclid`,
+    * `msclkid`, `ref`) while PRESERVING the order of surviving params,
+    * and strip one trailing slash from the path (so `…/a/` ≡ `…/a`, and
+    * a bare `host/` ≡ `host`). Inputs without a `scheme://` prefix pass
+    * through trimmed-only (identity fallback, not an error — dead-letter
+    * routing is the caller's policy).
+    *
+    * Pure codegen string expressions — regex restricted to the
+    * Java/RE2-identical subset (the [[EmailRe]] stance: explicit classes,
+    * anchors, no lookaround), so an engine-independent restatement is
+    * exact. One scan, no shuffle. */
+  def canonicalizeUrl(urlCol: Column): Column = {
+    val u = trim(urlCol)
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val authority = regexp_extract(rest, "^([^/?]*)", 1)
+    val tail = rest.substr(length(authority) + 1, length(rest))
+    val path = regexp_extract(tail, "^([^?]*)", 1)
+    val query = regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    val host = lower(regexp_extract(authority, "^([^:]*)", 1))
+    val port = regexp_extract(authority, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val auth2 = concat(host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")))
+    val path2 = regexp_replace(path, "/$", "")
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=|$)"))
+    val q2 = array_join(kept, "&")
+    when(scheme =!= "",
+      concat(scheme, lit("://"), auth2, path2,
+        when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit(""))))
+      .otherwise(u)
+  }
+
+  /** Exact URL-grain dedup by [[canonicalizeUrl]] — [[Dedup.exact]]'s
+    * output contract at the fetch stage: one row per canonical URL with
+    * more than one member, `(canonical_url, n_dups, keeper_id, dup_ids)`,
+    * keeper = min id. Scale shape: canonicalization is scan-side; the
+    * dedup is ONE map-side-combined canonical-grain aggregate (the
+    * c4CleanLines keeper stance — a hot URL duplicated 10⁸ times reduces
+    * to one partial row per map task; `collect_list` of ids is bounded by
+    * the caller's interest in dup members — cap upstream if a single URL
+    * can exceed task memory, the [[Dedup.exact]] caveat verbatim). */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"), col(idCol))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(col(idCol)).as("keeper_id"),
+        sort_array(collect_list(col(idCol))).as("dup_ids"))
+      .filter(col("n_dups") > 1)
+
 }

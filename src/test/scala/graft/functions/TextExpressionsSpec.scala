@@ -196,6 +196,44 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(g1 === g2)
   }
 
+  test("canonicalizeUrl: equivalent variants collapse, real differences survive") {
+    val cases = Seq(
+      // uppercase scheme/host + default https port + fragment
+      ("HTTPS://Example.COM:443/Path/To?x=1#frag", "https://example.com/Path/To?x=1"),
+      // default http port + bare trailing slash
+      ("http://example.com:80/", "http://example.com"),
+      // NON-default port survives
+      ("http://example.com:8080/a", "http://example.com:8080/a"),
+      // tracking params drop entirely; trailing slash strips
+      ("https://example.com/a/?utm_source=x&utm_medium=y", "https://example.com/a"),
+      // surviving params keep their ORDER around dropped ones
+      ("https://example.com/a?keep=1&utm_campaign=z&gclid=2&also=3",
+        "https://example.com/a?keep=1&also=3"),
+      ("https://example.com/a?ref=home", "https://example.com/a"),
+      // 'ref' must not prefix-match longer param names
+      ("https://example.com/a?reference=1", "https://example.com/a?reference=1"),
+      // path case is significant and preserved
+      ("https://example.com/A", "https://example.com/A"),
+      // no scheme → identity fallback (trim only)
+      ("  not a url  ", "not a url"),
+      ("https://example.com/a/b/", "https://example.com/a/b")
+    ).toDF("url", "expect")
+    cases.select(TextAnalysis.canonicalizeUrl($"url").as("got"), $"expect")
+      .as[(String, String)].collect()
+      .foreach { case (g, e) => assert(g === e) }
+    // urlDedup: the three equivalent spellings collapse under min-id keeper;
+    // the distinct-path row survives alone (dropped by the n_dups > 1 cut)
+    val urls = Seq(
+      (1L, "https://site.com/p"),
+      (2L, "HTTPS://SITE.COM:443/p#x"),
+      (3L, "https://site.com/p/?utm_source=f"),
+      (4L, "https://site.com/p?page=2")
+    ).toDF("doc_id", "url")
+    val dd = TextAnalysis.urlDedup(urls, "url", "doc_id")
+      .as[(String, Long, Long, Seq[Long])].collect().toSeq
+    assert(dd === Seq(("https://site.com/p", 3L, 1L, Seq(1L, 2L, 3L))))
+  }
+
   test("c4CleanLines hot line: corpus-wide duplicate aggregates map-side, no window") {
     // the 100 TB skew case this operator targets: ONE boilerplate line
     // replicated into every document (cookie banner / legal footer). The
