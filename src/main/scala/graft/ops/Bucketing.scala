@@ -46,14 +46,37 @@ object Bucketing {
     * first so each directory holds one file per distinct value instead of
     * one per input task — the small-files discipline a daily-partitioned
     * fact table needs (a 1000-task write would otherwise cut every
-    * partition into 1000 shards). */
+    * partition into 1000 shards).
+    *
+    * HOT-PARTITION guard: one-file-per-value means one TASK per value —
+    * a skewed partition value (today's date in an event table) would
+    * serialize its entire write through a single task. `filesPerPartition
+    * > 1` salts the repartition key (deterministic row hash mod N) so a
+    * hot value's write spreads over up to N parallel tasks/files while
+    * cold values still coalesce (their rows mostly share a salt bucket by
+    * luck of the hash — worst case N small files, bounded). Orthogonally,
+    * `maxRecordsPerFile > 0` caps rows per physical file (Spark's native
+    * option), splitting an oversized task-file without extra parallelism.
+    * Both default off — the demo-layout behavior is unchanged. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
-                       coalesceToOnePerPartition: Boolean = true): Unit = {
+                       coalesceToOnePerPartition: Boolean = true,
+                       filesPerPartition: Int = 1,
+                       maxRecordsPerFile: Long = 0L): Unit = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be ≥ 1: $filesPerPartition")
+    require(maxRecordsPerFile >= 0L,
+      s"maxRecordsPerFile must be ≥ 0: $maxRecordsPerFile")
+    import org.apache.spark.sql.functions._
     val out =
-      if (coalesceToOnePerPartition)
-        df.repartition(org.apache.spark.sql.functions.col(partitionCol))
-      else df
-    out.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      if (!coalesceToOnePerPartition) df
+      else if (filesPerPartition == 1) df.repartition(col(partitionCol))
+      else df.repartition(col(partitionCol),
+        pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition)))
+    val writer = out.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
+      .partitionBy(partitionCol).parquet(path)
   }
 
   /** Z-ORDER layout: cluster rows by the Morton interleave of two bucketed

@@ -108,6 +108,43 @@ class PlanSpec extends AnyFunSuite {
     assert(read < layoutDirs, s"no pruning: read $read of $layoutDirs")
   }
 
+  test("writePartitioned hot-partition guard: salted mode spreads a hot value over N files") {
+    import org.apache.spark.sql.functions._
+    // 10k rows of one HOT partition value + 10 cold values of 20 rows
+    val hot = spark.range(10000).select(lit("hot").as("k"), col("id"))
+    val cold = spark.range(200).select(
+      concat(lit("c"), pmod(col("id"), lit(10))).as("k"), col("id"))
+    val df = hot.unionByName(cold)
+    def files(dir: String, v: String): Int =
+      new java.io.File(s"$dir/k=$v").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    // default: one task → one file per value (the hot value serializes)
+    val d1 = java.nio.file.Files.createTempDirectory("graft-wp1").toString
+    graft.ops.Bucketing.writePartitioned(df, d1, "k")
+    assert(files(d1, "hot") === 1)
+    // salted: the hot value's write spreads over up to 4 tasks/files.
+    // At test size AQE's partition coalescing folds the tiny salted
+    // shards back into one task (the right behavior — small partitions
+    // never fragment; at production bytes they exceed the advisory size
+    // and stay spread), so pin the MECHANISM with coalescing off.
+    val d4 = java.nio.file.Files.createTempDirectory("graft-wp4").toString
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      graft.ops.Bucketing.writePartitioned(df, d4, "k", filesPerPartition = 4)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    assert(files(d4, "hot") >= 2 && files(d4, "hot") <= 4, files(d4, "hot"))
+    (0 until 10).foreach(i => assert(files(d4, s"c$i") <= 4))
+    // nothing lost or duplicated, and maxRecordsPerFile splits oversize files
+    assert(spark.read.parquet(d4).count() === 10200)
+    val dm = java.nio.file.Files.createTempDirectory("graft-wpm").toString
+    graft.ops.Bucketing.writePartitioned(df, dm, "k",
+      maxRecordsPerFile = 3000L)
+    assert(files(dm, "hot") >= 4, files(dm, "hot")) // 10k rows / 3k cap
+    assert(spark.read.parquet(dm).count() === 10200)
+  }
+
   test("runtime bloom filter lands on the fact side below the shuffle") {
     val df = SparkEntry.queries("q_bloom_join")(spark, TestSpark.sf)
     val p = df.queryExecution.optimizedPlan.toString
