@@ -15,7 +15,7 @@ object ReplicateTpch {
   def main(args: Array[String]): Unit = {
     val k = args(0).toInt
     val outDir = args(1)
-    require(k >= 1 && k <= 8, s"k in 1..8: $k")
+    require(k >= 1 && k <= 16, s"k in 1..16: $k")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
