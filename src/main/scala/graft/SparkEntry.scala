@@ -3606,6 +3606,30 @@ object SparkEntry {
         chain.unionByName(shortcut).unionByName(selfPairs))
     },
 
+    // Near-dup CLUSTERING through the star scale-form — the composite a
+    // 100 TB dedup pipeline actually runs (pairs are not the deliverable;
+    // keeper groups are): the q_image_neardup perceptual-hash machinery
+    // (image synthesis → dHash → chunk-blocked Hamming join) produces the
+    // within-family pair set, and componentsStar contracts it to
+    // (id, cluster_id) in O(log) rounds. Families are planted by id
+    // arithmetic, so the cluster labels are INDEPENDENTLY restatable:
+    // cluster_id = min member of the family = doc_id % nFam.
+    q("q_neardup_clusters",
+      """SELECT doc_id AS id,
+        |  doc_id % (SELECT CAST(greatest(count(*) // 10, 1) AS BIGINT)
+        |            FROM documents) AS cluster_id
+        |FROM documents""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nFam = indexArtifact(s"img-nfam:$d") {
+        java.lang.Long.valueOf(math.max(1L, docs.count() / 10))
+      }.longValue()
+      val media = graft.multimodal.Multimodal.syntheticImages(docs, "doc_id", nFam)
+      val pairs = graft.multimodal.Multimodal.imageNearDups(media, maxHamming = 6)
+        .select(col("id_a"), col("id_b"))
+      ops.Graph.componentsStar(pairs)
+        .select(col("id"), col("cluster_id"))
+    },
+
     // Integer-exact damped PageRank (Graph.pageRank) over the word
     // co-occurrence graph (adjacent-bigram counts as weighted edges,
     // CorpusStats.bigramCounts). Ranks are scale-10⁹ longs with per-edge
@@ -4587,6 +4611,34 @@ object SparkEntry {
           when(col("doc_id") % 4 === 0, lit("\na cliffhanger line..."))
             .otherwise(lit(""))).as("tx"))
       TextAnalysis.gopherRules(decorated, "doc_id", "tx")
+    },
+
+    // TF-IDF top-k keyword extraction (TextAnalysis.tfidfKeywords): the
+    // corpus-aware document-labeling primitive — tf·ln((N+1)/(df+1)),
+    // round-6, top-5 per doc with the (score DESC, word ASC) tie-break
+    // that makes the ranking engine-independent. Spark: explode →
+    // partial-agg tf → vocab-grain df join + broadcast N → doc-grain
+    // collect+slice (never a corpus window); the oracle is the same
+    // arithmetic through row_number.
+    q("q_tfidf_keywords",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |sc AS (
+        |  SELECT doc_id, w,
+        |    round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (w), n),
+        |rk AS (SELECT doc_id, w, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY tfidf DESC, w) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, w AS keyword, tfidf
+        |FROM rk WHERE rank <= 5""".stripMargin) { (s, d) =>
+      ops.TextAnalysis.tfidfKeywords(Tables.documents(s, d),
+        "text", "doc_id", k = 5)
     },
 
     // URL canonicalization + URL-grain dedup (TextAnalysis.canonicalizeUrl

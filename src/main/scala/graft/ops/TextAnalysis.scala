@@ -631,4 +631,41 @@ object TextAnalysis {
         sort_array(collect_list(col(idCol))).as("dup_ids"))
       .filter(col("n_dups") > 1)
 
+  /** TF-IDF top-k keyword extraction per document — the corpus-aware
+    * labeling/summarization primitive next to [[qualityScore]] (what is
+    * this document ABOUT, for mixture auditing and topic-stratified
+    * sampling): score(w, d) = tf(w, d) · ln((N+1)/(df(w)+1)), rounded to
+    * 6, top `k` words per document by (score DESC, word ASC) — the
+    * deterministic tie-break that makes the ranking engine-independent.
+    *
+    * Scale shape: one token explode → (doc, word) partial-aggregated tf
+    * → word-grain df aggregate (vocab-sized) → one join back on the word
+    * key + a broadcast 1-row N → per-doc top-k as a doc-grain
+    * collect+slice (bounded by the document's own vocabulary, the
+    * c4CleanLines rebuild stance — never a corpus-wide window).
+    *
+    * Output: (idCol, rank 1..k, keyword, tfidf). */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1: $k")
+    val nonNull = df.filter(col(textCol).isNotNull)
+    val tf = nonNull
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("_w"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_w")).agg(count(lit(1)).as("_df"))
+    val n = nonNull.agg(count(lit(1)).as("_n"))
+    tf.join(dfreq, Seq("_w"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("_w"),
+        round(col("_tf") * log((col("_n") + lit(1.0)) / (col("_df") + lit(1.0))), 6)
+          .as("_score"))
+      .groupBy(col(idCol))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("_score")).as("s"), col("_w").as("w")))), 1, k).as("_top"))
+      .select(col(idCol), posexplode(col("_top")).as(Seq("_r", "_kw")))
+      .select(col(idCol), (col("_r") + 1).cast("int").as("rank"),
+        col("_kw").getField("w").as("keyword"),
+        (-col("_kw").getField("s")).as("tfidf"))
+  }
+
 }

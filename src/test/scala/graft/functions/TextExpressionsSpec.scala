@@ -196,6 +196,32 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(g1 === g2)
   }
 
+  test("tfidfKeywords: hand-checked scores, rank tie-break, k cap") {
+    // 3 docs, 4-word vocab: "rare" appears in 1 doc, "mid" in 2, "the" in 3
+    val docs = Seq(
+      (1L, "the rare rare mid"),
+      (2L, "the mid"),
+      (3L, "the the")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .as[(Long, Int, String, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // N=3. idf: rare ln(4/2)=0.693147, mid ln(4/3)=0.287682, the ln(4/4)=0
+    // doc1: rare tf2 → 1.386294; mid 0.287682; the 0.0
+    // doc2: mid 0.287682; the 0.0
+    // doc3: the tf2 → 0.0
+    assert(got === Seq(
+      (1L, 1, "rare", 1.386294), (1L, 2, "mid", 0.287682),
+      (2L, 1, "mid", 0.287682), (2L, 2, "the", 0.0),
+      (3L, 1, "the", 0.0)))
+    // single-doc corpus: every idf is ln(2/2) = 0, so all scores tie at
+    // 0.0 and the rank order is purely the word-ASC tie-break
+    val tie = Seq((1L, "zebra apple zebra apple unique")).toDF("doc_id", "text")
+    val t = TextAnalysis.tfidfKeywords(tie, "text", "doc_id", k = 3)
+      .as[(Long, Int, String, Double)].collect().sortBy(_._2).map(_._3).toSeq
+    assert(t === Seq("apple", "unique", "zebra"))
+  }
+
   test("canonicalizeUrl: equivalent variants collapse, real differences survive") {
     val cases = Seq(
       // uppercase scheme/host + default https port + fragment
