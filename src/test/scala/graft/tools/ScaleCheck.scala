@@ -536,6 +536,38 @@ object ScaleCheck {
           d.select(col("doc_id"), concat(col("text"), lit(".")).as("text")),
           "doc_id", "text").count()
       }
+      // id-shifted replicas spell disjoint URL namespaces (the q_url_dedup
+      // construction on the shifted doc_id), so canonical-grain groups ×k
+      // while the ONE map-side-combined aggregate must stay linear
+      results(("url_dedup", k)) = timed("url_dedup", k, nd) {
+        val g = shiftright(col("doc_id"), 2)
+        val urls = d.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("https://site"), g, lit(".com/p"), g))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("HTTPS://SITE"), g, lit(".COM:443/p"), g, lit("#s")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("https://site"), g, lit(".com/p"), g,
+              lit("/?utm_source=feed")))
+          .otherwise(concat(lit("https://site"), g, lit(".com/p"), g,
+            lit("?page=2"))).as("url"))
+        graft.ops.TextAnalysis.urlDedup(urls, "url", "doc_id").count()
+      }
+      // grounding is pure scan-side (two codegen shingle passes + an
+      // array intersect per row) — zero shuffle, must track the scan
+      results(("grounding", k)) = timed("grounding", k, nd) {
+        graft.ops.Retrieval.groundingScore(
+          d.select(col("doc_id"),
+            substring(col("text"), 1, 120).as("answer"),
+            col("text").as("context")),
+          "answer", "context").count()
+      }
+      // vowel-rotated replicas: vocab, (doc, word) tf grain, and the df
+      // join all ×k; the per-doc top-k collect is doc-vocab bounded
+      results(("tfidf_keywords", k)) = timed("tfidf_keywords", k, nd) {
+        graft.ops.TextAnalysis.tfidfKeywords(d, "text", "doc_id", k = 5)
+          .count()
+      }
       // pure scan-side integer predicates — no shuffle at all
       results(("gopher_rules", k)) = timed("gopher_rules", k, nd) {
         graft.ops.TextAnalysis.gopherRules(d, "doc_id", "text").count()
