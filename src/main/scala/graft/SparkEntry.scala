@@ -176,7 +176,43 @@ object SparkEntry {
     * normalization with the same remainder-based round-half-away, and
     * the same sign convention — then the per-row projection join.
     * Generated so every step's arithmetic is character-identical. */
-  private def powerIterOracle(iters: Int): String = {
+  private def powerIterOracle(iters: Int): String =
+    powerIterCtes(iters) +
+      s"""
+         |SELECT q.vec_id,
+         |  round(CAST(sum(CAST(qv[v.d + 1] AS HUGEINT) * v.val) AS DOUBLE)
+         |    / 1000000000000.0, 6) AS proj
+         |FROM q, v$iters v
+         |GROUP BY q.vec_id""".stripMargin
+
+  /** DuckDB replay of [[ops.Spectral.removeDominant]] on top of the
+    * [[powerIterCtes]] trajectory: the identical exact-integer rejection
+    * c_i = q_i − roundHalfAway(dot·v_i / ‖v‖²) in HUGEINT, reduced to
+    * three per-row fingerprints (first coordinate, coordinate sum,
+    * exact squared norm) so the compare needs no array hashing. */
+  private def abttOracle(iters: Int): String =
+    powerIterCtes(iters) +
+      s""",
+         |vv AS (SELECT CAST(sum(val * val) AS HUGEINT) AS n2 FROM v$iters),
+         |dq AS (
+         |  SELECT q.vec_id, q.qv,
+         |    sum(CAST(qv[v.d + 1] AS HUGEINT) * v.val) AS dot
+         |  FROM q, v$iters v GROUP BY q.vec_id, q.qv),
+         |corr AS (
+         |  SELECT d.vec_id, v.d AS dim,
+         |    CAST(qv[v.d + 1] AS HUGEINT)
+         |      - (CASE WHEN d.dot * v.val < 0 THEN -1 ELSE 1 END)
+         |        * ((abs(d.dot * v.val) // vv.n2)
+         |           + CASE WHEN (abs(d.dot * v.val) % vv.n2) * 2 >= vv.n2
+         |                  THEN 1 ELSE 0 END) AS c
+         |  FROM dq d, v$iters v, vv)
+         |SELECT vec_id,
+         |  CAST(sum(CASE WHEN dim = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+         |  CAST(sum(c) AS BIGINT) AS c_sum,
+         |  CAST(sum(c * c) AS BIGINT) AS c_norm2
+         |FROM corr GROUP BY vec_id""".stripMargin
+
+  private def powerIterCtes(iters: Int): String = {
     val head =
       """WITH q AS MATERIALIZED (
         |  SELECT vec_id,
@@ -212,13 +248,7 @@ object SparkEntry {
          |         THEN -1 ELSE 1 END AS f),
          |v$r AS MATERIALIZED (SELECT d, val * f AS val FROM s$r, f$r)""".stripMargin
     }.mkString
-    head + steps +
-      s"""
-         |SELECT q.vec_id,
-         |  round(CAST(sum(CAST(qv[v.d + 1] AS HUGEINT) * v.val) AS DOUBLE)
-         |    / 1000000000000.0, 6) AS proj
-         |FROM q, v$iters v
-         |GROUP BY q.vec_id""".stripMargin
+    head + steps
   }
 
   /** DuckDB replay of [[ops.TextAnalysis.bpeMerges]]: the identical
@@ -8735,6 +8765,24 @@ object SparkEntry {
     q("q_power_iteration", powerIterOracle(iters = 3)) { (s, d) =>
       ops.Spectral.dominantProjection(Tables.embeddings(s, d),
         "embedding", "vec_id", dim = 64, iterations = 3)
+    },
+
+    // ALL-BUT-THE-TOP isotropy repair (Spectral.removeDominant; Mu &
+    // Viswanath 2018): the exact-integer orthogonal rejection of the
+    // power-iterated dominant direction, per row in one codegen HOF
+    // (direction and ‖v‖² are plan literals — no join, no shuffle). The
+    // oracle replays the identical trajectory AND rejection in HUGEINT;
+    // corrected vectors compare through three exact per-row fingerprints
+    // (first coordinate, coordinate sum, squared norm) instead of array
+    // hashing.
+    q("q_abtt", abttOracle(iters = 3)) { (s, d) =>
+      ops.Spectral.removeDominant(Tables.embeddings(s, d),
+          "embedding", "vec_id", dim = 64, iterations = 3)
+        .select(col("vec_id"),
+          element_at(col("corrected"), 1).as("c0"),
+          aggregate(col("corrected"), lit(0L), _ + _).as("c_sum"),
+          aggregate(col("corrected"), lit(0L), (acc, x) => acc + x * x)
+            .as("c_norm2"))
     },
 
     // Streaming centroid maintenance (Knn.centroidBatchState / fold /

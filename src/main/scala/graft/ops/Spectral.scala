@@ -92,12 +92,21 @@ object Spectral {
     *
     * The full operator: one Gram scan + driver iteration + one
     * projection scan (the direction rides as a plan-time literal). */
+  /** Fit the dominant direction: one Gram scan + the driver-side BigInt
+    * power trajectory. Shared by [[dominantProjection]] and
+    * [[removeDominant]] so projection and rejection can never disagree
+    * on the direction. */
+  def fitDirection(df: DataFrame, vecCol: String, dim: Int, iterations: Int,
+                   quantScale: Long = 1000000L): Array[Long] = {
+    val gram = gramMatrix(df, vecCol, dim, quantScale).collect()
+      .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+    powerIterate(gram, dim, iterations, quantScale)
+  }
+
   def dominantProjection(df: DataFrame, vecCol: String, idCol: String,
                          dim: Int, iterations: Int,
                          quantScale: Long = 1000000L): DataFrame = {
-    val gram = gramMatrix(df, vecCol, dim, quantScale).collect()
-      .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
-    val v = powerIterate(gram, dim, iterations, quantScale)
+    val v = fitDirection(df, vecCol, dim, iterations, quantScale)
     val vLit = array(v.map(lit(_)): _*)
     val qv = transform(col(vecCol),
       x => round(x.cast("double") * quantScale).cast("long"))
@@ -106,5 +115,56 @@ object Spectral {
       .select(col(idCol),
         round(dot.cast("double") /
           lit(quantScale.toDouble * quantScale.toDouble), 6).as("proj"))
+  }
+
+  /** ALL-BUT-THE-TOP (Mu & Viswanath 2018, public) — remove the dominant
+    * direction from every embedding, the standard isotropy repair for
+    * anisotropic embedding corpora (the top component encodes frequency,
+    * not meaning; retrieval and clustering both improve without it).
+    * Exact-integer orthogonal rejection under the [[dominantProjection]]
+    * replay stance:
+    *
+    *   c_i = q_i − roundHalfAway(dot · v_i / ‖v‖²),
+    *   dot = Σ q_j·v_j  (exact LONG),  ‖v‖² = Σ v_j²  (a plan literal),
+    *
+    * with the per-coordinate product dot·v_i taken in DECIMAL(38,0) (the
+    * gramMatrix overflow stance — a LONG product would wrap silently for
+    * large-magnitude corpora) and the division exact because the
+    * remainder is subtracted first. Per-coordinate error vs the real
+    * rejection is ≤ 0.5 grid units — deterministic, engine-replayable.
+    * Corrected vectors stay on the quantScale grid (`corrected[i] / 10⁶`
+    * to rescale). No mean-centering (matches the uncentered Gram
+    * convention documented on [[gramMatrix]]).
+    *
+    * Scale shape: one Gram scan + one projection scan — the direction
+    * AND ‖v‖² ride as plan-time literals, so the rejection is a per-row
+    * codegen HOF with no join and no shuffle. */
+  def removeDominant(df: DataFrame, vecCol: String, idCol: String,
+                     dim: Int, iterations: Int,
+                     quantScale: Long = 1000000L): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = fitDirection(df, vecCol, dim, iterations, quantScale)
+    val n2 = v.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * BigInt(x))
+    require(n2 > 0 && n2.isValidLong, s"direction norm² out of LONG range: $n2")
+    val n2L = n2.toLong
+    val vLit = array(v.map(lit(_)): _*)
+    val qv = transform(col(vecCol),
+      x => round(x.cast("double") * quantScale).cast("long"))
+    // round-half-away(a / n2) on DECIMAL a: remainder-subtracted division
+    // is exact (the quotient is an integer, representable at scale 6)
+    def roundDiv(a: Column): Column = {
+      val ab = abs(a)
+      val r = pmod(ab, lit(n2L).cast(dec38))
+      val q0 = ((ab - r) / lit(n2L).cast(dec38)).cast("long")
+      val up = when(r * 2 >= n2L, q0 + 1).otherwise(q0)
+      when(a < 0, -up).otherwise(up)
+    }
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), qv.as("_qv"))
+      .withColumn("_dot",
+        aggregate(zip_with(col("_qv"), vLit, (a, b) => a * b), lit(0L), _ + _))
+      .select(col(idCol),
+        zip_with(col("_qv"), vLit,
+          (q, u) => q - roundDiv(col("_dot").cast(dec38) * u)).as("corrected"))
   }
 }

@@ -59,4 +59,42 @@ class SpectralSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a === b)
   }
+  test("removeDominant: exact BigInt mirror, near-orthogonal residual, repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .where(col("embedding").isNotNull).limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val got = Spectral.removeDominant(e, "embedding", "vec_id", 64, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // driver-side BigInt mirror of the documented arithmetic
+    val v = Spectral.fitDirection(e, "embedding", 64, 2)
+    val n2 = v.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * BigInt(x))
+    def roundDiv(a: BigInt, m: BigInt): BigInt = {
+      val ab = a.abs
+      val q = ab / m
+      val r = ab - q * m
+      val u = if (r * 2 >= m) q + 1 else q
+      if (a < 0) -u else u
+    }
+    val rows = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000L).cast("long")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    rows.foreach { case (id, qv) =>
+      val dot = qv.indices.foldLeft(BigInt(0))((a, i) => a + BigInt(qv(i)) * v(i))
+      val expect = qv.indices.map(i =>
+        (BigInt(qv(i)) - roundDiv(dot * v(i), n2)).toLong).toArray
+      assert(got(id).sameElements(expect), s"vec $id")
+      // residual ⊥ direction up to per-coordinate rounding (≤ 0.5 grid
+      // units each → |c·v| ≤ 0.5·Σ|v_i| ≤ 0.5·64·10⁶)
+      val cd = qv.indices.foldLeft(BigInt(0))((a, i) => a + BigInt(got(id)(i)) * v(i))
+      assert(cd.abs <= BigInt(32L * 1000000L), s"vec $id residual $cd")
+    }
+    // repartition invariance (plan-literal direction, per-row rejection)
+    val re = Spectral.removeDominant(e.repartition(13), "embedding", "vec_id", 64, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(re.keySet === got.keySet)
+    re.foreach { case (id, arr) => assert(arr.sameElements(got(id))) }
+  }
+
 }
