@@ -4643,6 +4643,28 @@ object SparkEntry {
       TextAnalysis.gopherRules(decorated, "doc_id", "tx")
     },
 
+    // Exact φ-heavy hitters via a Misra–Gries candidate pass + bounded
+    // verify (CorpusStats.heavyHitters; Misra & Gries 1982, mergeable
+    // form Agarwal et al. 2013) — the sketch-family member whose
+    // exchange is ≤ k rows per partition REGARDLESS of key cardinality
+    // (a plain groupBy-HAVING shuffles every distinct key; over 100 TB
+    // of n-grams that is the job). Output is exact, so the oracle IS the
+    // plain groupBy-HAVING restatement.
+    q("q_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS value
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM tok)
+        |SELECT value, count(*) AS cnt
+        |FROM tok, n GROUP BY value, n.n
+        |HAVING count(*) >= ceil(0.003 * n.n)""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(explode(ops.Dedup.tokens(col("text"))).as("value"))
+      ops.CorpusStats.heavyHitters(toks, "value", phi = 0.003)
+    },
+
     // TF-IDF top-k keyword extraction (TextAnalysis.tfidfKeywords): the
     // corpus-aware document-labeling primitive — tf·ln((N+1)/(df+1)),
     // round-6, top-5 per doc with the (score DESC, word ASC) tie-break

@@ -1836,4 +1836,42 @@ object CorpusStats {
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+  /** Exact φ-heavy hitters over an ARBITRARILY LARGE key space — the
+    * boilerplate/hot-URL/hot-n-gram detector whose shuffle cost must not
+    * depend on key cardinality. Two bounded passes:
+    *
+    *  1. CANDIDATES: a [[graft.functions.MisraGries]] summary with
+    *     k = max(16, ⌈2/φ⌉) counters — partial per partition, merged
+    *     through an exchange of ≤ k rows per partition (never the
+    *     distinct-key set). The survivor set provably contains every
+    *     item with count ≥ φ·n (undercount ≤ n/(k+1) < φ·n).
+    *  2. VERIFY: one scan counting ONLY the ≤ k candidates (an `isin`
+    *     filter, then a groupBy whose key space is ≤ k) plus the row
+    *     total, and the exact threshold cut count ≥ ⌈φ·n⌉.
+    *
+    * Output (value, cnt) is EXACT and deterministic — arrival-order
+    * dependence of MG weights is confined to the candidate superset,
+    * which the verify pass replaces with true counts. Contrast with a
+    * plain groupBy-HAVING: same answer, but its exchange carries every
+    * distinct key; over 100 TB of 5-gram shingles that IS the job. */
+  def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1]: $phi")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("value"))
+      .where(col("value").isNotNull)
+    val k = math.max(16, math.ceil(2.0 / phi).toInt)
+    val mg = new graft.functions.MisraGries(k).toColumn
+    val candidates = vals.as[String].select(mg).head().map(_.value)
+    val n = vals.count()
+    val threshold = math.ceil(phi * n).toLong
+    if (candidates.isEmpty) {
+      vals.limit(0).groupBy("value").agg(count(lit(1)).as("cnt"))
+    } else {
+      vals.filter(col("value").isin(candidates: _*))
+        .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= threshold)
+    }
+  }
+
 }

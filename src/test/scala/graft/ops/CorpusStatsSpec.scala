@@ -836,4 +836,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r.length === 1 && r.head._2 === 1L && r.head._3 === 1L)
   }
 
+  test("heavyHitters: exact over a huge tail key space, partitioning-invariant, boundary-exact") {
+    import org.apache.spark.sql.functions._
+    // 1 hot value (5000 rows) drowned in 50k distinct singletons: the MG
+    // candidate exchange is bounded (k = 40 counters for phi = 0.05) while
+    // a naive groupBy would shuffle 50k+1 keys; the verify pass restores
+    // exact counts. n = 55000, threshold = ceil(0.05*55000) = 2750.
+    val hot = spark.range(5000).select(lit("hot").as("v"))
+    val tail = spark.range(50000).select(concat(lit("t"), col("id")).as("v"))
+    val df = hot.unionByName(tail)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.heavyHitters(d, "v", 0.05)
+        .as[(String, Long)].collect().toSet
+    val expect = Set(("hot", 5000L))
+    assert(run(df) === expect)
+    // MG weights are arrival-order dependent; the FINAL output must not be
+    assert(run(df.repartition(3)) === expect)
+    assert(run(df.repartition(17)) === expect)
+    // boundary exactness: n = 100, phi = 0.1 → threshold 10; a count-10
+    // value is in, count-9 out
+    val b = (Seq.fill(10)("at") ++ Seq.fill(9)("below") ++
+      (1 to 81).map(i => s"x$i")).toDF("v")
+    assert(CorpusStats.heavyHitters(b, "v", 0.1)
+      .as[(String, Long)].collect().toSet === Set(("at", 10L)))
+    // null values are ignored, not counted
+    val withNull = Seq(Some("a"), Some("a"), None, Some("b")).toDF("v")
+    assert(CorpusStats.heavyHitters(withNull, "v", 0.5)
+      .as[(String, Long)].collect().toSet === Set(("a", 2L)))
+  }
+
 }
