@@ -592,6 +592,30 @@ object ScaleCheck {
         graft.ops.Spectral.dominantProjection(e, "embedding", "vec_id",
           dim = 64, iterations = 2).count()
       }
+      // same Gram + driver trajectory as power_iteration, plus the per-row
+      // codegen rejection scan — both corpus passes linear, artifacts d²
+      results(("abtt", k)) = timed("abtt", k, ne) {
+        graft.ops.Spectral.removeDominant(e, "embedding", "vec_id",
+          dim = 64, iterations = 2).count()
+      }
+      // one literal-argmin scan into a k×(d+1) driver artifact — the
+      // streaming maintenance unit cost; rows ×k, artifact fixed
+      results(("centroid_state", k)) = timed("centroid_state", k, ne) {
+        val standing: Seq[Seq[Long]] =
+          (0 until 8).map(c => Seq.tabulate(64)(i =>
+            if (i % 8 == c) 1000000L else 0L))
+        graft.ops.Knn.centroidBatchState(e, "embedding", standing)
+          .counts.sum
+      }
+      // vocab ×k under vowel rotation, hot tokens' RELATIVE mass fixed:
+      // the MG candidate exchange stays ≤ k·P rows, the verify scan and
+      // the bounded isin-groupBy must track the corpus linearly
+      results(("heavy_hitters", k)) = timed("heavy_hitters", k, nd) {
+        graft.ops.CorpusStats.heavyHitters(
+          d.where(col("text").isNotNull)
+            .select(explode(graft.ops.Dedup.tokens(col("text"))).as("value")),
+          "value", phi = 0.003).count()
+      }
       // word-frequency table ×k; merge steps run on it, corpus touched once
       results(("bpe_train", k)) = timed("bpe_train", k, nd) {
         graft.ops.TextAnalysis.bpeMerges(d, "text", nMerges = 4).count()
