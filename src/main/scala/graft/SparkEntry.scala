@@ -3636,6 +3636,33 @@ object SparkEntry {
         chain.unionByName(shortcut).unionByName(selfPairs))
     },
 
+    // INCREMENTAL components (Graph.incrementalComponents): the
+    // continuous-ingest clustering shape — yesterday's labels (a
+    // node-grain star compression of every pair ever seen) plus today's
+    // delta pairs re-contract to the updated labels without touching the
+    // old pair set. Planted: the 50-chains split at position 24/25 into
+    // two half-chains (the BASE run), and the delta is exactly the
+    // bridge edges — so the incremental result must heal every chain to
+    // its group base, restated arithmetically.
+    q("q_incremental_components",
+      """SELECT doc_id AS id, doc_id - doc_id % 50 AS cluster_id
+        |FROM documents""".stripMargin) { (s, d) =>
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val basePairs = ids.select(col("doc_id").as("id_a"))
+        .filter(pmod(col("id_a"), lit(50)) =!= 49 &&
+          pmod(col("id_a"), lit(50)) =!= 24)
+        .join(ids.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+        .unionByName(ids.select(col("doc_id").as("id_a"),
+          col("doc_id").as("id_b")))
+      val delta = ids.select(col("doc_id").as("id_a"))
+        .filter(pmod(col("id_a"), lit(50)) === 24)
+        .join(ids.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      val standing = ops.Graph.componentsStar(basePairs)
+      ops.Graph.incrementalComponents(standing, delta)
+    },
+
     // Near-dup CLUSTERING through the star scale-form — the composite a
     // 100 TB dedup pipeline actually runs (pairs are not the deliverable;
     // keeper groups are): the q_image_neardup perceptual-hash machinery
@@ -4641,6 +4668,41 @@ object SparkEntry {
           when(col("doc_id") % 4 === 0, lit("\na cliffhanger line..."))
             .otherwise(lit(""))).as("tx"))
       TextAnalysis.gopherRules(decorated, "doc_id", "tx")
+    },
+
+    // Corpus-law diagnostics (CorpusStats.corpusLaws; Zipf 1949, Heaps
+    // 1978): OLS slope of ln(freq) vs ln(rank) over the top-100 words
+    // (accumulated as round(·10⁹) LONG sums over the bounded artifact —
+    // order-free integer addition, engine-identical up to libm ln ulps)
+    // plus the two-point Heaps exponent between the even-doc half and
+    // the full corpus. The oracle replays the identical scaled-integer
+    // sums and the same fixed-shape double formulas.
+    q("q_corpus_laws",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc),
+        |sums AS (
+        |  SELECT count(*) AS rn,
+        |    sum(CAST(round(ln(r) * 1000000000) AS BIGINT)) AS sx,
+        |    sum(CAST(round(ln(c) * 1000000000) AS BIGINT)) AS sy,
+        |    sum(CAST(round(ln(r) * ln(c) * 1000000000) AS BIGINT)) AS sxy,
+        |    sum(CAST(round(ln(r) * ln(r) * 1000000000) AS BIGINT)) AS sxx
+        |  FROM top WHERE r <= 100),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM tok),
+        |half AS (SELECT count(*) AS nh, count(DISTINCT w) AS vh
+        |         FROM tok WHERE doc_id % 2 = 0)
+        |SELECT
+        |  round((rn * (sxy / 1000000000.0) - (sx / 1000000000.0) * (sy / 1000000000.0))
+        |    / (rn * (sxx / 1000000000.0) - (sx / 1000000000.0) * (sx / 1000000000.0)), 6)
+        |    AS zipf_slope,
+        |  round((ln(v) - ln(vh)) / (ln(n) - ln(nh)), 6) AS heaps_beta,
+        |  n AS n_tokens, v AS vocab, nh AS n_half, vh AS vocab_half
+        |FROM sums, tot, half""".stripMargin) { (s, d) =>
+      ops.CorpusStats.corpusLaws(Tables.documents(s, d),
+        "text", "doc_id", topR = 100)
     },
 
     // Exact φ-heavy hitters via a Misra–Gries candidate pass + bounded

@@ -1874,4 +1874,60 @@ object CorpusStats {
     }
   }
 
+  /** Corpus-law diagnostics — the two classic health checks of a text
+    * corpus (both public: Zipf 1949, Heaps 1978), one row:
+    *
+    *  - `zipf_slope`: OLS slope of ln(freq) against ln(rank) over the
+    *    top `topR` words (rank by count DESC, word ASC — deterministic).
+    *    Natural prose sits near −1; templated/boilerplate corpora go
+    *    shallower, spam goes steeper.
+    *  - `heaps_beta`: two-point Heaps exponent
+    *    (ln V − ln V_h)/(ln N − ln N_h) between the even-`idCol` half and
+    *    the full corpus. Prose sits β ≈ 0.4–0.6; β → 0 means vocabulary
+    *    saturation (heavy duplication), β → 1 means id-like token churn.
+    *
+    * Determinism: the OLS sums accumulate as round(·10⁹) LONGs over the
+    * bounded top-R artifact (integer addition is order-free, so the sum
+    * is partitioning- and engine-independent up to libm ln ulps — the
+    * bm25 stance), and the final slope/β are one fixed-shape double
+    * expression each, round-6. Scale shape: one token scan → vocab-grain
+    * count (map-side combined) → top-R collect (bounded artifact) + two
+    * count/countDistinct aggregates. Output: (zipf_slope, heaps_beta,
+    * n_tokens, vocab, n_half, vocab_half). */
+  def corpusLaws(df: DataFrame, textCol: String, idCol: String,
+                 topR: Int = 100): DataFrame = {
+    require(topR >= 2, s"topR must be ≥ 2: $topR")
+    val spark = df.sparkSession
+    val tok = df.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("_w"))
+    val top = tok.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_w")).limit(topR)
+      .select(col("_c")).collect().map(_.getLong(0))
+    require(top.length >= 2, "corpus has fewer than 2 distinct words")
+    val rn = top.length
+    def s9(x: Double): Long = math.round(x * 1e9)
+    var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L
+    top.zipWithIndex.foreach { case (c, i) =>
+      val lr = math.log(i + 1.0); val lc = math.log(c.toDouble)
+      sx += s9(lr); sy += s9(lc); sxy += s9(lr * lc); sxx += s9(lr * lr)
+    }
+    val slope = (rn * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9)) /
+      (rn * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9))
+    val full = tok.agg(count(lit(1)).as("n"),
+      countDistinct(col("_w")).as("v")).head()
+    val half = tok.filter(pmod(col(idCol), lit(2)) === 0)
+      .agg(count(lit(1)).as("n"), countDistinct(col("_w")).as("v")).head()
+    val (n, v) = (full.getLong(0), full.getLong(1))
+    val (nh, vh) = (half.getLong(0), half.getLong(1))
+    val beta = (math.log(v.toDouble) - math.log(vh.toDouble)) /
+      (math.log(n.toDouble) - math.log(nh.toDouble))
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import spark.implicits._
+    Seq((r6(slope), r6(beta), n, v, nh, vh))
+      .toDF("zipf_slope", "heaps_beta", "n_tokens", "vocab",
+        "n_half", "vocab_half")
+  }
+
 }

@@ -359,4 +359,21 @@ object Graph {
       .select(col("id"), coalesce(col("_c"), col("id")).as("cluster_id"))
   }
 
+  /** INCREMENTAL connected components — the continuous-ingest form of
+    * [[componentsStar]] (the [[Dedup.incrementalDedup]] stance applied to
+    * clustering): a prior run's labels plus a DELTA pair batch yield the
+    * updated labels WITHOUT rescanning the old pair set. Sound because a
+    * label row (id, cluster_id) asserts exactly the connectivity the old
+    * pairs proved — the label set IS a star-edge compression of the old
+    * graph — so contracting (labels ∪ delta) reproduces the components
+    * of (old pairs ∪ delta) exactly. Work per batch: node-grain (the
+    * standing labels) + delta-grain, times O(log) star rounds; labels of
+    * ids the delta never touches come through round 1 unchanged. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+                            maxRounds: Int = 50): DataFrame =
+    componentsStar(
+      labels.select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        .unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxRounds)
+
 }

@@ -865,4 +865,33 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet === Set(("a", 2L)))
   }
 
+  test("corpusLaws: uniform counts → slope 0; saturated vocab → beta 0; hand OLS cross-check") {
+    import org.apache.spark.sql.functions._
+    // every word appears exactly twice → ln(freq) constant → slope 0.0;
+    // both halves carry the full vocabulary → heaps beta 0.0
+    val unif = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val u = CorpusStats.corpusLaws(unif, "text", "doc_id", topR = 10)
+      .as[(Double, Double, Long, Long, Long, Long)].head()
+    assert(u._1 === 0.0 && u._2 === 0.0)
+    assert((u._3, u._4, u._5, u._6) === ((8L, 4L, 4L, 4L)))
+    // skewed corpus: counts 4/2/1 → hand OLS on (ln r, ln c), r = 1..3
+    val skew = Seq((0L, "a a b"), (1L, "a a b c")).toDF("doc_id", "text")
+    val g = CorpusStats.corpusLaws(skew, "text", "doc_id", topR = 10)
+      .as[(Double, Double, Long, Long, Long, Long)].head()
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val hand = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(math.abs(g._1 - hand) < 1e-5, s"got ${g._1}, hand $hand")
+    assert(g._3 === 7L && g._4 === 3L && g._5 === 3L && g._6 === 2L)
+    // deterministic under repartition
+    val re = CorpusStats.corpusLaws(skew.repartition(5), "text", "doc_id", topR = 10)
+      .as[(Double, Double, Long, Long, Long, Long)].head()
+    assert(re === g)
+  }
+
 }

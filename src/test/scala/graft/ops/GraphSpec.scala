@@ -150,6 +150,33 @@ class GraphSpec extends AnyFunSuite {
     assert(again === (m - 30L))
   }
 
+  test("incrementalComponents ≡ full recompute; untouched components keep labels") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val it = lcg(99L).map(x => java.lang.Long.remainderUnsigned(x, 150L))
+    val oldPairs = Seq.fill(80)((it.next(), it.next())).toDF("id_a", "id_b")
+    val delta = Seq.fill(30)((it.next(), it.next())).toDF("id_a", "id_b")
+    val labels = Graph.componentsStar(oldPairs)
+    val inc = Graph.incrementalComponents(labels, delta)
+      .as[(Long, Long)].collect().toMap
+    val full = Graph.componentsStar(oldPairs.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    // a delta that touches nothing leaves every label unchanged
+    val untouched = Seq((900L, 901L)).toDF("id_a", "id_b")
+    val inc2 = Graph.incrementalComponents(labels, untouched)
+      .as[(Long, Long)].collect().toMap
+    val base = labels.as[(Long, Long)].collect().toMap
+    assert(inc2 === base ++ Map(900L -> 900L, 901L -> 900L))
+    // a delta bridging two standing components merges them to the min
+    val two = Seq((0L, 1L), (10L, 11L)).toDF("id_a", "id_b")
+    val l2 = Graph.componentsStar(two)
+    val bridged = Graph.incrementalComponents(l2,
+        Seq((1L, 10L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(bridged === Map(0L -> 0L, 1L -> 0L, 10L -> 0L, 11L -> 0L))
+  }
+
   test("componentsStar ≡ clusterLabels on seeded random graphs") {
     // deterministic LCG edge streams at three densities, including one
     // sparse regime that yields long thin components — the two
