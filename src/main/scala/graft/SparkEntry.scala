@@ -7009,6 +7009,46 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // Containment / overlap-coefficient pairs (Dedup.containmentPairs) —
+    // the ASYMMETRIC dual of Jaccard dedup: a 15-token snippet quoted
+    // inside its source page has Jaccard ~0.1 but containment 1.0. The
+    // corpus plants real subsets (each doc < 100 gets a first-15-token
+    // snippet at doc_id+1000); the oracle restates corpus construction
+    // AND the brute all-pairs overlap coefficient.
+    q("q_containment",
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id,
+        |    array_to_string(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')[1:15], ' ') AS text
+        |  FROM documents WHERE doc_id < 100),
+        |tok AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS toks
+        |  FROM base),
+        |ex AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(toks) AS n FROM tok)
+        |SELECT id_a, id_b,
+        |  round(shared / least(sa.n, sb.n), 6) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE shared / least(sa.n, sb.n) >= 0.9""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val snip = base.select((col("doc_id") + 1000L).as("doc_id"),
+        array_join(slice(ops.Dedup.tokens(col("text")), 1, 15), " ").as("text"))
+      ops.Dedup.containmentPairs(base.unionByName(snip), "text", "doc_id",
+          shingleN = 1, threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+    },
+
     // Prefix-filtered exact Jaccard join (Dedup.prefixJaccardPairs, the
     // All-Pairs/PPJoin family): same exact-pairs semantics as
     // q_ngram_jaccard — the oracle is the very same brute token

@@ -422,6 +422,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Containment / overlap-coefficient near-dup pairs —
+    * c(a, b) = |Sa ∩ Sb| / min(|Sa|, |Sb|) ≥ threshold. The ASYMMETRIC
+    * dual of [[jaccardPairs]]: a snippet quoted inside a much larger page
+    * has tiny Jaccard (the union is dominated by the page) but
+    * containment 1.0 — this is the quote/aggregator/subset detector the
+    * RefinedWeb-style pipelines run next to symmetric near-dup. Same
+    * machinery as [[jaccardPairs]] (shingle inverted index → candidate
+    * count → size join-back), same `maxDocFreq` stop-shingle lever for
+    * the posting-list hazard; prefix filtering does NOT apply here (the
+    * size-ratio bound that powers [[prefixJaccardPairs]] assumes the
+    * symmetric denominator), so the df cap is the scale control. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int, threshold: Double,
+                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val allSh = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("_s"))
+    val sh =
+      if (maxDocFreq == Int.MaxValue) allSh
+      else {
+        val hot = allSh.groupBy("_s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("_s")
+        allSh.join(hot, Seq("_s"), "left_anti")
+      }
+    val sizes = df.select(col(idCol),
+      size(shingles(col(textCol), shingleN)).as("_n"))
+    sh.join(sh.select(col("_s"), col(idCol).as("_id_b")), "_s")
+      .filter(col(idCol) < col("_id_b"))
+      .groupBy(col(idCol).as("id_a"), col("_id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("n_b")), "id_b")
+      .withColumn("containment", col("inter") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Prefix-filtered exact Jaccard join (the All-Pairs/PPJoin family,
     * Bayardo et al. 2007 / Xiao et al. 2008) — identical output to
     * [[jaccardPairs]] (exact, full recall), but candidates come from an

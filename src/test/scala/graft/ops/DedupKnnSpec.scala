@@ -220,6 +220,29 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(k3.map(_._1).sorted.toSeq === Seq(0, 1, 2))
   }
 
+  test("containmentPairs: subset scores 1.0 where jaccard stays low; df cap drops stop-shingles") {
+    val page = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, page),                       // the source page (10 distinct tokens)
+      (2L, "alpha beta gamma"),         // 3-token quote: containment 1.0, jaccard 0.3
+      (3L, "mu nu xi omicron")          // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 1, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to symmetric jaccard at 0.9
+    assert(Dedup.jaccardPairs(docs, "text", "doc_id", 1, 0.9).isEmpty)
+    // maxDocFreq drops a corpus-wide stop token from the index: a pair
+    // held together ONLY by the hot token disappears (under-counting near
+    // the threshold is the documented trade)
+    val hot = Seq(
+      (1L, "the alpha beta"), (2L, "the gamma delta"), (3L, "the epsilon zeta")
+    ).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(hot, "text", "doc_id", 1, 0.3).count() === 3L)
+    assert(Dedup.containmentPairs(hot, "text", "doc_id", 1, 0.3,
+      maxDocFreq = 2).isEmpty)
+  }
+
   test("centroid maintenance: batch-state fold ≡ one kmeansFit iteration over the grown corpus") {
     val base = Seq(
       (1L, Array(0.0f, 0.0f)), (2L, Array(5.0f, 5.0f)), (3L, Array(0.0f, 0.1f)),

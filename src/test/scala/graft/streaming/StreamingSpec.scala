@@ -507,6 +507,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(nChg >= 0L && nChg <= nTot)
   }
 
+  test("streaming components: per-batch incremental fold ≡ batch componentsStar on all pairs") {
+    import graft.ops.Graph
+    // near-dup pair batches arrive over time; the standing labels fold
+    // each delta through incrementalComponents (node-grain + delta-grain
+    // work, old pairs never rescanned) and must equal the one-shot batch
+    // contraction of everything seen — the streaming dedup-clustering loop
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val it = lcg(41L).map(x => java.lang.Long.remainderUnsigned(x, 200L))
+    val allPairs = Seq.fill(120)((it.next(), it.next()))
+    var labels = spark.emptyDataset[(Long, Long)].toDF("id", "cluster_id")
+    val ms = MemoryStream[(Long, Long)](spark)
+    val q = ms.toDF().toDF("id_a", "id_b")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sc-ck").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        labels = Graph.incrementalComponents(labels, batch)
+          .localCheckpoint(true)
+      }
+      .start()
+    try {
+      allPairs.grouped(40).foreach { g => ms.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = labels.as[(Long, Long)].collect().toMap
+    val oneShot = Graph.componentsStar(allPairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === oneShot)
+  }
+
   test("generational compaction: probes racing a live compaction never see a half-compacted cell") {
     import graft.ops.{Knn, VectorIndex}
     val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
