@@ -562,6 +562,21 @@ object ScaleCheck {
             col("text").as("context")),
           "answer", "context").count()
       }
+      // synthetic per-doc-unique token docs (the testdata table's 31-word
+      // vocab is a degenerate domain for an inverted index): doc i carries
+      // 20 tokens w<i>_j, its snippet the first 15 — true (snippet ⊂
+      // source) pairs and posting lists both grow exactly ×k
+      results(("containment", k)) = timed("containment", k, 10000L * k) {
+        val base = spark.range(5000L * k).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 20).map(j =>
+            concat(lit("w"), col("id"), lit(s"_$j")): org.apache.spark.sql.Column): _*)
+            .as("text"))
+        val snip = base.select((col("doc_id") + 100000000L).as("doc_id"),
+          array_join(slice(graft.ops.Dedup.tokens(col("text")), 1, 15), " ")
+            .as("text"))
+        graft.ops.Dedup.containmentPairs(base.unionByName(snip), "text",
+          "doc_id", shingleN = 1, threshold = 0.9).count()
+      }
       // vowel-rotated replicas: vocab, (doc, word) tf grain, and the df
       // join all ×k; the per-doc top-k collect is doc-vocab bounded
       results(("tfidf_keywords", k)) = timed("tfidf_keywords", k, nd) {
