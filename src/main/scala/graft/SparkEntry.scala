@@ -4670,6 +4670,53 @@ object SparkEntry {
       TextAnalysis.gopherRules(decorated, "doc_id", "tx")
     },
 
+    // Distinct-n diversity per slice (TextAnalysis.distinctNgramRatio;
+    // Li et al. 2016 "distinct-1/2") — the generation-diversity audit:
+    // distinct bigrams / total bigram occurrences over each doc_id%10
+    // slice's pooled text. One codegen n-gram pass + a group-grain
+    // count/countDistinct; the oracle restates construction and counts.
+    q("q_distinct_ngrams",
+      """WITH tok AS (
+        |  SELECT doc_id % 10 AS grp, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT grp, unnest(list_transform(range(1, greatest(len(toks), 1)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |  FROM tok)
+        |SELECT grp, count(*) AS n_ngrams,
+        |  count(DISTINCT g) AS n_distinct,
+        |  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+        |FROM grams GROUP BY grp""".stripMargin) { (s, d) =>
+      ops.TextAnalysis.distinctNgramRatio(
+        Tables.documents(s, d)
+          .select(pmod(col("doc_id"), lit(10)).as("grp"), col("text")),
+        "text", "grp", n = 2)
+    },
+
+    // Link extraction → canonicalization → inlink counts (the crawl
+    // frontier / link-popularity composite: TextAnalysis.extractLinks +
+    // canonicalizeUrl): every doc carries two anchor spellings of its
+    // arithmetic target (uppercase+port+tracking vs plain) that must
+    // collapse to ONE canonical URL with 2 inlinks per doc. Extraction
+    // is one codegen regexp pass; the count is one map-side-combined
+    // canonical-grain aggregate.
+    q("q_link_graph",
+      """SELECT 'https://target' || ((doc_id * 7 + 3) % 50) || '.com/page' AS url,
+        |  count(*) * 2 AS n_inlinks
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = pmod(col("doc_id") * 7 + 3, lit(50))
+      val html = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" <a href=\"HTTPS://TARGET"), t,
+          lit(".COM:443/page?utm_source=x\">l</a>"),
+          lit(" <a href=\"https://target"), t,
+          lit(".com/page\">l</a>")).as("html"))
+      ops.TextAnalysis.extractLinks(html, "html", "doc_id")
+        .select(ops.TextAnalysis.canonicalizeUrl(col("url")).as("url"))
+        .groupBy(col("url")).agg(count(lit(1)).as("n_inlinks"))
+    },
+
     // Corpus-law diagnostics (CorpusStats.corpusLaws; Zipf 1949, Heaps
     // 1978): OLS slope of ln(freq) vs ln(rank) over the top-100 words
     // (accumulated as round(·10⁹) LONG sums over the bounded artifact —

@@ -668,4 +668,46 @@ object TextAnalysis {
         (-col("_kw").getField("s")).as("tfidf"))
   }
 
+  /** Distinct-n diversity ratio per group — the standard
+    * generation-diversity metric (Li et al. 2016 "distinct-1/2", public):
+    * over each group's pooled text, distinct word n-grams ÷ total n-gram
+    * occurrences, rounded to 6. Near 1 = diverse prose; collapsing toward
+    * 0 = templated/mode-collapsed text (the model-output audit next to
+    * [[repetitionSignals]]'s per-document view). NON-distinct occurrences
+    * are counted with an explode (group-grain aggregate, map-side
+    * combined) — n-gram construction is one codegen pass per row, and
+    * nothing corpus-sized ever sits in one task.
+    *
+    * Output: (groupCol, n_ngrams, n_distinct, distinct_ratio). */
+  def distinctNgramRatio(df: DataFrame, textCol: String, groupCol: String,
+                         n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, s"n-gram order out of range: $n")
+    val toks = Dedup.tokens(col(textCol))
+    // non-distinct n-gram occurrences: all windows, not the distinct set
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))).otherwise(array())
+    df.where(col(textCol).isNotNull)
+      .select(col(groupCol), explode(grams).as("_g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("_g")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_ngrams"), 6))
+  }
+
+  /** Anchor (href) extraction — the crawl-side companion of
+    * [[canonicalizeUrl]]: one codegen `regexp_extract_all` pass (the
+    * Java/RE2-identical subset: explicit class, no lookaround) exploding
+    * to (idCol, url) link grain. Feeding the result through
+    * [[canonicalizeUrl]] + an inlink-count aggregate is the crawl
+    * frontier / link-popularity primitive upstream of PageRank; at
+    * 100 TB the extraction is scan-side and the count is one
+    * map-side-combined canonical-grain aggregate. */
+  def extractLinks(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol),
+          lit("href=\"([^\"]*)\""), lit(1))).as("url"))
+
 }

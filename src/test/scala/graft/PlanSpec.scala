@@ -108,6 +108,31 @@ class PlanSpec extends AnyFunSuite {
     assert(read < layoutDirs, s"no pruning: read $read of $layoutDirs")
   }
 
+  test("misra-gries candidate pass partial-aggregates; tfidf top-k has no corpus window") {
+    import org.apache.spark.sql.functions._
+    // the MG sketch must plan as ObjectHashAggregate(partial) → Exchange →
+    // final, so the exchange carries ≤ k counter maps per partition —
+    // key-cardinality independence IS the operator's reason to exist
+    val vals = spark.range(20000).select(
+      concat(lit("v"), pmod(col("id"), lit(5000))).as("value"))
+    val mg = new graft.functions.MisraGries(32).toColumn
+    import spark.implicits._
+    val p = vals.as[String].select(mg).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.toLowerCase.contains("partial_misragries"), p)
+    // tfidf ranks inside a doc-grain collect+slice — a Window here would
+    // concentrate the corpus into one task
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma w"), col("id")).as("text"))
+    val tp = graft.ops.TextAnalysis.tfidfKeywords(docs, "text", "doc_id", 3)
+      .queryExecution.optimizedPlan
+    val hasWindow = tp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty
+    assert(!hasWindow, "tfidf top-k must not route through a window")
+  }
+
   test("writePartitioned hot-partition guard: salted mode spreads a hot value over N files") {
     import org.apache.spark.sql.functions._
     // 10k rows of one HOT partition value + 10 cold values of 20 rows

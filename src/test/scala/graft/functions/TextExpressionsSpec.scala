@@ -196,6 +196,29 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(g1 === g2)
   }
 
+  test("distinctNgramRatio and extractLinks: hand-checked counts") {
+    // group 1: "a b a b" + "a b" → bigrams [a b, b a, a b] + [a b] = 4
+    // occurrences, 2 distinct → 0.5; group 2: all-distinct → 1.0;
+    // one-token and null docs contribute nothing
+    val docs = Seq(
+      (1L, "a b a b"), (1L, "a b"), (2L, "x y z"),
+      (3L, "solo"), (4L, null: String)
+    ).toDF("grp", "text")
+    val got = TextAnalysis.distinctNgramRatio(docs, "text", "grp", n = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 4L, 2L, 0.5), (2L, 2L, 2L, 1.0)))
+    // extractLinks: multiple hrefs per doc, non-anchor text ignored,
+    // order preserved within the row explode
+    val html = Seq(
+      (1L, """<p>x</p><a href="https://a.com/1">one</a> <a href="HTTP://B.com">two</a>"""),
+      (2L, "no links here"),
+      (3L, null: String)
+    ).toDF("doc_id", "html")
+    val links = TextAnalysis.extractLinks(html, "html", "doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(links === Seq((1L, "https://a.com/1"), (1L, "HTTP://B.com")))
+  }
+
   test("tfidfKeywords: hand-checked scores, rank tie-break, k cap") {
     // 3 docs, 4-word vocab: "rare" appears in 1 doc, "mid" in 2, "the" in 3
     val docs = Seq(
