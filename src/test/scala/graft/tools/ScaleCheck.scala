@@ -583,6 +583,25 @@ object ScaleCheck {
         graft.ops.TextAnalysis.tfidfKeywords(d, "text", "doc_id", k = 5)
           .count()
       }
+      // one n-gram pass + a 10-group count/countDistinct: the distinct
+      // set ×k under vowel rotation, the group grain fixed
+      results(("distinct_ngrams", k)) = timed("distinct_ngrams", k, nd) {
+        graft.ops.TextAnalysis.distinctNgramRatio(
+          d.select(pmod(col("doc_id"), lit(10)).as("grp"), col("text")),
+          "text", "grp").count()
+      }
+      // href regexp scan + canonical-grain count; the 49999 modulus is
+      // coprime to the replica id shift, so target sets shift per replica
+      // and the aggregate key space grows with k (scan dominates)
+      results(("link_graph", k)) = timed("link_graph", k, nd) {
+        val t = pmod(col("doc_id") * 7 + 3, lit(49999))
+        val html = d.select(col("doc_id"),
+          concat(col("text"), lit(" <a href=\"https://t"), t,
+            lit(".com/p?utm_source=x\">l</a>")).as("html"))
+        graft.ops.TextAnalysis.extractLinks(html, "html", "doc_id")
+          .select(graft.ops.TextAnalysis.canonicalizeUrl(col("url")).as("u"))
+          .groupBy(col("u")).agg(count(lit(1))).count()
+      }
       // pure scan-side integer predicates — no shuffle at all
       results(("gopher_rules", k)) = timed("gopher_rules", k, nd) {
         graft.ops.TextAnalysis.gopherRules(d, "doc_id", "text").count()
