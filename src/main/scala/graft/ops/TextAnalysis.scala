@@ -682,12 +682,16 @@ object TextAnalysis {
   def distinctNgramRatio(df: DataFrame, textCol: String, groupCol: String,
                          n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 8, s"n-gram order out of range: $n")
-    val toks = Dedup.tokens(col(textCol))
-    // non-distinct n-gram occurrences: all windows, not the distinct set
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))).otherwise(array())
+    // tokenize into a REAL column first: lambda bodies are excluded from
+    // subexpression elimination, so an inline tokenizer would re-run the
+    // regex split once per n-gram index (the markerHits trap — measured
+    // 3.4 s → 0.4 s at sf0.1)
+    val grams = when(size(col("_toks")) >= n,
+      transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+        i => array_join(slice(col("_toks"), i, lit(n)), " ")))
+      .otherwise(array())
     df.where(col(textCol).isNotNull)
+      .select(col(groupCol), Dedup.tokens(col(textCol)).as("_toks"))
       .select(col(groupCol), explode(grams).as("_g"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_ngrams"),
