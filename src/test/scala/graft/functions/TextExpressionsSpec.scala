@@ -210,13 +210,13 @@ class TextExpressionsSpec extends AnyFunSuite {
     // extractLinks: multiple hrefs per doc, non-anchor text ignored,
     // order preserved within the row explode
     val html = Seq(
-      (1L, """<p>x</p><a href="https://a.com/1">one</a> <a href="HTTP://B.com">two</a>"""),
+      (1L, """<p>x</p><a href="https://a.example.com/1">one</a> <a href="HTTP://B.example.com">two</a>"""),
       (2L, "no links here"),
       (3L, null: String)
     ).toDF("doc_id", "html")
     val links = TextAnalysis.extractLinks(html, "html", "doc_id")
       .as[(Long, String)].collect().toSeq
-    assert(links === Seq((1L, "https://a.com/1"), (1L, "HTTP://B.com")))
+    assert(links === Seq((1L, "https://a.example.com/1"), (1L, "HTTP://B.example.com")))
   }
 
   test("tfidfKeywords: hand-checked scores, rank tie-break, k cap") {
@@ -273,14 +273,14 @@ class TextExpressionsSpec extends AnyFunSuite {
     // urlDedup: the three equivalent spellings collapse under min-id keeper;
     // the distinct-path row survives alone (dropped by the n_dups > 1 cut)
     val urls = Seq(
-      (1L, "https://site.com/p"),
-      (2L, "HTTPS://SITE.COM:443/p#x"),
-      (3L, "https://site.com/p/?utm_source=f"),
-      (4L, "https://site.com/p?page=2")
+      (1L, "https://dedup.example.com/p"),
+      (2L, "HTTPS://DEDUP.EXAMPLE.COM:443/p#x"),
+      (3L, "https://dedup.example.com/p/?utm_source=f"),
+      (4L, "https://dedup.example.com/p?page=2")
     ).toDF("doc_id", "url")
     val dd = TextAnalysis.urlDedup(urls, "url", "doc_id")
       .as[(String, Long, Long, Seq[Long])].collect().toSeq
-    assert(dd === Seq(("https://site.com/p", 3L, 1L, Seq(1L, 2L, 3L))))
+    assert(dd === Seq(("https://dedup.example.com/p", 3L, 1L, Seq(1L, 2L, 3L))))
   }
 
   test("c4CleanLines hot line: corpus-wide duplicate aggregates map-side, no window") {
