@@ -150,6 +150,26 @@ class GraphSpec extends AnyFunSuite {
     assert(again === (m - 30L))
   }
 
+  test("componentsStar robustness: reversed/descending chains, duplicate and swapped pair spellings") {
+    // ids DESCENDING along the chain (worst case for min-propagation
+    // direction): 500-node path from 999 down to 500 → min is 500
+    val desc = (999L until 500L by -1L).map(i => (i, i - 1)).toDF("id_a", "id_b")
+    val got = Graph.componentsStar(desc).as[(Long, Long)].collect().toMap
+    assert(got.size === 500 && got.values.forall(_ === 500L))
+    // duplicate pairs and both orientations of the same edge are one edge
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val m = Graph.componentsStar(dup).as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // empty pair set → empty labels (no crash)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Graph.componentsStar(empty).count() === 0L)
+    // incremental from an EMPTY standing label set ≡ fresh contraction
+    val fresh = Graph.incrementalComponents(
+        Seq.empty[(Long, Long)].toDF("id", "cluster_id"), dup)
+      .as[(Long, Long)].collect().toMap
+    assert(fresh === m)
+  }
+
   test("incrementalComponents ≡ full recompute; untouched components keep labels") {
     def lcg(seed: Long): Iterator[Long] =
       Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
