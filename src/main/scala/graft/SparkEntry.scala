@@ -2435,10 +2435,14 @@ object SparkEntry {
 
     // Kaplan-Meier survival over user activity lifetimes (Funnel.
     // kaplanMeier): right-censoring-honest churn curve -- users whose last
-    // event is within 7 days of corpus end leave the risk set without
-    // counting as churned; per churn time, ln(1 - d/n) quantizes to a
-    // micro-LONG and the product is an exact integer prefix sum, one
-    // shared exp at the end.
+    // event is within the censor horizon of corpus end leave the risk set
+    // without counting as churned; per churn time, ln(1 - d/n) quantizes to
+    // a micro-LONG and the product is an exact integer prefix sum, one
+    // shared exp at the end. Horizon = 1 day (r15 verdict #1): this
+    // corpus's users all close within 0–2 days of corpus end, so a 7-day
+    // horizon censored EVERYONE and the gate compared empty sets; at 1 day
+    // the churned cohort is 1/17/156 users across the three SFs, so every
+    // gate exercises the positive (d > 0) path.
     q("q_kaplan_meier",
       """WITH u AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
@@ -2446,7 +2450,7 @@ object SparkEntry {
         |  GROUP BY user_id),
         |mx AS (SELECT max(l) AS maxd FROM u),
         |sp AS (
-        |  SELECT l - f AS t, (l <= maxd - INTERVAL 7 DAY) AS dead
+        |  SELECT l - f AS t, (l <= maxd - INTERVAL 1 DAY) AS dead
         |  FROM u, mx),
         |g AS (
         |  SELECT t, sum(CASE WHEN dead THEN 1 ELSE 0 END) AS d,
@@ -2476,7 +2480,7 @@ object SparkEntry {
         |    ELSE round(exp(CAST(cum AS DOUBLE) / 1e6), 6) END AS s_hat
         |FROM s""".stripMargin) { (s, d) =>
       ops.Funnel.kaplanMeier(Tables.events(s, d), "ts", "user_id",
-        censorDays = 7)
+        censorDays = 1)
     },
 
     // Two-group log-rank test (Funnel.logRank over Funnel.userSpans):
@@ -4704,7 +4708,7 @@ object SparkEntry {
     q("q_link_graph",
       """SELECT 'https://target' || ((doc_id * 7 + 3) % 50) || '.com/page' AS url,
         |  count(*) * 2 AS n_inlinks
-        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin) { (s, d) =>
       val t = pmod(col("doc_id") * 7 + 3, lit(50))
       val html = Tables.documents(s, d).select(col("doc_id"),
         concat(col("text"),
@@ -7313,22 +7317,30 @@ object SparkEntry {
 
     // The SCALE-SAFE variant is the registered query: banded hyperplane LSH
     // over ids-only buckets, exact cosine verification on surviving pairs —
-    // no all-pairs product anywhere in the plan. The oracle is the exact
-    // all-pairs SQL: at threshold 0.9 the LSH miss probability per true pair
-    // is ≤ (1 − p^12)^16 with p = 1 − arccos(0.9)/π ≈ 0.856 → ~2.6 %… for a
-    // pair AT the threshold; this corpus's pair cosines top out at 0.60, so
-    // the sets are identically empty and any real ≥0.9 pair (near-identical
-    // vectors, p → 1) is caught with probability ~1. The O(n²) exact
-    // variant stays as the cross-check in DedupKnnSpec (LSH ≡ exact on both
-    // test SFs).
+    // no all-pairs product anywhere in the plan. Planted positives (the
+    // q_image_neardup family stance, r15 verdict #1): every 25th vector
+    // gets a near-identical twin at vec_id + 1e6 whose element 0 is scaled
+    // ×1.02 — unit-norm corpus, so twin cosine ≥ 0.9998 by construction
+    // while the real corpus's pair ceiling is ~0.60 and twin-vs-other
+    // inherits it (±1e-4). Both margins are wide, so the pair set is pure
+    // id arithmetic the SQL side restates, while Spark must earn each pair
+    // through the live banding + exact-verify path (twins are NOT exact
+    // dups, so the xxhash64 collapse cannot shortcut them; miss probability
+    // per planted pair ≤ (1−p^12)^16 with p = 1 − arccos(.9998)/π ≈ 0.994 →
+    // ~1e-20, and the hyperplanes are seed-deterministic anyway). The O(n²)
+    // exact variant stays as the cross-check in DedupKnnSpec (LSH ≡ exact
+    // on both test SFs).
     q("q_embedding_neardup",
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9""".stripMargin) { (s, d) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), "embedding", "vec_id",
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+        |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x * lit(1.02f)).otherwise(x)).as("embedding"))
+      Dedup.embeddingNearDups(emb.unionByName(twins), "embedding", "vec_id",
           dim = 64, threshold = 0.9, bands = 16, bitsPerBand = 12)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .select(col("id_a"), col("id_b"))
     },
 
     // SemDeDup (Abbas et al. 2023): coarse-cluster embeddings, prune pairs

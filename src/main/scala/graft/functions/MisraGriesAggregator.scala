@@ -21,9 +21,21 @@ final case class MgEntry(value: String, weight: Long)
   *
   * Why it matters at 100 TB: a groupBy-count over a huge key space
   * (all n-grams, URLs) shuffles the full distinct-key set; this sketch
-  * caps the exchange at k rows per partition — ObjectHashAggregate
-  * partial → Exchange(≤ k·P rows) → final merge — independent of key
-  * cardinality.
+  * caps the exchange at ≤ 2k rows per partition — ObjectHashAggregate
+  * partial → Exchange(≤ 2k·P rows) → final merge (≤ k out) — independent
+  * of key cardinality.
+  *
+  * Reduce uses the DataSketches frequent-items purge (Anderson et al.
+  * 2017, public) instead of the classic decrement-by-one: counters live
+  * in a 2k-slot buffer, and only when it FILLS is the (k+1)-th largest
+  * weight subtracted from all (dropping ≥ k entries, so the next ≥ k
+  * non-resident rows insert for free). The classic rule rebuilt the
+  * whole map on EVERY non-resident row — O(k) allocations per row once
+  * full, the dominant path on heavy-tailed corpora (r15 ADVICE); the
+  * purge amortizes that rebuild to O(1) per row while the guarantee is
+  * unchanged: each purge subtracting `cut` destroys ≥ cut·(k+1) weight
+  * (the k+1 largest each lose exactly `cut`), so Σ cuts ≤ n/(k+1) and
+  * every item with true count > n/(k+1) still survives.
   *
   * Merge rule (Agarwal et al.): add counters; if more than k survive,
   * subtract the (k+1)-th largest weight from all and drop the
@@ -38,11 +50,15 @@ final class MisraGries(k: Int)
   override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
     if (v == null) b
     else b.get(v) match {
-      case Some(w) => b.updated(v, w + 1L)
-      case None if b.size < k => b.updated(v, 1L)
+      case Some(w) => b.updated(v, w + 1L) // persistent-trie update, O(log)
+      case None if b.size < 2 * k => b.updated(v, 1L)
       case None =>
-        // classic decrement step: every counter pays one; zeros drop
-        b.collect { case (x, w) if w > 1L => (x, w - 1L) }
+        // amortized purge: subtract the (k+1)-th largest from everything,
+        // drop the non-positive (≥ k entries go, freeing ≥ k cheap
+        // inserts), then seat the arriving value
+        val cut = b.valuesIterator.toArray.sortBy(-_).apply(k)
+        b.collect { case (x, w) if w > cut => (x, w - cut) }
+          .updated(v, 1L)
     }
 
   override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {

@@ -1860,18 +1860,34 @@ object CorpusStats {
     import spark.implicits._
     val vals = df.select(col(valueCol).cast("string").as("value"))
       .where(col("value").isNotNull)
-    val k = math.max(16, math.ceil(2.0 / phi).toInt)
-    val mg = new graft.functions.MisraGries(k).toColumn
-    val candidates = vals.as[String].select(mg).head().map(_.value)
-    val n = vals.count()
-    val threshold = math.ceil(phi * n).toLong
-    if (candidates.isEmpty) {
-      vals.limit(0).groupBy("value").agg(count(lit(1)).as("cnt"))
-    } else {
-      vals.filter(col("value").isin(candidates: _*))
-        .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= threshold)
-    }
+    // three actions share this lineage (sketch, n, verify) — persist once
+    // so an expensive upstream (a token explode) runs once, not thrice
+    // (r15 ADVICE); released below, after the ≤ 2k-row result materializes
+    vals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = math.max(16, math.ceil(2.0 / phi).toInt)
+      val mg = new graft.functions.MisraGries(k).toColumn
+      val candidates = vals.as[String].select(mg).head().map(_.value)
+      val n = vals.count()
+      val threshold = math.ceil(phi * n).toLong
+      val out =
+        if (candidates.isEmpty) {
+          vals.limit(0).groupBy("value").agg(count(lit(1)).as("cnt"))
+        } else {
+          // broadcast semi-join, not isin: an isin inlines every candidate
+          // as a plan literal (plan size grows with 1/φ); the semi-join
+          // keeps the candidate set a broadcast relation of ≤ 2k rows
+          val cand = broadcast(candidates.toSeq.toDF("value"))
+          vals.join(cand, Seq("value"), "left_semi")
+            .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= threshold)
+        }
+      // bounded materialize (≤ candidate count ≤ 2k rows by construction):
+      // the verify pass must run while the persist is live
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally vals.unpersist()
   }
 
   /** Corpus-law diagnostics — the two classic health checks of a text

@@ -352,6 +352,15 @@ object Graph {
       e = small
       eCount = cNew
     }
+    // convergence is the documented correctness contract — exhausting the
+    // round cap without reaching the fixpoint means the labels are
+    // truncated mid-contraction, and silence here would hand the caller
+    // wrong components (r15 ADVICE)
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsStar did not converge within maxRounds=$maxRounds " +
+          s"(edge set still ${eCount} rows and changing); raise maxRounds " +
+          "— rounds needed grow O(log n) in component size")
     // stars: members carry their center; centers (and self-pair-only
     // ids) have no outgoing edge and label themselves
     ids.join(e.select(col("src").as("id"), col("dst").as("_c")),

@@ -597,8 +597,13 @@ object TextAnalysis {
     val tail = rest.substr(length(authority) + 1, length(rest))
     val path = regexp_extract(tail, "^([^?]*)", 1)
     val query = regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
-    val host = lower(regexp_extract(authority, "^([^:]*)", 1))
-    val port = regexp_extract(authority, ":([0-9]+)$", 1)
+    // userinfo ('user:pass@host') is stripped BEFORE host/port extraction —
+    // otherwise the '^([^:]*)' host capture would stop at the userinfo
+    // colon and swallow the real host (r15 ADVICE). Credentials never
+    // survive into a canonical URL (they are also a PII hazard).
+    val hostPort = regexp_replace(authority, "^[^/@]*@", "")
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
@@ -711,7 +716,145 @@ object TextAnalysis {
   def extractLinks(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.where(col(textCol).isNotNull)
       .select(col(idCol),
+        // [Hh][Rr][Ee][Ff] not (?i): case-insensitivity via explicit
+        // classes keeps the pattern in the engine-independent regex
+        // subset (HTML attribute names are case-insensitive per spec)
         explode(regexp_extract_all(col(textCol),
-          lit("href=\"([^\"]*)\""), lit(1))).as("url"))
+          lit("[Hh][Rr][Ee][Ff]=\"([^\"]*)\""), lit(1))).as("url"))
+
+  /** The 27 characters Windows-1252 shows for bytes 0x80–0x9F (where
+    * defined), paired with [[Latin1Controls]] — the ftfy pre-translation
+    * that folds cp1252 mojibake into the Latin-1 case. */
+  private val Cp1252Chars =
+    "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030" +
+      "\u0160\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022" +
+      "\u2013\u2014\u02DC\u2122\u0161\u203A\u0153\u017E\u0178"
+  private val Latin1Controls =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089" +
+      "\u008A\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095" +
+      "\u0096\u0097\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+
+  /** RFC 3629 well-formed-UTF-8 shape, expressed over chars U+0000–U+00FF
+    * standing in for bytes — anchored, so ANY char above U+00FF fails the
+    * match (no separate Latin-1-domain guard needed). Deterministic
+    * alternation: each branch is distinguished by its first char class,
+    * so matching is linear. */
+  private val Utf8AsLatin1Re =
+    "^(?:[\\x00-\\x7F]|[\\xC2-\\xDF][\\x80-\\xBF]" +
+      "|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]|[\\xE1-\\xEC][\\x80-\\xBF]{2}" +
+      "|\\xED[\\x80-\\x9F][\\x80-\\xBF]|[\\xEE-\\xEF][\\x80-\\xBF]{2}" +
+      "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}|[\\xF1-\\xF3][\\x80-\\xBF]{3}" +
+      "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{3})*$"
+
+  /** Mojibake (double-encoding) repair — the ftfy-class fetch-stage fixer
+    * UPSTREAM of [[stripMarkup]]/[[c4CleanLines]] (public arithmetic:
+    * ftfy's "fix_encoding" heuristic, R. Speer 2019): detect text whose
+    * characters are really UTF-8 BYTES that were mis-decoded as
+    * Latin-1/Windows-1252 ("cafÃ©", "â€™"), and undo exactly one layer of
+    * that damage. Three codegen steps, one scan, zero shuffle:
+    *
+    *  1. translate the 27 cp1252-visible characters back to their
+    *     0x80–0x9F byte positions (the cp1252→Latin-1 fold);
+    *  2. accept only if the folded string is (a) entirely ≤ U+00FF — so
+    *     re-encoding as Latin-1 is lossless — (b) well-formed UTF-8 under
+    *     the bytes-as-chars reading ([[Utf8AsLatin1Re]], both enforced by
+    *     one anchored rlike) and (c) actually contains a multi-byte lead
+    *     (pure ASCII is a no-op, skip the work);
+    *  3. re-encode Latin-1 → decode UTF-8. The regex gate guarantees the
+    *     decode sees only valid sequences, so Spark's strict coding-error
+    *     action never fires.
+    *
+    * Untouched otherwise: genuine Latin-1 prose ("café") fails the UTF-8
+    * shape and passes through verbatim, and the repair is IDEMPOTENT —
+    * repaired output contains real high code points (≥ U+0100) or lone
+    * 0x80–0xFF chars, both of which fail the gate on a second pass.
+    * Known false positive (inherent to the heuristic, ftfy's own caveat):
+    * ASCII text that legitimately spells a valid multi-byte sequence
+    * (e.g. the literal two chars "Ã©") is indistinguishable from damage
+    * and gets "repaired". */
+  def fixEncoding(text: Column): Column = {
+    val folded = translate(text, Cp1252Chars, Latin1Controls)
+    val eligible = folded.rlike(Utf8AsLatin1Re) && folded.rlike("[\\x80-\\xFF]")
+    when(text.isNull, lit(null).cast("string"))
+      .when(eligible, decode(encode(folded, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+  }
+
+  /** Trained language ID — multinomial Naive Bayes over hashed character
+    * trigrams (the fastText langid recipe's arithmetic: Joulin et al.
+    * 2017, public), upgrading the 5-stopword [[langId]] heuristic to a
+    * classifier that LEARNS each language's character statistics from a
+    * labeled corpus (and so scores text containing none of the hardcoded
+    * markers — the heuristic's blind spot).
+    *
+    * Train (ONE aggregate pass over `labeled`): every char trigram of
+    * lower(trim(text)) hashes to fnv64 mod `buckets` (power of two, the
+    * [[Selection.dsirLogWeights]] signed/unsigned-agreement contract);
+    * per-(lang, bucket) counts with add-1 smoothing over the bucket space
+    * become a DENSE log-likelihood table of exactly nLangs × `buckets`
+    * rows — bounded regardless of corpus size, so it BROADCASTS. Class
+    * priors are ln(n_lang / N) over feature-contributing docs.
+    *
+    * Score: the document's trigram stream joins the broadcast table
+    * (scan-side, no shuffle of text), per-(doc, lang) micro-LONG log sums
+    * (round(ln·10⁶) per bucket — order-free integer addition, the bm25
+    * determinism stance) plus the prior, then argmax with ties to the
+    * lexicographically SMALLEST lang. Docs with no trigram (len < 3) are
+    * absent from the output (the dsir contract).
+    *
+    * Output: (idCol, lang_pred, nb_logp round-6). Scale shape: train is
+    * one map-side-combined aggregate whose exchange is ≤ nLangs·buckets
+    * rows; scoring shuffles only (id, lang, partial-sum) rows, never
+    * text. */
+  def langidNb(labeled: DataFrame, toScore: DataFrame, textCol: String,
+               labelCol: String, idCol: String,
+               buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two for engine-agnostic hash mod: $buckets")
+    val spark = labeled.sparkSession
+    def withT(df: DataFrame, keep: Column) = df
+      .filter(col(textCol).isNotNull)
+      .select(keep, lower(trim(col(textCol))).as("_t"))
+      .filter(length(col("_t")) >= 3)
+    def feats(df: DataFrame, keep: Column, keepName: String) = withT(df, keep)
+      .select(col(keepName), col("_t"),
+        explode(sequence(lit(1), length(col("_t")) - 2)).as("_i"))
+      .select(col(keepName),
+        pmod(graft.functions.GraftFunctions.fnv64(
+          col("_t").substr(col("_i"), lit(3))), lit(buckets.toLong)).as("_b"))
+    val trainDocs = withT(labeled.filter(col(labelCol).isNotNull),
+      col(labelCol).as("_lang"))
+    val tf = feats(labeled.filter(col(labelCol).isNotNull),
+      col(labelCol).as("_lang"), "_lang")
+    val cnt = tf.groupBy(col("_lang"), col("_b")).agg(count(lit(1)).as("_c"))
+    val ctot = tf.groupBy(col("_lang")).agg(count(lit(1)).as("_ct"))
+    // dense nLangs × buckets grid: unseen (lang, bucket) cells still carry
+    // their smoothed ln(1/(C_lang+buckets)) mass — absence is evidence
+    val dense = ctot
+      .crossJoin(spark.range(buckets).select(col("id").as("_b")))
+      .join(cnt, Seq("_lang", "_b"), "left")
+      .select(col("_lang"), col("_b"),
+        round(log((coalesce(col("_c"), lit(0L)) + lit(1)).cast("double") /
+            (col("_ct") + lit(buckets)).cast("double")) * lit(1e6))
+          .cast("long").as("_lmic"))
+    val nDocs = trainDocs.agg(count(lit(1)).as("_n"))
+    val priors = trainDocs.groupBy(col("_lang"))
+      .agg(count(lit(1)).as("_nl"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("_lang"),
+        round(log(col("_nl").cast("double") / col("_n").cast("double")) *
+          lit(1e6)).cast("long").as("_pmic"))
+    feats(toScore, col(idCol), idCol)
+      .join(broadcast(dense), Seq("_b"))
+      .groupBy(col(idCol), col("_lang")).agg(sum(col("_lmic")).as("_s"))
+      .join(broadcast(priors), Seq("_lang"))
+      .select(col(idCol), col("_lang"), (col("_s") + col("_pmic")).as("_tot"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("_tot")).as("_neg"), col("_lang").as("_l")))
+        .as("_w"))
+      .select(col(idCol), col("_w").getField("_l").as("lang_pred"),
+        round((-col("_w").getField("_neg")).cast("double") / lit(1e6), 6)
+          .as("nb_logp"))
+  }
 
 }
