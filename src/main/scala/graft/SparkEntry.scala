@@ -515,6 +515,15 @@ object SparkEntry {
     }
   }
 
+  /** q_fix_encoding's injected suffix pair: [[FixEncMojiSfx]] is
+    * [[FixEncCleanSfx]] ("… café ’tis") after a UTF-8 encode mis-decoded
+    * as cp1252 — é (C3 A9) → "Ã©", ’ (E2 80 99) → "â€™" (80/99 shown as
+    * €/™ through cp1252). Spark repairs the damage live; the oracle
+    * states the clean form directly. U+2019 (not the ASCII apostrophe)
+    * keeps the SQL literal quote-safe. */
+  private val FixEncCleanSfx = " caf\u00E9 \u2019tis"
+  private val FixEncMojiSfx = " caf\u00C3\u00A9 \u00E2\u20AC\u2122tis"
+
   /** Per-dataset index-build artifacts (ANN quantizer, probe vectors):
     * bounded driver-side lookups that a deployment builds once and reuses
     * across every probe, memoized here so repeated query runs measure the
@@ -7520,6 +7529,85 @@ object SparkEntry {
         .withColumn("_toks", Dedup.tokens(col("text")))
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langIdFromTokens(col("_toks")).as("lang_pred"))
+    },
+
+    // Trained language ID (TextAnalysis.langidNb): multinomial Naive Bayes
+    // over fnv64-hashed character trigrams (fastText-recipe arithmetic,
+    // Joulin et al. 2017) — train on the corpus's own labels in ONE
+    // aggregate pass into a dense 5×1024 broadcast table, score scan-side
+    // with micro-LONG log sums, argmax ties to the smallest lang. The
+    // oracle replays the full trajectory EXACTLY: trigram extraction,
+    // the recursive FNV fold over distinct trigrams, bucket counts,
+    // add-1 smoothing, priors, and the same fixed tie-break. (On this
+    // synthetic corpus labels are independent of text, so predictions
+    // measure replay fidelity; the accuracy-beats-heuristic claim is
+    // pinned on a real multilingual fixture in TextAnalysisSpec.)
+    q("q_langid_nb",
+      s"""WITH RECURSIVE tt AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS t
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |td AS (SELECT * FROM tt WHERE len(t) >= 3),
+        |ft AS (
+        |  SELECT doc_id, lang, substr(t, CAST(s AS INT), 3) AS g
+        |  FROM td, unnest(range(1, len(t) - 1)) u(s)),
+        |gv AS (SELECT DISTINCT g FROM ft),
+        |${fnvFoldCtes("gf", "gv", "g", "g")},
+        |gmap AS (SELECT k AS g, CAST(ch % 1024 AS BIGINT) AS b FROM gf),
+        |f AS (SELECT doc_id, lang, b FROM ft JOIN gmap USING (g)),
+        |cnt AS (SELECT lang, b, count(*) AS c FROM f GROUP BY 1, 2),
+        |ctot AS (SELECT lang, count(*) AS ct FROM f GROUP BY 1),
+        |bs AS (SELECT CAST(unnest(range(0, 1024)) AS BIGINT) AS b),
+        |dense AS (
+        |  SELECT ct.lang, bs.b,
+        |    CAST(round(ln(CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE)
+        |      / CAST(ct.ct + 1024 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lmic
+        |  FROM ctot ct CROSS JOIN bs
+        |  LEFT JOIN cnt ON cnt.lang = ct.lang AND cnt.b = bs.b),
+        |pr AS (
+        |  SELECT lang, CAST(round(ln(CAST(count(*) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM td) AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS pmic
+        |  FROM td GROUP BY lang),
+        |fs AS (SELECT doc_id, b FROM f),
+        |s1 AS (
+        |  SELECT fs.doc_id, d.lang, sum(d.lmic) AS s
+        |  FROM fs JOIN dense d USING (b) GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT s1.doc_id, s1.lang, s1.s + pr.pmic AS tot
+        |  FROM s1 JOIN pr USING (lang)),
+        |pick AS (
+        |  SELECT doc_id, lang, tot,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tot DESC, lang) AS rn
+        |  FROM s2)
+        |SELECT doc_id, lang AS lang_pred,
+        |  round(CAST(tot AS DOUBLE) / 1000000.0, 6) AS nb_logp
+        |FROM pick WHERE rn = 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.langidNb(docs, docs, "text", "lang", "doc_id",
+        buckets = 1024)
+    },
+
+    // Mojibake repair (TextAnalysis.fixEncoding, ftfy-class): both engines
+    // inject identical doc_id-derived damage (the q_pii_scrub injection
+    // stance) — every 3rd doc gets a suffix whose accents went through
+    // the UTF-8-read-as-cp1252 wringer ("cafÃ©", "â€™") — and the oracle
+    // restates the REPAIRED text directly, so the hash gate proves the
+    // cp1252 fold + UTF-8-shape detect + decode pipeline byte-exactly.
+    // Undamaged (pure-ASCII) docs must pass through verbatim.
+    q("q_fix_encoding",
+      s"""SELECT doc_id,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN '$FixEncCleanSfx' ELSE '' END
+        |    AS fixed,
+        |  doc_id % 3 = 0 AS repaired
+        |FROM documents WHERE text IS NOT NULL""".stripMargin) { (s, d) =>
+      val corrupted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(FixEncMojiSfx))
+          .otherwise(lit("")))
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), corrupted.as("_c"))
+        .select(col("doc_id"),
+          TextAnalysis.fixEncoding(col("_c")).as("fixed"),
+          (TextAnalysis.fixEncoding(col("_c")) =!= col("_c")).as("repaired"))
     },
 
     // Cohen's kappa (CorpusStats.cohenKappa) between the corpus's

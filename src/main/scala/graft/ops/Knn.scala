@@ -597,4 +597,67 @@ object Knn {
     val pruned = assigned.filter(col("_cell").isin(probeCells.map(Integer.valueOf): _*))
     pqSearch(pruned, vecCol, idCol, codebooks, queryVec, k, shortlist).drop("_cell")
   }
+
+  /** One point of an [[annRecallCurve]]: mean recall@k of the IVF and
+    * IVF-PQ probes at `nProbe`, and the mean fraction of corpus rows the
+    * probed cells make the scan read (the cost axis). */
+  final case class AnnCurvePoint(nProbe: Int, recallIvf: Double,
+                                 recallIvfPq: Double, scanFrac: Double)
+
+  /** Recall@k vs probe-cost curve for the IVF / IVF-PQ indexes against
+    * brute-force truth — the index-tuning evidence a deployment reads
+    * before picking nProbe (the FAISS-benchmark recall/QPS plot's batch
+    * analogue). For each query: truth = exact cosine top-k over the full
+    * corpus; per nProbe, recall = |ann ∩ truth| / k averaged over queries,
+    * and scan_frac = Σ|probed cells| / n from the (≤ nCells-row) cell
+    * histogram — the rows a cell-partitioned layout actually reads.
+    *
+    * IVF recall is provably monotone in nProbe: probed cells are a PREFIX
+    * of the centroid-distance order (stable sort), so the candidate set
+    * only grows, and a truth id in the candidates can only be evicted
+    * from the exact-rerank top-k by globally-better rows — of which there
+    * are < k by definition. IVF-PQ holds the `shortlist` fixed, so its
+    * curve isolates the cell-pruning axis the same way.
+    *
+    * Driver-side loop over queries × nProbes (each iteration a bounded
+    * k-row job): the curve is an OFFLINE index-build diagnostic over a
+    * bounded query panel, not a serving path — `queries` is small by
+    * contract (the [[trainCentroids]] bounded-sample stance). `assigned`
+    * must carry `_cell`; codes are encoded once and cached across the
+    * whole sweep. */
+  def annRecallCurve(assigned: DataFrame, vecCol: String, idCol: String,
+                     centroids: Array[Array[Float]],
+                     codebooks: Array[Array[Array[Float]]],
+                     queries: Seq[Array[Float]], k: Int,
+                     nProbes: Seq[Int],
+                     shortlist: Int = 64): Seq[AnnCurvePoint] = {
+    require(queries.nonEmpty, "need at least one query")
+    require(nProbes.nonEmpty, "need at least one nProbe")
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val coded = pqEncode(assigned, vecCol, codebooks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = coded.count().toDouble
+      val hist = coded.groupBy(col("_cell")).agg(count(lit(1)).as("_n"))
+        .collect()
+        .map(r => r.getAs[Number](0).intValue() -> r.getLong(1)).toMap
+      def ids(df: DataFrame): Set[Long] =
+        df.select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+      val truth = queries.map(qv => ids(topK(coded, vecCol, idCol, qv, k)))
+      nProbes.map { p =>
+        var rIvf = 0.0; var rPq = 0.0; var frac = 0.0
+        queries.indices.foreach { qi =>
+          val qv = queries(qi)
+          frac += nearestCells(centroids, qv, p)
+            .map(c => hist.getOrElse(c, 0L)).sum / n
+          rIvf += (ids(ivfSearch(coded, vecCol, idCol, centroids, qv, k, p))
+            intersect truth(qi)).size.toDouble / k
+          rPq += (ids(ivfPqSearch(coded, vecCol, idCol, centroids, codebooks,
+            qv, k, p, shortlist)) intersect truth(qi)).size.toDouble / k
+        }
+        val q = queries.size.toDouble
+        AnnCurvePoint(p, r6(rIvf / q), r6(rPq / q), r6(frac / q))
+      }
+    } finally coded.unpersist()
+  }
 }

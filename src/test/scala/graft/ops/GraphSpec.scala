@@ -163,6 +163,13 @@ class GraphSpec extends AnyFunSuite {
     // empty pair set → empty labels (no crash)
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Graph.componentsStar(empty).count() === 0L)
+    // round-cap exhaustion must THROW, not hand back truncated labels —
+    // convergence is the documented contract (r15 ADVICE)
+    val longChain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Graph.componentsStar(longChain, maxRounds = 1).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
     // incremental from an EMPTY standing label set ≡ fresh contraction
     val fresh = Graph.incrementalComponents(
         Seq.empty[(Long, Long)].toDF("id", "cluster_id"), dup)

@@ -190,6 +190,33 @@ class PqSpec extends AnyFunSuite {
     prebuilt.unpersist()
   }
 
+  test("annRecallCurve: recall 1.0 at nProbe = nCells, IVF monotone, scan_frac reaches 1") {
+    val centroids = Knn.trainCentroids(sample, nCells = 8)
+    val assigned = Knn.ivfAssign(emb, "embedding", centroids)
+    val queries = emb.filter($"vec_id" < 5).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val curve = Knn.annRecallCurve(assigned, "embedding", "vec_id",
+      centroids, cb, queries, k = 10, nProbes = Seq(1, 2, 4, 8),
+      shortlist = emb.count().toInt) // full shortlist isolates cell pruning
+    assert(curve.map(_.nProbe) === Seq(1, 2, 4, 8))
+    // prefix probing makes IVF recall monotone (theorem, not luck); with a
+    // full shortlist the same holds for IVF-PQ (identical candidate sets)
+    curve.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b.recallIvf >= a.recallIvf, s"ivf not monotone: $a -> $b")
+        assert(b.recallIvfPq >= a.recallIvfPq, s"ivfpq not monotone: $a -> $b")
+        assert(b.scanFrac >= a.scanFrac, s"cost not monotone: $a -> $b")
+      case _ =>
+    }
+    // nProbe = nCells scans everything: exact by construction
+    val full = curve.last
+    assert(full.recallIvf === 1.0, s"full probe must be exact: $full")
+    assert(full.recallIvfPq === 1.0, s"full probe + full shortlist: $full")
+    assert(math.abs(full.scanFrac - 1.0) < 1e-9)
+    // a pruned probe reads strictly less than the corpus
+    assert(curve.head.scanFrac < 1.0)
+  }
+
   test("VectorIndex: on-disk partitioned layout probes ≡ on-the-fly, replay-idempotent, scan-pruned") {
     val centroids = Knn.trainCentroids(sample, nCells = 16)
     val dir = java.nio.file.Files.createTempDirectory("graft-vidx").toString

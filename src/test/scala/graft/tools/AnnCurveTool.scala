@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Knn
+
+/** Commit-grade ANN quality curve (r15 VERDICT item 5): recall@10 and
+  * probe scan cost vs nProbe for IVF and IVF-PQ against brute-force
+  * cosine truth on the embeddings fixture — the index-tuning evidence a
+  * production deploy reads before picking nProbe. Same index-build
+  * recipe as the q_ivf_knn / q_ivfpq_knn queries (first-256 sample,
+  * nCells=16 quantizer, m=8/ksub=16 codebooks, shortlist=64), 20-query
+  * panel (vec_id < 20).
+  *
+  * Usage: Test/runMain graft.tools.AnnCurveTool <sfDir> <outJson>
+  * Output: one JSON object with the per-nProbe curve rows; recall must be
+  * monotone non-decreasing in nProbe (the tool asserts it for IVF, whose
+  * prefix-probing makes it a theorem — see [[Knn.annRecallCurve]]).
+  */
+object AnnCurveTool {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outJson = if (args.length > 1) args(1) else "ANN_CURVE.json"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val sample = emb.select("embedding").limit(256).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val nCells = 16
+    val centroids = Knn.trainCentroids(sample, nCells)
+    val codebooks = Knn.trainPq(sample, m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 20)
+      .orderBy(col("vec_id"))
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val assigned = Knn.ivfAssign(emb, "embedding", centroids)
+    val curve = Knn.annRecallCurve(assigned, "embedding", "vec_id",
+      centroids, codebooks, queries, k = 10,
+      nProbes = Seq(1, 2, 4, 8, 16), shortlist = 64)
+    curve.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b.recallIvf >= a.recallIvf,
+          s"IVF recall not monotone: $a -> $b")
+      case _ =>
+    }
+    assert(curve.last.recallIvf == 1.0,
+      s"nProbe = nCells must be exact, got ${curve.last}")
+    val rows = curve.map { p =>
+      s"""{"n_probe":${p.nProbe},"recall_ivf":${p.recallIvf},""" +
+        s""""recall_ivfpq":${p.recallIvfPq},"scan_frac":${p.scanFrac}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"sf_dir":"$sfDir","k":10,"n_cells":$nCells,"m":8,"ksub":16,""" +
+        s""""shortlist":64,"n_queries":${queries.size},"curve":$rows}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
