@@ -1315,4 +1315,127 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded.exists(_._1 == 0), "total row present")
   }
 
+  test("unified RAG ingest topology: ONE foreachBatch maintains all five artifact families + the idempotent sink across a mid-stream restart") {
+    // The reference's actual steady state (its DataStreamJob runs ingest →
+    // transform → sink forever) PLUS every artifact a production RAG
+    // deployment maintains alongside the sink — run as ONE stream with ONE
+    // foreachBatch body, killed between micro-batches and restarted from
+    // the checkpoint. Families: (1) incremental exact dedup (base fold),
+    // (2) streaming-maintained IVF-PQ vector index, (3) additive BM25
+    // stats, (4) centroid maintenance state, (5) vocab drift slices —
+    // plus the idempotent batch=<id> vector-table sink. After the restart
+    // finishes, EVERY folded artifact must equal its one-shot batch
+    // recompute over everything that arrived.
+    import graft.ops.{CorpusStats, Dedup, Knn, Retrieval, VectorIndex}
+    val srcDir = Files.createTempDirectory("graft-uni-src").toString
+    val ckDir = Files.createTempDirectory("graft-uni-ck").toString
+    val idxDir = Files.createTempDirectory("graft-uni-idx").toString + "/idx"
+    val sinkDir = Files.createTempDirectory("graft-uni-snk").toString + "/vt"
+    val dim = 8
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(dim)(j => math.sin(i * 1.7 + j * 0.9).toFloat)
+    // 12 distinct texts over 40 docs → planted dups within AND across the
+    // restart boundary; min-id keeper = first-seen (stream order = id order)
+    def text(i: Long) = s"body ${i % 12} spark merge scan"
+    def line(i: Long) =
+      s"""{"doc_id": $i, "text": "${text(i)}", "embedding": [${vec(i).mkString(",")}]}"""
+    val terms = Seq("spark", "merge")
+    // standing index artifacts: quantizer + codebooks + integer-grid
+    // centroids, all trained ONCE on a bounded head sample (FAISS stance)
+    val sample = (0L until 12L).map(vec(_).toArray).toArray
+    val centroids = Knn.trainCentroids(sample, nCells = 4)
+    val cb = Knn.trainPq(sample, m = 4, ksub = 4)
+    val standing: Seq[Seq[Long]] = Knn.kmeansFit(
+        (0L until 12L).map(i => (i, vec(i))).toDF("doc_id", "embedding"),
+        "embedding", "doc_id", k = 4, iterations = 2)
+      .orderBy("cell").as[(Int, Long, Seq[Long])].collect().map(_._3).toSeq
+    // the five folded artifacts (driver state, the foreachBatch pattern)
+    var base = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    var statsRows: DataFrame = null
+    var cState: Knn.CentroidState = null
+    var vocabSlices = Seq.empty[(String, Long)].toDF("word", "cnt")
+    val schema = "doc_id LONG, text STRING, embedding ARRAY<FLOAT>"
+    def startQuery() = spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist(); b.count()
+        // (1) dedup the delta against everything seen (and within itself)
+        val survivors = Dedup.incrementalDedup(
+          base, b.select($"doc_id", $"text"), "text", "doc_id").persist()
+        survivors.count() // settle before base repoints
+        val sv = survivors
+          .join(b.select($"doc_id", $"embedding"), Seq("doc_id")).persist()
+        sv.count()
+        // (2) vector index: survivors encoded into the batch=<id> layout
+        VectorIndex.appendIdempotent(sv, "embedding", centroids, cb,
+          idxDir, batchId)
+        // sink: idempotent batch=<id> overwrite (replay-safe)
+        graft.sink.VectorTable.appendIdempotent(
+          sv.select($"doc_id".cast("string").as("_id"), $"text",
+            lit("2024-01-01").as("date"), $"embedding".as("passage_embedding")),
+          sinkDir, batchId)
+        // (3) BM25 stats: one additive row per batch
+        val s = Retrieval.bm25Stats(survivors, "text", "doc_id", terms)
+          .localCheckpoint(true)
+        statsRows = if (statsRows == null) s else statsRows.unionAll(s)
+        // (4) centroid maintenance state (additive k×(d+1) artifact)
+        val st = Knn.centroidBatchState(sv, "embedding", standing)
+        cState = if (cState == null) st else cState.fold(st)
+        // (5) drift: vocab-count slice
+        vocabSlices = vocabSlices.unionByName(
+          CorpusStats.vocabCounts(survivors, "text").localCheckpoint(true))
+        base = base.unionByName(survivors.select($"doc_id", $"text"))
+          .localCheckpoint(true)
+        b.unpersist(); ()
+      }
+      .start()
+    // phase 1: docs 0–19 → batch 0 committed, then "crash"
+    Files.writeString(java.nio.file.Path.of(srcDir, "a.jsonl"),
+      (0L until 20L).map(line).mkString("\n"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: docs 20–39, NEW query from the same checkpoint
+    Files.writeString(java.nio.file.Path.of(srcDir, "b.jsonl"),
+      (20L until 40L).map(line).mkString("\n"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // one-shot references over everything that arrived
+    val allDocs = (0L until 40L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val refDedup = Dedup.exactDedup(allDocs, "text", "doc_id").persist()
+    val refIds = refDedup.select("doc_id").as[Long].collect().sorted.toSeq
+    val refVecs = refIds.map(i => (i, vec(i))).toDF("doc_id", "embedding")
+    // (1) dedup base ≡ batch keeper set
+    assert(base.select("doc_id").as[Long].collect().sorted.toSeq === refIds)
+    // (2) index holds each survivor once; full probe ≡ exact top-k
+    assert(VectorIndex.read(spark, idxDir).count() === refIds.size.toLong)
+    val probeVec = vec(1L).toArray
+    val viaIndex = VectorIndex.probe(spark, idxDir, "embedding", "doc_id",
+        centroids, cb, probeVec, 5, nProbe = 4, shortlist = refIds.size)
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Knn.topK(refVecs, "embedding", "doc_id", probeVec, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex === exact)
+    // sink: exactly-once effect across the restart
+    val sunk = graft.sink.VectorTable.readBatched(spark, sinkDir)
+    assert(sunk.count() === refIds.size.toLong)
+    assert(sunk.select("_id").as[String].collect().distinct.length === refIds.size)
+    // (3) BM25 fold ≡ single-shot ranking over the deduped corpus
+    val viaFold = Retrieval.bm25TopKWithStats(base, "text", "doc_id",
+        Retrieval.mergeStats(statsRows, terms.size), terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    val viaBatch = Retrieval.bm25TopK(refDedup, "text", "doc_id", terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(viaFold === viaBatch)
+    // (4) centroid state fold ≡ one-shot state over all survivors
+    assert(cState.sameAs(Knn.centroidBatchState(refVecs, "embedding", standing)))
+    // (5) vocab drift fold ≡ one-shot vocab of the deduped corpus
+    assert(CorpusStats.mergeVocabCounts(vocabSlices)
+        .as[(String, Long)].collect().sorted.toSeq ===
+      CorpusStats.vocabCounts(refDedup, "text")
+        .as[(String, Long)].collect().sorted.toSeq)
+    refDedup.unpersist()
+  }
+
 }
