@@ -7610,6 +7610,145 @@ object SparkEntry {
           (TextAnalysis.fixEncoding(col("_c")) =!= col("_c")).as("repaired"))
     },
 
+    // Content-defined chunking (TextAnalysis.cdcChunks / functions.
+    // CdcChunks; LBFS cut-point rule): split after any byte whose
+    // trailing 8-byte FNV hash has its low 5 bits zero (~32-byte
+    // expected chunks). The oracle recomputes every cut from raw UTF-8
+    // bytes — the q_fingerprint hex→bytes→unrolled-fnv8 machinery — and
+    // rebuilds the chunk strings positionally, so the hash gate proves
+    // cut placement AND chunk reassembly byte-exactly. Scoped doc_id<100
+    // (byte-level SQL stays a bounded slice, the q_fingerprint stance).
+    q("q_cdc_chunks",
+      s"""WITH scoped AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 100 AND text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, text, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb FROM scoped),
+        |bytes AS (
+        |  SELECT doc_id, text, nb,
+        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1
+        |      for i in range(1, nb + 1) ] AS bs
+        |  FROM b WHERE nb > 0),
+        |grams AS (
+        |  SELECT doc_id, text, nb,
+        |    [ $fnv8Unrolled
+        |      for i in range(1, greatest(nb - 8 + 2, 1)) ] AS hs
+        |  FROM bytes),
+        |cuts AS (
+        |  SELECT doc_id, text, nb,
+        |    [ i + 7 for i in range(1, len(hs) + 1)
+        |      if hs[i] % 32 = 0 AND i + 7 < nb ] AS cs
+        |  FROM grams),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    [ substr(text,
+        |        CASE WHEN k = 1 THEN 1 ELSE cs[k-1] + 1 END,
+        |        (CASE WHEN k = len(cs) + 1 THEN nb ELSE cs[k] END)
+        |          - (CASE WHEN k = 1 THEN 0 ELSE cs[k-1] END))
+        |      for k in range(1, len(cs) + 2) ] AS ck
+        |  FROM cuts),
+        |sel AS (
+        |  SELECT doc_id, unnest(range(1, len(ck) + 1)) AS chunk_idx,
+        |    unnest(ck) AS chunk_text
+        |  FROM chunks)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+        |  CAST(octet_length(encode(chunk_text)) AS INT) AS n_bytes
+        |FROM sel""".stripMargin) { (s, d) =>
+      ops.TextAnalysis.cdcChunks(
+        Tables.documents(s, d).filter(col("doc_id") < 100),
+        "text", "doc_id", window = 8, maskBits = 5)
+    },
+
+    // Lexicon blocklist filter (TextAnalysis.blocklistFilter; the C4
+    // "bad words" stage): word-grain occurrence counts against a
+    // broadcast lexicon — tokens explode scan-side into a broadcast
+    // semi-join + ONE map-side-combined id-grain count (never an inlined
+    // per-token comparison chain, so lexicon size doesn't change the
+    // scan). 'spam' is absent from the corpus vocabulary, exercising the
+    // no-hit path; maxHits=1 makes the verdict a threshold, not a bool.
+    q("q_blocklist",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(tk,
+        |    t -> list_contains(['dup', 'slow', 'spam'], t))) AS BIGINT)
+        |    AS n_blocked,
+        |  len(list_filter(tk,
+        |    t -> list_contains(['dup', 'slow', 'spam'], t))) > 1 AS blocked
+        |FROM tok""".stripMargin) { (s, d) =>
+      TextAnalysis.blocklistFilter(Tables.documents(s, d), "text", "doc_id",
+        Seq("dup", "slow", "spam"), maxHits = 1L)
+    },
+
+    // Dedup-configuration eval (Dedup.dedupEval) — retrievalEval's
+    // analogue for dedup, on a fixture where NEITHER metric is vacuous
+    // (the corpus's own 31-word vocabulary makes every doc pair a
+    // near-dup — the degenerate shape the r15 ScaleCheck work named — so
+    // the docs are synthesized from id arithmetic instead): doc i < 100
+    // carries tokens w(3i)..w(3i+L-1) with L = i%6 + 8, its +1000 copy
+    // drops the last 5 (truth pairs by id arithmetic, Jaccard (L-5)/L —
+    // ≥ θ=0.5 only for L ≥ 10, so recall is a REAL 0.66), and stride-3
+    // sliding windows plant organic neighbor overlaps outside truth
+    // (precision a real 0.31). The oracle restates construction, the
+    // brute all-pairs Jaccard, and the exact-integer P/R/F1 formulas.
+    q("q_dedup_eval",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |base AS (
+        |  SELECT doc_id, list_transform(range(0, (doc_id % 6) + 8),
+        |    j -> 'w' || (doc_id * 3 + j)) AS toks
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id,
+        |    list_transform(range(0, greatest((doc_id % 6) + 8 - 5, 3)),
+        |      j -> 'w' || (doc_id * 3 + j)) AS toks
+        |  FROM ids),
+        |ex AS (SELECT doc_id, unnest(toks) AS w FROM base),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(toks) AS n FROM base),
+        |pred AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE shared / (sa.n + sb.n - shared) >= 0.5),
+        |m AS (
+        |  SELECT (SELECT count(*) FROM pred) AS n_pred,
+        |    (SELECT count(*) FROM ids) AS n_true,
+        |    (SELECT count(*) FROM pred
+        |     WHERE id_a < 100 AND id_b = id_a + 1000) AS tp)
+        |SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(tp AS BIGINT) AS tp,
+        |  round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / n_true, 6) AS recall,
+        |  round(2.0 * tp / (n_pred + n_true), 6) AS f1
+        |FROM m""".stripMargin) { (s, d) =>
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"))
+      def mkText(len: Column): Column = array_join(
+        transform(sequence(lit(0L), len - 1),
+          j => concat(lit("w"), (col("doc_id") * 3 + j).cast("string"))), " ")
+      val fullLen = pmod(col("doc_id"), lit(6)) + 8
+      val base = ids.select(col("doc_id"), mkText(fullLen).as("text"))
+      // text FIRST, id re-key SECOND: aliasing doc_id→doc_id+1000 in the
+      // same select would shadow the input attribute inside mkText's
+      // lambda (measured: the copy's tokens came out keyed by the NEW id)
+      val copies = ids
+        .select(col("doc_id").as("_o"),
+          mkText(greatest(fullLen - 5, lit(3))).as("text"))
+        .select((col("_o") + 1000L).as("doc_id"), col("text"))
+      val pred = ops.Dedup.jaccardPairs(base.unionByName(copies), "text",
+        "doc_id", shingleN = 1, threshold = 0.5)
+      val truth = ids.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000L).as("id_b"))
+      ops.Dedup.dedupEval(pred, truth)
+    },
+
     // Cohen's kappa (CorpusStats.cohenKappa) between the corpus's
     // annotated `lang` column and the n-gram language-ID prediction --
     // chance-corrected annotation-vs-classifier agreement, the label

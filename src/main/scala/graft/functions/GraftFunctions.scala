@@ -23,6 +23,8 @@ object GraftFunctions {
     col(MinHashBands(e(tokens), k, bands))
   def winnow_fingerprint(text: Column, ngram: Int, window: Int): Column =
     col(WinnowFingerprint(e(text), ngram, window))
+  def cdc_chunks(text: Column, window: Int, maskBits: Int): Column =
+    col(CdcChunks(e(text), window, maskBits))
   def word_shingles(tokens: Column, n: Int): Column = col(WordShingles(e(tokens), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(e(a), e(b)))

@@ -614,6 +614,67 @@ object StripAccents {
   * (CodegenFallback): runs rarely relative to fnv64/minhash and the JVM
   * loop is already allocation-light.
   */
+/** cdc_chunks(text) → array<string>: content-defined chunking (Rabin-style
+  * rolling-hash cut-points; Muthitacharoen et al. 2001 LBFS, public) —
+  * split AFTER byte p whenever the FNV-64 hash of the `window` bytes
+  * ending at p has its low `maskBits` bits zero (expected chunk length
+  * 2^maskBits bytes). Boundaries are a pure function of LOCAL content, so
+  * an insertion shifts only the chunks it touches and the stream
+  * re-synchronizes at the next cut-point — the property that makes CDC
+  * the dedup-stable chunker (a fixed-width grid shifts EVERY downstream
+  * chunk on a one-byte edit). No min/max guards here (FastCDC adds them
+  * for size variance): guards make the cut decision stateful and the
+  * engine-independent restatement positional arithmetic would be lost;
+  * size capping composes downstream ([[graft.ops.Packing]]).
+  *
+  * Byte-grain contract: cuts land between BYTES of the UTF-8 encoding
+  * (multi-byte code points can split across chunks — reassembly by
+  * concatenation is byte-exact either way); texts shorter than `window`
+  * are one whole chunk; empty text → empty array. */
+case class CdcChunks(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window > 0, "window must be positive")
+  require(maskBits >= 1 && maskBits <= 31, s"maskBits in 1..31: $maskBits")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cdc_chunks requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[UTF8String])
+    val mask = (1L << maskBits) - 1
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (n >= window) {
+      var i = 0
+      val nGrams = n - window + 1
+      while (i < nGrams) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < window) { h ^= (bytes(i + j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+        val cut = i + window // exclusive 0-based end of the chunk
+        if ((h & mask) == 0L && cut < n) cuts += cut
+        i += 1
+      }
+    }
+    val out = new Array[UTF8String](cuts.length + 1)
+    var prev = 0; var k = 0
+    while (k < cuts.length) {
+      out(k) = UTF8String.fromBytes(bytes, prev, cuts(k) - prev)
+      prev = cuts(k); k += 1
+    }
+    out(k) = UTF8String.fromBytes(bytes, prev, n - prev)
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class WinnowFingerprint(child: Expression, ngram: Int, window: Int)
     extends UnaryExpression with CodegenFallback {
   require(ngram > 0 && window > 0, "ngram and window must be positive")

@@ -1513,4 +1513,42 @@ object Dedup {
         graft.functions.GraftFunctions.cosine_sim(col(vecCol), col("_v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Precision / recall / F1 of a CANDIDATE pair set against labeled
+    * truth pairs — [[graft.ops.Retrieval.retrievalEval]]'s analogue for
+    * dedup: before a banding/threshold configuration runs over 100 TB,
+    * measure it on a labeled slice (every published dedup pipeline tunes
+    * θ this way; an untuned threshold silently trades recall for
+    * precision with no one watching). Both inputs are (id_a, id_b) pair
+    * frames in ANY orientation with duplicates tolerated — pairs
+    * canonicalize to a < b and distinct before comparison.
+    *
+    * Output (one row): n_pred, n_true, tp, precision = tp/n_pred,
+    * recall = tp/n_true, f1 = 2·tp/(n_pred+n_true) — the algebraic
+    * 2PR/(P+R), computed from the exact integers so no rounded
+    * intermediate leaks in; round-6; 0/0 cases are null (undefined, not
+    * 0). Scale shape: two pair-grain distincts + one semi-join on the
+    * canonical pair key — inputs are BLOCKED candidate outputs (bounded
+    * by construction), never n². */
+  def dedupEval(pred: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+        least(col("id_a"), col("id_b")).as("_a"),
+        greatest(col("id_a"), col("id_b")).as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .distinct()
+    val p = canon(pred)
+    val t = canon(truth)
+    p.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(t.agg(count(lit(1)).as("n_true")))
+      .crossJoin(p.join(t, Seq("_a", "_b"), "left_semi")
+        .agg(count(lit(1)).as("tp")))
+      .select(col("n_pred"), col("n_true"), col("tp"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred"), 6)).as("precision"),
+        when(col("n_true") > 0,
+          round(col("tp").cast("double") / col("n_true"), 6)).as("recall"),
+        when(col("n_pred") + col("n_true") > 0,
+          round(lit(2.0) * col("tp") / (col("n_pred") + col("n_true")), 6))
+          .as("f1"))
+  }
 }

@@ -722,6 +722,62 @@ object TextAnalysis {
         explode(regexp_extract_all(col(textCol),
           lit("[Hh][Rr][Ee][Ff]=\"([^\"]*)\""), lit(1))).as("url"))
 
+  /** Content-defined chunking to (id, chunk_idx, chunk_text, n_bytes)
+    * rows — the dedup-STABLE chunker upstream of passage embedding and
+    * storage dedup (see [[graft.functions.CdcChunks]] for the cut rule
+    * and the resync property): where a fixed-width grid shifts every
+    * chunk after a one-byte edit (so near-identical docs share ZERO
+    * chunk hashes), CDC boundaries re-synchronize, and chunk-grain exact
+    * dedup ([[Dedup.exact]] on chunk_text) recovers the shared runs.
+    * One codegen-fallback JVM pass per row + posexplode — scan-side,
+    * embarrassingly parallel, no shuffle. Null texts absent; empty texts
+    * chunk-less. */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+                window: Int = 8, maskBits: Int = 6): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(graft.functions.GraftFunctions.cdc_chunks(
+          col(textCol), window, maskBits)).as(Seq("_p", "chunk_text")))
+      .select(col(idCol), (col("_p") + 1).cast("int").as("chunk_idx"),
+        col("chunk_text"),
+        octet_length(col("chunk_text")).cast("int").as("n_bytes"))
+
+  /** Lexicon blocklist filter — the C4 "bad words" stage (Raffel et al.
+    * 2020 drop any page containing a listed word; public recipe): per
+    * document, the OCCURRENCE count of blocklisted words (word-grain
+    * exact match after the standard [[Dedup.tokens]] tokenization — no
+    * substring false positives: "class" never trips "ass") and the
+    * verdict `n_blocked > maxHits`. Docs with null text are absent (they
+    * carry nothing to audit).
+    *
+    * Scale shape: the lexicon is a BROADCAST relation, not an inlined
+    * per-token comparison chain — tokens explode scan-side, hit the
+    * broadcast hash join (ids + 8-byte tokens only, bodies never move),
+    * and collapse in ONE map-side-combined id-grain count; zero-hit docs
+    * come back through an ids-only left join. A regex-union alternative
+    * degrades linearly in lexicon size per CHARACTER; this stays O(1)
+    * per token at any lexicon size. */
+  def blocklistFilter(df: DataFrame, textCol: String, idCol: String,
+                      blockWords: Seq[String],
+                      maxHits: Long = 0L): DataFrame = {
+    require(blockWords.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = broadcast(
+      blockWords.map(_.toLowerCase).distinct.toDF("_w"))
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
+    val hits = base
+      .select(col(idCol), explode(col("_tk")).as("_w"))
+      .join(lex, Seq("_w"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    base.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_blocked"))
+      .withColumn("blocked", col("n_blocked") > maxHits)
+  }
+
   /** The 27 characters Windows-1252 shows for bytes 0x80–0x9F (where
     * defined), paired with [[Latin1Controls]] — the ftfy pre-translation
     * that folds cp1252 mojibake into the Latin-1 case. */

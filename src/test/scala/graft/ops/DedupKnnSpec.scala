@@ -1614,4 +1614,26 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(got === Seq((99L, 10L, 0, 1), (99L, 12L, 1, 2)))
   }
 
+  test("dedupEval: hand-checked P/R/F1, orientation/duplicate-tolerant, 0/0 is null") {
+    // truth: {(1,2), (3,4), (5,6)}; pred: {(1,2) dup+reversed, (3,9), (7,8)}
+    // -> tp=1, precision 1/3, recall 1/3, f1 = 2/(3+3) = 1/3
+    val pred = Seq((2L, 1L), (1L, 2L), (3L, 9L), (7L, 8L), (7L, 7L))
+      .toDF("id_a", "id_b") // self-pair must be ignored
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Dedup.dedupEval(pred, truth)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(r === ((3L, 3L, 1L, 0.333333, 0.333333, 0.333333)))
+    // perfect predictor
+    val p2 = Dedup.dedupEval(truth, truth)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(p2 === ((3L, 3L, 3L, 1.0, 1.0, 1.0)))
+    // empty pred: precision undefined (null), recall 0
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = Dedup.dedupEval(empty, truth).collect().head
+    assert(e.getLong(0) === 0L && e.isNullAt(3) && e.getDouble(4) === 0.0)
+    // empty truth: recall undefined (null)
+    val e2 = Dedup.dedupEval(truth, empty).collect().head
+    assert(e2.isNullAt(4) && e2.getDouble(3) === 0.0)
+  }
+
 }

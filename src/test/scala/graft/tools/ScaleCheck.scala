@@ -937,6 +937,31 @@ object ScaleCheck {
         }
         pairs.unpersist()
       }
+      // docs ×k through trigram explode → dense-bounded model broadcast →
+      // (doc, lang)-grain partial-aggregated scoring; the training exchange
+      // is ≤ nLangs·buckets rows at ANY k, so time must track data
+      results(("langid_nb", k)) = timed("langid_nb", k, nd) {
+        // synthetic 5-class labels: the replicated frame carries no lang
+        // column, and label content is irrelevant to the scaling shape
+        val labeled = d.withColumn("_lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(5)).cast("string")))
+        graft.ops.TextAnalysis.langidNb(labeled, d, "text", "_lang",
+          "doc_id", buckets = 1024).count()
+      }
+      // docs ×k through one per-row rolling-hash pass + posexplode —
+      // scan-side, no shuffle; chunk count is content-proportional
+      results(("cdc_chunks", k)) = timed("cdc_chunks", k, nd) {
+        graft.ops.TextAnalysis.cdcChunks(d, "text", "doc_id",
+          window = 8, maskBits = 5).count()
+      }
+      // docs ×k through the token explode → broadcast lexicon semi-join →
+      // id-grain map-side-combined count; a 300-word lexicon must not
+      // change the scan's per-token cost
+      results(("blocklist", k)) = timed("blocklist", k, nd) {
+        graft.ops.TextAnalysis.blocklistFilter(d, "text", "doc_id",
+          (1 to 300).map(i => s"blk$i") ++ Seq("dup", "slow"),
+          maxHits = 1L).count()
+      }
     }
     // growth factors per doubling-pair of k values
     for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted
