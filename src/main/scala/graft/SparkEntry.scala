@@ -7661,6 +7661,70 @@ object SparkEntry {
         "text", "doc_id", window = 8, maskBits = 5)
     },
 
+    // CDC chunk-grain dedup savings — the composite the chunker EXISTS
+    // for (storage/transfer dedup reads this report before committing to
+    // a chunk store): cdcChunks → chunk-text-grain counts → one summary
+    // row of total vs distinct bytes. The 31-word corpus vocabulary makes
+    // real cross-document chunk collisions, so dup_bytes is non-trivial.
+    // Oracle: the q_cdc_chunks byte-exact cut replay + the same two-level
+    // aggregate.
+    q("q_cdc_dedup",
+      s"""WITH scoped AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 100 AND text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, text, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb FROM scoped),
+        |bytes AS (
+        |  SELECT doc_id, text, nb,
+        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1
+        |      for i in range(1, nb + 1) ] AS bs
+        |  FROM b WHERE nb > 0),
+        |grams AS (
+        |  SELECT doc_id, text, nb,
+        |    [ $fnv8Unrolled
+        |      for i in range(1, greatest(nb - 8 + 2, 1)) ] AS hs
+        |  FROM bytes),
+        |cuts AS (
+        |  SELECT doc_id, text, nb,
+        |    [ i + 7 for i in range(1, len(hs) + 1)
+        |      if hs[i] % 32 = 0 AND i + 7 < nb ] AS cs
+        |  FROM grams),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    [ substr(text,
+        |        CASE WHEN k = 1 THEN 1 ELSE cs[k-1] + 1 END,
+        |        (CASE WHEN k = len(cs) + 1 THEN nb ELSE cs[k] END)
+        |          - (CASE WHEN k = 1 THEN 0 ELSE cs[k-1] END))
+        |      for k in range(1, len(cs) + 2) ] AS ck
+        |  FROM cuts),
+        |sel AS (SELECT doc_id, unnest(ck) AS chunk_text FROM chunks),
+        |pc AS (
+        |  SELECT chunk_text, count(*) AS n,
+        |    octet_length(encode(chunk_text)) AS bts
+        |  FROM sel GROUP BY chunk_text)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(n * bts) AS BIGINT) AS total_bytes,
+        |  CAST(sum(bts) AS BIGINT) AS distinct_bytes,
+        |  CAST(sum(n * bts) - sum(bts) AS BIGINT) AS dup_bytes,
+        |  round(CAST(sum(bts) AS DOUBLE) / sum(n * bts), 6) AS dedup_ratio
+        |FROM pc""".stripMargin) { (s, d) =>
+      val ch = ops.TextAnalysis.cdcChunks(
+        Tables.documents(s, d).filter(col("doc_id") < 100),
+        "text", "doc_id", window = 8, maskBits = 5)
+      ch.groupBy(col("chunk_text"))
+        .agg(count(lit(1)).as("_n"), first(col("n_bytes")).as("_b"))
+        .agg(sum(col("_n")).as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("_n") * col("_b")).as("total_bytes"),
+          sum(col("_b")).as("distinct_bytes"),
+          (sum(col("_n") * col("_b")) - sum(col("_b"))).as("dup_bytes"),
+          round(sum(col("_b")).cast("double") /
+            sum(col("_n") * col("_b")), 6).as("dedup_ratio"))
+    },
+
     // Lexicon blocklist filter (TextAnalysis.blocklistFilter; the C4
     // "bad words" stage): word-grain occurrence counts against a
     // broadcast lexicon — tokens explode scan-side into a broadcast

@@ -836,6 +836,18 @@ object TextAnalysis {
       .otherwise(text)
   }
 
+  /** [[fixEncoding]] at LINE grain — ftfy's actual operating unit: a doc
+    * mixing honest Latin-1 prose with one mojibake'd line fails the
+    * doc-grain gate (the honest accent reads as an invalid UTF-8 lead),
+    * but per line the damaged one repairs while the honest one passes
+    * through. Same codegen pipeline inside a `transform` lambda — still
+    * one scan, zero shuffle. Newlines are the segment boundary (the
+    * c4CleanLines grain); the join-back preserves them exactly. */
+  def fixEncodingLines(text: Column): Column =
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(array_join(
+        transform(split(text, "\n", -1), l => fixEncoding(l)), "\n"))
+
   /** Trained language ID — multinomial Naive Bayes over hashed character
     * trigrams (the fastText langid recipe's arithmetic: Joulin et al.
     * 2017, public), upgrading the 5-stopword [[langId]] heuristic to a

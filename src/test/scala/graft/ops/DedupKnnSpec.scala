@@ -1636,4 +1636,39 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(e2.isNullAt(4) && e2.getDouble(3) === 0.0)
   }
 
+  test("dedupEval threshold sweep: precision rises and recall falls monotonically in θ") {
+    // the θ-tuning curve a pipeline reads off dedupEval: sliding-window
+    // docs (stride 3, L = i%6+8) + drop-5 copies at +1000 as truth
+    val ids = (0L until 60L).toDF("doc_id")
+    def mkText(len: org.apache.spark.sql.Column) = array_join(
+      transform(sequence(lit(0L), len - 1),
+        j => concat(lit("w"), (col("doc_id") * 3 + j).cast("string"))), " ")
+    val fullLen = pmod(col("doc_id"), lit(6)) + 8
+    val base = ids.select(col("doc_id"), mkText(fullLen).as("text"))
+    val copies = ids
+      .select(col("doc_id").as("_o"),
+        mkText(greatest(fullLen - 5, lit(3))).as("text"))
+      .select((col("_o") + 1000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(copies).cache()
+    val truth = ids.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 1000L).as("id_b"))
+    val curve = Seq(0.3, 0.5, 0.7, 0.9).map { th =>
+      val r = Dedup.dedupEval(
+        Dedup.jaccardPairs(corpus, "text", "doc_id", 1, th), truth)
+        .collect().head
+      (th, Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4))
+    }
+    // recall monotone non-increasing in θ (a stricter gate keeps fewer
+    // true pairs); precision monotone non-decreasing (survivors are the
+    // higher-jaccard pairs, and truth pairs dominate the high end here)
+    curve.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3 + 1e-9, s"recall must fall: $a -> $b")
+      assert(b._2.getOrElse(1.0) >= a._2.getOrElse(0.0) - 1e-9,
+        s"precision must rise on this fixture: $a -> $b")
+    case _ => }
+    assert(curve.head._3 > curve.last._3, "the sweep must actually move")
+    corpus.unpersist()
+  }
+
 }

@@ -51,6 +51,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a(5L) === "na\u00EFve r\u00E9sum\u00E9 \u2013quoted\u2014")
   }
 
+  test("fixEncodingLines repairs the damaged line while honest lines pass through") {
+    // the doc-grain gate refuses this mix; the line grain fixes it
+    val mixed = "caf\u00E9 honest line\nbroken caf\u00C3\u00A9 line\nplain ascii"
+    val got = Seq((1L, mixed), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.fixEncodingLines(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "caf\u00E9 honest line\nbroken caf\u00E9 line\nplain ascii")
+    assert(got(2L) === null)
+    // trailing newline survives the split/join round-trip
+    val t = Seq((3L, "a\nb\n")).toDF("id", "text")
+      .select(TextAnalysis.fixEncodingLines(col("text"))).as[String].head()
+    assert(t === "a\nb\n")
+  }
+
   test("langidNb beats the stopword heuristic on marker-free multilingual text") {
     // per-language training vocab, deliberately disjoint across languages
     // (except that SOME training docs carry the 5-stopword markers the
