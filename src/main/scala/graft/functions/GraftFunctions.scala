@@ -25,6 +25,8 @@ object GraftFunctions {
     col(WinnowFingerprint(e(text), ngram, window))
   def cdc_chunks(text: Column, window: Int, maskBits: Int): Column =
     col(CdcChunks(e(text), window, maskBits))
+  def trigram_buckets(text: Column, buckets: Long): Column =
+    col(CharTrigramBuckets(e(text), buckets))
   def word_shingles(tokens: Column, n: Int): Column = col(WordShingles(e(tokens), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(e(a), e(b)))

