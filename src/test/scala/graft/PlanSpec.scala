@@ -15,6 +15,31 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  test("langidNb scoring is zero-shuffle; blocklist is one aggregate exchange over a broadcast join") {
+    import org.apache.spark.sql.functions._
+    // the real parquet table: a Range source advertises distinct keys and
+    // Catalyst elides the aggregate exchange entirely, which would make
+    // both assertions vacuous
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    // scoring: after the bounded model collect, the returned frame must be
+    // scan + projections only — no join, no exchange (the 100 TB contract:
+    // classifying a corpus never shuffles it)
+    val scored = graft.ops.TextAnalysis.langidNb(docs, docs, "text", "lang",
+      "doc_id", buckets = 64)
+    val sp = scored.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!sp.contains("Exchange"), s"scoring must not shuffle:\n$sp")
+    // blocklist: the lexicon joins as a broadcast and the id-grain count
+    // is the ONLY shuffle exchange
+    val bl = graft.ops.TextAnalysis.blocklistFilter(docs, "text", "doc_id",
+      (1 to 50).map(i => s"w$i"), maxHits = 0L)
+    val bp = bl.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(bp.contains("BroadcastHashJoin"), bp.take(1500))
+    val nx = "\\(\\d+\\) Exchange\\b".r.findAllIn(bp).size
+    assert(nx == 1, s"expected exactly the aggregate exchange, got $nx:\n$bp")
+  }
+
   test("filters and column pruning reach the parquet scan") {
     val p = plan("q_proj_filter")
     assert(p.contains("PushedFilters: ["), p)
