@@ -863,6 +863,14 @@ class CorpusStatsSpec extends AnyFunSuite {
     val withNull = Seq(Some("a"), Some("a"), None, Some("b")).toDF("v")
     assert(CorpusStats.heavyHitters(withNull, "v", 0.5)
       .as[(String, Long)].collect().toSet === Set(("a", 2L)))
+    // adversarial arrival order for the r16 amortized purge: the heavy
+    // value arrives LAST, after the tail has saturated (and repeatedly
+    // purged) the 2k-slot buffer in a single partition — the survival
+    // bound (undercount ≤ n/(k+1) < φ·n) must hold regardless
+    val lateHot = (1 to 30000).map(i => s"t$i") ++ Seq.fill(4000)("hot")
+    val lateDf = lateHot.toDF("v").coalesce(1) // one partition = one buffer
+    assert(CorpusStats.heavyHitters(lateDf, "v", 0.1)
+      .as[(String, Long)].collect().toSet === Set(("hot", 4000L)))
   }
 
   test("corpusLaws: uniform counts → slope 0; saturated vocab → beta 0; hand OLS cross-check") {
