@@ -7328,7 +7328,7 @@ object SparkEntry {
     // over ids-only buckets, exact cosine verification on surviving pairs —
     // no all-pairs product anywhere in the plan. Planted positives (the
     // q_image_neardup family stance, r15 verdict #1): every 25th vector
-    // gets a near-identical twin at vec_id + 1e6 whose element 0 is scaled
+    // gets a near-identical twin past max(vec_id) whose element 0 is scaled
     // ×1.02 — unit-norm corpus, so twin cosine ≥ 0.9998 by construction
     // while the real corpus's pair ceiling is ~0.60 and twin-vs-other
     // inherits it (±1e-4). Both margins are wide, so the pair set is pure
@@ -7338,13 +7338,17 @@ object SparkEntry {
     // per planted pair ≤ (1−p^12)^16 with p = 1 − arccos(.9998)/π ≈ 0.994 →
     // ~1e-20, and the hyperplanes are seed-deterministic anyway). The O(n²)
     // exact variant stays as the cross-check in DedupKnnSpec (LSH ≡ exact
-    // on both test SFs).
+    // on both test SFs). Twin ids sit at vec_id + (max(vec_id)+1), computed
+    // on BOTH sides, so no SF can collide a twin id with a real vec_id
+    // (r16 ADVICE: a fixed 1e6 offset silently assumed max vec_id < 1e6).
     q("q_embedding_neardup",
-      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+      """SELECT vec_id AS id_a,
+        |  vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS id_b
         |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
       val twins = emb.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((col("vec_id") + off).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             when(i === 0, x * lit(1.02f)).otherwise(x)).as("embedding"))
       Dedup.embeddingNearDups(emb.unionByName(twins), "embedding", "vec_id",
@@ -7583,8 +7587,11 @@ object SparkEntry {
         |  round(CAST(tot AS DOUBLE) / 1000000.0, 6) AS nb_logp
         |FROM pick WHERE rn = 1""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      TextAnalysis.langidNb(docs, docs, "text", "lang", "doc_id",
-        buckets = 1024)
+      // both sides score the SAME doc set by construction: the oracle's
+      // td CTE filters lang IS NOT NULL on train AND score streams, so a
+      // future text-non-null/lang-null fixture row must not enter toScore
+      TextAnalysis.langidNb(docs, docs.filter(col("lang").isNotNull),
+        "text", "lang", "doc_id", buckets = 1024)
     },
 
     // Mojibake repair (TextAnalysis.fixEncoding, ftfy-class): both engines
@@ -7594,6 +7601,13 @@ object SparkEntry {
     // restates the REPAIRED text directly, so the hash gate proves the
     // cp1252 fold + UTF-8-shape detect + decode pipeline byte-exactly.
     // Undamaged (pure-ASCII) docs must pass through verbatim.
+    // PRECONDITION (r16 ADVICE): the `repaired` flag is `fixed != input`
+    // on the Spark side but `doc_id % 3 = 0` in the oracle — these agree
+    // only while the base corpus text is pure ASCII (a damaged doc whose
+    // base text carried an honest Latin-1 accent would repair at the line
+    // grain but fail the doc-grain UTF-8-shape gate). The precondition is
+    // asserted by TextAnalysisSpec "corpus fixture is pure ASCII", so a
+    // future corpus change breaks THERE with a named cause, not here.
     q("q_fix_encoding",
       s"""SELECT doc_id,
         |  text || CASE WHEN doc_id % 3 = 0 THEN '$FixEncCleanSfx' ELSE '' END

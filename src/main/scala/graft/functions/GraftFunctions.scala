@@ -27,6 +27,11 @@ object GraftFunctions {
     col(CdcChunks(e(text), window, maskBits))
   def trigram_buckets(text: Column, buckets: Long): Column =
     col(CharTrigramBuckets(e(text), buckets))
+  def nb_trigram_argmax(text: Column, buckets: Int, lut: Array[Long],
+                        priors: Array[Long]): Column =
+    col(NbTrigramArgmax(e(text), buckets,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(lut),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(priors)))
   def word_shingles(tokens: Column, n: Int): Column = col(WordShingles(e(tokens), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(e(a), e(b)))

@@ -764,3 +764,124 @@ case class WinnowFingerprint(child: Expression, ngram: Int, window: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** nb_trigram_argmax(text) → struct(idx int, tot long): the FUSED
+  * multi-class Naive-Bayes scorer behind
+  * [[graft.ops.TextAnalysis.langidNb]] — ONE pass over the UTF-8 bytes
+  * computes every char-trigram's fnv64 bucket AND adds that bucket's
+  * per-class log-likelihood column into a class accumulator, then takes
+  * the argmax inline. Replaces the r16 formulation (nLangs separate
+  * `aggregate()` HOF folds per row, each re-walking the materialized
+  * bucket array in interpreted per-element lambdas — linear in nLangs
+  * INTERPRETED work, the r16 verdict's named watch item) with a single
+  * codegen kernel whose per-trigram class loop is `nLangs` contiguous
+  * long adds: the flat LUT is laid out BUCKET-major (`b*nLangs + l`) so
+  * a fastText-style 100-language model walks sequential memory, not
+  * `buckets`-strided cache misses.
+  *
+  * `lut` rows are smoothed micro-log likelihoods (round(ln·1e6), the
+  * order-free integer-sum determinism stance), `priors` the per-class
+  * micro-log priors — both in SORTED-class index order, which with the
+  * strict `>` argmax gives ties to the lexicographically smallest class.
+  * Texts with fewer than 3 code points return NULL (absent from scoring,
+  * the dsir contract). Model arrays ride in as constructor references
+  * (nLangs×buckets longs, bounded by contract — the PqAdcScore pattern),
+  * never as per-row column data. */
+case class NbTrigramArgmax(child: Expression, buckets: Int,
+    lut: scala.collection.immutable.ArraySeq[Long],
+    priors: scala.collection.immutable.ArraySeq[Long])
+    extends UnaryExpression {
+  private val nLangs = priors.length
+  require(nLangs >= 1, "nb_trigram_argmax needs at least one class")
+  require(buckets >= 2, s"buckets must be ≥ 2: $buckets")
+  require(lut.length == nLangs.toLong * buckets,
+    s"flat LUT length ${lut.length} != nLangs*buckets = ${nLangs.toLong * buckets}")
+
+  // structural equality via the immutable ArraySeq params; primitive
+  // arrays are the hot-path view (the PqAdcScore stance)
+  private lazy val lutArr: Array[Long] = lut.toArray
+  private lazy val priorsArr: Array[Long] = priors.toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("tot", LongType, nullable = false)))
+  override def nullable: Boolean = true // < 3 code points → NULL
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nb_trigram_argmax"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nb_trigram_argmax requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    val starts = new Array[Int](b.length + 1)
+    var n = 0; var i = 0
+    while (i < b.length) {
+      starts(n) = i; n += 1
+      i += UTF8String.numBytesForFirstByte(b(i))
+    }
+    starts(n) = b.length
+    if (n < 3) return null
+    val acc = java.util.Arrays.copyOf(priorsArr, nLangs)
+    var k = 0
+    while (k < n - 2) {
+      var h = 0xcbf29ce484222325L
+      var j = starts(k); val end = starts(k + 3)
+      while (j < end) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      val base = java.lang.Math.floorMod(h, buckets.toLong).toInt * nLangs
+      var l = 0
+      while (l < nLangs) { acc(l) += lutArr(base + l); l += 1 }
+      k += 1
+    }
+    var best = 0; var l = 1
+    while (l < nLangs) { if (acc(l) > acc(best)) best = l; l += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, acc(best)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val lt = ctx.addReferenceObj("nbLut", lutArr, "long[]")
+      val pr = ctx.addReferenceObj("nbPriors", priorsArr, "long[]")
+      val bb = ctx.freshName("bb"); val st = ctx.freshName("st")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val k = ctx.freshName("k")
+      val h = ctx.freshName("h"); val j = ctx.freshName("j")
+      val base = ctx.freshName("base"); val l = ctx.freshName("l")
+      val best = ctx.freshName("best"); val l2 = ctx.freshName("l2")
+      s"""
+         |byte[] $bb = $v.getBytes();
+         |int[] $st = new int[$bb.length + 1];
+         |int $n = 0; int $i = 0;
+         |while ($i < $bb.length) {
+         |  $st[$n++] = $i;
+         |  $i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte($bb[$i]);
+         |}
+         |$st[$n] = $bb.length;
+         |if ($n < 3) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $acc = java.util.Arrays.copyOf($pr, $nLangs);
+         |  for (int $k = 0; $k < $n - 2; $k++) {
+         |    long $h = 0xcbf29ce484222325L;
+         |    for (int $j = $st[$k]; $j < $st[$k + 3]; $j++) {
+         |      $h ^= ($bb[$j] & 0xffL); $h *= 0x100000001b3L;
+         |    }
+         |    int $base = (int) java.lang.Math.floorMod($h, ${buckets}L) * $nLangs;
+         |    for (int $l = 0; $l < $nLangs; $l++) $acc[$l] += $lt[$base + $l];
+         |  }
+         |  int $best = 0;
+         |  for (int $l2 = 1; $l2 < $nLangs; $l2++) {
+         |    if ($acc[$l2] > $acc[$best]) $best = $l2;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$best, $acc[$best]});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -77,6 +77,57 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(viaColumn.toSeq == direct.toSeq)
   }
 
+  test("NbTrigramArgmax fused ≡ per-class HOF fold at nLangs=16; codegen ≡ interpreted; null under 3 code points") {
+    // the r16 formulation this kernel replaces: one aggregate() fold per
+    // class over the materialized trigram-bucket array, argmax via
+    // array_min over (-tot, classIdx) structs — rebuilt here verbatim as
+    // the arithmetic reference (16 classes, the many-language regime
+    // where the old form re-walked the array 16× in interpreted lambdas)
+    val nLangs = 16; val buckets = 64
+    val rnd = new scala.util.Random(7)
+    val flat = Array.fill(nLangs * buckets)(-(rnd.nextInt(14000) + 100).toLong)
+    val priors = Array.fill(nLangs)(-(rnd.nextInt(3000) + 50).toLong)
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "päivää kaunis maailma"), // multi-byte code points
+      (3L, "ab"), // 2 code points -> no trigram -> NULL
+      (4L, "ナイーブベイズ"),
+      (5L, "zzzz zzz zz"))
+    val df = texts.toDF("id", "text")
+    val perLang = (0 until nLangs).map { l =>
+      val lutCol = typedLit((0 until buckets).map(b => flat(b * nLangs + l)))
+      val tot = aggregate(
+        trigram_buckets($"text", buckets.toLong), lit(priors(l)),
+        (acc, b) => acc + element_at(lutCol, (b + 1).cast("int")))
+      struct((-tot).as("_neg"), lit(l).as("_l"))
+    }
+    val oldForm = df.filter(length($"text") >= 3)
+      .select($"id", array_min(array(perLang: _*)).as("w"))
+      .select($"id", $"w".getField("_l").as("idx"),
+        (-$"w".getField("_neg")).as("tot"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val fused = df
+      .select($"id", nb_trigram_argmax($"text", buckets, flat, priors).as("w"))
+      .filter($"w".isNotNull)
+      .select($"id", $"w".getField("idx"), $"w".getField("tot"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(fused === oldForm)
+    assert(!fused.contains(3L))
+    // interpreted eval (no codegen) must agree with the DF (codegen) path
+    val expr = NbTrigramArgmax(
+      org.apache.spark.sql.GraftBridge.toExpression($"text"), buckets,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(flat),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(priors))
+    texts.foreach { case (id, t) =>
+      val r = expr.nullSafeEval(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      if (r == null) assert(!fused.contains(id))
+      else {
+        val row = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        assert((row.getInt(0), row.getLong(1)) === fused(id))
+      }
+    }
+  }
+
   test("unicode normalization: NFC composes, NFD decomposes, idempotent") {
     val composed = "caf\u00e9"                 // é as one codepoint
     val decomposed = "cafe\u0301"              // e + combining acute

@@ -207,6 +207,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(fused)(2L) === Nil)
   }
 
+  test("corpus fixture is pure ASCII (q_fix_encoding precondition)") {
+    // q_fix_encoding's gate equates Spark's `fixed != input` repaired flag
+    // with the oracle's `doc_id % 3 = 0` injection arithmetic — sound only
+    // while undamaged corpus text is ASCII (an honest Latin-1 accent in
+    // the base text would block the doc-grain repair of an injected
+    // suffix). If a regenerated corpus breaks this, THIS test names the
+    // cause; re-derive the flag (or scope the injection) there.
+    val nonAscii = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .filter(col("text").isNotNull &&
+        col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(nonAscii === 0L)
+  }
+
   test("fixEncoding leaves a lone cp1252 character alone (no lead byte, no repair)") {
     // a genuine euro sign folds to byte 0x80 — a continuation byte with
     // no lead, so the UTF-8 gate refuses and the text passes verbatim
