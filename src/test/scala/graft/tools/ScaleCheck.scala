@@ -133,6 +133,10 @@ object ScaleCheck {
       }.reduce(_ unionByName _)
 
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    // fixed-data frame for axis checks that scale a MODEL dimension
+    // (nLangs) instead of the corpus — see langid_nb_nlangs
+    val docs0 = docs.localCheckpoint(true)
+    val nDocs0 = docs0.count()
     val partNames = graft.Tables.part(spark, sfDir).select("p_name")
     val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val events = graft.Tables.events(spark, sfDir)
@@ -946,6 +950,19 @@ object ScaleCheck {
         val labeled = d.withColumn("_lang",
           concat(lit("l"), pmod(col("doc_id"), lit(5)).cast("string")))
         graft.ops.TextAnalysis.langidNb(labeled, d, "text", "_lang",
+          "doc_id", buckets = 1024).count()
+      }
+      // nLangs AXIS (r16 verdict #2): data FIXED at the base corpus,
+      // classes = 4·k — the fused NbTrigramArgmax kernel walks the bytes
+      // once regardless of nLangs, so doubling the class count adds only
+      // contiguous long-adds; the time factor must sit far below the 2.0
+      // the k axis nominally advertises (the pre-fusion per-class HOF
+      // folds re-walked the trigram array per class interpreted, and
+      // would track ~2.0 here)
+      results(("langid_nb_nlangs", k)) = timed("langid_nb_nlangs", k, nDocs0) {
+        val labeled = docs0.withColumn("_lang",
+          concat(lit("l"), lpad(pmod(col("doc_id"), lit(4 * k)).cast("string"), 3, "0")))
+        graft.ops.TextAnalysis.langidNb(labeled, docs0, "text", "_lang",
           "doc_id", buckets = 1024).count()
       }
       // docs ×k through one per-row rolling-hash pass + posexplode —
