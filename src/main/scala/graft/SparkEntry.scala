@@ -524,6 +524,15 @@ object SparkEntry {
   private val FixEncCleanSfx = " caf\u00E9 \u2019tis"
   private val FixEncMojiSfx = " caf\u00C3\u00A9 \u00E2\u20AC\u2122tis"
 
+  /** q_fix_encoding_lines' HONEST-Latin-1 line: \u00E0/\u00E9 are real accents, not
+    * mojibake \u2014 as bytes-as-chars the 0xE0 lead is followed by 0x20
+    * (space), failing the RFC-3629 shape, so the line must pass through
+    * every repair pass verbatim. Inside one doc next to [[FixEncMojiSfx]]
+    * it is exactly the mix the DOC-grain gate provably cannot repair
+    * (the honest accent poisons the whole-doc UTF-8-shape check) while
+    * the LINE grain can. */
+  private val FixEncHonestLine = "voil\u00E0 caf\u00E9"
+
   /** Per-dataset index-build artifacts (ANN quantizer, probe vectors):
     * bounded driver-side lookups that a deployment builds once and reuses
     * across every probe, memoized here so repeated query runs measure the
@@ -7622,6 +7631,37 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fixEncoding(col("_c")).as("fixed"),
           (TextAnalysis.fixEncoding(col("_c")) =!= col("_c")).as("repaired"))
+    },
+
+    // LINE-grain mojibake repair (TextAnalysis.fixEncodingLines) on the
+    // mix the doc grain provably cannot fix: every 3rd doc gains an
+    // HONEST-Latin-1 line ("voilà café" — real accents, invalid as
+    // bytes-as-chars UTF-8) AND a mojibake line in the same document.
+    // Doc-grain fixEncoding must refuse the whole doc (the honest accent
+    // fails the shape gate); per line, the damaged line repairs while the
+    // honest line and the pure-ASCII base pass through verbatim. The
+    // oracle restates the repaired text directly (the q_fix_encoding
+    // injection stance) — same pure-ASCII-corpus precondition, asserted
+    // by TextAnalysisSpec "corpus fixture is pure ASCII".
+    q("q_fix_encoding_lines",
+      s"""SELECT doc_id,
+        |  text || CASE WHEN doc_id % 3 = 0
+        |    THEN chr(10) || '$FixEncHonestLine' || chr(10) || '$FixEncCleanSfx'
+        |    ELSE '' END AS fixed,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_lines_repaired
+        |FROM documents WHERE text IS NOT NULL""".stripMargin) { (s, d) =>
+      val corrupted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\n" + FixEncHonestLine + "\n" + FixEncMojiSfx))
+          .otherwise(lit("")))
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), corrupted.as("_c"))
+        .select(col("doc_id"),
+          TextAnalysis.fixEncodingLines(col("_c")).as("fixed"),
+          size(filter(split(col("_c"), "\n", -1),
+            l => TextAnalysis.fixEncoding(l) =!= l)).cast("long")
+            .as("n_lines_repaired"))
     },
 
     // Content-defined chunking (TextAnalysis.cdcChunks / functions.
