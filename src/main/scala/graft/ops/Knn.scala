@@ -660,4 +660,56 @@ object Knn {
       }
     } finally coded.unpersist()
   }
+
+  /** One point of an [[annShortlistCurve]]: mean IVF-PQ recall@k at
+    * (nProbe, shortlist). */
+  final case class ShortlistCurvePoint(nProbe: Int, shortlist: Int,
+                                       recallIvfPq: Double)
+
+  /** The SECOND axis of the ANN tuning evidence — recall@k vs SHORTLIST
+    * for the IVF-PQ probe at fixed nProbe values, against the same
+    * brute-force truth as [[annRecallCurve]]. The nProbe sweep alone
+    * cannot tell "PQ quantization loss" apart from "shortlist too small":
+    * a recall plateau under growing nProbe may just mean the truth ids are
+    * ADC-scored well enough to reach the candidate set but the shortlist
+    * is too short to hold them. Reading BOTH curves resolves it — if
+    * recall climbs with shortlist at fixed nProbe, the shortlist was the
+    * binding constraint; if it plateaus at shortlist = corpus, what
+    * remains is genuine quantization loss (at full shortlist the ADC
+    * ordering is irrelevant: every probed row reaches the exact re-rank).
+    *
+    * Recall is monotone non-decreasing in shortlist BY THE SAME PREFIX
+    * THEOREM as nProbe: the shortlist is a prefix of the deterministic
+    * ADC order (ties broken by id), so the candidate set only grows, and
+    * the exact re-rank can only improve. At nProbe = nCells and shortlist
+    * ≥ corpus size the probe degenerates to exact search (recall 1.0).
+    *
+    * Same offline-diagnostic stance as [[annRecallCurve]]: driver loop
+    * over a bounded query panel, codes encoded once and cached. */
+  def annShortlistCurve(assigned: DataFrame, vecCol: String, idCol: String,
+                        centroids: Array[Array[Float]],
+                        codebooks: Array[Array[Array[Float]]],
+                        queries: Seq[Array[Float]], k: Int,
+                        nProbes: Seq[Int],
+                        shortlists: Seq[Int]): Seq[ShortlistCurvePoint] = {
+    require(queries.nonEmpty, "need at least one query")
+    require(nProbes.nonEmpty && shortlists.nonEmpty,
+      "need at least one nProbe and one shortlist")
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val coded = pqEncode(assigned, vecCol, codebooks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def ids(df: DataFrame): Set[Long] =
+        df.select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+      val truth = queries.map(qv => ids(topK(coded, vecCol, idCol, qv, k)))
+      for (p <- nProbes.toSeq; sl <- shortlists) yield {
+        var r = 0.0
+        queries.indices.foreach { qi =>
+          r += (ids(ivfPqSearch(coded, vecCol, idCol, centroids, codebooks,
+            queries(qi), k, p, sl)) intersect truth(qi)).size.toDouble / k
+        }
+        ShortlistCurvePoint(p, sl, r6(r / queries.size))
+      }
+    } finally coded.unpersist()
+  }
 }

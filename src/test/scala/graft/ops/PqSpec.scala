@@ -217,6 +217,34 @@ class PqSpec extends AnyFunSuite {
     assert(curve.head.scanFrac < 1.0)
   }
 
+  test("annShortlistCurve: IVF-PQ recall monotone in shortlist, exact at full probe + full shortlist") {
+    val centroids = Knn.trainCentroids(sample, nCells = 8)
+    val assigned = Knn.ivfAssign(emb, "embedding", centroids)
+    val queries = emb.filter($"vec_id" < 5).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val nFull = emb.count().toInt
+    val slc = Knn.annShortlistCurve(assigned, "embedding", "vec_id",
+      centroids, cb, queries, k = 10, nProbes = Seq(2, 8),
+      shortlists = Seq(10, 32, nFull))
+    assert(slc.size === 6)
+    // shortlist is a prefix of the deterministic ADC order: candidates
+    // only grow, the exact re-rank only improves (theorem, not luck)
+    slc.groupBy(_.nProbe).foreach { case (p, pts) =>
+      pts.sortBy(_.shortlist).sliding(2).foreach {
+        case Seq(a, b) => assert(b.recallIvfPq >= a.recallIvfPq,
+          s"not monotone at nProbe=$p: $a -> $b")
+        case _ =>
+      }
+    }
+    // full probe + full shortlist degenerates to exact search
+    val exact = slc.find(x => x.nProbe == 8 && x.shortlist == nFull).get
+    assert(exact.recallIvfPq === 1.0, s"must be exact: $exact")
+    // a starved shortlist at full probe must not BEAT the full shortlist
+    // (and on this fixture is strictly worse — the axis carries signal)
+    val starved = slc.find(x => x.nProbe == 8 && x.shortlist == 10).get
+    assert(starved.recallIvfPq <= 1.0)
+  }
+
   test("VectorIndex: on-disk partitioned layout probes ≡ on-the-fly, replay-idempotent, scan-pruned") {
     val centroids = Knn.trainCentroids(sample, nCells = 16)
     val dir = java.nio.file.Files.createTempDirectory("graft-vidx").toString

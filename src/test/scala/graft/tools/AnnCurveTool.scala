@@ -51,13 +51,38 @@ object AnnCurveTool {
     }
     assert(curve.last.recallIvf == 1.0,
       s"nProbe = nCells must be exact, got ${curve.last}")
+    // SHORTLIST axis (r16 verdict item 1): the nProbe sweep holds the
+    // shortlist at 64, so IVF-PQ's plateau there can't be attributed —
+    // quantization loss or shortlist starvation? Sweep shortlist at two
+    // fixed nProbe values against the same truth; "full" = corpus size
+    // (the exact-search degenerate case at nProbe = nCells).
+    val nFull = emb.count().toInt
+    val shortlists = Seq(16, 64, 256, nFull)
+    val slCurve = Knn.annShortlistCurve(assigned, "embedding", "vec_id",
+      centroids, codebooks, queries, k = 10,
+      nProbes = Seq(4, nCells), shortlists = shortlists)
+    slCurve.groupBy(_.nProbe).foreach { case (p, pts) =>
+      pts.sortBy(_.shortlist).sliding(2).foreach {
+        case Seq(a, b) => assert(b.recallIvfPq >= a.recallIvfPq,
+          s"IVF-PQ recall not monotone in shortlist at nProbe=$p: $a -> $b")
+        case _ =>
+      }
+    }
+    val exactPt = slCurve.find(x => x.nProbe == nCells && x.shortlist == nFull).get
+    assert(exactPt.recallIvfPq == 1.0,
+      s"nProbe = nCells + full shortlist must be exact, got $exactPt")
     val rows = curve.map { p =>
       s"""{"n_probe":${p.nProbe},"recall_ivf":${p.recallIvf},""" +
         s""""recall_ivfpq":${p.recallIvfPq},"scan_frac":${p.scanFrac}}"""
     }.mkString("[", ",", "]")
+    val slRows = slCurve.map { p =>
+      s"""{"n_probe":${p.nProbe},"shortlist":${p.shortlist},""" +
+        s""""recall_ivfpq":${p.recallIvfPq}}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"sf_dir":"$sfDir","k":10,"n_cells":$nCells,"m":8,"ksub":16,""" +
-        s""""shortlist":64,"n_queries":${queries.size},"curve":$rows}"""
+        s""""shortlist":64,"n_queries":${queries.size},"curve":$rows,""" +
+        s""""shortlist_full":$nFull,"shortlist_curve":$slRows}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8"))
     println(json)
