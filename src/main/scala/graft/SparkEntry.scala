@@ -7779,6 +7779,68 @@ object SparkEntry {
             sum(col("_n") * col("_b")), 6).as("dedup_ratio"))
     },
 
+    // CDC dedup as a curation ACTION (Dedup.dedupCdcChunks): where
+    // q_cdc_dedup only REPORTS savings, this rewrites the corpus at chunk
+    // grain — keep the globally first occurrence of each chunk content
+    // (deterministic (doc_id, chunk_idx) order), reassemble docs from
+    // surviving chunks byte-exactly. The oracle replays the q_cdc_chunks
+    // cut arithmetic, then the keep-first window + ordered string_agg
+    // reassembly, so the hash gate proves cut placement, keeper choice,
+    // AND byte-exact reassembly. Same bounded doc_id<100 scope.
+    q("q_cdc_dedup_apply",
+      s"""WITH scoped AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 100 AND text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, text, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb FROM scoped),
+        |bytes AS (
+        |  SELECT doc_id, text, nb,
+        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1
+        |      for i in range(1, nb + 1) ] AS bs
+        |  FROM b WHERE nb > 0),
+        |grams AS (
+        |  SELECT doc_id, text, nb,
+        |    [ $fnv8Unrolled
+        |      for i in range(1, greatest(nb - 8 + 2, 1)) ] AS hs
+        |  FROM bytes),
+        |cuts AS (
+        |  SELECT doc_id, text, nb,
+        |    [ i + 7 for i in range(1, len(hs) + 1)
+        |      if hs[i] % 32 = 0 AND i + 7 < nb ] AS cs
+        |  FROM grams),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    [ substr(text,
+        |        CASE WHEN k = 1 THEN 1 ELSE cs[k-1] + 1 END,
+        |        (CASE WHEN k = len(cs) + 1 THEN nb ELSE cs[k] END)
+        |          - (CASE WHEN k = 1 THEN 0 ELSE cs[k-1] END))
+        |      for k in range(1, len(cs) + 2) ] AS ck
+        |  FROM cuts),
+        |sel AS (
+        |  SELECT doc_id, unnest(range(1, len(ck) + 1)) AS chunk_idx,
+        |    unnest(ck) AS chunk_text
+        |  FROM chunks),
+        |rk AS (
+        |  SELECT doc_id, chunk_idx, chunk_text,
+        |    octet_length(encode(chunk_text)) AS nb,
+        |    row_number() OVER (PARTITION BY chunk_text
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM sel)
+        |SELECT doc_id,
+        |  coalesce(string_agg(chunk_text, '' ORDER BY chunk_idx)
+        |    FILTER (WHERE rn = 1), '') AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(nb) FILTER (WHERE rn = 1), 0) AS BIGINT)
+        |    AS bytes_kept
+        |FROM rk GROUP BY doc_id""".stripMargin) { (s, d) =>
+      ops.Dedup.dedupCdcChunks(
+        Tables.documents(s, d).filter(col("doc_id") < 100),
+        "text", "doc_id", window = 8, maskBits = 5)
+    },
+
     // Lexicon blocklist filter (TextAnalysis.blocklistFilter; the C4
     // "bad words" stage): word-grain occurrence counts against a
     // broadcast lexicon — tokens explode scan-side into a broadcast

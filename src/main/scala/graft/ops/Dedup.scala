@@ -89,6 +89,57 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** CDC-chunk-grain corpus rewrite — the storage-dedup ACTION
+    * [[TextAnalysis.cdcChunks]] exists for (LBFS/rsync arithmetic,
+    * Muthitacharoen 2001): chunk every doc content-defined, keep only the
+    * globally FIRST occurrence of each chunk content (total order
+    * (idCol, chunk_idx) — deterministic), and reassemble each doc from
+    * its surviving chunks in position order. Because CDC boundaries
+    * re-synchronize after an edit, a near-identical doc loses exactly its
+    * shared runs and keeps the touched chunks — the [[cutSpans]]/
+    * dedup-segments stance at CDC boundaries instead of fixed grids.
+    *
+    * Output: (idCol, text_dedup, n_chunks, n_kept, bytes_kept) — docs
+    * with null text absent (chunk-less docs too: nothing to rewrite);
+    * a doc whose every chunk first occurred elsewhere keeps "" (its
+    * content is fully stored by earlier docs). Reassembly is BYTE-exact:
+    * chunks concatenate with no separator, so a doc that keeps all its
+    * chunks reassembles to its original text verbatim.
+    *
+    * Scale shape: the keeper decision shuffles only (fnv64(chunk), id,
+    * chunk_idx) — 8-byte hash keys, never chunk bodies (hash = identity,
+    * the [[exact]] stance), as a map-side-combined aggregate `min` (a
+    * window over chunk content would land a mega-common boilerplate
+    * chunk on one task). Chunk BODIES shuffle exactly once, into the
+    * id-grain reassembly aggregate; the kept-index sets ride in as a
+    * bounded per-doc array joined at the same id grain. */
+  def dedupCdcChunks(df: DataFrame, textCol: String, idCol: String,
+                     window: Int = 8, maskBits: Int = 6): DataFrame = {
+    val ch = TextAnalysis.cdcChunks(df, textCol, idCol, window, maskBits)
+    val keepIdx = ch
+      .select(fnv64(col("chunk_text")).as("_h"), col(idCol), col("chunk_idx"))
+      .groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("_k"))
+      .select(col("_k").getField(idCol).as(idCol),
+        col("_k").getField("chunk_idx").as("_ki"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("_ki")).as("_kidx"))
+    ch.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("chunk_idx"), col("chunk_text"), col("n_bytes")))).as("_cs"))
+      .join(keepIdx, Seq(idCol), "left") // null _kidx = doc keeps nothing
+      .withColumn("_kept", filter(col("_cs"), s =>
+        coalesce(array_contains(col("_kidx"), s.getField("chunk_idx")),
+          lit(false))))
+      .select(col(idCol),
+        array_join(transform(col("_kept"), s => s.getField("chunk_text")), "")
+          .as("text_dedup"),
+        size(col("_cs")).cast("long").as("n_chunks"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        aggregate(col("_kept"), lit(0L),
+          (a, s) => a + s.getField("n_bytes")).as("bytes_kept"))
+  }
+
   /** Incremental exact dedup — the production ingestion shape: the BASE
     * corpus is already deduplicated, so only the DELTA batch is tested,
     * (a) against base content and (b) within itself (min-id keeper).

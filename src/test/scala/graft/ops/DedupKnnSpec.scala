@@ -29,6 +29,40 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("dedupCdcChunks: exact copy stores nothing, edited copy keeps only touched chunks, reassembly byte-exact") {
+    // unique words so the original's chunks are globally unique — its
+    // reassembly must then be the identity
+    val baseText = (1 to 200).map(i => s"w${i * 37 % 211}q$i").mkString(" ")
+    val edited = "EDIT! " + baseText
+    val docs = Seq((1L, baseText), (2L, edited), (3L, baseText),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Dedup.dedupCdcChunks(docs, "text", "id",
+      window = 8, maskBits = 5)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is first in (id, chunk_idx) order: keeps every chunk, and
+    // byte-exact reassembly returns the original text verbatim
+    assert(got(1L)._2 === baseText)
+    assert(got(1L)._3 === got(1L)._4, "doc 1 must keep all chunks")
+    assert(got(1L)._5 === baseText.getBytes("UTF-8").length)
+    // doc 3 is an exact copy: every chunk first occurred in doc 1
+    assert(got(3L)._4 === 0L, "exact copy must store nothing")
+    assert(got(3L)._2 === "")
+    assert(got(3L)._5 === 0L)
+    // doc 2 (front insertion): CDC re-sync means only the edited head
+    // chunks survive — the entire shared tail dedups away
+    assert(got(2L)._4 >= 1L && got(2L)._4 <= 2L,
+      s"edited copy must keep only the touched head chunks: ${got(2L)}")
+    assert(edited.startsWith(got(2L)._2),
+      "survivors of a front edit are a prefix of the edited text")
+    // null text → absent
+    assert(!got.contains(4L))
+    // chunk totals agree with the chunker
+    val nCh = TextAnalysis.cdcChunks(docs, "text", "id", 8, 5)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(got(1L)._3 === nCh(1L) && got(2L)._3 === nCh(2L))
+  }
+
   test("incremental dedup: delta tested against base AND within itself") {
     val base = Seq(
       (1L, "alpha beta gamma"),

@@ -971,6 +971,13 @@ object ScaleCheck {
         graft.ops.TextAnalysis.cdcChunks(d, "text", "doc_id",
           window = 8, maskBits = 5).count()
       }
+      // docs ×k through chunker → 8-byte-hash keeper aggregate → id-grain
+      // reassembly; vowel-rotated replicas share no chunks, so keeper
+      // groups stay replica-local and the fold must track data linearly
+      results(("cdc_dedup_apply", k)) = timed("cdc_dedup_apply", k, nd) {
+        graft.ops.Dedup.dedupCdcChunks(d, "text", "doc_id",
+          window = 8, maskBits = 5).count()
+      }
       // docs ×k through the token explode → broadcast lexicon semi-join →
       // id-grain map-side-combined count; a 300-word lexicon must not
       // change the scan's per-token cost
