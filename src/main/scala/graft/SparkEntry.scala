@@ -8163,6 +8163,61 @@ object SparkEntry {
       ops.Selection.bigramLogProb(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // Interpolated Kneser-Ney trigram LM (Selection.knLogProb; Kneser &
+    // Ney 1995 / Chen & Goodman 1999 arithmetic) — absolute discount
+    // D=0.75, lower orders over CONTINUATION counts (distinct trigram
+    // types), base distribution add-1 over continuation types. The
+    // oracle replays the whole trajectory: trigram types, history
+    // counts, continuation counts N1+(·w2w3)/N1+(w2·)/N1+(·w3), the
+    // exact nested double formula (same association order), and the
+    // scaled-LONG micro-average. Self-scoring, so every backoff join
+    // hits (the held-out backoff branches are pinned by SelectionSpec).
+    q("q_kn_logprob",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |tg AS MATERIALIZED (
+        |  SELECT doc_id, tk[s+1] AS w1, tk[s+2] AS w2, tk[s+3] AS w3,
+        |    tk[s+1] || ' ' || tk[s+2] AS h12,
+        |    tk[s+2] || ' ' || tk[s+3] AS h23,
+        |    tk[s+1] || ' ' || tk[s+2] || ' ' || tk[s+3] AS g3
+        |  FROM (SELECT * FROM tk WHERE len(tk) >= 3), unnest(range(0, len(tk)-2)) u(s)),
+        |trip AS (
+        |  SELECT g3, min(h12) AS h12, min(h23) AS h23, min(w2) AS w2,
+        |    min(w3) AS w3, count(*) AS c123
+        |  FROM tg GROUP BY g3),
+        |hist AS (SELECT h12, sum(c123) AS c12tot, count(*) AS n1p12
+        |         FROM trip GROUP BY h12),
+        |cont AS (SELECT h23, min(w2) AS w2, min(w3) AS w3, count(*) AS ndot23
+        |         FROM trip GROUP BY h23),
+        |mid AS (SELECT w2, sum(ndot23) AS ndotw2dot, count(*) AS n1pw2dot
+        |        FROM cont GROUP BY w2),
+        |uni AS (SELECT w3, count(*) AS ndotw3 FROM cont GROUP BY w3),
+        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+        |              CAST(count(DISTINCT w3) AS DOUBLE) AS vv FROM cont),
+        |lp AS (
+        |  SELECT t.g3, CAST(round(ln(
+        |    (greatest(CAST(t.c123 AS DOUBLE) - 0.75, 0.0)
+        |      + 0.75 * CAST(h.n1p12 AS DOUBLE) *
+        |        ((greatest(CAST(c.ndot23 AS DOUBLE) - 0.75, 0.0)
+        |          + 0.75 * CAST(m.n1pw2dot AS DOUBLE) *
+        |            ((CAST(u.ndotw3 AS DOUBLE) + 1.0) / (nn + vv + 1.0)))
+        |         / CAST(m.ndotw2dot AS DOUBLE)))
+        |    / CAST(h.c12tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+        |  FROM trip t
+        |  JOIN hist h USING (h12)
+        |  JOIN cont c USING (h23)
+        |  JOIN mid m ON m.w2 = t.w2
+        |  JOIN uni u ON u.w3 = t.w3, nv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(round(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+        |    / 1000000.0 AS avg_logprob
+        |FROM tg JOIN lp USING (g3)
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      ops.Selection.knLogProb(Tables.documents(s, d), "text", "doc_id")
+    },
+
     // DSIR importance log-weights (Xie et al. 2023): hashed-bigram feature
     // distributions, target = non-English docs (the multilingual-upsampling
     // selection, matching q_domain_mix's narrative), raw = whole corpus,

@@ -117,6 +117,112 @@ object Selection {
           .cast("long").cast("double") / lit(1e6)).as("avg_logprob"))
   }
 
+  /** The (idCol?, w1, w2, w3, h12, h23, g3) trigram stream of `df` — one
+    * zip_with pass over the token array (the [[bigramLogProb]] stance:
+    * every join key rides along from construction, no downstream
+    * re-splitting). Docs with < 3 tokens contribute nothing. */
+  private def triStream(df: DataFrame, textCol: String,
+                        idCols: Seq[Column]): DataFrame = {
+    val tk = df.select(idCols :+ Dedup.tokens(col(textCol)).as("_tk"): _*)
+      .filter(size(col("_tk")) >= 3)
+    val n = size(col("_tk"))
+    val z = zip_with(
+      zip_with(slice(col("_tk"), lit(1), n - 2),
+        slice(col("_tk"), lit(2), n - 2),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      slice(col("_tk"), lit(3), n - 2),
+      (ab, c) => struct(ab.getField("w1").as("w1"),
+        ab.getField("w2").as("w2"), c.as("w3")))
+    tk.select(idCols :+ explode(z).as("_e"): _*)
+      .select(idCols ++ Seq(
+        col("_e.w1").as("_w1"), col("_e.w2").as("_w2"),
+        col("_e.w3").as("_w3"),
+        concat_ws(" ", col("_e.w1"), col("_e.w2")).as("_h12"),
+        concat_ws(" ", col("_e.w2"), col("_e.w3")).as("_h23"),
+        concat_ws(" ", col("_e.w1"), col("_e.w2"), col("_e.w3")).as("_g3")): _*)
+  }
+
+  /** Per-document mean trigram log-probability under an interpolated
+    * KNESER-NEY LM trained on `train` — the real CCNet rung above
+    * [[bigramLogProb]] (public arithmetic: Kneser & Ney 1995 absolute
+    * discounting with CONTINUATION counts at the lower orders, the Chen
+    * & Goodman 1999 interpolated formulation KenLM implements):
+    *
+    *   P(w3|w1w2) = (max(c(w1w2w3)−D, 0) + D·N1+(w1w2·)·P(w3|w2)) / c(w1w2·)
+    *   P(w3|w2)   = (max(N1+(·w2w3)−D, 0) + D·N1+(w2·)·P(w3)) / N1+(·w2·)
+    *   P(w3)      = (N1+(·w3) + 1) / (N1+(··) + V + 1)
+    *
+    * with fixed discount D, all N1+ counts over DISTINCT trigram types of
+    * the training stream (a frequent-only-in-one-context word — "Francisco"
+    * — gets a LOW continuation weight even though its raw count is high:
+    * the whole point of KN over add-k), and the base distribution add-1
+    * smoothed over continuation types (KenLM's interpolate-with-uniform
+    * analogue — reserves mass for out-of-vocabulary words instead of
+    * ln(0)). Backoff at score time: an unseen history w1w2 falls to
+    * P(w3|w2); an unseen w2 falls to P(w3) (left joins + when, exercised
+    * by the held-out-perplexity unit; on self-scoring every branch is a
+    * hit and the when-guards are identities).
+    *
+    * Output: (idCol, n_trigrams, avg_logprob) — the [[bigramLogProb]]
+    * scaled-LONG discipline: per-trigram round(ln·10⁶) integers, integer
+    * micro-average, order-exact. Docs with < 3 tokens absent.
+    *
+    * Scale shape: the model lives at N-GRAM grain, never broadcast (the
+    * bigram-LM join discipline — trigram-type tables are corpus-sized
+    * artifacts): the score stream carries only (id, grams), the five
+    * model joins all key on n-gram/unigram types, and the only doc-grain
+    * exchange is the final per-doc sum. Every model table derives from
+    * ONE trigram-type aggregate (t123), which Spark's ReuseExchange
+    * dedupes across the five consumers. */
+  def knLogProb(train: DataFrame, score: DataFrame, textCol: String,
+                idCol: String, d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"discount must be in (0,1): $d")
+    val t123 = triStream(train, textCol, Seq.empty)
+      .groupBy(col("_g3"), col("_h12"), col("_h23"), col("_w2"), col("_w3"))
+      .agg(count(lit(1)).as("_c123"))
+    val hist = t123.groupBy(col("_h12"))
+      .agg(sum(col("_c123")).as("_c12tot"), count(lit(1)).as("_n1p12"))
+    // cont grain = (w2,w3) continuation types; its count = distinct w1
+    val cont = t123.groupBy(col("_h23"), col("_w2"), col("_w3"))
+      .agg(count(lit(1)).as("_ndot23"))
+    val mid = cont.groupBy(col("_w2"))
+      .agg(sum(col("_ndot23")).as("_ndotw2dot"),
+        count(lit(1)).as("_n1pw2dot"))
+    val uni = cont.groupBy(col("_w3")).agg(count(lit(1)).as("_ndotw3"))
+    val nv = cont.agg(count(lit(1)).as("_N"),
+      countDistinct(col("_w3")).as("_V"))
+    val dd = lit(d)
+    val sc = triStream(score, textCol, Seq(col(idCol)))
+    val j = sc
+      .join(t123.select(col("_g3"), col("_c123")), Seq("_g3"), "left")
+      .join(hist, Seq("_h12"), "left")
+      .join(cont.select(col("_h23"), col("_ndot23")), Seq("_h23"), "left")
+      .join(mid, Seq("_w2"), "left")
+      .join(uni, Seq("_w3"), "left")
+      .crossJoin(broadcast(nv))
+    val p1 = (coalesce(col("_ndotw3"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("_N").cast("double") + col("_V").cast("double") + lit(1.0))
+    val p2 = when(col("_ndotw2dot").isNull, p1).otherwise(
+      (greatest(coalesce(col("_ndot23"), lit(0L)).cast("double") - dd,
+        lit(0.0)) + dd * col("_n1pw2dot").cast("double") * p1) /
+        col("_ndotw2dot").cast("double"))
+    val p3 = when(col("_c12tot").isNull, p2).otherwise(
+      (greatest(coalesce(col("_c123"), lit(0L)).cast("double") - dd,
+        lit(0.0)) + dd * col("_n1p12").cast("double") * p2) /
+        col("_c12tot").cast("double"))
+    j.select(col(idCol), round(log(p3) * lit(1e6)).cast("long").as("_lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_lp")).as("_s"))
+      .select(col(idCol), col("n_trigrams"),
+        (round(col("_s").cast("double") / col("n_trigrams").cast("double"))
+          .cast("long").cast("double") / lit(1e6)).as("avg_logprob"))
+  }
+
+  /** [[knLogProb]] scoring the corpus under its own KN LM — the
+    * perplexity-proxy quality gate, like [[bigramLogProb]]. */
+  def knLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    knLogProb(df, df, textCol, idCol)
+
   /** Select documents in priority order until a global token budget is hit:
     * keep exactly those rows whose running token total — over the total
     * order (scoreCol DESC, idCol ASC) — stays ≤ `budget`. The "assemble the

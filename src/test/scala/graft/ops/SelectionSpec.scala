@@ -43,6 +43,68 @@ class SelectionSpec extends AnyFunSuite {
     assert(s(10L) > s(11L), s"frequent-bigram doc must outscore: $s")
   }
 
+  test("KN trigram LM: backoff branches finite and ordered; <3-token docs absent") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c a b d a b c e b c"),
+      (2L, "x y z x y w")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"),    // fully seen trigram
+      (11L, "z b c"),    // unseen history (z b) -> backoff to P(c|b)
+      (12L, "a q c"),    // unseen middle word q -> backoff to P(c)
+      (13L, "a b oov"),  // OOV continuation -> add-1 unigram floor
+      (14L, "a b"),      // < 3 tokens -> absent
+      (15L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Selection.knLogProb(train, score, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(10L, 11L, 12L, 13L))
+    got.values.foreach { case (id, n, lp) =>
+      assert(n === 1L)
+      assert(lp < 0.0 && !lp.isNaN && !lp.isInfinite, s"doc $id: $lp")
+    }
+    // more evidence -> higher probability: seen trigram > backed-off
+    // history > OOV floor
+    assert(got(10L)._3 > got(11L)._3, s"${got(10L)} vs ${got(11L)}")
+    assert(got(11L)._3 > got(13L)._3, s"${got(11L)} vs ${got(13L)}")
+  }
+
+  test("KN trigram LM beats add-1 trigram on held-out text") {
+    import spark.implicits._
+    // train: patterned sentences + filler vocab (inflates V, the add-1
+    // denominator); heldout: same pattern language, partially novel
+    // trigram combinations whose CONTINUATIONS are well-attested — the
+    // case KN's continuation counts exist for
+    val trainDocs = (0 until 60).map(i =>
+      (i.toLong, s"the n${i % 10} v${i % 7} on the n${(i + 3) % 10}")) ++
+      (0 until 30).map(i =>
+        (100L + i, s"filler$i filler${(i + 1) % 30} filler${(i + 2) % 30}"))
+    val heldDocs = (0 until 10).map(j =>
+      (200L + j, s"the n$j v${(j + 1) % 7} on the n${(j + 5) % 10}"))
+    val train = trainDocs.toDF("doc_id", "text")
+    val held = heldDocs.toDF("doc_id", "text")
+    val kn = Selection.knLogProb(train, held, "text", "doc_id")
+      .agg(sum(col("avg_logprob") * col("n_trigrams")),
+        sum(col("n_trigrams"))).as[(Double, Long)].head()
+    val knAvg = kn._1 / kn._2
+    // add-1 trigram reference, computed straight from the train counts
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).toSeq
+    val trainTok = trainDocs.map(d => toks(d._2))
+    val c123 = scala.collection.mutable.Map.empty[Seq[String], Long]
+    val c12 = scala.collection.mutable.Map.empty[Seq[String], Long]
+    trainTok.foreach(ts => ts.sliding(3).filter(_.size == 3).foreach { g =>
+      c123(g) = c123.getOrElse(g, 0L) + 1
+      c12(g.take(2)) = c12.getOrElse(g.take(2), 0L) + 1
+    })
+    val vocab = trainTok.flatten.distinct.size.toDouble
+    val heldTris = heldDocs.flatMap(d =>
+      toks(d._2).sliding(3).filter(_.size == 3))
+    val add1Avg = heldTris.map(g => math.log(
+      (c123.getOrElse(g, 0L) + 1.0) /
+        (c12.getOrElse(g.take(2), 0L) + vocab))).sum / heldTris.size
+    assert(knAvg > add1Avg,
+      f"KN must beat add-1 on held-out text: kn=$knAvg%.4f add1=$add1Avg%.4f")
+  }
+
   test("dsir: target-like feature distributions get higher weights; stable under repartition") {
     // non-en docs use a disjoint bigram vocabulary from en docs
     val docs = Seq(

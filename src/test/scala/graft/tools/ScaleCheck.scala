@@ -965,6 +965,13 @@ object ScaleCheck {
         graft.ops.TextAnalysis.langidNb(labeled, docs0, "text", "_lang",
           "doc_id", buckets = 1024).count()
       }
+      // docs ×k through the trigram stream: model tables live at n-gram
+      // grain (vowel-rotated replicas have disjoint trigram vocabularies,
+      // so the type tables also grow ×k) and every model join keys on
+      // n-gram types — linear by construction, no broadcast anywhere
+      results(("kn_logprob", k)) = timed("kn_logprob", k, nd) {
+        graft.ops.Selection.knLogProb(d, "text", "doc_id").count()
+      }
       // docs ×k through one per-row rolling-hash pass + posexplode —
       // scan-side, no shuffle; chunk count is content-proportional
       results(("cdc_chunks", k)) = timed("cdc_chunks", k, nd) {
