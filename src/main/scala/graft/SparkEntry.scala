@@ -7603,6 +7603,66 @@ object SparkEntry {
         "text", "lang", "doc_id", buckets = 1024)
     },
 
+    // Trained quality classifier (TextAnalysis.qualityNb): binary NB over
+    // fnv64-hashed word unigram+bigram features — the langidNb machinery
+    // one label-space down, fully lazy (2×buckets model broadcasts, no
+    // driver LUT). Labels from fixture arithmetic (doc_id % 2 — on this
+    // synthetic corpus labels are independent of text, so the oracle
+    // measures replay fidelity: feature extraction, the recursive FNV
+    // fold, add-1 smoothing, priors, and the integer log-odds; the
+    // separates-real-quality claim is pinned on a planted fixture in
+    // TextAnalysisSpec). The oracle replays unigram+bigram features
+    // through the same fold and both classes' micro-LONG sums.
+    q("q_quality_nb",
+      s"""WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |lab AS (SELECT doc_id, doc_id % 2 = 0 AS y, tk
+        |        FROM tk WHERE len(tk) >= 1),
+        |fu AS (SELECT doc_id, y, unnest(tk) AS g FROM lab),
+        |fb AS (
+        |  SELECT doc_id, y, tk[s+1] || ' ' || tk[s+2] AS g
+        |  FROM (SELECT * FROM lab WHERE len(tk) >= 2),
+        |    unnest(range(0, len(tk)-1)) u(s)),
+        |ft AS (SELECT * FROM fu UNION ALL SELECT * FROM fb),
+        |gv AS (SELECT DISTINCT g FROM ft),
+        |${fnvFoldCtes("gf", "gv", "g", "g")},
+        |gmap AS (SELECT k AS g, CAST(ch % 1024 AS BIGINT) AS b FROM gf),
+        |f AS (SELECT doc_id, y, b FROM ft JOIN gmap USING (g)),
+        |cnt AS (SELECT y, b, count(*) AS c FROM f GROUP BY 1, 2),
+        |ctot AS (SELECT y, count(*) AS ct FROM f GROUP BY 1),
+        |bs AS (SELECT CAST(unnest(range(0, 1024)) AS BIGINT) AS b),
+        |dense AS (
+        |  SELECT ct.y, bs.b,
+        |    CAST(round(ln(CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE)
+        |      / CAST(ct.ct + 1024 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lmic
+        |  FROM ctot ct CROSS JOIN bs
+        |  LEFT JOIN cnt ON cnt.y = ct.y AND cnt.b = bs.b),
+        |pr AS (
+        |  SELECT y, CAST(round(ln(CAST(count(*) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM lab) AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS pmic
+        |  FROM lab GROUP BY y),
+        |s1 AS (
+        |  SELECT f.doc_id,
+        |    sum(CASE WHEN d.y THEN d.lmic ELSE 0 END) AS sp,
+        |    sum(CASE WHEN d.y THEN 0 ELSE d.lmic END) AS sn
+        |  FROM (SELECT doc_id, b FROM f) f JOIN dense d USING (b)
+        |  GROUP BY 1),
+        |pw AS (SELECT (SELECT pmic FROM pr WHERE y) AS pp,
+        |              (SELECT pmic FROM pr WHERE NOT y) AS pn)
+        |SELECT doc_id,
+        |  round(CAST((sp + pp) - (sn + pn) AS DOUBLE) / 1000000.0, 6)
+        |    AS logodds,
+        |  (sp + pp) - (sn + pn) > 0 AS pred
+        |FROM s1, pw""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.qualityNb(
+        docs.withColumn("_y", pmod(col("doc_id"), lit(2)) === 0),
+        docs, "text", "_y", "doc_id", buckets = 1024)
+    },
+
     // Mojibake repair (TextAnalysis.fixEncoding, ftfy-class): both engines
     // inject identical doc_id-derived damage (the q_pii_scrub injection
     // stance) — every 3rd doc gets a suffix whose accents went through

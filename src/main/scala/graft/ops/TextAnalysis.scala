@@ -957,4 +957,99 @@ object TextAnalysis {
           .as("nb_logp"))
   }
 
+  /** Hashed word unigram+bigram feature buckets of a text — the
+    * fastText-classifier feature map (Joulin et al. 2016, public):
+    * fnv64(token) and fnv64("w1 w2") mod `buckets` (power of two, the
+    * signed/unsigned-agreement contract). One scan-side expression;
+    * token-less docs yield an empty array. */
+  private def wordFeatureBuckets(text: Column, buckets: Int): Column = {
+    val tk = Dedup.tokens(text)
+    val n = size(tk)
+    val bigrams = zip_with(slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = when(n >= 2, concat(tk, bigrams)).otherwise(tk)
+    transform(feats, f =>
+      pmod(graft.functions.GraftFunctions.fnv64(f), lit(buckets.toLong)))
+  }
+
+  /** Trained document-QUALITY classifier — the RedPajama/CCNet "looks
+    * like Wikipedia" gate (public recipe: a binary fastText-style
+    * classifier scores pages against a high-quality reference; Wenzek
+    * et al. 2020, Together 2023): binary Naive Bayes over hashed word
+    * unigram+bigram features, reusing the [[langidNb]] machinery one
+    * label-space down. Where the [[gopherRules]] heuristics check FORM
+    * (lengths, ratios — blind to which words appear in which company),
+    * this LEARNS the reference corpus's lexical distribution, so
+    * keyword-stuffed prose that sails through every Gopher threshold
+    * still scores low (the unit pins exactly that separation).
+    *
+    * Train (`labeled`, boolean `labelCol`, rows with null label/text
+    * ignored): per-(class, bucket) counts with add-1 smoothing over the
+    * bucket space → a dense 2 × `buckets` log-likelihood table; class
+    * priors ln(n_class / N) over feature-contributing (≥ 1 token) docs.
+    * Fully LAZY, unlike [[langidNb]]: with only two classes the model
+    * stays a DataFrame and broadcasts — no driver LUT, no collect.
+    *
+    * Score (`toScore`): one scan-side feature explode → ONE broadcast
+    * hash join against the bucket-wide table → one map-side-combined
+    * id-grain sum (micro-LONG integers end to end, the bm25 determinism
+    * stance). Output: (idCol, logodds, pred) — logodds = calibrated
+    * ln P(pos|doc) − ln P(neg|doc) (round-6), pred = logodds > 0.
+    * Token-less docs absent (no features = no evidence, the dsir
+    * contract). BOTH classes must appear in `labeled`; a single-class
+    * corpus surfaces as null logodds (nothing to contrast against).
+    *
+    * Scale shape: the model is bounded (2 × buckets rows) regardless of
+    * corpus size → broadcast; the only exchange is the id-grain sum;
+    * document bodies never shuffle. */
+  def qualityNb(labeled: DataFrame, toScore: DataFrame, textCol: String,
+                labelCol: String, idCol: String,
+                buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two for engine-agnostic hash mod: $buckets")
+    val spark = labeled.sparkSession
+    val trainDocs = labeled
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("_y"), col(textCol))
+      .filter(size(Dedup.tokens(col(textCol))) >= 1)
+    val tf = trainDocs.select(col("_y"),
+      explode(wordFeatureBuckets(col(textCol), buckets)).as("_b"))
+    val cnt = tf.groupBy(col("_y"), col("_b")).agg(count(lit(1)).as("_c"))
+    val ctot = tf.groupBy(col("_y")).agg(count(lit(1)).as("_ct"))
+    val dense = ctot
+      .crossJoin(spark.range(buckets).select(col("id").as("_b")))
+      // cnt is ≤ 2·buckets rows after its map-side-combined aggregate —
+      // broadcast by contract so the model build never sort-merges
+      .join(broadcast(cnt), Seq("_y", "_b"), "left")
+      .select(col("_y"), col("_b"),
+        round(log((coalesce(col("_c"), lit(0L)) + lit(1)).cast("double") /
+            (col("_ct") + lit(buckets)).cast("double")) * lit(1e6))
+          .cast("long").as("_lmic"))
+    // bucket-WIDE layout: one broadcast join serves both classes' sums
+    val wide = dense.groupBy(col("_b")).agg(
+      sum(when(col("_y"), col("_lmic"))).as("_lpPos"),
+      sum(when(!col("_y"), col("_lmic"))).as("_lpNeg"))
+    val nDocs = trainDocs.agg(count(lit(1)).as("_n"))
+    val priorsRow = trainDocs.groupBy(col("_y"))
+      .agg(count(lit(1)).as("_ny"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("_y"),
+        round(log(col("_ny").cast("double") / col("_n").cast("double")) *
+          lit(1e6)).cast("long").as("_pmic"))
+      .groupBy()
+      .agg(sum(when(col("_y"), col("_pmic"))).as("_pPos"),
+        sum(when(!col("_y"), col("_pmic"))).as("_pNeg"))
+    val micro = (col("_sp") + col("_pPos")) - (col("_sn") + col("_pNeg"))
+    toScore.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(wordFeatureBuckets(col(textCol), buckets)).as("_b"))
+      .join(broadcast(wide), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_lpPos")).as("_sp"), sum(col("_lpNeg")).as("_sn"))
+      .crossJoin(broadcast(priorsRow))
+      .select(col(idCol),
+        round(micro.cast("double") / lit(1e6), 6).as("logodds"),
+        (micro > 0L).as("pred"))
+  }
+
 }

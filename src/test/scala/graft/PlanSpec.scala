@@ -40,6 +40,23 @@ class PlanSpec extends AnyFunSuite {
     assert(nx == 1, s"expected exactly the aggregate exchange, got $nx:\n$bp")
   }
 
+  test("qualityNb: bounded model broadcasts — the corpus is never sort-merge-joined") {
+    import org.apache.spark.sql.functions._
+    // parquet table, not a Range source (same vacuous-assert dodge as above)
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val scored = graft.ops.TextAnalysis.qualityNb(
+      docs.withColumn("_y", pmod(col("doc_id"), lit(2)) === 0),
+      docs, "text", "_y", "doc_id", buckets = 64)
+    val p = scored.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the 2×buckets model reaches the feature stream as a broadcast; every
+    // exchange left is a map-side-combined aggregate (train counts, priors,
+    // id-grain score sum) — document bodies never shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join in qualityNb:\n$p")
+  }
+
   test("filters and column pruning reach the parquet scan") {
     val p = plan("q_proj_filter")
     assert(p.contains("PushedFilters: ["), p)

@@ -151,6 +151,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("qualityNb separates planted quality classes that Gopher rules alone cannot") {
+    // both classes are built to PASS every Gopher threshold (50+ words,
+    // mean word length in range, all-alpha, ≥2 stopwords, no bullets/
+    // symbols) — form is identical, only the LEXICAL distribution
+    // differs: nature prose vs keyword-stuffed commerce
+    val hiVocab = Seq("the", "river", "flows", "gently", "through", "green",
+      "valley", "and", "tall", "trees", "shade", "that", "clear", "water",
+      "with", "birds", "sing", "morning", "light", "have")
+    val loVocab = Seq("buy", "cheap", "watches", "best", "price", "deal",
+      "free", "shipping", "the", "and", "discount", "offer", "sale", "now",
+      "with", "that", "order", "today", "have", "stock")
+    def doc(vocab: Seq[String], shift: Int): String =
+      (0 until 60).map(i => vocab((i * 7 + shift) % vocab.size)).mkString(" ")
+    val train = ((0 until 10).map(s => (s.toLong, true, doc(hiVocab, s))) ++
+      (0 until 10).map(s => (100L + s, false, doc(loVocab, s))))
+      .toDF("doc_id", "y", "text")
+    val held = ((10 until 14).map(s => (200L + s, doc(hiVocab, s))) ++
+      (10 until 14).map(s => (300L + s, doc(loVocab, s))))
+      .toDF("doc_id", "text")
+    // precondition: EVERY held-out doc passes the Gopher gate — the
+    // heuristics are blind to this fixture's quality difference
+    val gp = TextAnalysis.gopherRules(held, "doc_id", "text")
+      .select("doc_id", "gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(gp.values.forall(identity),
+      s"fixture must sail through Gopher: $gp")
+    // the trained classifier separates them with a margin
+    val got = TextAnalysis.qualityNb(train, held, "text", "y", "doc_id")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    val hi = (210L until 214L).map(got(_))
+    val lo = (310L until 314L).map(got(_))
+    assert(hi.forall(_._3) && lo.forall(!_._3),
+      s"pred must split the classes: hi=$hi lo=$lo")
+    assert(hi.map(_._2).min > lo.map(_._2).max,
+      s"log-odds must separate with a margin: hi=$hi lo=$lo")
+    // single-token doc scores (unigram features only); empty doc absent
+    val tiny = Seq((1L, "river"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val t = TextAnalysis.qualityNb(train, tiny, "text", "y", "doc_id")
+      .as[(Long, Double, Boolean)].collect().map(_._1).toSet
+    assert(t === Set(1L))
+  }
+
   test("cdcChunks: reassembly exact, edit re-syncs, short/empty/null contracts") {
     // unique words (periodic text would repeat identical chunks and make
     // the alignment check degenerate)

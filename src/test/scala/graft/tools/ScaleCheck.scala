@@ -965,6 +965,14 @@ object ScaleCheck {
         graft.ops.TextAnalysis.langidNb(labeled, docs0, "text", "_lang",
           "doc_id", buckets = 1024).count()
       }
+      // docs ×k through unigram+bigram feature explode → bounded-model
+      // broadcast join → id-grain sum; the train exchange is map-side
+      // combined to ≤ 2·buckets rows per partition at ANY k
+      results(("quality_nb", k)) = timed("quality_nb", k, nd) {
+        val labeled = d.withColumn("_y", pmod(col("doc_id"), lit(2)) === 0)
+        graft.ops.TextAnalysis.qualityNb(labeled, d, "text", "_y",
+          "doc_id", buckets = 1024).count()
+      }
       // docs ×k through the trigram stream: model tables live at n-gram
       // grain (vowel-rotated replicas have disjoint trigram vocabularies,
       // so the type tables also grow ×k) and every model join keys on
