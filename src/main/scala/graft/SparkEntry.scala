@@ -8278,6 +8278,82 @@ object SparkEntry {
       ops.Selection.knLogProb(Tables.documents(s, d), "text", "doc_id")
     },
 
+    // KN held-out scoring — drives the BACKOFF branches through the
+    // oracle (q_kn_logprob self-scores, so its joins all hit): train on
+    // 3/4 of the corpus, score the held-out quarter with an injected
+    // doc_id-derived suffix (" zq<id> the zq<id>") whose tokens are OOV
+    // by construction — forcing every branch: OOV continuation (…, tN,
+    // zq), unseen middle (tN, zq, the), unseen history + OOV w3 (zq,
+    // the, zq). The oracle replays the model from the SAME train split
+    // and the left-join + CASE backoff ladder with identical arithmetic.
+    q("q_kn_heldout",
+      """WITH ttk AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 <> 0),
+        |stk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(text || ' zq' || doc_id || ' the zq' || doc_id)),
+        |    '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
+        |tg AS MATERIALIZED (
+        |  SELECT tk[s+1] AS w1, tk[s+2] AS w2, tk[s+3] AS w3,
+        |    tk[s+1] || ' ' || tk[s+2] AS h12,
+        |    tk[s+2] || ' ' || tk[s+3] AS h23,
+        |    tk[s+1] || ' ' || tk[s+2] || ' ' || tk[s+3] AS g3
+        |  FROM (SELECT * FROM ttk WHERE len(tk) >= 3), unnest(range(0, len(tk)-2)) u(s)),
+        |trip AS (
+        |  SELECT g3, min(h12) AS h12, min(h23) AS h23, min(w2) AS w2,
+        |    min(w3) AS w3, count(*) AS c123
+        |  FROM tg GROUP BY g3),
+        |hist AS (SELECT h12, sum(c123) AS c12tot, count(*) AS n1p12
+        |         FROM trip GROUP BY h12),
+        |cont AS (SELECT h23, min(w2) AS w2, min(w3) AS w3, count(*) AS ndot23
+        |         FROM trip GROUP BY h23),
+        |mid AS (SELECT w2, sum(ndot23) AS ndotw2dot, count(*) AS n1pw2dot
+        |        FROM cont GROUP BY w2),
+        |uni AS (SELECT w3, count(*) AS ndotw3 FROM cont GROUP BY w3),
+        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+        |              CAST(count(DISTINCT w3) AS DOUBLE) AS vv FROM cont),
+        |sg AS MATERIALIZED (
+        |  SELECT doc_id, tk[s+1] AS w1, tk[s+2] AS w2, tk[s+3] AS w3,
+        |    tk[s+1] || ' ' || tk[s+2] AS h12,
+        |    tk[s+2] || ' ' || tk[s+3] AS h23,
+        |    tk[s+1] || ' ' || tk[s+2] || ' ' || tk[s+3] AS g3
+        |  FROM (SELECT * FROM stk WHERE len(tk) >= 3), unnest(range(0, len(tk)-2)) u(s)),
+        |sgv AS (SELECT DISTINCT w2, w3, h12, h23, g3 FROM sg),
+        |m AS (
+        |  SELECT s.g3,
+        |    (CAST(coalesce(u.ndotw3, 0) AS DOUBLE) + 1.0) / (nn + vv + 1.0) AS p1,
+        |    CASE WHEN md.ndotw2dot IS NULL THEN p1
+        |         ELSE (greatest(CAST(coalesce(c.ndot23, 0) AS DOUBLE) - 0.75, 0.0)
+        |               + 0.75 * CAST(md.n1pw2dot AS DOUBLE) * p1)
+        |              / CAST(md.ndotw2dot AS DOUBLE) END AS p2,
+        |    CASE WHEN h.c12tot IS NULL THEN p2
+        |         ELSE (greatest(CAST(coalesce(t.c123, 0) AS DOUBLE) - 0.75, 0.0)
+        |               + 0.75 * CAST(h.n1p12 AS DOUBLE) * p2)
+        |              / CAST(h.c12tot AS DOUBLE) END AS p3
+        |  FROM sgv s
+        |  LEFT JOIN trip t ON t.g3 = s.g3
+        |  LEFT JOIN hist h ON h.h12 = s.h12
+        |  LEFT JOIN cont c ON c.h23 = s.h23
+        |  LEFT JOIN mid md ON md.w2 = s.w2
+        |  LEFT JOIN uni u ON u.w3 = s.w3, nv),
+        |lp AS (SELECT g3, CAST(round(ln(p3) * 1000000.0) AS BIGINT) AS lp
+        |       FROM m)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(round(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+        |    / 1000000.0 AS avg_logprob
+        |FROM sg JOIN lp USING (g3)
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val train = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val heldout = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zq"), col("doc_id").cast("string"),
+            lit(" the zq"), col("doc_id").cast("string")).as("text"))
+      ops.Selection.knLogProb(train, heldout, "text", "doc_id")
+    },
+
     // DSIR importance log-weights (Xie et al. 2023): hashed-bigram feature
     // distributions, target = non-English docs (the multilingual-upsampling
     // selection, matching q_domain_mix's narrative), raw = whole corpus,
