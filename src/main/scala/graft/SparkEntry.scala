@@ -8354,6 +8354,80 @@ object SparkEntry {
       ops.Selection.knLogProb(train, heldout, "text", "doc_id")
     },
 
+    // The CCNet COMPOSITION the KN scorer exists for: score every doc
+    // under the corpus LM, then keep the most-natural documents —
+    // (avg_logprob DESC, doc_id) order — until a 9k-token budget is
+    // exhausted (Wenzek 2020 keeps the low-perplexity tail; budget
+    // assembly is selectToTokenBudget's histogram split, oracle is the
+    // definition window). Cross-engine score equality is already pinned
+    // by q_kn_logprob's hash gate, so the order — and the boundary doc —
+    // must agree exactly.
+    q("q_kn_curate",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tg AS MATERIALIZED (
+        |  SELECT doc_id, tk[s+1] AS w1, tk[s+2] AS w2, tk[s+3] AS w3,
+        |    tk[s+1] || ' ' || tk[s+2] AS h12,
+        |    tk[s+2] || ' ' || tk[s+3] AS h23,
+        |    tk[s+1] || ' ' || tk[s+2] || ' ' || tk[s+3] AS g3
+        |  FROM (SELECT * FROM tk WHERE len(tk) >= 3), unnest(range(0, len(tk)-2)) u(s)),
+        |trip AS (
+        |  SELECT g3, min(h12) AS h12, min(h23) AS h23, min(w2) AS w2,
+        |    min(w3) AS w3, count(*) AS c123
+        |  FROM tg GROUP BY g3),
+        |hist AS (SELECT h12, sum(c123) AS c12tot, count(*) AS n1p12
+        |         FROM trip GROUP BY h12),
+        |cont AS (SELECT h23, min(w2) AS w2, min(w3) AS w3, count(*) AS ndot23
+        |         FROM trip GROUP BY h23),
+        |mid AS (SELECT w2, sum(ndot23) AS ndotw2dot, count(*) AS n1pw2dot
+        |        FROM cont GROUP BY w2),
+        |uni AS (SELECT w3, count(*) AS ndotw3 FROM cont GROUP BY w3),
+        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+        |              CAST(count(DISTINCT w3) AS DOUBLE) AS vv FROM cont),
+        |lp AS (
+        |  SELECT t.g3, CAST(round(ln(
+        |    (greatest(CAST(t.c123 AS DOUBLE) - 0.75, 0.0)
+        |      + 0.75 * CAST(h.n1p12 AS DOUBLE) *
+        |        ((greatest(CAST(c.ndot23 AS DOUBLE) - 0.75, 0.0)
+        |          + 0.75 * CAST(m.n1pw2dot AS DOUBLE) *
+        |            ((CAST(u.ndotw3 AS DOUBLE) + 1.0) / (nn + vv + 1.0)))
+        |         / CAST(m.ndotw2dot AS DOUBLE)))
+        |    / CAST(h.c12tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+        |  FROM trip t
+        |  JOIN hist h USING (h12)
+        |  JOIN cont c USING (h23)
+        |  JOIN mid m ON m.w2 = t.w2
+        |  JOIN uni u ON u.w3 = t.w3, nv),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+        |      / 1000000.0 AS avg_logprob
+        |  FROM tg JOIN lp USING (g3) GROUP BY doc_id),
+        |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM tk),
+        |c AS (
+        |  SELECT s.doc_id, nt.n_tok, s.avg_logprob,
+        |    sum(nt.n_tok) OVER (ORDER BY s.avg_logprob DESC, s.doc_id) AS cum
+        |  FROM sc s JOIN nt USING (doc_id))
+        |SELECT doc_id, n_tok, avg_logprob FROM c WHERE cum <= 9000""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val kn = ops.Selection.knLogProb(docs, "text", "doc_id")
+      // materialize the scored corpus ONCE (the q_curate_select stage-
+      // boundary stance): selectToTokenBudget's histogram split reads its
+      // input ~3× (stats agg, bucket cumulative, boundary window) and
+      // would otherwise re-run the whole KN model+score pipeline each
+      // time (measured 7.1 s → 2.4 s)
+      val scored = kn.join(
+        docs.select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tok")),
+        Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"), col("avg_logprob"))
+        .localCheckpoint(false)
+      ops.Selection.selectToTokenBudget(scored, "doc_id", "n_tok",
+        "avg_logprob", budget = 9000L, buckets = 64)
+    },
+
     // DSIR importance log-weights (Xie et al. 2023): hashed-bigram feature
     // distributions, target = non-English docs (the multilingual-upsampling
     // selection, matching q_domain_mix's narrative), raw = whole corpus,
