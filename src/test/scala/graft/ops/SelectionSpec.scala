@@ -103,6 +103,15 @@ class SelectionSpec extends AnyFunSuite {
         (c12.getOrElse(g.take(2), 0L) + vocab))).sum / heldTris.size
     assert(knAvg > add1Avg,
       f"KN must beat add-1 on held-out text: kn=$knAvg%.4f add1=$add1Avg%.4f")
+    // the win is a property of the discounting, not of one lucky D: every
+    // discount in the standard range beats add-1 on the same held-out set
+    for (dd <- Seq(0.25, 0.5, 0.9)) {
+      val k2 = Selection.knLogProb(train, held, "text", "doc_id", d = dd)
+        .agg(sum(col("avg_logprob") * col("n_trigrams")),
+          sum(col("n_trigrams"))).as[(Double, Long)].head()
+      assert(k2._1 / k2._2 > add1Avg,
+        f"KN at D=$dd must beat add-1: ${k2._1 / k2._2}%.4f vs $add1Avg%.4f")
+    }
   }
 
   test("dsir: target-like feature distributions get higher weights; stable under repartition") {
