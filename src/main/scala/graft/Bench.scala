@@ -32,6 +32,47 @@ import org.apache.spark.sql.SparkSession
   * `cold_queries`/`cold_value` so startup cost stays visible, not hidden.
   */
 object Bench {
+
+  /** Where this run may write its artifact — the r17 verdict's prior-
+    * poisoning guard. A dev-loop SUBSET run (query filter active, or a
+    * full-suite launch that measures fewer queries than the committed
+    * prior knows) silently replacing `BENCH_SELF.jsonl` corrupts every
+    * later regression comparison: the guard flagged r17 queries against a
+    * 9-query scratch run until the prior was hand-restored (commit
+    * 5723a69). Rule: if the configured out path IS the prior path, a
+    * subset run — explicit (`subsetActive`) or detected (the incoming
+    * query set is missing names the prior carries; growth is the normal
+    * new-round case and passes) — is redirected to `<out>.subset`. Pure
+    * so BenchGuardSpec can pin it without a SparkSession. */
+  def resolvedBenchOut(outPath: String, priorPath: String,
+                       subsetActive: Boolean, measuredNames: Set[String],
+                       priorNames: Set[String]): String = {
+    val samePath = java.nio.file.Paths.get(outPath).toAbsolutePath ==
+      java.nio.file.Paths.get(priorPath).toAbsolutePath
+    val shrank = priorNames.nonEmpty && !priorNames.subsetOf(measuredNames)
+    if (samePath && (subsetActive || shrank)) outPath + ".subset" else outPath
+  }
+
+  /** Fixed-work single-thread calibration probe (r17 verdict item 2):
+    * 200M xorshift64 steps, JIT-warmed by an untimed 20M run. Identical
+    * work every invocation, so the before/after fields in the headline
+    * quantify cross-round HOST drift (the r17 close ran 1.25× slower
+    * than r16 purely from host contention — only diagnosable by hand
+    * until this number lived in the artifact). */
+  def calibrate(): Double = {
+    def loop(n: Int): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    val sink = loop(20000000)
+    val t0 = System.nanoTime()
+    val sink2 = loop(200000000)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (sink == 42L && sink2 == 43L) System.err.print("") // defeat DCE
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -83,6 +124,7 @@ object Bench {
         .split(' ').take(3).mkString(" ")
       catch { case _: Throwable => "na" }
     val loadBefore = loadavg()
+    val calibBefore = calibrate()
 
     final case class R(name: String, warm: Double, warmMax: Double,
                        cold: Double, err: Option[String], reruns: Int = 0)
@@ -310,10 +352,11 @@ object Bench {
         ",\"duckdb\":" + sec3(d) + ",\"ratio\":" + sec3(rt) + "}"
     }.mkString("[", ",", "]")
     val loadAfter = loadavg()
+    val calibAfter = calibrate()
     val subset = slowestSubset(
       math.max(200, 1400 - errNames.length - staleJson.length))
     val shown = subset.count(_ == ':')
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"reruns":${results.map(_.reruns).sum},"regressions":${regressionLog.size},"failed":$errNames,"baseline_loaded":$baselineLoaded,"stale_adjudications":$staleJson,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","queries":$subset,"value":${sec3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"reruns":${results.map(_.reruns).sum},"regressions":${regressionLog.size},"failed":$errNames,"baseline_loaded":$baselineLoaded,"stale_adjudications":$staleJson,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","calib_before":${sec3(calibBefore)},"calib_after":${sec3(calibAfter)},"queries":$subset,"value":${sec3(total)}}"""
     // Self-contained round artifact (JSON lines: cold, warm_detail,
     // headline) — committed from the repo working dir by the round's
     // closing commit, so the full per-query map survives even when the
@@ -321,7 +364,14 @@ object Bench {
     // measurement itself.
     // .jsonl: three concatenated JSON lines, named so `json.loads` tooling
     // is never tempted to parse the file as one document.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.jsonl")
+    // Prior-poisoning guard (r17 verdict item 1): a subset run must leave
+    // the regression prior byte-identical — it lands in <out>.subset.
+    val outPath0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.jsonl")
+    val outPath = resolvedBenchOut(outPath0, priorPath, only.isDefined,
+      selected.keySet, prior.keySet)
+    if (outPath != outPath0)
+      System.err.println(s"[bench] subset run: artifact redirected to " +
+        s"$outPath; the full-suite prior $priorPath is untouched")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       coldLine + "\n" + warmLine + "\n" + line + "\n")
     catch { case _: Throwable => }

@@ -112,13 +112,24 @@ object Dedup {
     * window over chunk content would land a mega-common boilerplate
     * chunk on one task). Chunk BODIES shuffle exactly once, into the
     * id-grain reassembly aggregate; the kept-index sets ride in as a
-    * bounded per-doc array joined at the same id grain. */
+    * bounded per-doc array joined at the same id grain.
+    *
+    * Hash-collision contract (r17 ADVICE): chunk identity is
+    * (fnv64(chunk), byte length) — the length co-key retires every
+    * unequal-length 64-bit collision for free (it is already computed).
+    * A residual SAME-length fnv64 collision between distinct contents
+    * does not just miscount a duplicate here: the losing chunk is
+    * dropped from its doc's reassembly, i.e. the rewritten text is
+    * CORRUPTED — the consequence to weigh before shrinking the hash.
+    * (The DuckDB oracle partitions by actual chunk_text, so a collision
+    * surfaces as a loud hash-gate mismatch, never silently.) */
   def dedupCdcChunks(df: DataFrame, textCol: String, idCol: String,
                      window: Int = 8, maskBits: Int = 6): DataFrame = {
     val ch = TextAnalysis.cdcChunks(df, textCol, idCol, window, maskBits)
     val keepIdx = ch
-      .select(fnv64(col("chunk_text")).as("_h"), col(idCol), col("chunk_idx"))
-      .groupBy(col("_h"))
+      .select(fnv64(col("chunk_text")).as("_h"),
+        col("n_bytes").as("_hl"), col(idCol), col("chunk_idx"))
+      .groupBy(col("_h"), col("_hl"))
       .agg(min(struct(col(idCol), col("chunk_idx"))).as("_k"))
       .select(col("_k").getField(idCol).as(idCol),
         col("_k").getField("chunk_idx").as("_ki"))

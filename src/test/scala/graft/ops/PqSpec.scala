@@ -239,10 +239,12 @@ class PqSpec extends AnyFunSuite {
     // full probe + full shortlist degenerates to exact search
     val exact = slc.find(x => x.nProbe == 8 && x.shortlist == nFull).get
     assert(exact.recallIvfPq === 1.0, s"must be exact: $exact")
-    // a starved shortlist at full probe must not BEAT the full shortlist
-    // (and on this fixture is strictly worse — the axis carries signal)
+    // a starved shortlist at full probe is STRICTLY worse than the full
+    // shortlist on this fixture — the axis carries signal (r17 ADVICE:
+    // `<= 1.0` was vacuously true for any recall value)
     val starved = slc.find(x => x.nProbe == 8 && x.shortlist == 10).get
-    assert(starved.recallIvfPq <= 1.0)
+    assert(starved.recallIvfPq < exact.recallIvfPq,
+      s"starved shortlist must be strictly worse: $starved vs $exact")
   }
 
   test("VectorIndex: on-disk partitioned layout probes ≡ on-the-fly, replay-idempotent, scan-pruned") {

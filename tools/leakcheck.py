@@ -42,7 +42,12 @@ SKIP_DIRS = {"target", ".git", ".idea", ".bsp", "spark-warehouse", "project"}
 # self-match is auditable rather than hidden.
 
 def main():
-    round_no = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # r17 ADVICE: the round number is REQUIRED — a default of 0 let a
+    # committed artifact claim "round": 0 while the docs said round 17.
+    if len(sys.argv) < 2:
+        sys.exit("usage: leakcheck.py <round_no> [repo_root] "
+                 "(round number is required; no default)")
+    round_no = int(sys.argv[1])
     root = sys.argv[2] if len(sys.argv) > 2 else "."
     hits = {k: [] for k in CATEGORIES}
     n_files = 0
