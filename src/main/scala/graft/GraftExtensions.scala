@@ -49,6 +49,8 @@ object GraftExtensions {
       xs => L2Distance(xs(0), xs(1)) },
     f("dot_product", "dot_product(a, b)") {
       xs => DotProduct(xs(0), xs(1)) },
+    f("max_sim", "max_sim(q, d) — ColBERT late-interaction sum of per-query-token max cosine over array<array<float>>") {
+      xs => MaxSim(xs(0), xs(1)) },
     f("fnv64", "fnv64(s) — 64-bit FNV-1a content hash") {
       xs => Fnv64(xs(0)) },
     f("simhash64", "simhash64(tokens) — Charikar simhash") {

@@ -16,6 +16,7 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(e(a), e(b)))
   def l2_dist(a: Column, b: Column): Column   = col(L2Distance(e(a), e(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(e(a), e(b)))
+  def max_sim(q: Column, d: Column): Column = col(MaxSim(e(q), e(d)))
   def fnv64(c: Column): Column                = col(Fnv64(e(c)))
   def simhash64(tokens: Column): Column       = col(SimHash64(e(tokens)))
   def minhash_sig(tokens: Column, k: Int): Column = col(MinHashSignature(e(tokens), k))

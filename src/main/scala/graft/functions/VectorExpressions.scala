@@ -143,6 +143,152 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Late-interaction MaxSim (ColBERT scoring arithmetic — Khattab &
+  * Zaharia 2020, public): for multi-vector representations
+  * `array<array<float|double>>`, score = Σ over QUERY token vectors of
+  * the max over DOC token vectors of cosine similarity. The retrieval-
+  * quality rung above single-vector cosine: each query token is free to
+  * match its own best doc token instead of one pooled vector having to
+  * satisfy all of them.
+  *
+  * Semantics:
+  *  - null outer array → null (`nullIntolerant`);
+  *  - a null QUERY token vector contributes 0 to the sum;
+  *  - an empty doc (or one with only null token vectors competing at
+  *    cosine 0) still takes the max over what exists; an EMPTY doc array
+  *    contributes 0 per query token;
+  *  - a null DOC token vector competes as cosine 0 (a zero vector);
+  *  - per-pair cosine is the [[CosineSimilarity]] kernel verbatim
+  *    (sequential accumulation, zero-pad on length mismatch, 0.0 on a
+  *    zero norm), so `max_sim([[v]], [[w]]) ≡ cosine_sim(v, w)` exactly —
+  *    pinned by VectorExpressionsSpec.
+  *
+  * Determinism: both engines walk query tokens in array order and doc
+  *   tokens in array order with identical double arithmetic, so the
+  *   result is bit-reproducible against the DuckDB oracle's unrolled
+  *   greatest()/+ replay (q_maxsim).
+  * Scale: O(|q|·|d|·dim) per pair — ALWAYS run it on an ANN/exact
+  *   shortlist ([[graft.ops.Retrieval.maxSimRerank]]), never corpus ×
+  *   queries. */
+case class MaxSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "max_sim"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(ArrayType(FloatType | DoubleType, _), _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<array<float|double>> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  private def innerIsFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType]
+      .elementType == FloatType
+  @inline private def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (a.isNullAt(i)) 0.0
+    else if (isFloat) a.getFloat(i).toDouble
+    else a.getDouble(i)
+
+  private def cos(q: ArrayData, d: ArrayData, qf: Boolean, df: Boolean): Double = {
+    val nq = q.numElements(); val nd = d.numElements()
+    val n = math.min(nq, nd)
+    var dot = 0.0; var qa = 0.0; var qb = 0.0; var i = 0
+    while (i < n) {
+      val x = get(q, qf, i); val y = get(d, df, i)
+      dot += x * y; qa += x * x; qb += y * y; i += 1
+    }
+    while (i < nq) { val x = get(q, qf, i); qa += x * x; i += 1 }
+    i = n
+    while (i < nd) { val y = get(d, df, i); qb += y * y; i += 1 }
+    if (qa == 0.0 || qb == 0.0) 0.0 else dot / (math.sqrt(qa) * math.sqrt(qb))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (qf, df) = (innerIsFloat(left.dataType), innerIsFloat(right.dataType))
+    val nq = a.numElements(); val nd = b.numElements()
+    var total = 0.0; var i = 0
+    while (i < nq) {
+      if (!a.isNullAt(i)) {
+        val qv = a.getArray(i)
+        var best = 0.0; var any = false; var j = 0
+        while (j < nd) {
+          val c = if (b.isNullAt(j)) 0.0 else cos(qv, b.getArray(j), qf, df)
+          if (!any || c > best) { best = c; any = true }
+          j += 1
+        }
+        if (any) total += best
+      }
+      i += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (qf, df) = (innerIsFloat(left.dataType), innerIsFloat(right.dataType))
+    def jGet(arr: String, isFloat: Boolean, i: String): String =
+      if (isFloat) s"($arr.isNullAt($i) ? 0.0 : (double) $arr.getFloat($i))"
+      else s"($arr.isNullAt($i) ? 0.0 : $arr.getDouble($i))"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ad = classOf[ArrayData].getName
+      val nq = ctx.freshName("nq"); val nd = ctx.freshName("nd")
+      val total = ctx.freshName("total"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val qv = ctx.freshName("qv")
+      val dv = ctx.freshName("dv"); val best = ctx.freshName("best")
+      val any = ctx.freshName("any"); val c = ctx.freshName("c")
+      val n = ctx.freshName("n"); val p = ctx.freshName("p")
+      val dot = ctx.freshName("dot"); val qa = ctx.freshName("qa")
+      val qb = ctx.freshName("qb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $nq = $a.numElements(); int $nd = $b.numElements();
+         |double $total = 0.0;
+         |for (int $i = 0; $i < $nq; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  $ad $qv = $a.getArray($i);
+         |  double $best = 0.0; boolean $any = false;
+         |  for (int $j = 0; $j < $nd; $j++) {
+         |    double $c;
+         |    if ($b.isNullAt($j)) {
+         |      $c = 0.0;
+         |    } else {
+         |      $ad $dv = $b.getArray($j);
+         |      int $n = java.lang.Math.min($qv.numElements(), $dv.numElements());
+         |      double $dot = 0.0; double $qa = 0.0; double $qb = 0.0;
+         |      int $p = 0;
+         |      for (; $p < $n; $p++) {
+         |        double $x = ${jGet(qv, qf, p)};
+         |        double $y = ${jGet(dv, df, p)};
+         |        $dot += $x * $y; $qa += $x * $x; $qb += $y * $y;
+         |      }
+         |      for (; $p < $qv.numElements(); $p++) {
+         |        double $x = ${jGet(qv, qf, p)}; $qa += $x * $x;
+         |      }
+         |      for ($p = $n; $p < $dv.numElements(); $p++) {
+         |        double $y = ${jGet(dv, df, p)}; $qb += $y * $y;
+         |      }
+         |      $c = ($qa == 0.0 || $qb == 0.0)
+         |        ? 0.0 : $dot / (java.lang.Math.sqrt($qa) * java.lang.Math.sqrt($qb));
+         |    }
+         |    if (!$any || $c > $best) { $best = $c; $any = true; }
+         |  }
+         |  if ($any) $total += $best;
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** l2_dist(a, b) = sqrt(Σ (a_i - b_i)^2), shorter vector zero-padded. */
 case class L2Distance(left: Expression, right: Expression)
     extends VectorBinaryExpression {

@@ -256,6 +256,40 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Late-interaction MaxSim re-rank (ColBERT serving shape, public
+    * arithmetic — Khattab & Zaharia 2020) of a BOUNDED candidate set:
+    * `cands` is (qIdCol, dIdCol) pairs from a first-stage retriever
+    * (ANN shortlist, BM25 top-n, [[Knn.knnJoin]]) — the multi-vector
+    * O(|q|·|d|·dim) kernel runs on those pairs ONLY, never corpus ×
+    * queries. Output: (qIdCol, dIdCol, maxsim, rn), rn = 1..k per query
+    * over (maxsim DESC, id ASC).
+    *
+    * Plan shape: the candidate set and the query multi-vectors are
+    * bounded by construction → both BROADCAST into one pass over the doc
+    * side (the [[Knn.knnJoin]] stance: the corpus scans once, its
+    * multi-vector payloads never shuffle); per-query top-k is the bounded
+    * [[graft.functions.TopKByScore]] partial aggregate, so the only
+    * exchange carries ≤ partitions × queries × k (score, id) rows. */
+  def maxSimRerank(cands: DataFrame, queries: DataFrame, qIdCol: String,
+                   qVecsCol: String, docs: DataFrame, dIdCol: String,
+                   dVecsCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val scored = docs
+      .select(col(dIdCol).cast("long").as("_did"), col(dVecsCol))
+      .join(broadcast(cands.select(col(qIdCol),
+        col(dIdCol).cast("long").as("_did"))), Seq("_did"))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecsCol))), Seq(qIdCol))
+      .select(col(qIdCol), col("_did"),
+        graft.functions.GraftFunctions.max_sim(col(qVecsCol), col(dVecsCol))
+          .as("_score"))
+    scored.groupBy(col(qIdCol))
+      .agg(topk(col("_score"), col("_did")).as("_top"))
+      .select(col(qIdCol), posexplode(col("_top")))
+      .select(col(qIdCol), col("col.id").as(dIdCol),
+        col("col.score").as("maxsim"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Maximal-Marginal-Relevance re-rank of a retrieval SHORTLIST — the
     * serving-side diversity stage: greedily pick the candidate maximizing
     * λ·rel − (1−λ)·max-sim-to-already-picked, so near-duplicate hits

@@ -175,31 +175,110 @@ object Selection {
     * ONE trigram-type aggregate (t123), which Spark's ReuseExchange
     * dedupes across the five consumers. */
   def knLogProb(train: DataFrame, score: DataFrame, textCol: String,
-                idCol: String, d: Double = 0.75): DataFrame = {
-    require(d > 0.0 && d < 1.0, s"discount must be in (0,1): $d")
-    val t123 = triStream(train, textCol, Seq.empty)
-      .groupBy(col("_g3"), col("_h12"), col("_h23"), col("_w2"), col("_w3"))
+                idCol: String, d: Double = 0.75): DataFrame =
+    knScore(knTrain(train, textCol), score, textCol, idCol, d)
+
+  /** Trained KN model as ONE persistable, grain-tagged frame — the KenLM
+    * artifact discipline (train once, materialize, score many runs;
+    * before r18 `knLogProb(df, df, …)` retrained per call). Schema:
+    * (groupCols…, grain, _k, _c1, _c2) with grain ∈
+    * {trig, hist, cont, mid, uni, nv}:
+    *
+    *  - trig: _k = trigram type,  _c1 = c(w1w2w3)         — PRUNABLE
+    *  - hist: _k = history w1w2,  _c1 = c(w1w2·), _c2 = N1+(w1w2·)
+    *  - cont: _k = w2w3,          _c1 = N1+(·w2w3)
+    *  - mid:  _k = w2,            _c1 = N1+(·w2·), _c2 = N1+(w2·)
+    *  - uni:  _k = w3,            _c1 = N1+(·w3)
+    *  - nv:   _k = "",            _c1 = N1+(··), _c2 = V
+    *
+    * Pruning (`minCount`): only the TRIGRAM grain is thresholded — the
+    * KenLM count-pruning shape: a pruned trigram scores through the
+    * already-present backoff path (hist hits, trig misses →
+    * p = D·N1+(w1w2·)·P(w3|w2) / c(w1w2·), the count-0 value), and every
+    * lower-order table keeps its unpruned statistics, so pruning can only
+    * LOWER a scored trigram's probability (max(c−D,0)/c(w1w2·) ≥ 0 mass
+    * is dropped, the interpolation weight stays) — held-out log-prob is
+    * therefore monotone non-increasing in `minCount`, which SelectionSpec
+    * pins. The trigram grain is the corpus-sized table; pruning it is
+    * where the artifact shrinks.
+    *
+    * `groupCols` trains ONE INDEPENDENT model per group value (the CCNet
+    * per-language shape): every grain gains the group key, nothing is
+    * shared across groups. Scale shape unchanged from the fused
+    * formulation: all six grains derive from ONE trigram-type aggregate
+    * (ReuseExchange dedupes it across the union branches), each grain is
+    * a map-side-combined aggregate at its own n-gram grain, nothing is
+    * corpus-×-group sized beyond the trigram types themselves. */
+  def knTrain(train: DataFrame, textCol: String, minCount: Long = 1L,
+              groupCols: Seq[String] = Nil): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    val g = groupCols.map(col)
+    def gs(cs: Column*): Seq[Column] = g ++ cs
+    val t123 = triStream(train, textCol, g)
+      .groupBy(gs(col("_g3"), col("_h12"), col("_h23"), col("_w2"),
+        col("_w3")): _*)
       .agg(count(lit(1)).as("_c123"))
-    val hist = t123.groupBy(col("_h12"))
-      .agg(sum(col("_c123")).as("_c12tot"), count(lit(1)).as("_n1p12"))
+    val nil = lit(null).cast("long")
+    def row(grain: String, k: Column, c1: Column, c2: Column) =
+      gs(lit(grain).as("grain"), k.as("_k"), c1.as("_c1"), c2.as("_c2"))
+    val trig = t123.filter(col("_c123") >= minCount)
+      .select(row("trig", col("_g3"), col("_c123"), nil): _*)
+    val hist = t123.groupBy(gs(col("_h12")): _*)
+      .agg(sum(col("_c123")).as("_c1"), count(lit(1)).as("_c2"))
+      .select(row("hist", col("_h12"), col("_c1"), col("_c2")): _*)
     // cont grain = (w2,w3) continuation types; its count = distinct w1
-    val cont = t123.groupBy(col("_h23"), col("_w2"), col("_w3"))
+    val contFull = t123.groupBy(gs(col("_h23"), col("_w2"), col("_w3")): _*)
       .agg(count(lit(1)).as("_ndot23"))
-    val mid = cont.groupBy(col("_w2"))
-      .agg(sum(col("_ndot23")).as("_ndotw2dot"),
-        count(lit(1)).as("_n1pw2dot"))
-    val uni = cont.groupBy(col("_w3")).agg(count(lit(1)).as("_ndotw3"))
-    val nv = cont.agg(count(lit(1)).as("_N"),
-      countDistinct(col("_w3")).as("_V"))
+    val cont = contFull.select(row("cont", col("_h23"), col("_ndot23"), nil): _*)
+    val mid = contFull.groupBy(gs(col("_w2")): _*)
+      .agg(sum(col("_ndot23")).as("_c1"), count(lit(1)).as("_c2"))
+      .select(row("mid", col("_w2"), col("_c1"), col("_c2")): _*)
+    val uni = contFull.groupBy(gs(col("_w3")): _*)
+      .agg(count(lit(1)).as("_c1"))
+      .select(row("uni", col("_w3"), col("_c1"), nil): _*)
+    val nv = (if (groupCols.isEmpty) contFull.groupBy()
+              else contFull.groupBy(g: _*))
+      .agg(count(lit(1)).as("_c1"), countDistinct(col("_w3")).as("_c2"))
+      .select(row("nv", lit(""), col("_c1"), col("_c2")): _*)
+    trig.unionByName(hist).unionByName(cont).unionByName(mid)
+      .unionByName(uni).unionByName(nv)
+  }
+
+  /** Score `score` docs under a [[knTrain]] model frame (lazy or reloaded
+    * from parquet — the artifact reuse path). Arithmetic and output
+    * contract identical to the fused r17 formulation; `groupCols` must
+    * match the model's and ride through to the output. Backoff at score
+    * time is the documented left-join ladder; with pruning, a trigram
+    * whose type was thresholded out hits hist but misses trig — the
+    * count-0 branch the grain filters make explicit. Docs in a group
+    * absent from the model have no base distribution and are absent from
+    * the output (inner nv join). */
+  def knScore(model: DataFrame, score: DataFrame, textCol: String,
+              idCol: String, d: Double = 0.75,
+              groupCols: Seq[String] = Nil): DataFrame = {
+    require(d > 0.0 && d < 1.0, s"discount must be in (0,1): $d")
+    val g = groupCols.map(col)
+    def grain(name: String, k: String, c1: String, c2: Option[String]) =
+      model.filter(col("grain") === name)
+        .select(g ++ Seq(col("_k").as(k), col("_c1").as(c1)) ++
+          c2.map(col("_c2").as(_)): _*)
+    val trig = grain("trig", "_g3", "_c123", None)
+    val hist = grain("hist", "_h12", "_c12tot", Some("_n1p12"))
+    val cont = grain("cont", "_h23", "_ndot23", None)
+    val mid  = grain("mid", "_w2", "_ndotw2dot", Some("_n1pw2dot"))
+    val uni  = grain("uni", "_w3", "_ndotw3", None)
+    val nv   = model.filter(col("grain") === "nv")
+      .select(g ++ Seq(col("_c1").as("_N"), col("_c2").as("_V")): _*)
     val dd = lit(d)
-    val sc = triStream(score, textCol, Seq(col(idCol)))
-    val j = sc
-      .join(t123.select(col("_g3"), col("_c123")), Seq("_g3"), "left")
-      .join(hist, Seq("_h12"), "left")
-      .join(cont.select(col("_h23"), col("_ndot23")), Seq("_h23"), "left")
-      .join(mid, Seq("_w2"), "left")
-      .join(uni, Seq("_w3"), "left")
-      .crossJoin(broadcast(nv))
+    val sc = triStream(score, textCol, col(idCol) +: g)
+    val j0 = sc
+      .join(trig, groupCols :+ "_g3", "left")
+      .join(hist, groupCols :+ "_h12", "left")
+      .join(cont, groupCols :+ "_h23", "left")
+      .join(mid, groupCols :+ "_w2", "left")
+      .join(uni, groupCols :+ "_w3", "left")
+    val j = if (groupCols.isEmpty) j0.crossJoin(broadcast(nv))
+            else j0.join(broadcast(nv), groupCols)
     val p1 = (coalesce(col("_ndotw3"), lit(0L)).cast("double") + lit(1.0)) /
       (col("_N").cast("double") + col("_V").cast("double") + lit(1.0))
     val p2 = when(col("_ndotw2dot").isNull, p1).otherwise(
@@ -210,12 +289,13 @@ object Selection {
       (greatest(coalesce(col("_c123"), lit(0L)).cast("double") - dd,
         lit(0.0)) + dd * col("_n1p12").cast("double") * p2) /
         col("_c12tot").cast("double"))
-    j.select(col(idCol), round(log(p3) * lit(1e6)).cast("long").as("_lp"))
-      .groupBy(col(idCol))
+    j.select(col(idCol) +: (g :+ (round(log(p3) * lit(1e6)).cast("long")
+        .as("_lp"))): _*)
+      .groupBy(col(idCol) +: g: _*)
       .agg(count(lit(1)).as("n_trigrams"), sum(col("_lp")).as("_s"))
-      .select(col(idCol), col("n_trigrams"),
+      .select(col(idCol) +: (g ++ Seq(col("n_trigrams"),
         (round(col("_s").cast("double") / col("n_trigrams").cast("double"))
-          .cast("long").cast("double") / lit(1e6)).as("avg_logprob"))
+          .cast("long").cast("double") / lit(1e6)).as("avg_logprob"))): _*)
   }
 
   /** [[knLogProb]] scoring the corpus under its own KN LM — the
@@ -348,6 +428,100 @@ object Selection {
       .filter(col("_run") <= element_at(rMap, col(groupCol)))
       .drop("_run")
     keepWhole.unionByName(keepBoundary).drop("_tb")
+  }
+
+  /** Per-group perplexity-TERCILE bucketing — the actual CCNet step
+    * (Wenzek et al. 2020): within each language, rank documents by LM
+    * score and cut the population into head / middle / tail thirds; the
+    * head is kept outright, the middle sampled, the tail dropped.
+    * Assigns `ppl_bucket` ∈ {head, middle, tail} over the total order
+    * (scoreCol DESC, idCol ASC) per group, with ntile(3) sizes (first
+    * `n mod 3` terciles get the extra row) so the DuckDB oracle's
+    * `ntile(3) OVER (PARTITION BY group ORDER BY score DESC, id)`
+    * reproduces the assignment row-for-row. Rows with a null group or
+    * score are dropped (no place in the order). Output: input schema +
+    * `ppl_bucket` string.
+    *
+    * Scale shape: the [[selectToTokenBudgetByGroup]] histogram
+    * discipline — no global sort, no per-group window over the corpus:
+    * one aggregate for the score range, one per-(group, bucket) COUNT
+    * pass collecting ≤ |groups|·`buckets` rows to the driver, wholesale
+    * tercile assignment for every non-boundary bucket, and ONE window
+    * partitioned by (group, bucket) over only the ≤ 2 boundary buckets
+    * per group (~2/`buckets` of each group pays an exact row_number).
+    * Skew note: a single score value shared by > 1/`buckets` of a group
+    * concentrates its boundary bucket — recurse the split on that slice
+    * if the tie mass matters. */
+  def pplTerciles(df: DataFrame, groupCol: String, idCol: String,
+                  scoreCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val eligible = df.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+    val stats = eligible.agg(
+      min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double")).head()
+    if (stats.isNullAt(0)) return df.limit(0).withColumn("ppl_bucket", lit(""))
+    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+    val width = (mx - mn) / buckets
+    // bucket 0 = best scores; monotone in descending score, ties share
+    val bucketCol =
+      if (width == 0.0) lit(0)
+      else least(lit(buckets - 1), greatest(lit(0),
+        floor((lit(mx) - col(scoreCol).cast("double")) / lit(width)).cast("int")))
+    val withB = eligible.withColumn("_tb", bucketCol)
+    val bcnts = withB.groupBy(col(groupCol), col("_tb"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // ntile(3) sizes per group: first (n mod 3) terciles get the extra row
+    final case class GB(b1: Int, before1: Long, t1: Long,
+                        b2: Int, before2: Long, t2: Long)
+    val bounds: Map[String, GB] = bcnts.keys.map(_._1).toSet.map { g: String =>
+      val n = (0 until buckets).map(i => bcnts.getOrElse((g, i), 0L)).sum
+      val q = n / 3; val r = n % 3
+      val t1 = q + (if (r >= 1) 1L else 0L)
+      val t2 = t1 + q + (if (r >= 2) 1L else 0L)
+      // boundary bucket = first whose cumulative EXCEEDS the target;
+      // sentinel `buckets` = never crossed (the whole group fits before)
+      def cross(target: Long): (Int, Long) = {
+        var cum = 0L; var i = 0
+        while (i < buckets) {
+          val t = bcnts.getOrElse((g, i), 0L)
+          if (cum + t > target) return (i, cum)
+          cum += t; i += 1
+        }
+        (buckets, cum)
+      }
+      val (b1, before1) = cross(t1)
+      val (b2, before2) = cross(t2)
+      g -> GB(b1, before1, t1, b2, before2, t2)
+    }.toMap
+    def m(f: GB => Long) = typedLit(bounds.map { case (g, b) => g -> f(b) })
+    val b1 = m(_.b1.toLong); val b2 = m(_.b2.toLong)
+    val before = typedLit(bounds.map { case (g, b) =>
+      // per-boundary-bucket offset: rows before THAT bucket, keyed later
+      // by which boundary the row sits in
+      g -> Map(b.b1.toLong -> b.before1, b.b2.toLong -> b.before2)
+    })
+    val t1 = m(_.t1); val t2 = m(_.t2)
+    val gB1 = element_at(b1, col(groupCol))
+    val gB2 = element_at(b2, col(groupCol))
+    val whole = withB
+      .filter(col("_tb") =!= gB1 && col("_tb") =!= gB2)
+      .withColumn("ppl_bucket",
+        when(col("_tb") < gB1, lit("head"))
+          .when(col("_tb") < gB2, lit("middle"))
+          .otherwise(lit("tail")))
+    val w = Window.partitionBy(col(groupCol), col("_tb"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val edge = withB
+      .filter(col("_tb") === gB1 || col("_tb") === gB2)
+      .withColumn("_rank",
+        element_at(element_at(before, col(groupCol)), col("_tb").cast("long"))
+          + row_number().over(w))
+      .withColumn("ppl_bucket",
+        when(col("_rank") <= element_at(t1, col(groupCol)), lit("head"))
+          .when(col("_rank") <= element_at(t2, col(groupCol)), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_rank")
+    whole.unionByName(edge).drop("_tb")
   }
 
   /** DSIR importance log-weights over hashed bigram features.

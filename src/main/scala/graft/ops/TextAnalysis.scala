@@ -957,6 +957,73 @@ object TextAnalysis {
           .as("nb_logp"))
   }
 
+  /** [[langidNb]]'s fully-LAZY sibling (r17 verdict item 6) — identical
+    * model arithmetic and output contract, but the nLangs × `buckets`
+    * log-likelihood table stays a broadcast DataFrame (the [[qualityNb]]
+    * formulation generalized from 2 classes to N): no driver collect, so
+    * callers can compose the whole plan BEFORE the labeled data exists.
+    * Scoring: one scan-side trigram-bucket explode collapsed to
+    * (id, bucket, cnt) by a map-side-combined aggregate (≤ `buckets`
+    * rows per doc regardless of length), ONE broadcast join against the
+    * (bucket, lang, lmic) table — the r16 amplification lesson: the
+    * joined stream is (id, lang, cnt·lmic) LONGs, ≤ buckets·nLangs tiny
+    * rows per doc, never the re-exploded text — an (id, lang) micro-LONG
+    * sum, priors via a second bounded broadcast join, and a final id-
+    * grain argmin of (−total, lang) so ties break to the
+    * lexicographically smallest lang exactly like the fused kernel.
+    * TextAnalysisSpec pins `langidNbLazy ≡ langidNb` row-for-row; the
+    * eager [[langidNb]] kernel (one byte walk, zero shuffle) remains the
+    * fast path when the model can be frozen at call time. */
+  def langidNbLazy(labeled: DataFrame, toScore: DataFrame, textCol: String,
+                   labelCol: String, idCol: String,
+                   buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two for engine-agnostic hash mod: $buckets")
+    val spark = labeled.sparkSession
+    def withT(df: DataFrame, keep: Column) = df
+      .filter(col(textCol).isNotNull)
+      .select(keep, lower(trim(col(textCol))).as("_t"))
+      .filter(length(col("_t")) >= 3)
+    val trainDocs = withT(labeled.filter(col(labelCol).isNotNull),
+      col(labelCol).as("_lang"))
+    val tf = trainDocs.select(col("_lang"),
+      explode(graft.functions.GraftFunctions.trigram_buckets(
+        col("_t"), buckets.toLong)).as("_b"))
+    val cnt = tf.groupBy(col("_lang"), col("_b")).agg(count(lit(1)).as("_c"))
+    val ctot = tf.groupBy(col("_lang")).agg(count(lit(1)).as("_ct"))
+    val dense = ctot
+      .crossJoin(spark.range(buckets).select(col("id").as("_b")))
+      .join(broadcast(cnt), Seq("_lang", "_b"), "left")
+      .select(col("_lang"), col("_b"),
+        round(log((coalesce(col("_c"), lit(0L)) + lit(1)).cast("double") /
+            (col("_ct") + lit(buckets)).cast("double")) * lit(1e6))
+          .cast("long").as("_lmic"))
+    val nDocs = trainDocs.agg(count(lit(1)).as("_n"))
+    val priors = trainDocs.groupBy(col("_lang"))
+      .agg(count(lit(1)).as("_nl"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("_lang"),
+        round(log(col("_nl").cast("double") / col("_n").cast("double")) *
+          lit(1e6)).cast("long").as("_pmic"))
+    withT(toScore, col(idCol))
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions.trigram_buckets(
+          col("_t"), buckets.toLong)).as("_b"))
+      .groupBy(col(idCol), col("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+      .join(broadcast(dense), Seq("_b"))
+      .groupBy(col(idCol), col("_lang"))
+      .agg(sum(col("_cnt") * col("_lmic")).as("_s"))
+      .join(broadcast(priors), Seq("_lang"))
+      .select(col(idCol), col("_lang"), (col("_s") + col("_pmic")).as("_tot"))
+      .groupBy(col(idCol))
+      .agg(min(struct(negate(col("_tot")).as("_nt"), col("_lang"))).as("_w"))
+      .select(col(idCol),
+        col("_w").getField("_lang").as("lang_pred"),
+        round(negate(col("_w").getField("_nt")).cast("double") / lit(1e6), 6)
+          .as("nb_logp"))
+  }
+
   /** Hashed word unigram+bigram feature buckets of a text — the
     * fastText-classifier feature map (Joulin et al. 2016, public):
     * fnv64(token) and fnv64("w1 w2") mod `buckets` (power of two, the

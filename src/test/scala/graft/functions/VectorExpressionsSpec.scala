@@ -84,6 +84,64 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("max_sim: hand-computed, degenerate 1-token ≡ cosine_sim, null/empty contracts") {
+    // 2 query tokens x 2 doc tokens, hand-checkable axes
+    val q = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val d = Array(Array(0.6f, 0.8f), Array(1.0f, 0.0f))
+    val df = Seq((q, d)).toDF("q", "d")
+    // token 1: max(cos([1,0],[0.6,0.8])=0.6, cos([1,0],[1,0])=1.0) = 1.0
+    // token 2: max(cos([0,1],[0.6,0.8])=0.8, cos([0,1],[1,0])=0.0) = 0.8
+    // 0.6f/0.8f are inexact floats: compare at float precision
+    assert(math.abs(df.select(max_sim($"q", $"d")).as[Double].head() - 1.8) < 1e-6)
+    // degenerate single-token form IS cosine (theorem pinned on real data)
+    val e = graft.Tables.embeddings(spark, TestSpark.sf).limit(30)
+    val pairs = e.select($"vec_id", $"embedding")
+      .crossJoin(e.select($"embedding".as("e2")).limit(3))
+    val both = pairs.select(
+      max_sim(array($"embedding"), array($"e2")).as("m"),
+      cosine_sim($"embedding", $"e2").as("c")).as[(Double, Double)].collect()
+    both.foreach { case (m, c) => assert(m === c, s"$m != $c") }
+    // null outer -> null; empty doc array -> 0.0; null doc token = zero vec
+    val edge = Seq(
+      (Some(q), None: Option[Array[Array[Float]]]),
+      (Some(q), Some(Array.empty[Array[Float]])),
+      (Some(q), Some(Array(null.asInstanceOf[Array[Float]])))
+    ).toDF("q", "d")
+    val got = edge.select(max_sim($"q", $"d")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0) === None)
+    assert(got(1) === Some(0.0))
+    assert(got(2) === Some(0.0)) // both tokens' best match is the zero vec
+  }
+
+  test("max_sim: codegen and interpreted paths agree on real multi-vector slices") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf).limit(50).cache()
+    def mv(c: org.apache.spark.sql.Column) = array(
+      slice(c, 1, 16), slice(c, 17, 16), slice(c, 33, 16), slice(c, 49, 16))
+    val probe = e.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+    val probeMv = Array(probe.slice(0, 16), probe.slice(16, 32),
+      probe.slice(32, 48), probe.slice(48, 64))
+    def run(): Array[(Long, Double)] =
+      e.select($"vec_id", max_sim(typedLit(probeMv), mv($"embedding")).as("s"))
+        .orderBy("vec_id").as[(Long, Double)].collect()
+    val withCg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val noCg = run()
+      withCg.zip(noCg).foreach { case ((i1, s1), (i2, s2)) =>
+        assert(i1 == i2); assert(s1 === s2)
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // self-match: every token matches itself at cosine 1 -> maxsim = 4
+    val self = e.select(max_sim(mv($"embedding"), mv($"embedding")).as("s"))
+      .as[Double].collect()
+    self.foreach(v => assert(math.abs(v - 4.0) < 1e-9, s"self maxsim $v"))
+  }
+
   test("SQL registration works") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(

@@ -114,6 +114,85 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("KN split API: knTrain+knScore ≡ fused; pruned held-out log-prob monotone in minCount; model round-trips parquet") {
+    import spark.implicits._
+    val train = (0 until 60).map(i =>
+      (i.toLong, s"the n${i % 10} v${i % 7} on the n${(i + 3) % 10}"))
+      .toDF("doc_id", "text")
+    val held = (0 until 10).map(j =>
+      (200L + j, s"the n$j v${(j + 1) % 7} on the n${(j + 5) % 10}"))
+      .toDF("doc_id", "text")
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("avg_logprob") * col("n_trigrams"))).as[Double].head()
+    // split API at minCount=1 is the fused formulation, bit-for-bit
+    val fused = Selection.knLogProb(train, held, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val split = Selection.knScore(Selection.knTrain(train, "text"),
+      held, "text", "doc_id").orderBy("doc_id").collect()
+    assert(fused.toSeq === split.toSeq)
+    // pruning only LOWERS per-trigram probability (max(c-D,0) mass is
+    // dropped, the interpolation weight stays) -> held-out log-prob is
+    // monotone non-increasing in the threshold — a theorem of the
+    // formulation, not fixture luck
+    val lps = Seq(1L, 2L, 3L, 4L).map { mc =>
+      mc -> total(Selection.knScore(Selection.knTrain(train, "text", mc),
+        held, "text", "doc_id"))
+    }
+    lps.sliding(2).foreach {
+      case Seq((m1, a), (m2, b)) =>
+        assert(b <= a + 1e-9,
+          s"pruning must not raise held-out log-prob: minCount=$m1 -> $a, minCount=$m2 -> $b")
+      case _ =>
+    }
+    // a threshold that actually prunes must strictly degrade SOMETHING
+    assert(lps.last._2 < lps.head._2,
+      s"minCount=4 should prune real mass on this fixture: $lps")
+    // the KenLM artifact path: model persists to parquet and scores
+    // identically after reload
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    Selection.knTrain(train, "text", minCount = 2)
+      .write.mode("overwrite").parquet(dir)
+    val reloaded = Selection.knScore(spark.read.parquet(dir),
+      held, "text", "doc_id").orderBy("doc_id").collect()
+    val lazyModel = Selection.knScore(Selection.knTrain(train, "text", 2),
+      held, "text", "doc_id").orderBy("doc_id").collect()
+    assert(reloaded.toSeq === lazyModel.toSeq)
+  }
+
+  test("pplTerciles: ntile(3) assignment per group matches the window definition; planted extremes land head/tail") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // two groups with different sizes incl. non-divisible-by-3 counts,
+    // plus score ties sharing a histogram bucket
+    val rows = (0 until 17).map(i => ("en", i.toLong, rnd.nextInt(8).toDouble)) ++
+      (0 until 8).map(i => ("de", 100L + i, rnd.nextInt(4).toDouble)) ++
+      Seq(("en", 50L, 99.0), ("en", 51L, -99.0)) // planted best/worst
+    val df = rows.toDF("lang", "doc_id", "score")
+    val got = Selection.pplTerciles(df, "lang", "doc_id", "score", buckets = 4)
+      .as[(String, Long, Double, String)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // brute-force ntile(3) over (score DESC, id ASC)
+    val exp = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(r => (-r._3, r._2))
+      val n = sorted.size; val q = n / 3; val r = n % 3
+      val c1 = q + (if (r >= 1) 1 else 0)
+      val c2 = c1 + q + (if (r >= 2) 1 else 0)
+      sorted.zipWithIndex.map { case (row, i) =>
+        (g, row._2) -> (if (i < c1) "head" else if (i < c2) "middle" else "tail")
+      }
+    }
+    assert(got.size === exp.size)
+    exp.foreach { case (k, v) =>
+      assert(got(k) === v, s"row $k: got ${got(k)}, want $v")
+    }
+    assert(got(("en", 50L)) === "head" && got(("en", 51L)) === "tail")
+    // a null-score row has no place in the order and is dropped
+    val withNull = df.unionByName(Seq(("en", 998L)).toDF("lang", "doc_id")
+      .withColumn("score", lit(null).cast("double")))
+    assert(Selection.pplTerciles(withNull, "lang", "doc_id", "score",
+      buckets = 4).count() === rows.size)
+  }
+
   test("dsir: target-like feature distributions get higher weights; stable under repartition") {
     // non-en docs use a disjoint bigram vocabulary from en docs
     val docs = Seq(

@@ -125,6 +125,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Map(1L -> "aa")) // doc 2 has no trigram: absent
   }
 
+  test("langidNbLazy ≡ langidNb: identical predictions and scores on the fixture and on real docs") {
+    // the marker-free fixture from the langidNb test
+    val train = Seq(
+      ("en", "morning coffee tastes wonderful before work"),
+      ("en", "the wonderful morning walk refreshes the mind"),
+      ("de", "kaffee schmeckt wunderbar am fruehen morgen"),
+      ("de", "der wunderbare morgen beginnt mit kaffee und arbeit"),
+      ("fr", "matin merveilleux avec du cafe chaud toujours"),
+      ("fr", "le cafe chaud rend les matins merveilleux"))
+      .toDF("lang", "text")
+    val test = Seq(
+      (1L, "wonderful coffee before morning work"),
+      (2L, "kaffee schmeckt wunderbar am morgen"),
+      (3L, "cafe chaud au matin merveilleux"),
+      (4L, "ab")) // no trigram: absent from BOTH
+      .toDF("doc_id", "text")
+    val eager = TextAnalysis.langidNb(train, test, "text", "lang", "doc_id")
+      .orderBy("doc_id").collect()
+    val lzy = TextAnalysis.langidNbLazy(train, test, "text", "lang", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(eager.toSeq === lzy.toSeq)
+    // tie-break parity: identical class stats -> smallest lang, both paths
+    val t2 = Seq(("bb", "xyzzy xyzzy"), ("aa", "xyzzy xyzzy")).toDF("lang", "text")
+    val s2 = Seq((1L, "xyzzy xyzzy")).toDF("doc_id", "text")
+    val e2 = TextAnalysis.langidNb(t2, s2, "text", "lang", "doc_id").collect()
+    val l2 = TextAnalysis.langidNbLazy(t2, s2, "text", "lang", "doc_id").collect()
+    assert(e2.toSeq === l2.toSeq && e2.head.getString(1) === "aa")
+    // real data: the documents fixture, both formulations row-identical
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .filter(col("lang").isNotNull)
+    val ed = TextAnalysis.langidNb(docs, docs, "text", "lang", "doc_id")
+      .orderBy("doc_id").collect()
+    val ld = TextAnalysis.langidNbLazy(docs, docs, "text", "lang", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(ed.length > 0 && ed.toSeq === ld.toSeq)
+  }
+
   test("blocklistFilter: word-grain occurrence counts, no substring false positives, zero-hit docs present") {
     val docs = Seq(
       (1L, "clean prose about classes and glass"), // substrings must NOT trip
