@@ -12,7 +12,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext)
     assert(GraftExtensions.functions.map(_._1.funcName).toSet === Set(
-      "cosine_sim", "l2_dist", "dot_product", "fnv64", "simhash64",
+      "cosine_sim", "l2_dist", "dot_product", "max_sim", "fnv64", "simhash64",
       "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles",
       "top_ngram_run", "unicode_norm", "strip_accents", "bpe_encode",
       "jaro_sim", "jaro_winkler", "z_value", "token_entropy",

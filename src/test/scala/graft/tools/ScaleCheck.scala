@@ -1001,6 +1001,58 @@ object ScaleCheck {
           (1 to 300).map(i => s"blk$i") ++ Seq("dup", "slow"),
           maxHits = 1L).count()
       }
+      // r18: split-API KN with pruning — same join ladder as kn_logprob
+      // but the trig grain is thresholded (replicas mint disjoint trigram
+      // vocabularies, so the model tables still grow ×k); pruning must
+      // not add a scaling term
+      results(("kn_pruned", k)) = timed("kn_pruned", k, nd) {
+        graft.ops.Selection.knScore(
+          graft.ops.Selection.knTrain(d, "text", minCount = 2),
+          d, "text", "doc_id").count()
+      }
+      // r18: per-group KN + perplexity terciles (the CCNet composition);
+      // grouping on a synthetic 5-value doc_id-derived label isolates the GROUPED model +
+      // histogram-tercile scaling from langid_nb (measured separately).
+      // Groups are constant (5 langs) while every grain grows ×k; the
+      // tercile pass is one (group, bucket) count collect + boundary-only
+      // windows — nothing corpus-sized on one task
+      results(("ccnet_buckets", k)) = timed("ccnet_buckets", k, nd) {
+        val dl = d.select(col("doc_id"), col("text"),
+          concat(lit("l"), pmod(col("doc_id"), lit(5)).cast("string"))
+            .as("lang_pred"))
+        val kn = graft.ops.Selection.knScore(
+          graft.ops.Selection.knTrain(dl, "text", groupCols = Seq("lang_pred")),
+          dl, "text", "doc_id", groupCols = Seq("lang_pred"))
+          .localCheckpoint(false)
+        graft.ops.Selection.pplTerciles(kn, "lang_pred", "doc_id",
+          "avg_logprob", buckets = 64).count()
+      }
+      // r18: the lazy broadcast-model langid — docs ×k through the
+      // trigram-bucket explode collapsed to (id, bucket, cnt), one
+      // bounded broadcast join, (id, lang) sum, id-grain argmin; the
+      // model build exchange stays ≤ nLangs·buckets rows at any k
+      results(("langid_nb_lazy", k)) = timed("langid_nb_lazy", k, nd) {
+        val labeled = d.withColumn("_lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(4)).cast("string")))
+        graft.ops.TextAnalysis.langidNbLazy(labeled, d, "text", "_lang",
+          "doc_id", buckets = 1024).count()
+      }
+      // r18: MaxSim late-interaction rerank — FIXED query count, corpus
+      // ×k: the exact-cosine shortlist scan is the only growing term
+      // (candidates stay 3×8, the O(|q|·|d|·dim) kernel runs on 24 pairs
+      // at every k — bounded-candidate by construction)
+      results(("maxsim_rerank", k)) = timed("maxsim_rerank", k, ne) {
+        def mv(c: org.apache.spark.sql.Column) = array(
+          slice(c, 1, 16), slice(c, 17, 16), slice(c, 33, 16), slice(c, 49, 16))
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val cands = graft.ops.Knn.knnJoin(qs, "q_id", "qv",
+          e, "vec_id", "embedding", k = 8).select(col("q_id"), col("vec_id"))
+        graft.ops.Retrieval.maxSimRerank(cands,
+          qs.select(col("q_id"), mv(col("qv")).as("qvecs")), "q_id", "qvecs",
+          e.select(col("vec_id"), mv(col("embedding")).as("dvecs")),
+          "vec_id", "dvecs", k = 4).count()
+      }
     }
     // growth factors per doubling-pair of k values
     for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted
