@@ -142,6 +142,46 @@ class VectorExpressionsSpec extends AnyFunSuite {
     self.foreach(v => assert(math.abs(v - 4.0) < 1e-9, s"self maxsim $v"))
   }
 
+  test("maxSimRerank composes with an IVF ANN shortlist — the 100 TB serving shape") {
+    import graft.ops.{Knn, Retrieval}
+    val e = graft.Tables.embeddings(spark, TestSpark.sf).cache()
+    def mv(c: org.apache.spark.sql.Column) = array(
+      slice(c, 1, 16), slice(c, 17, 16), slice(c, 33, 16), slice(c, 49, 16))
+    val sample = e.orderBy("vec_id").limit(128)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val centroids = Knn.trainCentroids(sample, nCells = 8)
+    val assigned = Knn.ivfAssign(e, "embedding", centroids)
+    val qRows = e.filter($"vec_id" < 2).orderBy("vec_id")
+      .select($"vec_id", $"embedding").collect()
+    // shortlist per query from the CELL-PRUNED scan (never the corpus),
+    // then the multi-vector kernel on those pairs only
+    val cands = qRows.map { r =>
+      Knn.ivfSearch(assigned, "embedding", "vec_id", centroids,
+          r.getSeq[Float](1).toArray, k = 8, nProbe = 4)
+        .select(lit(r.getLong(0)).as("q_id"), $"vec_id")
+    }.reduce(_ unionByName _)
+    val qm = e.filter($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), mv($"embedding").as("qvecs"))
+    val dm = e.select($"vec_id", mv($"embedding").as("dvecs"))
+    val got = Retrieval.maxSimRerank(cands, qm, "q_id", "qvecs",
+      dm, "vec_id", "dvecs", k = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    // contract: 4 ranked rows per query, rn dense from 1, scores ordered,
+    // every returned doc came from that query's shortlist
+    val candSet = cands.as[(Long, Long)].collect().toSet
+    assert(got.length === 8)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to 4))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true })
+      sorted.foreach(r => assert(candSet((q, r._2))))
+    }
+    // the query's own doc is in its shortlist (self-cell always probed at
+    // nProbe=4 of 8 here) and MaxSim ranks the exact self-match first
+    got.filter(r => r._1 == r._2).foreach(r => assert(r._4 === 1))
+  }
+
   test("SQL registration works") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
