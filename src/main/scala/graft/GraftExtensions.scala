@@ -61,6 +61,14 @@ object GraftExtensions {
       xs => MinHashBands(xs(0), intArg(xs(1), "minhash k"), intArg(xs(2), "bands")) },
     f("winnow_fingerprint", "winnow_fingerprint(text, ngram, window)") {
       xs => WinnowFingerprint(xs(0), intArg(xs(1), "ngram"), intArg(xs(2), "window")) },
+    f("ac_count", "ac_count(text, 'phrase1|phrase2|…') — one-pass Aho–Corasick: struct(hits, phrases); lexicon is a |-delimited string literal (phrases must not contain '|')") {
+      xs => AhoCorasickCount(xs(0), xs(1) match {
+        case Literal(v, _) if v != null =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            v.toString.split('|').filter(_.nonEmpty))
+        case other => throw new IllegalArgumentException(
+          s"ac_count lexicon must be a string literal, got $other")
+      }) },
     f("word_shingles", "word_shingles(tokens, n) — distinct word n-grams") {
       xs => WordShingles(xs(0), intArg(xs(1), "shingle n")) },
     f("top_ngram_run", "top_ngram_run(tokens, n) — max n-gram frequency") {

@@ -8011,6 +8011,87 @@ object SparkEntry {
         Seq("dup", "slow", "spam"), maxHits = 1L)
     },
 
+    // PHRASE blocklist (TextAnalysis.phraseBlocklist — the multi-word /
+    // substring sibling of q_blocklist): ONE Aho–Corasick pass per doc
+    // counts every OVERLAPPING occurrence of any lexicon phrase plus the
+    // distinct phrases matched, regardless of lexicon size (goto/failure/
+    // emit arrays ride as a bounded codegen reference object — per-phrase
+    // instr scans would re-read the corpus once per phrase at 100 TB).
+    // "batch batch" self-overlaps in the corpus's repeated-word runs
+    // (so the oracle must count overlapping positions, not replace()
+    // arithmetic), "zz absent" exercises the no-hit path, maxHits=2 makes
+    // the verdict a real threshold (7 blocked docs at sf0.1). The oracle
+    // replays every (doc, phrase, position) via a length-bounded series.
+    q("q_phrase_blocklist",
+      """WITH ph(phrase) AS (VALUES ('batch batch'), ('join order'),
+        |    ('table scan'), ('zz absent')),
+        |series AS (SELECT unnest(range(1,
+        |  (SELECT CAST(max(length(text)) AS BIGINT) + 1 FROM documents))) AS i),
+        |occ AS (
+        |  SELECT d.doc_id, p.phrase, count(*) AS c
+        |  FROM documents d, ph p, series g
+        |  WHERE d.text IS NOT NULL
+        |    AND g.i <= length(d.text) - length(p.phrase) + 1
+        |    AND substr(d.text, CAST(g.i AS BIGINT), length(p.phrase)) = p.phrase
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sum(o.c), 0) AS BIGINT) AS n_hits,
+        |  CAST(count(o.phrase) AS BIGINT) AS n_phrases,
+        |  coalesce(sum(o.c), 0) > 2 AS blocked
+        |FROM documents d LEFT JOIN occ o USING (doc_id)
+        |WHERE d.text IS NOT NULL
+        |GROUP BY d.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.phraseBlocklist(Tables.documents(s, d), "text", "doc_id",
+        Seq("batch batch", "join order", "table scan", "zz absent"),
+        maxHits = 2L)
+    },
+
+    // Dolma-architecture attribute sweep (TextAnalysis.docAttributes;
+    // Soldaini et al. 2024 — run taggers ONCE, mix later): every
+    // row-local quality signal in ONE projection over ONE scan — at
+    // 100 TB the naive per-signal composition re-reads the corpus nine
+    // times, this reads it once (text tokenized ONCE into a real column;
+    // zero exchanges, plan pinned by TextAnalysisSpec). The oracle
+    // recomputes each signal from the same tokenization: per-doc word
+    // counts feed mean/distinct/mode/entropy, the stopword lists feed
+    // stop_ratio and the q_lang_pred argmax CASE.
+    q("q_doc_attributes",
+      """WITH tok AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |t2 AS (SELECT * FROM tok WHERE len(tk) > 0),
+        |w AS (SELECT doc_id, unnest(tk) AS w, len(tk) AS n FROM t2),
+        |c AS (SELECT doc_id, w, max(n) AS n, count(*) AS c FROM w GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, max(n) AS n_tokens, count(*) AS n_distinct,
+        |    max(c) AS max_c, sum(length(w) * c) AS tok_chars,
+        |    round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+        |      AS entropy
+        |  FROM c GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, t -> list_contains(['der','die','das','und','zu'], t))) AS de_h,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','of','to'], t))) AS en_h,
+        |    len(list_filter(tk, t -> list_contains(['el','la','los','y','de'], t))) AS es_h,
+        |    len(list_filter(tk, t -> list_contains(['le','la','et','les','de'], t))) AS fr_h
+        |  FROM t2)
+        |SELECT t2.doc_id, CAST(t2.n_chars AS BIGINT) AS n_chars,
+        |  CAST(a.n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(a.tok_chars AS DOUBLE) / a.n_tokens, 6) AS mean_tok_len,
+        |  round(CAST(a.n_distinct AS DOUBLE) / a.n_tokens, 6) AS distinct_ratio,
+        |  round(CAST(h.en_h AS DOUBLE) / a.n_tokens, 6) AS stop_ratio,
+        |  round(CAST(a.max_c AS DOUBLE) / a.n_tokens, 6) AS max_tok_share,
+        |  a.entropy,
+        |  CASE WHEN greatest(h.de_h, h.en_h, h.es_h, h.fr_h) = 0 THEN 'und'
+        |       WHEN h.fr_h = greatest(h.de_h, h.en_h, h.es_h, h.fr_h) THEN 'fr'
+        |       WHEN h.es_h = greatest(h.de_h, h.en_h, h.es_h, h.fr_h) THEN 'es'
+        |       WHEN h.en_h = greatest(h.de_h, h.en_h, h.es_h, h.fr_h) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM t2 JOIN agg a USING (doc_id) JOIN hits h USING (doc_id)""".stripMargin) { (s, d) =>
+      TextAnalysis.docAttributes(Tables.documents(s, d), "text", "doc_id")
+    },
+
     // Dedup-configuration eval (Dedup.dedupEval) — retrievalEval's
     // analogue for dedup, on a fixture where NEITHER metric is vacuous
     // (the corpus's own 31-word vocabulary makes every doc pair a
@@ -8439,6 +8520,71 @@ object SparkEntry {
           concat(col("text"), lit(" zq"), col("doc_id").cast("string"),
             lit(" the zq"), col("doc_id").cast("string")).as("text"))
       ops.Selection.knLogProb(train, heldout, "text", "doc_id")
+    },
+
+    // INCREMENTAL KN training (Selection.knTypes/knUpdateTypes/
+    // knFromTypes): fold three doc-disjoint corpus slices (doc_id % 3)
+    // into the trigram-TYPE count table, then derive the model — at
+    // 100 TB corpora arrive in batches, and retraining from scratch per
+    // batch re-reads everything. Occurrence counts are additive over
+    // doc-disjoint batches, so fold ≡ full retrain BY CONSTRUCTION —
+    // while the model's distinct-type grains (hist/cont/mid/uni) are NOT
+    // additive and must derive from the folded types (summing two models
+    // would double-count cross-batch types; SelectionSpec pins both
+    // directions). The oracle is q_kn_logprob's full-corpus replay
+    // VERBATIM: the hash gate proves the fold reproduces the one-shot
+    // model bit-for-bit on real data through an independent engine.
+    q("q_kn_incremental",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |tg AS MATERIALIZED (
+        |  SELECT doc_id, tk[s+1] AS w1, tk[s+2] AS w2, tk[s+3] AS w3,
+        |    tk[s+1] || ' ' || tk[s+2] AS h12,
+        |    tk[s+2] || ' ' || tk[s+3] AS h23,
+        |    tk[s+1] || ' ' || tk[s+2] || ' ' || tk[s+3] AS g3
+        |  FROM (SELECT * FROM tk WHERE len(tk) >= 3), unnest(range(0, len(tk)-2)) u(s)),
+        |trip AS (
+        |  SELECT g3, min(h12) AS h12, min(h23) AS h23, min(w2) AS w2,
+        |    min(w3) AS w3, count(*) AS c123
+        |  FROM tg GROUP BY g3),
+        |hist AS (SELECT h12, sum(c123) AS c12tot, count(*) AS n1p12
+        |         FROM trip GROUP BY h12),
+        |cont AS (SELECT h23, min(w2) AS w2, min(w3) AS w3, count(*) AS ndot23
+        |         FROM trip GROUP BY h23),
+        |mid AS (SELECT w2, sum(ndot23) AS ndotw2dot, count(*) AS n1pw2dot
+        |        FROM cont GROUP BY w2),
+        |uni AS (SELECT w3, count(*) AS ndotw3 FROM cont GROUP BY w3),
+        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+        |              CAST(count(DISTINCT w3) AS DOUBLE) AS vv FROM cont),
+        |lp AS (
+        |  SELECT t.g3, CAST(round(ln(
+        |    (greatest(CAST(t.c123 AS DOUBLE) - 0.75, 0.0)
+        |      + 0.75 * CAST(h.n1p12 AS DOUBLE) *
+        |        ((greatest(CAST(c.ndot23 AS DOUBLE) - 0.75, 0.0)
+        |          + 0.75 * CAST(m.n1pw2dot AS DOUBLE) *
+        |            ((CAST(u.ndotw3 AS DOUBLE) + 1.0) / (nn + vv + 1.0)))
+        |         / CAST(m.ndotw2dot AS DOUBLE)))
+        |    / CAST(h.c12tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+        |  FROM trip t
+        |  JOIN hist h USING (h12)
+        |  JOIN cont c USING (h23)
+        |  JOIN mid m ON m.w2 = t.w2
+        |  JOIN uni u ON u.w3 = t.w3, nv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(round(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+        |    / 1000000.0 AS avg_logprob
+        |FROM tg JOIN lp USING (g3)
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      val types = Seq(slice(1), slice(2)).foldLeft(
+        ops.Selection.knTypes(slice(0), "text")) { (t, batch) =>
+        ops.Selection.knUpdateTypes(t, batch, "text")
+      }
+      ops.Selection.knScore(ops.Selection.knFromTypes(types), docs,
+        "text", "doc_id")
     },
 
     // The CCNet COMPOSITION the KN scorer exists for: score every doc

@@ -33,6 +33,11 @@ object GraftFunctions {
     col(NbTrigramArgmax(e(text), buckets,
       scala.collection.immutable.ArraySeq.unsafeWrapArray(lut),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(priors)))
+  /** One-pass Aho–Corasick phrase counter: struct(hits, phrases) — total
+    * overlapping lexicon-phrase occurrences + distinct phrases matched. */
+  def ac_count(text: Column, phrases: Seq[String]): Column =
+    col(AhoCorasickCount(e(text),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(phrases.toArray)))
   def word_shingles(tokens: Column, n: Int): Column = col(WordShingles(e(tokens), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(e(a), e(b)))

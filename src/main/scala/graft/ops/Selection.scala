@@ -210,14 +210,51 @@ object Selection {
     * a map-side-combined aggregate at its own n-gram grain, nothing is
     * corpus-×-group sized beyond the trigram types themselves. */
   def knTrain(train: DataFrame, textCol: String, minCount: Long = 1L,
+              groupCols: Seq[String] = Nil): DataFrame =
+    knFromTypes(knTypes(train, textCol, groupCols), minCount, groupCols)
+
+  /** The TRIGRAM-TYPE count table every [[knTrain]] grain derives from:
+    * (groupCols…, _g3, _h12, _h23, _w2, _w3, _c123) — one row per distinct
+    * trigram type with its occurrence count. This is the model's
+    * INCREMENTAL seam: occurrence counts are additive over doc-disjoint
+    * batches (each trigram occurrence lives in exactly one doc), so
+    * folding batches with [[knUpdateTypes]] and deriving the model with
+    * [[knFromTypes]] is ≡ retraining on the union BY CONSTRUCTION — while
+    * the model grains themselves are NOT additive (hist/cont/mid/uni are
+    * distinct-TYPE counts: a type seen in two batches must count once,
+    * which summing two models would double). Maintain types, derive
+    * models — the same fold discipline as [[graft.ops.Dedup]]'s
+    * incremental base and the BM25 stats rows. */
+  def knTypes(train: DataFrame, textCol: String,
               groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    triStream(train, textCol, g)
+      .groupBy(g ++ Seq(col("_g3"), col("_h12"), col("_h23"), col("_w2"),
+        col("_w3")): _*)
+      .agg(count(lit(1)).as("_c123"))
+  }
+
+  /** Fold a new doc batch into a [[knTypes]] table: union + re-sum at
+    * type grain. At 100 TB the prev table arrives partitioned by its
+    * group keys from parquet; only the NEW batch's types shuffle at full
+    * width. `prev` may be empty (the bootstrap case). */
+  def knUpdateTypes(prev: DataFrame, newDocs: DataFrame, textCol: String,
+                    groupCols: Seq[String] = Nil): DataFrame = {
+    val keys = groupCols ++ Seq("_g3", "_h12", "_h23", "_w2", "_w3")
+    prev.unionByName(knTypes(newDocs, textCol, groupCols))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_c123")).as("_c123"))
+  }
+
+  /** Derive the six-grain [[knTrain]] model frame from a [[knTypes]]
+    * table — the second half of the incremental split (see [[knTypes]]
+    * for why distinct-type statistics must be computed HERE, from the
+    * folded type table, never folded themselves). */
+  def knFromTypes(t123: DataFrame, minCount: Long = 1L,
+                  groupCols: Seq[String] = Nil): DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1: $minCount")
     val g = groupCols.map(col)
     def gs(cs: Column*): Seq[Column] = g ++ cs
-    val t123 = triStream(train, textCol, g)
-      .groupBy(gs(col("_g3"), col("_h12"), col("_h23"), col("_w2"),
-        col("_w3")): _*)
-      .agg(count(lit(1)).as("_c123"))
     val nil = lit(null).cast("long")
     def row(grain: String, k: Column, c1: Column, c2: Column) =
       gs(lit(grain).as("grain"), k.as("_k"), c1.as("_c1"), c2.as("_c2"))

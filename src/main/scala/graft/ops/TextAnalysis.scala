@@ -776,6 +776,66 @@ object TextAnalysis {
       .withColumn("blocked", col("n_blocked") > maxHits)
   }
 
+  /** PHRASE blocklist filter — the multi-word / substring-grain sibling of
+    * [[blocklistFilter]] (which is word-exact and so blind to "batch batch"
+    * or sub-word fragments). Per document: `n_hits` = total OVERLAPPING
+    * occurrences of any lexicon phrase, `n_phrases` = distinct phrases that
+    * matched, and the verdict `n_hits > maxHits`. Matching is raw substring
+    * over UTF-8 bytes — case-exact, no tokenization; null-text docs absent.
+    *
+    * Scale shape: ONE Aho–Corasick pass per document regardless of lexicon
+    * size ([[graft.functions.AcAutomaton]] — goto/failure/emit arrays
+    * bounded by the lexicon, riding as a codegen reference object). The
+    * alternatives both fail at 100 TB: per-phrase `instr` scans re-read the
+    * corpus once per phrase, and a regex union degrades linearly in lexicon
+    * size per character. Zero shuffle, zero joins — scan-side verdicts. */
+  def phraseBlocklist(df: DataFrame, textCol: String, idCol: String,
+                      phrases: Seq[String],
+                      maxHits: Long = 0L): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.GraftFunctions.ac_count(col(textCol), phrases).as("_ac"))
+      .select(col(idCol),
+        col("_ac").getField("hits").as("n_hits"),
+        col("_ac").getField("phrases").cast("long").as("n_phrases"))
+      .withColumn("blocked", col("n_hits") > maxHits)
+
+  /** The Dolma-architecture attribute SWEEP (Soldaini et al. 2024 run
+    * taggers once, mix later): every row-local quality signal as ONE
+    * projection over ONE scan — (id, n_chars, n_tokens, mean_tok_len,
+    * distinct_ratio, stop_ratio, max_tok_share, entropy, lang_pred).
+    * Downstream curation (thresholds, mixing, buckets) then reads the
+    * small attributes table instead of the corpus.
+    *
+    * Why it exists as an OP and not a style suggestion: at 100 TB the
+    * alternative — one pipeline pass per signal, which is what composing
+    * the individual queries naively produces — re-reads the corpus nine
+    * times. Here the text is scanned once, tokenized ONCE into a real
+    * column (lambda expressions are exempt from subexpression
+    * elimination, so inlining `tokens(text)` would re-split per signal —
+    * the q_lang_pred lesson), and every signal folds that array
+    * row-locally: zero exchanges, zero joins, one WholeStageCodegen span
+    * (TextAnalysisSpec pins the exchange-free plan). Token-less and
+    * null-text docs are absent (no distribution to describe). */
+  def docAttributes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val n = size(col("_tk"))
+    def ratio(c: Column): Column = round(c.cast("double") / n, 6)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        Dedup.tokens(col(textCol)).as("_tk"))
+      .filter(n > 0)
+      .select(col(idCol), col("n_chars"), n.cast("long").as("n_tokens"),
+        ratio(aggregate(col("_tk"), lit(0L), (a, t) => a + length(t)))
+          .as("mean_tok_len"),
+        ratio(size(word_shingles(col("_tk"), 1))).as("distinct_ratio"),
+        ratio(markerHitsFromTokens(col("_tk"), stopwords("en")))
+          .as("stop_ratio"),
+        ratio(top_ngram_run(col("_tk"), 1)).as("max_tok_share"),
+        round(token_entropy(col("_tk")), 6).as("entropy"),
+        langIdFromTokens(col("_tk")).as("lang_pred"))
+  }
+
   /** The 27 characters Windows-1252 shows for bytes 0x80–0x9F (where
     * defined), paired with [[Latin1Controls]] — the ftfy pre-translation
     * that folds cp1252 mojibake into the Latin-1 case. */

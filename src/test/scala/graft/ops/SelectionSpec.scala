@@ -159,6 +159,46 @@ class SelectionSpec extends AnyFunSuite {
     assert(reloaded.toSeq === lazyModel.toSeq)
   }
 
+  test("incremental KN: batch fold over knTypes ≡ one-shot retrain; summing MODELS would double-count; bootstrap from empty prev") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"the n${i % 10} v${i % 7} on the n${(i + 3) % 10}"))
+      .toDF("doc_id", "text")
+    val held = (0 until 10).map(j =>
+      (200L + j, s"the n$j v${(j + 1) % 7} on the n${(j + 5) % 10}"))
+      .toDF("doc_id", "text")
+    def slice(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    // fold three doc-disjoint batches at TYPE grain, derive the model
+    val folded = Seq(slice(1), slice(2)).foldLeft(
+      Selection.knTypes(slice(0), "text")) { (t, b) =>
+      Selection.knUpdateTypes(t, b, "text")
+    }
+    // type tables identical as sets (occurrence counts are additive)
+    val oneShot = Selection.knTypes(docs, "text")
+    assert(folded.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet)
+    // and scoring through the derived model is bit-for-bit the retrain
+    val viaFold = Selection.knScore(Selection.knFromTypes(folded),
+      held, "text", "doc_id").orderBy("doc_id").collect()
+    val viaRetrain = Selection.knScore(Selection.knTrain(docs, "text"),
+      held, "text", "doc_id").orderBy("doc_id").collect()
+    assert(viaFold.toSeq === viaRetrain.toSeq)
+    // bootstrap: empty prev table folds to exactly knTypes(batch)
+    val empty = oneShot.filter(lit(false))
+    val boot = Selection.knUpdateTypes(empty, slice(0), "text")
+    assert(boot.collect().map(_.toSeq).toSet ===
+      Selection.knTypes(slice(0), "text").collect().map(_.toSeq).toSet)
+    // the trap the type-grain seam exists to avoid: distinct-TYPE counts
+    // are NOT additive — a history type seen in two batches counts once
+    // in the true model but twice in a naive model sum
+    val histTrue = Selection.knTrain(docs, "text")
+      .filter(col("grain") === "hist").count()
+    val histSummed = (0 to 2).map(i => Selection.knTrain(slice(i), "text")
+      .filter(col("grain") === "hist").count()).sum
+    assert(histSummed > histTrue,
+      s"fixture must have cross-batch history types: $histSummed vs $histTrue")
+  }
+
   test("pplTerciles: ntile(3) assignment per group matches the window definition; planted extremes land head/tail") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -188,6 +188,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("docAttributes: hand-checked signals in ONE exchange-free scan; degenerate docs absent") {
+    val docs = Seq(
+      (1L, "the the cat"),          // n=3, distinct 2, mode 2, en-stop 'the'×2
+      (2L, "und und und und"),      // constant → entropy 0, de
+      (3L, ""),                     // token-less → absent
+      (4L, null.asInstanceOf[String])) // null → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docAttributes(docs, "text", "doc_id")
+    val got = out.orderBy("doc_id").collect()
+    assert(got.length === 2)
+    val r1 = got(0)
+    assert(r1.getLong(0) === 1L && r1.getLong(1) === 11L && r1.getLong(2) === 3L)
+    assert(r1.getDouble(3) === 3.0)                       // (3+3+3)/3
+    assert(r1.getDouble(4) === 0.666667)                  // 2/3 distinct
+    assert(r1.getDouble(5) === 0.666667)                  // 'the' twice
+    assert(r1.getDouble(6) === 0.666667)                  // mode share
+    val expEnt = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(r1.getDouble(7) - expEnt) < 1e-6)
+    assert(r1.getString(8) === "en")
+    val r2 = got(1)
+    assert(r2.getDouble(7) === 0.0 && r2.getString(8) === "de")
+    assert(r2.getDouble(4) === 0.25 && r2.getDouble(6) === 1.0)
+    // the whole point: ONE scan, zero exchanges — every signal row-local
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("qualityNb separates planted quality classes that Gopher rules alone cannot") {
     // both classes are built to PASS every Gopher threshold (50+ words,
     // mean word length in range, all-alpha, ≥2 stopwords, no bullets/

@@ -1053,6 +1053,27 @@ object ScaleCheck {
           e.select(col("vec_id"), mv(col("embedding")).as("dvecs")),
           "vec_id", "dvecs", k = 4).count()
       }
+      // r18: Aho–Corasick phrase blocklist — docs ×k through ONE automaton
+      // pass (scan-side, zero shuffle); a 300-phrase lexicon rides as a
+      // bounded reference object and must not add a per-doc scaling term
+      results(("phrase_blocklist", k)) = timed("phrase_blocklist", k, nd) {
+        graft.ops.TextAnalysis.phraseBlocklist(d, "text", "doc_id",
+          (1 to 300).map(i => s"zz$i zz") ++ Seq("batch batch", "join order"),
+          maxHits = 1L).count()
+      }
+      // r18: incremental KN — three doc-disjoint batches fold at TYPE
+      // grain, then derive + score; the fold's union+re-sum is a type-grain
+      // exchange (never doc-grain), so the whole path must track data
+      // linearly like kn_logprob
+      results(("kn_incremental", k)) = timed("kn_incremental", k, nd) {
+        def sl(i: Int) = d.filter(pmod(col("doc_id"), lit(3)) === i)
+        val types = Seq(sl(1), sl(2)).foldLeft(
+          graft.ops.Selection.knTypes(sl(0), "text")) { (t, b) =>
+          graft.ops.Selection.knUpdateTypes(t, b, "text")
+        }
+        graft.ops.Selection.knScore(graft.ops.Selection.knFromTypes(types),
+          d, "text", "doc_id").count()
+      }
     }
     // growth factors per doubling-pair of k values
     for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted
