@@ -1315,14 +1315,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded.exists(_._1 == 0), "total row present")
   }
 
-  test("unified RAG ingest topology: ONE foreachBatch maintains all five artifact families + the idempotent sink across a mid-stream restart") {
+  test("unified RAG ingest topology: ONE foreachBatch maintains all six artifact families + the idempotent sink across a mid-stream restart") {
     // The reference's actual steady state (its DataStreamJob runs ingest →
     // transform → sink forever) PLUS every artifact a production RAG
     // deployment maintains alongside the sink — run as ONE stream with ONE
     // foreachBatch body, killed between micro-batches and restarted from
     // the checkpoint. Families: (1) incremental exact dedup (base fold),
     // (2) streaming-maintained IVF-PQ vector index, (3) additive BM25
-    // stats, (4) centroid maintenance state, (5) vocab drift slices —
+    // stats, (4) centroid maintenance state, (5) vocab drift slices,
+    // (6) KN trigram-type counts (the LM's incremental seam — r18) —
     // plus the idempotent batch=<id> vector-table sink. After the restart
     // finishes, EVERY folded artifact must equal its one-shot batch
     // recompute over everything that arrived.
@@ -1354,6 +1355,7 @@ class StreamingSpec extends AnyFunSuite {
     var statsRows: DataFrame = null
     var cState: Knn.CentroidState = null
     var vocabSlices = Seq.empty[(String, Long)].toDF("word", "cnt")
+    var knT: DataFrame = null
     val schema = "doc_id LONG, text STRING, embedding ARRAY<FLOAT>"
     def startQuery() = spark.readStream.schema(schema).json(srcDir)
       .writeStream
@@ -1385,6 +1387,12 @@ class StreamingSpec extends AnyFunSuite {
         // (5) drift: vocab-count slice
         vocabSlices = vocabSlices.unionByName(
           CorpusStats.vocabCounts(survivors, "text").localCheckpoint(true))
+        // (6) LM statistics: trigram-type fold over the doc-disjoint
+        // survivor batches (occurrence counts are additive; the model's
+        // distinct-type grains derive at read time, never fold)
+        knT = (if (knT == null) graft.ops.Selection.knTypes(survivors, "text")
+               else graft.ops.Selection.knUpdateTypes(knT, survivors, "text"))
+          .localCheckpoint(true)
         base = base.unionByName(survivors.select($"doc_id", $"text"))
           .localCheckpoint(true)
         b.unpersist(); ()
@@ -1430,6 +1438,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaFold === viaBatch)
     // (4) centroid state fold ≡ one-shot state over all survivors
     assert(cState.sameAs(Knn.centroidBatchState(refVecs, "embedding", standing)))
+    // (6) KN trigram-type fold ≡ one-shot types over the deduped corpus
+    // (so a model derived from the folded table scores identically to a
+    // full retrain — the q_kn_incremental theorem, surviving a restart)
+    assert(knT.collect().map(_.toSeq).toSet ===
+      graft.ops.Selection.knTypes(refDedup, "text")
+        .collect().map(_.toSeq).toSet)
     // (5) vocab drift fold ≡ one-shot vocab of the deduped corpus
     assert(CorpusStats.mergeVocabCounts(vocabSlices)
         .as[(String, Long)].collect().sorted.toSeq ===
