@@ -8583,7 +8583,13 @@ object SparkEntry {
         ops.Selection.knTypes(slice(0), "text")) { (t, batch) =>
         ops.Selection.knUpdateTypes(t, batch, "text")
       }
-      ops.Selection.knScore(ops.Selection.knFromTypes(types), docs,
+      // the folded type table IS the materialized artifact in this
+      // architecture (production writes it to parquet between batches) —
+      // materialize the 5-stage fold ONCE at the stage boundary so the
+      // six grain derivations read it instead of each replaying the fold
+      // (the q_kn_curate localCheckpoint stance; measured 5.5 → ~2 s)
+      ops.Selection.knScore(
+        ops.Selection.knFromTypes(types.localCheckpoint(false)), docs,
         "text", "doc_id")
     },
 
