@@ -463,6 +463,26 @@ object SparkEntry {
     concat_ws(",", transform(c,
       x => roundAway(x.cast("double") * scale).cast("long").cast("string")))
 
+  /** q_lr_quality oracle codegen: `iters` unrolled gradient-descent
+    * iterations as chained 1-row weight CTEs — each iteration cross-joins
+    * the constant weight row into the feature table, computes the
+    * sigmoid with the SAME left-associated z as [[graft.ops.Learn]], and
+    * micro-quantizes the update (round half away from zero at 6
+    * decimals, both engines' round()), so the whole optimization
+    * trajectory replays exactly. */
+  private def lrIterCtes(iters: Int, lr: Double): String =
+    (1 to iters).map { i =>
+      s"""w$i AS (
+         |  SELECT
+         |    round((max(wb) - $lr * sum((p - y) * fb) / count(*)) * 1000000) / 1000000.0 AS wb,
+         |    round((max(w1) - $lr * sum((p - y) * fdr) / count(*)) * 1000000) / 1000000.0 AS w1,
+         |    round((max(w2) - $lr * sum((p - y) * fsr) / count(*)) * 1000000) / 1000000.0 AS w2,
+         |    round((max(w3) - $lr * sum((p - y) * fms) / count(*)) * 1000000) / 1000000.0 AS w3
+         |  FROM (SELECT f.*, w.wb, w.w1, w.w2, w.w3,
+         |      1.0 / (1.0 + exp(-((((f.fb * w.wb) + f.fdr * w.w1) + f.fsr * w.w2) + f.fms * w.w3))) AS p
+         |    FROM feats f, w${i - 1} w))""".stripMargin
+    }.mkString(",\n")
+
   /** q_simhash_neardup oracle codegen: 64 per-bit vote sums as flat SQL
     * columns (one vectorized aggregation pass in DuckDB) … */
   private val simhashVoteCols: String = (0 until 64)
@@ -8090,6 +8110,65 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_pred
         |FROM t2 JOIN agg a USING (doc_id) JOIN hits h USING (doc_id)""".stripMargin) { (s, d) =>
       TextAnalysis.docAttributes(Tables.documents(s, d), "text", "doc_id")
+    },
+
+    // Distributed LOGISTIC REGRESSION (Learn.lrTrain/lrScore) — the
+    // trained-model family's third member, and the first that needs
+    // ITERATIVE optimization (NB trains in one aggregate; LR cannot):
+    // full-batch gradient descent where each iteration is ONE
+    // map-side-combined aggregate and the model is 4 driver doubles,
+    // micro-quantized after every update so the whole trajectory is
+    // deterministic across engines and partitionings. Features are the
+    // (already 6-dec-quantized) docAttributes signals, materialized ONCE
+    // (each iteration rescans features, never the corpus). The label
+    // plants a known boundary (max_tok_share > 0.09, the q_dedup_eval
+    // synthesized-fixture stance — this corpus carries no organic
+    // label signal); boundary RECOVERY is pinned by LearnSpec, and the
+    // oracle replays all 8 unrolled iterations: the hash gate proves the
+    // optimization trajectory, not just the final projection.
+    q("q_lr_quality",
+      s"""WITH tok AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |t2 AS (SELECT * FROM tok WHERE len(tk) > 0),
+        |wd AS (SELECT doc_id, unnest(tk) AS w, len(tk) AS n FROM t2),
+        |c AS (SELECT doc_id, w, max(n) AS n, count(*) AS c FROM wd GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, max(n) AS n_tokens, count(*) AS n_distinct,
+        |    max(c) AS max_c
+        |  FROM c GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','of','to'], t))) AS en_h
+        |  FROM t2),
+        |feats AS (
+        |  SELECT t2.doc_id, 1.0 AS fb,
+        |    round(CAST(a.n_distinct AS DOUBLE) / a.n_tokens, 6) AS fdr,
+        |    round(CAST(h.en_h AS DOUBLE) / a.n_tokens, 6) AS fsr,
+        |    round(CAST(a.max_c AS DOUBLE) / a.n_tokens, 6) AS fms,
+        |    CASE WHEN round(CAST(a.max_c AS DOUBLE) / a.n_tokens, 6) > 0.09
+        |         THEN 1.0 ELSE 0.0 END AS y
+        |  FROM t2 JOIN agg a USING (doc_id) JOIN hits h USING (doc_id)),
+        |w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+        |${lrIterCtes(8, 1.0)}
+        |SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+        |  round(1.0 / (1.0 + exp(-((((f.fb * w.wb) + f.fdr * w.w1)
+        |    + f.fsr * w.w2) + f.fms * w.w3))), 6) AS lr_score,
+        |  1.0 / (1.0 + exp(-((((f.fb * w.wb) + f.fdr * w.w1)
+        |    + f.fsr * w.w2) + f.fms * w.w3))) >= 0.5 AS lr_pred
+        |FROM feats f, w8 w""".stripMargin) { (s, d) =>
+      val at = TextAnalysis.docAttributes(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), lit(1.0).as("f_bias"),
+          col("distinct_ratio").as("f_dr"), col("stop_ratio").as("f_sr"),
+          col("max_tok_share").as("f_ms"),
+          (col("max_tok_share") > lit(0.09)).cast("double").as("y"))
+        .localCheckpoint(false)
+      val feats = Seq("f_bias", "f_dr", "f_sr", "f_ms")
+      val w = ops.Learn.lrTrain(at, feats, "y", iters = 8, lr = 1.0)
+      ops.Learn.lrScore(at, feats, w)
+        .select(col("doc_id"), col("y").cast("long").as("label"),
+          col("lr_score"), col("lr_pred"))
     },
 
     // Dedup-configuration eval (Dedup.dedupEval) — retrievalEval's

@@ -1074,6 +1074,21 @@ object ScaleCheck {
         graft.ops.Selection.knScore(graft.ops.Selection.knFromTypes(types),
           d, "text", "doc_id").count()
       }
+      // r18: distributed LR — 8 GD iterations, each ONE map-side-combined
+      // aggregate over the materialized feature table (d+1 doubles reach
+      // the driver per iteration); docs ×k scales each aggregate linearly,
+      // the iteration count stays constant
+      results(("lr_quality", k)) = timed("lr_quality", k, nd) {
+        val fc = Seq("f_bias", "f_dr", "f_sr", "f_ms")
+        val at = graft.ops.TextAnalysis.docAttributes(d, "text", "doc_id")
+          .select(col("doc_id"), lit(1.0).as("f_bias"),
+            col("distinct_ratio").as("f_dr"), col("stop_ratio").as("f_sr"),
+            col("max_tok_share").as("f_ms"),
+            (col("max_tok_share") > lit(0.09)).cast("double").as("y"))
+          .localCheckpoint(false)
+        val w = graft.ops.Learn.lrTrain(at, fc, "y", iters = 8, lr = 1.0)
+        graft.ops.Learn.lrScore(at, fc, w).count()
+      }
     }
     // growth factors per doubling-pair of k values
     for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted
