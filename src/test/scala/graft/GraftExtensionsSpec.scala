@@ -13,7 +13,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions()(ext)
     assert(GraftExtensions.functions.map(_._1.funcName).toSet === Set(
       "cosine_sim", "l2_dist", "dot_product", "max_sim", "fnv64", "simhash64",
-      "minhash_sig", "minhash_bands", "winnow_fingerprint", "word_shingles",
+      "minhash_sig", "minhash_bands", "winnow_fingerprint", "ac_count",
+      "word_shingles",
       "top_ngram_run", "unicode_norm", "strip_accents", "bpe_encode",
       "jaro_sim", "jaro_winkler", "z_value", "token_entropy",
       "int8_encode", "int8_dot",
@@ -34,6 +35,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(minhash_sig(array('a','b'), 16)) AS ms,
         |  size(minhash_bands(array('a','b'), 16, 4)) AS mb,
         |  size(winnow_fingerprint('abcdefgh', 3, 2)) AS wf,
+        |  ac_count('ushers', 'he|she|his|hers').hits AS ac,
         |  size(word_shingles(array('a','b','c'), 2)) AS n2,
         |  top_ngram_run(array('a','b','a','b','a'), 2) AS tr,
         |  int8_encode(array(0.5F, -1.0F)) AS i8,
@@ -46,11 +48,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(5) === 16)
     assert(r.getInt(6) === 4)
     assert(r.getInt(7) >= 1)
-    assert(r.getInt(8) === 2)
+    assert(r.getLong(8) === 3L)                   // ushers: she, he, hers
+    assert(r.getInt(9) === 2)
     // [a b, b a, a b, b a] → "a b" twice
-    assert(r.getLong(9) === 2L)
-    assert(r.getSeq[Int](10) === Seq(64, -127))   // 0.5·127 = 63.5 → 64
-    assert(r.getLong(11) === 2L * 4 + (-3L) * 5)
+    assert(r.getLong(10) === 2L)
+    assert(r.getSeq[Int](11) === Seq(64, -127))   // 0.5·127 = 63.5 → 64
+    assert(r.getLong(12) === 2L * 4 + (-3L) * 5)
   }
 
   test("pure-SQL surface end-to-end: registered views + graft functions ≡ DataFrame API") {
