@@ -98,6 +98,34 @@ class AhoCorasickSpec extends AnyFunSuite {
     }
   }
 
+  test("property: automaton ≡ brute force on seeded random phrase sets and texts") {
+    val rnd = new scala.util.Random(180818)
+    val alphabet = "abcé"
+    def randStr(maxLen: Int): String =
+      Seq.fill(1 + rnd.nextInt(maxLen))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 10).foreach { trial =>
+      // small alphabet forces dense overlaps, shared prefixes/suffixes,
+      // and phrases embedded in each other — the failure-link hot paths
+      val phrases = Seq.fill(3 + rnd.nextInt(6))(randStr(4)).distinct
+      val texts = Seq.fill(8)(randStr(40))
+      val got = acDf(texts, phrases)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (eh, ed) = brute(t, phrases)
+        assert((got(i)._2, got(i)._3) === ((eh, ed)),
+          s"trial $trial text '$t' phrases $phrases")
+      }
+    }
+  }
+
+  test("phraseBlocklist plan: one scan, zero exchanges — lexicon size never touches the plan") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.phraseBlocklist(docs, "text", "doc_id",
+        (1 to 500).map(i => s"phrase $i"), maxHits = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("phraseBlocklist op: verdict threshold, null docs absent, SQL surface") {
     val df = Seq((0L, "batch batch batch"), (1L, "clean text"),
       (2L, null: String)).toDF("doc_id", "text")
