@@ -62,13 +62,27 @@ object GraftExtensions {
     f("winnow_fingerprint", "winnow_fingerprint(text, ngram, window)") {
       xs => WinnowFingerprint(xs(0), intArg(xs(1), "ngram"), intArg(xs(2), "window")) },
     f("ac_count", "ac_count(text, 'phrase1|phrase2|…') — one-pass Aho–Corasick: struct(hits, phrases); lexicon is a |-delimited string literal (phrases must not contain '|')") {
-      xs => AhoCorasickCount(xs(0), xs(1) match {
-        case Literal(v, _) if v != null =>
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      xs => xs(1) match {
+        case Literal(null, _) => throw new IllegalArgumentException(
+          "ac_count lexicon must not be NULL — pass a |-delimited string literal")
+        case Literal(v, _) =>
+          val phrases = scala.collection.immutable.ArraySeq.unsafeWrapArray(
             v.toString.split('|').filter(_.nonEmpty))
+          // Validate the SPLIT lexicon eagerly, at registration/plan time:
+          // without this, a duplicate phrase after the '|' split (e.g.
+          // 'he|he') only surfaces at executor eval time as an opaque
+          // task-failure `require` from the lazy AcAutomaton.build.
+          if (phrases.isEmpty) throw new IllegalArgumentException(
+            "ac_count lexicon is empty after '|' split — need at least one non-empty phrase")
+          val dups = phrases.groupBy(identity).collect {
+            case (p, occ) if occ.length > 1 => p }
+          if (dups.nonEmpty) throw new IllegalArgumentException(
+            s"ac_count lexicon has duplicate phrase(s) after '|' split: ${dups.mkString(", ")}")
+          AcAutomaton.build(phrases) // force full build validation at plan time, not executor eval time
+          AhoCorasickCount(xs(0), phrases)
         case other => throw new IllegalArgumentException(
           s"ac_count lexicon must be a string literal, got $other")
-      }) },
+      } },
     f("word_shingles", "word_shingles(tokens, n) — distinct word n-grams") {
       xs => WordShingles(xs(0), intArg(xs(1), "shingle n")) },
     f("top_ngram_run", "top_ngram_run(tokens, n) — max n-gram frequency") {

@@ -63,6 +63,92 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY doc_id ORDER BY tot DESC, lang) AS rn
       |  FROM s2)""".stripMargin
 
+  /** The full CCNet trajectory shared CHARACTER-IDENTICALLY by
+    * q_ccnet_buckets and q_ccnet_sample: langid argmax ([[langidNbCtes]]),
+    * per-predicted-language KN trigram model + self-score, and the
+    * ntile(3) tercile assignment. Ends at CTE
+    * `cbck(doc_id, lang_pred, avg_logprob, ppl_bucket)`; callers append
+    * their own final SELECT (and further CTEs). */
+  private def ccnetCtes: String =
+    s"""$langidNbCtes,
+      |lpred AS (SELECT doc_id, lang AS lg FROM pick WHERE rn = 1),
+      |ktk AS (
+      |  SELECT d.doc_id, lp.lg,
+      |    list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), t -> t <> '') AS tk
+      |  FROM documents d JOIN lpred lp USING (doc_id)),
+      |ktg AS MATERIALIZED (
+      |  SELECT doc_id, lg, tk[s2+1] AS w1, tk[s2+2] AS w2, tk[s2+3] AS w3,
+      |    tk[s2+1] || ' ' || tk[s2+2] AS h12,
+      |    tk[s2+2] || ' ' || tk[s2+3] AS h23,
+      |    tk[s2+1] || ' ' || tk[s2+2] || ' ' || tk[s2+3] AS g3
+      |  FROM (SELECT * FROM ktk WHERE len(tk) >= 3), unnest(range(0, len(tk)-2)) u(s2)),
+      |ktrip AS (
+      |  SELECT lg, g3, min(h12) AS h12, min(h23) AS h23, min(w2) AS w2,
+      |    min(w3) AS w3, count(*) AS c123
+      |  FROM ktg GROUP BY lg, g3),
+      |khist AS (SELECT lg, h12, sum(c123) AS c12tot, count(*) AS n1p12
+      |          FROM ktrip GROUP BY lg, h12),
+      |kcont AS (SELECT lg, h23, min(w2) AS w2, min(w3) AS w3,
+      |            count(*) AS ndot23
+      |          FROM ktrip GROUP BY lg, h23),
+      |kmid AS (SELECT lg, w2, sum(ndot23) AS ndotw2dot,
+      |           count(*) AS n1pw2dot
+      |         FROM kcont GROUP BY lg, w2),
+      |kuni AS (SELECT lg, w3, count(*) AS ndotw3 FROM kcont GROUP BY lg, w3),
+      |knv AS (SELECT lg, CAST(count(*) AS DOUBLE) AS nn,
+      |               CAST(count(DISTINCT w3) AS DOUBLE) AS vv
+      |        FROM kcont GROUP BY lg),
+      |klp AS (
+      |  SELECT t.lg, t.g3, CAST(round(ln(
+      |    (greatest(CAST(t.c123 AS DOUBLE) - 0.75, 0.0)
+      |      + 0.75 * CAST(h.n1p12 AS DOUBLE) *
+      |        ((greatest(CAST(c.ndot23 AS DOUBLE) - 0.75, 0.0)
+      |          + 0.75 * CAST(m.n1pw2dot AS DOUBLE) *
+      |            ((CAST(u.ndotw3 AS DOUBLE) + 1.0) / (nv.nn + nv.vv + 1.0)))
+      |         / CAST(m.ndotw2dot AS DOUBLE)))
+      |    / CAST(h.c12tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+      |  FROM ktrip t
+      |  JOIN khist h ON h.lg = t.lg AND h.h12 = t.h12
+      |  JOIN kcont c ON c.lg = t.lg AND c.h23 = t.h23
+      |  JOIN kmid m ON m.lg = t.lg AND m.w2 = t.w2
+      |  JOIN kuni u ON u.lg = t.lg AND u.w3 = t.w3
+      |  JOIN knv nv ON nv.lg = t.lg),
+      |ksc AS (
+      |  SELECT g.doc_id, g.lg AS lang_pred,
+      |    CAST(round(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+      |      / 1000000.0 AS avg_logprob
+      |  FROM ktg g JOIN klp ON klp.lg = g.lg AND klp.g3 = g.g3
+      |  GROUP BY g.doc_id, g.lg),
+      |cbck AS (
+      |  SELECT doc_id, lang_pred, avg_logprob,
+      |    CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+      |      ELSE 'tail' END AS ppl_bucket
+      |  FROM (SELECT *, ntile(3) OVER (
+      |          PARTITION BY lang_pred ORDER BY avg_logprob DESC, doc_id) AS nt
+      |        FROM ksc))""".stripMargin
+
+  /** Spark side of the shared CCNet trajectory (see [[ccnetCtes]]):
+    * langidNb argmax → per-language knTrain (groupCols: every grain gains
+    * the group key) → self-score → pplTerciles histogram split. The
+    * scored corpus is materialized ONCE (the q_kn_curate stage-boundary
+    * stance): pplTerciles reads its input 3x (range agg, bucket counts,
+    * assignment) and would re-run the langid join + 5 KN model joins each
+    * time otherwise. */
+  private def ccnetBucketed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lang = TextAnalysis.langidNb(docs,
+      docs.filter(col("lang").isNotNull), "text", "lang", "doc_id",
+      buckets = 1024)
+    val withLang = docs.select(col("doc_id"), col("text"))
+      .join(lang.select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+    val model = ops.Selection.knTrain(withLang, "text",
+      groupCols = Seq("lang_pred"))
+    val kn = ops.Selection.knScore(model, withLang, "text", "doc_id",
+      groupCols = Seq("lang_pred")).localCheckpoint(false)
+    ops.Selection.pplTerciles(kn, "lang_pred", "doc_id", "avg_logprob",
+      buckets = 64)
+  }
+
   /** One registered query: Spark side + optional DuckDB oracle SQL. */
   private final case class Q(
       name: String,
@@ -604,6 +690,22 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def indexArtifact[T <: AnyRef](key: String)(build: => T): T =
     artifactCache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  /** Deterministic per-dataset model-artifact dir (r18 verdict item 3 —
+    * the KenLM persistence discipline across the trained-model family):
+    * the model frame is written to parquet and RELOADED inside the query
+    * itself, so the driver's hash gate proves the persisted artifact
+    * scores identically to the lazy plan, not just that one composed plan
+    * is right. Models are bounded (≤ a few thousand rows) so the write is
+    * constant-time at any corpus scale; in production this is the real
+    * model table path. */
+  private def modelRoundTrip(s: SparkSession, name: String, d: String,
+                             model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val path = "/tmp/graft-models/" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "/" + name
+    model.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
 
   /** Month-partitioned orders layout for a dataset dir — written once per
     * dataset via [[ops.Bucketing.writePartitioned]] (a layout artifact,
@@ -7700,14 +7802,20 @@ object SparkEntry {
     // before the labeled data exists. Same oracle as q_langid_nb
     // CHARACTER-IDENTICAL (the factored langidNbCtes), so the hash gate
     // proves lazy ≡ eager on real data, not just the unit fixture.
+    // r18 verdict item 3: the model now ROUND-TRIPS PARQUET inside the
+    // query (nbLangTrain → write → read → nbLangScore), so the same hash
+    // gate also proves the persisted artifact scores identically — the
+    // train-once / score-many pipeline shape, not a per-run retrain.
     q("q_langid_nb_lazy",
       s"""WITH RECURSIVE $langidNbCtes
         |SELECT doc_id, lang AS lang_pred,
         |  round(CAST(tot AS DOUBLE) / 1000000.0, 6) AS nb_logp
         |FROM pick WHERE rn = 1""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      TextAnalysis.langidNbLazy(docs, docs.filter(col("lang").isNotNull),
-        "text", "lang", "doc_id", buckets = 1024)
+      val model = modelRoundTrip(s, "langid_nb", d,
+        TextAnalysis.nbLangTrain(docs, "text", "lang", buckets = 1024))
+      TextAnalysis.nbLangScore(model, docs.filter(col("lang").isNotNull),
+        "text", "doc_id", buckets = 1024)
     },
 
     // Trained quality classifier (TextAnalysis.qualityNb): binary NB over
@@ -7765,9 +7873,13 @@ object SparkEntry {
         |  (sp + pp) - (sn + pn) > 0 AS pred
         |FROM s1, pw""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      TextAnalysis.qualityNb(
-        docs.withColumn("_y", pmod(col("doc_id"), lit(2)) === 0),
-        docs, "text", "_y", "doc_id", buckets = 1024)
+      // r18 verdict item 3: persisted-artifact parity — train once, write
+      // the bounded model frame, reload, score (hash-gated end to end)
+      val model = modelRoundTrip(s, "quality_nb", d,
+        TextAnalysis.nbQualityTrain(
+          docs.withColumn("_y", pmod(col("doc_id"), lit(2)) === 0),
+          "text", "_y", buckets = 1024))
+      TextAnalysis.nbQualityScore(model, docs, "text", "doc_id", buckets = 1024)
     },
 
     // Mojibake repair (TextAnalysis.fixEncoding, ftfy-class): both engines
@@ -8166,7 +8278,14 @@ object SparkEntry {
         .localCheckpoint(false)
       val feats = Seq("f_bias", "f_dr", "f_sr", "f_ms")
       val w = ops.Learn.lrTrain(at, feats, "y", iters = 8, lr = 1.0)
-      ops.Learn.lrScore(at, feats, w)
+      // r18 verdict item 3: the weight vector round-trips parquet as a
+      // one-row model frame before scoring — identical trajectory (the
+      // micro-quantized doubles are exact), persisted-artifact parity
+      // with knTrain/nbLangTrain.
+      val w2 = ops.Learn.lrWeights(
+        modelRoundTrip(s, "lr_quality", d, ops.Learn.lrModelFrame(s, feats, w)),
+        feats)
+      ops.Learn.lrScore(at, feats, w2)
         .select(col("doc_id"), col("y").cast("long").as("label"),
           col("lr_score"), col("lr_pred"))
     },
@@ -8827,80 +8946,43 @@ object SparkEntry {
     // (lang, score DESC, doc_id) — whose sizes pplTerciles reproduces
     // from driver-side bucket counts.
     q("q_ccnet_buckets",
-      s"""WITH RECURSIVE $langidNbCtes,
-        |lpred AS (SELECT doc_id, lang AS lg FROM pick WHERE rn = 1),
-        |ktk AS (
-        |  SELECT d.doc_id, lp.lg,
-        |    list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), t -> t <> '') AS tk
-        |  FROM documents d JOIN lpred lp USING (doc_id)),
-        |ktg AS MATERIALIZED (
-        |  SELECT doc_id, lg, tk[s2+1] AS w1, tk[s2+2] AS w2, tk[s2+3] AS w3,
-        |    tk[s2+1] || ' ' || tk[s2+2] AS h12,
-        |    tk[s2+2] || ' ' || tk[s2+3] AS h23,
-        |    tk[s2+1] || ' ' || tk[s2+2] || ' ' || tk[s2+3] AS g3
-        |  FROM (SELECT * FROM ktk WHERE len(tk) >= 3), unnest(range(0, len(tk)-2)) u(s2)),
-        |ktrip AS (
-        |  SELECT lg, g3, min(h12) AS h12, min(h23) AS h23, min(w2) AS w2,
-        |    min(w3) AS w3, count(*) AS c123
-        |  FROM ktg GROUP BY lg, g3),
-        |khist AS (SELECT lg, h12, sum(c123) AS c12tot, count(*) AS n1p12
-        |          FROM ktrip GROUP BY lg, h12),
-        |kcont AS (SELECT lg, h23, min(w2) AS w2, min(w3) AS w3,
-        |            count(*) AS ndot23
-        |          FROM ktrip GROUP BY lg, h23),
-        |kmid AS (SELECT lg, w2, sum(ndot23) AS ndotw2dot,
-        |           count(*) AS n1pw2dot
-        |         FROM kcont GROUP BY lg, w2),
-        |kuni AS (SELECT lg, w3, count(*) AS ndotw3 FROM kcont GROUP BY lg, w3),
-        |knv AS (SELECT lg, CAST(count(*) AS DOUBLE) AS nn,
-        |               CAST(count(DISTINCT w3) AS DOUBLE) AS vv
-        |        FROM kcont GROUP BY lg),
-        |klp AS (
-        |  SELECT t.lg, t.g3, CAST(round(ln(
-        |    (greatest(CAST(t.c123 AS DOUBLE) - 0.75, 0.0)
-        |      + 0.75 * CAST(h.n1p12 AS DOUBLE) *
-        |        ((greatest(CAST(c.ndot23 AS DOUBLE) - 0.75, 0.0)
-        |          + 0.75 * CAST(m.n1pw2dot AS DOUBLE) *
-        |            ((CAST(u.ndotw3 AS DOUBLE) + 1.0) / (nv.nn + nv.vv + 1.0)))
-        |         / CAST(m.ndotw2dot AS DOUBLE)))
-        |    / CAST(h.c12tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
-        |  FROM ktrip t
-        |  JOIN khist h ON h.lg = t.lg AND h.h12 = t.h12
-        |  JOIN kcont c ON c.lg = t.lg AND c.h23 = t.h23
-        |  JOIN kmid m ON m.lg = t.lg AND m.w2 = t.w2
-        |  JOIN kuni u ON u.lg = t.lg AND u.w3 = t.w3
-        |  JOIN knv nv ON nv.lg = t.lg),
-        |ksc AS (
-        |  SELECT g.doc_id, g.lg AS lang_pred,
-        |    CAST(round(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
-        |      / 1000000.0 AS avg_logprob
-        |  FROM ktg g JOIN klp ON klp.lg = g.lg AND klp.g3 = g.g3
-        |  GROUP BY g.doc_id, g.lg)
-        |SELECT doc_id, lang_pred, avg_logprob,
-        |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-        |    ELSE 'tail' END AS ppl_bucket
-        |FROM (SELECT *, ntile(3) OVER (
-        |        PARTITION BY lang_pred ORDER BY avg_logprob DESC, doc_id) AS nt
-        |      FROM ksc)""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val lang = TextAnalysis.langidNb(docs,
-        docs.filter(col("lang").isNotNull), "text", "lang", "doc_id",
-        buckets = 1024)
-      val withLang = docs.select(col("doc_id"), col("text"))
-        .join(lang.select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
-      val model = ops.Selection.knTrain(withLang, "text",
-        groupCols = Seq("lang_pred"))
-      // materialize the scored corpus ONCE (the q_kn_curate stage-boundary
-      // stance): pplTerciles reads its input 3x (range agg, bucket counts,
-      // assignment) and would re-run the langid join + 5 KN model joins
-      // each time otherwise
-      val kn = ops.Selection.knScore(model, withLang, "text", "doc_id",
-        groupCols = Seq("lang_pred")).localCheckpoint(false)
-      ops.Selection.pplTerciles(kn, "lang_pred", "doc_id", "avg_logprob",
-        buckets = 64)
+      s"""WITH RECURSIVE $ccnetCtes
+        |SELECT doc_id, lang_pred, avg_logprob, ppl_bucket FROM cbck""".stripMargin) { (s, d) =>
+      ccnetBucketed(s, d)
         .select(col("doc_id"), col("lang_pred"), col("avg_logprob"),
           col("ppl_bucket"))
     },
+
+    // The CCNet curation ACTION (r18 verdict item 6 — the one Wenzek 2020
+    // step q_ccnet_buckets left unimplemented): head kept outright,
+    // middle SAMPLED at a per-language rate, tail dropped. The coin is
+    // fnv64(doc_id as decimal string) mod 64 — deterministic, seed-free,
+    // engine-agnostic (power-of-two modulus: signed pmod and unsigned
+    // HUGEINT % agree on the low 6 bits, the DSIR argument) — so the
+    // oracle restates the ENTIRE trajectory (langid argmax → per-language
+    // KN → terciles) plus the hash-coin filter, and the hash gate proves
+    // the exact kept row set, not a size. Rates exercise the full spread:
+    // en 32/64, zh 48/64, es 16/64, plus the defaultKeep64=8 path for
+    // every other language (de, fr).
+    q("q_ccnet_sample",
+      s"""WITH RECURSIVE $ccnetCtes,
+        |${fnvFoldCtes("cn", "cbck", "doc_id", "CAST(doc_id AS VARCHAR)")},
+        |coin AS (SELECT k AS doc_id, CAST(ch % 64 AS BIGINT) AS c FROM cn)
+        |SELECT b.doc_id, b.lang_pred, b.avg_logprob, b.ppl_bucket
+        |FROM cbck b JOIN coin USING (doc_id)
+        |WHERE b.ppl_bucket = 'head'
+        |   OR (b.ppl_bucket = 'middle' AND c <
+        |       CASE b.lang_pred WHEN 'en' THEN 32 WHEN 'zh' THEN 48
+        |            WHEN 'es' THEN 16 ELSE 8 END)""".stripMargin) { (s, d) =>
+      ops.Selection.ccnetSample(
+        ccnetBucketed(s, d)
+          .select(col("doc_id"), col("lang_pred"), col("avg_logprob"),
+            col("ppl_bucket")),
+        "lang_pred", "doc_id",
+        keep64 = Map("en" -> 32, "zh" -> 48, "es" -> 16),
+        defaultKeep64 = 8)
+    },
+
 
     // DSIR importance log-weights (Xie et al. 2023): hashed-bigram feature
     // distributions, target = non-English docs (the multilingual-upsampling

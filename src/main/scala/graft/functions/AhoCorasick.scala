@@ -125,8 +125,11 @@ object AcAutomaton {
       children(u).foreach { case (ub, v) =>
         var f = fail(u)
         while (f != 0 && !children(f).contains(ub)) f = fail(f)
+        // t is strictly shallower than v: f walks u's failure chain (every
+        // node there is shallower than u), so depth(t) ≤ depth(u) < depth(v)
+        // and children(f)(ub) can never BE v — no self-loop guard needed.
         val t = children(f).getOrElse(ub, 0)
-        fail(v) = if (t == v) 0 else t
+        fail(v) = t
         emit(v) = own(v).toArray ++ emit(fail(v))
         queue += v
       }

@@ -50,12 +50,21 @@ object Learn {
     val f = df.select(featCols.map(c => col(c).cast("double").as(c)) :+
       col(labelCol).cast("double").as("_y"): _*)
     var w = Array.fill(d)(0.0)
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val err = sigmoid(z(featCols.map(col), w)) - col("_y")
-      val aggs = featCols.map(c => sum(err * col(c))) :+ count(lit(1L))
+      // The gradient denominator is count(*) while the numerators are
+      // null-skipping sums — a null feature/label row would silently
+      // deflate the gradient instead of failing. Enforce the non-null
+      // precondition: count over the full z·y expression equals count(*)
+      // iff no row carries a null anywhere in features or label.
+      val aggs = featCols.map(c => sum(err * col(c))) :+
+        count(lit(1L)) :+ count(err)
       val row = f.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getLong(d)
       require(n > 0L, "empty training frame")
+      if (it == 0) require(row.getLong(d + 1) == n,
+        s"lrTrain requires non-null features and label: ${n - row.getLong(d + 1)} " +
+          s"of $n rows carry a NULL in ${featCols.mkString(",")}/$labelCol")
       w = Array.tabulate(d)(j => micro6(w(j) - lr * row.getDouble(j) / n))
     }
     w
@@ -70,10 +79,13 @@ object Learn {
     lit(1.0) / (lit(1.0) + exp(-zc))
 
   /** Scan-side scoring under literal weights: `lr_score` =
-    * round₆(σ(w·x)), `lr_pred` = σ(w·x) ≥ 0.5 on the RAW double (both
-    * engines compute the identical expression, so the comparison
-    * agrees exactly). Zero shuffle, zero joins — the model is d literals
-    * in the projection. */
+    * round₆(σ(w·x)), `lr_pred` = σ(w·x) ≥ 0.5. Both engines compute the
+    * same expression tree, but `exp()` is not correctly-rounded — JVM
+    * Math.exp vs libm can differ in the last ulp, so a sigmoid landing
+    * within an ulp of the 0.5 boundary (or of a 5e-7 round₆ boundary)
+    * could in principle flip; the same probabilistic round(…,6) stance
+    * as the rest of the repo, not an exactness guarantee. Zero shuffle,
+    * zero joins — the model is d literals in the projection. */
   def lrScore(df: DataFrame, featCols: Seq[String],
               weights: Array[Double]): DataFrame = {
     require(weights.length == featCols.length,
@@ -81,6 +93,31 @@ object Learn {
     val p = sigmoid(z(featCols.map(c => col(c).cast("double")), weights))
     df.withColumn("lr_score", round(p, 6))
       .withColumn("lr_pred", p >= 0.5)
+  }
+
+  /** The [[lrTrain]] weight vector as a persistable ONE-ROW model frame
+    * (r18 verdict item 3 — artifact parity with [[Selection.knTrain]] and
+    * the NB family: train once, score many runs). Columns are the feature
+    * names in `featCols` order, values the weights; the frame round-trips
+    * parquet exactly because the weights are already micro-quantized
+    * doubles (6 decimals — representable, and parquet stores the binary64
+    * verbatim either way). */
+  def lrModelFrame(spark: org.apache.spark.sql.SparkSession,
+                   featCols: Seq[String], weights: Array[Double]): DataFrame = {
+    require(weights.length == featCols.length,
+      s"${weights.length} weights for ${featCols.length} features")
+    spark.range(1).select(
+      featCols.zipWithIndex.map { case (c, j) => lit(weights(j)).as(c) }: _*)
+  }
+
+  /** Read a weight vector back out of a [[lrModelFrame]] (possibly
+    * parquet-reloaded) in `featCols` order — one driver row of d doubles,
+    * the bounded-artifact class. */
+  def lrWeights(model: DataFrame, featCols: Seq[String]): Array[Double] = {
+    val rows = model.select(featCols.map(c => col(c).cast("double")): _*).collect()
+    require(rows.length == 1,
+      s"LR model frame must have exactly one row, got ${rows.length}")
+    Array.tabulate(featCols.length)(rows(0).getDouble)
   }
 
   /** Mean logistic loss −[y·ln p + (1−y)·ln(1−p)] under literal weights,

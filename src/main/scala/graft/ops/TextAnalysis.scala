@@ -1036,16 +1036,38 @@ object TextAnalysis {
     * fast path when the model can be frozen at call time. */
   def langidNbLazy(labeled: DataFrame, toScore: DataFrame, textCol: String,
                    labelCol: String, idCol: String,
-                   buckets: Int = 1024): DataFrame = {
+                   buckets: Int = 1024): DataFrame =
+    nbLangScore(nbLangTrain(labeled, textCol, labelCol, buckets),
+      toScore, textCol, idCol, buckets)
+
+  /** The docs-with-text-at-least-3-chars normalization both NB langid
+    * train and score streams share. */
+  private def nbNormText(df: DataFrame, textCol: String, keep: Column) = df
+    .filter(col(textCol).isNotNull)
+    .select(keep, lower(trim(col(textCol))).as("_t"))
+    .filter(length(col("_t")) >= 3)
+
+  /** [[langidNbLazy]]'s TRAIN half as a persistable model frame (r18
+    * verdict item 3 — the [[Selection.knTrain]] artifact discipline
+    * applied to the NB family: a real pipeline trains once and scores
+    * many runs, so the model must survive a parquet round trip instead
+    * of living only inside one composed plan). Grain-tagged rows, all
+    * micro-LONG integers so the round trip is exact by construction
+    * (no float re-serialization hazard):
+    *
+    *  - grain "ll":    (_lang, _b, _lmic) — the nLangs × `buckets`
+    *                   add-1-smoothed log-likelihood table
+    *  - grain "prior": (_lang, _b = null, _lmic = micro ln prior)
+    *
+    * Bounded artifact: exactly nLangs · (buckets + 1) rows regardless of
+    * corpus size — broadcast-sized at any scale. */
+  def nbLangTrain(labeled: DataFrame, textCol: String, labelCol: String,
+                  buckets: Int = 1024): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two for engine-agnostic hash mod: $buckets")
     val spark = labeled.sparkSession
-    def withT(df: DataFrame, keep: Column) = df
-      .filter(col(textCol).isNotNull)
-      .select(keep, lower(trim(col(textCol))).as("_t"))
-      .filter(length(col("_t")) >= 3)
-    val trainDocs = withT(labeled.filter(col(labelCol).isNotNull),
-      col(labelCol).as("_lang"))
+    val trainDocs = nbNormText(labeled.filter(col(labelCol).isNotNull),
+      textCol, col(labelCol).as("_lang"))
     val tf = trainDocs.select(col("_lang"),
       explode(graft.functions.GraftFunctions.trigram_buckets(
         col("_t"), buckets.toLong)).as("_b"))
@@ -1065,7 +1087,27 @@ object TextAnalysis {
       .select(col("_lang"),
         round(log(col("_nl").cast("double") / col("_n").cast("double")) *
           lit(1e6)).cast("long").as("_pmic"))
-    withT(toScore, col(idCol))
+    dense.select(lit("ll").as("grain"), col("_lang"), col("_b"), col("_lmic"))
+      .unionByName(priors.select(lit("prior").as("grain"), col("_lang"),
+        lit(null).cast("long").as("_b"), col("_pmic").as("_lmic")))
+  }
+
+  /** [[langidNbLazy]]'s SCORE half against a [[nbLangTrain]] model frame
+    * (lazy or reloaded from parquet — the artifact-reuse path). Scoring
+    * shape unchanged from the fused formulation: scan-side trigram-bucket
+    * explode collapsed map-side to (id, bucket, cnt), ONE broadcast join
+    * against the bounded model, micro-LONG sums, argmin tie-break to the
+    * lexicographically smallest lang. `buckets` must match the model's
+    * (the hash space is part of the model identity, like KN's tokenizer). */
+  def nbLangScore(model: DataFrame, toScore: DataFrame, textCol: String,
+                  idCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two for engine-agnostic hash mod: $buckets")
+    val dense = model.filter(col("grain") === "ll")
+      .select(col("_lang"), col("_b"), col("_lmic"))
+    val priors = model.filter(col("grain") === "prior")
+      .select(col("_lang"), col("_lmic").as("_pmic"))
+    nbNormText(toScore, textCol, col(idCol))
       .select(col(idCol),
         explode(graft.functions.GraftFunctions.trigram_buckets(
           col("_t"), buckets.toLong)).as("_b"))
@@ -1131,7 +1173,22 @@ object TextAnalysis {
     * document bodies never shuffle. */
   def qualityNb(labeled: DataFrame, toScore: DataFrame, textCol: String,
                 labelCol: String, idCol: String,
-                buckets: Int = 1024): DataFrame = {
+                buckets: Int = 1024): DataFrame =
+    nbQualityScore(nbQualityTrain(labeled, textCol, labelCol, buckets),
+      toScore, textCol, idCol, buckets)
+
+  /** [[qualityNb]]'s TRAIN half as a persistable model frame (r18 verdict
+    * item 3, the [[nbLangTrain]] stance for the binary classifier).
+    * Grain-tagged micro-LONG rows, exact across a parquet round trip:
+    *
+    *  - grain "ll":    (_b, _lpPos, _lpNeg) — bucket-WIDE log-likelihoods,
+    *                   one row per bucket serving both classes
+    *  - grain "prior": (_b = null, _lpPos = micro ln P(pos),
+    *                   _lpNeg = micro ln P(neg))
+    *
+    * Bounded artifact: buckets + 1 rows regardless of corpus size. */
+  def nbQualityTrain(labeled: DataFrame, textCol: String, labelCol: String,
+                     buckets: Int = 1024): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two for engine-agnostic hash mod: $buckets")
     val spark = labeled.sparkSession
@@ -1166,6 +1223,25 @@ object TextAnalysis {
       .groupBy()
       .agg(sum(when(col("_y"), col("_pmic"))).as("_pPos"),
         sum(when(!col("_y"), col("_pmic"))).as("_pNeg"))
+    wide.select(lit("ll").as("grain"), col("_b"), col("_lpPos"), col("_lpNeg"))
+      .unionByName(priorsRow.select(lit("prior").as("grain"),
+        lit(null).cast("long").as("_b"), col("_pPos").as("_lpPos"),
+        col("_pNeg").as("_lpNeg")))
+  }
+
+  /** [[qualityNb]]'s SCORE half against a [[nbQualityTrain]] model frame
+    * (lazy or parquet-reloaded). One scan-side feature explode, ONE
+    * broadcast join against the bounded model, one id-grain micro-LONG
+    * sum — document bodies never shuffle. `buckets` must match the
+    * model's hash space. */
+  def nbQualityScore(model: DataFrame, toScore: DataFrame, textCol: String,
+                     idCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two for engine-agnostic hash mod: $buckets")
+    val wide = model.filter(col("grain") === "ll")
+      .select(col("_b"), col("_lpPos"), col("_lpNeg"))
+    val priorsRow = model.filter(col("grain") === "prior")
+      .select(col("_lpPos").as("_pPos"), col("_lpNeg").as("_pNeg"))
     val micro = (col("_sp") + col("_pPos")) - (col("_sn") + col("_pNeg"))
     toScore.filter(col(textCol).isNotNull)
       .select(col(idCol),

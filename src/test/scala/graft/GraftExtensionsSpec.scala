@@ -56,6 +56,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(12) === 2L * 4 + (-3L) * 5)
   }
 
+  test("ac_count lexicon defects fail EAGERLY at plan time with specific messages") {
+    // ADVICE r18: a duplicate phrase after the '|' split used to surface
+    // only at executor eval time as an opaque task-failure require; a NULL
+    // lexicon fell into the misleading 'must be a string literal' message.
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.registerAll(s)
+    def planFail(sql: String): String =
+      intercept[Exception](s.sql(sql).queryExecution.analyzed).getMessage
+    assert(planFail("SELECT ac_count('x', 'he|he')").contains("duplicate phrase"))
+    assert(planFail("SELECT ac_count('x', NULL)").contains("must not be NULL"))
+    assert(planFail("SELECT ac_count('x', '||')").contains("empty after"))
+    assert(planFail("SELECT ac_count('x', lower('HE'))")
+      .contains("string literal"))
+  }
+
   test("pure-SQL surface end-to-end: registered views + graft functions ≡ DataFrame API") {
     // the way a SQL-first user consumes the engine: tables as views, graft
     // expressions by name, the whole query in one spark.sql — results must

@@ -56,4 +56,42 @@ class LearnSpec extends AnyFunSuite {
       Learn.lrScore(fixture, Seq("f_bias", "f1"), Array(1.0))
     }
   }
+
+  test("lrModelFrame round-trips parquet bit-for-bit and scores identically (r18 verdict item 3)") {
+    val feats = Seq("f_bias", "f1")
+    val w = Learn.lrTrain(fixture, feats, "y", iters = 8, lr = 2.0)
+    val dir = java.nio.file.Files.createTempDirectory("lr-model").toString
+    Learn.lrModelFrame(spark, feats, w).write.mode("overwrite").parquet(dir)
+    val w2 = Learn.lrWeights(spark.read.parquet(dir), feats)
+    // micro-quantized doubles are exactly representable in binary64 only
+    // per-value — the claim is bit-for-bit parquet fidelity, so assert
+    // raw bit equality, not approximate
+    assert(w.map(java.lang.Double.doubleToLongBits).toSeq ===
+      w2.map(java.lang.Double.doubleToLongBits).toSeq)
+    val a = Learn.lrScore(fixture, feats, w).orderBy("id").collect()
+    val b = Learn.lrScore(fixture, feats, w2).orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+    // loader contract: arity and row-count checked
+    intercept[IllegalArgumentException] {
+      Learn.lrWeights(spark.read.parquet(dir).unionAll(spark.read.parquet(dir)), feats)
+    }
+  }
+
+  test("null feature/label rows fail loudly instead of silently deflating the gradient") {
+    // ADVICE r18: the gradient denominator is count(*) while the numerators
+    // are null-skipping sums — without the guard a null row shrinks the
+    // step instead of erroring.
+    val withNullFeat = fixture.withColumn("f1",
+      when(col("id") === 7, lit(null)).otherwise(col("f1")))
+    val e1 = intercept[IllegalArgumentException] {
+      Learn.lrTrain(withNullFeat, Seq("f_bias", "f1"), "y", iters = 1)
+    }
+    assert(e1.getMessage.contains("non-null"))
+    val withNullLabel = fixture.withColumn("y",
+      when(col("id") === 3, lit(null)).otherwise(col("y")))
+    val e2 = intercept[IllegalArgumentException] {
+      Learn.lrTrain(withNullLabel, Seq("f_bias", "f1"), "y", iters = 1)
+    }
+    assert(e2.getMessage.contains("non-null"))
+  }
 }

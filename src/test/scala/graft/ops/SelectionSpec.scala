@@ -233,6 +233,49 @@ class SelectionSpec extends AnyFunSuite {
       buckets = 4).count() === rows.size)
   }
 
+  test("ccnetSample: head kept, tail dropped, middle kept iff hash-coin under the group rate") {
+    import spark.implicits._
+    // every (group, bucket) combination, ids spread so coins vary
+    val rows = for {
+      g <- Seq("en", "de"); b <- Seq("head", "middle", "tail")
+      i <- 0 until 40
+    } yield (g, (g.hashCode.abs % 97) * 1000L + Seq("head", "middle", "tail").indexOf(b) * 100 + i, b)
+    val df = rows.toDF("lang", "doc_id", "ppl_bucket")
+    val rates = Map("en" -> 16, "de" -> 48)
+    val got = Selection.ccnetSample(df, "lang", "doc_id", rates)
+      .as[(String, Long, String)].collect().map(r => (r._1, r._2)).toSet
+    def coin(id: Long): Long = {
+      val h = graft.functions.TextHashing.fnv64(id.toString)
+      ((h % 64) + 64) % 64
+    }
+    val exp = rows.filter { case (g, id, b) =>
+      b == "head" || (b == "middle" && coin(id) < rates(g))
+    }.map { case (g, id, _) => (g, id) }.toSet
+    assert(got === exp)
+    // all three buckets are represented in the expectation (fixture sanity:
+    // the middle filter is neither vacuous nor total)
+    val midKept = exp.count { case (_, id) => rows.exists(r => r._2 == id && r._3 == "middle") }
+    assert(midKept > 0 && midKept < 80, s"middle kept $midKept of 80")
+
+    // degenerate rates: 0 drops every middle row, 64 keeps every one
+    assert(Selection.ccnetSample(df, "lang", "doc_id",
+      Map("en" -> 0, "de" -> 0)).filter(col("ppl_bucket") === "middle")
+      .count() === 0L)
+    assert(Selection.ccnetSample(df, "lang", "doc_id",
+      Map("en" -> 64, "de" -> 64)).filter(col("ppl_bucket") === "middle")
+      .count() === 80L)
+    // a group missing from the map uses defaultKeep64 (0 = head only)
+    val onlyEn = Selection.ccnetSample(df, "lang", "doc_id", Map("en" -> 64))
+    assert(onlyEn.filter(col("lang") === "de" && col("ppl_bucket") === "middle")
+      .count() === 0L)
+    assert(onlyEn.filter(col("lang") === "de" && col("ppl_bucket") === "head")
+      .count() === 40L)
+    // threshold out of range throws
+    intercept[IllegalArgumentException] {
+      Selection.ccnetSample(df, "lang", "doc_id", Map("en" -> 65))
+    }
+  }
+
   test("dsir: target-like feature distributions get higher weights; stable under repartition") {
     // non-en docs use a disjoint bigram vocabulary from en docs
     val docs = Seq(

@@ -162,6 +162,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ed.length > 0 && ed.toSeq === ld.toSeq)
   }
 
+  test("nbLangTrain/nbQualityTrain model frames round-trip parquet bit-for-bit (r18 verdict item 3)") {
+    // the knTrain precedent: the persisted artifact must score IDENTICALLY
+    // to the lazy plan — model values are micro-LONG integers, so the
+    // round trip is exact by construction and we assert it, not assume it
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .filter(col("lang").isNotNull)
+    val dir = java.nio.file.Files.createTempDirectory("nb-model").toString
+
+    val langModel = TextAnalysis.nbLangTrain(docs, "text", "lang")
+    langModel.write.mode("overwrite").parquet(s"$dir/lang")
+    val langReloaded = spark.read.parquet(s"$dir/lang")
+    // frame-level: identical row multisets (all-integer columns)
+    assert(langModel.exceptAll(langReloaded).isEmpty &&
+      langReloaded.exceptAll(langModel).isEmpty,
+      "nbLangTrain frame must round-trip parquet exactly")
+    // score-level: reloaded model ≡ lazy composition, row for row
+    val viaDisk = TextAnalysis.nbLangScore(langReloaded, docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val lazyPlan = TextAnalysis.langidNbLazy(docs, docs, "text", "lang", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(viaDisk.length > 0 && viaDisk.toSeq === lazyPlan.toSeq)
+
+    val labeled = docs.withColumn("_y", pmod(col("doc_id"), lit(2)) === 0)
+    val qModel = TextAnalysis.nbQualityTrain(labeled, "text", "_y")
+    qModel.write.mode("overwrite").parquet(s"$dir/quality")
+    val qReloaded = spark.read.parquet(s"$dir/quality")
+    assert(qModel.exceptAll(qReloaded).isEmpty &&
+      qReloaded.exceptAll(qModel).isEmpty,
+      "nbQualityTrain frame must round-trip parquet exactly")
+    val qViaDisk = TextAnalysis.nbQualityScore(qReloaded, docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val qLazy = TextAnalysis.qualityNb(labeled, docs, "text", "_y", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(qViaDisk.length > 0 && qViaDisk.toSeq === qLazy.toSeq)
+  }
+
   test("blocklistFilter: word-grain occurrence counts, no substring false positives, zero-hit docs present") {
     val docs = Seq(
       (1L, "clean prose about classes and glass"), // substrings must NOT trip
