@@ -569,6 +569,126 @@ object SparkEntry {
          |    FROM feats f, w${i - 1} w))""".stripMargin
     }.mkString(",\n")
 
+  /** q_unigram_tok oracle codegen: the whole SentencePiece-style unigram
+    * trajectory unrolled (the [[lrIterCtes]] stance). Per EM iteration —
+    * and once more for the final pruned pass — it emits:
+    *
+    *  - `ughlpX`: piece-at-position hits joined to the CURRENT log-probs;
+    *  - `ugdpX`: the Viterbi DP as a RECURSIVE carry-window CTE. A
+    *    recursive term only sees the previous step's rows, but dp(j)
+    *    needs dp(j+1..j+4) — so each row carries the 4-slot window
+    *    (d0..d3) and steps j one position left per iteration. All sums
+    *    are exact BIGINT micro units; unreachable = the −1e15 sentinel
+    *    (a real dp is ≥ −(word len)·max|lp| ≈ −3e8, six orders above the
+    *    −1e14 validity threshold);
+    *  - `ugchX`: the deterministic choice — at each position the SMALLEST
+    *    piece length whose lp + dp(next) EQUALS dp(here), an integer
+    *    identity both engines evaluate identically;
+    *  - `ugsgX`: the left-to-right reconstruction walk emitting pieces.
+    *
+    * Between iterations the M-step re-estimates lp = round(ln((c+1)/(C+V))
+    * ·1e6) — the only doubles in the pipeline, micro-rounded (the
+    * repo-wide probabilistic ln stance). The prune drops zero/below-
+    * threshold multi-char pieces with log-probs UNCHANGED. */
+  private def unigramOracle(vocabSize: Int, iters: Int,
+                            maxLen: Int = 4, minCount: Long = 1L): String = {
+    val SENT = "-1000000000000000"  // unreachable sentinel
+    val THR = "-100000000000000"    // validity threshold (10% of sentinel)
+    // one Viterbi DP + choice + walk block over log-prob CTE `lpCte`
+    def dpBlock(x: String, lpCte: String): String = {
+      val joins = (1 to maxLen).map { l =>
+        s"  LEFT JOIN ughlp$x h$l ON h$l.w = p.w AND h$l.i = p.j - 1 AND h$l.l = $l"
+      }.mkString("\n")
+      val cands = (1 to maxLen).map { l =>
+        s"      coalesce(h$l.lp + CASE WHEN p.d${l - 1} > $THR THEN p.d${l - 1} END, $SENT)"
+      }.mkString(",\n")
+      s"""ughlp$x AS MATERIALIZED (
+         |  SELECT h.w, h.i, h.l, m.lp FROM ughit h JOIN $lpCte m ON m.p = h.p),
+         |ugdp$x(w, j, d0, d1, d2, d3) AS (
+         |  SELECT w, length(w) + 1, CAST(0 AS BIGINT),
+         |    CAST($SENT AS BIGINT), CAST($SENT AS BIGINT), CAST($SENT AS BIGINT)
+         |  FROM ugwc
+         |  UNION ALL
+         |  SELECT p.w, p.j - 1,
+         |    greatest(
+         |$cands),
+         |    p.d0, p.d1, p.d2
+         |  FROM ugdp$x p
+         |$joins
+         |  WHERE p.j > 1),
+         |ugdv$x AS MATERIALIZED (SELECT w, j, d0 AS d FROM ugdp$x),
+         |ugch$x AS MATERIALIZED (
+         |  SELECT h.w, h.i AS j, min(h.l) AS l
+         |  FROM ughlp$x h
+         |  JOIN ugdv$x dj ON dj.w = h.w AND dj.j = h.i
+         |  JOIN ugdv$x dn ON dn.w = h.w AND dn.j = h.i + h.l
+         |  WHERE dj.d > $THR AND dn.d > $THR AND h.lp + dn.d = dj.d
+         |  GROUP BY h.w, h.i),
+         |ugsg$x(w, j, p, lp) AS (
+         |  SELECT w, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+         |  FROM ugwc
+         |  UNION ALL
+         |  SELECT s.w, s.j + c.l, substr(s.w, CAST(s.j AS INT), CAST(c.l AS INT)), h.lp
+         |  FROM ugsg$x s
+         |  JOIN ugch$x c ON c.w = s.w AND c.j = s.j
+         |  JOIN ughlp$x h ON h.w = s.w AND h.i = s.j AND h.l = c.l)""".stripMargin
+    }
+    val emBlocks = (1 to iters).map { t =>
+      s"""${dpBlock(t.toString, s"uglp${t - 1}")},
+         |ugcnt$t AS MATERIALIZED (
+         |  SELECT sg.p, sum(wv.f) AS c FROM ugsg$t sg JOIN ugwc wv ON wv.w = sg.w
+         |  WHERE sg.p IS NOT NULL GROUP BY sg.p),
+         |ugct$t AS MATERIALIZED (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS ct FROM ugcnt$t),
+         |uglp$t AS MATERIALIZED (
+         |  SELECT v.p, CAST(round(ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0)
+         |      / (ct + vn)) * 1000000.0) AS BIGINT) AS lp
+         |  FROM ugvoc v LEFT JOIN ugcnt$t c ON c.p = v.p, ugct$t, ugvn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE tkug AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |ugocc AS MATERIALIZED (SELECT doc_id, unnest(tk) AS w FROM tkug),
+       |ugwc AS MATERIALIZED (SELECT w, count(*) AS f FROM ugocc GROUP BY w),
+       |ugcand AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS p, sum(f) AS cnt
+       |  FROM ugwc,
+       |    unnest(range(1, length(w) + 1)) u(i),
+       |    unnest(range(1, ${maxLen + 1})) v(l)
+       |  WHERE i + l - 1 <= length(w)
+       |  GROUP BY 1),
+       |ugsing AS MATERIALIZED (SELECT p, cnt FROM ugcand WHERE length(p) = 1),
+       |ugmult AS MATERIALIZED (SELECT p, cnt FROM ugcand WHERE length(p) > 1
+       |           ORDER BY cnt DESC, p LIMIT $vocabSize),
+       |ugvoc AS MATERIALIZED (SELECT p, cnt FROM ugsing UNION ALL SELECT p, cnt FROM ugmult),
+       |ugvn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS vn FROM ugvoc),
+       |ugtot0 AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM ugvoc),
+       |uglp0 AS MATERIALIZED (
+       |  SELECT p, CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000.0) AS BIGINT) AS lp
+       |  FROM ugvoc, ugtot0),
+       |ughit AS MATERIALIZED (
+       |  SELECT wv.w, CAST(i AS BIGINT) AS i, CAST(l AS BIGINT) AS l,
+       |    substr(wv.w, CAST(i AS INT), CAST(l AS INT)) AS p
+       |  FROM ugwc wv,
+       |    unnest(range(1, length(wv.w) + 1)) u(i),
+       |    unnest(range(1, ${maxLen + 1})) v(l)
+       |  WHERE i + l - 1 <= length(wv.w)
+       |    AND substr(wv.w, CAST(i AS INT), CAST(l AS INT)) IN (SELECT p FROM ugvoc)),
+       |$emBlocks,
+       |ugflp AS MATERIALIZED (
+       |  SELECT l.p, l.lp FROM uglp$iters l
+       |  LEFT JOIN ugcnt$iters c ON c.p = l.p
+       |  WHERE length(l.p) = 1 OR coalesce(c.c, 0) >= $minCount),
+       |${dpBlock("F", "ugflp")},
+       |ugwst AS MATERIALIZED (
+       |  SELECT w, count(*) AS np, sum(lp) AS slp FROM ugsgF
+       |  WHERE p IS NOT NULL GROUP BY w)
+       |SELECT o.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(ws.slp) AS DOUBLE) / 1000000.0, 6) AS tok_logprob
+       |FROM ugocc o JOIN ugwst ws ON ws.w = o.w
+       |GROUP BY o.doc_id""".stripMargin
+  }
+
   /** q_simhash_neardup oracle codegen: 64 per-bit vote sums as flat SQL
     * columns (one vectorized aggregation pass in DuckDB) … */
   private val simhashVoteCols: String = (0 until 64)
@@ -6856,6 +6976,28 @@ object SparkEntry {
           size(col("_syms")).as("n_sub"),
           concat_ws(" ", slice(col("_syms"), 1, 10)).as("sub_prefix"),
           md5(concat_ws(" ", col("_syms"))).as("sub_md5"))
+    },
+
+    // UNIGRAM-LM tokenizer (Unigram.unigramTrain/Prune/Segment — the
+    // SentencePiece rung above BPE, Kudo 2018; r18 verdict item 4). The
+    // oracle unrolls the ENTIRE training trajectory — seed-vocab
+    // selection (all substrings ≤ 4 chars, coverage-floor singles + the
+    // top-48 multis by (cnt DESC, piece)), TWO hard-EM iterations each
+    // replaying the Viterbi DP as a recursive carry-window CTE plus the
+    // shortest-piece-tie-break reconstruction walk, the add-1 micro-LONG
+    // re-estimates, the zero-count prune (lattice restriction, log-probs
+    // unchanged — monotonicity is a theorem, UnigramSpec pins it), and
+    // the final segmentation — so the hash gate proves the OPTIMIZATION
+    // TRAJECTORY (the lrIterCtes stance), not just a final projection.
+    // All dp sums are exact LONG arithmetic: "best" has no float
+    // ambiguity on either engine; the only doubles are the micro-rounded
+    // ln() re-estimates, the repo-wide probabilistic round stance.
+    q("q_unigram_tok", unigramOracle(vocabSize = 48, iters = 2)) { (s, d) =>
+      val model = modelRoundTrip(s, "unigram_tok", d,
+        ops.Unigram.unigramTrain(Tables.documents(s, d), "text",
+          vocabSize = 48, maxPieceLen = 4, iters = 2))
+      ops.Unigram.unigramSegment(ops.Unigram.unigramPrune(model, 1L),
+        Tables.documents(s, d), "text", "doc_id", maxPieceLen = 4)
     },
 
     // The full tokenizer LIFECYCLE in one row: train (bpeMerges) →

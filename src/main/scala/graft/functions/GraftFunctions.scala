@@ -38,6 +38,10 @@ object GraftFunctions {
   def ac_count(text: Column, phrases: Seq[String]): Column =
     col(AhoCorasickCount(e(text),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(phrases.toArray)))
+  /** Unigram-LM Viterbi segmentation under a driver-built lattice:
+    * struct(pieces, lp) or NULL if the word is uncoverable. */
+  def unigram_viterbi(word: Column, lattice: UnigramLattice): Column =
+    col(UnigramViterbi(e(word), lattice))
   def word_shingles(tokens: Column, n: Int): Column = col(WordShingles(e(tokens), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(e(a), e(b)))

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.UnigramLattice
+
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lattice Viterbi: hand-checked segmentation, exact LONG scores, shortest-piece tie-break") {
+    // lp in micro units; "abc" coverable as a|b|c, ab|c, a|bc
+    val pieces = Array("a", "ab", "b", "bc", "c")
+    val lps    = Array(-3000000L, -4000000L, -3000000L, -4000000L, -3000000L)
+    val lat = new UnigramLattice(pieces, lps, maxLen = 4)
+    // a|b|c = -9e6; ab|c = -7e6; a|bc = -7e6 → tie between ab|c and a|bc.
+    // dp(0) = max over first piece: a(-3e6)+dp(1) vs ab(-4e6)+dp(2).
+    // dp(2)=c=-3e6, dp(1)=max(b+dp(2), bc+dp(3)) = max(-6e6, -4e6) = -4e6.
+    // a: -3e6 + -4e6 = -7e6; ab: -4e6 + -3e6 = -7e6 → tie; SHORTEST first
+    // piece wins → a | bc.
+    val (segd, lp) = lat.segment("abc")
+    assert(segd.map(_.toString).toSeq === Seq("a", "bc"))
+    assert(lp === -7000000L)
+    // unambiguous: strictly better multi-char path taken
+    val lat2 = new UnigramLattice(Array("a", "b", "ab"),
+      Array(-5000000L, -5000000L, -2000000L), 4)
+    val (s2, lp2) = lat2.segment("abab")
+    assert(s2.map(_.toString).toSeq === Seq("ab", "ab") && lp2 === -4000000L)
+    // uncoverable char → null
+    assert(lat2.segment("abxab") == null)
+    assert(lat2.segment("") == null)
+    // duplicate piece rejected at build
+    intercept[IllegalArgumentException] {
+      new UnigramLattice(Array("a", "a"), Array(-1L, -2L), 4)
+    }
+  }
+
+  private lazy val corpus = Seq(
+    (1L, "banana bandana"),
+    (2L, "banana banana band"),
+    (3L, "ana band bandana"),
+    (4L, "nab nab banana")).toDF("doc_id", "text")
+
+  test("unigramTrain: deterministic under repartition; model frame round-trips parquet bit-for-bit") {
+    val m1 = Unigram.unigramTrain(corpus.coalesce(1), "text",
+      vocabSize = 8, maxPieceLen = 3, iters = 2)
+      .orderBy("piece").collect().toSeq
+    val m7 = Unigram.unigramTrain(corpus.repartition(7), "text",
+      vocabSize = 8, maxPieceLen = 3, iters = 2)
+      .orderBy("piece").collect().toSeq
+    assert(m1 === m7, "micro-quantized EM must not depend on partitioning")
+    // coverage floor: every corpus character survives as a single piece
+    val singles = m1.filter(_.getString(0).length == 1).map(_.getString(0)).toSet
+    assert(Set("a", "b", "n", "d") subsetOf singles)
+    // parquet round trip exact (all-integer model)
+    val model = Unigram.unigramTrain(corpus, "text", 8, 3, 2)
+    val dir = java.nio.file.Files.createTempDirectory("ug-model").toString
+    model.write.mode("overwrite").parquet(dir)
+    val re = spark.read.parquet(dir)
+    assert(model.exceptAll(re).isEmpty && re.exceptAll(model).isEmpty)
+    val a = Unigram.unigramSegment(model, corpus, "text", "doc_id", 3)
+      .orderBy("doc_id").collect()
+    val b = Unigram.unigramSegment(re, corpus, "text", "doc_id", 3)
+      .orderBy("doc_id").collect()
+    assert(a.length === 4 && a.toSeq === b.toSeq)
+  }
+
+  test("prune step: corpus log-prob monotone non-increasing in minCount (lattice restriction, no renorm)") {
+    val model = Unigram.unigramTrain(corpus, "text",
+      vocabSize = 8, maxPieceLen = 3, iters = 2)
+    val counts = model.filter(length(col("piece")) > 1)
+      .select("cnt").as[Long].collect().sorted
+    assert(counts.nonEmpty, "fixture must learn at least one multi-char piece")
+    def totalLp(minCount: Long): Double =
+      Unigram.unigramSegment(Unigram.unigramPrune(model, minCount),
+        corpus, "text", "doc_id", 3)
+        .agg(sum(col("tok_logprob"))).head().getDouble(0)
+    val grid = Seq(0L, 1L, 2L, 4L, 8L, 1000000L)
+    val lps = grid.map(totalLp)
+    lps.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(lo <= hi + 1e-9,
+        s"pruning must never raise corpus log-prob: $lps over $grid")
+    case _ => }
+    // the extreme prune (singles only) must be strictly worse than the
+    // full lattice if any multi-char piece was ever chosen
+    assert(lps.last < lps.head,
+      s"singles-only segmentation should score strictly lower: $lps")
+    // and every doc still segments (single-char coverage floor)
+    assert(Unigram.unigramSegment(Unigram.unigramPrune(model, 1000000L),
+      corpus, "text", "doc_id", 3).count() === 4L)
+  }
+
+  test("segment contract: docs with uncoverable or no words are absent; n_pieces exact") {
+    val model = Unigram.unigramTrain(corpus, "text", 8, 3, 2)
+    val probe = Seq((10L, "banana"), (11L, "zzz"), (12L, "   "))
+      .toDF("doc_id", "text")
+    val got = Unigram.unigramSegment(model, probe, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 'z' never appeared in the corpus → no single-char floor → absent;
+    // token-less doc absent
+    assert(got.keySet === Set(10L))
+    assert(got(10L) >= 2L && got(10L) <= 6L)
+  }
+}

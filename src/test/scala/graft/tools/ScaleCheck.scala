@@ -1089,6 +1089,30 @@ object ScaleCheck {
         val w = graft.ops.Learn.lrTrain(at, fc, "y", iters = 8, lr = 1.0)
         graft.ops.Learn.lrScore(at, fc, w).count()
       }
+      // r19: unigram tokenizer — ONE corpus pass to the word-frequency
+      // table, hard-EM over the distinct-word grain (vowel rotation makes
+      // each replica's words unique, so the word table grows ~linearly
+      // with k), scan-side Viterbi for the final segmentation; the model
+      // stays vocab-bounded at every k
+      results(("unigram_tok", k)) = timed("unigram_tok", k, nd) {
+        val m = graft.ops.Unigram.unigramTrain(d, "text",
+          vocabSize = 48, maxPieceLen = 4, iters = 2)
+        graft.ops.Unigram.unigramSegment(
+          graft.ops.Unigram.unigramPrune(m, 1L), d, "text", "doc_id").count()
+      }
+      // r19: CCNet sampled-middle — one scan-side filter over the
+      // bucketed frame (buckets synthesized here: the op's own cost is
+      // the point, not the upstream trajectory's)
+      results(("ccnet_sample", k)) = timed("ccnet_sample", k, nd) {
+        val bucketed = d.select(col("doc_id"),
+          element_at(typedLit(Seq("en", "zh", "es", "de", "fr")),
+            (pmod(col("doc_id"), lit(5)) + 1).cast("int")).as("lang_pred"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "head")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        graft.ops.Selection.ccnetSample(bucketed, "lang_pred", "doc_id",
+          Map("en" -> 32, "zh" -> 48, "es" -> 16), defaultKeep64 = 8).count()
+      }
     }
     // growth factors per doubling-pair of k values
     for (Seq(a, b) <- ks.sliding(2).toSeq; op <- results.keys.map(_._1).toSeq.distinct.sorted
