@@ -10307,6 +10307,31 @@ object SparkEntry {
       annContract(ann, e, probe, k = 10)
     },
 
+    // GRAPH-index ANN probe (NnDescent.nnDescentBuild + beamSearch; r18
+    // verdict item 5) — the index class the reference actually deploys
+    // (its bootstrap creates an HNSW index: KDS-P
+    // index-creation-function/lambda_function.py:69-96, m 24,
+    // ef_construction 128), closing the last structural gap vs the
+    // production norm: IVF/PQ/LSH partition the SPACE, a kNN graph routes
+    // through NEIGHBORS. Same contract-aggregate oracle as
+    // q_ivf_knn/q_lsh_knn: the probe must surface the true top-1 with
+    // exact re-scored cosines (the graph build itself is adjudicated by
+    // NnDescentSpec recall floors + the ANN_CURVE nng axis, since an
+    // approximate index has no exact SQL restatement). Build is memoized
+    // per dataset (the quantizer/codebook stance): a deployment builds
+    // the graph once and pays only the beam walk per query.
+    q("q_nng_knn", annOracleSql) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val graph = indexArtifact(s"nng-graph:$d") {
+        ops.NnDescent.nnDescentBuild(e, "embedding", "vec_id",
+          degree = 10, rounds = 3).localCheckpoint(true)
+      }
+      val probe = probeVector(s, d)
+      val ann = ops.NnDescent.beamSearch(graph, e, "embedding", "vec_id",
+        probe, k = 10, ef = 32, maxHops = 6, nEntries = 4)
+      annContract(ann, e, probe, k = 10)
+    },
+
     // Dominant principal direction by exact-integer power iteration
     // (Spectral.dominantProjection) — the PCA/whitening/all-but-the-top
     // primitive for embedding corpora: one d²-bounded Gram scan, a

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class NnDescentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, TestSpark.sf)
+  private lazy val graph =
+    NnDescent.nnDescentBuild(emb, "embedding", "vec_id", degree = 10, rounds = 3)
+      .localCheckpoint(true)
+
+  test("build contract: bounded out-degree, no self-loops, deterministic under repartition") {
+    val deg = graph.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(deg <= 10, s"out-degree $deg exceeds the degree bound")
+    assert(graph.filter(col("src") === col("dst")).count() === 0L)
+    // every node has out-edges (bucketed init gives everyone candidates)
+    assert(graph.select("src").distinct().count() === emb.count())
+    val g2 = NnDescent.nnDescentBuild(emb.repartition(7), "embedding",
+      "vec_id", degree = 10, rounds = 3)
+    assert(graph.exceptAll(g2).isEmpty && g2.exceptAll(graph).isEmpty,
+      "graph build must be partitioning-independent")
+  }
+
+  test("NN-descent rounds improve graph quality (mean kept score non-decreasing)") {
+    def meanScore(rounds: Int): Double =
+      NnDescent.nnDescentBuild(emb, "embedding", "vec_id", degree = 10,
+        rounds = rounds).agg(avg("score")).head().getDouble(0)
+    val m = (0 to 3).map(meanScore)
+    m.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"round must not degrade kept-edge quality: $m")
+    case _ => }
+    assert(m.last > m.head, s"3 rounds should beat random init: $m")
+  }
+
+  test("beam search: recall@10 vs exact on a 20-query panel; visited stays bounded") {
+    val queries = emb.filter(col("vec_id") < 20).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = emb.count().toInt
+    var recall = 0.0
+    var top1 = 0
+    queries.foreach { case (_, qv) =>
+      val truth = Knn.topK(emb, "embedding", "vec_id", qv, 10, "cosine")
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+      val r = NnDescent.beamSearchTrace(graph, emb, "embedding", "vec_id",
+        qv, k = 10, ef = 32, maxHops = 6, nEntries = 4)
+      assert(r.visited <= n, "visited can never exceed the corpus")
+      assert(r.ids.size === 10)
+      recall += r.ids.map(_._1).toSet.intersect(truth.toSet).size / 10.0
+      if (r.ids.head._1 == truth.head) top1 += 1
+    }
+    recall /= queries.length
+    assert(recall >= 0.7, s"beam recall@10 $recall below floor on ${TestSpark.sf}")
+    assert(top1 >= 18, s"top-1 found for only $top1/20 queries")
+  }
+
+  test("beam search degenerates to exact when ef covers the whole corpus") {
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val n = emb.count().toInt
+    // ef = n: the beam holds everything reachable; on a connected-enough
+    // graph the result is the exact top-k
+    val r = NnDescent.beamSearchTrace(graph, emb, "embedding", "vec_id",
+      qv, k = 10, ef = n, maxHops = 20, nEntries = 8)
+    val truth = Knn.topK(emb, "embedding", "vec_id", qv, 10, "cosine")
+      .select(col("vec_id").cast("long"), round(col("score"), 6))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // self (score 1.0) must lead both
+    assert(r.ids.head._1 === 0L && r.ids.head._2 === 1.0)
+    assert(r.ids.map(_._1).toSet.intersect(truth.map(_._1).toSet).size >= 9,
+      s"near-exhaustive beam should recover the exact top-10: ${r.ids} vs ${truth.toSeq}")
+  }
+
+  test("contracts: degree/rounds/ef validation") {
+    intercept[IllegalArgumentException] {
+      NnDescent.nnDescentBuild(emb, "embedding", "vec_id", degree = 0)
+    }
+    intercept[IllegalArgumentException] {
+      NnDescent.beamSearchTrace(graph, emb, "embedding", "vec_id",
+        new Array[Float](64), k = 10, ef = 5)
+    }
+  }
+}

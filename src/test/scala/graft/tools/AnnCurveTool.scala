@@ -79,10 +79,34 @@ object AnnCurveTool {
       s"""{"n_probe":${p.nProbe},"shortlist":${p.shortlist},""" +
         s""""recall_ivfpq":${p.recallIvfPq}}"""
     }.mkString("[", ",", "]")
+    // THIRD method axis (r18 verdict item 5): the graph index. Recall@10
+    // vs beam width ef for NN-descent + beam search against the same
+    // brute-force truth, with the visited-node fraction as the cost
+    // column (the graph analogue of scan_frac). Monotone-in-ef is NOT a
+    // theorem here (a wider beam explores a different frontier), so it is
+    // measured, not asserted — the curve is the evidence a deploy reads.
+    val nng = graft.ops.NnDescent.nnDescentBuild(emb, "embedding", "vec_id",
+      degree = 10, rounds = 3).localCheckpoint(true)
+    val efGrid = Seq(10, 16, 32, 64)
+    val nngRows = efGrid.map { ef =>
+      var r = 0.0; var vis = 0.0; var t1 = 0
+      queries.foreach { qv =>
+        val truth = Knn.topK(emb, "embedding", "vec_id", qv, 10, "cosine")
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        val b = graft.ops.NnDescent.beamSearchTrace(nng, emb, "embedding",
+          "vec_id", qv, k = 10, ef = ef, maxHops = 6, nEntries = 4)
+        r += b.ids.map(_._1).toSet.intersect(truth.toSet).size / 10.0
+        vis += b.visited.toDouble / nFull
+        if (b.ids.head._1 == truth.head) t1 += 1
+      }
+      val q = queries.size
+      f"""{"ef":$ef,"recall_nng":${math.rint(r / q * 1e6) / 1e6}%s,"visited_frac":${math.rint(vis / q * 1e6) / 1e6}%s,"top1_hits":$t1}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"sf_dir":"$sfDir","k":10,"n_cells":$nCells,"m":8,"ksub":16,""" +
         s""""shortlist":64,"n_queries":${queries.size},"curve":$rows,""" +
-        s""""shortlist_full":$nFull,"shortlist_curve":$slRows}"""
+        s""""shortlist_full":$nFull,"shortlist_curve":$slRows,""" +
+        s""""nng_degree":10,"nng_rounds":3,"nng_curve":$nngRows}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8"))
     println(json)

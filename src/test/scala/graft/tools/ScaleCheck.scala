@@ -285,6 +285,14 @@ object ScaleCheck {
         graft.ops.Knn.ivfPqSearch(graft.ops.Knn.ivfAssign(e, "embedding", centroids),
           "embedding", "vec_id", centroids, codebooks, probeVec, 10, nProbe = 4).count()
       }
+      // r19: graph-index build — candidates per node per round are
+      // <= (2*degree)^2 by construction, so a round is O(n*degree^2):
+      // linear in corpus size at fixed degree. 2 rounds keeps the sweep
+      // bounded; the per-round shape is what's being scale-checked.
+      results(("nng_build", k)) = timed("nng_build", k, ne) {
+        graft.ops.NnDescent.nnDescentBuild(e, "embedding", "vec_id",
+          degree = 10, rounds = 2).count()
+      }
       results(("int8_probe", k)) = timed("int8_probe", k, ne) {
         graft.ops.Quantize.topKInt8(e, "embedding", "vec_id",
           emb.filter(col("vec_id") === 0), k = 10).count()
