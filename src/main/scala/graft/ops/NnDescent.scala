@@ -116,6 +116,63 @@ object NnDescent {
     edges.select(col("src"), col("dst"), round(col("_score"), 6).as("score"))
   }
 
+  /** INCREMENTAL graph maintenance — fold a new vector batch into an
+    * existing [[nnDescentBuild]] graph without rebuilding (the artifact
+    * fold discipline of knUpdateTypes / the streaming centroid state,
+    * applied to the 7th index family). Per batch, ONE corpus-scale pass:
+    *
+    *  1. each new vector's out-edges come from an exact
+    *     [[Knn.knnJoin]]-shaped scan — broadcast the (small) batch, one
+    *     pass over old ∪ new vectors, TopKByScore per new node (a batch
+    *     insert gets its TRUE top-degree neighbors, which is strictly
+    *     better than the paper's search-based approximate insert);
+    *  2. reverse edges from the new nodes are offered to their targets,
+    *     and every touched node re-trims to `degree` — the NN-descent
+    *     keep-best step applied to the insertion frontier only.
+    *
+    * Old-old edges never rescore (their cosines are facts); the only new
+    * work is batch-sized. Insert-vs-rebuild is NOT bit-identical (the
+    * fold never revisits old-old candidate pairs the batch might have
+    * unlocked) — the gate is the ANN stance: NnDescentSpec pins
+    * fold-graph probe recall at parity floor with the rebuild graph. */
+  def nnDescentInsert(graph: DataFrame, oldCorpus: DataFrame,
+                      newBatch: DataFrame, vecCol: String, idCol: String,
+                      degree: Int = 10): DataFrame = {
+    require(degree >= 1, s"degree must be >= 1: $degree")
+    val all = oldCorpus.select(col(idCol).cast("long").as("_vid"), col(vecCol))
+      .unionByName(newBatch.select(col(idCol).cast("long").as("_vid"), col(vecCol)))
+    val topk = udaf(new graft.functions.TopKByScore(degree))
+    // exact top-degree neighbors for every new node: broadcast batch,
+    // one corpus pass, bounded partial aggregation — the knnJoin shape
+    val newEdges = all
+      .crossJoin(broadcast(newBatch.select(col(idCol).cast("long").as("src"),
+        col(vecCol).as("_qv"))))
+      .filter(col("_vid") =!= col("src"))
+      .select(col("src"), col("_vid").as("dst"),
+        cosine_sim(col(vecCol), col("_qv")).as("_score"))
+      .groupBy(col("src"))
+      .agg(topk(col("_score"), col("dst")).as("_top"))
+      .select(col("src"), explode(col("_top")).as("_e"))
+      .select(col("src"), col("_e.id").as("dst"),
+        round(col("_e.score"), 6).as("score"))
+    // offer reverse edges to the touched old nodes and re-trim
+    val offered = graph
+      .unionByName(newEdges)
+      .unionByName(newEdges.select(col("dst").as("src"), col("src").as("dst"),
+        col("score")))
+      .filter(col("src") =!= col("dst"))
+      // a pair can arrive twice (kept edge + reverse offer) with the
+      // identical rounded cosine — dedupe so duplicates never eat degree
+      // slots in the trim
+      .distinct()
+    offered
+      .groupBy(col("src"))
+      .agg(topk(col("score"), col("dst")).as("_top"))
+      .select(col("src"), explode(col("_top")).as("_e"))
+      .select(col("src"), col("_e.id").as("dst"),
+        round(col("_e.score"), 6).as("score"))
+  }
+
   /** One row of a probe trace: how many nodes the beam visited (the cost
     * axis the recall curve pairs with). */
   final case class BeamResult(ids: Seq[(Long, Double)], visited: Int)

@@ -75,6 +75,45 @@ class NnDescentSpec extends AnyFunSuite {
       s"near-exhaustive beam should recover the exact top-10: ${r.ids} vs ${truth.toSeq}")
   }
 
+  test("incremental insert: fold of two batches reaches recall parity with the full rebuild") {
+    val base = emb.filter(col("vec_id") < 300)
+    val b1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val b2 = emb.filter(col("vec_id") >= 400)
+    val folded = NnDescent.nnDescentInsert(
+      NnDescent.nnDescentInsert(
+        NnDescent.nnDescentBuild(base, "embedding", "vec_id", 10, 3),
+        base, b1, "embedding", "vec_id", 10),
+      emb.filter(col("vec_id") < 400), b2, "embedding", "vec_id", 10)
+      .localCheckpoint(true)
+    // contract: still bounded degree, no self-loops, every node present
+    assert(folded.groupBy("src").count().agg(max("count")).head().getLong(0) <= 10)
+    assert(folded.filter(col("src") === col("dst")).count() === 0L)
+    assert(folded.select("src").distinct().count() === emb.count())
+    // no duplicate (src, dst) pairs eating degree slots
+    assert(folded.groupBy("src", "dst").count()
+      .filter(col("count") > 1).count() === 0L)
+    // probe recall parity floor vs the rebuild graph (same panel as the
+    // beam test) — the fold never revisits old-old pairs, so exact
+    // equality is not the contract; staying within 0.1 recall is
+    val queries = emb.filter(col("vec_id") < 20).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def recall(g: org.apache.spark.sql.DataFrame): Double = {
+      var r = 0.0
+      queries.foreach { qv =>
+        val truth = Knn.topK(emb, "embedding", "vec_id", qv, 10, "cosine")
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+        val got = NnDescent.beamSearchTrace(g, emb, "embedding", "vec_id",
+          qv, 10, ef = 32, maxHops = 6, nEntries = 4)
+        r += got.ids.map(_._1).toSet.intersect(truth).size / 10.0
+      }
+      r / queries.length
+    }
+    val rFold = recall(folded)
+    val rBuild = recall(graph)
+    assert(rFold >= rBuild - 0.1,
+      s"folded-graph recall $rFold too far below rebuild $rBuild")
+  }
+
   test("contracts: degree/rounds/ef validation") {
     intercept[IllegalArgumentException] {
       NnDescent.nnDescentBuild(emb, "embedding", "vec_id", degree = 0)
