@@ -1315,7 +1315,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded.exists(_._1 == 0), "total row present")
   }
 
-  test("unified RAG ingest topology: ONE foreachBatch maintains all six artifact families + the idempotent sink across a mid-stream restart") {
+  test("unified RAG ingest topology: ONE foreachBatch maintains all seven artifact families + the idempotent sink across a mid-stream restart") {
     // The reference's actual steady state (its DataStreamJob runs ingest →
     // transform → sink forever) PLUS every artifact a production RAG
     // deployment maintains alongside the sink — run as ONE stream with ONE
@@ -1323,7 +1323,8 @@ class StreamingSpec extends AnyFunSuite {
     // the checkpoint. Families: (1) incremental exact dedup (base fold),
     // (2) streaming-maintained IVF-PQ vector index, (3) additive BM25
     // stats, (4) centroid maintenance state, (5) vocab drift slices,
-    // (6) KN trigram-type counts (the LM's incremental seam — r18) —
+    // (6) KN trigram-type counts (the LM's incremental seam — r18),
+    // (7) NN-descent graph index via the incremental insert fold (r19) —
     // plus the idempotent batch=<id> vector-table sink. After the restart
     // finishes, EVERY folded artifact must equal its one-shot batch
     // recompute over everything that arrived.
@@ -1356,6 +1357,8 @@ class StreamingSpec extends AnyFunSuite {
     var cState: Knn.CentroidState = null
     var vocabSlices = Seq.empty[(String, Long)].toDF("word", "cnt")
     var knT: DataFrame = null
+    var nng: DataFrame = null
+    var vecBase = Seq.empty[(Long, Seq[Float])].toDF("doc_id", "embedding")
     val schema = "doc_id LONG, text STRING, embedding ARRAY<FLOAT>"
     def startQuery() = spark.readStream.schema(schema).json(srcDir)
       .writeStream
@@ -1393,6 +1396,17 @@ class StreamingSpec extends AnyFunSuite {
         knT = (if (knT == null) graft.ops.Selection.knTypes(survivors, "text")
                else graft.ops.Selection.knUpdateTypes(knT, survivors, "text"))
           .localCheckpoint(true)
+        // (7) graph index: build on the first survivor batch, then fold
+        // each delta with the incremental insert (one pass per batch,
+        // old-old edges never rescore — the r19 NN-descent seam)
+        val svv = sv.select($"doc_id", $"embedding")
+        nng = (if (nng == null)
+                 graft.ops.NnDescent.nnDescentBuild(svv, "embedding",
+                   "doc_id", degree = 4, rounds = 2)
+               else graft.ops.NnDescent.nnDescentInsert(nng, vecBase, svv,
+                 "embedding", "doc_id", degree = 4))
+          .localCheckpoint(true)
+        vecBase = vecBase.unionByName(svv).localCheckpoint(true)
         base = base.unionByName(survivors.select($"doc_id", $"text"))
           .localCheckpoint(true)
         b.unpersist(); ()
@@ -1444,6 +1458,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(knT.collect().map(_.toSeq).toSet ===
       graft.ops.Selection.knTypes(refDedup, "text")
         .collect().map(_.toSeq).toSet)
+    // (7) graph-index fold: structural contract holds across the restart
+    // and a near-exhaustive beam over the folded graph recovers the exact
+    // top-5 (n is small enough that ef = n makes the beam exhaustive on a
+    // connected graph — the NnDescentSpec degeneracy gate, post-restart)
+    assert(nng.groupBy("src").count().agg(max("count")).head().getLong(0) <= 4L)
+    assert(nng.filter($"src" === $"dst").count() === 0L)
+    assert(nng.select("src").distinct().count() === refIds.size.toLong)
+    val nngTop = graft.ops.NnDescent.beamSearchTrace(nng, refVecs,
+      "embedding", "doc_id", probeVec, k = 5, ef = refIds.size,
+      maxHops = 12, nEntries = 4)
+    assert(nngTop.ids.map(_._1).toSet === exact,
+      s"folded-graph beam ${nngTop.ids} must recover the exact top-5 $exact")
     // (5) vocab drift fold ≡ one-shot vocab of the deduped corpus
     assert(CorpusStats.mergeVocabCounts(vocabSlices)
         .as[(String, Long)].collect().sorted.toSeq ===
