@@ -591,7 +591,37 @@ object SparkEntry {
     * repo-wide probabilistic ln stance). The prune drops zero/below-
     * threshold multi-char pieces with log-probs UNCHANGED. */
   private def unigramOracle(vocabSize: Int, iters: Int,
-                            maxLen: Int = 4, minCount: Long = 1L): String = {
+                            maxLen: Int = 4, minCount: Long = 1L): String =
+    unigramChain(vocabSize, iters, maxLen, minCount) +
+      s"""
+         |SELECT o.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(ws.slp) AS DOUBLE) / 1000000.0, 6) AS tok_logprob
+         |FROM ugocc o JOIN ugwst ws ON ws.w = o.w
+         |GROUP BY o.doc_id""".stripMargin
+
+  /** The tokenizer-lifecycle composition oracle: the [[unigramChain]]
+    * trajectory, per-doc PIECE counts as the budget's token column, and
+    * the same cumulative cut the q_bpe_budget oracle restates —
+    * pretraining selection counts the tokens the TRAINED tokenizer will
+    * actually produce. */
+  private def unigramBudgetOracle(vocabSize: Int, iters: Int,
+                                  budget: Long): String =
+    unigramChain(vocabSize, iters) +
+      s""",
+         |ubs AS (
+         |  SELECT o.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_tok
+         |  FROM ugocc o JOIN ugwst ws ON ws.w = o.w GROUP BY o.doc_id),
+         |ub2 AS (
+         |  SELECT b.doc_id, b.n_tok, CAST(length(d.text) AS BIGINT) AS score
+         |  FROM ubs b JOIN documents d USING (doc_id)),
+         |ubc AS (
+         |  SELECT doc_id, n_tok, score,
+         |    sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum
+         |  FROM ub2)
+         |SELECT doc_id, n_tok, score FROM ubc WHERE cum <= $budget""".stripMargin
+
+  private def unigramChain(vocabSize: Int, iters: Int,
+                           maxLen: Int = 4, minCount: Long = 1L): String = {
     val SENT = "-1000000000000000"  // unreachable sentinel
     val THR = "-100000000000000"    // validity threshold (10% of sentinel)
     // one Viterbi DP + choice + walk block over log-prob CTE `lpCte`
@@ -682,11 +712,7 @@ object SparkEntry {
        |${dpBlock("F", "ugflp")},
        |ugwst AS MATERIALIZED (
        |  SELECT w, count(*) AS np, sum(lp) AS slp FROM ugsgF
-       |  WHERE p IS NOT NULL GROUP BY w)
-       |SELECT o.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
-       |  round(CAST(sum(ws.slp) AS DOUBLE) / 1000000.0, 6) AS tok_logprob
-       |FROM ugocc o JOIN ugwst ws ON ws.w = o.w
-       |GROUP BY o.doc_id""".stripMargin
+       |  WHERE p IS NOT NULL GROUP BY w)""".stripMargin
   }
 
   /** q_simhash_neardup oracle codegen: 64 per-bit vote sums as flat SQL
@@ -7009,6 +7035,28 @@ object SparkEntry {
           vocabSize = 48, maxPieceLen = 4, iters = 2))
       ops.Unigram.unigramSegment(ops.Unigram.unigramPrune(model, 1L),
         Tables.documents(s, d), "text", "doc_id", maxPieceLen = 4)
+    },
+
+    // The UNIGRAM tokenizer LIFECYCLE (the q_bpe_budget stance for the
+    // second tokenizer family): train → prune → segment → BUDGET —
+    // pretraining selection counts the pieces the TRAINED tokenizer will
+    // actually produce, not whitespace words. Model artifact shared with
+    // q_unigram_tok (memoized parquet — train once, consume twice); the
+    // oracle replays the whole trajectory plus the cumulative cut.
+    q("q_unigram_budget",
+      unigramBudgetOracle(vocabSize = 48, iters = 2, budget = 50000L)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val model = modelRoundTrip(s, "unigram_tok", d,
+        ops.Unigram.unigramTrain(docs, "text",
+          vocabSize = 48, maxPieceLen = 4, iters = 2))
+      val seg = ops.Unigram.unigramSegment(ops.Unigram.unigramPrune(model, 1L),
+        docs, "text", "doc_id", maxPieceLen = 4)
+      val proj = seg
+        .join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("score")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_pieces").as("n_tok"), col("score"))
+      ops.Selection.selectToTokenBudget(proj, "doc_id", "n_tok", "score",
+        budget = 50000L, buckets = 64)
     },
 
     // The full tokenizer LIFECYCLE in one row: train (bpeMerges) →
