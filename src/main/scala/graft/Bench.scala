@@ -466,12 +466,19 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       coldLine + "\n" + warmLine + "\n" + line + "\n")
     catch { case _: Throwable => }
-    // Full-suite runs (subset-redirected runs excluded — their times are
-    // measured under less session state and would bias the per-query min
-    // floor) append a calib-stamped line to the history, CONTAMINATED ONES
+    // Full-suite runs (subset runs excluded — their times are measured
+    // under less session state and would bias the per-query min floor)
+    // append a calib-stamped line to the history, CONTAMINATED ONES
     // INCLUDED: the stamp is what lets selectPrior exclude them, and the
     // record is the audit trail the r17/r18 hand-adjudications lacked.
-    if (outPath1 == outPath0) {
+    // The subset test must be DIRECT (`only` unset + no shrink), not
+    // "was the artifact redirected": a dev-loop subset run with an
+    // explicit scratch SPARK_GRAFT_BENCH_OUT never triggers the redirect
+    // yet must still stay out of the history (found the hard way in r19:
+    // two 7- and 4-query scratch runs appended before this guard).
+    val fullSuite = only.isEmpty &&
+      (prior.isEmpty || prior.keySet.subsetOf(selected.keySet))
+    if (fullSuite) {
       // Errored queries are excluded: their "warm" is a crash elapsed, and a
       // fast crash entering the per-query min floor would flag every later
       // healthy run of that query as a regression.
