@@ -605,4 +605,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!cu.contains("collect_list"), cu)
   }
 
+  test("r19 ops: ccnetSample is a pure scan-side filter; unigramSegment pays ONE exchange and no join") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    // ccnetSample over an already-materialized bucketed frame: the rate
+    // map is a literal, the coin a codegen expression — zero exchanges,
+    // zero joins (the 100 TB contract: curation never shuffles the corpus)
+    val bucketed = docs.select(col("doc_id"),
+      coalesce(col("lang"), lit("und")).as("lang_pred"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "head")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "middle")
+        .otherwise(lit("tail")).as("ppl_bucket"))
+    val cs = graft.ops.Selection.ccnetSample(bucketed, "lang_pred", "doc_id",
+      Map("en" -> 32, "zh" -> 48), defaultKeep64 = 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!cs.contains("Exchange") && !cs.contains("Join"),
+      s"ccnetSample must be one scan-side filter:\n$cs")
+    // unigramSegment under a driver-built model: the lattice rides as a
+    // codegen reference object, so the plan is scan → generate → project →
+    // ONE id-grain aggregate exchange; no join anywhere (the model is
+    // never a join side)
+    val model = graft.ops.Unigram.unigramTrain(docs.limit(50), "text",
+      vocabSize = 8, maxPieceLen = 3, iters = 1)
+    val seg = graft.ops.Unigram.unigramSegment(model, docs, "text", "doc_id", 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!seg.contains("Join"), s"segment must not join the model:\n$seg")
+    val nx = "\\(\\d+\\) Exchange\\b".r.findAllIn(seg).size
+    assert(nx == 1, s"expected exactly the id-grain aggregate exchange, got $nx:\n$seg")
+  }
+
 }

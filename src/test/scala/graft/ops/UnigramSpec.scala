@@ -36,6 +36,36 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("property: Viterbi equals brute-force max over ALL segmentations; pieces cover the word; lp = sum of piece lps") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 300) {
+      val alphabet = "ab"
+      val multis = (1 to (1 + rnd.nextInt(6))).map(_ =>
+        (1 to (2 + rnd.nextInt(3))).map(_ => alphabet(rnd.nextInt(2))).mkString)
+        .distinct
+      val pieces = (alphabet.map(_.toString) ++ multis).distinct.toArray
+      val lps = pieces.map(_ => -(1L + rnd.nextInt(1000000)) * 10)
+      val lpMap = pieces.zip(lps).toMap
+      val lat = new UnigramLattice(pieces, lps, maxLen = 4)
+      val w = (1 to (1 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(2))).mkString
+      def best(s: String): Option[Long] =
+        if (s.isEmpty) Some(0L)
+        else {
+          val xs = (1 to math.min(4, s.length)).flatMap { l =>
+            lpMap.get(s.take(l)).flatMap(lp => best(s.drop(l)).map(lp + _))
+          }
+          if (xs.isEmpty) None else Some(xs.max)
+        }
+      val got = Option(lat.segment(w))
+      assert(got.map(_._2) === best(w), s"vocab=${pieces.toSeq} word=$w")
+      got.foreach { case (segd, lp) =>
+        assert(segd.map(_.toString).mkString === w,
+          s"pieces must concatenate to the word: ${segd.toSeq} vs $w")
+        assert(segd.map(s => lpMap(s.toString)).sum === lp)
+      }
+    }
+  }
+
   private lazy val corpus = Seq(
     (1L, "banana bandana"),
     (2L, "banana banana band"),
