@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.cosine_sim
 
@@ -207,9 +207,14 @@ object NnDescent {
     var improved = true
     while (improved && hops < maxHops) {
       val fr = frontier.map(java.lang.Long.valueOf)
-      val neigh = graph
-        .filter(col("src").isin(fr: _*) || col("dst").isin(fr: _*))
-        .select(explode(array(col("src"), col("dst"))).as("_vid"))
+      // two SINGLE-COLUMN In filters instead of one OR across columns:
+      // each lands in PushedFilters on a parquet-backed edge table (and
+      // prunes a src-bucketed layout), where the OR form forces a full
+      // edge scan per hop; only the OTHER endpoint is a candidate
+      val neigh = graph.filter(col("src").isin(fr: _*))
+        .select(col("dst").as("_vid"))
+        .unionByName(graph.filter(col("dst").isin(fr: _*))
+          .select(col("src").as("_vid")))
         .distinct()
         .collect().map(_.getLong(0))
         .filterNot(visited.contains).toSeq
