@@ -293,6 +293,19 @@ object ScaleCheck {
         graft.ops.NnDescent.nnDescentBuild(e, "embedding", "vec_id",
           degree = 10, rounds = 2).count()
       }
+      // r19: incremental graph insert — a FIXED-size batch (the original
+      // emb table) folds into a graph over the k×-replicated corpus: cost
+      // is one corpus pass for the batch's exact neighbors + the touched-
+      // node re-trim, so per-doubling growth tracks the corpus scan, not
+      // the batch
+      val nngPre = graft.ops.NnDescent.nnDescentBuild(e, "embedding",
+        "vec_id", degree = 10, rounds = 1).localCheckpoint(true)
+      results(("nng_insert", k)) = timed("nng_insert", k, ne) {
+        val batch = emb.select(col("vec_id") + lit(90000000L) as "vec_id",
+          col("embedding"))
+        graft.ops.NnDescent.nnDescentInsert(nngPre, e, batch,
+          "embedding", "vec_id", degree = 10).count()
+      }
       results(("int8_probe", k)) = timed("int8_probe", k, ne) {
         graft.ops.Quantize.topKInt8(e, "embedding", "vec_id",
           emb.filter(col("vec_id") === 0), k = 10).count()
