@@ -53,6 +53,15 @@ object Bench {
     if (samePath && (subsetActive || shrank)) outPath + ".subset" else outPath
   }
 
+  /** One parsed history line (r18 verdict item 1, widened in r20).
+    * `calibPar`/`load1m` are Options because pre-r20 lines lack the
+    * stamps — those lines are judged on `calib` alone, the migration
+    * fallback. `load1m` is the max of the 1-minute loadavg before/after
+    * the run. */
+  final case class HistEntry(calib: Double, calibPar: Option[Double],
+                             load1m: Option[Double],
+                             queries: Map[String, Double])
+
   /** r18 verdict item 1 — the prior-guard's contaminated-FULL-SUITE hole.
     * `resolvedBenchOut` stops subset/shrunken runs from replacing the
     * regression prior, but a full-suite run executed under heavy host
@@ -68,9 +77,14 @@ object Bench {
     * FIRST history line is itself contaminated, it defines the envelope
     * until a cleaner run lands — the envelope is relative, not absolute,
     * because calib is a host-speed probe with no portable constant. */
-  def parseHistoryLine(l: String, sfDir: String): Option[(Double, Map[String, Double])] = {
-    val cal = """"calib":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(l)
-      .flatMap(m => try Some(m.group(1).toDouble) catch { case _: Throwable => None })
+  def parseHistoryLine(l: String, sfDir: String): Option[HistEntry] = {
+    def num(key: String): Option[Double] =
+      ("\"" + key + """":\s*([0-9.eE+-]+)""").r.findFirstMatchIn(l)
+        .flatMap(m => try Some(m.group(1).toDouble) catch { case _: Throwable => None })
+    def load(key: String): Option[Double] =
+      ("\"" + key + """":\s*"([0-9.]+)""").r.findFirstMatchIn(l)
+        .flatMap(m => try Some(m.group(1).toDouble) catch { case _: Throwable => None })
+    val cal = num("calib")
     // SF-keyed: a full-suite dev run at sf0.01 appending its (much smaller)
     // times must not become the sf0.1 prior floor.
     val sfOk = l.contains("\"sf\":\"" + sfDir + "\"")
@@ -87,37 +101,85 @@ object Bench {
           case _ => None
         }
       }.toMap
-      Some((cal.get, qs))
+      val l1 = (load("load_before").toSeq ++ load("load_after").toSeq)
+        .maxOption
+      Some(HistEntry(cal.get, num("calib_par"), l1, qs))
     }
   }
 
-  /** Per-query MIN over the clean history runs. Clean = calib within
-    * `calibSlack`× of the best (fastest) calib in the history — a run
-    * whose fixed-work probe ran 1.5× slower than the best-ever was
-    * measured on a contended host and its query times carry queueing
-    * delay, not query cost. */
-  def selectPrior(entries: Seq[(Double, Map[String, Double])],
-                  calibSlack: Double = 1.5): Map[String, Double] = {
+  /** Loadavg ceiling for a clean line: with the bench itself driving up
+    * to `cpus` runnable threads in short bursts, clean closing runs on
+    * this 32-core box stamped 1-minute loads of 1.0–6.5, while the r19
+    * contaminated driver close stamped 10.95 — cpus/4 separates the two
+    * populations with margin on both sides. */
+  val DefaultLoadCap = 8.0
+
+  /** Per-query MIN over the clean history runs. Clean =
+    *  - calib within `calibSlack`× of the best (fastest) calib seen — a
+    *    run whose fixed-work probe ran 1.5× slower than best-ever was
+    *    measured on a contended host and its times carry queueing delay;
+    *  - calib_par (when stamped) within `parSlack`× of the best
+    *    calib_par seen — the r19 blind spot: a 1-thread probe on a
+    *    32-core box can pass while co-tenant load inflates every
+    *    32-way-parallel query ~1.5×. The par slack is TIGHTER than the
+    *    calib slack because the probe is tighter: measured idle spread
+    *    ±4 %, while the core-theft signature it must catch (load ≈ +10
+    *    runnable threads on 32 cores, the r19 profile) inflates it only
+    *    ~1.3× — a 1.5× slack would sleep straight through that;
+    *  - 1-minute loadavg (when stamped) ≤ `loadCap`. */
+  def selectPrior(entries: Seq[HistEntry], calibSlack: Double = 1.5,
+                  parSlack: Double = 1.25,
+                  loadCap: Double = DefaultLoadCap): Map[String, Double] = {
     if (entries.isEmpty) Map.empty
     else {
-      val minCalib = math.max(entries.map(_._1).min, 1e-9)
-      entries.filter(_._1 <= calibSlack * minCalib)
-        .flatMap(_._2)
+      val minCalib = math.max(entries.map(_.calib).min, 1e-9)
+      val minPar = entries.flatMap(_.calibPar).minOption.map(math.max(_, 1e-9))
+      entries.filter { e =>
+        e.calib <= calibSlack * minCalib &&
+          e.calibPar.forall(p => minPar.forall(mp => p <= parSlack * mp)) &&
+          e.load1m.forall(_ <= loadCap)
+      }
+        .flatMap(_.queries)
         .groupMapReduce(_._1)(_._2)(math.min)
     }
   }
 
-  /** Second half of the guard: a full-suite run whose own calibration
-    * probe ran >1.5× slower than the best clean history calib must not
-    * replace the last-run artifact either — redirect it to
-    * `<out>.contaminated` (same stance as the `.subset` redirect). */
-  def resolvedBenchOutCalib(outPath: String, runCalib: Double,
-                            bestCleanCalib: Option[Double],
-                            calibSlack: Double = 1.5): String =
-    bestCleanCalib match {
-      case Some(c) if c > 0 && runCalib > calibSlack * c => outPath + ".contaminated"
-      case _ => outPath
-    }
+  /** Second half of the guard: a full-suite run that is itself
+    * contaminated must not replace the last-run artifact either —
+    * redirect it to `<out>.contaminated` (the `.subset` stance). Reasons,
+    * any one sufficient (returned for the stderr diagnostic):
+    *  - `calib`: the 1-thread probe ran > `calibSlack`× the best clean
+    *    history calib;
+    *  - `calib_par`: the all-cores probe ran > `parSlack`× the best
+    *    clean history calib_par (tighter than the calib slack — see
+    *    [[selectPrior]]), OR > `parSelfSlack`× this run's own
+    *    1-thread probe (self-contained — works with zero history: on an
+    *    idle box every core runs the identical fixed work concurrently,
+    *    so par ≈ single up to all-core-turbo derating; a large ratio
+    *    means other processes held cores mid-probe, which is exactly the
+    *    multicore blind spot the r19 driver close slipped through);
+    *  - `load`: the 1-minute loadavg (max of before/after) exceeded
+    *    `loadCap` — the r19 close stamped 10.95 vs ≤ 6.5 on every clean
+    *    closing run. */
+  def contaminationReasons(runCalib: Double, runCalibPar: Double,
+                           runLoad1m: Double, hist: Seq[HistEntry],
+                           calibSlack: Double = 1.5,
+                           parSlack: Double = 1.25,
+                           parSelfSlack: Double = 2.0,
+                           loadCap: Double = DefaultLoadCap): List[String] = {
+    val bestCalib = hist.map(_.calib).minOption.filter(_ > 0)
+    val bestPar = hist.flatMap(_.calibPar).minOption.filter(_ > 0)
+    val calBad = bestCalib.exists(c => runCalib > calibSlack * c)
+    val parBad = bestPar.exists(p => runCalibPar > parSlack * p) ||
+      (runCalib > 0 && runCalibPar > parSelfSlack * runCalib)
+    val loadBad = runLoad1m > loadCap
+    List(calBad -> "calib", parBad -> "calib_par", loadBad -> "load")
+      .collect { case (true, r) => r }
+  }
+
+  /** Path decision from [[contaminationReasons]]. */
+  def resolvedBenchOutCalib(outPath: String, reasons: List[String]): String =
+    if (reasons.nonEmpty) outPath + ".contaminated" else outPath
 
   /** Fixed-work single-thread calibration probe (r17 verdict item 2):
     * 200M xorshift64 steps, JIT-warmed by an untimed 20M run. Identical
@@ -126,16 +188,46 @@ object Bench {
     * than r16 purely from host contention — only diagnosable by hand
     * until this number lived in the artifact). */
   def calibrate(): Double = {
-    def loop(n: Int): Long = {
-      var x = 0x9E3779B97F4A7C15L; var i = 0
-      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      x
-    }
-    val sink = loop(20000000)
+    val sink = calibLoop(20000000)
     val t0 = System.nanoTime()
-    val sink2 = loop(200000000)
+    val sink2 = calibLoop(200000000)
     val dt = (System.nanoTime() - t0) / 1e9
     if (sink == 42L && sink2 == 43L) System.err.print("") // defeat DCE
+    dt
+  }
+
+  private def calibLoop(n: Int): Long = {
+    var x = 0x9E3779B97F4A7C15L; var i = 0
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
+  /** ALL-CORES fixed-work probe (r19 verdict item 1 — the multicore
+    * blind spot): `nThreads` threads each run the [[calibrate]] 200M-step
+    * xorshift loop concurrently; the result is the WALL time for all to
+    * finish. On an idle box with one hardware thread per core (this box:
+    * 32 cores, SMT off) that is ≈ the single-thread time up to all-core
+    * turbo derating; co-tenant CPU load that a 1-thread probe slips
+    * around (the r19 driver close: calib 1.15× best while 32-way queries
+    * ran ~1.5× inflated) shows up here as direct core theft. JIT is
+    * already warm from the single-thread probe that always runs first. */
+  def calibrateParallel(nThreads: Int = Runtime.getRuntime.availableProcessors()): Double = {
+    val sinks = new java.util.concurrent.atomic.AtomicLong()
+    def run(n: Int): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until nThreads).map { _ =>
+        val t = new Thread(() => sinks.addAndGet(calibLoop(n)))
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // untimed short pass first: thread spin-up + scheduler placement are
+    // one-time costs that inflated the very first timed call ~2x in
+    // testing — the same reason calibrate() JIT-warms untimed
+    run(20000000)
+    val dt = run(200000000)
+    if (sinks.get() == 42L) System.err.print("") // defeat DCE
     dt
   }
 
@@ -191,6 +283,7 @@ object Bench {
       catch { case _: Throwable => "na" }
     val loadBefore = loadavg()
     val calibBefore = calibrate()
+    val calibParBefore = calibrateParallel()
 
     final case class R(name: String, warm: Double, warmMax: Double,
                        cold: Double, err: Option[String], reruns: Int = 0)
@@ -269,7 +362,7 @@ object Bench {
     // never appended a history line.
     val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "BENCH_HISTORY.jsonl")
-    val historyEntries: Seq[(Double, Map[String, Double])] = try {
+    val historyEntries: Seq[HistEntry] = try {
       val src = scala.io.Source.fromFile(historyPath)
       val lines = try src.getLines().toList finally src.close()
       lines.flatMap(parseHistoryLine(_, sfDir))
@@ -432,10 +525,25 @@ object Bench {
     }.mkString("[", ",", "]")
     val loadAfter = loadavg()
     val calibAfter = calibrate()
+    val calibParAfter = calibrateParallel()
+    // History-MIN companion total (r19 verdict item 1, third clause): the
+    // per-query clean-history floor summed over the queries this run
+    // measured — the number the judge recomputed by hand in r19 when the
+    // driver headline ran 1.5× load-inflated. `history_min_cover` counts
+    // how many of this run's queries the floor covers (new queries have
+    // no history yet), so a partial-cover sum is never mistaken for a
+    // comparable total.
+    // Only meaningful when an SF-keyed history exists: the legacy
+    // last-run fallback prior is NOT SF-keyed, and summing sf0.1 priors
+    // under an sf0.001 headline would mislabel the artifact.
+    val histCovered =
+      if (historyEntries.nonEmpty) results.flatMap(r => prior.get(r.name))
+      else Nil
+    val histMin = histCovered.sum
     val subset = slowestSubset(
       math.max(200, 1400 - errNames.length - staleJson.length))
     val shown = subset.count(_ == ':')
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"reruns":${results.map(_.reruns).sum},"regressions":${regressionLog.size},"failed":$errNames,"baseline_loaded":$baselineLoaded,"stale_adjudications":$staleJson,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","calib_before":${sec3(calibBefore)},"calib_after":${sec3(calibAfter)},"queries":$subset,"value":${sec3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","min_of":3,"reruns":${results.map(_.reruns).sum},"regressions":${regressionLog.size},"failed":$errNames,"baseline_loaded":$baselineLoaded,"stale_adjudications":$staleJson,"cold_value":${sec3(coldTotal)},"oracle_value":${sec3(oracleTotal)},"n_queries":${results.size},"queries_shown":$shown,"detail":"BENCH_SELF.jsonl","load_before":"$loadBefore","load_after":"$loadAfter","calib_before":${sec3(calibBefore)},"calib_after":${sec3(calibAfter)},"calib_par_before":${sec3(calibParBefore)},"calib_par_after":${sec3(calibParAfter)},"history_min_value":${sec3(histMin)},"history_min_cover":${histCovered.size},"queries":$subset,"value":${sec3(total)}}"""
     // Self-contained round artifact (JSON lines: cold, warm_detail,
     // headline) — committed from the repo working dir by the round's
     // closing commit, so the full per-query map survives even when the
@@ -446,21 +554,35 @@ object Bench {
     // Prior-poisoning guard (r17 verdict item 1): a subset run must leave
     // the regression prior byte-identical — it lands in <out>.subset.
     val outPath0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.jsonl")
+    // ADVICE r19: a query REMOVED/renamed from the suite would otherwise
+    // leave its name in every clean history line forever, making the
+    // shrink test (and fullSuite below) permanently true/false — intersect
+    // the prior's names with the CURRENT registry so suite evolution
+    // self-heals without hand-editing the history file.
+    val priorLive = prior.keySet.intersect(SparkEntry.queries.keySet)
     val outPath1 = resolvedBenchOut(outPath0, priorPath, only.isDefined,
-      selected.keySet, prior.keySet)
+      selected.keySet, priorLive)
     if (outPath1 != outPath0)
       System.err.println(s"[bench] subset run: artifact redirected to " +
         s"$outPath1; the full-suite prior $priorPath is untouched")
-    // Contaminated-full-suite guard (r18 verdict item 1): gate on the WORSE
-    // of the two probes — contention arriving mid-run shows in calib_after.
+    // Contaminated-full-suite guard (r18 verdict item 1; widened r20 with
+    // the all-cores probe + loadavg gate): gate on the WORSE of each
+    // before/after probe pair — contention arriving mid-run shows in the
+    // after stamps.
     val runCalib = math.max(calibBefore, calibAfter)
-    val bestCleanCalib = historyEntries.map(_._1).minOption
+    val runCalibPar = math.max(calibParBefore, calibParAfter)
+    def load1(s: String): Double =
+      try s.split(' ').head.toDouble catch { case _: Throwable => 0.0 }
+    val runLoad1m = math.max(load1(loadBefore), load1(loadAfter))
+    val reasons = contaminationReasons(runCalib, runCalibPar, runLoad1m,
+      historyEntries)
     val outPath = if (outPath1 != outPath0) outPath1 else {
-      val p = resolvedBenchOutCalib(outPath1, runCalib, bestCleanCalib)
+      val p = resolvedBenchOutCalib(outPath1, reasons)
       if (p != outPath1)
-        System.err.println(s"[bench] calibration probe ${sec3(runCalib)}s is >1.5x " +
-          s"the best clean history calib ${sec3(bestCleanCalib.get)}s — contaminated " +
-          s"run redirected to $p; the clean prior artifact is untouched")
+        System.err.println(s"[bench] contaminated run (${reasons.mkString(",")}: " +
+          s"calib ${sec3(runCalib)}s, calib_par ${sec3(runCalibPar)}s, " +
+          s"load1m $runLoad1m) — redirected to $p; the clean prior artifact " +
+          "is untouched")
       p
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
@@ -477,7 +599,7 @@ object Bench {
     // yet must still stay out of the history (found the hard way in r19:
     // two 7- and 4-query scratch runs appended before this guard).
     val fullSuite = only.isEmpty &&
-      (prior.isEmpty || prior.keySet.subsetOf(selected.keySet))
+      (priorLive.isEmpty || priorLive.subsetOf(selected.keySet))
     if (fullSuite) {
       // Errored queries are excluded: their "warm" is a crash elapsed, and a
       // fast crash entering the per-query min floor would flag every later
@@ -485,7 +607,7 @@ object Bench {
       val okQueries = results.filter(_.err.isEmpty)
         .map(r => "\"" + r.name + "\":" + sec3(r.warm)).mkString("{", ",", "}")
       val histLine =
-        s"""{"metric":"history","sf":"$sfDir","calib":${sec3(runCalib)},"load_before":"$loadBefore","load_after":"$loadAfter","reruns":${results.map(_.reruns).sum},"n_queries":${results.size},"queries":$okQueries,"value":${sec3(total)}}"""
+        s"""{"metric":"history","sf":"$sfDir","calib":${sec3(runCalib)},"calib_par":${sec3(runCalibPar)},"load_before":"$loadBefore","load_after":"$loadAfter","reruns":${results.map(_.reruns).sum},"n_queries":${results.size},"queries":$okQueries,"value":${sec3(total)}}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(historyPath),
         histLine + "\n",
         java.nio.file.StandardOpenOption.CREATE,

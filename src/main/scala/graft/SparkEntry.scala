@@ -7034,7 +7034,7 @@ object SparkEntry {
         ops.Unigram.unigramTrain(Tables.documents(s, d), "text",
           vocabSize = 48, maxPieceLen = 4, iters = 2))
       ops.Unigram.unigramSegment(ops.Unigram.unigramPrune(model, 1L),
-        Tables.documents(s, d), "text", "doc_id", maxPieceLen = 4)
+        Tables.documents(s, d), "text", "doc_id")
     },
 
     // The UNIGRAM tokenizer LIFECYCLE (the q_bpe_budget stance for the
@@ -7050,7 +7050,7 @@ object SparkEntry {
         ops.Unigram.unigramTrain(docs, "text",
           vocabSize = 48, maxPieceLen = 4, iters = 2))
       val seg = ops.Unigram.unigramSegment(ops.Unigram.unigramPrune(model, 1L),
-        docs, "text", "doc_id", maxPieceLen = 4)
+        docs, "text", "doc_id")
       val proj = seg
         .join(docs.select(col("doc_id"),
           length(col("text")).cast("long").as("score")), Seq("doc_id"))

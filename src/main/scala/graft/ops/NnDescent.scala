@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.cosine_sim
 
@@ -19,23 +20,29 @@ import graft.functions.GraftFunctions.cosine_sim
   * id-grain edge table, vector attach, TopKByScore per node), all
   * map-side-combinable; candidates per node per round are ≤ (2·degree)²
   * BY CONSTRUCTION, so a round's work is O(n · degree²) regardless of
-  * corpus size — never all-pairs. Rounds are FIXED (the star-contraction
-  * round-cap stance); the paper's empirical convergence is ~4-5 rounds
-  * at production scale.
+  * corpus size — never all-pairs. Rounds are capped at `rounds` and exit
+  * EARLY on the paper's update-rate criterion (r19 verdict item 6): stop
+  * when a round's changed-edge count falls to ≤ δ·n·degree — on a
+  * converged corpus the remaining rounds would re-propose and re-trim the
+  * same graph for nothing.
   *
   * PROBE is greedy BEAM SEARCH over the (undirected view of the) graph —
-  * the flat-graph analogue of HNSW's layer-0 search: start from
-  * deterministic entry points, repeatedly expand the current top-`ef`
-  * beam's neighbors, keep the best `ef` visited, stop when a hop improves
-  * nothing (or at `maxHops`). Each hop is two id-keyed lookups (edge
-  * fan-out, vector fetch + score) — the corpus never moves; the visited
-  * set is ≤ ef + hops·fan-out driver rows, the bounded-artifact class.
+  * the flat-graph analogue of HNSW's layer-0 search: start from entry
+  * points, repeatedly expand the current top-`ef` beam's neighbors, keep
+  * the best `ef` visited, stop when a hop improves nothing (or at
+  * `maxHops`). Entry points are either the deterministic smallest ids or
+  * CENTROID-ROUTED (r19 verdict item 5 — the flat stand-in for HNSW's
+  * upper layers): route the query to its nearest k-means cells over the
+  * bounded quantizer and enter at those cells' anchors, so the beam
+  * starts inside the right coarse region instead of walking across the
+  * corpus from id 0.
   *
   * DETERMINISM: init buckets come from fnv64(id) (seed-free), every
   * per-pair cosine is the same scalar arithmetic on any partitioning, and
   * all top-k selections order by (score DESC, id ASC) — the build output
   * and probe results are reproducible across runs and layouts, which
-  * NnDescentSpec pins under repartition.
+  * NnDescentSpec pins under repartition. The early-exit decision is an
+  * exact integer count, so it is deterministic too.
   *
   * Scale shape at 100 TB: the edge table is n·degree rows keyed by src —
   * laid out bucketed/sorted by src, each beam hop's fan-out is an
@@ -46,15 +53,33 @@ object NnDescent {
 
   /** Build the directed kNN graph: (src long, dst long, score double
     * round-6), ≤ `degree` out-edges per src, ordered facts only (no row
-    * order contract). `rounds` NN-descent refinement rounds over a
-    * random-bucket init of ~(degree+1)-node cliques. */
+    * order contract). See [[nnDescentBuildTrace]]; `nHint` skips the
+    * init sizing `count()` when the caller already knows the corpus size
+    * (r19 verdict item 7 — one fewer corpus pass per build). */
   def nnDescentBuild(corpus: DataFrame, vecCol: String, idCol: String,
-                     degree: Int = 10, rounds: Int = 3): DataFrame = {
+                     degree: Int = 10, rounds: Int = 3,
+                     nHint: Long = -1L,
+                     convergeDelta: Double = 0.001): DataFrame =
+    nnDescentBuildTrace(corpus, vecCol, idCol, degree, rounds, nHint,
+      convergeDelta)._1
+
+  /** [[nnDescentBuild]] plus the number of refinement rounds actually
+    * RUN — the observable for the early-exit criterion (a converged
+    * fixture must report fewer rounds than the cap AND the identical
+    * graph, which NnDescentSpec pins). `convergeDelta` ≤ 0 disables the
+    * early exit (always runs `rounds` rounds). */
+  def nnDescentBuildTrace(corpus: DataFrame, vecCol: String, idCol: String,
+                          degree: Int = 10, rounds: Int = 3,
+                          nHint: Long = -1L,
+                          convergeDelta: Double = 0.001): (DataFrame, Int) = {
     require(degree >= 1, s"degree must be >= 1: $degree")
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
     val vecs = corpus.select(col(idCol).cast("long").as("_vid"), col(vecCol))
-    val n = vecs.count()
-    require(n >= 2, s"need at least 2 vectors, got $n")
+    val n = if (nHint >= 2) nHint else {
+      val c = vecs.count()
+      require(c >= 2, s"need at least 2 vectors, got $c")
+      c
+    }
     val nBuckets = math.max(1L, n / (degree + 1))
     val topk = udaf(new graft.functions.TopKByScore(degree))
 
@@ -82,7 +107,7 @@ object NnDescent {
     // union of independent bucketings is connected with high probability
     // (a union of random near-regular graphs), which is exactly the
     // "sample K random neighbors per node" init of the paper.
-    val initCand = (0 until 3).map { salt =>
+    val initCand0 = (0 until 3).map { salt =>
       val b = vecs.select(col("_vid"),
         pmod(graft.functions.GraftFunctions.fnv64(
           concat(lit(s"s$salt:"), col("_vid").cast("string"))),
@@ -91,9 +116,31 @@ object NnDescent {
           col("a._vid") =!= col("b._vid"))
         .select(col("a._vid").as("src"), col("b._vid").as("dst"))
     }.reduce(_ unionByName _).distinct()
+    // ADVICE r19: "every node has out-edges" held only with high
+    // probability — a node landing ALONE in all three salted buckets got
+    // zero init candidates and would be unreachable to beamSearch. Make
+    // it hold BY CONSTRUCTION: any src absent from the candidate set
+    // pairs with the globally smallest id (second-smallest for that node
+    // itself) — a deterministic anti-join + a 2-id TakeOrdered, no
+    // driver collect, materialized with the init trim.
+    val two = vecs.select(col("_vid")).orderBy(col("_vid")).limit(2)
+      .agg(min(col("_vid")).as("_e0"), max(col("_vid")).as("_e1"))
+    val fallback = vecs.select(col("_vid").as("src"))
+      .join(initCand0.select(col("src")).distinct(), Seq("src"), "left_anti")
+      .crossJoin(two)
+      .select(col("src"), when(col("src") === col("_e0"), col("_e1"))
+        .otherwise(col("_e0")).as("dst"))
+    val initCand = initCand0.unionByName(fallback)
     var edges = trim(score(initCand)).localCheckpoint(false)
 
-    for (_ <- 1 to rounds) {
+    // early-exit floor: the paper's sampled update-rate criterion — a
+    // round that changed ≤ δ·n·degree edges signals convergence; the
+    // changed-edge count is one anti-join between two materialized
+    // id-pair tables (map-side work, no vectors move)
+    val changeFloor = (convergeDelta * n * degree).toLong
+    var roundsRun = 0
+    var converged = false
+    while (roundsRun < rounds && !converged) {
       // undirected view: u's candidate pool is neighbors + reverse
       // neighbors (the paper's general case for a directed kNN graph)
       val und = edges.select(col("src"), col("dst"))
@@ -104,16 +151,31 @@ object NnDescent {
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-      // keep = best `degree` of {current edges} ∪ {scored new candidates};
-      // rescoring an existing pair yields the identical cosine, so the
-      // union is idempotent on duplicates after the top-k
-      val merged = score(cand).unionByName(edges)
+      // keep = best `degree` of {current edges} ∪ {scored new candidates}.
+      // A current edge whose pair is re-proposed arrives TWICE with the
+      // bit-identical cosine (same scalar arithmetic on the same
+      // vectors), and TopKByScore does not dedupe — without the
+      // distinct() the duplicate eats a degree slot and evicts a real
+      // neighbor (measured: up to 88 duplicate slots on a 240-edge
+      // fixture, r20 — the nnDescentInsert path always deduped; the
+      // build path now matches)
+      val merged = score(cand).unionByName(edges).distinct()
       // each round re-plans from a materialized edge table — the
       // iterative-trainer stance (bpeMerges/kmeansFit): without it round
       // r's plan contains r copies of every earlier round
-      edges = trim(merged).localCheckpoint(false)
+      val next = trim(merged).localCheckpoint(false)
+      if (convergeDelta > 0) {
+        val changed = next
+          .join(edges.select(col("src"), col("dst")), Seq("src", "dst"),
+            "left_anti")
+          .count()
+        if (changed <= changeFloor) converged = true
+      }
+      edges = next
+      roundsRun += 1
     }
-    edges.select(col("src"), col("dst"), round(col("_score"), 6).as("score"))
+    (edges.select(col("src"), col("dst"), round(col("_score"), 6).as("score")),
+      roundsRun)
   }
 
   /** INCREMENTAL graph maintenance — fold a new vector batch into an
@@ -173,20 +235,60 @@ object NnDescent {
         round(col("_e.score"), 6).as("score"))
   }
 
+  // ------------------------------------------------ centroid-routed entries
+
+  /** Per-cell entry ANCHORS for centroid-routed beam entry points (r19
+    * verdict item 5 — the flat-graph stand-in for HNSW's upper layers):
+    * assign every corpus vector to its nearest quantizer cell (the
+    * [[Knn.ivfAssign]] expression — a per-row literal argmin, no join)
+    * and keep the smallest id per cell, a deterministic member inside
+    * each coarse region. ≤ nCells driver rows — the quantizer-artifact
+    * class, built once per dataset and reused by every probe. */
+  def cellAnchors(corpus: DataFrame, vecCol: String, idCol: String,
+                  centroids: Array[Array[Float]]): Map[Int, Long] =
+    Knn.ivfAssign(
+        corpus.select(col(idCol).cast("long").as("_vid"), col(vecCol)),
+        vecCol, centroids)
+      .groupBy(col("_cell")).agg(min(col("_vid")).as("_a"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** The entry ids for one query under centroid routing: the anchors of
+    * the `nEntries` cells whose centroids are nearest the query —
+    * driver-side L2 over the bounded quantizer (the nearestCells shape),
+    * deterministic ties by cell id. Cells that own no corpus row have no
+    * anchor and are skipped. */
+  def routedEntries(centroids: Array[Array[Float]], anchors: Map[Int, Long],
+                    queryVec: Array[Float], nEntries: Int): Seq[Long] = {
+    require(nEntries >= 1, s"nEntries must be >= 1: $nEntries")
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < queryVec.length) { val x = queryVec(j) - c(j); d += x * x; j += 1 }
+        (i, d)
+      }
+      .sortBy { case (i, d) => (d, i) }
+      .iterator.flatMap { case (i, _) => anchors.get(i) }
+      .take(nEntries).toSeq.distinct
+  }
+
+  // ------------------------------------------------------------------ probe
+
   /** One row of a probe trace: how many nodes the beam visited (the cost
     * axis the recall curve pairs with). */
   final case class BeamResult(ids: Seq[(Long, Double)], visited: Int)
 
   /** Greedy beam search to the query's top-`k`: expand the top-`ef` beam
-    * through the undirected graph from `nEntries` deterministic entry
-    * points (smallest ids — the flat-graph stand-in for HNSW's upper
-    * layers), at most `maxHops` hops, early-stopped when a hop adds no
-    * new beam member. Driver state is the visited score map — bounded by
-    * the fan-out contract, never corpus-sized. */
+    * through the undirected graph from the entry points, at most
+    * `maxHops` hops, early-stopped when a hop adds no new beam member.
+    * Entries are `entryIds` when non-empty (the [[routedEntries]] path)
+    * or the `nEntries` smallest ids (the deterministic flat default).
+    * Driver state is the visited score map — bounded by the fan-out
+    * contract, never corpus-sized. */
   def beamSearchTrace(graph: DataFrame, corpus: DataFrame, vecCol: String,
                       idCol: String, queryVec: Array[Float], k: Int,
                       ef: Int = 32, maxHops: Int = 6,
-                      nEntries: Int = 4): BeamResult = {
+                      nEntries: Int = 4,
+                      entryIds: Seq[Long] = Nil): BeamResult = {
     require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
     require(maxHops >= 1 && nEntries >= 1, s"bad maxHops=$maxHops nEntries=$nEntries")
     val vecs = corpus.select(col(idCol).cast("long").as("_vid"), col(vecCol))
@@ -196,8 +298,10 @@ object NnDescent {
       else vecs.filter(col("_vid").isin(ids.map(java.lang.Long.valueOf): _*))
         .select(col("_vid"), round(cosine_sim(col(vecCol), qv), 6).as("_s"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val entries = vecs.select(col("_vid")).orderBy(col("_vid")).limit(nEntries)
-      .collect().map(_.getLong(0)).toSeq
+    val entries =
+      if (entryIds.nonEmpty) entryIds
+      else vecs.select(col("_vid")).orderBy(col("_vid")).limit(nEntries)
+        .collect().map(_.getLong(0)).toSeq
     val visited = scala.collection.mutable.Map.empty[Long, Double]
     visited ++= scoreIds(entries)
     def beam: Seq[Long] = visited.toSeq
@@ -233,10 +337,129 @@ object NnDescent {
     * contract shape shared with ivfSearch/lshBucketed consumers. */
   def beamSearch(graph: DataFrame, corpus: DataFrame, vecCol: String,
                  idCol: String, queryVec: Array[Float], k: Int,
-                 ef: Int = 32, maxHops: Int = 6, nEntries: Int = 4): DataFrame = {
+                 ef: Int = 32, maxHops: Int = 6, nEntries: Int = 4,
+                 entryIds: Seq[Long] = Nil): DataFrame = {
     val r = beamSearchTrace(graph, corpus, vecCol, idCol, queryVec, k, ef,
-      maxHops, nEntries)
+      maxHops, nEntries, entryIds)
     val spark = corpus.sparkSession
     spark.createDataFrame(r.ids).toDF("ann_id", "score")
+  }
+
+  /** BATCHED beam search — the query-TABLE form of [[beamSearchTrace]]
+    * (r19 verdict item 2, the reference's many-concurrent-probes HNSW
+    * role): ALL queries advance one hop per round through SHARED joins,
+    * so N queries pay ~maxHops rounds of bounded relational work instead
+    * of N driver loops of ~maxHops Spark jobs each. Per-query state
+    * (visited set, beam, active flag) lives in DataFrames keyed by the
+    * query id — never in driver maps.
+    *
+    * Semantics are EXACTLY [[beamSearchTrace]] per query (NnDescentSpec
+    * pins the equality): same entry points, same top-`ef` beam by
+    * (score DESC, id ASC), same full-beam expansion through the
+    * undirected view, same per-query stop when a hop leaves the beam SET
+    * unchanged (scores are functions of (query, id), so set equality ≡
+    * the single-query ordered-sequence test).
+    *
+    * `queries` carries (`qidCol`, `qvecCol`); `entries`, when given,
+    * carries (`qidCol`, entry_id) — the [[routedEntryFrame]] shape;
+    * otherwise every query enters at the `nEntries` smallest corpus ids.
+    * Output: (`qidCol`, ann_id, score), ≤ `k` rows per query.
+    *
+    * Scale shape: each hop is two equi-joins of the (N·≤ef) frontier
+    * against the src-keyed edge table, one anti-join against the visited
+    * table, and one score join against the corpus — all shared, all
+    * keyed, each round re-planned from a materialized state (the
+    * iterative-trainer stance). Per-hop driver traffic is ONE count (the
+    * global any-query-still-active check), never rows. */
+  def beamSearchBatch(graph: DataFrame, corpus: DataFrame, vecCol: String,
+                      idCol: String, queries: DataFrame, qidCol: String,
+                      qvecCol: String, k: Int, ef: Int = 32,
+                      maxHops: Int = 6, nEntries: Int = 4,
+                      entries: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
+    require(maxHops >= 1 && nEntries >= 1, s"bad maxHops=$maxHops nEntries=$nEntries")
+    val vecs = corpus.select(col(idCol).cast("long").as("_vid"),
+      col(vecCol).as("_cv"))
+    val qv = queries.select(col(qidCol).cast("long").as("_qid"),
+      col(qvecCol).as("_qv"))
+    def scorePairs(cand: DataFrame): DataFrame = cand
+      .join(vecs, Seq("_vid"))
+      .join(qv, Seq("_qid"))
+      .select(col("_qid"), col("_vid"),
+        round(cosine_sim(col("_cv"), col("_qv")), 6).as("_s"))
+    val entryPairs = entries match {
+      case Some(e) => e.select(col(qidCol).cast("long").as("_qid"),
+        col("entry_id").cast("long").as("_vid")).distinct()
+      case None =>
+        val eIds = vecs.select(col("_vid")).orderBy(col("_vid")).limit(nEntries)
+        qv.select(col("_qid")).distinct().crossJoin(eIds)
+    }
+    val wBeam = Window.partitionBy(col("_qid"))
+      .orderBy(col("_s").desc, col("_vid").asc)
+    def topEf(v: DataFrame): DataFrame = v
+      .withColumn("_r", row_number().over(wBeam))
+      .filter(col("_r") <= ef).drop("_r")
+    var visited = scorePairs(entryPairs).localCheckpoint(false)
+    var beams = topEf(visited).localCheckpoint(false)
+    var active = qv.select(col("_qid")).distinct().localCheckpoint(false)
+    val outSrc = graph.select(col("src").as("_vid"), col("dst").as("_nb"))
+    val inSrc = graph.select(col("dst").as("_vid"), col("src").as("_nb"))
+    var hops = 0
+    var nActive = active.count()
+    while (nActive > 0 && hops < maxHops) {
+      val frontier = beams.join(active, Seq("_qid"))
+        .select(col("_qid"), col("_vid"))
+      val neigh = frontier.join(outSrc, Seq("_vid"))
+        .select(col("_qid"), col("_nb").as("_vid"))
+        .unionByName(frontier.join(inSrc, Seq("_vid"))
+          .select(col("_qid"), col("_nb").as("_vid")))
+        .distinct()
+        .join(visited.select(col("_qid"), col("_vid")), Seq("_qid", "_vid"),
+          "left_anti")
+      visited = visited.unionByName(scorePairs(neigh)).localCheckpoint(false)
+      val nextBeams = topEf(visited).localCheckpoint(false)
+      // a query stays active iff its beam SET changed this hop; once the
+      // set is stable, every beam neighbor is already visited and no
+      // later hop could change it — the single-query termination argument
+      active = nextBeams
+        .join(beams.select(col("_qid"), col("_vid")), Seq("_qid", "_vid"),
+          "left_anti")
+        .select(col("_qid")).distinct().localCheckpoint(false)
+      beams = nextBeams
+      hops += 1
+      nActive = active.count()
+    }
+    visited.withColumn("_r", row_number().over(wBeam))
+      .filter(col("_r") <= k)
+      .select(col("_qid").as(qidCol), col("_vid").as("ann_id"),
+        col("_s").as("score"))
+  }
+
+  /** Centroid-routed entries for a query TABLE — the batch companion of
+    * [[routedEntries]]: rank the bounded quantizer's cells per query by
+    * exact L2 (centroids ride as one broadcast literal frame), keep the
+    * `nEntries` nearest cells that own an anchor. Output
+    * (`qidCol`, entry_id) — the [[beamSearchBatch]] `entries` shape. */
+  def routedEntryFrame(queries: DataFrame, qidCol: String, qvecCol: String,
+                       centroids: Array[Array[Float]],
+                       anchors: Map[Int, Long], nEntries: Int): DataFrame = {
+    require(nEntries >= 1, s"nEntries must be >= 1: $nEntries")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cellFrame = centroids.zipWithIndex.flatMap { case (c, i) =>
+      anchors.get(i).map(a => (i, c.toSeq, a))
+    }.toSeq.toDF("_cell", "_cv", "_anchor")
+    val dist = queries.select(col(qidCol), col(qvecCol).as("_qv"))
+      .crossJoin(broadcast(cellFrame))
+      .select(col(qidCol), col("_cell"), col("_anchor"),
+        aggregate(zip_with(col("_qv"), col("_cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("_d"))
+    val wCell = Window.partitionBy(col(qidCol))
+      .orderBy(col("_d").asc, col("_cell").asc)
+    dist.withColumn("_r", row_number().over(wCell))
+      .filter(col("_r") <= nEntries)
+      .select(col(qidCol), col("_anchor").as("entry_id"))
+      .distinct()
   }
 }

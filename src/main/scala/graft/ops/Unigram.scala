@@ -124,13 +124,20 @@ object Unigram {
     * (idCol, n_pieces, tok_logprob) per document with ≥ 1 segmentable
     * word; tok_logprob = round(Σ micro-LONG piece lp / 1e6, 6). One
     * corpus scan, one id-grain aggregate — the model is a bounded
-    * reference object, never a join side. */
+    * reference object, never a join side.
+    *
+    * The DP span length is DERIVED from the model (longest piece), never
+    * a caller parameter (ADVICE r19): a caller-supplied bound smaller
+    * than the model's longest piece would leave those pieces in the
+    * lattice but unreachable by the length-1..maxLen scan — a silently
+    * different segmentation instead of an error. */
   def unigramSegment(model: DataFrame, df: DataFrame, textCol: String,
-                     idCol: String, maxPieceLen: Int = 4): DataFrame = {
+                     idCol: String): DataFrame = {
     val rows = model.select("piece", "lp").collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     require(rows.nonEmpty, "unigramSegment: empty model")
-    val lat = new UnigramLattice(rows.map(_._1), rows.map(_._2), maxPieceLen)
+    val lat = new UnigramLattice(rows.map(_._1), rows.map(_._2),
+      rows.iterator.map(_._1.length).max)
     df.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("_w"))
       .select(col(idCol),

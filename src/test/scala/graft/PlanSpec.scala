@@ -627,7 +627,7 @@ class PlanSpec extends AnyFunSuite {
     // never a join side)
     val model = graft.ops.Unigram.unigramTrain(docs.limit(50), "text",
       vocabSize = 8, maxPieceLen = 3, iters = 1)
-    val seg = graft.ops.Unigram.unigramSegment(model, docs, "text", "doc_id", 3)
+    val seg = graft.ops.Unigram.unigramSegment(model, docs, "text", "doc_id")
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!seg.contains("Join"), s"segment must not join the model:\n$seg")
     val nx = "\\(\\d+\\) Exchange\\b".r.findAllIn(seg).size

@@ -17,6 +17,10 @@ class NnDescentSpec extends AnyFunSuite {
     val deg = graph.groupBy("src").count().agg(max("count")).head().getLong(0)
     assert(deg <= 10, s"out-degree $deg exceeds the degree bound")
     assert(graph.filter(col("src") === col("dst")).count() === 0L)
+    // no duplicate (src, dst) pairs eating degree slots (r20: the build
+    // path now dedupes the merge pool like the insert path always did)
+    assert(graph.groupBy("src", "dst").count()
+      .filter(col("count") > 1).count() === 0L)
     // every node has out-edges (bucketed init gives everyone candidates)
     assert(graph.select("src").distinct().count() === emb.count())
     val g2 = NnDescent.nnDescentBuild(emb.repartition(7), "embedding",
@@ -112,6 +116,95 @@ class NnDescentSpec extends AnyFunSuite {
     val rBuild = recall(graph)
     assert(rFold >= rBuild - 0.1,
       s"folded-graph recall $rFold too far below rebuild $rBuild")
+  }
+
+  test("batched beam search equals the per-query driver loop exactly (r19 verdict item 2)") {
+    val qdf = emb.filter(col("vec_id") % 37 === 3).orderBy("vec_id").limit(6)
+      .select(col("vec_id").as("qid"), col("embedding")).localCheckpoint(true)
+    val got = NnDescent.beamSearchBatch(graph, emb, "embedding", "vec_id",
+      qdf, "qid", "embedding", k = 10, ef = 32, maxHops = 6, nEntries = 4)
+      .collect().toSeq.groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy { case (id, s) => (-s, id) }.toSeq
+      }
+    val queries = qdf.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(queries.nonEmpty && got.size === queries.length)
+    queries.foreach { case (q, qv) =>
+      val single = NnDescent.beamSearchTrace(graph, emb, "embedding",
+        "vec_id", qv, k = 10, ef = 32, maxHops = 6, nEntries = 4).ids
+      assert(got(q) === single, s"batch/single divergence for query $q")
+    }
+  }
+
+  test("centroid-routed entries: frame matches driver routing; batch equals single; recall holds") {
+    val sample = emb.select("embedding").limit(256).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = Knn.trainCentroids(sample, nCells = 16)
+    val anchors = NnDescent.cellAnchors(emb, "embedding", "vec_id", centroids)
+    assert(anchors.nonEmpty && anchors.values.toSet.size === anchors.size)
+    val qdf = emb.filter(col("vec_id") % 41 === 5).orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("qid"), col("embedding")).localCheckpoint(true)
+    val queries = qdf.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val frame = NnDescent.routedEntryFrame(qdf, "qid", "embedding",
+      centroids, anchors, nEntries = 4).localCheckpoint(true)
+    val frameMap = frame.collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    queries.foreach { case (q, qv) =>
+      val routed = NnDescent.routedEntries(centroids, anchors, qv, 4)
+      assert(routed.nonEmpty && routed.distinct === routed)
+      assert(frameMap(q) === routed.toSet,
+        s"routedEntryFrame and driver routedEntries disagree for query $q")
+    }
+    val got = NnDescent.beamSearchBatch(graph, emb, "embedding", "vec_id",
+      qdf, "qid", "embedding", k = 10, ef = 32, maxHops = 6,
+      entries = Some(frame))
+      .collect().toSeq.groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy { case (id, s) => (-s, id) }.toSeq
+      }
+    var recall = 0.0
+    queries.foreach { case (q, qv) =>
+      val single = NnDescent.beamSearchTrace(graph, emb, "embedding",
+        "vec_id", qv, k = 10, ef = 32, maxHops = 6,
+        entryIds = NnDescent.routedEntries(centroids, anchors, qv, 4))
+      assert(got(q) === single.ids,
+        s"routed batch/single divergence for query $q")
+      val truth = Knn.topK(emb, "embedding", "vec_id", qv, 10, "cosine")
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      recall += single.ids.map(_._1).toSet.intersect(truth).size / 10.0
+    }
+    recall /= queries.length
+    assert(recall >= 0.7,
+      s"routed-entry recall@10 $recall below the flat-entry floor")
+  }
+
+  test("convergence early-exit: converged fixture stops before the cap with the identical graph") {
+    // 6 tight clusters of 8 (one dominant axis per cluster, distinct
+    // small per-member perturbations): the true kNN graph is
+    // within-cluster and NN-descent reaches its fixpoint in ~2 rounds —
+    // the remaining rounds would change zero edges
+    val data = (for (c <- 0 until 6; i <- 0 until 8) yield {
+      val v = new Array[Float](16)
+      v(c) = 1f
+      v(6 + i) = 0.05f * (i + 1)
+      ((c * 8 + i).toLong, v.toSeq)
+    }).toDF("vec_id", "embedding").localCheckpoint(true)
+    val (gEarly, rounds) = NnDescent.nnDescentBuildTrace(data, "embedding",
+      "vec_id", degree = 5, rounds = 8, convergeDelta = 1e-12)
+    assert(rounds < 8, s"converged fixture must early-exit, ran $rounds/8")
+    val gFull = NnDescent.nnDescentBuild(data, "embedding", "vec_id",
+      degree = 5, rounds = 8, convergeDelta = 0.0)
+    assert(gEarly.exceptAll(gFull).isEmpty && gFull.exceptAll(gEarly).isEmpty,
+      "early-exit graph must be identical to the full-round build at the fixpoint")
+  }
+
+  test("nHint skips the sizing scan without changing the build") {
+    val g2 = NnDescent.nnDescentBuild(emb, "embedding", "vec_id",
+      degree = 10, rounds = 3, nHint = emb.count())
+    assert(graph.exceptAll(g2).isEmpty && g2.exceptAll(graph).isEmpty,
+      "size-hinted build must be identical")
   }
 
   test("contracts: degree/rounds/ef validation") {

@@ -89,9 +89,9 @@ class UnigramSpec extends AnyFunSuite {
     model.write.mode("overwrite").parquet(dir)
     val re = spark.read.parquet(dir)
     assert(model.exceptAll(re).isEmpty && re.exceptAll(model).isEmpty)
-    val a = Unigram.unigramSegment(model, corpus, "text", "doc_id", 3)
+    val a = Unigram.unigramSegment(model, corpus, "text", "doc_id")
       .orderBy("doc_id").collect()
-    val b = Unigram.unigramSegment(re, corpus, "text", "doc_id", 3)
+    val b = Unigram.unigramSegment(re, corpus, "text", "doc_id")
       .orderBy("doc_id").collect()
     assert(a.length === 4 && a.toSeq === b.toSeq)
   }
@@ -104,7 +104,7 @@ class UnigramSpec extends AnyFunSuite {
     assert(counts.nonEmpty, "fixture must learn at least one multi-char piece")
     def totalLp(minCount: Long): Double =
       Unigram.unigramSegment(Unigram.unigramPrune(model, minCount),
-        corpus, "text", "doc_id", 3)
+        corpus, "text", "doc_id")
         .agg(sum(col("tok_logprob"))).head().getDouble(0)
     val grid = Seq(0L, 1L, 2L, 4L, 8L, 1000000L)
     val lps = grid.map(totalLp)
@@ -118,14 +118,14 @@ class UnigramSpec extends AnyFunSuite {
       s"singles-only segmentation should score strictly lower: $lps")
     // and every doc still segments (single-char coverage floor)
     assert(Unigram.unigramSegment(Unigram.unigramPrune(model, 1000000L),
-      corpus, "text", "doc_id", 3).count() === 4L)
+      corpus, "text", "doc_id").count() === 4L)
   }
 
   test("segment contract: docs with uncoverable or no words are absent; n_pieces exact") {
     val model = Unigram.unigramTrain(corpus, "text", 8, 3, 2)
     val probe = Seq((10L, "banana"), (11L, "zzz"), (12L, "   "))
       .toDF("doc_id", "text")
-    val got = Unigram.unigramSegment(model, probe, "text", "doc_id", 3)
+    val got = Unigram.unigramSegment(model, probe, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // 'z' never appeared in the corpus → no single-char floor → absent;
     // token-less doc absent
