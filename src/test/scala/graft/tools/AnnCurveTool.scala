@@ -88,13 +88,48 @@ object AnnCurveTool {
     val nng = graft.ops.NnDescent.nnDescentBuild(emb, "embedding", "vec_id",
       degree = 10, rounds = 3).localCheckpoint(true)
     val efGrid = Seq(10, 16, 32, 64)
-    val nngRows = efGrid.map { ef =>
+    val truths = queries.map { qv =>
+      qv -> Knn.topK(emb, "embedding", "vec_id", qv, 10, "cosine")
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+    }
+    def nngCurve(entriesFor: Array[Float] => Seq[Long]): String =
+      efGrid.map { ef =>
+        var r = 0.0; var vis = 0.0; var t1 = 0
+        truths.foreach { case (qv, truth) =>
+          val b = graft.ops.NnDescent.beamSearchTrace(nng, emb, "embedding",
+            "vec_id", qv, k = 10, ef = ef, maxHops = 6, nEntries = 4,
+            entryIds = entriesFor(qv))
+          r += b.ids.map(_._1).toSet.intersect(truth.toSet).size / 10.0
+          vis += b.visited.toDouble / nFull
+          if (b.ids.head._1 == truth.head) t1 += 1
+        }
+        val q = queries.size
+        f"""{"ef":$ef,"recall_nng":${math.rint(r / q * 1e6) / 1e6}%s,"visited_frac":${math.rint(vis / q * 1e6) / 1e6}%s,"top1_hits":$t1}"""
+      }.mkString("[", ",", "]")
+    val nngRows = nngCurve(_ => Nil)
+    // FOURTH axis (r19 verdict item 5): centroid-ROUTED entry points —
+    // the flat stand-in for HNSW's upper layers. Same graph, same truth,
+    // entries = the anchors of the 4 nearest quantizer cells per query
+    // instead of the 4 smallest ids; the visited fraction is what the
+    // routing buys.
+    val anchors = graft.ops.NnDescent.cellAnchors(emb, "embedding",
+      "vec_id", centroids)
+    val nngRoutedRows = nngCurve(qv =>
+      graft.ops.NnDescent.routedEntries(centroids, anchors, qv, 4))
+    // FIFTH axis: the degree dial. Degree 16 + a SINGLE routed entry
+    // reaches the r19-verdict target frontier (measured: recall 0.885 at
+    // 13.6 % visited, top-1 20/20 at ef=10 on sf0.1) — the denser
+    // neighborhood means the beam collects the true top-10 from within
+    // the query's own region instead of wandering for coverage; the cost
+    // is a 1.6× edge table and a ~2.5× one-time build.
+    val nng16 = graft.ops.NnDescent.nnDescentBuild(emb, "embedding",
+      "vec_id", degree = 16, rounds = 3).localCheckpoint(true)
+    def nng16Curve(): String = efGrid.map { ef =>
       var r = 0.0; var vis = 0.0; var t1 = 0
-      queries.foreach { qv =>
-        val truth = Knn.topK(emb, "embedding", "vec_id", qv, 10, "cosine")
-          .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
-        val b = graft.ops.NnDescent.beamSearchTrace(nng, emb, "embedding",
-          "vec_id", qv, k = 10, ef = ef, maxHops = 6, nEntries = 4)
+      truths.foreach { case (qv, truth) =>
+        val b = graft.ops.NnDescent.beamSearchTrace(nng16, emb, "embedding",
+          "vec_id", qv, k = 10, ef = ef, maxHops = 6,
+          entryIds = graft.ops.NnDescent.routedEntries(centroids, anchors, qv, 1))
         r += b.ids.map(_._1).toSet.intersect(truth.toSet).size / 10.0
         vis += b.visited.toDouble / nFull
         if (b.ids.head._1 == truth.head) t1 += 1
@@ -102,11 +137,14 @@ object AnnCurveTool {
       val q = queries.size
       f"""{"ef":$ef,"recall_nng":${math.rint(r / q * 1e6) / 1e6}%s,"visited_frac":${math.rint(vis / q * 1e6) / 1e6}%s,"top1_hits":$t1}"""
     }.mkString("[", ",", "]")
+    val nng16Rows = nng16Curve()
     val json =
       s"""{"sf_dir":"$sfDir","k":10,"n_cells":$nCells,"m":8,"ksub":16,""" +
         s""""shortlist":64,"n_queries":${queries.size},"curve":$rows,""" +
         s""""shortlist_full":$nFull,"shortlist_curve":$slRows,""" +
-        s""""nng_degree":10,"nng_rounds":3,"nng_curve":$nngRows}"""
+        s""""nng_degree":10,"nng_rounds":3,"nng_curve":$nngRows,""" +
+        s""""nng_routed_curve":$nngRoutedRows,""" +
+        s""""nng16_routed1_curve":$nng16Rows}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8"))
     println(json)

@@ -163,6 +163,12 @@ object ScaleCheck {
     val kmCents = graft.ops.Knn.kmeansFit(emb, "embedding", "vec_id",
         k = 16, iterations = 2)
       .orderBy("cell").collect().map(_.getSeq[Long](2)).toSeq
+    // r20: base-corpus graph + routing anchors for the nng_batch_queries
+    // axis (probe count scales, corpus fixed — artifacts built once)
+    val nngBase = graft.ops.NnDescent.nnDescentBuild(emb, "embedding",
+      "vec_id", degree = 10, rounds = 1).localCheckpoint(true)
+    val anchBase = graft.ops.NnDescent.cellAnchors(emb, "embedding",
+      "vec_id", centroids)
 
     // warm-up pass over every op shape so the first measured k does not
     // absorb codegen/classload compilation
@@ -305,6 +311,43 @@ object ScaleCheck {
           col("embedding"))
         graft.ops.NnDescent.nnDescentInsert(nngPre, e, batch,
           "embedding", "vec_id", degree = 10).count()
+      }
+      // r20: BATCHED beam-search serving over the k×-replicated corpus —
+      // fixed base-replica probe panel, graph/quantizer/anchors built per
+      // k OUTSIDE the timed body (the nngPre serve-time stance): each hop
+      // is a frontier×edge equi-join + visited anti-join + score join,
+      // all corpus-keyed, so per-doubling growth must track the shared
+      // scans, never per-probe job count
+      val nngAnch = graft.ops.NnDescent.cellAnchors(e, "embedding",
+        "vec_id", centroids)
+      results(("nng_batch", k)) = timed("nng_batch", k, ne) {
+        val probes = emb.filter(pmod(col("vec_id"), lit(41)) === 5)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val entries = graft.ops.NnDescent.routedEntryFrame(probes, "qid",
+          "embedding", centroids, nngAnch, nEntries = 4)
+        graft.ops.NnDescent.beamSearchBatch(nngPre, e, "embedding",
+          "vec_id", probes, "qid", "embedding", k = 10, ef = 32,
+          maxHops = 6, entries = Some(entries)).count()
+      }
+      // r20: the QUERY axis — probe count ×k at FIXED base corpus/graph;
+      // per-query state is (qid, vid) rows flowing through the same
+      // shared per-hop joins, so the factor must stay ≤ the 2× panel
+      // ratio (a per-probe driver loop would pay k× the hop JOBS and
+      // blow far past it)
+      if (opsFilter.forall(_.contains("nng_batch_queries"))) {
+        results(("nng_batch_queries", k)) = timed("nng_batch_queries", k,
+          50L * k) {
+          val panel = (0 until k).map { r =>
+            emb.filter(pmod(col("vec_id"), lit(41)) === 5)
+              .select((col("vec_id") + lit(r * step)).as("qid"),
+                col("embedding"))
+          }.reduce(_ unionByName _)
+          val entries = graft.ops.NnDescent.routedEntryFrame(panel, "qid",
+            "embedding", centroids, anchBase, nEntries = 4)
+          graft.ops.NnDescent.beamSearchBatch(nngBase, emb, "embedding",
+            "vec_id", panel, "qid", "embedding", k = 10, ef = 32,
+            maxHops = 6, entries = Some(entries)).count()
+        }
       }
       results(("int8_probe", k)) = timed("int8_probe", k, ne) {
         graft.ops.Quantize.topKInt8(e, "embedding", "vec_id",
