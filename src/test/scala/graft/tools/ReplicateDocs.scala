@@ -15,7 +15,13 @@ object ReplicateDocs {
   def main(args: Array[String]): Unit = {
     val k = args(0).toInt
     val outDir = args(1)
-    require(k >= 1 && k <= 5, s"k in 1..5: $k")
+    // k ≤ 5 keeps cross-replica PAIR structure linear (5 distinct vowel
+    // alphabets); k in 6..10 cycles the alphabets — duplicate text across
+    // replicas, which is fine for PER-DOC trajectory pairings (tokenizer
+    // train/segment/budget never pairs docs) but would re-introduce the
+    // quadratic-output trap for dedup-family pairings. Callers above 5
+    // are asserting the per-doc use case.
+    require(k >= 1 && k <= 10, s"k in 1..10: $k")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,7 +36,7 @@ object ReplicateDocs {
       val withId = docs.withColumn("doc_id", col("doc_id") + lit(r * step))
       if (r == 0) withId
       else withId.withColumn("text",
-        translate(col("text"), "aeiou", vowelMaps(r)))
+        translate(col("text"), "aeiou", vowelMaps(r % vowelMaps.length)))
     }.reduce(_ unionByName _)
     rep.coalesce(4).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     println(s"wrote ${rep.count()} docs to $outDir/documents.parquet")

@@ -16,9 +16,15 @@ def main():
     oracle = json.load(open(oracle_path))
     con = duckdb.connect()
     con.execute("SET threads TO 1")
+    import os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # a Spark-written table is a DIRECTORY of part files (the
+        # ReplicateDocs pairing dirs); the driver's testdata are single files
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     times = {}
     for name, sql in sorted(oracle.items()):
         con.execute(sql).fetchall()  # cold
