@@ -620,12 +620,26 @@ object SparkEntry {
          |  FROM ub2)
          |SELECT doc_id, n_tok, score FROM ubc WHERE cum <= $budget""".stripMargin
 
-  private def unigramChain(vocabSize: Int, iters: Int,
-                           maxLen: Int = 4, minCount: Long = 1L): String = {
-    val SENT = "-1000000000000000"  // unreachable sentinel
-    val THR = "-100000000000000"    // validity threshold (10% of sentinel)
-    // one Viterbi DP + choice + walk block over log-prob CTE `lpCte`
-    def dpBlock(x: String, lpCte: String): String = {
+  // Shared unigram-oracle sentinel arithmetic: unreachable = −1e15 micro,
+  // valid = > −1e14 (10 % of the sentinel). A real dp/α/β cell is ≥
+  // −(word len)·max|lp| ≈ −3e8 for any plausible token, six orders above
+  // the threshold; the engines' thresholds would only disagree on a
+  // single whitespace-free token of ~5e6+ characters, excluded by the
+  // BMP tokenizer corpus contract (ADVICE r19 — documented bound). The
+  // SOFT chain's α/β cells cross engines by VALUE (they enter the
+  // posteriors), so graft.functions.UnigramLattice uses these same two
+  // constants verbatim.
+  private val UgSent = "-1000000000000000"
+  private val UgThr = "-100000000000000"
+
+  /** One Viterbi DP + deterministic-choice + reconstruction-walk block
+    * over log-prob CTE `lpCte` (see [[unigramOracle]] for the recursive
+    * carry-window construction) — shared by the hard-EM and soft-EM
+    * chains, whose FINAL segmentation pass is identical. */
+  private def ugDpBlock(x: String, lpCte: String, maxLen: Int): String = {
+    val SENT = UgSent
+    val THR = UgThr
+    locally {
       val joins = (1 to maxLen).map { l =>
         s"  LEFT JOIN ughlp$x h$l ON h$l.w = p.w AND h$l.i = p.j - 1 AND h$l.l = $l"
       }.mkString("\n")
@@ -663,17 +677,13 @@ object SparkEntry {
          |  JOIN ugch$x c ON c.w = s.w AND c.j = s.j
          |  JOIN ughlp$x h ON h.w = s.w AND h.i = s.j AND h.l = c.l)""".stripMargin
     }
-    val emBlocks = (1 to iters).map { t =>
-      s"""${dpBlock(t.toString, s"uglp${t - 1}")},
-         |ugcnt$t AS MATERIALIZED (
-         |  SELECT sg.p, sum(wv.f) AS c FROM ugsg$t sg JOIN ugwc wv ON wv.w = sg.w
-         |  WHERE sg.p IS NOT NULL GROUP BY sg.p),
-         |ugct$t AS MATERIALIZED (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS ct FROM ugcnt$t),
-         |uglp$t AS MATERIALIZED (
-         |  SELECT v.p, CAST(round(ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0)
-         |      / (ct + vn)) * 1000000.0) AS BIGINT) AS lp
-         |  FROM ugvoc v LEFT JOIN ugcnt$t c ON c.p = v.p, ugct$t, ugvn)""".stripMargin
-    }.mkString(",\n")
+  }
+
+  /** Shared unigram-oracle HEAD: corpus → word counts → seed vocabulary
+    * (all single chars + top-`vocabSize` multi-char substrings) → seed
+    * log-probs → the piece-at-position hit table. Identical for the
+    * hard-EM and soft-EM chains — only the E-step blocks differ. */
+  private def ugHeader(vocabSize: Int, maxLen: Int): String =
     s"""WITH RECURSIVE tkug AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
@@ -703,17 +713,151 @@ object SparkEntry {
        |    unnest(range(1, length(wv.w) + 1)) u(i),
        |    unnest(range(1, ${maxLen + 1})) v(l)
        |  WHERE i + l - 1 <= length(wv.w)
-       |    AND substr(wv.w, CAST(i AS INT), CAST(l AS INT)) IN (SELECT p FROM ugvoc)),
+       |    AND substr(wv.w, CAST(i AS INT), CAST(l AS INT)) IN (SELECT p FROM ugvoc))""".stripMargin
+
+  private def unigramChain(vocabSize: Int, iters: Int,
+                           maxLen: Int = 4, minCount: Long = 1L): String = {
+    val emBlocks = (1 to iters).map { t =>
+      s"""${ugDpBlock(t.toString, s"uglp${t - 1}", maxLen)},
+         |ugcnt$t AS MATERIALIZED (
+         |  SELECT sg.p, sum(wv.f) AS c FROM ugsg$t sg JOIN ugwc wv ON wv.w = sg.w
+         |  WHERE sg.p IS NOT NULL GROUP BY sg.p),
+         |ugct$t AS MATERIALIZED (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS ct FROM ugcnt$t),
+         |uglp$t AS MATERIALIZED (
+         |  SELECT v.p, CAST(round(ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0)
+         |      / (ct + vn)) * 1000000.0) AS BIGINT) AS lp
+         |  FROM ugvoc v LEFT JOIN ugcnt$t c ON c.p = v.p, ugct$t, ugvn)""".stripMargin
+    }.mkString(",\n")
+    s"""${ugHeader(vocabSize, maxLen)},
        |$emBlocks,
        |ugflp AS MATERIALIZED (
        |  SELECT l.p, l.lp FROM uglp$iters l
        |  LEFT JOIN ugcnt$iters c ON c.p = l.p
        |  WHERE length(l.p) = 1 OR coalesce(c.c, 0) >= $minCount),
-       |${dpBlock("F", "ugflp")},
+       |${ugDpBlock("F", "ugflp", maxLen)},
        |ugwst AS MATERIALIZED (
        |  SELECT w, count(*) AS np, sum(lp) AS slp FROM ugsgF
        |  WHERE p IS NOT NULL GROUP BY w)""".stripMargin
   }
+
+  /** One SOFT-EM iteration's oracle blocks (q_unigram_em; Kudo 2018's
+    * forward–backward E-step — r19 verdict item 4). Emits, over the
+    * current log-probs `uglp{t-1}`:
+    *
+    *  - `ugfaX`: the FORWARD α DP as a recursive carry-window CTE
+    *    marching LEFT-TO-RIGHT (α(1)=0, row carries the last maxLen
+    *    cells). Every cell is the shared micro-LONG LOG-SUM-EXP
+    *    contract: m = greatest over EXACTLY maxLen candidate slots in
+    *    ascending piece length (missing/invalid → the −1e15 sentinel),
+    *    cell = m + round(ln(Σ exp((cᵢ−m)/1e6))·1e6) with the Σ left-
+    *    associated in slot order — the IDENTICAL arithmetic
+    *    graft.functions.UnigramLattice.expectations runs, so cells agree
+    *    integer-for-integer (engine exp/ln differences live below the
+    *    per-cell rounding; sentinel slots underflow to exactly 0.0
+    *    whenever any real candidate exists, and an all-sentinel cell
+    *    lands at sentinel + ln(maxLen)·1e6, still far under the −1e14
+    *    validity threshold);
+    *  - `ugbdX`: the BACKWARD β DP — the ugdp carry-window shape with
+    *    logsumexp in place of greatest;
+    *  - `ugpostX`: per-hit posterior mass round(exp((α(i)+lp+β(i+l)−Z)
+    *    /1e6)·1e6) as BIGINT micro units (exact-integer exponent
+    *    arithmetic inside the cast);
+    *  - `ugcntX`/`uglpX`: frequency-weighted EXACT-INTEGER expected-count
+    *    sums and the micro-rounded re-estimate ln((c/1e6+1)/(C/1e6+V)).
+    */
+  private def ugSoftEmBlock(t: Int, maxLen: Int): String = {
+    val SENT = UgSent
+    val THR = UgThr
+    val cNames = (1 to maxLen).map(l => s"c$l")
+    val lse = "m + CAST(round(ln(" +
+      cNames.map(c => s"exp(CAST($c - m AS DOUBLE) / 1000000.0)")
+        .mkString(" + ") + ") * 1000000.0) AS BIGINT)"
+    val gr = s"greatest(${cNames.mkString(", ")})"
+    val sentInit = (", CAST(" + SENT + " AS BIGINT)") * (maxLen - 1)
+    def dp(name: String, carry: Char, init: String, step: String,
+           joinPos: Int => String, guard: String): String = {
+      val cols = (0 until maxLen).map(i => s"$carry$i").mkString(", ")
+      val pCols = (0 until maxLen).map(i => s"p.$carry$i").mkString(", ")
+      val carryFwd = (0 until maxLen - 1).map(i => s"$carry$i").mkString(", ")
+      val cands = (1 to maxLen).map { l =>
+        s"coalesce(h$l.lp + CASE WHEN p.$carry${l - 1} > $THR THEN p.$carry${l - 1} END, $SENT) AS c$l"
+      }.mkString(",\n        ")
+      val joins = (1 to maxLen).map { l =>
+        s"      LEFT JOIN ughlp$t h$l ON h$l.w = p.w AND h$l.i = ${joinPos(l)} AND h$l.l = $l"
+      }.mkString("\n")
+      s"""$name$t(w, j, $cols) AS (
+         |  SELECT w, $init, CAST(0 AS BIGINT)$sentInit
+         |  FROM ugwc
+         |  UNION ALL
+         |  SELECT w, $step, $lse, $carryFwd
+         |  FROM (
+         |    SELECT q.*, $gr AS m FROM (
+         |      SELECT p.w, p.j, $pCols,
+         |        $cands
+         |      FROM $name$t p
+         |$joins
+         |      WHERE $guard) q) r)""".stripMargin
+    }
+    s"""ughlp$t AS MATERIALIZED (
+       |  SELECT h.w, h.i, h.l, h.p, m.lp FROM ughit h JOIN uglp${t - 1} m ON m.p = h.p),
+       |${dp("ugfa", 'a', "CAST(1 AS BIGINT)", "j + 1",
+              l => s"p.j + 1 - $l", "p.j <= length(p.w)")},
+       |ugfav$t AS MATERIALIZED (SELECT w, j, a0 AS a FROM ugfa$t),
+       |ugz$t AS MATERIALIZED (SELECT w, a AS z FROM ugfav$t WHERE j = length(w) + 1),
+       |${dp("ugbd", 'b', "length(w) + 1", "j - 1",
+              _ => "p.j - 1", "p.j > 1")},
+       |ugbdv$t AS MATERIALIZED (SELECT w, j, b0 AS b FROM ugbd$t),
+       |ugpost$t AS MATERIALIZED (
+       |  SELECT h.w, h.p,
+       |    CAST(round(exp(CAST(((a.a + h.lp) + b.b) - z.z AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT) AS pm
+       |  FROM ughlp$t h
+       |  JOIN ugfav$t a ON a.w = h.w AND a.j = h.i
+       |  JOIN ugbdv$t b ON b.w = h.w AND b.j = h.i + h.l
+       |  JOIN ugz$t z ON z.w = h.w
+       |  WHERE a.a > $THR AND b.b > $THR AND z.z > $THR),
+       |ugcnt$t AS MATERIALIZED (
+       |  SELECT pp.p, sum(wv.f * pp.pm) AS c
+       |  FROM ugpost$t pp JOIN ugwc wv ON wv.w = pp.w GROUP BY pp.p),
+       |ugct$t AS MATERIALIZED (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS ct FROM ugcnt$t),
+       |uglp$t AS MATERIALIZED (
+       |  SELECT v.p, CAST(round(ln((CAST(coalesce(c.c, 0) AS DOUBLE) / 1000000.0 + 1.0)
+       |      / (CAST(ct AS DOUBLE) / 1000000.0 + vn)) * 1000000.0) AS BIGINT) AS lp
+       |  FROM ugvoc v LEFT JOIN ugcnt$t c ON c.p = v.p, ugct$t, ugvn)""".stripMargin
+  }
+
+  /** The full soft-EM chain: shared head, `iters` [[ugSoftEmBlock]]s, a
+    * PRUNE-TO-TARGET (all singles + top-`keepMulti` multis by expected
+    * count — the likelihood-loss proxy, log-probs unchanged, matching
+    * [[ops.Unigram.unigramPruneToVocab]] ties and all), and the shared
+    * final hard-Viterbi segmentation pass. */
+  private def unigramSoftChain(vocabSize: Int, iters: Int,
+                               maxLen: Int = 4, keepMulti: Int = 24): String = {
+    val emBlocks = (1 to iters).map(t => ugSoftEmBlock(t, maxLen))
+      .mkString(",\n")
+    s"""${ugHeader(vocabSize, maxLen)},
+       |$emBlocks,
+       |ugsel AS MATERIALIZED (
+       |  SELECT l.p, l.lp FROM uglp$iters l WHERE length(l.p) = 1
+       |  UNION ALL
+       |  SELECT p, lp FROM (
+       |    SELECT l.p, l.lp, coalesce(c.c, 0) AS cc FROM uglp$iters l
+       |    LEFT JOIN ugcnt$iters c ON c.p = l.p
+       |    WHERE length(l.p) > 1
+       |    ORDER BY cc DESC, l.p LIMIT $keepMulti)),
+       |${ugDpBlock("F", "ugsel", maxLen)},
+       |ugwst AS MATERIALIZED (
+       |  SELECT w, count(*) AS np, sum(lp) AS slp FROM ugsgF
+       |  WHERE p IS NOT NULL GROUP BY w)""".stripMargin
+  }
+
+  private def unigramSoftOracle(vocabSize: Int, iters: Int,
+                                keepMulti: Int): String =
+    unigramSoftChain(vocabSize, iters, keepMulti = keepMulti) +
+      s"""
+         |SELECT o.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(ws.slp) AS DOUBLE) / 1000000.0, 6) AS tok_logprob
+         |FROM ugocc o JOIN ugwst ws ON ws.w = o.w
+         |GROUP BY o.doc_id""".stripMargin
 
   /** q_simhash_neardup oracle codegen: 64 per-bit vote sums as flat SQL
     * columns (one vectorized aggregation pass in DuckDB) … */
@@ -7072,6 +7216,28 @@ object SparkEntry {
         ops.Unigram.unigramTrain(Tables.documents(s, d), "text",
           vocabSize = 48, maxPieceLen = 4, iters = 2))
       ops.Unigram.unigramSegment(ops.Unigram.unigramPrune(model, 1L),
+        Tables.documents(s, d), "text", "doc_id")
+    },
+
+    // SOFT-EM unigram training (r19 verdict item 4 — Kudo 2018's ACTUAL
+    // E-step, the rung above q_unigram_tok's hard-EM): forward–backward
+    // EXPECTED piece counts over every word's segmentation lattice
+    // (UnigramExpect — scan-side codegen; α/β cells are micro-LONG
+    // integers under the shared per-cell logsumexp rounding contract, so
+    // the whole trajectory is reproducible cross-engine), then a
+    // PRUNE-TO-TARGET vocabulary (singles + top-24 multis by expected
+    // count, the likelihood-loss proxy), then the hard-Viterbi
+    // segmentation pass. The oracle unrolls EVERYTHING: two recursive
+    // carry-window CTEs per EM iteration (α left-to-right, β
+    // right-to-left), per-hit posteriors, exact-integer count sums, the
+    // prune, and the final Viterbi — per-doc (n_pieces, tok_logprob)
+    // hash-compare.
+    q("q_unigram_em",
+      unigramSoftOracle(vocabSize = 48, iters = 2, keepMulti = 24)) { (s, d) =>
+      val model = modelRoundTrip(s, "unigram_em", d,
+        ops.Unigram.unigramTrainSoft(Tables.documents(s, d), "text",
+          vocabSize = 48, maxPieceLen = 4, iters = 2))
+      ops.Unigram.unigramSegment(ops.Unigram.unigramPruneToVocab(model, 24),
         Tables.documents(s, d), "text", "doc_id")
     },
 

@@ -42,6 +42,11 @@ object GraftFunctions {
     * struct(pieces, lp) or NULL if the word is uncoverable. */
   def unigram_viterbi(word: Column, lattice: UnigramLattice): Column =
     col(UnigramViterbi(e(word), lattice))
+  /** Forward–backward expected piece counts (micro units) under a
+    * driver-built lattice — the soft-EM E-step: array of (piece, post)
+    * or NULL if the word is uncoverable. */
+  def unigram_expect(word: Column, lattice: UnigramLattice): Column =
+    col(UnigramExpect(e(word), lattice))
   def word_shingles(tokens: Column, n: Int): Column = col(WordShingles(e(tokens), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(e(a), e(b)))

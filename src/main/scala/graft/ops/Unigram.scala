@@ -119,6 +119,84 @@ object Unigram {
     model.filter(length(col("piece")) === 1 || col("cnt") >= minCount)
   }
 
+  /** SOFT-EM training (Kudo 2018's actual E-step, r19 verdict item 4 —
+    * the rung above [[unigramTrain]]'s hard-EM/Viterbi counts): the
+    * E-step is forward–backward EXPECTED piece counts over every word's
+    * segmentation lattice ([[graft.functions.UnigramExpect]] — scan-side
+    * codegen, posterior mass micro-quantized per word so the
+    * frequency-weighted M-step sum is exact integer arithmetic,
+    * order-independent across any partitioning); the M-step re-estimates
+    * lp(p) = ln((c_micro/1e6 + 1)/(C_micro/1e6 + V)) micro-rounded. The
+    * α/β DP cells themselves are micro-LONG integers rounded per cell
+    * (the cross-engine contract the SQL oracle replays — see
+    * [[graft.functions.UnigramLattice.expectations]]).
+    *
+    * Same seed, same corpus-pass structure, same bounded-model shape as
+    * the hard path; returned `cnt` is the MICRO expected count (1e6 ≙
+    * one expected occurrence) — [[unigramPrune]]/[[unigramPruneToVocab]]
+    * thresholds are in the same micro units. */
+  def unigramTrainSoft(df: DataFrame, textCol: String, vocabSize: Int = 48,
+                       maxPieceLen: Int = 4, iters: Int = 2): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = df.sparkSession
+    val wc = wordCounts(df, textCol).localCheckpoint(true)
+    val cand = wc
+      .select(col("_w"), col("_f"),
+        explode(sequence(lit(1), length(col("_w")))).as("_i"))
+      .select(col("_w"), col("_f"), col("_i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("_w")) - col("_i") + lit(1))))
+          .as("_l"))
+      .select(col("_w").substr(col("_i"), col("_l")).as("_p"), col("_f"))
+      .groupBy("_p").agg(sum(col("_f")).as("_cnt"))
+    val singles = cand.filter(length(col("_p")) === 1)
+    val multis = cand.filter(length(col("_p")) > 1)
+      .orderBy(col("_cnt").desc, col("_p")).limit(vocabSize)
+    val vocabRows = singles.unionByName(multis)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(vocabRows.nonEmpty, "unigramTrainSoft: empty corpus")
+    val pieces = vocabRows.map(_._1)
+    val v = pieces.length
+    val seedTotal = vocabRows.map(_._2).sum.toDouble
+    var lps = vocabRows.map(r => microLn(r._2 / seedTotal))
+    var cnts = new Array[Long](v)
+    for (_ <- 1 to iters) {
+      val lat = new UnigramLattice(pieces, lps, maxPieceLen)
+      val soft = wc
+        .select(col("_f"),
+          GraftFunctions.unigram_expect(col("_w"), lat).as("_e"))
+        .filter(col("_e").isNotNull)
+        .select(explode(col("_e")).as("_pe"), col("_f"))
+        .select(col("_pe").getField("piece").as("_p"),
+          (col("_f") * col("_pe").getField("post")).as("_c"))
+        .groupBy("_p").agg(sum(col("_c")).as("_c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = soft.values.sum
+      cnts = pieces.map(p => soft.getOrElse(p, 0L))
+      lps = cnts.map(c =>
+        microLn((c.toDouble / 1e6 + 1.0) / (total.toDouble / 1e6 + v)))
+    }
+    spark.createDataFrame(
+      pieces.indices.map(i => (pieces(i), lps(i), cnts(i))).toSeq)
+      .toDF("piece", "lp", "cnt")
+  }
+
+  /** Kudo's prune-to-target rung under the EXPECTED-COUNT proxy for
+    * likelihood loss (a piece's posterior mass bounds what removing it
+    * can cost): keep every single-char piece (the coverage floor) plus
+    * the top `keepMulti` multi-char pieces by (cnt DESC, piece ASC) —
+    * log-probs UNCHANGED, so the [[unigramPrune]] lattice-restriction
+    * theorem applies verbatim: corpus log-prob is monotone
+    * non-increasing as `keepMulti` shrinks. */
+  def unigramPruneToVocab(model: DataFrame, keepMulti: Int): DataFrame = {
+    require(keepMulti >= 0, s"keepMulti must be >= 0: $keepMulti")
+    model.filter(length(col("piece")) === 1)
+      .unionByName(model.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(keepMulti))
+  }
+
   /** Segment + score `df` under a [[unigramTrain]] model frame (lazy,
     * pruned, or parquet-reloaded — the artifact-reuse path). Output:
     * (idCol, n_pieces, tok_logprob) per document with ≥ 1 segmentable

@@ -96,6 +96,102 @@ class UnigramSpec extends AnyFunSuite {
     assert(a.length === 4 && a.toSeq === b.toSeq)
   }
 
+  test("property: forward-backward expectations match brute-force enumeration; covered mass equals word length") {
+    val rnd = new scala.util.Random(29)
+    var coverable = 0
+    for (_ <- 1 to 300) {
+      val alphabet = "ab"
+      val multis = (1 to (1 + rnd.nextInt(6))).map(_ =>
+        (1 to (2 + rnd.nextInt(3))).map(_ => alphabet(rnd.nextInt(2))).mkString)
+        .distinct
+      val pieces = (alphabet.map(_.toString) ++ multis).distinct.toArray
+      val lps = pieces.map(_ => -(1L + rnd.nextInt(1000000)) * 10)
+      val lpMap = pieces.zip(lps).toMap
+      val lat = new UnigramLattice(pieces, lps, maxLen = 4)
+      val w = (1 to (1 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(2))).mkString
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(4, s.length)).flatMap { l =>
+          val p = s.take(l)
+          if (lpMap.contains(p)) segs(s.drop(l)).map(p :: _) else Nil
+        }
+      val all = segs(w)
+      val got = Option(lat.expectations(w))
+      assert(got.isDefined === all.nonEmpty,
+        s"coverability must agree: vocab=${pieces.toSeq} word=$w")
+      got.foreach { exp =>
+        coverable += 1
+        // brute force, UNQUANTIZED: posterior of piece p = Σ over
+        // segmentations containing p (with multiplicity) of
+        // exp(score−m)/Z — the ground truth the micro-quantized DP
+        // approximates to ≤ ~(word len)·1e-6 relative per cell chain
+        val scores = all.map(seg => seg.map(lpMap).sum.toDouble / 1e6)
+        val m = scores.max
+        val weights = scores.map(x => math.exp(x - m))
+        val z = weights.sum
+        val bf = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(0.0)
+        all.zip(weights).foreach { case (seg, wt) =>
+          seg.foreach(p => bf(p) += wt / z)
+        }
+        val fb = exp.map { case (id, pm) => pieces(id) -> pm.toDouble / 1e6 }
+          .toMap
+        val tol = 1e-3 * (1 + w.length)
+        (bf.keySet ++ fb.keySet).foreach { p =>
+          assert(math.abs(bf(p) - fb.getOrElse(p, 0.0)) <= tol,
+            s"posterior mismatch on '$p': bf=${bf(p)} fb=${fb.get(p)} " +
+              s"vocab=${pieces.toSeq} lps=${lps.toSeq} word=$w")
+        }
+        // every segmentation covers each char exactly once, so
+        // Σ_p len(p)·E[count(p)] must equal the word length
+        val cover = fb.map { case (p, c) => p.length * c }.sum
+        assert(math.abs(cover - w.length) <= tol * 4,
+          s"covered mass $cover != |$w| vocab=${pieces.toSeq}")
+      }
+    }
+    assert(coverable > 100, s"fixture degenerate: only $coverable coverable")
+  }
+
+  test("unigramTrainSoft: deterministic under repartition; parquet round trip; expected counts sane") {
+    val m1 = Unigram.unigramTrainSoft(corpus.coalesce(1), "text",
+      vocabSize = 8, maxPieceLen = 3, iters = 2)
+      .orderBy("piece").collect().toSeq
+    val m7 = Unigram.unigramTrainSoft(corpus.repartition(7), "text",
+      vocabSize = 8, maxPieceLen = 3, iters = 2)
+      .orderBy("piece").collect().toSeq
+    assert(m1 === m7,
+      "micro-quantized soft EM must not depend on partitioning")
+    // soft counts live in micro units: the corpus has ~14 words of ~5
+    // chars, so total expected piece mass is a few dozen occurrences
+    val totalMicro = m1.map(_.getLong(2)).sum
+    assert(totalMicro > 10L * 1000000L && totalMicro < 200L * 1000000L,
+      s"implausible total expected mass: $totalMicro micro")
+    val model = Unigram.unigramTrainSoft(corpus, "text", 8, 3, 2)
+    val dir = java.nio.file.Files.createTempDirectory("ug-soft").toString
+    model.write.mode("overwrite").parquet(dir)
+    val re = spark.read.parquet(dir)
+    assert(model.exceptAll(re).isEmpty && re.exceptAll(model).isEmpty)
+    val seg = Unigram.unigramSegment(re, corpus, "text", "doc_id")
+    assert(seg.count() === 4L)
+  }
+
+  test("unigramPruneToVocab: corpus log-prob monotone non-increasing as the kept vocab shrinks") {
+    val model = Unigram.unigramTrainSoft(corpus, "text",
+      vocabSize = 8, maxPieceLen = 3, iters = 2)
+    def totalLp(keep: Int): Double =
+      Unigram.unigramSegment(Unigram.unigramPruneToVocab(model, keep),
+        corpus, "text", "doc_id")
+        .agg(sum(col("tok_logprob"))).head().getDouble(0)
+    val grid = Seq(8, 4, 2, 0)
+    val lps = grid.map(totalLp)
+    lps.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(lo <= hi + 1e-9,
+        s"shrinking the kept vocab must never raise corpus log-prob: $lps")
+    case _ => }
+    assert(lps.last < lps.head,
+      s"singles-only segmentation should score strictly lower: $lps")
+  }
+
   test("prune step: corpus log-prob monotone non-increasing in minCount (lattice restriction, no renorm)") {
     val model = Unigram.unigramTrain(corpus, "text",
       vocabSize = 8, maxPieceLen = 3, iters = 2)

@@ -1164,6 +1164,19 @@ object ScaleCheck {
         graft.ops.Unigram.unigramSegment(
           graft.ops.Unigram.unigramPrune(m, 1L), d, "text", "doc_id").count()
       }
+      // r20: SOFT-EM over the VOCAB axis — corpus ×k (rotated replicas
+      // mint new substrings, so a 256·k-piece seed actually fills: 1024
+      // multi-char pieces at k=4, the non-toy rung) while the per-word
+      // forward–backward DP is O(len·maxLen) hash probes INDEPENDENT of
+      // vocab size; the factor must track the corpus scan + the bounded
+      // vocab-grain seed TakeOrdered, never the vocab quadratically
+      results(("unigram_em_vocab", k)) = timed("unigram_em_vocab", k, nd) {
+        val m = graft.ops.Unigram.unigramTrainSoft(d, "text",
+          vocabSize = 256 * k, maxPieceLen = 4, iters = 2)
+        graft.ops.Unigram.unigramSegment(
+          graft.ops.Unigram.unigramPruneToVocab(m, 128 * k), d,
+          "text", "doc_id").count()
+      }
       // r19: CCNet sampled-middle — one scan-side filter over the
       // bucketed frame (buckets synthesized here: the op's own cost is
       // the point, not the upstream trajectory's)
