@@ -331,10 +331,14 @@ object Graph {
       val mins = nbrs.groupBy(col("src"))
         .agg(min(col("dst")).as("_m"))
         .select(col("src"), least(col("_m"), col("src")).as("_m"))
+      // No distinct here (r20 §2.4): duplicates cannot change mins2's
+      // per-src MIN, and `small` dedupes at round end — the former
+      // `.distinct()` bought nothing semantically and cost a full
+      // (src, dst) exchange every round. Duplicate volume is bounded by
+      // the nbrs row count (emitted rows ≤ input rows), so nothing grows.
       val large = nbrs.join(mins, Seq("src"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("_m").as("dst"))
-        .distinct()
       // SMALL-STAR: every node v re-links its SMALLER neighborhood
       // Γ⁻(v) (all of it, by the invariant) plus itself to
       // m = min(Γ⁻(v)); emitted pairs keep first > second since

@@ -416,8 +416,16 @@ object NnDescent {
         .distinct()
         .join(visited.select(col("_qid"), col("_vid")), Seq("_qid", "_vid"),
           "left_anti")
-      visited = visited.unionByName(scorePairs(neigh)).localCheckpoint(false)
-      val nextBeams = topEf(visited).localCheckpoint(false)
+      // r20 §2.3: the new beam can only contain old-beam members or this
+      // hop's newly scored candidates (scores are fixed per (query, id),
+      // so top-ef(visited ∪ new) = top-ef(top-ef(visited) ∪ new) — the
+      // standard priority-queue identity). Window over (beams ∪ new)
+      // instead of the whole growing visited table: the per-hop sort
+      // input stays ≤ (ef + fan-out) rows per query regardless of hop
+      // count. visited keeps growing only as the anti-join dedup set.
+      val scored = scorePairs(neigh).localCheckpoint(false)
+      visited = visited.unionByName(scored).localCheckpoint(false)
+      val nextBeams = topEf(beams.unionByName(scored)).localCheckpoint(false)
       // a query stays active iff its beam SET changed this hop; once the
       // set is stable, every beam neighbor is already visited and no
       // later hop could change it — the single-query termination argument
@@ -429,7 +437,10 @@ object NnDescent {
       hops += 1
       nActive = active.count()
     }
-    visited.withColumn("_r", row_number().over(wBeam))
+    // top-k of visited ≡ top-k of the final beam (k ≤ ef and the beam IS
+    // top-ef of visited) — rank the ≤ef-per-query beam, not the full
+    // visited set (r20 §2.3)
+    beams.withColumn("_r", row_number().over(wBeam))
       .filter(col("_r") <= k)
       .select(col("_qid").as(qidCol), col("_vid").as("ann_id"),
         col("_s").as("score"))
