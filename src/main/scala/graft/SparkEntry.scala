@@ -10689,12 +10689,20 @@ object SparkEntry {
           .orderBy("cell").collect()
           .map(_.getSeq[Long](2).toIndexedSeq).toIndexedSeq: Seq[Seq[Long]]
       }
-      val sBase = Knn.centroidBatchState(
-        e.filter(pmod(col("vec_id"), lit(4)) =!= 3), "embedding", standing)
-      val sBatch = Knn.centroidBatchState(
-        e.filter(pmod(col("vec_id"), lit(4)) === 3), "embedding", standing)
-      val folded = sBase.fold(sBatch)
-      val direct = Knn.centroidBatchState(e, "embedding", standing)
+      // r20 §2.6: the three states are independent one-collect jobs —
+      // build them concurrently (the q_artifact_dashboard thread stance)
+      // instead of three serialized corpus scans
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fBase = Future { Knn.centroidBatchState(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 3), "embedding", standing) }
+      val fBatch = Future { Knn.centroidBatchState(
+        e.filter(pmod(col("vec_id"), lit(4)) === 3), "embedding", standing) }
+      val fDirect = Future { Knn.centroidBatchState(e, "embedding", standing) }
+      val folded = Await.result(fBase, Duration.Inf)
+        .fold(Await.result(fBatch, Duration.Inf))
+      val direct = Await.result(fDirect, Duration.Inf)
       val refreshed = Knn.refreshCentroids(folded, standing)
       Knn.reassignmentAudit(e, "embedding", standing,
           refreshed.map(_.toSeq).toIndexedSeq)

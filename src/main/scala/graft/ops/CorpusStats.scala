@@ -1021,9 +1021,19 @@ object CorpusStats {
     def big(c: Column): Column = c.cast(dec38)
     val base = df.where(col(colA).isNotNull && col(colB).isNotNull)
       .select(col(colA).as("_x"), col(colB).as("_y"))
+    // r20 §2.6: each rank table pays one driver collect (the partition-
+    // offset pass inside distributedCumCounts); the x and y tables are
+    // independent, so build them as CONCURRENT jobs (the
+    // q_artifact_dashboard thread-pool stance) instead of serializing
+    // two full scans of the input back to back.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fx = Future { distributedDoubledRanks(base, "_x", "_rx") }
+    val fy = Future { distributedDoubledRanks(base, "_y", "_ry") }
     val j = base
-      .join(distributedDoubledRanks(base, "_x", "_rx"), Seq("_x"))
-      .join(distributedDoubledRanks(base, "_y", "_ry"), Seq("_y"))
+      .join(Await.result(fx, Duration.Inf), Seq("_x"))
+      .join(Await.result(fy, Duration.Inf), Seq("_y"))
     val row = j.agg(count(lit(1)).cast(dec38).as("_n"),
       sum(big(col("_rx"))).as("_sx"), sum(big(col("_ry"))).as("_sy"),
       sum(big(col("_rx")) * big(col("_rx"))).as("_qx"),

@@ -572,7 +572,7 @@ object Dedup {
       .agg(transform(sort_array(collect_list(struct(col("_df"), col("_s")))),
         e => e.getField("_s")).as("_ord"),
         sort_array(collect_list(col("_s"))).as("_sorted"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pre = ordered
       .withColumn("_plen",
         (col("_n") - ceil(lit(threshold) * col("_n")) + lit(1)).cast("int"))

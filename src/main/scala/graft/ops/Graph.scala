@@ -159,7 +159,11 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy (r20): rounds then materialize inside the single final
+      // action as one job — an EAGER checkpoint here ran one blocking
+      // driver job per round for the same work and the same lineage
+      // truncation
+      .localCheckpoint(false)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -168,7 +172,7 @@ object Graph {
       und = und
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     degrees(und).select(col("n").as("node"), col("d").as("degree"))
   }
@@ -210,10 +214,12 @@ object Graph {
       .distinct()
     val sym = und.select(col("a").as("_u"), col("b").as("_v"))
       .unionByName(und.select(col("b").as("_u"), col("a").as("_v")))
-      .localCheckpoint(true)
+      // lazy (r20, the kCore rationale): one final-action job instead of
+      // one blocking job per round
+      .localCheckpoint(false)
     var labels = sym.select(col("_u").as("node")).distinct()
       .withColumn("_lab", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val counts = sym
         .join(labels.select(col("node").as("_v"), col("_lab").as("_nl")), Seq("_v"))
@@ -226,7 +232,7 @@ object Graph {
         .agg(min_by(col("_nl"),
           struct((-col("_c")).as("_negc"), col("_nl").as("_l"))).as("_lab"))
         .select(col("_u").as("node"), col("_lab"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels.select(col("node"), col("_lab").as("community"))
   }
@@ -252,7 +258,11 @@ object Graph {
       .localCheckpoint(true)
     var settled = seeds.select(col(seedCol).as("id")).distinct()
       .withColumn("dist", lit(0))
-      .localCheckpoint(true)
+      // lazy (r20): settled is only READ by the next hop's anti-join and
+      // the final output — an eager checkpoint here was one extra
+      // blocking job per hop; `next` stays EAGER because isEmpty is the
+      // loop's termination probe
+      .localCheckpoint(false)
     var frontier = settled.select(col("id"))
     var hop = 1
     var exhausted = false
@@ -266,7 +276,7 @@ object Graph {
       else {
         settled = settled
           .unionByName(next.withColumn("dist", lit(hop)))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         frontier = next
         hop += 1
       }

@@ -31,9 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object Spectral {
 
-  /** The exact integer Gram matrix of the quantized embedding column:
-    * (i, j, g) with g = Σ_rows q_i·q_j as DECIMAL(38,0), 0 ≤ i,j < d.
-    * Null vectors are excluded; all vectors must share length `dim`. */
+  /** The exact integer Gram matrix of the quantized embedding column,
+    * UPPER TRIANGLE only (r20 §2.3 — the matrix is symmetric, so the
+    * lower triangle is pure duplicate work: emitting both halves doubled
+    * the exploded row stream and the shuffled bytes for no information):
+    * (i, j, g) with g = Σ_rows q_i·q_j as DECIMAL(38,0), 0 ≤ i ≤ j < d.
+    * Consumers mirror driver-side ([[fitDirection]]) — the mirrored value
+    * is the SAME integer, so every downstream trajectory is bit-identical
+    * to the full-matrix form. Null vectors are excluded; all vectors must
+    * share length `dim`. */
   def gramMatrix(df: DataFrame, vecCol: String, dim: Int,
                  quantScale: Long = 1000000L): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -41,9 +47,14 @@ object Spectral {
       .select(transform(col(vecCol),
         x => round(x.cast("double") * quantScale).cast("long")).as("_qv"))
     q.select(posexplode(col("_qv")).as(Seq("i", "_qi")), col("_qv"))
-      .select(col("i"), col("_qi"), posexplode(col("_qv")).as(Seq("j", "_qj")))
+      // slice from 1-based position i+1: pairs (i, j) with j ≥ i only —
+      // d(d+1)/2 rows per vector instead of d²
+      .select(col("i"), col("_qi"),
+        posexplode(slice(col("_qv"), col("i") + lit(1), lit(dim))))
+      .select(col("i"), (col("i") + col("pos")).as("j"),
+        (col("_qi").cast(dec38) * col("col")).as("_p"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("_qi").cast(dec38) * col("_qj")).as("g"))
+      .agg(sum(col("_p")).as("g"))
   }
 
   /** Driver-side exact-integer power iteration over a collected Gram
@@ -98,8 +109,13 @@ object Spectral {
     * on the direction. */
   def fitDirection(df: DataFrame, vecCol: String, dim: Int, iterations: Int,
                    quantScale: Long = 1000000L): Array[Long] = {
+    // mirror the upper triangle (same integer both sides — symmetry is
+    // exact, not approximate), so powerIterate sees the full matrix
     val gram = gramMatrix(df, vecCol, dim, quantScale).collect()
       .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+      .flatMap { case t @ (i, j, g) =>
+        if (i == j) Seq(t) else Seq(t, (j, i, g))
+      }
     powerIterate(gram, dim, iterations, quantScale)
   }
 

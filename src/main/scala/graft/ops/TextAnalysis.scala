@@ -984,15 +984,25 @@ object TextAnalysis {
     // nLangs aggregate() HOF folds over a materialized bucket array ran
     // interpreted per element and per class, 1.2 s at nLangs=4 but
     // linear in nLangs; this fused kernel walks the bytes once.)
-    val lut: Map[String, Array[Long]] = dense.collect()
-      .groupBy(_.getString(0))
+    // ONE collect job for both bounded artifacts (r20 §2.4): the dense
+    // LUT and the priors previously collected separately — two sequential
+    // driver jobs, the second re-scanning the labeled docs. A tagged
+    // union folds them into a single action; rows stay ≤
+    // nLangs·(buckets+1), the same bounded-artifact class.
+    val both = dense
+      .select(lit(0).as("_t"), col("_lang"), col("_b"), col("_lmic"))
+      .unionByName(priorsDf.select(lit(1).as("_t"), col("_lang"),
+        lit(-1L).as("_b"), col("_pmic").as("_lmic")))
+      .collect()
+    val lut: Map[String, Array[Long]] = both.filter(_.getInt(0) == 0)
+      .groupBy(_.getString(1))
       .map { case (l, rows) =>
         val a = new Array[Long](buckets)
-        rows.foreach(r => a(r.getLong(1).toInt) = r.getLong(2))
+        rows.foreach(r => a(r.getLong(2).toInt) = r.getLong(3))
         l -> a
       }
-    val priors: Map[String, Long] = priorsDf.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val priors: Map[String, Long] = both.filter(_.getInt(0) == 1)
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
     val langs = lut.keys.toArray.sorted
     require(langs.nonEmpty, "langidNb: no labeled training docs")
     // flat LUT is BUCKET-major (b*nLangs + l): the per-trigram class loop

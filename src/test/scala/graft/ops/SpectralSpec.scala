@@ -15,8 +15,13 @@ class SpectralSpec extends AnyFunSuite {
       (1L, Seq(0.6f, 0.8f)), (2L, Seq(0.6f, 0.8f)),
       (3L, Seq(-0.6f, -0.8f)), (4L, Seq(0.01f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val gram = Spectral.gramMatrix(rows, "embedding", dim = 2).collect()
+    val tri = Spectral.gramMatrix(rows, "embedding", dim = 2).collect()
       .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+    // r20: gramMatrix emits the UPPER TRIANGLE only (j ≥ i) — the matrix
+    // is symmetric and the mirror carries no information
+    assert(tri.forall { case (i, j, _) => j >= i }, tri.toSeq.toString)
+    val gram = tri.flatMap { case t @ (i, j, v) =>
+      if (i == j) Seq(t) else Seq(t, (j, i, v)) }
     // exact integer Gram: G11 = 3·(8e5)² = 1.92e12 dominates G00
     val g = gram.map { case (i, j, v) => (i, j) -> v }.toMap
     assert(g((1, 1)) === BigInt("1920000000000"))
@@ -44,6 +49,7 @@ class SpectralSpec extends AnyFunSuite {
       (3L, Seq(-0.9f, 0.12f))).toDF("vec_id", "embedding")
     val gram = Spectral.gramMatrix(rows, "embedding", dim = 2).collect()
       .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+      .flatMap { case t @ (i, j, g) => if (i == j) Seq(t) else Seq(t, (j, i, g)) }
     val v = Spectral.powerIterate(gram, dim = 2, iterations = 3)
     // dominant axis is dim 0 (all mass at -0.9): the sign flip must leave
     // the max-|·| component POSITIVE regardless of the data's sign
