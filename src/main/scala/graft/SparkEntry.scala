@@ -139,8 +139,14 @@ object SparkEntry {
     val lang = TextAnalysis.langidNb(docs,
       docs.filter(col("lang").isNotNull), "text", "lang", "doc_id",
       buckets = 1024)
+    // r21 §2.4: the langid-tagged corpus has TWO consumers (knTrain's
+    // type aggregate and knScore's trigram stream) — without the
+    // checkpoint the whole langid scoring pipeline (trigram hash join +
+    // dense-LUT sum + argmax window) replays once per consumer. Lazy:
+    // it materializes inside the first downstream action.
     val withLang = docs.select(col("doc_id"), col("text"))
       .join(lang.select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+      .localCheckpoint(false)
     val model = ops.Selection.knTrain(withLang, "text",
       groupCols = Seq("lang_pred"))
     val kn = ops.Selection.knScore(model, withLang, "text", "doc_id",
@@ -7509,19 +7515,31 @@ object SparkEntry {
       // artifact groups as concurrent Spark jobs (threads submitting to
       // one scheduler — the standard concurrent-jobs pattern a real
       // dashboard service uses), so wall-clock is the slowest group, not
-      // the sum of every job's scheduling floor.
-      import scala.concurrent.{Await, Future}
+      // the sum of every job's scheduling floor. r21 (§2.6 again, the
+      // r20-verdict scaling-0.64 item): INDEPENDENT actions INSIDE each
+      // group also run as sub-futures — the group wall is its longest
+      // single action, not its action chain — and every body is
+      // blocking{}-marked so the shared pool backfills instead of
+      // starving (r20 ADVICE).
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      def bf[T](body: => T): Future[T] = Future(blocking(body))
 
-      // --- HLL distinct users: base slices + delta slice appended vs rebuild
-      val fHll = Future {
-        val hllFolded = CorpusStats.distinctSketches(base, "user_id", "_slice")
-          .unionByName(CorpusStats.distinctSketches(delta, "user_id", "_slice"))
-        val hllEst = CorpusStats.distinctFromSketches(hllFolded).head.getLong(0)
-        val hllRebuild = CorpusStats.distinctFromSketches(
-          CorpusStats.distinctSketches(ev, "user_id", "_slice")).head.getLong(0)
-        val nUsers = ev.agg(count_distinct(col("user_id"))).head.getLong(0)
+      // --- HLL distinct users: base slices + delta slice appended vs
+      // rebuild — three independent one-action scans, concurrent
+      val fHll = bf {
+        val fEst = bf {
+          val hllFolded = CorpusStats.distinctSketches(base, "user_id", "_slice")
+            .unionByName(CorpusStats.distinctSketches(delta, "user_id", "_slice"))
+          CorpusStats.distinctFromSketches(hllFolded).head.getLong(0)
+        }
+        val fRebuild = bf { CorpusStats.distinctFromSketches(
+          CorpusStats.distinctSketches(ev, "user_id", "_slice")).head.getLong(0) }
+        val fUsers = bf { ev.agg(count_distinct(col("user_id"))).head.getLong(0) }
+        val hllEst = Await.result(fEst, Duration.Inf)
+        val hllRebuild = Await.result(fRebuild, Duration.Inf)
+        val nUsers = Await.result(fUsers, Duration.Inf)
         (nUsers, hllEst == hllRebuild,
           math.abs(hllEst - nUsers).toDouble / nUsers <= 0.05)
       }
@@ -7529,7 +7547,7 @@ object SparkEntry {
       // --- KLL p50/p95: folded slices vs rebuild; rank checks fused into
       // the exact sort-selection pass
       val ps = Seq(0.5, 0.95)
-      val fKll = Future {
+      val fKll = bf {
         // the folded slice artifact is 8 rows — checkpoint so its two
         // consumers (fold check + union quantiles) don't re-scan the corpus
         val kllSlicesFolded = CorpusStats.quantileSketches(base, "value", "_slice")
@@ -7542,7 +7560,9 @@ object SparkEntry {
         // compaction is merge-order-sensitive, so value-level equality
         // between two independent builds is not the contract (the
         // distinctSketches scaladoc's HIP/composite caveat, KLL edition)
-        val kllFoldEq = locally {
+        // fold check and the quantiles→exact chain are independent once
+        // the folded artifact is pinned — concurrent sub-futures
+        val fFoldEq = bf {
           import graft.functions.KllExpressions._
           val a = kllSlicesFolded.select(col("_slice"), col("sketch").as("_ska"))
           val b = CorpusStats.quantileSketches(ev, "value", "_slice")
@@ -7559,23 +7579,27 @@ object SparkEntry {
           ev, "value", ps, countAtOrBelow = kllFolded.map(_._1).toSeq)
         val kllRankOk = ps.indices.forall { i =>
           math.abs(leCounts(i).toDouble / kllFolded(i)._2 - ps(i)) <= 0.033 }
-        (kllFoldEq, exactQ, kllRankOk)
+        (Await.result(fFoldEq, Duration.Inf), exactQ, kllRankOk)
       }
 
       // --- Theta weekly audience: per-(week, slice) sketches fold to
       // per-week; exact-mode ⇒ folded numbers equal true set counts
-      val fTheta = Future {
+      val fTheta = bf {
         val wkEv = ev.select(to_date(date_trunc("week", col("ts"))).as("week"),
           col("user_id"), col("_slice"))
         val wkFolded = wkEv.groupBy(col("week"), col("_slice"))
           .agg(thetaSketchAgg(col("user_id")).as("_s0"))
           .groupBy(col("week")).agg(thetaUnionAgg(col("_s0")).as("_sk"))
           .localCheckpoint(true)   // weeks rows; two consumers below
-        val wkSingle = wkEv.groupBy(col("week"))
-          .agg(thetaSketchAgg(col("user_id")).as("_sk2"))
-        val thetaFoldEq = wkFolded.join(wkSingle, Seq("week"))
-          .agg(bool_and(round(thetaEstimate(col("_sk"))) ===
-            round(thetaEstimate(col("_sk2"))))).head.getBoolean(0)
+        // the fold check and the last-pair retention read are independent
+        // consumers of the pinned artifact — concurrent sub-futures
+        val fEq = bf {
+          val wkSingle = wkEv.groupBy(col("week"))
+            .agg(thetaSketchAgg(col("user_id")).as("_sk2"))
+          wkFolded.join(wkSingle, Seq("week"))
+            .agg(bool_and(round(thetaEstimate(col("_sk"))) ===
+              round(thetaEstimate(col("_sk2"))))).head.getBoolean(0)
+        }
         val pr = wkFolded
           .withColumn("_nsk", lead(col("_sk"), 1).over(Window.orderBy(col("week"))))
           .filter(col("_nsk").isNotNull)
@@ -7584,12 +7608,12 @@ object SparkEntry {
             round(thetaEstimate(col("_nsk"))).cast("long"),
             round(thetaEstimate(thetaIntersect(col("_sk"), col("_nsk")))).cast("long"))
           .head
-        (thetaFoldEq, pr.getLong(0), pr.getLong(1), pr.getLong(2))
+        (Await.result(fEq, Duration.Inf), pr.getLong(0), pr.getLong(1), pr.getLong(2))
       }
 
       // --- Vocab drift: per-snapshot count tables, delta fold ≡ rebuild
       // (row-identical), base→delta drift as exact-integer TV distance
-      val fVocab = Future {
+      val fVocab = bf {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
           .localCheckpoint(true)
         val snaps = (0 to 2).map(i =>
@@ -7598,11 +7622,12 @@ object SparkEntry {
           snaps.reduce(_ unionByName _)).localCheckpoint(true)
         val vocabRebuild = CorpusStats.vocabCounts(docs, "text")
         // row-identity via ONE full-outer join (null-safe count compare ≡
-        // exceptAll both ways on a keyed count table, at a third the jobs)
-        val vocabFoldEq = vocabFolded.select(col("word"), col("cnt").as("_ca"))
+        // exceptAll both ways on a keyed count table, at a third the jobs);
+        // independent of the TV-distance chain below — sub-future
+        val fEq = bf { vocabFolded.select(col("word"), col("cnt").as("_ca"))
           .join(vocabRebuild.select(col("word"), col("cnt").as("_cb")),
             Seq("word"), "full_outer")
-          .agg(bool_and(col("_ca") <=> col("_cb"))).head.getBoolean(0)
+          .agg(bool_and(col("_ca") <=> col("_cb"))).head.getBoolean(0) }
         val baseCounts = CorpusStats.mergeVocabCounts(snaps(1).unionByName(snaps(2)))
         val joint = baseCounts.select(col("word"), col("cnt").as("_c"))
           .join(snaps(0).select(col("word"), col("cnt").as("_dc")),
@@ -7615,7 +7640,8 @@ object SparkEntry {
         val dec38 = DecimalType(38, 0)
         val tvNum = joint.agg(sum(abs(col("_c").cast(dec38) * lit(n2)
           - col("_dc").cast(dec38) * lit(n1)))).head.getDecimal(0)
-        (vocabFoldEq, r6(tvNum.doubleValue() / (2.0 * n1 * n2)))
+        (Await.result(fEq, Duration.Inf),
+          r6(tvNum.doubleValue() / (2.0 * n1 * n2)))
       }
 
       val (nUsers, hllFoldEq, hllEstOk) = Await.result(fHll, Duration.Inf)
@@ -10692,14 +10718,17 @@ object SparkEntry {
       // r20 §2.6: the three states are independent one-collect jobs —
       // build them concurrently (the q_artifact_dashboard thread stance)
       // instead of three serialized corpus scans
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val fBase = Future { Knn.centroidBatchState(
-        e.filter(pmod(col("vec_id"), lit(4)) =!= 3), "embedding", standing) }
-      val fBatch = Future { Knn.centroidBatchState(
-        e.filter(pmod(col("vec_id"), lit(4)) === 3), "embedding", standing) }
-      val fDirect = Future { Knn.centroidBatchState(e, "embedding", standing) }
+      // blocking{}: the bodies block on Spark collects — see the
+      // spearmanCorrelation note (r20 ADVICE).
+      val fBase = Future { blocking { Knn.centroidBatchState(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 3), "embedding", standing) } }
+      val fBatch = Future { blocking { Knn.centroidBatchState(
+        e.filter(pmod(col("vec_id"), lit(4)) === 3), "embedding", standing) } }
+      val fDirect = Future { blocking {
+        Knn.centroidBatchState(e, "embedding", standing) } }
       val folded = Await.result(fBase, Duration.Inf)
         .fold(Await.result(fBatch, Duration.Inf))
       val direct = Await.result(fDirect, Duration.Inf)

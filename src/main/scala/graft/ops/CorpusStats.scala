@@ -1026,11 +1026,15 @@ object CorpusStats {
     // independent, so build them as CONCURRENT jobs (the
     // q_artifact_dashboard thread-pool stance) instead of serializing
     // two full scans of the input back to back.
-    import scala.concurrent.{Await, Future}
+    // blocking{}: each body BLOCKS on Spark actions — marking it lets the
+    // shared global pool spawn a replacement thread instead of starving
+    // sibling futures when several concurrent-job ops run at once
+    // (r20 ADVICE).
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fx = Future { distributedDoubledRanks(base, "_x", "_rx") }
-    val fy = Future { distributedDoubledRanks(base, "_y", "_ry") }
+    val fx = Future { blocking { distributedDoubledRanks(base, "_x", "_rx") } }
+    val fy = Future { blocking { distributedDoubledRanks(base, "_y", "_ry") } }
     val j = base
       .join(Await.result(fx, Duration.Inf), Seq("_x"))
       .join(Await.result(fy, Duration.Inf), Seq("_y"))
@@ -1451,11 +1455,20 @@ object CorpusStats {
                   scale: Int = 2, kNum: Long = 3, kDen: Long = 1): DataFrame = {
     require(kNum > 0 && kDen > 0, s"k must be positive: $kNum/$kDen")
     val W = org.apache.spark.sql.expressions.Window
+    // MATERIALIZE the (group, value) projection once (lazy — the first
+    // med2 action computes it): `base` is consumed by THREE passes (the
+    // median rank window, the MAD rank window via `dev`, and the final
+    // aggregate via `dev` again), and without the checkpoint each pass
+    // replays the CALLER's upstream pipeline — q_seasonal_anomaly paid
+    // the full seasonal decomposition (daily agg + two windows) three
+    // times over (r21 §2.4, the selectToTokenBudget stance). The cached
+    // bytes are the narrow 16-byte (group, long) projection.
     val base = df
       .select(col(groupCol),
         graft.SparkEntry.roundAway(col(valueCol).cast("double")
           * math.pow(10, scale).toLong).cast("long").as("_v"))
       .where(col("_v").isNotNull)
+      .localCheckpoint(false)
     // doubled median of column c per group: value-at-⌊(n−1)/2⌋ +
     // value-at-⌊n/2⌋ over the group's ascending order (equal for odd n,
     // so the sum double-counts the single median row — exactly 2·median)

@@ -1598,8 +1598,15 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("_b"))
       .filter(col("_a") =!= col("_b"))
       .distinct()
-    val p = canon(pred)
-    val t = canon(truth)
+    // MATERIALIZE each canonical pair set once (lazy): `p` is consumed by
+    // BOTH the n_pred count and the tp semi-join, `t` by n_true and the
+    // semi-join's build side — without the checkpoint the caller's whole
+    // pair-producer pipeline (q_dedup_eval: synthesis + shingle explode +
+    // jaccardPairs self-join) replays per consumer (r21 §2.4; the
+    // q_dedup_eval 28.9×-DuckDB stale flag this adjudicated). Pair sets
+    // are two-long rows — bounded artifacts even at corpus scale.
+    val p = canon(pred).localCheckpoint(false)
+    val t = canon(truth).localCheckpoint(false)
     p.agg(count(lit(1)).as("n_pred"))
       .crossJoin(t.agg(count(lit(1)).as("n_true")))
       .crossJoin(p.join(t, Seq("_a", "_b"), "left_semi")

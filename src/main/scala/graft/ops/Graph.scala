@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * shape: the graph is an edge DataFrame, every iteration is an edge-grain
   * equi-join + aggregate (never an adjacency matrix), and the driver holds
   * nothing but the loop counter.
+  *
+  * CLUSTER CAVEAT on the per-round `localCheckpoint`s below (r20
+  * verdict): local checkpoints store blocks unreplicated on executor
+  * storage and sever lineage, so on a multi-executor cluster a lost
+  * executor fails the job (no lineage to recompute from). That is the
+  * right trade on local[*] and for short jobs; a long cluster run should
+  * swap the round-boundary checkpoints for reliable `checkpoint()` (HDFS/
+  * object-store backed) or periodic writes of the round state.
   */
 object Graph {
 
@@ -148,12 +156,17 @@ object Graph {
             k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be ≥ 1: $k")
     require(rounds >= 1, s"rounds must be ≥ 1: $rounds")
-    // Materialize the surviving edge set every round (localCheckpoint —
+    // Checkpoint the surviving edge set every round (localCheckpoint —
     // the iterative-op stance of pageRank/bpeMerges): each round's plan
     // references the previous edge set three times (degrees + two
-    // semi-joins), so a lazy chain re-evaluates the upstream edge build
-    // 3^rounds times. The peel state is edge-grain and SHRINKS
-    // monotonically — exactly what an iterative engine persists.
+    // semi-joins), so an UN-CHECKPOINTED lazy chain would re-evaluate the
+    // upstream edge build 3^rounds times. The LAZY localCheckpoint below
+    // still pins one shared materialization per round (all three readers
+    // hit the same persisted RDD once the final action computes it) —
+    // laziness only moves WHEN rounds materialize (inside the single
+    // final action instead of one blocking driver job per round, r20).
+    // The peel state is edge-grain and SHRINKS monotonically — exactly
+    // what an iterative engine persists.
     var und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -342,13 +355,28 @@ object Graph {
         .agg(min(col("dst")).as("_m"))
         .select(col("src"), least(col("_m"), col("src")).as("_m"))
       // No distinct here (r20 §2.4): duplicates cannot change mins2's
-      // per-src MIN, and `small` dedupes at round end — the former
-      // `.distinct()` bought nothing semantically and cost a full
-      // (src, dst) exchange every round. Duplicate volume is bounded by
-      // the nbrs row count (emitted rows ≤ input rows), so nothing grows.
+      // per-src MIN, and `small` dedupes at round end. But `large` has
+      // TWO consumers (the mins2 aggregate and the small-star join), and
+      // the r20 distinct removal also removed the exchange ReuseExchange
+      // was deduping across them — without it the nbrs⋈mins subtree runs
+      // TWICE per round. The lazy localCheckpoint here pins ONE
+      // materialization per round with no dedup exchange at all (r21
+      // §2.4; duplicate volume stays bounded by the nbrs row count).
+      // r21 three-way A/B (serialized, same box, min-of-3 each):
+      //   r19 form (distinct)   star 4.26  incr 6.87  neardup 3.82
+      //   r20 form (neither)    star 4.64  incr 5.49  neardup 3.92
+      //   r21 form (checkpoint) star 3.63  incr 5.56  neardup 3.45
+      // — the checkpoint form wins or ties every query; the r20
+      // clean-close "regression" on q_incremental_components (4.06 →
+      // 5.54 s) was host variance, not the distinct removal (on this box
+      // the r19 form is the SLOWEST of the three for that query). Its
+      // remaining floor is round count × per-stage scheduling, which
+      // shrinks with neither variant (split-chain rounds carry
+      // near-trivial `large` tables).
       val large = nbrs.join(mins, Seq("src"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("_m").as("dst"))
+        .localCheckpoint(false)
       // SMALL-STAR: every node v re-links its SMALLER neighborhood
       // Γ⁻(v) (all of it, by the invariant) plus itself to
       // m = min(Γ⁻(v)); emitted pairs keep first > second since
@@ -394,9 +422,14 @@ object Graph {
     * ids the delta never touches come through round 1 unchanged. */
   def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
                             maxRounds: Int = 50): DataFrame =
+    // lazy checkpoint (r21 §2.4): componentsStar consumes its pair input
+    // TWICE (the ids distinct and the canonical edge build) — without
+    // the pin, the standing-labels plan (itself the first contraction's
+    // output join) replays per consumer
     componentsStar(
       labels.select(col("id").as("id_a"), col("cluster_id").as("id_b"))
-        .unionByName(newPairs.select(col("id_a"), col("id_b"))),
+        .unionByName(newPairs.select(col("id_a"), col("id_b")))
+        .localCheckpoint(false),
       maxRounds)
 
 }

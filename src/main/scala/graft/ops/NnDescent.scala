@@ -365,10 +365,11 @@ object NnDescent {
     * otherwise every query enters at the `nEntries` smallest corpus ids.
     * Output: (`qidCol`, ann_id, score), ≤ `k` rows per query.
     *
-    * Scale shape: each hop is two equi-joins of the (N·≤ef) frontier
-    * against the src-keyed edge table, one anti-join against the visited
-    * table, and one score join against the corpus — all shared, all
-    * keyed, each round re-planned from a materialized state (the
+    * Scale shape: each hop is ONE equi-join of the (N·≤ef) frontier
+    * against the once-per-serve pinned, _vid-partitioned undirected edge
+    * table, one anti-join against the visited key set, and one score
+    * join against the once-per-serve pinned corpus vectors — all shared,
+    * all keyed, each round re-planned from a materialized state (the
     * iterative-trainer stance). Per-hop driver traffic is ONE count (the
     * global any-query-still-active check), never rows. */
   def beamSearchBatch(graph: DataFrame, corpus: DataFrame, vecCol: String,
@@ -378,10 +379,19 @@ object NnDescent {
                       entries: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
     require(maxHops >= 1 && nEntries >= 1, s"bad maxHops=$maxHops nEntries=$nEntries")
+    // r21 §2.4/§6 (the once-per-serve layout stance): the corpus vector
+    // table and the query vectors are joined EVERY hop — pin each once,
+    // pre-partitioned on its join key, so hops exchange only the (small)
+    // candidate stream, never the corpus. Lazy: both materialize inside
+    // the first action below. (Cluster caveat: localCheckpoint is
+    // unreplicated — see Graph.scala's header note.)
     val vecs = corpus.select(col(idCol).cast("long").as("_vid"),
       col(vecCol).as("_cv"))
+      .repartition(col("_vid"))
+      .localCheckpoint(false)
     val qv = queries.select(col(qidCol).cast("long").as("_qid"),
       col(qvecCol).as("_qv"))
+      .localCheckpoint(false)
     def scorePairs(cand: DataFrame): DataFrame = cand
       .join(vecs, Seq("_vid"))
       .join(qv, Seq("_qid"))
@@ -399,23 +409,36 @@ object NnDescent {
     def topEf(v: DataFrame): DataFrame = v
       .withColumn("_r", row_number().over(wBeam))
       .filter(col("_r") <= ef).drop("_r")
-    var visited = scorePairs(entryPairs).localCheckpoint(false)
-    var beams = topEf(visited).localCheckpoint(false)
+    val scored0 = scorePairs(entryPairs).localCheckpoint(false)
+    var beams = topEf(scored0).localCheckpoint(false)
     var active = qv.select(col("_qid")).distinct().localCheckpoint(false)
-    val outSrc = graph.select(col("src").as("_vid"), col("dst").as("_nb"))
-    val inSrc = graph.select(col("dst").as("_vid"), col("src").as("_nb"))
+    // r21 §2.4/§6 (r20-verdict item 2 — "bucket the edge table by src
+    // once per serve"): ONE undirected edge table, pre-partitioned on
+    // _vid and pinned once, replaces the former per-hop pair of joins
+    // against two per-hop re-derived directed views — each hop is now a
+    // single co-located equi-join whose only exchanged side is the
+    // frontier. (join distributes over union, so frontier⋈(out ∪ in) is
+    // row-identical to (frontier⋈out) ∪ (frontier⋈in).)
+    val und = graph.select(col("src").as("_vid"), col("dst").as("_nb"))
+      .unionByName(graph.select(col("dst").as("_vid"), col("src").as("_nb")))
+      .repartition(col("_vid"))
+      .localCheckpoint(false)
+    // visited is consumed ONLY as the anti-join dedup set: keep it as a
+    // lazy union of the (already checkpointed) per-hop scored frames,
+    // projected to keys — the r20 code re-checkpointed the monotonically
+    // GROWING union every hop, copying the whole visited set O(hops)
+    // times (r21 §5). Union depth is bounded by maxHops, so there is no
+    // lineage blowup to truncate.
+    var visited = scored0.select(col("_qid"), col("_vid"))
     var hops = 0
     var nActive = active.count()
     while (nActive > 0 && hops < maxHops) {
       val frontier = beams.join(active, Seq("_qid"))
         .select(col("_qid"), col("_vid"))
-      val neigh = frontier.join(outSrc, Seq("_vid"))
+      val neigh = frontier.join(und, Seq("_vid"))
         .select(col("_qid"), col("_nb").as("_vid"))
-        .unionByName(frontier.join(inSrc, Seq("_vid"))
-          .select(col("_qid"), col("_nb").as("_vid")))
         .distinct()
-        .join(visited.select(col("_qid"), col("_vid")), Seq("_qid", "_vid"),
-          "left_anti")
+        .join(visited, Seq("_qid", "_vid"), "left_anti")
       // r20 §2.3: the new beam can only contain old-beam members or this
       // hop's newly scored candidates (scores are fixed per (query, id),
       // so top-ef(visited ∪ new) = top-ef(top-ef(visited) ∪ new) — the
@@ -424,16 +447,24 @@ object NnDescent {
       // input stays ≤ (ef + fan-out) rows per query regardless of hop
       // count. visited keeps growing only as the anti-join dedup set.
       val scored = scorePairs(neigh).localCheckpoint(false)
-      visited = visited.unionByName(scored).localCheckpoint(false)
-      val nextBeams = topEf(beams.unionByName(scored)).localCheckpoint(false)
+      visited = visited.unionByName(scored.select(col("_qid"), col("_vid")))
+      // origin tag rides through the ranking window: scored candidates
+      // are disjoint from beam members (the visited anti-join above), so
+      // "the beam SET changed this hop" ⟺ "some SURVIVING row is newly
+      // scored" — read it off nextBeams with a filter instead of the
+      // former per-hop (nextBeams anti-join beams) + distinct (r21 §2.4:
+      // one exchange per hop instead of three for the same active set)
+      val nextBeams = topEf(
+        beams.select(col("_qid"), col("_vid"), col("_s"))
+          .withColumn("_new", lit(false))
+          .unionByName(scored.withColumn("_new", lit(true))))
+        .localCheckpoint(false)
       // a query stays active iff its beam SET changed this hop; once the
       // set is stable, every beam neighbor is already visited and no
       // later hop could change it — the single-query termination argument
-      active = nextBeams
-        .join(beams.select(col("_qid"), col("_vid")), Seq("_qid", "_vid"),
-          "left_anti")
+      active = nextBeams.filter(col("_new"))
         .select(col("_qid")).distinct().localCheckpoint(false)
-      beams = nextBeams
+      beams = nextBeams.drop("_new")
       hops += 1
       nActive = active.count()
     }

@@ -222,6 +222,11 @@ object Selection {
     // writes the type table to storage at this seam (it IS the
     // incremental artifact — see [[knTypes]]); the checkpoint is the
     // in-session equivalent, inside the timed region.
+    // CLUSTER CAVEAT (r20 verdict): localCheckpoint stores blocks
+    // unreplicated on executor storage and severs lineage — on a real
+    // cluster an executor loss fails the job. Fine on local[*]; a
+    // cluster deployment should write the type table to reliable storage
+    // (or use reliable `checkpoint()`) at this seam instead.
     knFromTypes(knTypes(train, textCol, groupCols).localCheckpoint(false),
       minCount, groupCols)
 
@@ -320,17 +325,17 @@ object Selection {
       .select(g ++ Seq(col("_c1").as("_N"), col("_c2").as("_V")): _*)
     val dd = lit(d)
     val sc = triStream(score, textCol, col(idCol) +: g)
-    // r20 §2.3 (aggregate before you shuffle): score each DISTINCT
-    // trigram TYPE once, then attach the per-type logprob back to the
-    // occurrence stream with ONE g3-keyed join — instead of dragging the
-    // occurrence stream through all five model joins (each keyed
-    // differently, so at scale each is its own full-width shuffle of the
-    // corpus trigram stream). h12/h23/w2/w3 are functions of g3 (tokens
-    // never contain whitespace), so min() per g3 reproduces them exactly
-    // — the same GROUP BY g3 + min() identity the DuckDB oracle uses.
-    // Per-type p3 is the identical double expression over the identical
-    // model stats, and the per-doc sum sees the same multiset of _lp
-    // longs, so results are bit-for-bit unchanged.
+    // REVERT JOURNAL (r20, measured): a distinct-TYPE restructure — score
+    // each distinct trigram type once, then re-attach the per-type logprob
+    // to the occurrence stream with one g3-keyed join (h12/h23/w2/w3 are
+    // functions of g3, so it is semantics-preserving) — was implemented
+    // and measured 15–30 % SLOWER at sf0.1 than the five-join ladder
+    // below: the extra type-grain aggregate + re-attach join cost more
+    // than the five (mostly broadcast at this scale) model joins save.
+    // At 100 TB the trade may invert (each model join becomes a
+    // full-width shuffle of the corpus trigram stream); re-measure there
+    // before re-applying. The code below is the ORIGINAL occurrence-
+    // stream ladder.
     val j0 = sc
       .join(trig, groupCols :+ "_g3", "left")
       .join(hist, groupCols :+ "_h12", "left")
