@@ -7702,9 +7702,16 @@ object SparkEntry {
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val terms = Seq("dup", "spark", "merge")
-      val base = Dedup.exactDedup(docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+      // r21 §2.4: `base` has THREE consumers (the incremental-dedup
+      // anti-join, its own bm25Stats slice, and the final union scoring
+      // pass) and `survivors` two — unpinned, exactDedup/incrementalDedup
+      // replayed per consumer (the round's stale-adjudication flag on
+      // this query). Lazy checkpoints pin each once.
+      val base = Dedup.exactDedup(docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id").localCheckpoint(false)
       val delta = docs.filter(col("doc_id") % 3 =!= 0)
       val survivors = Dedup.incrementalDedup(base, delta, "text", "doc_id")
+        .localCheckpoint(false)
       val merged = Retrieval.mergeStats(
         Retrieval.bm25Stats(base, "text", "doc_id", terms)
           .unionAll(Retrieval.bm25Stats(survivors, "text", "doc_id", terms)),

@@ -1,0 +1,65 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Core-count scaling probe at amortized data size (r21, the r20-verdict
+  * "demonstrate one scaling win at a bigger SF" item): replicates the
+  * sf0.1 documents k× IN MEMORY (vowel-rotation cycling — texts repeat
+  * above k=5, which is valid for PER-DOC ops: the KN scorer never pairs
+  * docs) and times per-doc corpus ops. Run it twice, SPARK_GRAFT_CPUS=8
+  * then 32, and compare the printed mins: the sf0.1 bench's 8≈32 ratios
+  * are per-stage scheduling floor, and this probe shows where real CPU
+  * parallelism re-emerges once stages carry work.
+  *
+  * Usage: Test/runMain graft.tools.CoreScaling <sfDir> <k> */
+object CoreScaling {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val k = args(1).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val step = 10000000L
+    val vowelMaps = Array("aeiou", "eioua", "iouae", "ouaei", "uaeio")
+    val docs0 = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val docs = (0 until k).map { r =>
+      val withId = docs0.withColumn("doc_id", col("doc_id") + lit(r * step))
+      if (r % 5 == 0) withId
+      else withId.withColumn("text",
+        translate(col("text"), "aeiou", vowelMaps(r % 5)))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt * 2).localCheckpoint(true)
+    val n = docs.count()
+    val cal = graft.Bench.calibrate()
+    val calPar = graft.Bench.calibrateParallel()
+    def timed(name: String)(body: => Unit): Unit = {
+      body // warm
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"probe":"$name","cpus":$cpus,"k":$k,"rows":$n,"sec":${samples.min}%.3f,"calib":$cal%.3f,"calib_par":$calPar%.3f}""")
+    }
+    timed("kn_logprob") {
+      graft.ops.Selection.knLogProb(docs, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("bigram_logprob") {
+      graft.ops.Selection.bigramLogProb(docs, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("langid_nb") {
+      val labeled = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.ops.TextAnalysis.langidNb(labeled, docs, "text", "lang", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
