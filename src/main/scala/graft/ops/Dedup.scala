@@ -566,6 +566,11 @@ object Dedup {
     // `_sorted`) — materialize it once or the shingle/df-join/double-sort
     // pipeline above re-runs per consumer (measured: 8.6 s → 4.1 s
     // end-to-end at sf0.1)
+    // (r21 journal: widening this pin with Par before the checkpoint —
+    // the candidate self-join amplifies each pinned row ~1000-fold at
+    // ~2-way parallelism — measured within noise of the exchange fusion
+    // below alone (3.38 vs 3.11 s min across JVMs) and rides the
+    // mechanism that measured HARMFUL at the KN/ccnet seams; left out.)
     val ordered = toks.select(col("_id"), col("_n"), explode(col("_sh")).as("_s"))
       .join(dfreq, Seq("_s"))
       .groupBy(col("_id"), col("_n"))
@@ -603,15 +608,24 @@ object Dedup {
           col("n_b") - 1 - col("_ib"))).cast("double") >=
           lit(threshold / (1.0 + threshold)) *
             (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
-      .dropDuplicates("id_a", "id_b")
       // candidate rows are SKINNY (two ids + two lengths) but each one
       // buys an O(|doc|) sorted-intersect in the verify — AQE's
       // bytes-based coalescing sees a few-MB shuffle and folds it onto a
       // handful of tasks, serializing the CPU-bound stage (measured
       // 8.6 s vs 3.9 s at sf0.1 under the 64 MB advisory target). Widen
       // to the session's parallelism explicitly, the
-      // [[semanticNearDupsAssigned]] precedent.
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // [[semanticNearDupsAssigned]] precedent. r21 §2.4: the widening
+      // repartition is keyed by (id_a, id_b) and placed BEFORE the pair
+      // dedup — dropDuplicates needs exactly that clustering, so ONE
+      // explicit cores-wide exchange serves dedup AND verify layout
+      // where dedup's own exchange plus a round-robin repartition
+      // previously moved the full candidate set twice (StageTime: the
+      // second exchange alone was wall 1.5 s / 45 MB at sf0.1; interleaved
+      // PairTimer A/B: q_prefix_jaccard 4.96/5.04 s → 3.38 s). Width ≤ 0
+      // (the cluster opt-out) keeps dedup's own AQE-planned exchange.
+      .transform(c => if (Par.width(c) <= 0) c
+                      else c.repartition(Par.width(c), col("id_a"), col("id_b")))
+      .dropDuplicates("id_a", "id_b")
     val lookup = ordered.select(col("_id"), col("_sorted"))
     cands
       .join(lookup.select(col("_id").as("id_a"), col("_sorted").as("_oa")), Seq("id_a"))
