@@ -7529,10 +7529,9 @@ object SparkEntry {
       // single action, not its action chain — and every body is
       // blocking{}-marked so the shared pool backfills instead of
       // starving (r20 ADVICE).
-      import scala.concurrent.{Await, Future, blocking}
+      import scala.concurrent.Await
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      def bf[T](body: => T): Future[T] = Future(blocking(body))
+      import ops.Par.{blockingFuture => bf}
 
       // --- HLL distinct users: base slices + delta slice appended vs
       // rebuild — three independent one-action scans, concurrent
@@ -10733,17 +10732,15 @@ object SparkEntry {
       // r20 §2.6: the three states are independent one-collect jobs —
       // build them concurrently (the q_artifact_dashboard thread stance)
       // instead of three serialized corpus scans
-      import scala.concurrent.{Await, Future, blocking}
+      import scala.concurrent.Await
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      // blocking{}: the bodies block on Spark collects — see the
-      // spearmanCorrelation note (r20 ADVICE).
-      val fBase = Future { blocking { Knn.centroidBatchState(
-        e.filter(pmod(col("vec_id"), lit(4)) =!= 3), "embedding", standing) } }
-      val fBatch = Future { blocking { Knn.centroidBatchState(
-        e.filter(pmod(col("vec_id"), lit(4)) === 3), "embedding", standing) } }
-      val fDirect = Future { blocking {
-        Knn.centroidBatchState(e, "embedding", standing) } }
+      import ops.Par.{blockingFuture => bf}
+      val fBase = bf { Knn.centroidBatchState(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 3), "embedding", standing) }
+      val fBatch = bf { Knn.centroidBatchState(
+        e.filter(pmod(col("vec_id"), lit(4)) === 3), "embedding", standing) }
+      val fDirect = bf {
+        Knn.centroidBatchState(e, "embedding", standing) }
       val folded = Await.result(fBase, Duration.Inf)
         .fold(Await.result(fBatch, Duration.Inf))
       val direct = Await.result(fDirect, Duration.Inf)

@@ -1026,15 +1026,11 @@ object CorpusStats {
     // independent, so build them as CONCURRENT jobs (the
     // q_artifact_dashboard thread-pool stance) instead of serializing
     // two full scans of the input back to back.
-    // blocking{}: each body BLOCKS on Spark actions — marking it lets the
-    // shared global pool spawn a replacement thread instead of starving
-    // sibling futures when several concurrent-job ops run at once
-    // (r20 ADVICE).
-    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fx = Future { blocking { distributedDoubledRanks(base, "_x", "_rx") } }
-    val fy = Future { blocking { distributedDoubledRanks(base, "_y", "_ry") } }
+    import Par.{blockingFuture => bf}
+    val fx = bf { distributedDoubledRanks(base, "_x", "_rx") }
+    val fy = bf { distributedDoubledRanks(base, "_y", "_ry") }
     val j = base
       .join(Await.result(fx, Duration.Inf), Seq("_x"))
       .join(Await.result(fy, Duration.Inf), Seq("_y"))

@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   * right trade on local[*] and for short jobs; a long cluster run should
   * swap the round-boundary checkpoints for reliable `checkpoint()` (HDFS/
   * object-store backed) or periodic writes of the round state.
+  *
+  * STORAGE-ACCUMULATION CAVEAT (r21 review): each round's pinned frames
+  * become unreferenced at the next iteration but their MEMORY_AND_DISK
+  * blocks are reclaimed only when the driver GCs the RDD handle and
+  * ContextCleaner runs — a deep contraction can hold many stale
+  * round-table copies concurrently with live state (they evict to disk
+  * under memory pressure, LRU-first, so correctness is unaffected; the
+  * cost is storage churn). Spark's public Dataset API offers no direct
+  * unpersist for a lazily checkpointed frame; a cluster deployment that
+  * hits this should rely on `spark.cleaner.periodicGC.interval` (default
+  * 30 min — lower it for round loops) or the reliable-checkpoint swap
+  * above, which replaces the pinned blocks outright.
   */
 object Graph {
 

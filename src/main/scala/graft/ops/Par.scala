@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import scala.concurrent.{blocking, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
 
 /** Explicit partition width for seams where AQE's bytes-based coalescing
   * is the wrong signal: skinny rows whose downstream cost is per-row CPU
@@ -31,12 +33,30 @@ import org.apache.spark.sql.DataFrame
   * repartition outright and keep the AQE-planned layout. */
 object Par {
 
-  /** Configured explicit width: `spark.graft.pin.partitions` if set, else
-    * the session's default parallelism. `0` (or negative) disables the
-    * explicit repartition at the call sites. */
+  /** Configured explicit width — a PARTITION COUNT (e.g. the
+    * intermediate's bytes / 256 MB, computed by the deployer):
+    * `spark.graft.pin.partitions` if set, else the session's default
+    * parallelism. `0` (or negative) disables the explicit repartition at
+    * the call sites. A non-integer value fails fast with the key named
+    * instead of surfacing as a bare NumberFormatException mid-plan. */
   def width(df: DataFrame): Int = {
     val spark = df.sparkSession
-    spark.conf.getOption("spark.graft.pin.partitions").map(_.toInt)
-      .getOrElse(spark.sparkContext.defaultParallelism)
+    spark.conf.getOption("spark.graft.pin.partitions").map { v =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.pin.partitions must be an integer partition count " +
+            s"(0 disables the explicit repartition), got: '$v'")
+      }
+    }.getOrElse(spark.sparkContext.defaultParallelism)
   }
+
+  /** A Future whose body BLOCKS on Spark actions (collect/count/save) —
+    * the guide-§2.6 concurrent-jobs stance shared by spearman, the
+    * centroid batch states and the artifact dashboard. `blocking{}` lets
+    * the shared global pool spawn a replacement thread instead of
+    * starving sibling futures when several concurrent-job ops run at
+    * once (r20 ADVICE); one definition here so the execution-context
+    * policy has a single seam. */
+  def blockingFuture[T](body: => T): Future[T] = Future(blocking(body))
 }

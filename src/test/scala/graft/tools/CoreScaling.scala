@@ -16,6 +16,9 @@ object CoreScaling {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val k = args(1).toInt
+    // same bound as ReplicateDocs: replica id offsets are r*10M, so doc_ids
+    // must stay below 10M and k small enough that offsets never collide
+    require(k >= 1 && k <= 100, s"k must be in [1, 100]: $k")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,9 +57,13 @@ object CoreScaling {
       graft.ops.Selection.bigramLogProb(docs, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
     }
+    // hoisted + pinned OUTSIDE the timed closure so the probe times the
+    // classifier, not a per-repetition parquet re-scan (the other probes
+    // read the pinned `docs` — this keeps the cross-probe ratios honest)
+    val labeled = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .localCheckpoint(true)
     timed("langid_nb") {
-      val labeled = graft.Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"), col("lang"))
       graft.ops.TextAnalysis.langidNb(labeled, docs, "text", "lang", "doc_id")
         .write.format("noop").mode("overwrite").save()
     }

@@ -41,6 +41,7 @@ object StageCount {
       def run(): Unit =
         fn(spark, dir).write.format("noop").mode("overwrite").save()
       run() // warm (codegen/classload)
+      Thread.sleep(1500) // drain the async listener bus of warm-run events
       jobs.set(0); stages.set(0); tasks.set(0); shuffleRead.set(0)
       listening.set(true)
       val t0 = System.nanoTime()

@@ -46,6 +46,7 @@ object StageTime {
       def run(): Unit =
         fn(spark, dir).write.format("noop").mode("overwrite").save()
       run() // warm
+      Thread.sleep(1500) // drain the async listener bus of warm-run events
       stages.clear()
       listening.set(true)
       val t0 = System.nanoTime()
